@@ -1,0 +1,253 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** §2.4 Aggregations (SURVEY.md).
+  *
+  * Scale posture: everything here is a hash aggregate with map-side partial
+  * aggregation (Spark plans partial+final automatically); group-key
+  * cardinality is bounded (returnflag/linestatus/nation), so the shuffle
+  * moves only partial states, not rows. No driver-side collection.
+  */
+object Aggregates {
+  import Fx._
+
+  /** Weighted-mean demo of the typed UDAF surface (SURVEY §2.4
+    * q_agg_custom_typed). Buffer holds exact integer cents so the result is
+    * order-independent and matches a pure-SQL oracle bit-for-bit.
+    */
+  case class WIn(x: Double, w: Double)
+  object WeightedMean extends Aggregator[WIn, (Long, Long), Double] {
+    def zero: (Long, Long) = (0L, 0L)
+    def reduce(b: (Long, Long), a: WIn): (Long, Long) =
+      (b._1 + Math.round(a.x * a.w * 100), b._2 + Math.round(a.w * 100))
+    def merge(b1: (Long, Long), b2: (Long, Long)): (Long, Long) =
+      (b1._1 + b2._1, b1._2 + b2._2)
+    def finish(b: (Long, Long)): Double =
+      if (b._2 == 0) Double.NaN
+      else Math.round(((b._1 / 100.0) / (b._2 / 100.0)) * 10000) / 10000.0
+    def bufferEncoder: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_global" -> { (s, d) =>
+      Tables.lineitem(s, d).agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("n_rows"))
+    },
+
+    // Flagship: TPC-H-Q1-shaped pricing summary (SURVEY §7.2).
+    "q_agg_group" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("2000-12-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+            .as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax")), 6).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    "q_agg_distinct" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          sum_distinct(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 2)).as("sum_dist_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // HLL sketch; no oracle (approximation differs across engines) —
+    // accuracy asserted in ScalaTest against the exact count.
+    "q_agg_approx_distinct" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+        .orderBy(col("event_type"))
+    },
+
+    "q_agg_filtered" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          dsum(when(col("l_discount") > 0.05, col("l_quantity")))
+            .as("qty_hi_disc"),
+          count(when(col("l_tax") > 0.04, lit(1))).as("n_hi_tax"),
+          dsum(when(col("l_quantity") < 10,
+            col("l_extendedprice"))).as("price_small_qty"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Multi-valued reassembly (EPrints creators -> one row; SURVEY §1.2).
+    "q_agg_collect" -> { (s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(
+          array_join(sort_array(collect_list(col("c_name"))), ";")
+            .as("names"),
+          size(collect_set(col("c_mktsegment"))).as("n_segments"))
+        .orderBy(col("c_nationkey"))
+    },
+
+    "q_agg_stats" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+            .as("corr_qty_price"),
+          round(covar_samp(col("l_quantity"), col("l_discount")), 6)
+            .as("cov_qty_disc"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    "q_agg_percentile" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          eround(percentile(col("l_extendedprice"), lit(0.5)), 4)
+            .as("p50_price"),
+          eround(percentile(col("l_extendedprice"), lit(0.9)), 4)
+            .as("p90_price"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    "q_agg_rollup" -> { (s, d) => groupingQuery(s, d, "rollup") },
+    "q_agg_cube" -> { (s, d) => groupingQuery(s, d, "cube") },
+    "q_agg_grouping_sets" -> { (s, d) => groupingQuery(s, d, "gsets") },
+
+    "q_agg_custom_typed" -> { (s, d) =>
+      val wm = udaf(WeightedMean)
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(wm(col("l_extendedprice"), col("l_quantity")).as("wavg_price"))
+        .orderBy(col("l_returnflag"))
+    }
+  )
+
+  /** customer ⋈ nation ⋈ region (both dims broadcast) with subtotals. */
+  private def groupingQuery(s: SparkSession, d: String,
+      mode: String): DataFrame = {
+    val joined = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"))
+    val grouped = mode match {
+      case "rollup" => joined.rollup(col("r_name"), col("n_name"))
+      case "cube"   => joined.cube(col("r_name"), col("n_name"))
+      case "gsets"  => joined.groupingSets(
+        Seq(Seq(col("r_name"), col("n_name")), Seq(col("r_name")), Seq()),
+        col("r_name"), col("n_name"))
+    }
+    grouped
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_cust"),
+        dsum(col("c_acctbal")).as("sum_bal"))
+      .orderBy(col("gid"), asc_nulls_first("r_name"),
+        asc_nulls_first("n_name"))
+  }
+
+  private val groupingOracle: Map[String, String] = {
+    def sql(groupBy: String) =
+      s"""SELECT r_name, n_name, GROUPING(r_name, n_name) AS gid,
+         | count(*) AS n_cust, ${oSum("c_acctbal")} AS sum_bal
+         | FROM customer
+         | JOIN nation ON c_nationkey = n_nationkey
+         | JOIN region ON n_regionkey = r_regionkey
+         | GROUP BY $groupBy
+         | ORDER BY gid, r_name NULLS FIRST, n_name NULLS FIRST"""
+        .stripMargin.replaceAll("\n", " ")
+    Map(
+      "q_agg_rollup" -> sql("ROLLUP(r_name, n_name)"),
+      "q_agg_cube" -> sql("CUBE(r_name, n_name)"),
+      "q_agg_grouping_sets" ->
+        sql("GROUPING SETS ((r_name, n_name), (r_name), ())"))
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_global" ->
+      s"""SELECT ${oSum("l_quantity")} AS sum_qty,
+         | min(l_extendedprice) AS min_price,
+         | max(l_extendedprice) AS max_price,
+         | ${oAvg("l_discount")} AS avg_disc,
+         | count(*) AS n_rows FROM lineitem"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_agg_group" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | ${oSum("l_quantity")} AS sum_qty,
+         | ${oSum("l_extendedprice")} AS sum_base_price,
+         | ${oSum("l_extendedprice * (1 - l_discount)", 4)} AS sum_disc_price,
+         | ${oSum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 6)} AS sum_charge,
+         | ${oAvg("l_quantity")} AS avg_qty,
+         | ${oAvg("l_extendedprice")} AS avg_price,
+         | ${oAvg("l_discount")} AS avg_disc,
+         | count(*) AS count_order
+         | FROM lineitem WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+         | GROUP BY l_returnflag, l_linestatus
+         | ORDER BY l_returnflag, l_linestatus"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps,
+        | sum(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS sum_dist_qty
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_agg_filtered" ->
+      s"""SELECT l_returnflag,
+         | sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_discount > 0.05) AS qty_hi_disc,
+         | count(*) FILTER (WHERE l_tax > 0.04) AS n_hi_tax,
+         | sum(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (WHERE l_quantity < 10) AS price_small_qty
+         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_agg_collect" ->
+      """SELECT c_nationkey,
+        | string_agg(c_name, ';' ORDER BY c_name) AS names,
+        | count(DISTINCT c_mktsegment) AS n_segments
+        | FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+        | round(stddev_samp(l_quantity), 4) AS sd_qty,
+        | round(var_samp(l_quantity), 4) AS var_qty,
+        | round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        | round(covar_samp(l_quantity, l_discount), 6) AS cov_qty_disc
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+        | round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) + 5e-10, 4) AS p50_price,
+        | round(CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE) + 5e-10, 4) AS p90_price
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_agg_custom_typed" ->
+      """SELECT l_returnflag,
+        | round((sum(round(l_extendedprice * l_quantity * 100)) / 100.0)
+        |   / (sum(round(l_quantity * 100)) / 100.0), 4) AS wavg_price
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", " ")
+  ) ++ groupingOracle
+}

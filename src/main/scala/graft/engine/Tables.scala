@@ -1,0 +1,80 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Fixture-table readers + determinism helpers shared by every operator.
+  *
+  * Capability surface derives from the reference's declared ETL purpose
+  * (/root/reference/README.md:2 — no code exists in the reference, see
+  * SURVEY.md §0); all implementations here are Spark-first.
+  *
+  * Scale posture: readers return plain parquet scans so Catalyst can push
+  * filters/column pruning into the source; no caching, no collect.
+  */
+object Tables {
+  def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = t(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = t(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = t(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = t(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = t(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
+
+  /** `events.ts` is nanosecond parquet (FIXTURES.md), which Spark rejects by
+    * default. Read nanos as long, then floor-truncate to microseconds —
+    * identical to DuckDB's `CAST(ts AS TIMESTAMP)` truncation, so oracle
+    * queries stay comparable.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, d, "events")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+}
+
+/** Determinism helpers for DuckDB-oracle float parity (SURVEY.md §7.4).
+  *
+  * Double summation order differs between Spark partial aggregation and the
+  * oracle, so money-style sums go through DECIMAL(18,2) (exact, associative,
+  * order-independent) and come back as rounded doubles; both engines then
+  * produce bit-identical values. Scalar (non-aggregate) double arithmetic is
+  * IEEE-deterministic and needs no rounding.
+  */
+object Fx {
+  /** Order-independent exact sum: cast to DECIMAL at the scale where the
+    * source expression is exact (prices/quantities = 2dp; price*(1-disc) =
+    * 4dp; *(1+tax) = 6dp — casting at a coarser scale hits half-way rounding
+    * cases where Spark's HALF_UP-on-binary-expansion and DuckDB's
+    * multiply-then-round disagree). Output cast to DECIMAL(38,scale) to
+    * match DuckDB's sum result type exactly.
+    */
+  def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast(DecimalType(38, scale))
+
+  /** Order-independent average: exact decimal sum (identical double on both
+    * engines) / count, then epsilon-rounded. The +5e-10 nudge pushes exact
+    * half-way decimal values off the boundary so Spark and DuckDB round the
+    * same way; it is far below the value grid (>=1e-7 apart) so non-boundary
+    * results are unaffected.
+    */
+  def davg(c: Column, scale: Int = 4): Column =
+    round(sum(c.cast(DecimalType(18, 2))).cast("double") / count(c)
+      + lit(5e-10), scale)
+
+  /** Epsilon-round for deterministically-computed doubles. */
+  def eround(c: Column, scale: Int): Column = round(c + lit(5e-10), scale)
+
+  /** Oracle-side twins (DuckDB SQL fragments). */
+  def oSum(x: String, scale: Int = 2): String =
+    s"sum(CAST($x AS DECIMAL(18,$scale)))"
+  def oAvg(x: String, scale: Int = 4): String =
+    s"round(CAST(sum(CAST($x AS DECIMAL(18,2))) AS DOUBLE) / count($x) + 5e-10, $scale)"
+  def oRound(x: String, scale: Int): String = s"round($x + 5e-10, $scale)"
+}
