@@ -1,0 +1,438 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.2 projection/filter, §2.3 joins, §2.6 sort/limit/topk, §2.7 set ops
+  * (SURVEY.md).
+  *
+  * Scale posture: dimension tables (region/nation/supplier) are always
+  * broadcast — no shuffle of the fact side; large joins are equi-joins on
+  * their natural keys so Spark plans shuffle-hash/sort-merge with partial
+  * aggregation above; the non-equi joins (theta, interval, as-of) carry an
+  * equi component (user/cust key) so they stay hash-partitionable instead of
+  * degenerating to a cartesian product.
+  */
+object Relational {
+  import Fx._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.2 projection / filter -------------------------------------
+    "q_project" -> { (s, d) =>
+      Tables.customer(s, d)
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("name_u"),
+          (col("c_acctbal") * lit(1.1)).as("bal_adj"),
+          concat_ws("/", col("c_mktsegment"), col("c_name")).as("seg_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    "q_filter_cmp" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter((col("l_quantity") > 30 && col("l_discount") <= 0.05)
+          || !(col("l_tax") < 0.03))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_discount"), col("l_tax"))
+        // (l_orderkey, l_linenumber) is NOT unique in the fixture data —
+        // total-order on every output column for oracle row-order parity.
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_discount"), col("l_tax"))
+    },
+
+    "q_filter_in_between_like" -> { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+          && col("o_totalprice").between(100000, 250000)
+          && col("o_orderpriority").like("%H%")
+          && col("o_orderstatus").ilike("f"))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    "q_filter_null" -> { (s, d) =>
+      Tables.orders(s, d)
+        .withColumn("a", nullif(col("o_orderstatus"), lit("F")))
+        .withColumn("b", nullif(col("o_orderstatus"), lit("O")))
+        .filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"),
+          col("a").isNull.as("a_null"),
+          col("a").isNotNull.as("a_not_null"),
+          (col("a") <=> col("b")).as("ab_nullsafe_eq"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    "q_case_when" -> { (s, d) =>
+      Tables.orders(s, d)
+        .withColumn("bucket",
+          when(col("o_totalprice") > 300000, "high")
+            .when(col("o_totalprice") > 150000, "mid")
+            .otherwise("low"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("bucket"))
+    },
+
+    // ---- §2.3 joins ---------------------------------------------------
+    "q_join_inner_bhj" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy(col("r_name"))
+    },
+
+    "q_join_inner_smj" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .hint("merge")
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    "q_join_left" -> { (s, d) =>
+      val big = Tables.orders(s, d).filter(col("o_totalprice") > 350000)
+      Tables.customer(s, d)
+        .join(big, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_big_orders"))
+        .orderBy(col("c_custkey"))
+    },
+
+    "q_join_right" -> { (s, d) =>
+      val big = Tables.orders(s, d).filter(col("o_totalprice") > 350000)
+      big.join(Tables.customer(s, d),
+          col("c_custkey") === col("o_custkey"), "right_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_big_orders"),
+          max(col("c_mktsegment")).as("segment"))
+        .orderBy(col("c_custkey"))
+    },
+
+    "q_join_full" -> { (s, d) =>
+      val left = Tables.customer(s, d)
+        .filter(col("c_custkey") < 1000)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val right = Tables.orders(s, d)
+        .filter(col("o_custkey") >= 500)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      left.join(right, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("k"),
+          col("c_custkey").isNull.as("no_cust_side"),
+          col("o_custkey").isNull.as("no_order_side"),
+          coalesce(col("n_orders"), lit(-1L)).as("n_orders"))
+        .orderBy(col("k"))
+    },
+
+    "q_join_semi" -> { (s, d) =>
+      val big = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+      Tables.customer(s, d)
+        .join(big, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    "q_join_anti" -> { (s, d) =>
+      val big = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+      Tables.customer(s, d)
+        .join(big, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    },
+
+    "q_join_cross" -> { (s, d) =>
+      Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .select(col("r_name"), col("n_name"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    // Band (theta) join: supplier side is tiny -> broadcast nested loop,
+    // never a shuffled cartesian.
+    "q_join_theta" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.supplier(s, d)),
+          col("c_acctbal").between(
+            col("s_acctbal") - 100, col("s_acctbal") + 100))
+        .groupBy(col("s_suppkey"))
+        .agg(count(lit(1)).as("n_near"))
+        .orderBy(col("s_suppkey"))
+    },
+
+    // As-of join (no native Spark operator): equi-join on the key with the
+    // at-or-before range predicate, then keep the latest match per event
+    // via row_number — the documented Spark pattern (SURVEY §2.3). Orders
+    // are pre-deduplicated per (custkey, orderdate) so tie semantics match
+    // DuckDB's ASOF JOIN exactly.
+    "q_join_asof" -> { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val o = Tables.orders(s, d)
+        .groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("o_orderdate").desc_nulls_last)
+      e.join(o, col("user_id") === col("o_custkey")
+          && col("o_orderdate") <= col("ts"), "left_outer")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("o_orderkey"))
+        .orderBy(col("event_id"))
+    },
+
+    // Interval join: orders placed within 30 days after each order by the
+    // same customer. Equi component (custkey) keeps it hash-partitionable.
+    "q_join_interval" -> { (s, d) =>
+      val o1 = Tables.orders(s, d).as("o1")
+      val o2 = Tables.orders(s, d).as("o2")
+      o1.join(o2,
+          col("o1.o_custkey") === col("o2.o_custkey")
+            && col("o2.o_orderdate") >= col("o1.o_orderdate")
+            && col("o2.o_orderdate") <
+              col("o1.o_orderdate") + expr("INTERVAL 30 DAYS")
+            && col("o2.o_orderkey") =!= col("o1.o_orderkey"), "left_outer")
+        .groupBy(col("o1.o_orderkey"))
+        .agg(count(col("o2.o_orderkey")).as("n_follow"))
+        .orderBy(col("o1.o_orderkey"))
+    },
+
+    "q_join_self" -> { (s, d) =>
+      val n1 = Tables.nation(s, d).as("n1")
+      val n2 = Tables.nation(s, d).as("n2")
+      n1.join(n2, col("n1.n_regionkey") === col("n2.n_regionkey")
+          && col("n1.n_name") < col("n2.n_name"))
+        .select(col("n1.n_regionkey").as("r_key"),
+          col("n1.n_name").as("name_a"), col("n2.n_name").as("name_b"))
+        .orderBy(col("r_key"), col("name_a"), col("name_b"))
+    },
+
+    // ---- §2.6 sort / limit / top-k ------------------------------------
+    "q_sort_multi" -> { (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+        .orderBy(asc_nulls_first("c_mktsegment"), desc("c_acctbal"),
+          asc("c_custkey"))
+    },
+
+    "q_limit" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .limit(20)
+    },
+
+    "q_topk_per_group" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+          col("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("rn"))
+    },
+
+    // ---- §2.7 set operations ------------------------------------------
+    "q_union_all" -> { (s, d) =>
+      setSrcA(s, d).union(setSrcB(s, d)).orderBy(col("k"))
+    },
+    "q_union_distinct" -> { (s, d) =>
+      setSrcA(s, d).union(setSrcB(s, d)).distinct().orderBy(col("k"))
+    },
+    "q_intersect" -> { (s, d) =>
+      setSrcA(s, d).intersect(setSrcB(s, d)).orderBy(col("k"))
+    },
+    "q_intersect_all" -> { (s, d) =>
+      setSrcA(s, d).intersectAll(setSrcB(s, d)).orderBy(col("k"))
+    },
+    "q_except" -> { (s, d) =>
+      setSrcA(s, d).except(setSrcB(s, d)).orderBy(col("k"))
+    },
+    "q_except_all" -> { (s, d) =>
+      setSrcA(s, d).exceptAll(setSrcB(s, d)).orderBy(col("k"))
+    }
+  )
+
+  /** Bag-semantics sources: o_custkey repeats, so ALL variants differ from
+    * DISTINCT variants.
+    */
+  private def setSrcA(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("k"))
+  private def setSrcB(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).filter(col("o_totalprice") > 200000)
+      .select(col("o_custkey").as("k"))
+
+  private val setA = "SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'"
+  private val setB = "SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000"
+
+  val oracle: Map[String, String] = Map(
+    "q_project" ->
+      """SELECT c_custkey, upper(c_name) AS name_u,
+        | c_acctbal * 1.1 AS bal_adj,
+        | concat_ws('/', c_mktsegment, c_name) AS seg_name
+        | FROM customer ORDER BY c_custkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_filter_cmp" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+        | FROM lineitem
+        | WHERE (l_quantity > 30 AND l_discount <= 0.05) OR NOT (l_tax < 0.03)
+        | ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount, l_tax"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_filter_in_between_like" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        | FROM orders
+        | WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   AND o_totalprice BETWEEN 100000 AND 250000
+        |   AND o_orderpriority LIKE '%H%'
+        |   AND o_orderstatus ILIKE 'f'
+        | ORDER BY o_orderkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_filter_null" ->
+      """SELECT o_orderkey,
+        | nullif(o_orderstatus, 'F') IS NULL AS a_null,
+        | nullif(o_orderstatus, 'F') IS NOT NULL AS a_not_null,
+        | nullif(o_orderstatus, 'F') IS NOT DISTINCT FROM nullif(o_orderstatus, 'O') AS ab_nullsafe_eq
+        | FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_case_when" ->
+      s"""SELECT CASE WHEN o_totalprice > 300000 THEN 'high'
+         | WHEN o_totalprice > 150000 THEN 'mid' ELSE 'low' END AS bucket,
+         | count(*) AS n, ${oSum("o_totalprice")} AS total
+         | FROM orders GROUP BY 1 ORDER BY bucket"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_join_inner_bhj" ->
+      s"""SELECT r_name, count(*) AS n_cust, ${oSum("c_acctbal")} AS sum_bal
+         | FROM customer
+         | JOIN nation ON c_nationkey = n_nationkey
+         | JOIN region ON n_regionkey = r_regionkey
+         | GROUP BY r_name ORDER BY r_name"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_join_inner_smj" ->
+      s"""SELECT o_orderpriority, count(*) AS n_items,
+         | ${oSum("l_extendedprice")} AS sum_price
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         | GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_join_left" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_big_orders
+        | FROM customer LEFT JOIN
+        |  (SELECT * FROM orders WHERE o_totalprice > 350000) o
+        |  ON c_custkey = o_custkey
+        | GROUP BY c_custkey ORDER BY c_custkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_join_right" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_big_orders,
+        | max(c_mktsegment) AS segment
+        | FROM (SELECT * FROM orders WHERE o_totalprice > 350000) o
+        | RIGHT JOIN customer ON c_custkey = o_custkey
+        | GROUP BY c_custkey ORDER BY c_custkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_join_full" ->
+      """SELECT coalesce(c_custkey, o_custkey) AS k,
+        | c_custkey IS NULL AS no_cust_side,
+        | o_custkey IS NULL AS no_order_side,
+        | coalesce(n_orders, -1) AS n_orders
+        | FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey < 1000) c
+        | FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders
+        |   WHERE o_custkey >= 500 GROUP BY o_custkey) o
+        | ON c_custkey = o_custkey
+        | ORDER BY k"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        | SEMI JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+        | ON c_custkey = o_custkey
+        | ORDER BY c_custkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        | ANTI JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+        | ON c_custkey = o_custkey
+        | ORDER BY c_custkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        | ORDER BY r_name, n_name"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_join_theta" ->
+      """SELECT s_suppkey, count(*) AS n_near
+        | FROM customer JOIN supplier
+        | ON c_acctbal BETWEEN s_acctbal - 100 AND s_acctbal + 100
+        | GROUP BY s_suppkey ORDER BY s_suppkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_join_asof" ->
+      """SELECT e.event_id, e.user_id, o.o_orderkey
+        | FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+        | ASOF LEFT JOIN (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |   FROM orders GROUP BY 1, 2) o
+        | ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        | ORDER BY e.event_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_join_interval" ->
+      """SELECT o1.o_orderkey, count(o2.o_orderkey) AS n_follow
+        | FROM orders o1 LEFT JOIN orders o2
+        | ON o1.o_custkey = o2.o_custkey
+        |  AND o2.o_orderdate >= o1.o_orderdate
+        |  AND o2.o_orderdate < o1.o_orderdate + INTERVAL 30 DAY
+        |  AND o2.o_orderkey <> o1.o_orderkey
+        | GROUP BY o1.o_orderkey ORDER BY o1.o_orderkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_join_self" ->
+      """SELECT n1.n_regionkey AS r_key, n1.n_name AS name_a, n2.n_name AS name_b
+        | FROM nation n1 JOIN nation n2
+        | ON n1.n_regionkey = n2.n_regionkey AND n1.n_name < n2.n_name
+        | ORDER BY r_key, name_a, name_b"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_sort_multi" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal FROM customer
+        | ORDER BY c_mktsegment ASC NULLS FIRST, c_acctbal DESC, c_custkey ASC"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        | ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_topk_per_group" ->
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+        | SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        | FROM orders) t
+        | WHERE rn <= 3 ORDER BY o_orderpriority, rn"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_union_all" -> s"SELECT k FROM ($setA UNION ALL $setB) ORDER BY k",
+    "q_union_distinct" -> s"SELECT k FROM ($setA UNION $setB) ORDER BY k",
+    "q_intersect" -> s"SELECT k FROM ($setA INTERSECT $setB) ORDER BY k",
+    "q_intersect_all" ->
+      s"SELECT k FROM ($setA INTERSECT ALL $setB) ORDER BY k",
+    "q_except" -> s"SELECT k FROM ($setA EXCEPT $setB) ORDER BY k",
+    "q_except_all" -> s"SELECT k FROM ($setA EXCEPT ALL $setB) ORDER BY k"
+  )
+}
