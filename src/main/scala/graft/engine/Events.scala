@@ -1,0 +1,92 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.9 Event-time windows, batch-checkable subset (SURVEY.md).
+  *
+  * `window()` / `session_window()` have identical semantics on batch and
+  * streaming DataFrames, so the oracle checks run in batch here; true
+  * streaming execution (watermarks, late data, stateful dedup) is exercised
+  * with MemoryStream in the ScalaTest suite (graft.streaming).
+  *
+  * Scale posture: time-window grouping is a hash aggregate on
+  * (window, keys) — partial aggregation applies; session windows shuffle
+  * once on user_id then sort locally per key, which is exactly the
+  * Structured Streaming state layout.
+  */
+object Events {
+  import Fx._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_tumbling" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
+        .select(col("window.start").as("w_start"),
+          col("window.end").as("w_end"),
+          col("event_type"), col("n"), col("sum_v"))
+        .orderBy(col("w_start"), col("event_type"))
+    },
+
+    "q_stream_sliding" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
+        .select(col("window.start").as("w_start"),
+          col("window.end").as("w_end"), col("n"), col("sum_v"))
+        .orderBy(col("w_start"))
+    },
+
+    "q_stream_session" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
+        .select(col("user_id"),
+          col("session_window.start").as("s_start"),
+          col("session_window.end").as("s_end"),
+          col("n"), col("sum_v"))
+        .orderBy(col("user_id"), col("s_start"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    // Spark's window() is epoch-aligned, same as date_trunc/time_bucket.
+    "q_stream_tumbling" ->
+      s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
+         | date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS w_end,
+         | event_type, count(*) AS n, ${oSum("value")} AS sum_v
+         | FROM events GROUP BY 1, 2, 3 ORDER BY w_start, event_type"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Each event belongs to exactly 4 sliding windows:
+    // start = bucket15(ts) - k*15min for k = 0..3.
+    "q_stream_sliding" ->
+      s"""SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+         |   - (o.k * INTERVAL '15 minutes') AS w_start,
+         | time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+         |   - (o.k * INTERVAL '15 minutes') + INTERVAL 1 HOUR AS w_end,
+         | count(*) AS n, ${oSum("value")} AS sum_v
+         | FROM events, (VALUES (0), (1), (2), (3)) o(k)
+         | GROUP BY 1, 2 ORDER BY w_start"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Gaps-and-islands replica of session_window semantics: a gap of
+    // exactly 30min starts a NEW session (merge requires ts < prev + gap).
+    "q_stream_session" ->
+      s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+         | m AS (SELECT user_id, ts, value,
+         |   CASE WHEN lag(ts) OVER w IS NULL
+         |     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+         |   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+         | g AS (SELECT user_id, ts, value,
+         |   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         |     ROWS UNBOUNDED PRECEDING) AS sid
+         |   FROM m)
+         | SELECT user_id, min(ts) AS s_start,
+         |  max(ts) + INTERVAL 30 MINUTE AS s_end,
+         |  count(*) AS n, ${oSum("value")} AS sum_v
+         | FROM g GROUP BY user_id, sid ORDER BY user_id, s_start"""
+        .stripMargin.replaceAll("\n", " ")
+  )
+}

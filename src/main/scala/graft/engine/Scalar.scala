@@ -1,0 +1,314 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** §2.8 Scalar function coverage (SURVEY.md): strings, regex, dates
+  * (including EPrints-style partial-date normalization), math, arrays,
+  * higher-order lambdas, maps, JSON, the UDF surface, and generators.
+  *
+  * Scale posture: everything here is a per-row projection — fully
+  * codegen'd, no shuffle; the single Scala UDF (q_udf_scalar) documents
+  * its cost (opaque to Catalyst, breaks whole-stage codegen at that
+  * expression) and the same logic is expressible with built-ins.
+  */
+object Scalar {
+  import Fx._
+
+  /** DOI normalizer: the one deliberate Scala-UDF demo (EPrints metadata
+    * cleanup shape). Prefer built-ins everywhere else — a UDF is opaque to
+    * Catalyst (no pushdown through it, no codegen).
+    */
+  private val normalizeDoi: String => String = s =>
+    if (s == null) null
+    else s.trim.toLowerCase.replaceFirst("^https?://(dx\\.)?doi\\.org/", "")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_fn_string" -> { (s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        concat_ws("-", col("c_mktsegment"), col("c_name")).as("joined"),
+        upper(col("c_name")).as("up"),
+        lower(col("c_mktsegment")).as("lo"),
+        trim(concat(lit("  "), col("c_name"), lit("  "))).as("trimmed"),
+        substring(col("c_name"), 1, 8).as("sub8"),
+        lpad(col("c_name"), 25, "*").as("padded"),
+        regexp_replace(col("c_name"), lit("Customer"), lit("Cust"))
+          .as("replaced"),
+        split(col("c_name"), "#").getItem(1).as("num_part"),
+        length(col("c_name")).as("len"),
+        levenshtein(col("c_name"), lit("Customer#000000000")).as("lev"),
+        initcap(lower(col("c_mktsegment"))).as("segcap"))
+        .orderBy(col("c_custkey"))
+    },
+
+    "q_fn_regex" -> { (s, d) =>
+      Tables.customer(s, d).select(
+        col("c_custkey"),
+        regexp_extract(col("c_name"), "Customer#(\\d+)", 1).cast(IntegerType)
+          .as("extracted_id"),
+        regexp_replace(col("c_name"), "0+", "0").as("squeezed"),
+        col("c_name").rlike("\\d{9}$").as("ends_9digits"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Partial-date normalization (EPrints `YYYY`|`YYYY-MM`|`YYYY-MM-DD`,
+    // SURVEY §1.2): format o_orderdate at 3 precisions cycling by key,
+    // then parse back with a try_to_date coalesce chain.
+    "q_fn_date" -> { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 2000)
+        .withColumn("partial", when(col("o_orderkey") % 3 === 0,
+            date_format(col("o_orderdate"), "yyyy"))
+          .when(col("o_orderkey") % 3 === 1,
+            date_format(col("o_orderdate"), "yyyy-MM"))
+          .otherwise(date_format(col("o_orderdate"), "yyyy-MM-dd")))
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dy"),
+          date_trunc("month", col("o_orderdate")).as("month_start"),
+          datediff(to_date(col("o_orderdate")), lit("1995-01-01").cast("date"))
+            .as("days_since"),
+          date_add(to_date(col("o_orderdate")), 30).as("d_plus30"),
+          ((year(col("o_orderdate")) - 1995) * 12
+            + month(col("o_orderdate")) - 1).as("months_since"),
+          col("partial"),
+          coalesce(
+            try_to_timestamp(col("partial"), lit("yyyy-MM-dd")),
+            try_to_timestamp(col("partial"), lit("yyyy-MM")),
+            try_to_timestamp(col("partial"), lit("yyyy")))
+            .cast("date").as("parsed"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    "q_fn_math" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") < 300)
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"),
+          eround(col("l_extendedprice") / 7, 2).as("div7"),
+          abs(col("l_discount") - 0.05).as("absd"),
+          ceil(col("l_extendedprice") / 1000).as("ceilp"),
+          floor(col("l_extendedprice") / 1000).as("floorp"),
+          pow(col("l_quantity"), 2).as("qty_sq"),
+          eround(log(col("l_extendedprice")), 6).as("ln_price"),
+          eround(exp(col("l_discount")), 6).as("exp_disc"),
+          sqrt(col("l_quantity")).as("sqrt_qty"),
+          pmod(col("l_orderkey") * 7 - 3, lit(5)).as("pm"),
+          signum(col("l_discount") - 0.05).as("sg"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), col("qty_sq"), col("absd"))
+    },
+
+    "q_fn_array" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_tok"),
+          array_contains(col("toks"), "the").as("has_the"),
+          size(array_distinct(col("toks"))).as("n_dist"),
+          array_join(slice(sort_array(col("toks")), 1, 3), ",").as("first3"),
+          element_at(col("toks"), 1).as("tok1"),
+          array_join(slice(flatten(array(col("toks"), col("toks"))), 1, 2),
+            ",").as("doubled2"))
+        .orderBy(col("doc_id"))
+    },
+
+    // explode/posexplode = the Generator (UDTF) surface over real arrays.
+    "q_fn_explode" -> { (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .withColumnRenamed("col", "tok")
+        .orderBy(col("doc_id"), col("pos"))
+    },
+
+    "q_fn_higher_order" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .filter(col("vec_id") < 50)
+        .withColumn("vd", transform(col("embedding"), x => x.cast("double")))
+        .select(
+          col("vec_id"),
+          eround(aggregate(col("vd"), lit(0.0), (acc, x) => acc + x), 6)
+            .as("sum_elems"),
+          size(filter(col("vd"), x => x > 0)).as("n_pos"),
+          eround(aggregate(zip_with(col("vd"), col("vd"), (a, b) => a * b),
+            lit(0.0), (acc, x) => acc + x), 6).as("dot_self"),
+          eround(element_at(transform(col("vd"), x => x * 2), 1), 6)
+            .as("first_x2"))
+        .orderBy(col("vec_id"))
+    },
+
+    "q_fn_map" -> { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_id") < 200)
+        .withColumn("m", from_json(col("props"), lit("map<string,int>")))
+        .select(
+          col("event_id"),
+          element_at(col("m"), "k").as("k_val"),
+          size(map_keys(col("m"))).as("n_keys"),
+          element_at(map_values(col("m")), 1).as("v1"))
+        .orderBy(col("event_id"))
+    },
+
+    "q_fn_json" -> { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_id") < 200)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("gj"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("fj"),
+          json_tuple(col("props"), "k"))
+        .withColumnRenamed("c0", "jt")
+        .withColumn("jt", col("jt").cast(IntegerType))
+        .orderBy(col("event_id"))
+    },
+
+    "q_udf_scalar" -> { (s, d) =>
+      val doiUdf = udf(normalizeDoi)
+      Tables.customer(s, d)
+        .withColumn("raw_doi",
+          concat(lit("https://DOI.org/10.5555/"), col("c_custkey")))
+        .select(col("c_custkey"), col("raw_doi"),
+          doiUdf(col("raw_doi")).as("doi"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Generator surface: one row -> N rows from a computed sequence.
+    "q_udtf_generator" -> { (s, d) =>
+      Tables.region(s, d)
+        .select(col("r_name"),
+          explode(sequence(lit(0), col("r_regionkey"))).as("i"))
+        .orderBy(col("r_name"), col("i"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_fn_string" ->
+      """SELECT c_custkey,
+        | concat_ws('-', c_mktsegment, c_name) AS joined,
+        | upper(c_name) AS up,
+        | lower(c_mktsegment) AS lo,
+        | trim('  ' || c_name || '  ') AS trimmed,
+        | substring(c_name, 1, 8) AS sub8,
+        | lpad(c_name, 25, '*') AS padded,
+        | replace(c_name, 'Customer', 'Cust') AS replaced,
+        | string_split(c_name, '#')[2] AS num_part,
+        | length(c_name) AS len,
+        | levenshtein(c_name, 'Customer#000000000') AS lev,
+        | upper(substring(lower(c_mktsegment), 1, 1))
+        |   || lower(substring(lower(c_mktsegment), 2)) AS segcap
+        | FROM customer ORDER BY c_custkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_fn_regex" ->
+      """SELECT c_custkey,
+        | CAST(regexp_extract(c_name, 'Customer#(\d+)', 1) AS INT) AS extracted_id,
+        | regexp_replace(c_name, '0+', '0', 'g') AS squeezed,
+        | regexp_matches(c_name, '\d{9}$') AS ends_9digits
+        | FROM customer ORDER BY c_custkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_fn_date" ->
+      """SELECT o_orderkey,
+        | year(o_orderdate) AS y, month(o_orderdate) AS m,
+        | day(o_orderdate) AS dy,
+        | CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+        | date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+        | CAST(o_orderdate AS DATE) + 30 AS d_plus30,
+        | (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS months_since,
+        | partial,
+        | CAST(coalesce(try_strptime(partial, '%Y-%m-%d'),
+        |   try_strptime(partial, '%Y-%m'),
+        |   try_strptime(partial, '%Y')) AS DATE) AS parsed
+        | FROM (SELECT *, CASE WHEN o_orderkey % 3 = 0 THEN strftime(o_orderdate, '%Y')
+        |   WHEN o_orderkey % 3 = 1 THEN strftime(o_orderdate, '%Y-%m')
+        |   ELSE strftime(o_orderdate, '%Y-%m-%d') END AS partial
+        |  FROM orders WHERE o_orderkey < 2000)
+        | ORDER BY o_orderkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_fn_math" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice,
+        | round(l_extendedprice / 7 + 5e-10, 2) AS div7,
+        | abs(l_discount - 0.05) AS absd,
+        | CAST(ceil(l_extendedprice / 1000) AS BIGINT) AS ceilp,
+        | CAST(floor(l_extendedprice / 1000) AS BIGINT) AS floorp,
+        | pow(l_quantity, 2) AS qty_sq,
+        | round(ln(l_extendedprice) + 5e-10, 6) AS ln_price,
+        | round(exp(l_discount) + 5e-10, 6) AS exp_disc,
+        | sqrt(l_quantity) AS sqrt_qty,
+        | ((CAST(l_orderkey * 7 - 3 AS BIGINT) % 5) + 5) % 5 AS pm,
+        | CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg
+        | FROM lineitem WHERE l_orderkey < 300
+        | ORDER BY l_orderkey, l_linenumber, l_extendedprice, qty_sq, absd"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_fn_array" ->
+      """SELECT doc_id,
+        | len(toks) AS n_tok,
+        | list_contains(toks, 'the') AS has_the,
+        | len(list_distinct(toks)) AS n_dist,
+        | array_to_string(list_sort(toks)[1:3], ',') AS first3,
+        | toks[1] AS tok1,
+        | array_to_string(list_concat(toks, toks)[1:2], ',') AS doubled2
+        | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        | ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_fn_explode" ->
+      """SELECT doc_id, i - 1 AS pos, toks[i] AS tok
+        | FROM (SELECT doc_id, string_split(text, ' ') AS toks
+        |   FROM documents WHERE doc_id < 20) t,
+        | LATERAL unnest(generate_series(1, len(toks))) u(i)
+        | ORDER BY doc_id, pos"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_fn_higher_order" ->
+      """SELECT vec_id,
+        | round(list_reduce(vd, (a, x) -> a + x) + 5e-10, 6) AS sum_elems,
+        | len(list_filter(vd, x -> x > 0)) AS n_pos,
+        | round(list_reduce(list_transform(vd, x -> x * x), (a, x) -> a + x)
+        |   + 5e-10, 6) AS dot_self,
+        | round(vd[1] * 2 + 5e-10, 6) AS first_x2
+        | FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+        |   FROM embeddings WHERE vec_id < 50)
+        | ORDER BY vec_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_fn_map" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+        | len(json_keys(props)) AS n_keys,
+        | CAST(json_extract_string(props, '$.k') AS INT) AS v1
+        | FROM events WHERE event_id < 200 ORDER BY event_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_fn_json" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS INT) AS gj,
+        | CAST(json_extract_string(props, '$.k') AS INT) AS fj,
+        | CAST(json_extract_string(props, '$.k') AS INT) AS jt
+        | FROM events WHERE event_id < 200 ORDER BY event_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_udf_scalar" ->
+      """SELECT c_custkey,
+        | 'https://DOI.org/10.5555/' || c_custkey AS raw_doi,
+        | lower(regexp_replace(trim('https://DOI.org/10.5555/' || c_custkey),
+        |   '^(?i)https?://(dx\.)?doi\.org/', '')) AS doi
+        | FROM customer ORDER BY c_custkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_udtf_generator" ->
+      """SELECT r_name, unnest(generate_series(0, r_regionkey)) AS i
+        | FROM region ORDER BY r_name, i"""
+        .stripMargin.replaceAll("\n", " ")
+  )
+}

@@ -33,7 +33,8 @@ object Tables {
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     t(s, d, "events")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integer DIV, not `/` — double division loses precision at 1e18 ns
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")

@@ -1,0 +1,160 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType}
+
+/** §2.5 Window functions (SURVEY.md).
+  *
+  * Scale posture: every window partitions on a real key (priority, user,
+  * custkey, segment) so state is bounded per partition and Spark plans a
+  * single shuffle on the partition key; no global (unpartitioned) windows
+  * except the explicitly tiny rank demo, which would serialize at scale and
+  * is documented as such.
+  *
+  * Determinism: ranking windows order by a unique compound key where the
+  * function is order-sensitive (row_number/ntile); tie-tolerant functions
+  * (rank/dense_rank/percent_rank/cume_dist) may order by the tie-prone
+  * column alone. Running sums go through DECIMAL so the result is
+  * independent of the engine's internal aggregation tree.
+  */
+object Windows {
+  import Fx._
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_rank" -> { (s, d) =>
+      // tie-safe: rank/dense_rank on price alone; unique: row_number/ntile
+      val wTies = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(desc("o_totalprice"))
+      val wUniq = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice"),
+          row_number().over(wUniq).as("rn"),
+          rank().over(wTies).as("rk"),
+          dense_rank().over(wTies).as("drk"),
+          ntile(4).over(wUniq).as("quartile"))
+        .orderBy(col("o_orderpriority"), col("rn"))
+    },
+
+    "q_win_laglead" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_v"),
+          lead(col("value"), 1).over(w).as("next_v"))
+        .orderBy(col("event_id"))
+    },
+
+    "q_win_running" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+            .cast(DecimalType(38, 2)).as("running_total"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+
+    "q_win_moving" -> { (s, d) =>
+      // 1-hour trailing moving average per user over an integer-seconds
+      // range frame; decimal numerator keeps it engine-independent.
+      val base = Tables.events(s, d)
+        .withColumn("ts_sec", unix_timestamp(col("ts")).cast(LongType))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_sec"))
+        .rangeBetween(-3600, 0)
+      base.select(col("event_id"), col("user_id"), col("ts_sec"),
+          eround(sum(col("value").cast(DecimalType(18, 2))).over(w)
+            .cast("double") / count(col("value")).over(w), 4).as("mavg"))
+        .orderBy(col("event_id"))
+    },
+
+    "q_win_firstlast" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 200)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          first(col("o_totalprice")).over(w).as("first_price"),
+          last(col("o_totalprice")).over(w).as("last_price"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    "q_win_pctrank" -> { (s, d) =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy(col("c_custkey"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_win_rank" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        | row_number() OVER wu AS rn,
+        | rank() OVER wt AS rk,
+        | dense_rank() OVER wt AS drk,
+        | ntile(4) OVER wu AS quartile
+        | FROM orders
+        | WINDOW wt AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC),
+        |  wu AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
+        | ORDER BY o_orderpriority, rn"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_win_laglead" ->
+      """SELECT event_id, user_id, value,
+        | lag(value, 1) OVER w AS prev_v,
+        | lead(value, 1) OVER w AS next_v
+        | FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events)
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        | ORDER BY event_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_win_running" ->
+      """SELECT o_custkey, o_orderkey,
+        | sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS UNBOUNDED PRECEDING) AS running_total
+        | FROM orders ORDER BY o_custkey, o_orderkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_win_moving" ->
+      """SELECT event_id, user_id, ts_sec,
+        | round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |   / count(value) OVER w + 5e-10, 4) AS mavg
+        | FROM (SELECT event_id, user_id, value,
+        |   CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_sec FROM events)
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+        |   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        | ORDER BY event_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_win_firstlast" ->
+      """SELECT o_orderpriority, o_orderkey,
+        | first_value(o_totalprice) OVER w AS first_price,
+        | last_value(o_totalprice) OVER w AS last_price
+        | FROM orders WHERE o_orderkey < 200
+        | WINDOW w AS (PARTITION BY o_orderpriority
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        | ORDER BY o_orderkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_win_pctrank" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        | percent_rank() OVER w AS pct_rank,
+        | cume_dist() OVER w AS cume
+        | FROM customer
+        | WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+        | ORDER BY c_custkey"""
+        .stripMargin.replaceAll("\n", " ")
+  )
+}
