@@ -1,0 +1,139 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** §2.1 Scans / sources / sinks (SURVEY.md): parquet, CSV (Bulkrax-shaped),
+  * JSON-lines, EP3-XML-shaped parsing, partitioned parquet sink, and the
+  * delimiter-joined multi-value CSV sink.
+  *
+  * Format round-trips are proven against the fixture tables: write the
+  * table out in the target format, read it back with an explicit schema,
+  * and the oracle checks the result against the original table — an
+  * end-to-end sink+scan equivalence, not just a smoke read.
+  *
+  * Scale posture: all writes are distributed `df.write` (per-partition
+  * files, no driver funnel); reads carry explicit schemas so no inference
+  * pass over the data is needed at 100 TB.
+  */
+object Ingest {
+
+  private def tmp(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ingest/$name"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_parquet" -> { (s, d) =>
+      Tables.lineitem(s, d).agg(count(lit(1)).as("n"))
+    },
+
+    // CSV round-trip with explicit schema, header, delimiter, null handling.
+    "q_scan_csv" -> { (s, d) =>
+      val out = tmp("nation_csv")
+      Tables.nation(s, d).write.mode("overwrite")
+        .option("header", "true").option("delimiter", "|").csv(out)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      s.read.schema(schema)
+        .option("header", "true").option("delimiter", "|").csv(out)
+        .orderBy(col("n_nationkey"))
+    },
+
+    // JSON-lines round-trip with explicit schema.
+    "q_scan_json" -> { (s, d) =>
+      val out = tmp("customer_json")
+      Tables.customer(s, d).write.mode("overwrite").json(out)
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("c_nationkey", IntegerType),
+        StructField("c_acctbal", DoubleType),
+        StructField("c_mktsegment", StringType)))
+      s.read.schema(schema).json(out).orderBy(col("c_custkey"))
+    },
+
+    // EP3-XML-shaped ingest: parse XML strings into typed structs with
+    // from_xml (built-in since Spark 4.0), then flatten creators.
+    // XML micro-fixture is generated from the customer table (reference
+    // domain is EPrints XML; /root/testdata holds no XML).
+    "q_scan_xml" -> { (s, d) =>
+      val xml = Tables.customer(s, d).filter(col("c_custkey") < 100)
+        .select(col("c_custkey"), concat(
+          lit("<eprint><eprintid>"), col("c_custkey"),
+          lit("</eprintid><title>"), col("c_name"),
+          lit("</title><creators><item><name><family>F"),
+          col("c_custkey") % 7,
+          lit("</family><given>G</given></name></item>"),
+          lit("<item><name><family>F2</family><given>G2</given></name></item>"),
+          lit("</creators></eprint>")).as("raw"))
+      val schema = "eprintid BIGINT, title STRING, " +
+        "creators STRUCT<item: ARRAY<STRUCT<name: STRUCT<family: STRING, given: STRING>>>>"
+      xml.select(col("c_custkey"),
+          from_xml(col("raw"), lit(schema)).as("e"))
+        .select(col("c_custkey"), col("e.eprintid").as("eprintid"),
+          col("e.title").as("title"),
+          size(col("e.creators.item")).as("n_creators"),
+          col("e.creators.item").getItem(0).getField("name")
+            .getField("family").as("first_family"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Partitioned parquet sink + read-back; oracle checks the partition
+    // counts against the source table.
+    "q_sink_parquet" -> { (s, d) =>
+      val out = tmp("lineitem_part")
+      Tables.lineitem(s, d).write.mode("overwrite")
+        .partitionBy("l_returnflag").parquet(out)
+      s.read.parquet(out)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          Fx.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Bulkrax-style multi-valued CSV sink: arrays -> ';'-joined cells ->
+    // CSV -> read back -> re-split. Oracle reproduces the aggregation.
+    "q_sink_csv_multival" -> { (s, d) =>
+      val out = tmp("bulkrax_csv")
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(array_join(sort_array(collect_list(col("c_name"))), ";")
+          .as("names"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+      val schema = StructType(Seq(
+        StructField("c_nationkey", IntegerType),
+        StructField("names", StringType)))
+      s.read.schema(schema).option("header", "true").csv(out)
+        .select(col("c_nationkey"), col("names"),
+          size(split(col("names"), ";")).as("n_names"))
+        .orderBy(col("c_nationkey"))
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_scan_parquet" -> "SELECT count(*) AS n FROM lineitem",
+
+    "q_scan_csv" ->
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+
+    "q_scan_json" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        | FROM customer ORDER BY c_custkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_sink_parquet" ->
+      s"""SELECT l_returnflag, count(*) AS n,
+         | ${Fx.oSum("l_extendedprice")} AS sum_price
+         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_sink_csv_multival" ->
+      """SELECT c_nationkey,
+        | string_agg(c_name, ';' ORDER BY c_name) AS names,
+        | count(*) AS n_names
+        | FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""
+        .stripMargin.replaceAll("\n", " ")
+  )
+}

@@ -1,0 +1,296 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.10 Text analysis + deduplication for LLM-data pipelines (SURVEY.md;
+  * north star /root/repo/BASELINE.json:6).
+  *
+  * Scale posture: tokenization/scoring are per-row projections (codegen'd,
+  * no shuffle); term-frequency/TF-IDF shuffle only aggregated (term, count)
+  * pairs; exact dedup is a hash aggregate on the dedup key; MinHash-LSH
+  * replaces the O(n²) all-pairs comparison with a band-bucket equi-join so
+  * the shuffle key is (band, signature-hash) — at 100 TB the candidate set
+  * stays near-linear in the number of true near-duplicates. No driver-side
+  * collection anywhere.
+  */
+object Text {
+  import Fx._
+
+  private def toks(c: Column): Column = split(lower(c), " ")
+  private val StopWords = Seq("the", "a")
+
+  // Deterministic vocabulary-marker sets for the language/topic-ID
+  // heuristic (fixture vocabulary, FIXTURES.md).
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "relational" -> Seq("table", "scan", "merge", "join", "query"),
+    "streaming" -> Seq("stream", "window", "batch", "spark"),
+    "generic" -> Seq("the", "a", "data", "value"))
+
+  private def markerScore(t: Column, words: Seq[String]): Column =
+    size(filter(t, x => x.isInCollection(words)))
+
+  /** Tokens -> 3-token shingle strings (n-gram fingerprint unit). */
+  private def shingles(t: Column): Column =
+    transform(sequence(lit(1), greatest(size(t) - 2, lit(1))),
+      i => array_join(slice(t, i, lit(3)), " "))
+
+  /** Near-dup corpus: fixture documents plus deterministic planted
+    * near-duplicates (first token dropped, doc_id + 1,000,000) generated
+    * FROM the fixture — guarantees recall targets are testable at any SF.
+    */
+  private def nearDupCorpus(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val planted = base.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(toks(col("text")), 2, 100000), " ").as("text"))
+    base.unionByName(planted)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_tokens" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("t", toks(col("text")))
+        .select(col("doc_id"),
+          size(col("t")).as("n_tok"),
+          size(filter(col("t"), x => x.isInCollection(StopWords)))
+            .as("n_stop"),
+          size(array_distinct(col("t"))).as("n_dist"),
+          length(col("text")).as("n_chars_actual"))
+        .orderBy(col("doc_id"))
+    },
+
+    "q_text_termfreq" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(toks(col("text"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("term"))
+        .limit(20)
+    },
+
+    "q_text_tfidf" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val nDocs = docs.select(countDistinct(col("doc_id")).as("n_total"))
+      val terms = docs
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("doc_len",
+          sum(col("cnt")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("doc_id"))))
+      val df_ = terms.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      tf.join(df_, "term")
+        .crossJoin(broadcast(nDocs))
+        .filter(col("doc_id") < 10)
+        .select(col("doc_id"), col("term"), col("cnt"), col("df"),
+          eround((col("cnt") / col("doc_len"))
+            * log((col("n_total") + 1.0) / (col("df") + 1.0)), 6)
+            .as("tfidf"))
+        .orderBy(col("doc_id"), col("term"))
+    },
+
+    "q_text_lang_stats" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("n_tok", size(toks(col("text"))))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          eround(sum(col("n_tok")).cast("double") / count(lit(1)), 4)
+            .as("avg_tok"))
+        .orderBy(col("lang"))
+    },
+
+    // n-gram-heuristic classifier: marker-set hit counts + priority-order
+    // argmax (deterministic tie-break).
+    "q_text_langid" -> { (s, d) =>
+      val base = Tables.documents(s, d).withColumn("t", toks(col("text")))
+      val scored = Markers.foldLeft(base) { case (df, (name, words)) =>
+        df.withColumn(s"s_$name", markerScore(col("t"), words))
+      }
+      scored.select(col("doc_id") +: col("lang").as("declared_lang") +:
+          Markers.map { case (n, _) => col(s"s_$n") } :+
+          when(col("s_relational") >= col("s_streaming")
+              && col("s_relational") >= col("s_generic"), "relational")
+            .when(col("s_streaming") >= col("s_generic"), "streaming")
+            .otherwise("generic").as("predicted"): _*)
+        .orderBy(col("doc_id"))
+    },
+
+    // Quality scoring: length / stopword-ratio / repetition signals.
+    "q_text_quality" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("t", toks(col("text")))
+        .select(col("doc_id"),
+          size(col("t")).as("n_tok"),
+          eround(size(filter(col("t"), x => x.isInCollection(StopWords)))
+            .cast("double") / size(col("t")), 4).as("stop_ratio"),
+          eround(length(regexp_replace(col("text"), " ", ""))
+            .cast("double") / size(col("t")), 4).as("avg_tok_len"),
+          (size(col("t")) > size(array_distinct(col("t"))))
+            .as("has_repeats"),
+          (size(col("t")).between(10, 500)
+            && length(col("text")) >= 40).as("passes_length_gate"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Rolling polynomial fingerprint: h = fold((h*31 + ascii(ch)) mod p).
+    "q_text_fingerprint" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          aggregate(split(col("text"), ""), lit(0L),
+            (acc, ch) => (acc * 31 + ascii(ch)) % 1000000007L).as("fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    "q_dedup_exact" -> { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("n_copies"), length(col("text")).as("len"))
+        .orderBy(col("doc_id"))
+    },
+
+    // n-gram (3-shingle) Jaccard similarity on a bounded pair set — the
+    // exact-verification half of near-dedup, oracle-checkable.
+    "q_dedup_ngram_jaccard" -> { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 40)
+        .select(col("doc_id"),
+          array_distinct(shingles(toks(col("text")))).as("sh"))
+      val a = docs.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          eround(size(array_intersect(col("sh_a"), col("sh_b")))
+            .cast("double")
+            / size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.02)
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // MinHash + LSH banding near-dup detection (no oracle — recall/precision
+    // asserted in ScalaTest on the planted duplicates). 16 minhash seeds,
+    // 4 bands x 4 rows; candidates from band-bucket self-join only, then
+    // exact Jaccard >= 0.5 confirmation.
+    "q_dedup_near" -> { (s, d) =>
+      val corpus = nearDupCorpus(s, d)
+        .withColumn("sh", array_distinct(shingles(toks(col("text")))))
+      val withSig = corpus.withColumn("sig",
+        transform(sequence(lit(0), lit(15)),
+          k => array_min(transform(col("sh"), x => xxhash64(x, k)))))
+      val banded = withSig.select(col("doc_id"), col("sh"),
+          posexplode(transform(sequence(lit(0), lit(3)),
+            b => hash(slice(col("sig"), b * 4 + 1, lit(4))))))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bucket")
+      val l = banded.select(col("band"), col("bucket"),
+        col("doc_id").as("id_a"), col("sh").as("sh_a"))
+      val r = banded.select(col("band"), col("bucket"),
+        col("doc_id").as("id_b"), col("sh").as("sh_b"))
+      l.join(r, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+        .distinct()
+        .select(col("id_a"), col("id_b"),
+          eround(size(array_intersect(col("sh_a"), col("sh_b")))
+            .cast("double")
+            / size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }
+  )
+
+  private val oToks = "string_split(lower(text), ' ')"
+  private val oStop = "['the', 'a']"
+
+  val oracle: Map[String, String] = Map(
+    "q_text_tokens" ->
+      s"""SELECT doc_id, len($oToks) AS n_tok,
+         | len(list_filter($oToks, x -> list_contains($oStop, x))) AS n_stop,
+         | len(list_distinct($oToks)) AS n_dist,
+         | length(text) AS n_chars_actual
+         | FROM documents ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_text_termfreq" ->
+      s"""SELECT term, count(*) AS n
+         | FROM (SELECT unnest($oToks) AS term FROM documents)
+         | GROUP BY term ORDER BY n DESC, term ASC LIMIT 20"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_text_tfidf" ->
+      s"""WITH terms AS (SELECT doc_id, unnest($oToks) AS term FROM documents),
+         | tf AS (SELECT doc_id, term, count(*) AS cnt FROM terms GROUP BY 1, 2),
+         | dl AS (SELECT doc_id, sum(cnt) AS doc_len FROM tf GROUP BY 1),
+         | idf AS (SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY 1),
+         | n AS (SELECT count(DISTINCT doc_id) AS n_total FROM documents)
+         | SELECT tf.doc_id, tf.term, tf.cnt, idf.df,
+         |  round((tf.cnt / CAST(dl.doc_len AS DOUBLE))
+         |    * ln((n.n_total + 1.0) / (idf.df + 1.0)) + 5e-10, 6) AS tfidf
+         | FROM tf JOIN dl USING (doc_id) JOIN idf USING (term), n
+         | WHERE tf.doc_id < 10 ORDER BY doc_id, term"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_text_lang_stats" ->
+      s"""SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+         | round(CAST(sum(len($oToks)) AS DOUBLE) / count(*) + 5e-10, 4) AS avg_tok
+         | FROM documents GROUP BY lang ORDER BY lang"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_text_langid" -> {
+      val scores = Markers.map { case (n, ws) =>
+        val arr = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+        s"len(list_filter($oToks, x -> list_contains($arr, x))) AS s_$n"
+      }.mkString(", ")
+      s"""SELECT doc_id, lang AS declared_lang, $scores,
+         | CASE WHEN s_relational >= s_streaming AND s_relational >= s_generic
+         |   THEN 'relational'
+         |  WHEN s_streaming >= s_generic THEN 'streaming'
+         |  ELSE 'generic' END AS predicted
+         | FROM documents ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " ")
+    },
+
+    "q_text_quality" ->
+      s"""SELECT doc_id, len($oToks) AS n_tok,
+         | round(CAST(len(list_filter($oToks, x -> list_contains($oStop, x)))
+         |   AS DOUBLE) / len($oToks) + 5e-10, 4) AS stop_ratio,
+         | round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         |   / len($oToks) + 5e-10, 4) AS avg_tok_len,
+         | len($oToks) > len(list_distinct($oToks)) AS has_repeats,
+         | len($oToks) BETWEEN 10 AND 500 AND length(text) >= 40
+         |   AS passes_length_gate
+         | FROM documents ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id,
+        | list_reduce(list_transform(string_split(text, ''),
+        |   c -> CAST(ascii(c) AS BIGINT)),
+        |   (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        | FROM documents ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
+        | length(text) AS len
+        | FROM documents GROUP BY text ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_dedup_ngram_jaccard" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  list_distinct(list_transform(
+         |    generate_series(1, greatest(len($oToks) - 2, 1)),
+         |    i -> array_to_string($oToks[i:i+2], ' '))) AS sh
+         |  FROM documents WHERE doc_id < 40)
+         | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.sh, b.sh))) + 5e-10, 6)
+         |    AS jaccard
+         | FROM d a, d b WHERE a.doc_id < b.doc_id
+         |  AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.sh, b.sh))) + 5e-10, 6) >= 0.02
+         | ORDER BY id_a, id_b"""
+        .stripMargin.replaceAll("\n", " ")
+  )
+}

@@ -1,0 +1,173 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.10 Vector / similarity-search operators (SURVEY.md; REPOSE-style
+  * distributed top-k per PAPERS.md).
+  *
+  * Scale posture: the brute-force cosine top-k broadcasts the (small) probe
+  * set against the corpus — the corpus is never shuffled and the plan is a
+  * single scan + per-row loop + per-probe top-k; the all-pairs path goes
+  * through random-hyperplane LSH buckets so the self-join shuffles on the
+  * bucket key instead of forming n² pairs. At 100 TB the same surfaces hold:
+  * probes stay broadcastable, LSH bucket sizes are tunable via plane count.
+  *
+  * Float discipline: embeddings are float32 at rest; every arithmetic path
+  * first casts to double (`vd`), and dot products are sequential left folds
+  * (`aggregate(zip_with(..))`) which match DuckDB's `list_dot_product`
+  * bit-for-bit.
+  */
+object Vectors {
+  import Fx._
+
+  private def vd(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Deterministic ±1 hyperplane weight for plane p, dimension i. */
+  private def planeSign(p: Column, i: Column): Column =
+    when(pmod(xxhash64(p, i), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vec_norm" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .withColumn("v", vd(col("embedding")))
+        .select(col("vec_id"),
+          eround(sqrt(dot(col("v"), col("v"))), 6).as("l2_norm"),
+          eround(dot(col("v"), reverse(col("v"))), 6).as("dot_rev"),
+          size(col("v")).as("dim"))
+        .orderBy(col("vec_id"))
+    },
+
+    // Brute-force cosine top-k: probes (vec_id < 10) broadcast against the
+    // full corpus; ranking on the rounded score with vec_id tie-break keeps
+    // both engines' orderings identical.
+    "q_sim_topk" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).withColumn("v", vd(col("embedding")))
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id"))
+        .orderBy(desc("cos_r"), asc("vec_id"))
+      emb.select(col("vec_id"), col("v"))
+        .crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("cos_r", eround(cosine(col("pv"), col("v")), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("probe_id"), col("rnk"), col("vec_id"), col("cos_r"))
+        .orderBy(col("probe_id"), col("rnk"))
+    },
+
+    // All-pairs candidate generation via 8-plane random-hyperplane LSH
+    // (SimHash buckets). Corpus includes planted identical copies
+    // (vec_id + 1,000,000) so recall is testable; no oracle (candidate set
+    // is algorithm-defined) — ScalaTest asserts recall 1.0 on the planted
+    // pairs.
+    "q_sim_pairs_lsh" -> { (s, d) =>
+      val base = Tables.embeddings(s, d)
+        .select(col("vec_id"), vd(col("embedding")).as("v"))
+      val planted = base.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("v"))
+      val corpus = base.unionByName(planted)
+      val bucketed = corpus.withColumn("bucket",
+        aggregate(
+          transform(sequence(lit(0), lit(7)), p =>
+            when(aggregate(zip_with(col("v"),
+                transform(sequence(lit(0), size(col("v")) - 1),
+                  i => planeSign(p, i)),
+                (x, s) => x * s), lit(0.0), (acc, x) => acc + x) > 0,
+              lit(1L)).otherwise(lit(0L))),
+          lit(0L), (acc, bit) => acc * 2 + bit))
+      val l = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
+        col("v").as("va"))
+      val r = bucketed.select(col("bucket"), col("vec_id").as("id_b"),
+        col("v").as("vb"))
+      l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
+        .withColumn("cos_r", eround(cosine(col("va"), col("vb")), 6))
+        .filter(col("cos_r") >= 0.99)
+        .select(col("id_a"), col("id_b"), col("cos_r"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // k-NN majority-vote label prediction over the top-5 neighbor sets.
+    "q_knn_label_vote" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d).withColumn("v", vd(col("embedding")))
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id"))
+        .orderBy(desc("cos_r"), asc("vec_id"))
+      val wVote = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id"))
+        .orderBy(desc("votes"), asc("label"))
+      emb.select(col("vec_id"), col("label"), col("v"))
+        .crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("cos_r", eround(cosine(col("pv"), col("v")), 6))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 5)
+        .groupBy(col("probe_id"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("vr", row_number().over(wVote))
+        .filter(col("vr") === 1)
+        .select(col("probe_id"), col("label").as("predicted_label"),
+          col("votes"))
+        .orderBy(col("probe_id"))
+    }
+  )
+
+  private val oVd =
+    "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+  val oracle: Map[String, String] = Map(
+    "q_vec_norm" ->
+      s"""SELECT vec_id,
+         | round(sqrt(list_dot_product(v, v)) + 5e-10, 6) AS l2_norm,
+         | round(list_dot_product(v, list_reverse(v)) + 5e-10, 6) AS dot_rev,
+         | len(v) AS dim
+         | FROM (SELECT vec_id, $oVd AS v FROM embeddings)
+         | ORDER BY vec_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_sim_topk" ->
+      s"""WITH e AS (SELECT vec_id, $oVd AS v FROM embeddings),
+         | p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+         | s AS (SELECT p.probe_id, e.vec_id,
+         |   round(list_dot_product(p.pv, e.v)
+         |     / (sqrt(list_dot_product(p.pv, p.pv))
+         |        * sqrt(list_dot_product(e.v, e.v))) + 5e-10, 6) AS cos_r
+         |  FROM e, p WHERE e.vec_id <> p.probe_id),
+         | r AS (SELECT probe_id, vec_id, cos_r, row_number() OVER
+         |   (PARTITION BY probe_id ORDER BY cos_r DESC, vec_id ASC) AS rnk
+         |  FROM s)
+         | SELECT probe_id, rnk, vec_id, cos_r FROM r WHERE rnk <= 5
+         | ORDER BY probe_id, rnk"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_knn_label_vote" ->
+      s"""WITH e AS (SELECT vec_id, label, $oVd AS v FROM embeddings),
+         | p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+         | s AS (SELECT p.probe_id, e.vec_id, e.label,
+         |   round(list_dot_product(p.pv, e.v)
+         |     / (sqrt(list_dot_product(p.pv, p.pv))
+         |        * sqrt(list_dot_product(e.v, e.v))) + 5e-10, 6) AS cos_r
+         |  FROM e, p WHERE e.vec_id <> p.probe_id),
+         | r AS (SELECT probe_id, label, row_number() OVER
+         |   (PARTITION BY probe_id ORDER BY cos_r DESC, vec_id ASC) AS rnk
+         |  FROM s),
+         | votes AS (SELECT probe_id, label, count(*) AS votes
+         |  FROM r WHERE rnk <= 5 GROUP BY 1, 2),
+         | best AS (SELECT probe_id, label, votes, row_number() OVER
+         |   (PARTITION BY probe_id ORDER BY votes DESC, label ASC) AS vr
+         |  FROM votes)
+         | SELECT probe_id, label AS predicted_label, votes FROM best
+         | WHERE vr = 1 ORDER BY probe_id"""
+        .stripMargin.replaceAll("\n", " ")
+  )
+}
