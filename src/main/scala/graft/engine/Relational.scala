@@ -175,15 +175,17 @@ object Relational {
       val e = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("ts"))
       val o = Tables.orders(s, d)
-        .groupBy(col("o_custkey"), col("o_orderdate"))
-        .agg(max(col("o_orderkey")).as("o_orderkey"))
-      val w = Window.partitionBy(col("event_id"))
-        .orderBy(col("o_orderdate").desc_nulls_last)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+      // Latest-at-or-before via max(struct(date, key)) — a hash aggregate
+      // with map-side partial aggregation instead of a per-event sort
+      // window; ties on date resolve to max key, matching the oracle's
+      // deduplicated ASOF JOIN.
       e.join(o, col("user_id") === col("o_custkey")
           && col("o_orderdate") <= col("ts"), "left_outer")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("event_id"), col("user_id"), col("o_orderkey"))
+        .groupBy(col("event_id"), col("user_id"))
+        .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
+        .select(col("event_id"), col("user_id"),
+          col("m.o_orderkey").as("o_orderkey"))
         .orderBy(col("event_id"))
     },
 

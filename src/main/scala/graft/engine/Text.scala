@@ -176,21 +176,46 @@ object Text {
     "q_dedup_near" -> { (s, d) =>
       val corpus = nearDupCorpus(s, d)
         .withColumn("sh", array_distinct(shingles(toks(col("text")))))
-      val withSig = corpus.withColumn("sig",
-        transform(sequence(lit(0), lit(15)),
-          k => array_min(transform(col("sh"), x => xxhash64(x, k)))))
-      val banded = withSig.select(col("doc_id"), col("sh"),
+      // Hash each shingle string ONCE, then derive the 16 minhash values
+      // from the long hash — 16x fewer string hashes.
+      // Materialize hashed shingles behind a (tiny: ~80 longs/row) shuffle
+      // boundary BEFORE the 16-seed minhash: otherwise Catalyst inlines the
+      // whole split->slice->join shingle pipeline into every seed lambda and
+      // recomputes the string work 16x per row (measured 7x slowdown).
+      val hashed = corpus
+        .withColumn("shash", transform(col("sh"), x => xxhash64(x)))
+        .select(col("doc_id"), col("shash"))
+        .repartition(col("doc_id"))
+      val withSig = hashed
+        .withColumn("sig", transform(sequence(lit(0), lit(15)),
+          k => array_min(transform(col("shash"), h => xxhash64(h, k)))))
+      // Band-bucket rows carry ONLY (band, bucket, doc_id) — the shingle
+      // arrays never enter the self-join shuffle or the distinct.
+      val banded = withSig.select(col("doc_id"),
           posexplode(transform(sequence(lit(0), lit(3)),
             b => hash(slice(col("sig"), b * 4 + 1, lit(4))))))
         .withColumnRenamed("pos", "band")
         .withColumnRenamed("col", "bucket")
-      val l = banded.select(col("band"), col("bucket"),
-        col("doc_id").as("id_a"), col("sh").as("sh_a"))
-      val r = banded.select(col("band"), col("bucket"),
-        col("doc_id").as("id_b"), col("sh").as("sh_b"))
-      l.join(r, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
-        .distinct()
+      // Pair expansion per bucket (collect_list + nested transform) instead
+      // of a bucket self-join: one pass over the signature pipeline, no
+      // broadcast of the banded side. Bucket member lists are tiny by LSH
+      // construction, so the quadratic expansion is bounded per bucket.
+      val buckets = banded.groupBy(col("band"), col("bucket"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) > 1)
+      val cands = buckets.select(explode(flatten(
+          transform(col("ids"), (x, i) =>
+            transform(slice(col("ids"), i + 2, size(col("ids"))),
+              y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+        .select(col("p.id_a"), col("p.id_b")).distinct()
+      // Re-fetch shingle sets only for the (few) candidates, then confirm
+      // with exact Jaccard.
+      val sets = corpus.select(col("doc_id"), col("sh"))
+      cands
+        .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+          "id_a")
+        .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+          "id_b")
         .select(col("id_a"), col("id_b"),
           eround(size(array_intersect(col("sh_a"), col("sh_b")))
             .cast("double")
