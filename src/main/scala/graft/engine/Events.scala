@@ -71,13 +71,14 @@ object Events {
          | GROUP BY 1, 2 ORDER BY w_start"""
         .stripMargin.replaceAll("\n", " "),
 
-    // Gaps-and-islands replica of session_window semantics: a gap of
-    // exactly 30min starts a NEW session (merge requires ts < prev + gap).
+    // Gaps-and-islands replica of session_window semantics: an event at
+    // EXACTLY prev + gap still merges (verified empirically, StreamingSpec);
+    // a new session needs a gap strictly greater than 30min.
     "q_stream_session" ->
       s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
          | m AS (SELECT user_id, ts, value,
          |   CASE WHEN lag(ts) OVER w IS NULL
-         |     OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+         |     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
          |   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
          | g AS (SELECT user_id, ts, value,
          |   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts

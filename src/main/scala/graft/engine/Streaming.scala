@@ -1,0 +1,68 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A raw event for the true-streaming builders (tests feed these through
+  * MemoryStream; production would use readStream sources).
+  */
+case class Ev(ts: java.sql.Timestamp, userId: Long, eventType: String,
+  value: Double, eventId: Long)
+
+case class UserCount(userId: Long, running: Long)
+
+/** §2.9 true Structured Streaming builders (SURVEY.md). The harness-facing
+  * batch equivalents live in Events.scala; these builders add the
+  * streaming-only semantics — watermarks, late-data drop, stateful dedup,
+  * arbitrary per-key state — and are exercised with MemoryStream in
+  * StreamingSpec.
+  *
+  * Scale posture: all state is keyed (window/user/event-id) and bounded by
+  * the watermark horizon, so state stores stay finite under unbounded
+  * input; nothing funnels through the driver.
+  */
+object Streaming {
+
+  /** Tumbling 1h counts with a 10-minute watermark; append mode emits a
+    * window only once the watermark passes its end, and drops events later
+    * than the watermark.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("userId"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("userId"), col("n"))
+
+  /** Stateful exact dedup on eventId bounded by the watermark horizon. */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("eventId")
+
+  /** Session windows (30-minute gap) per user with watermark. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("userId"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"), col("userId"), col("n"))
+
+  /** Arbitrary per-key state: running event count per user via
+    * flatMapGroupsWithState (update mode).
+    */
+  def runningCounts(events: Dataset[Ev]): Dataset[UserCount] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState[Long, UserCount](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[Long]) =>
+          val c = state.getOption.getOrElse(0L) + evs.size
+          state.update(c)
+          Iterator(UserCount(uid, c))
+      }
+  }
+}

@@ -49,6 +49,9 @@ object Tables {
   * IEEE-deterministic and needs no rounding.
   */
 object Fx {
+  /** Default money scale used by dsum. */
+  val dsumType: DecimalType = DecimalType(18, 2)
+
   /** Order-independent exact sum: cast to DECIMAL at the scale where the
     * source expression is exact (prices/quantities = 2dp; price*(1-disc) =
     * 4dp; *(1+tax) = 6dp — casting at a coarser scale hits half-way rounding

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** No-oracle §2.10 operators: recall/precision and determinism checks. */
+class DedupVectorSpec extends SparkSuite {
+
+  test("near-dup recall 1.0 on planted near-duplicates") {
+    val pairs = SparkEntry.queries("q_dedup_near")(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // planted: doc_id < 20 copied to doc_id + 1,000,000 with one token
+    // dropped -> every (i, i+1000000) pair must be found
+    for (i <- 0L until 20L)
+      assert(pairs.contains((i, i + 1000000L)), s"missing planted pair $i")
+  }
+
+  test("near-dup pairs all have jaccard >= 0.5 (precision gate)") {
+    val bad = SparkEntry.queries("q_dedup_near")(spark, sf)
+      .filter(col("jaccard") < 0.5)
+    assert(bad.count() === 0)
+  }
+
+  test("LSH pairs recall 1.0 on planted identical vectors") {
+    val pairs = SparkEntry.queries("q_sim_pairs_lsh")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val planted = pairs.filter(p => p._2 == p._1 + 1000000L)
+    assert(planted.length === 10)
+    planted.foreach(p => assert(p._3 === 1.0))
+  }
+
+  test("exact dedup keeps the minimum doc_id per text") {
+    val deduped = SparkEntry.queries("q_dedup_exact")(spark, sf)
+    val n = graft.engine.Tables.documents(spark, sf)
+      .select("text").distinct().count()
+    assert(deduped.count() === n)
+  }
+
+  test("fingerprint is deterministic across runs") {
+    val a = SparkEntry.queries("q_text_fingerprint")(spark, sf).collect()
+    val b = SparkEntry.queries("q_text_fingerprint")(spark, sf).collect()
+    assert(a.map(_.getLong(1)).toSeq === b.map(_.getLong(1)).toSeq)
+  }
+
+  test("cosine top-k scores bounded and self excluded") {
+    val topk = SparkEntry.queries("q_sim_topk")(spark, sf).collect()
+    topk.foreach { r =>
+      val (probe, neigh, cos) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      assert(probe !== neigh)
+      assert(cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9)
+    }
+    assert(topk.length === 10 * 5)
+  }
+
+  test("knn vote predicts labels from the label domain") {
+    val labels = graft.engine.Tables.embeddings(spark, sf)
+      .select("label").distinct().collect().map(_.getInt(0)).toSet
+    val pred = SparkEntry.queries("q_knn_label_vote")(spark, sf).collect()
+    assert(pred.length === 10)
+    pred.foreach(r => assert(labels.contains(r.getInt(1))))
+  }
+
+  test("multimodal features are deterministic with fixed dim") {
+    val f = graft.engine.Multimodal.fakeDecodeFeatures("hello".getBytes)
+    val g = graft.engine.Multimodal.fakeDecodeFeatures("hello".getBytes)
+    assert(f.toSeq === g.toSeq)
+    assert(f.length === graft.engine.Multimodal.FeatureDim)
+    val rows = SparkEntry.queries("q_multimodal_features")(spark, sf)
+    assert(rows.count() === 500)
+  }
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.{Fx, Tables}
+
+/** Algebraic-law tests (SURVEY §5.2.3): relational identities that must
+  * hold for any input, checked over the fixture tables with several
+  * deterministic parameterizations.
+  */
+class EngineLawsSpec extends SparkSuite {
+
+  test("filter fusion: filter(a).filter(b) == filter(a && b)") {
+    val li = Tables.lineitem(spark, sf)
+    for (q <- Seq(10, 25, 40); dsc <- Seq(0.02, 0.06)) {
+      val a = col("l_quantity") > q
+      val b = col("l_discount") <= dsc
+      assert(li.filter(a).filter(b).count() === li.filter(a && b).count())
+    }
+  }
+
+  test("union all count additivity") {
+    val o = Tables.orders(spark, sf)
+    for (p <- Seq(100000.0, 250000.0)) {
+      val x = o.filter(col("o_totalprice") > p)
+      val y = o.filter(col("o_orderstatus") === "F")
+      assert(x.union(y).count() === x.count() + y.count())
+    }
+  }
+
+  test("semi join == inner join + distinct left key") {
+    val c = Tables.customer(spark, sf)
+    val o = Tables.orders(spark, sf).filter(col("o_totalprice") > 300000)
+    val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey")
+    val innerDistinct = c.join(o, col("c_custkey") === col("o_custkey"))
+      .select("c_custkey").distinct()
+    assert(semi.count() === innerDistinct.count())
+    assert(semi.exceptAll(innerDistinct).count() === 0)
+  }
+
+  test("anti + semi partition the left side") {
+    val c = Tables.customer(spark, sf)
+    val o = Tables.orders(spark, sf).filter(col("o_totalprice") > 300000)
+    val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+    val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+    assert(semi.count() + anti.count() === c.count())
+  }
+
+  test("rollup row count = detail groups + level-1 groups + 1") {
+    val df = Tables.customer(spark, sf)
+      .join(Tables.nation(spark, sf),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(spark, sf),
+        col("n_regionkey") === col("r_regionkey"))
+    val detail = df.select("r_name", "n_name").distinct().count()
+    val level1 = df.select("r_name").distinct().count()
+    val rollup = df.rollup(col("r_name"), col("n_name")).count().count()
+    assert(rollup === detail + level1 + 1)
+  }
+
+  test("running sum last row equals group total") {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, sf)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRank = Window.partitionBy(col("o_custkey"))
+      .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+    val lastRunning = o
+      .withColumn("run",
+        sum(col("o_totalprice").cast(Fx.dsumType)).over(w))
+      .withColumn("rn", row_number().over(wRank))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("run"))
+    val totals = o.groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice").cast(Fx.dsumType)).as("tot"))
+    val joined = lastRunning.join(totals, "o_custkey")
+      .filter(col("run") =!= col("tot"))
+    assert(joined.count() === 0)
+  }
+
+  test("top-k per group is a subset of the group's rows") {
+    val topk = SparkEntry.queries("q_topk_per_group")(spark, sf)
+    val o = Tables.orders(spark, sf)
+    assert(topk.count() === 5 * 3) // 5 priorities x top 3
+    val bad = topk.join(o, Seq("o_orderkey"), "left_anti")
+    assert(bad.count() === 0)
+  }
+
+  test("partial-date parser is total over all three precisions") {
+    val parsed = SparkEntry.queries("q_fn_date")(spark, sf)
+    assert(parsed.filter(col("parsed").isNull).count() === 0)
+    // year-precision rows parse to Jan 1, month-precision to day 1
+    assert(parsed.filter(col("o_orderkey") % 3 === 0)
+      .filter(dayofyear(col("parsed")) =!= 1).count() === 0)
+    assert(parsed.filter(col("o_orderkey") % 3 === 1)
+      .filter(dayofmonth(col("parsed")) =!= 1).count() === 0)
+  }
+
+  test("approx_count_distinct within 3x rsd of exact") {
+    val ev = Tables.events(spark, sf)
+    val approx = SparkEntry.queries("q_agg_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, e) <- exact) {
+      val a = approx(k)
+      assert(math.abs(a - e).toDouble / e <= 0.06,
+        s"$k: approx $a vs exact $e")
+    }
+  }
+}

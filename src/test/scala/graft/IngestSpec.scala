@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+
+/** §2.1 format ingest checks beyond the oracle round-trips. */
+class IngestSpec extends SparkSuite {
+
+  test("csv round-trip reproduces nation exactly") {
+    val back = SparkEntry.queries("q_scan_csv")(spark, sf).collect()
+    val src = Tables.nation(spark, sf).orderBy("n_nationkey").collect()
+    assert(back.toSeq === src.toSeq)
+  }
+
+  test("json round-trip reproduces customer exactly") {
+    val back = SparkEntry.queries("q_scan_json")(spark, sf).collect()
+    val src = Tables.customer(spark, sf)
+      .select("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+        "c_mktsegment")
+      .orderBy("c_custkey").collect()
+    assert(back.toSeq === src.toSeq)
+  }
+
+  test("xml parse extracts typed EPrints-shaped fields") {
+    val rows = SparkEntry.queries("q_scan_xml")(spark, sf)
+    assert(rows.count() === 100)
+    val r = rows.filter(col("c_custkey") === 3).collect().head
+    assert(r.getAs[Long]("eprintid") === 3L)
+    assert(r.getAs[String]("title").startsWith("Customer#"))
+    assert(r.getAs[Int]("n_creators") === 2)
+    assert(r.getAs[String]("first_family") === "F3")
+  }
+
+  test("partitioned parquet sink partitions by return flag") {
+    SparkEntry.queries("q_sink_parquet")(spark, sf).count()
+    val dir = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_ingest/lineitem_part")
+    val parts = dir.listFiles().map(_.getName).filter(_.startsWith("l_returnflag="))
+    assert(parts.toSet === Set("l_returnflag=A", "l_returnflag=N",
+      "l_returnflag=R"))
+  }
+
+  test("multi-valued csv sink cells re-split to the right cardinality") {
+    val rows = SparkEntry.queries("q_sink_csv_multival")(spark, sf)
+    val perNation = Tables.customer(spark, sf)
+      .groupBy("c_nationkey").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    rows.collect().foreach { r =>
+      assert(r.getAs[Int]("n_names").toLong === perNation(r.getInt(0)))
+    }
+  }
+}

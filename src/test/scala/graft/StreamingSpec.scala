@@ -1,0 +1,138 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.engine.{Ev, Streaming}
+
+/** §2.9 true-streaming semantics with MemoryStream: watermark late-data
+  * drop, stateful dedup, session-gap boundary, arbitrary per-key state
+  * (FIXTURES.md B4 scenarios).
+  */
+class StreamingSpec extends SparkSuite {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private var tableSeq = 0
+  private def freshTable(): String = { tableSeq += 1; s"stream_out_$tableSeq" }
+
+  test("append-mode tumbling window emits on watermark and drops late data") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val tbl = freshTable()
+    val q = Streaming.tumblingCounts(ms.toDF)
+      .writeStream.format("memory").queryName(tbl)
+      .outputMode("append").start()
+    try {
+      // two events in [10:00, 11:00); watermark = 10:10 - 10m = 10:00
+      ms.addData(
+        Ev(ts("2024-01-01 10:05:00"), 1, "a", 1.0, 1),
+        Ev(ts("2024-01-01 10:10:00"), 1, "a", 1.0, 2))
+      q.processAllAvailable()
+      assert(spark.table(tbl).count() === 0) // window not closed yet
+      // advance watermark past 11:00 -> [10,11) finalizes with n=2
+      ms.addData(Ev(ts("2024-01-01 11:20:00"), 1, "a", 1.0, 3))
+      q.processAllAvailable()
+      // late event for the already-finalized window must be dropped
+      ms.addData(Ev(ts("2024-01-01 10:30:00"), 1, "a", 1.0, 4))
+      q.processAllAvailable()
+      // close [11,12) too
+      ms.addData(Ev(ts("2024-01-01 12:30:00"), 1, "a", 1.0, 5))
+      q.processAllAvailable()
+      val rows = spark.table(tbl)
+        .select(col("w_start").cast("string"), col("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(rows === Set(
+        ("2024-01-01 10:00:00", 2L), // late event NOT counted
+        ("2024-01-01 11:00:00", 1L)))
+    } finally q.stop()
+  }
+
+  test("dropDuplicatesWithinWatermark dedups repeated event ids") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val tbl = freshTable()
+    val q = Streaming.dedupWithinWatermark(ms.toDF)
+      .writeStream.format("memory").queryName(tbl)
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        Ev(ts("2024-01-01 10:00:00"), 1, "a", 1.0, 100),
+        Ev(ts("2024-01-01 10:01:00"), 1, "a", 1.0, 100), // dup id
+        Ev(ts("2024-01-01 10:02:00"), 2, "b", 2.0, 101))
+      q.processAllAvailable()
+      assert(spark.table(tbl).select("eventId").distinct().count() === 2)
+      assert(spark.table(tbl).count() === 2)
+    } finally q.stop()
+  }
+
+  test("session gap boundary: exactly-gap merges, gap+1s splits") {
+    import spark.implicits._
+    // batch semantics of session_window match streaming (SURVEY §2.9);
+    // an event at exactly prev + gap MERGES — only a strictly larger gap
+    // starts a new session (this pins the semantics the oracle SQL uses)
+    val df = Seq(
+      Ev(ts("2024-01-01 10:00:00"), 7, "a", 1.0, 1),
+      Ev(ts("2024-01-01 10:30:00"), 7, "a", 1.0, 2), // exactly gap: merges
+      Ev(ts("2024-01-01 11:00:01"), 7, "a", 1.0, 3)  // gap + 1s: NEW
+    ).toDF()
+    val sessions = df
+      .groupBy(session_window(col("ts"), "30 minutes"), col("userId"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("session_window.start").cast("string").as("s"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(sessions === Set(
+      ("2024-01-01 10:00:00", 2L),
+      ("2024-01-01 11:00:01", 1L)))
+  }
+
+  test("streaming session windows merge across batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val tbl = freshTable()
+    val q = Streaming.sessionCounts(ms.toDF)
+      .writeStream.format("memory").queryName(tbl)
+      .outputMode("append").start()
+    try {
+      ms.addData(Ev(ts("2024-01-01 10:00:00"), 1, "a", 1.0, 1))
+      q.processAllAvailable()
+      ms.addData(Ev(ts("2024-01-01 10:10:00"), 1, "a", 1.0, 2))
+      q.processAllAvailable()
+      // far-future event closes the session via watermark
+      ms.addData(Ev(ts("2024-01-01 13:00:00"), 1, "a", 1.0, 3))
+      q.processAllAvailable()
+      val rows = spark.table(tbl)
+        .select(col("s_start").cast("string"), col("s_end").cast("string"),
+          col("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      assert(rows.contains(
+        ("2024-01-01 10:00:00", "2024-01-01 10:40:00", 2L)))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState keeps running per-user counts") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val tbl = freshTable()
+    val q = Streaming.runningCounts(ms.toDS())
+      .writeStream.format("memory").queryName(tbl)
+      .outputMode("update").start()
+    try {
+      ms.addData(
+        Ev(ts("2024-01-01 10:00:00"), 1, "a", 1.0, 1),
+        Ev(ts("2024-01-01 10:01:00"), 1, "a", 1.0, 2),
+        Ev(ts("2024-01-01 10:02:00"), 2, "a", 1.0, 3))
+      q.processAllAvailable()
+      ms.addData(Ev(ts("2024-01-01 10:03:00"), 1, "a", 1.0, 4))
+      q.processAllAvailable()
+      val last = spark.table(tbl)
+        .groupBy(col("userId")).agg(max(col("running")).as("r"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(last === Map(1L -> 3L, 2L -> 1L))
+    } finally q.stop()
+  }
+}
