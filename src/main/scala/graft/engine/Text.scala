@@ -169,6 +169,38 @@ object Text {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // SimHash near-dup detection: 32-bit signature from signed token-hash
+    // bit votes; near-dup pairs = bounded set with Hamming distance <= 6.
+    // No oracle (hash-algorithm-specific); ScalaTest asserts the planted
+    // near-duplicates land within the Hamming radius.
+    "q_dedup_simhash" -> { (s, d) =>
+      val corpus = nearDupCorpus(s, d)
+        .filter(col("doc_id") < 200 || col("doc_id") >= 1000000L)
+        .withColumn("t", array_distinct(toks(col("text"))))
+      // materialize token hashes before the 32 per-bit folds (same
+      // inline-avoidance as q_dedup_near)
+      val hashed = corpus
+        .withColumn("th", transform(col("t"), x => xxhash64(x)))
+        .select(col("doc_id"), col("th"))
+        .repartition(col("doc_id"))
+      val simhashCol = (0 until 32).map { b =>
+        when(aggregate(col("th"), lit(0L), (acc, h) =>
+          acc + shiftright(h, b).bitwiseAND(lit(1L)) * 2 - 1) > 0,
+          lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val sigs = hashed.select(col("doc_id"), simhashCol.as("simhash"))
+      val l = sigs.select(col("doc_id").as("id_a"),
+        col("simhash").as("sim_a"))
+      val r = sigs.select(col("doc_id").as("id_b"),
+        col("simhash").as("sim_b"))
+      l.crossJoin(r).filter(col("id_a") < col("id_b"))
+        .withColumn("hamming",
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+        .filter(col("hamming") <= 6)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // MinHash + LSH banding near-dup detection (no oracle — recall/precision
     // asserted in ScalaTest on the planted duplicates). 16 minhash seeds,
     // 4 bands x 4 rows; candidates from band-bucket self-join only, then

@@ -2,6 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.engine.functions.GraftFunctions
 
 /** §2.10 Vector / similarity-search operators (SURVEY.md; REPOSE-style
   * distributed top-k per PAPERS.md).
@@ -26,8 +27,13 @@ object Vectors {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Cosine via the native codegen'd CosineSimilarity expression —
+    * bit-identical to the lambda fold formulation (same sequential
+    * accumulation and final formula), but one fused loop inside
+    * whole-stage codegen. Callers must GraftFunctions.register(s) first.
+    */
   private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    GraftFunctions.cosine_sim(a, b)
 
   /** Deterministic ±1 hyperplane weight for plane p, dimension i. */
   private def planeSign(p: Column, i: Column): Column =
@@ -48,6 +54,7 @@ object Vectors {
     // full corpus; ranking on the rounded score with vec_id tie-break keeps
     // both engines' orderings identical.
     "q_sim_topk" -> { (s, d) =>
+      GraftFunctions.register(s)
       val emb = Tables.embeddings(s, d).withColumn("v", vd(col("embedding")))
       val probes = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("v").as("pv"))
@@ -70,6 +77,7 @@ object Vectors {
     // is algorithm-defined) — ScalaTest asserts recall 1.0 on the planted
     // pairs.
     "q_sim_pairs_lsh" -> { (s, d) =>
+      GraftFunctions.register(s)
       val base = Tables.embeddings(s, d)
         .select(col("vec_id"), vd(col("embedding")).as("v"))
       val planted = base.filter(col("vec_id") < 10)
@@ -95,8 +103,42 @@ object Vectors {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // IVF-style approximate top-k (the 100 TB scale path for q_sim_topk):
+    // 8 fixed seed centroids, every vector assigned to its nearest centroid,
+    // probes search ONLY their own cluster. No oracle (approximation is
+    // algorithm-defined); ScalaTest measures recall against the exact top-k.
+    "q_sim_topk_ivf" -> { (s, d) =>
+      GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), vd(col("embedding")).as("v"))
+      val centroids = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      val wAssign = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id"))
+        .orderBy(desc("c_cos"), asc("c_id"))
+      val assigned = emb.crossJoin(broadcast(centroids))
+        .withColumn("c_cos", eround(cosine(col("v"), col("cv")), 6))
+        .withColumn("ar", row_number().over(wAssign))
+        .filter(col("ar") === 1)
+        .select(col("vec_id"), col("v"), col("c_id").as("cluster"))
+      val probes = assigned.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+          col("cluster"))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id"))
+        .orderBy(desc("cos_r"), asc("vec_id"))
+      assigned.join(broadcast(probes), Seq("cluster"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("cos_r", eround(cosine(col("pv"), col("v")), 6))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 5)
+        .select(col("probe_id"), col("rnk"), col("vec_id"), col("cos_r"))
+        .orderBy(col("probe_id"), col("rnk"))
+    },
+
     // k-NN majority-vote label prediction over the top-5 neighbor sets.
     "q_knn_label_vote" -> { (s, d) =>
+      GraftFunctions.register(s)
       val emb = Tables.embeddings(s, d).withColumn("v", vd(col("embedding")))
       val probes = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("v").as("pv"))

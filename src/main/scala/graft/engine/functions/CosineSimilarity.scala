@@ -1,0 +1,95 @@
+package graft.engine.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression for cosine similarity over two double arrays
+  * (SURVEY §4.3 exception (c): the one scalar hot enough in the similarity
+  * path to justify a custom Expression).
+  *
+  * Semantics are EXACTLY the sequential-fold formula used by the
+  * higher-order-function formulation (dot/(sqrt(na)*sqrt(nb)), left-to-right
+  * accumulation) so results stay bit-identical with the DuckDB oracle's
+  * `list_dot_product` — swapping implementations cannot change any query
+  * output. Unlike the lambda version it participates in whole-stage codegen
+  * (single fused loop, no per-element closure dispatch).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType == ArrayType(DoubleType)))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects array<double> inputs, got " +
+        s"${left.dataType.sql} / ${right.dataType.sql}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getDouble(i)
+      val yi = y.getDouble(i)
+      dot += xi * yi
+      na += xi * xi
+      nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $a.getDouble($i);
+         |  double $yi = $b.getDouble($i);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |${ev.value} = $dot /
+         |  (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
+object GraftFunctions {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.functions.call_function
+
+  /** Register the native functions in a session; idempotent. After this,
+    * both `GraftFunctions.cosine_sim(a, b)` and SQL `cosine_sim(a, b)`
+    * resolve to the codegen'd expression.
+    */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)),
+      "scala_udf")
+
+  /** Column-level entry point (requires register(spark) in the session). */
+  def cosine_sim(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
+}

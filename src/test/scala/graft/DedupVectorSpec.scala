@@ -29,6 +29,34 @@ class DedupVectorSpec extends SparkSuite {
     planted.foreach(p => assert(p._3 === 1.0))
   }
 
+  test("simhash places planted near-duplicates within the Hamming radius") {
+    val pairs = SparkEntry.queries("q_dedup_simhash")(spark, sf)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (i <- 0L until 20L)
+      assert(pairs.contains((i, i + 1000000L)),
+        s"planted pair $i beyond Hamming radius")
+  }
+
+  test("ivf top-k: native cosine matches exact search for same-cluster hits") {
+    val exact = SparkEntry.queries("q_sim_topk")(spark, sf)
+      .select("probe_id", "vec_id", "cos_r").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = SparkEntry.queries("q_sim_topk_ivf")(spark, sf)
+      .select("probe_id", "vec_id", "cos_r").collect()
+    assert(ivf.nonEmpty)
+    // every ivf hit that also appears in the exact top-k must carry the
+    // identical score (same native expression, same rounding)
+    var overlap = 0
+    ivf.foreach { r =>
+      exact.get((r.getLong(0), r.getLong(1))).foreach { c =>
+        overlap += 1
+        assert(c === r.getDouble(2))
+      }
+    }
+    assert(overlap > 0) // clusters restrict but never distort scores
+  }
+
   test("exact dedup keeps the minimum doc_id per text") {
     val deduped = SparkEntry.queries("q_dedup_exact")(spark, sf)
     val n = graft.engine.Tables.documents(spark, sf)
