@@ -1,8 +1,8 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** A raw event for the true-streaming builders (tests feed these through
   * MemoryStream; production would use readStream sources).
@@ -11,6 +11,8 @@ case class Ev(ts: java.sql.Timestamp, userId: Long, eventType: String,
   value: Double, eventId: Long)
 
 case class UserCount(userId: Long, running: Long)
+
+case class UserSum(userId: Long, total: Double)
 
 /** §2.9 true Structured Streaming builders (SURVEY.md). The harness-facing
   * batch equivalents live in Events.scala; these builders add the
@@ -49,6 +51,33 @@ object Streaming {
       .agg(count(lit(1)).as("n"))
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("userId"), col("n"))
+
+  /** transformWithState (state API v2, Spark 4.x): running per-user value
+    * sums in a typed ValueState. Requires the RocksDB state store provider
+    * (set in the test harness).
+    */
+  class RunningSumProcessor
+      extends StatefulProcessor[Long, Ev, UserSum] {
+    @transient private var sumState: ValueState[Double] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sumState = getHandle.getValueState[Double]("sum",
+        Encoders.scalaDouble, TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[UserSum] = {
+      val prev = Option(sumState.get()).getOrElse(0.0)
+      val next = prev + rows.map(_.value).sum
+      sumState.update(next)
+      Iterator(UserSum(key, next))
+    }
+  }
+
+  def runningSums(events: Dataset[Ev]): Dataset[UserSum] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .transformWithState(new RunningSumProcessor,
+        TimeMode.None(), OutputMode.Update)
+  }
 
   /** Arbitrary per-key state: running event count per user via
     * flatMapGroupsWithState (update mode).

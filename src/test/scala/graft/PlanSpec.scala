@@ -1,0 +1,60 @@
+package graft
+
+/** Physical-plan audits (SURVEY §4): the 100 TB posture claims are pinned
+  * as assertions on the actual Catalyst output — filter pushdown reaches
+  * the parquet scan, projections prune columns, dimension joins broadcast,
+  * and nothing falls back to an unbroadcast cartesian product.
+  */
+class PlanSpec extends SparkSuite {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("flagship aggregation pushes the shipdate filter into the scan") {
+    val p = plan("q_agg_group")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+  }
+
+  test("flagship aggregation prunes unused lineitem columns") {
+    val p = plan("q_agg_group")
+    assert(!p.contains("l_orderkey"), "scan should not read l_orderkey")
+    assert(!p.contains("l_partkey"), "scan should not read l_partkey")
+  }
+
+  test("dimension joins broadcast the small side") {
+    assert(plan("q_join_inner_bhj").contains("BroadcastHashJoin"))
+    assert(plan("q_join_theta").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("merge hint yields a sort-merge join") {
+    assert(plan("q_join_inner_smj").contains("SortMergeJoin"))
+  }
+
+  test("semi/anti joins plan as semi/anti, not inner+distinct") {
+    assert(plan("q_join_semi").contains("LeftSemi"))
+    assert(plan("q_join_anti").contains("LeftAnti"))
+  }
+
+  test("global top-N plans as TakeOrderedAndProject, not a full sort") {
+    assert(plan("q_limit").contains("TakeOrderedAndProject"))
+  }
+
+  test("similarity top-k broadcasts probes; corpus is never shuffled") {
+    val p = plan("q_sim_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"))
+    assert(p.contains("cosine_sim"), "native expression in the plan")
+  }
+
+  test("flagship aggregation combines map-side (partial aggregation)") {
+    assert(plan("q_agg_group").contains("partial_sum"))
+  }
+
+  test("whole-stage codegen covers the flagship aggregation") {
+    // AQE finalizes the plan (and inserts codegen stages) at execution
+    val df = SparkEntry.queries("q_agg_group")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"no codegen stage markers in:\n$p")
+  }
+}

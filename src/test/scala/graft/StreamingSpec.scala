@@ -113,6 +113,34 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("transformWithState keeps running per-user sums (state API v2)") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val tbl = freshTable()
+      val q = Streaming.runningSums(ms.toDS())
+        .writeStream.format("memory").queryName(tbl)
+        .outputMode("update").start()
+      try {
+        ms.addData(
+          Ev(ts("2024-01-01 10:00:00"), 1, "a", 2.0, 1),
+          Ev(ts("2024-01-01 10:01:00"), 1, "a", 3.0, 2))
+        q.processAllAvailable()
+        ms.addData(Ev(ts("2024-01-01 10:02:00"), 1, "a", 5.0, 3))
+        q.processAllAvailable()
+        val last = spark.table(tbl)
+          .groupBy(col("userId")).agg(max(col("total")).as("t"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        assert(last === Map(1L -> 10.0))
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("flatMapGroupsWithState keeps running per-user counts") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
