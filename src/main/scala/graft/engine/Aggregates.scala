@@ -133,6 +133,19 @@ object Aggregates {
     "q_agg_cube" -> { (s, d) => groupingQuery(s, d, "cube") },
     "q_agg_grouping_sets" -> { (s, d) => groupingQuery(s, d, "gsets") },
 
+    // Mergeable KMV distinct sketch (TypedImperativeAggregate surface);
+    // deterministic for a given dataset regardless of partitioning.
+    // No oracle (hash-algorithm-specific) — accuracy + partition-
+    // independence asserted in ScalaTest.
+    "q_agg_kmv_distinct" -> { (s, d) =>
+      graft.engine.functions.GraftFunctions.register(s)
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(graft.engine.functions.GraftFunctions
+          .kmv_distinct(col("l_partkey")).as("kmv_parts"))
+        .orderBy(col("l_returnflag"))
+    },
+
     "q_agg_custom_typed" -> { (s, d) =>
       val wm = udaf(WeightedMean)
       Tables.lineitem(s, d)

@@ -84,12 +84,18 @@ object GraftFunctions {
     * both `GraftFunctions.cosine_sim(a, b)` and SQL `cosine_sim(a, b)`
     * resolve to the codegen'd expression.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)),
       "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kmv_distinct", exprs => KmvDistinct(exprs.head), "scala_udf")
+  }
 
   /** Column-level entry point (requires register(spark) in the session). */
   def cosine_sim(a: Column, b: Column): Column =
     call_function("cosine_sim", a, b)
+
+  /** KMV distinct-count sketch aggregate (requires register(spark)). */
+  def kmv_distinct(c: Column): Column = call_function("kmv_distinct", c)
 }

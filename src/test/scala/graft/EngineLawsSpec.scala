@@ -97,6 +97,28 @@ class EngineLawsSpec extends SparkSuite {
       .filter(dayofmonth(col("parsed")) =!= 1).count() === 0)
   }
 
+  test("kmv sketch: accurate and independent of partitioning") {
+    import graft.engine.functions.GraftFunctions
+    GraftFunctions.register(spark)
+    val li = Tables.lineitem(spark, sf)
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def kmv(parts: Int): Map[String, Long] = li.repartition(parts)
+      .groupBy(col("l_returnflag"))
+      .agg(GraftFunctions.kmv_distinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val a = kmv(3)
+    val b = kmv(11)
+    assert(a === b, "sketch must not depend on partitioning")
+    for ((flag, e) <- exact) {
+      // fixture has 100 distinct parts (< k=256) -> sketch is exact there;
+      // allow 15% when estimating
+      assert(math.abs(a(flag) - e).toDouble / e <= 0.15,
+        s"$flag: kmv ${a(flag)} vs exact $e")
+    }
+  }
+
   test("approx_count_distinct within 3x rsd of exact") {
     val ev = Tables.events(spark, sf)
     val approx = SparkEntry.queries("q_agg_approx_distinct")(spark, sf)
