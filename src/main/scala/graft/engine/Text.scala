@@ -60,6 +60,21 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // Regex (BPE-ish) token counting: extraction-based tokenization rather
+    // than whitespace splitting — letter runs, digit runs, and single
+    // non-space symbols as separate tokens.
+    "q_text_token_bpe" -> { (s, d) =>
+      val pat = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+      Tables.documents(s, d)
+        .withColumn("t",
+          regexp_extract_all(lower(col("text")), lit(pat), lit(0)))
+        .select(col("doc_id"),
+          size(col("t")).as("n_tok"),
+          size(array_distinct(col("t"))).as("n_dist"),
+          element_at(col("t"), 1).as("tok1"))
+        .orderBy(col("doc_id"))
+    },
+
     "q_text_termfreq" -> { (s, d) =>
       Tables.documents(s, d)
         .select(explode(toks(col("text"))).as("term"))
@@ -267,6 +282,15 @@ object Text {
          | len(list_distinct($oToks)) AS n_dist,
          | length(text) AS n_chars_actual
          | FROM documents ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_text_token_bpe" ->
+      """SELECT doc_id, len(t) AS n_tok, len(list_distinct(t)) AS n_dist,
+        | t[1] AS tok1
+        | FROM (SELECT doc_id,
+        |   regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]') AS t
+        |  FROM documents)
+        | ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_text_termfreq" ->

@@ -22,8 +22,10 @@ case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (Seq(left, right).forall(_.dataType == ArrayType(DoubleType)))
-      TypeCheckResult.TypeCheckSuccess
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(DoubleType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"cosine_sim expects array<double> inputs, got " +
         s"${left.dataType.sql} / ${right.dataType.sql}")

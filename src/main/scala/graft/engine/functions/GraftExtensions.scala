@@ -1,0 +1,25 @@
+package graft.engine.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions injection point for the engine's native
+  * functions — the idiomatic way to ship them with a session
+  * (`SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.engine.functions.GraftExtensions`).
+  * Equivalent to GraftFunctions.register but applied at session build
+  * time, so SQL strings can use the functions with no per-query setup.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[Expression]) => CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_distinct"),
+      new ExpressionInfo(classOf[KmvDistinct].getName, "kmv_distinct"),
+      (exprs: Seq[Expression]) => KmvDistinct(exprs.head)))
+  }
+}
