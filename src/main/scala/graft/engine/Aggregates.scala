@@ -129,6 +129,29 @@ object Aggregates {
         .orderBy(col("l_returnflag"))
     },
 
+    // Crosstab reshape (status columns per priority) — the Bulkrax-CSV
+    // style wide layout an EPrints->Hyku migration emits.
+    "q_pivot" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // Inverse reshape: wide status counts back to (priority, status, n).
+    "q_unpivot" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .unpivot(Array(col("o_orderpriority")),
+          Array(col("F"), col("O"), col("P")), "status", "n")
+        .orderBy(col("o_orderpriority"), col("status"))
+    },
+
     "q_agg_rollup" -> { (s, d) => groupingQuery(s, d, "rollup") },
     "q_agg_cube" -> { (s, d) => groupingQuery(s, d, "cube") },
     "q_agg_grouping_sets" -> { (s, d) => groupingQuery(s, d, "gsets") },
@@ -254,6 +277,27 @@ object Aggregates {
         | round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) + 5e-10, 4) AS p50_price,
         | round(CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE) + 5e-10, 4) AS p90_price
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        | count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+        | count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+        | count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+        | FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_unpivot" ->
+      """WITH w AS (SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS f_n,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS o_n,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS p_n
+        |  FROM orders GROUP BY o_orderpriority)
+        | SELECT o_orderpriority, status, n FROM (
+        |  SELECT o_orderpriority, 'F' AS status, f_n AS n FROM w
+        |  UNION ALL SELECT o_orderpriority, 'O', o_n FROM w
+        |  UNION ALL SELECT o_orderpriority, 'P', p_n FROM w)
+        | ORDER BY o_orderpriority, status"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_agg_custom_typed" ->
