@@ -27,10 +27,16 @@ object Ingest {
       Tables.lineitem(s, d).agg(count(lit(1)).as("n"))
     },
 
-    // CSV round-trip with explicit schema, header, delimiter, null handling.
+    // CSV round-trip with explicit schema, header, delimiter, and null
+    // handling: one name is nulled before the write (empty cell in the
+    // file) and must come back as NULL, not as an empty string.
     "q_scan_csv" -> { (s, d) =>
       val out = tmp("nation_csv")
-      Tables.nation(s, d).write.mode("overwrite")
+      Tables.nation(s, d)
+        .select(col("n_nationkey"),
+          nullif(col("n_name"), lit("NATION_3")).as("n_name"),
+          col("n_regionkey"))
+        .write.mode("overwrite")
         .option("header", "true").option("delimiter", "|").csv(out)
       val schema = StructType(Seq(
         StructField("n_nationkey", IntegerType),
@@ -116,7 +122,9 @@ object Ingest {
     "q_scan_parquet" -> "SELECT count(*) AS n FROM lineitem",
 
     "q_scan_csv" ->
-      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey",
+      """SELECT n_nationkey, nullif(n_name, 'NATION_3') AS n_name,
+        | n_regionkey FROM nation ORDER BY n_nationkey"""
+        .stripMargin.replaceAll("\n", " "),
 
     "q_scan_json" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment

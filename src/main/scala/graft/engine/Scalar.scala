@@ -170,6 +170,26 @@ object Scalar {
         .orderBy(col("event_id"))
     },
 
+    // Decimal money arithmetic: exact cents, scale changes, banker-free
+    // HALF_UP rounding — the currency discipline an ETL load step needs.
+    "q_fn_decimal" -> { (s, d) =>
+      import org.apache.spark.sql.types.DecimalType
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 1000)
+        .withColumn("price_dec", col("o_totalprice").cast(DecimalType(18, 2)))
+        .select(
+          col("o_orderkey"),
+          col("price_dec"),
+          (col("price_dec") * 2).cast(DecimalType(18, 2)).as("doubled"),
+          (col("price_dec") + lit(0.005).cast(DecimalType(18, 3)))
+            .cast(DecimalType(18, 3)).as("plus_half_cent"),
+          // floor, not a scale-reducing cast: Spark rounds HALF_UP on
+          // decimal downscale while DuckDB truncates
+          floor(col("price_dec")).cast(DecimalType(18, 0)).as("whole"),
+          (col("price_dec") % 100).cast(DecimalType(18, 2)).as("mod100"))
+        .orderBy(col("o_orderkey"))
+    },
+
     "q_udf_scalar" -> { (s, d) =>
       val doiUdf = udf(normalizeDoi)
       Tables.customer(s, d)
@@ -296,6 +316,16 @@ object Scalar {
         | CAST(json_extract_string(props, '$.k') AS INT) AS fj,
         | CAST(json_extract_string(props, '$.k') AS INT) AS jt
         | FROM events WHERE event_id < 200 ORDER BY event_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_fn_decimal" ->
+      """SELECT o_orderkey,
+        | CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)) AS doubled,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) + CAST(0.005 AS DECIMAL(18,3)) AS DECIMAL(18,3)) AS plus_half_cent,
+        | CAST(floor(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,0)) AS whole,
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) % 100 AS DECIMAL(18,2)) AS mod100
+        | FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_udf_scalar" ->

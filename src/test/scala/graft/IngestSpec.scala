@@ -6,10 +6,16 @@ import graft.engine.Tables
 /** §2.1 format ingest checks beyond the oracle round-trips. */
 class IngestSpec extends SparkSuite {
 
-  test("csv round-trip reproduces nation exactly") {
+  test("csv round-trip reproduces nation, with NULL surviving the file") {
     val back = SparkEntry.queries("q_scan_csv")(spark, sf).collect()
-    val src = Tables.nation(spark, sf).orderBy("n_nationkey").collect()
+    val src = Tables.nation(spark, sf)
+      .select(col("n_nationkey"),
+        nullif(col("n_name"), lit("NATION_3")).as("n_name"),
+        col("n_regionkey"))
+      .orderBy("n_nationkey").collect()
     assert(back.toSeq === src.toSeq)
+    // the nulled cell must come back as NULL, not empty string
+    assert(back.count(_.isNullAt(1)) === 1)
   }
 
   test("json round-trip reproduces customer exactly") {
