@@ -99,6 +99,23 @@ object Ingest {
         .orderBy(col("l_returnflag"))
     },
 
+    // Bucketed sink: pre-shuffled-at-rest layout. A later aggregation on
+    // the bucket column reads the buckets as its partitioning and skips
+    // the exchange entirely (asserted in PlanSpec) — the co-located-join /
+    // re-used-partitioning story at 100 TB.
+    "q_sink_bucketed" -> { (s, d) =>
+      val tname = "graft_lineitem_bucketed"
+      s.sql(s"DROP TABLE IF EXISTS $tname")
+      Tables.lineitem(s, d).write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", tmp("lineitem_bucketed"))
+        .saveAsTable(tname)
+      s.table(tname)
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n"), Fx.dsum(col("l_quantity")).as("qty"))
+        .orderBy(col("l_orderkey"))
+    },
+
     // Bulkrax-style multi-valued CSV sink: arrays -> ';'-joined cells ->
     // CSV -> read back -> re-split. Oracle reproduces the aggregation.
     "q_sink_csv_multival" -> { (s, d) =>
@@ -135,6 +152,11 @@ object Ingest {
       s"""SELECT l_returnflag, count(*) AS n,
          | ${Fx.oSum("l_extendedprice")} AS sum_price
          | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_sink_bucketed" ->
+      s"""SELECT l_orderkey, count(*) AS n, ${Fx.oSum("l_quantity")} AS qty
+         | FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_sink_csv_multival" ->

@@ -205,6 +205,27 @@ object Relational {
         .orderBy(col("o1.o_orderkey"))
     },
 
+    // Skew-mitigation pattern: salt the (potentially skewed) fact side
+    // 8 ways and replicate the build side per salt, so one hot key spreads
+    // over 8 reducers. Semantics are IDENTICAL to the plain join — the
+    // oracle runs the unsalted query, proving salting changes the shuffle
+    // layout, never the result.
+    "q_join_skew_salted" -> { (s, d) =>
+      val salted = Tables.lineitem(s, d)
+        .withColumn("salt", pmod(xxhash64(col("l_orderkey"),
+          col("l_linenumber"), col("l_extendedprice")), lit(8)))
+      val replicated = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          explode(sequence(lit(0), lit(7))).as("salt"))
+        .withColumn("salt", col("salt").cast("long"))
+      salted.join(replicated,
+          salted("l_orderkey") === replicated("o_orderkey")
+            && salted("salt") === replicated("salt"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("qty"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     "q_join_self" -> { (s, d) =>
       val n1 = Tables.nation(s, d).as("n1")
       val n2 = Tables.nation(s, d).as("n2")
@@ -401,6 +422,13 @@ object Relational {
         |  AND o2.o_orderdate < o1.o_orderdate + INTERVAL 30 DAY
         |  AND o2.o_orderkey <> o1.o_orderkey
         | GROUP BY o1.o_orderkey ORDER BY o1.o_orderkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_join_skew_salted" ->
+      s"""SELECT o_orderstatus, count(*) AS n_items,
+         | ${oSum("l_quantity")} AS qty
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         | GROUP BY o_orderstatus ORDER BY o_orderstatus"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_join_self" ->

@@ -46,6 +46,33 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("cosine_sim"), "native expression in the plan")
   }
 
+  test("bucketed table aggregation on the bucket column skips the shuffle") {
+    // materialize the bucketed table, then check the aggregation plan
+    val df = SparkEntry.queries("q_sink_bucketed")(spark, sf)
+    df.collect()
+    val agg = spark.table("graft_lineitem_bucketed")
+      .groupBy("l_orderkey").count()
+    val p = agg.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"bucketed groupBy should not shuffle:\n$p")
+    assert(p.contains("Bucketed: true"), "scan should report bucketed read")
+  }
+
+  test("salted join result is identical to the plain join") {
+    import org.apache.spark.sql.functions._
+    import graft.engine.{Fx, Tables}
+    val salted = SparkEntry.queries("q_join_skew_salted")(spark, sf)
+      .collect().map(_.toSeq)
+    val plain = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"), Fx.dsum(col("l_quantity")).as("qty"))
+      .orderBy(col("o_orderstatus"))
+      .collect().map(_.toSeq)
+    assert(salted.toSeq === plain.toSeq)
+  }
+
   test("flagship aggregation combines map-side (partial aggregation)") {
     assert(plan("q_agg_group").contains("partial_sum"))
   }
