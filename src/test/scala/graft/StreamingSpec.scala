@@ -141,6 +141,39 @@ class StreamingSpec extends SparkSuite {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("file-source readStream -> windowed agg -> writeStream round trip") {
+    import spark.implicits._
+    // stage a small event directory from fixture-shaped rows
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_stream_src").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_stream_ckpt").toString
+    Seq(
+      Ev(ts("2024-01-01 10:05:00"), 1, "a", 1.0, 1),
+      Ev(ts("2024-01-01 10:20:00"), 1, "a", 1.0, 2),
+      Ev(ts("2024-01-01 11:10:00"), 2, "b", 1.0, 3)
+    ).toDF().write.mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .parquet(dir)
+    val tbl = freshTable()
+    val q = stream
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").cast("string").as("w"), col("n"))
+      .writeStream.format("memory").queryName(tbl)
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table(tbl).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(rows === Set(
+        ("2024-01-01 10:00:00", 2L),
+        ("2024-01-01 11:00:00", 1L)))
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-user counts") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
