@@ -205,6 +205,40 @@ object Relational {
         .orderBy(col("o1.o_orderkey"))
     },
 
+    // Fuzzy reconciliation join (metadata cleanup shape): match suppliers
+    // to customers whose name differs by a bounded edit distance from a
+    // normalized form; supplier side broadcast, Levenshtein as the join
+    // residual.
+    "q_join_fuzzy" -> { (s, d) =>
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"),
+          regexp_replace(col("c_name"), "Customer#0*", "C").as("c_short"))
+      val supp = Tables.supplier(s, d)
+        .select(col("s_suppkey"),
+          regexp_replace(col("s_name"), "Supplier#0*", "C").as("s_short"))
+      cust.join(broadcast(supp),
+          levenshtein(col("c_short"), col("s_short")) <= 1)
+        .select(col("c_custkey"), col("s_suppkey"),
+          levenshtein(col("c_short"), col("s_short")).as("dist"))
+        .orderBy(col("c_custkey"), col("s_suppkey"))
+    },
+
+    // Validation report (migration gap analysis): per-record rule flags
+    // and a ';'-joined reason string for records failing any rule.
+    "q_validate_rules" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          concat_ws(";",
+            when(col("o_totalprice") <= 0, "nonpositive_price"),
+            when(!col("o_orderstatus").isin("F", "O", "P"), "bad_status"),
+            when(col("o_orderdate") < lit("1995-01-01").cast("timestamp"),
+              "too_old"),
+            when(col("o_totalprice") > 400000, "suspicious_total"))
+            .as("violations"))
+        .filter(length(col("violations")) > 0)
+        .orderBy(col("o_orderkey"))
+    },
+
     // Skew-mitigation pattern: salt the (potentially skewed) fact side
     // 8 ways and replicate the build side per salt, so one hot key spreads
     // over 8 reducers. Semantics are IDENTICAL to the plain join — the
@@ -422,6 +456,31 @@ object Relational {
         |  AND o2.o_orderdate < o1.o_orderdate + INTERVAL 30 DAY
         |  AND o2.o_orderkey <> o1.o_orderkey
         | GROUP BY o1.o_orderkey ORDER BY o1.o_orderkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_join_fuzzy" ->
+      """SELECT c_custkey, s_suppkey,
+        | levenshtein(regexp_replace(c_name, 'Customer#0*', 'C'),
+        |   regexp_replace(s_name, 'Supplier#0*', 'C')) AS dist
+        | FROM customer JOIN supplier
+        | ON levenshtein(regexp_replace(c_name, 'Customer#0*', 'C'),
+        |   regexp_replace(s_name, 'Supplier#0*', 'C')) <= 1
+        | ORDER BY c_custkey, s_suppkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_validate_rules" ->
+      """SELECT o_orderkey, concat_ws(';',
+        | CASE WHEN o_totalprice <= 0 THEN 'nonpositive_price' END,
+        | CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 'bad_status' END,
+        | CASE WHEN o_orderdate < TIMESTAMP '1995-01-01' THEN 'too_old' END,
+        | CASE WHEN o_totalprice > 400000 THEN 'suspicious_total' END) AS violations
+        | FROM orders
+        | WHERE length(concat_ws(';',
+        |  CASE WHEN o_totalprice <= 0 THEN 'nonpositive_price' END,
+        |  CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 'bad_status' END,
+        |  CASE WHEN o_orderdate < TIMESTAMP '1995-01-01' THEN 'too_old' END,
+        |  CASE WHEN o_totalprice > 400000 THEN 'suspicious_total' END)) > 0
+        | ORDER BY o_orderkey"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_join_skew_salted" ->

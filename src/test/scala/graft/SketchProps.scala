@@ -1,0 +1,51 @@
+package graft
+
+import org.scalacheck.{Prop, Properties}
+import org.scalacheck.Prop.{forAll, propBoolean}
+import graft.engine.Multimodal
+import graft.engine.functions.KmvDistinct
+
+/** Generative (ScalaCheck) properties over the engine's pure primitives:
+  * sketch buffer algebra and the multimodal decoder stub (SURVEY §5.2.3).
+  */
+object SketchProps extends Properties("sketches") {
+
+  private val kmv = KmvDistinct(
+    org.apache.spark.sql.catalyst.expressions.Literal(1L), k = 64)
+
+  private def buf(xs: Seq[Long]) = {
+    val b = kmv.createAggregationBuffer()
+    xs.foreach { x => b.add(x); if (b.size > 64) b.remove(b.last()) }
+    b
+  }
+
+  property("serde roundtrip preserves the buffer") = forAll {
+    (xs: List[Long]) =>
+      val b = buf(xs)
+      kmv.deserialize(kmv.serialize(b)) == b
+  }
+
+  property("merge equals building from the concatenation") = forAll {
+    (a: List[Long], b: List[Long]) =>
+      val merged = kmv.merge(buf(a), buf(b))
+      merged == buf(a ++ b)
+  }
+
+  property("merge is commutative") = forAll { (a: List[Long], b: List[Long]) =>
+    kmv.merge(buf(a), buf(b)) == kmv.merge(buf(b), buf(a))
+  }
+
+  property("eval is exact below k distinct values") = forAll {
+    (xs: Set[Long]) =>
+      (xs.size < 64) ==>
+        (kmv.eval(buf(xs.toSeq)).asInstanceOf[Long] == xs.size.toLong)
+  }
+
+  property("decoder is deterministic and bounded") = forAll {
+    (bytes: Array[Byte]) =>
+      val f = Multimodal.fakeDecodeFeatures(bytes)
+      val g = Multimodal.fakeDecodeFeatures(bytes)
+      f.toSeq == g.toSeq && f.length == Multimodal.FeatureDim &&
+        f.forall(x => x >= -1.0 && x < 1.0)
+  }
+}
