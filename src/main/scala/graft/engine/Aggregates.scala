@@ -169,6 +169,27 @@ object Aggregates {
         .orderBy(col("l_returnflag"))
     },
 
+    // Typed Dataset surface: case-class rows + KeyValueGroupedDataset.
+    // mapGroups carries no partial aggregation (whole groups shuffle) —
+    // fine for bounded groups like these five statuses; use untyped agg
+    // or an Aggregator when groups are large.
+    "q_ds_typed_groups" -> { (s, d) =>
+      import s.implicits._
+      val ds = Tables.orders(s, d)
+        .select(col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderkey"))
+        .as[(String, Double, Long)]
+      ds.groupByKey(_._1)
+        .mapGroups { (status, rows) =>
+          var n = 0L
+          var maxKey = Long.MinValue
+          rows.foreach { r => n += 1; if (r._3 > maxKey) maxKey = r._3 }
+          (status, n, maxKey)
+        }
+        .toDF("o_orderstatus", "n", "max_key")
+        .orderBy(col("o_orderstatus"))
+    },
+
     "q_agg_custom_typed" -> { (s, d) =>
       val wm = udaf(WeightedMean)
       Tables.lineitem(s, d)
@@ -277,6 +298,11 @@ object Aggregates {
         | round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) + 5e-10, 4) AS p50_price,
         | round(CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE) + 5e-10, 4) AS p90_price
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_ds_typed_groups" ->
+      """SELECT o_orderstatus, count(*) AS n, max(o_orderkey) AS max_key
+        | FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_pivot" ->

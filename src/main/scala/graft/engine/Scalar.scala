@@ -24,6 +24,11 @@ object Scalar {
     if (s == null) null
     else s.trim.toLowerCase.replaceFirst("^https?://(dx\\.)?doi\\.org/", "")
 
+  private def entityClean(c: org.apache.spark.sql.Column) =
+    Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'")
+      .foldLeft(c) { case (acc, (e, r)) => regexp_replace(acc, e, r) }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fn_string" -> { (s, d) =>
       Tables.customer(s, d).select(
@@ -39,7 +44,11 @@ object Scalar {
         split(col("c_name"), "#").getItem(1).as("num_part"),
         length(col("c_name")).as("len"),
         levenshtein(col("c_name"), lit("Customer#000000000")).as("lev"),
-        initcap(lower(col("c_mktsegment"))).as("segcap"))
+        initcap(lower(col("c_mktsegment"))).as("segcap"),
+        // EPrints-title-style HTML-entity cleanup (SURVEY §1.2): decode
+        // the common entities via a replace chain (identical both engines)
+        entityClean(concat(col("c_name"), lit(" &amp; Co &lt;2024&gt;")))
+          .as("entity_clean"))
         .orderBy(col("c_custkey"))
     },
 
@@ -223,7 +232,11 @@ object Scalar {
         | length(c_name) AS len,
         | levenshtein(c_name, 'Customer#000000000') AS lev,
         | upper(substring(lower(c_mktsegment), 1, 1))
-        |   || lower(substring(lower(c_mktsegment), 2)) AS segcap
+        |   || lower(substring(lower(c_mktsegment), 2)) AS segcap,
+        | replace(replace(replace(replace(replace(
+        |   c_name || ' &amp; Co &lt;2024&gt;',
+        |   '&amp;', '&'), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |   '&#39;', '''') AS entity_clean
         | FROM customer ORDER BY c_custkey"""
         .stripMargin.replaceAll("\n", " "),
 
