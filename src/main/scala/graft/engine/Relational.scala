@@ -216,8 +216,12 @@ object Relational {
       val supp = Tables.supplier(s, d)
         .select(col("s_suppkey"),
           regexp_replace(col("s_name"), "Supplier#0*", "C").as("s_short"))
+      // length-difference prefilter: |len(a)-len(b)| <= 1 is implied by
+      // lev <= 1, so it never changes results but short-circuits most of
+      // the candidate pairs before the expensive edit-distance evaluation
       cust.join(broadcast(supp),
-          levenshtein(col("c_short"), col("s_short")) <= 1)
+          abs(length(col("c_short")) - length(col("s_short"))) <= 1
+            && levenshtein(col("c_short"), col("s_short")) <= 1)
         .select(col("c_custkey"), col("s_suppkey"),
           levenshtein(col("c_short"), col("s_short")).as("dist"))
         .orderBy(col("c_custkey"), col("s_suppkey"))
