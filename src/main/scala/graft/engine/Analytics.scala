@@ -1,0 +1,110 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Composite TPC-H-shaped analytical queries (SURVEY §5.2.4: fixtures are
+  * TPC-H-ish, official texts don't run verbatim — these are the Q3/Q5/Q18
+  * analogs over the fixture columns). They exercise realistic multi-join
+  * plans end-to-end: broadcast + shuffle join mix, join-order sensitivity,
+  * aggregate-then-join, and top-N.
+  *
+  * Scale posture: region/nation broadcast; customer⋈orders⋈lineitem
+  * shuffle on their key chain with partial aggregation above; the Q18
+  * analog joins against a pre-aggregated (small) filter set.
+  */
+object Analytics {
+  import Fx._
+
+  private def revenue = col("l_extendedprice") * (lit(1) - col("l_discount"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Q3 shape: revenue of undelivered orders for one market segment.
+    "q_shape_q3" -> { (s, d) =>
+      Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(dsum(revenue, 4).as("revenue"))
+        .orderBy(desc("revenue"), asc("o_orderkey"))
+        .limit(10)
+    },
+
+    // Q5 shape: local-supplier revenue per nation within one region.
+    "q_shape_q5" -> { (s, d) =>
+      Tables.region(s, d).filter(col("r_name") === "ASIA")
+        .join(broadcast(Tables.nation(s, d)),
+          col("r_regionkey") === col("n_regionkey"))
+        .join(Tables.customer(s, d),
+          col("n_nationkey") === col("c_nationkey"))
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey")
+            && col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(dsum(revenue, 4).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(desc("revenue"), asc("n_name"))
+    },
+
+    // Q18 shape: large-volume orders — join against the aggregated
+    // qty-per-order exceeding a threshold (HAVING via derived table).
+    "q_shape_q18" -> { (s, d) =>
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(dsum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      Tables.orders(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(desc("total_qty"), asc("o_orderkey"))
+        .limit(50)
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_shape_q3" ->
+      s"""SELECT o_orderkey, o_orderdate, o_orderpriority,
+         | ${oSum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+         | FROM customer
+         | JOIN orders ON c_custkey = o_custkey
+         | JOIN lineitem ON o_orderkey = l_orderkey
+         | WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01'
+         | GROUP BY o_orderkey, o_orderdate, o_orderpriority
+         | ORDER BY revenue DESC, o_orderkey ASC LIMIT 10"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_shape_q5" ->
+      s"""SELECT n_name,
+         | ${oSum("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+         | count(*) AS n_items
+         | FROM region
+         | JOIN nation ON r_regionkey = n_regionkey
+         | JOIN customer ON n_nationkey = c_nationkey
+         | JOIN orders ON c_custkey = o_custkey
+         | JOIN lineitem ON o_orderkey = l_orderkey
+         | JOIN supplier ON l_suppkey = s_suppkey
+         |  AND s_nationkey = c_nationkey
+         | WHERE r_name = 'ASIA'
+         | GROUP BY n_name ORDER BY revenue DESC, n_name ASC"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_shape_q18" ->
+      s"""SELECT c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
+         | FROM orders
+         | JOIN (SELECT l_orderkey, ${oSum("l_quantity")} AS total_qty
+         |   FROM lineitem GROUP BY l_orderkey
+         |   HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150) big
+         |  ON o_orderkey = big.l_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         | ORDER BY total_qty DESC, o_orderkey ASC LIMIT 50"""
+        .stripMargin.replaceAll("\n", " ")
+  )
+}
