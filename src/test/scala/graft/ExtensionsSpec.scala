@@ -9,8 +9,12 @@ import org.apache.spark.sql.SparkSession
 class ExtensionsSpec extends SparkSuite {
 
   test("withExtensions session resolves cosine_sim and kmv_distinct in SQL") {
-    // newSession shares the SparkContext; extensions must be applied at
-    // builder time, so build a separate session
+    // getOrCreate reuses any active/default session and would skip the
+    // extensions — clear them so a NEW session (same SparkContext) is built
+    // with the extensions applied, then restore the suite session after.
+    val orig = spark
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val s2 = SparkSession.builder()
       .master("local[2]")
       .config("spark.sql.shuffle.partitions", "2")
@@ -27,7 +31,9 @@ class ExtensionsSpec extends SparkSuite {
         .collect().head.getLong(0)
       assert(kmv === 100L) // below k -> exact
     } finally {
-      // do not stop s2: it shares the context with the suite session
+      // do not stop s2 (shared context); restore the suite session
+      SparkSession.setDefaultSession(orig)
+      SparkSession.setActiveSession(orig)
     }
   }
 }
