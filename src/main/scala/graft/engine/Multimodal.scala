@@ -56,6 +56,27 @@ object Multimodal {
         length(col("text")).as("n_bytes"),
         col("source").as("origin")).as("meta"))
 
+  /** STUB resize: stands in for image resize — deterministic byte
+    * subsampling down to at most `target` bytes.
+    */
+  def fakeResize(payload: Array[Byte], target: Int): Array[Byte] = {
+    if (payload.length <= target) payload
+    else {
+      val step = math.ceil(payload.length.toDouble / target).toInt
+      payload.indices.collect { case i if i % step == 0 => payload(i) }.toArray
+    }
+  }
+
+  /** STUB frame sampling: stands in for video frame extraction — split the
+    * payload into `n` equal byte ranges (remainder dropped), one "frame"
+    * per range.
+    */
+  def frameSample(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
+    val len = payload.length / n
+    if (len == 0) Seq.empty
+    else (0 until n).map(k => payload.slice(k * len, (k + 1) * len))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Oracle-checked metadata path: binary length + md5 digest.
     "q_multimodal_meta" -> { (s, d) =>
@@ -89,10 +110,65 @@ object Multimodal {
           round(aggregate(col("features"), lit(0.0), (a, x) => a + x), 6)
             .as("f_sum"))
         .orderBy(col("media_id"))
-    }
+    },
+
+    // Frame sampling (stubbed video decode): one row per sampled frame,
+    // digest per frame. Byte ranges are plain substrings of the (ASCII)
+    // payload, so the frame digests are oracle-checkable in SQL.
+    "q_multimodal_frames" -> { (s, d) =>
+      val frame = mediaFrame(s, d)
+      val outSchema = StructType(Seq(
+        StructField("media_id", LongType),
+        StructField("frame_idx", IntegerType),
+        StructField("frame", BinaryType)))
+      frame.select(col("media_id"), col("payload"))
+        .mapPartitions { rows =>
+          rows.flatMap { r =>
+            val payload = r.getAs[Array[Byte]]("payload")
+            frameSample(payload, 4).zipWithIndex.map { case (f, i) =>
+              Row(r.getLong(0), i, f)
+            }
+          }
+        }(org.apache.spark.sql.Encoders.row(outSchema))
+        .select(col("media_id"), col("frame_idx"),
+          octet_length(col("frame")).as("frame_bytes"),
+          md5(col("frame")).as("frame_digest"))
+        .orderBy(col("media_id"), col("frame_idx"))
+    },
+
+    // Resize (stubbed image decode): deterministic byte subsample; no
+    // oracle (subsample stride logic), determinism asserted in ScalaTest.
+    "q_multimodal_resize" -> { (s, d) =>
+      val frame = mediaFrame(s, d)
+      val outSchema = StructType(Seq(
+        StructField("media_id", LongType),
+        StructField("orig_bytes", IntegerType),
+        StructField("resized", BinaryType)))
+      frame.select(col("media_id"), col("payload"))
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val payload = r.getAs[Array[Byte]]("payload")
+            Row(r.getLong(0), payload.length, fakeResize(payload, 64))
+          }
+        }(org.apache.spark.sql.Encoders.row(outSchema))
+        .select(col("media_id"), col("orig_bytes"),
+          octet_length(col("resized")).as("resized_bytes"),
+          md5(col("resized")).as("resized_digest"))
+        .orderBy(col("media_id"))
+    },
+
   )
 
   val oracle: Map[String, String] = Map(
+    "q_multimodal_frames" ->
+      """SELECT doc_id AS media_id, k AS frame_idx,
+        | length(text) // 4 AS frame_bytes,
+        | md5(substring(text, k * (length(text) // 4) + 1,
+        |   length(text) // 4)) AS frame_digest
+        | FROM documents, LATERAL unnest(generate_series(0, 3)) u(k)
+        | WHERE length(text) // 4 > 0
+        | ORDER BY media_id, frame_idx"""
+        .stripMargin.replaceAll("\n", " "),
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id,
         | octet_length(CAST(text AS BLOB)) AS n_bytes,
