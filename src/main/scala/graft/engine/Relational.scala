@@ -327,12 +327,14 @@ object Relational {
   private def setSrcA(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d).filter(col("o_orderstatus") === "F")
       .select(col("o_custkey").as("k"))
+  // threshold chosen so EVERY set-op variant (incl. EXCEPT) is non-empty
+  // at all fixture scale factors
   private def setSrcB(s: SparkSession, d: String): DataFrame =
-    Tables.orders(s, d).filter(col("o_totalprice") > 200000)
+    Tables.orders(s, d).filter(col("o_totalprice") > 350000)
       .select(col("o_custkey").as("k"))
 
   private val setA = "SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'"
-  private val setB = "SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000"
+  private val setB = "SELECT o_custkey AS k FROM orders WHERE o_totalprice > 350000"
 
   val oracle: Map[String, String] = Map(
     "q_project" ->
