@@ -24,6 +24,9 @@ object Scalar {
     if (s == null) null
     else s.trim.toLowerCase.replaceFirst("^https?://(dx\\.)?doi\\.org/", "")
 
+  private def try_cast_int(c: org.apache.spark.sql.Column) =
+    c.try_cast(org.apache.spark.sql.types.IntegerType)
+
   private def entityClean(c: org.apache.spark.sql.Column) =
     Seq("&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'")
@@ -179,6 +182,22 @@ object Scalar {
         .orderBy(col("event_id"))
     },
 
+    // ANSI-safe error handling (SURVEY §7.4): Spark 4 runs ANSI-on, so
+    // fallible casts/divisions in ETL flows go through try_* variants,
+    // which yield NULL instead of failing the job.
+    "q_fn_try" -> { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 1000)
+        .withColumn("raw", when(col("o_orderkey") % 5 === 0, lit("bad"))
+          .otherwise((lit(1900) + col("o_orderkey") % 200).cast("string")))
+        .select(
+          col("o_orderkey"),
+          try_divide(col("o_totalprice"), col("o_orderkey") % 3).as("td"),
+          try_cast_int(col("raw")).as("tc"),
+          try_to_timestamp(col("raw"), lit("yyyy")).isNotNull.as("tt_ok"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // Decimal money arithmetic: exact cents, scale changes, banker-free
     // HALF_UP rounding — the currency discipline an ETL load step needs.
     "q_fn_decimal" -> { (s, d) =>
@@ -329,6 +348,17 @@ object Scalar {
         | CAST(json_extract_string(props, '$.k') AS INT) AS fj,
         | CAST(json_extract_string(props, '$.k') AS INT) AS jt
         | FROM events WHERE event_id < 200 ORDER BY event_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_fn_try" ->
+      """SELECT o_orderkey,
+        | o_totalprice / nullif(o_orderkey % 3, 0) AS td,
+        | TRY_CAST(raw AS INT) AS tc,
+        | try_strptime(raw, '%Y') IS NOT NULL AS tt_ok
+        | FROM (SELECT *, CASE WHEN o_orderkey % 5 = 0 THEN 'bad'
+        |   ELSE CAST(1900 + o_orderkey % 200 AS VARCHAR) END AS raw
+        |  FROM orders WHERE o_orderkey < 1000)
+        | ORDER BY o_orderkey"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_fn_decimal" ->
