@@ -86,6 +86,25 @@ object Ingest {
         .orderBy(col("c_custkey"))
     },
 
+    // Schema-evolution read: two parquet generations (v2 adds a column),
+    // read together with mergeSchema — missing columns surface as NULLs.
+    // The 100 TB ingestion reality: schemas drift across years of files.
+    "q_scan_merge_schema" -> { (s, d) =>
+      val out = tmp("orders_evolving")
+      val base = Tables.orders(s, d)
+      base.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$out/gen=1")
+      base.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .write.mode("overwrite").parquet(s"$out/gen=2")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // Partitioned parquet sink + read-back; oracle checks the partition
     // counts against the source table.
     "q_sink_parquet" -> { (s, d) =>
@@ -152,6 +171,12 @@ object Ingest {
       s"""SELECT l_returnflag, count(*) AS n,
          | ${Fx.oSum("l_extendedprice")} AS sum_price
          | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_scan_merge_schema" ->
+      """SELECT o_orderkey, o_totalprice,
+        | CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority
+        | FROM orders ORDER BY o_orderkey"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_sink_bucketed" ->

@@ -79,6 +79,21 @@ object Streaming {
         TimeMode.None(), OutputMode.Update)
   }
 
+  /** mapGroupsWithState variant: emits exactly one row per key per batch
+    * (running max event value seen so far).
+    */
+  def runningMax(events: Dataset[Ev]): Dataset[UserSum] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .mapGroupsWithState[Double, UserSum](GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[Double]) =>
+          val m = (evs.map(_.value) ++ state.getOption.iterator).max
+          state.update(m)
+          UserSum(uid, m)
+      }
+  }
+
   /** Arbitrary per-key state: running event count per user via
     * flatMapGroupsWithState (update mode).
     */

@@ -174,6 +174,28 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("mapGroupsWithState tracks a running per-user maximum") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val tbl = freshTable()
+    val q = Streaming.runningMax(ms.toDS())
+      .writeStream.format("memory").queryName(tbl)
+      .outputMode("update").start()
+    try {
+      ms.addData(
+        Ev(ts("2024-01-01 10:00:00"), 1, "a", 7.0, 1),
+        Ev(ts("2024-01-01 10:01:00"), 1, "a", 3.0, 2))
+      q.processAllAvailable()
+      ms.addData(Ev(ts("2024-01-01 10:02:00"), 1, "a", 5.0, 3))
+      q.processAllAvailable()
+      val last = spark.table(tbl)
+        .groupBy(col("userId")).agg(max(col("total")).as("t"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(last === Map(1L -> 7.0)) // 5.0 batch does not lower the max
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-user counts") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
