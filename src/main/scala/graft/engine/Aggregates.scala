@@ -129,6 +129,36 @@ object Aggregates {
         .orderBy(col("l_returnflag"))
     },
 
+    // Value histogram (fixed-width bins) — data-profiling shape for
+    // migration QA.
+    "q_agg_histogram" -> { (s, d) =>
+      Tables.orders(s, d)
+        .withColumn("bucket",
+          floor(col("o_totalprice") / 50000).cast("long"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("bucket_total"))
+        .orderBy(col("bucket"))
+    },
+
+    // Column-profile report: one row per profiled column with null rate,
+    // distinct count, min/max — the pre-migration data audit.
+    "q_profile_stats" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      def profile(cname: String): DataFrame =
+        o.agg(
+          lit(cname).as("column_name"),
+          count(lit(1)).as("n_rows"),
+          count(col(cname)).as("n_nonnull"),
+          countDistinct(col(cname)).as("n_distinct"),
+          min(col(cname)).cast("string").as("min_val"),
+          max(col(cname)).cast("string").as("max_val"))
+      profile("o_orderstatus")
+        .unionByName(profile("o_orderpriority"))
+        .unionByName(profile("o_custkey"))
+        .orderBy(col("column_name"))
+    },
+
     // Crosstab reshape (status columns per priority) — the Bulkrax-CSV
     // style wide layout an EPrints->Hyku migration emits.
     "q_pivot" -> { (s, d) =>
@@ -299,6 +329,25 @@ object Aggregates {
         | round(CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE) + 5e-10, 4) AS p90_price
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
         .stripMargin.replaceAll("\n", " "),
+
+    "q_agg_histogram" ->
+      s"""SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+         | count(*) AS n, ${oSum("o_totalprice")} AS bucket_total
+         | FROM orders GROUP BY 1 ORDER BY bucket"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_profile_stats" -> {
+      def p(c: String) =
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           | count($c) AS n_nonnull, count(DISTINCT $c) AS n_distinct,
+           | CAST(min($c) AS VARCHAR) AS min_val,
+           | CAST(max($c) AS VARCHAR) AS max_val FROM orders"""
+          .stripMargin.replaceAll("\n", " ")
+      s"""SELECT * FROM (${p("o_orderstatus")} UNION ALL
+         | ${p("o_orderpriority")} UNION ALL ${p("o_custkey")})
+         | ORDER BY column_name"""
+        .stripMargin.replaceAll("\n", " ")
+    },
 
     "q_ds_typed_groups" ->
       """SELECT o_orderstatus, count(*) AS n, max(o_orderkey) AS max_key
