@@ -51,7 +51,19 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // sbt prefixes stdout with "[info]", which breaks naive JSON parsing —
+    // also write the line to a file the driver can read verbatim.
+    val outPath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
+    try {
+      val w = new java.io.PrintWriter(outPath)
+      try w.println(json) finally w.close()
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e")
+    }
     spark.stop()
   }
 }

@@ -69,7 +69,7 @@ object Aggregates {
           countDistinct(col("l_partkey")).as("n_parts"),
           countDistinct(col("l_suppkey")).as("n_supps"),
           sum_distinct(col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-            .cast(org.apache.spark.sql.types.DecimalType(38, 2)).as("sum_dist_qty"))
+            .cast("double").as("sum_dist_qty"))
         .orderBy(col("l_returnflag"))
     },
 
@@ -295,15 +295,15 @@ object Aggregates {
     "q_agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         | count(DISTINCT l_suppkey) AS n_supps,
-        | sum(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS sum_dist_qty
+        | CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_dist_qty
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_agg_filtered" ->
       s"""SELECT l_returnflag,
-         | sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_discount > 0.05) AS qty_hi_disc,
+         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_discount > 0.05) AS DOUBLE) AS qty_hi_disc,
          | count(*) FILTER (WHERE l_tax > 0.04) AS n_hi_tax,
-         | sum(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (WHERE l_quantity < 10) AS price_small_qty
+         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) FILTER (WHERE l_quantity < 10) AS DOUBLE) AS price_small_qty
          | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
         .stripMargin.replaceAll("\n", " "),
 

@@ -207,14 +207,19 @@ object Scalar {
         .withColumn("price_dec", col("o_totalprice").cast(DecimalType(18, 2)))
         .select(
           col("o_orderkey"),
-          col("price_dec"),
-          (col("price_dec") * 2).cast(DecimalType(18, 2)).as("doubled"),
+          // arithmetic stays exact in DECIMAL; final outputs are cast to
+          // DOUBLE/BIGINT so both engines emit the same canonical form
+          // (DECIMAL trailing-zero strings hash-differ from floats)
+          col("price_dec").cast("double").as("price_dec"),
+          (col("price_dec") * 2).cast(DecimalType(18, 2))
+            .cast("double").as("doubled"),
           (col("price_dec") + lit(0.005).cast(DecimalType(18, 3)))
-            .cast(DecimalType(18, 3)).as("plus_half_cent"),
+            .cast(DecimalType(18, 3)).cast("double").as("plus_half_cent"),
           // floor, not a scale-reducing cast: Spark rounds HALF_UP on
           // decimal downscale while DuckDB truncates
-          floor(col("price_dec")).cast(DecimalType(18, 0)).as("whole"),
-          (col("price_dec") % 100).cast(DecimalType(18, 2)).as("mod100"))
+          floor(col("price_dec")).cast("bigint").as("whole"),
+          (col("price_dec") % 100).cast(DecimalType(18, 2))
+            .cast("double").as("mod100"))
         .orderBy(col("o_orderkey"))
     },
 
@@ -363,11 +368,11 @@ object Scalar {
 
     "q_fn_decimal" ->
       """SELECT o_orderkey,
-        | CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec,
-        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)) AS doubled,
-        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) + CAST(0.005 AS DECIMAL(18,3)) AS DECIMAL(18,3)) AS plus_half_cent,
-        | CAST(floor(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,0)) AS whole,
-        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) % 100 AS DECIMAL(18,2)) AS mod100
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
+        | CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 2 AS DECIMAL(18,2)) AS DOUBLE) AS doubled,
+        | CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) + CAST(0.005 AS DECIMAL(18,3)) AS DECIMAL(18,3)) AS DOUBLE) AS plus_half_cent,
+        | CAST(floor(CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT) AS whole,
+        | CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) % 100 AS DECIMAL(18,2)) AS DOUBLE) AS mod100
         | FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey"""
         .stripMargin.replaceAll("\n", " "),
 

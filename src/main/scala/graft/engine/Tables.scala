@@ -56,11 +56,14 @@ object Fx {
     * source expression is exact (prices/quantities = 2dp; price*(1-disc) =
     * 4dp; *(1+tax) = 6dp — casting at a coarser scale hits half-way rounding
     * cases where Spark's HALF_UP-on-binary-expansion and DuckDB's
-    * multiply-then-round disagree). Output cast to DECIMAL(38,scale) to
-    * match DuckDB's sum result type exactly.
+    * multiply-then-round disagree). The FINAL output is cast to DOUBLE:
+    * a decimal value casts to the nearest double identically on both
+    * engines (exact for our magnitudes), whereas emitting DECIMAL makes
+    * the two engines' canonical string forms diverge on trailing-zero
+    * scale digits ('1524135.00' vs '1524135.0').
     */
   def dsum(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(18, scale))).cast(DecimalType(38, scale))
+    sum(c.cast(DecimalType(18, scale))).cast("double")
 
   /** Order-independent average: exact decimal sum (identical double on both
     * engines) / count, then epsilon-rounded. The +5e-10 nudge pushes exact
@@ -77,7 +80,7 @@ object Fx {
 
   /** Oracle-side twins (DuckDB SQL fragments). */
   def oSum(x: String, scale: Int = 2): String =
-    s"sum(CAST($x AS DECIMAL(18,$scale)))"
+    s"CAST(sum(CAST($x AS DECIMAL(18,$scale))) AS DOUBLE)"
   def oAvg(x: String, scale: Int = 4): String =
     s"round(CAST(sum(CAST($x AS DECIMAL(18,2))) AS DOUBLE) / count($x) + 5e-10, $scale)"
   def oRound(x: String, scale: Int): String = s"round($x + 5e-10, $scale)"

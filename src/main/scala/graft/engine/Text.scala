@@ -368,7 +368,7 @@ object Text {
         .stripMargin.replaceAll("\n", " "),
 
     "q_text_lang_stats" ->
-      s"""SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+      s"""SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
          | round(CAST(sum(len($oToks)) AS DOUBLE) / count(*) + 5e-10, 4) AS avg_tok
          | FROM documents GROUP BY lang ORDER BY lang"""
         .stripMargin.replaceAll("\n", " "),

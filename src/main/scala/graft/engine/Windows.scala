@@ -56,7 +56,7 @@ object Windows {
       Tables.orders(s, d)
         .select(col("o_custkey"), col("o_orderkey"),
           sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
-            .cast(DecimalType(38, 2)).as("running_total"))
+            .cast("double").as("running_total"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
 
@@ -120,9 +120,9 @@ object Windows {
 
     "q_win_running" ->
       """SELECT o_custkey, o_orderkey,
-        | sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
         |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |         ROWS UNBOUNDED PRECEDING) AS running_total
+        |         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total
         | FROM orders ORDER BY o_custkey, o_orderkey"""
         .stripMargin.replaceAll("\n", " "),
 

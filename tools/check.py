@@ -6,26 +6,56 @@ library itself has no Python dependency). Usage:
 
 Reads <outDir>/<name>/*.parquet (written by graft.Verify) and compares each
 against its oracle SQL from <outDir>/oracle_sql.json run in DuckDB over the
-fixture tables in <sfDir>. Columns sorted by name; rows compared in order;
-exact value equality (NaN==NaN allowed)."""
+fixture tables in <sfDir>. Columns sorted by name; rows compared in order.
+
+Values are compared via CANONICAL STRINGS to mirror the driver's hash gate
+(str(Decimal) keeps trailing scale zeros, repr(float) is shortest-repr —
+so DECIMAL('1524135.00') != float 1524135.0, exactly as the driver sees
+it). A Decimal-vs-float column pairing is reported as a TYPE failure even
+when the strings happen to match, because it diverges whenever a value has
+a trailing zero in its last scale digit."""
 import duckdb, json, sys, math
 from decimal import Decimal
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+def canon(x):
+    """Canonical string form mirroring the driver's normalization: ints of
+    any width agree; floats use shortest repr; Decimals keep their scale."""
+    if x is None:
+        return "∅"
+    if isinstance(x, float):
+        return "nan" if math.isnan(x) else repr(x)
+    if isinstance(x, bool):
+        return str(x)
+    if isinstance(x, (int, Decimal)):
+        return str(x)
+    if isinstance(x, list):
+        return "[" + ",".join(canon(v) for v in x) + "]"
+    if isinstance(x, dict):
+        return "{" + ",".join(f"{k}:{canon(v)}" for k, v in sorted(x.items())) + "}"
+    return repr(x)
+
+def tclass(x):
+    if isinstance(x, bool):
+        return "bool"
+    if isinstance(x, int):
+        return "int"
+    if isinstance(x, float):
+        return "float"
+    if isinstance(x, Decimal):
+        return "decimal"
+    return type(x).__name__
+
 def veq(a, b):
-    if a is None and b is None:
-        return True
-    if isinstance(a, float) and isinstance(b, float):
-        if math.isnan(a) and math.isnan(b):
-            return True
-        return a == b
-    if isinstance(a, (int, float, Decimal)) and isinstance(b, (int, float, Decimal)):
-        return float(a) == float(b)
-    if isinstance(a, list) and isinstance(b, list):
-        return len(a) == len(b) and all(veq(x, y) for x, y in zip(a, b))
-    return a == b
+    # numeric type-class divergence (decimal vs float/int) is a latent
+    # driver-hash failure even if this particular value stringifies equal
+    if a is not None and b is not None and \
+       {tclass(a), tclass(b)} in ({"decimal", "float"}, {"decimal", "int"},
+                                  {"float", "int"}):
+        return False
+    return canon(a) == canon(b)
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
