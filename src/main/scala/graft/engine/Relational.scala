@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -166,26 +166,32 @@ object Relational {
         .orderBy(col("s_suppkey"))
     },
 
-    // As-of join (no native Spark operator): equi-join on the key with the
-    // at-or-before range predicate, then keep the latest match per event
-    // via row_number — the documented Spark pattern (SURVEY §2.3). Orders
-    // are pre-deduplicated per (custkey, orderdate) so tie semantics match
-    // DuckDB's ASOF JOIN exactly.
+    // As-of join (no native Spark operator): union both inputs into one
+    // time-ordered stream per user and propagate the last-seen order with
+    // last(_, ignoreNulls) over ROWS UNBOUNDED PRECEDING. ONE shuffle on
+    // the user key and zero join multiplicity — the range-join alternative
+    // (event x all-at-or-before-orders, then max) grows joined rows
+    // superlinearly with orders-per-user and dies at 100x scale.
+    // Sort key (t, kind=orders-first, o_orderkey) makes an order at
+    // exactly ts visible to that event (at-or-before) and resolves
+    // same-date ties to the max o_orderkey, matching the oracle's
+    // deduplicated ASOF LEFT JOIN.
     "q_join_asof" -> { (s, d) =>
       val e = Tables.events(s, d)
-        .select(col("event_id"), col("user_id"), col("ts"))
+        .select(col("event_id"), col("user_id"), col("ts").as("t"),
+          lit(1).as("kind"), lit(null).cast("long").as("o_orderkey"))
       val o = Tables.orders(s, d)
-        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
-      // Latest-at-or-before via max(struct(date, key)) — a hash aggregate
-      // with map-side partial aggregation instead of a per-event sort
-      // window; ties on date resolve to max key, matching the oracle's
-      // deduplicated ASOF JOIN.
-      e.join(o, col("user_id") === col("o_custkey")
-          && col("o_orderdate") <= col("ts"), "left_outer")
-        .groupBy(col("event_id"), col("user_id"))
-        .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("m"))
+        .select(lit(null).cast("long").as("event_id"),
+          col("o_custkey").as("user_id"), col("o_orderdate").as("t"),
+          lit(0).as("kind"), col("o_orderkey"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("kind"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.unionByName(o)
+        .withColumn("o_last", last(col("o_orderkey"), ignoreNulls = true).over(w))
+        .filter(col("kind") === 1)
         .select(col("event_id"), col("user_id"),
-          col("m.o_orderkey").as("o_orderkey"))
+          col("o_last").as("o_orderkey"))
         .orderBy(col("event_id"))
     },
 
@@ -206,22 +212,35 @@ object Relational {
     },
 
     // Fuzzy reconciliation join (metadata cleanup shape): match suppliers
-    // to customers whose name differs by a bounded edit distance from a
-    // normalized form; supplier side broadcast, Levenshtein as the join
-    // residual.
+    // to customers whose normalized name differs by edit distance <= 1.
+    // Blocking via deletion neighborhoods (FastSS): two strings with
+    // lev <= 1 always share a member of {s} ∪ {s minus one char}, so the
+    // candidate space is a hash EQUI-JOIN on the variant — O(n·(len+1))
+    // candidate rows instead of the O(n·m) nested-loop the plain
+    // levenshtein predicate forces. The neighborhood test admits a few
+    // lev=2 pairs (e.g. adjacent transpositions), so an exact levenshtein
+    // residual confirms; pairs matching on several variants are deduped
+    // before the residual.
     "q_join_fuzzy" -> { (s, d) =>
+      def delVariants(c: Column): Column = array_union(
+        array(c),
+        transform(sequence(lit(0), length(c) - 1),
+          i => concat(c.substr(lit(1), i), c.substr(i + 2, length(c)))))
       val cust = Tables.customer(s, d)
         .select(col("c_custkey"),
           regexp_replace(col("c_name"), "Customer#0*", "C").as("c_short"))
+        .select(col("c_custkey"), col("c_short"),
+          explode(delVariants(col("c_short"))).as("variant"))
       val supp = Tables.supplier(s, d)
         .select(col("s_suppkey"),
           regexp_replace(col("s_name"), "Supplier#0*", "C").as("s_short"))
-      // length-difference prefilter: |len(a)-len(b)| <= 1 is implied by
-      // lev <= 1, so it never changes results but short-circuits most of
-      // the candidate pairs before the expensive edit-distance evaluation
-      cust.join(broadcast(supp),
-          abs(length(col("c_short")) - length(col("s_short"))) <= 1
-            && levenshtein(col("c_short"), col("s_short")) <= 1)
+        .select(col("s_suppkey"), col("s_short"),
+          explode(delVariants(col("s_short"))).as("variant"))
+      cust.join(broadcast(supp), "variant")
+        .select(col("c_custkey"), col("c_short"),
+          col("s_suppkey"), col("s_short"))
+        .distinct()
+        .filter(levenshtein(col("c_short"), col("s_short")) <= 1)
         .select(col("c_custkey"), col("s_suppkey"),
           levenshtein(col("c_short"), col("s_short")).as("dist"))
         .orderBy(col("c_custkey"), col("s_suppkey"))

@@ -247,12 +247,16 @@ object Text {
     },
 
     // SimHash near-dup detection: 32-bit signature from signed token-hash
-    // bit votes; near-dup pairs = bounded set with Hamming distance <= 6.
-    // No oracle (hash-algorithm-specific); ScalaTest asserts the planted
-    // near-duplicates land within the Hamming radius.
+    // bit votes; near-dup pairs = Hamming distance <= 6 among banding
+    // candidates. Candidate generation is the Google-simhash blocking
+    // scheme: split the signature into 4 x 8-bit bands and equi-join on
+    // (band, bits) — by pigeonhole every pair with Hamming <= 3 shares an
+    // identical band (guaranteed recall in the near-dup regime; 4-6 is
+    // probabilistic), and the all-pairs cross join the plain predicate
+    // would force never materializes. No oracle (hash-algorithm-specific);
+    // ScalaTest asserts the planted near-duplicates are recovered.
     "q_dedup_simhash" -> { (s, d) =>
       val corpus = nearDupCorpus(s, d)
-        .filter(col("doc_id") < 200 || col("doc_id") >= 1000000L)
         .withColumn("t", array_distinct(toks(col("text"))))
       // materialize token hashes before the 32 per-bit folds (same
       // inline-avoidance as q_dedup_near)
@@ -266,11 +270,29 @@ object Text {
           lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _)
       val sigs = hashed.select(col("doc_id"), simhashCol.as("simhash"))
-      val l = sigs.select(col("doc_id").as("id_a"),
-        col("simhash").as("sim_a"))
-      val r = sigs.select(col("doc_id").as("id_b"),
-        col("simhash").as("sim_b"))
-      l.crossJoin(r).filter(col("id_a") < col("id_b"))
+      val bandArr = array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("bits"))
+      }: _*)
+      val banded = sigs
+        .select(col("doc_id"), col("simhash"), explode(bandArr).as("bb"))
+        .select(col("doc_id"), col("simhash"),
+          col("bb.band").as("band"), col("bb.bits").as("bits"))
+      // pair expansion per bucket (as in q_dedup_near); signatures ride
+      // along in the struct so no second join is needed for verification
+      val buckets = banded.groupBy(col("band"), col("bits"))
+        .agg(sort_array(collect_list(
+          struct(col("doc_id"), col("simhash")))).as("ms"))
+        .filter(size(col("ms")) > 1)
+      buckets.select(explode(flatten(
+          transform(col("ms"), (x, i) =>
+            transform(slice(col("ms"), i + 2, size(col("ms"))),
+              y => struct(x.getField("doc_id").as("id_a"),
+                y.getField("doc_id").as("id_b"),
+                x.getField("simhash").as("sim_a"),
+                y.getField("simhash").as("sim_b")))))).as("p"))
+        .select(col("p.id_a"), col("p.id_b"), col("p.sim_a"), col("p.sim_b"))
+        .distinct()
         .withColumn("hamming",
           bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
         .filter(col("hamming") <= 6)
