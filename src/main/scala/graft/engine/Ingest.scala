@@ -19,8 +19,16 @@ import org.apache.spark.sql.types._
   */
 object Ingest {
 
-  private def tmp(name: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_ingest/$name"
+  /** Sink paths and table names are scoped by the source sfDir so
+    * concurrent runs at different scale factors (Verify vs Bench, or two
+    * sessions) never clobber each other's artifacts.
+    */
+  private def slug(d: String): String = d.replaceAll("[^A-Za-z0-9_]", "_")
+
+  private def tmp(name: String, d: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_ingest/${slug(d)}/$name"
+
+  def bucketedTable(d: String): String = s"graft_lineitem_bucketed_${slug(d)}"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_parquet" -> { (s, d) =>
@@ -31,7 +39,7 @@ object Ingest {
     // handling: one name is nulled before the write (empty cell in the
     // file) and must come back as NULL, not as an empty string.
     "q_scan_csv" -> { (s, d) =>
-      val out = tmp("nation_csv")
+      val out = tmp("nation_csv", d)
       Tables.nation(s, d)
         .select(col("n_nationkey"),
           nullif(col("n_name"), lit("NATION_3")).as("n_name"),
@@ -49,7 +57,7 @@ object Ingest {
 
     // JSON-lines round-trip with explicit schema.
     "q_scan_json" -> { (s, d) =>
-      val out = tmp("customer_json")
+      val out = tmp("customer_json", d)
       Tables.customer(s, d).write.mode("overwrite").json(out)
       val schema = StructType(Seq(
         StructField("c_custkey", LongType),
@@ -90,7 +98,7 @@ object Ingest {
     // read together with mergeSchema — missing columns surface as NULLs.
     // The 100 TB ingestion reality: schemas drift across years of files.
     "q_scan_merge_schema" -> { (s, d) =>
-      val out = tmp("orders_evolving")
+      val out = tmp("orders_evolving", d)
       val base = Tables.orders(s, d)
       base.filter(col("o_orderkey") % 2 === 0)
         .select(col("o_orderkey"), col("o_totalprice"))
@@ -108,7 +116,7 @@ object Ingest {
     // Partitioned parquet sink + read-back; oracle checks the partition
     // counts against the source table.
     "q_sink_parquet" -> { (s, d) =>
-      val out = tmp("lineitem_part")
+      val out = tmp("lineitem_part", d)
       Tables.lineitem(s, d).write.mode("overwrite")
         .partitionBy("l_returnflag").parquet(out)
       s.read.parquet(out)
@@ -123,11 +131,11 @@ object Ingest {
     // the exchange entirely (asserted in PlanSpec) — the co-located-join /
     // re-used-partitioning story at 100 TB.
     "q_sink_bucketed" -> { (s, d) =>
-      val tname = "graft_lineitem_bucketed"
+      val tname = bucketedTable(d)
       s.sql(s"DROP TABLE IF EXISTS $tname")
       Tables.lineitem(s, d).write.mode("overwrite")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .option("path", tmp("lineitem_bucketed"))
+        .option("path", tmp("lineitem_bucketed", d))
         .saveAsTable(tname)
       s.table(tname)
         .groupBy(col("l_orderkey"))
@@ -138,7 +146,7 @@ object Ingest {
     // Bulkrax-style multi-valued CSV sink: arrays -> ';'-joined cells ->
     // CSV -> read back -> re-split. Oracle reproduces the aggregation.
     "q_sink_csv_multival" -> { (s, d) =>
-      val out = tmp("bulkrax_csv")
+      val out = tmp("bulkrax_csv", d)
       Tables.customer(s, d)
         .groupBy(col("c_nationkey"))
         .agg(array_join(sort_array(collect_list(col("c_name"))), ";")

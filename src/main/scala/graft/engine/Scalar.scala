@@ -87,6 +87,10 @@ object Scalar {
           date_add(to_date(col("o_orderdate")), 30).as("d_plus30"),
           ((year(col("o_orderdate")) - 1995) * 12
             + month(col("o_orderdate")) - 1).as("months_since"),
+          // built-in partial-month semantics: whole months between, plus
+          // (day_a - day_b)/31 for the incomplete month (SURVEY §2.8)
+          months_between(to_date(col("o_orderdate")),
+            lit("1995-01-01").cast("date")).as("months_bw"),
           col("partial"),
           coalesce(
             try_to_timestamp(col("partial"), lit("yyyy-MM-dd")),
@@ -163,7 +167,10 @@ object Scalar {
           col("event_id"),
           element_at(col("m"), "k").as("k_val"),
           size(map_keys(col("m"))).as("n_keys"),
-          element_at(map_values(col("m")), 1).as("v1"))
+          // value at the lexicographically-smallest key — well-defined for
+          // any key set (map/JSON iteration order is engine-specific, so
+          // "first value" would silently break if a second key appeared)
+          element_at(col("m"), array_min(map_keys(col("m")))).as("v1"))
         .orderBy(col("event_id"))
     },
 
@@ -280,6 +287,8 @@ object Scalar {
         | date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
         | CAST(o_orderdate AS DATE) + 30 AS d_plus30,
         | (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS months_since,
+        | round((year(o_orderdate) - 1995) * 12 + (month(o_orderdate) - 1)
+        |   + (day(o_orderdate) - 1) / 31.0, 8) AS months_bw,
         | partial,
         | CAST(coalesce(try_strptime(partial, '%Y-%m-%d'),
         |   try_strptime(partial, '%Y-%m'),
@@ -343,7 +352,7 @@ object Scalar {
       """SELECT event_id,
         | CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
         | len(json_keys(props)) AS n_keys,
-        | CAST(json_extract_string(props, '$.k') AS INT) AS v1
+        | CAST(json_extract_string(props, '$.' || list_min(json_keys(props))) AS INT) AS v1
         | FROM events WHERE event_id < 200 ORDER BY event_id"""
         .stripMargin.replaceAll("\n", " "),
 

@@ -93,6 +93,22 @@ object Windows {
           percent_rank().over(w).as("pct_rank"),
           cume_dist().over(w).as("cume"))
         .orderBy(col("c_custkey"))
+    },
+
+    // High-cardinality partition key (o_custkey — keys grow with the data,
+    // unlike the 5-value enum demos above): proves the window pattern
+    // scales, since per-key state stays constant as rows grow 100x. The
+    // rn <= 3 filter lets Spark plan WindowGroupLimit — each task keeps a
+    // 3-row heap per key BEFORE the full sort-window, so the exchange
+    // carries all rows but the window state never exceeds top-N per key.
+    "q_win_topn_hicard" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("o_custkey"), col("rn"))
     }
   )
 
@@ -155,6 +171,15 @@ object Windows {
         | FROM customer
         | WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
         | ORDER BY c_custkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_win_topn_hicard" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        | FROM orders)
+        | WHERE rn <= 3 ORDER BY o_custkey, rn"""
         .stripMargin.replaceAll("\n", " ")
   )
 }

@@ -40,7 +40,8 @@ class IngestSpec extends SparkSuite {
   test("partitioned parquet sink partitions by return flag") {
     SparkEntry.queries("q_sink_parquet")(spark, sf).count()
     val dir = new java.io.File(
-      s"${System.getProperty("java.io.tmpdir")}/graft_ingest/lineitem_part")
+      s"${System.getProperty("java.io.tmpdir")}/graft_ingest/" +
+        sf.replaceAll("[^A-Za-z0-9_]", "_") + "/lineitem_part")
     val parts = dir.listFiles().map(_.getName).filter(_.startsWith("l_returnflag="))
     assert(parts.toSet === Set("l_returnflag=A", "l_returnflag=N",
       "l_returnflag=R"))

@@ -50,7 +50,7 @@ class PlanSpec extends SparkSuite {
     // materialize the bucketed table, then check the aggregation plan
     val df = SparkEntry.queries("q_sink_bucketed")(spark, sf)
     df.collect()
-    val agg = spark.table("graft_lineitem_bucketed")
+    val agg = spark.table(graft.engine.Ingest.bucketedTable(sf))
       .groupBy("l_orderkey").count()
     val p = agg.queryExecution.executedPlan.toString
     assert(!p.contains("Exchange hashpartitioning"),
@@ -71,6 +71,16 @@ class PlanSpec extends SparkSuite {
       .orderBy(col("o_orderstatus"))
       .collect().map(_.toSeq)
     assert(salted.toSeq === plain.toSeq)
+  }
+
+  test("high-cardinality window: one hash exchange on the key + group limit") {
+    val p = plan("q_win_topn_hicard")
+    assert(p.contains("WindowGroupLimit"),
+      s"rn<=3 should push a per-key top-N limit below the window:\n$p")
+    val hashExchanges = "Exchange hashpartitioning\\(o_custkey".r
+      .findAllIn(p).length
+    assert(hashExchanges === 1,
+      s"expected exactly one hash exchange on o_custkey:\n$p")
   }
 
   test("flagship aggregation combines map-side (partial aggregation)") {
