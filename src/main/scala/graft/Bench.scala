@@ -6,6 +6,9 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      // register native functions once via extensions so per-query
+      // createOrReplaceTempFunction replacement warnings don't fire
+      .withExtensions(new graft.engine.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

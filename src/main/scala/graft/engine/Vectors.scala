@@ -104,23 +104,43 @@ object Vectors {
     },
 
     // IVF-style approximate top-k (the 100 TB scale path for q_sim_topk):
-    // 8 fixed seed centroids, every vector assigned to its nearest centroid,
-    // probes search ONLY their own cluster. No oracle (approximation is
-    // algorithm-defined); ScalaTest measures recall against the exact top-k.
+    // centroids learned with 2 Lloyd iterations (seeded from the first 8
+    // vectors for determinism), every vector assigned to its nearest
+    // centroid, probes search ONLY their own cluster. Centroid components
+    // are epsilon-rounded so the double mean (whose summation order is
+    // engine-internal) cannot flip borderline assignments between runs.
+    // No oracle (approximation is algorithm-defined); ScalaTest measures
+    // recall against the exact top-k and logs it.
     "q_sim_topk_ivf" -> { (s, d) =>
       GraftFunctions.register(s)
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), vd(col("embedding")).as("v"))
-      val centroids = emb.filter(col("vec_id") < 8)
+      def assign(cents: DataFrame): DataFrame = {
+        val wAssign = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id"))
+          .orderBy(desc("c_cos"), asc("c_id"))
+        emb.crossJoin(broadcast(cents))
+          .withColumn("c_cos", eround(cosine(col("v"), col("cv")), 6))
+          .withColumn("ar", row_number().over(wAssign))
+          .filter(col("ar") === 1)
+          .select(col("vec_id"), col("v"), col("c_id").as("cluster"))
+      }
+      // element-wise mean per cluster: posexplode -> avg per (cluster,
+      // dim) -> reassemble the array in dim order
+      def mean(assigned: DataFrame): DataFrame =
+        assigned.select(col("cluster"),
+            posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("cluster"), col("pos"))
+          .agg(eround(avg(col("x")), 6).as("cx"))
+          .groupBy(col("cluster"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("cx")))),
+            t => t.getField("cx")).as("cv"))
+          .select(col("cluster").as("c_id"), col("cv"))
+      val seed = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("c_id"), col("v").as("cv"))
-      val wAssign = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("vec_id"))
-        .orderBy(desc("c_cos"), asc("c_id"))
-      val assigned = emb.crossJoin(broadcast(centroids))
-        .withColumn("c_cos", eround(cosine(col("v"), col("cv")), 6))
-        .withColumn("ar", row_number().over(wAssign))
-        .filter(col("ar") === 1)
-        .select(col("vec_id"), col("v"), col("c_id").as("cluster"))
+      val learned = (0 until 2).foldLeft(seed)((c, _) => mean(assign(c)))
+      val assigned = assign(learned)
       val probes = assigned.filter(col("vec_id") < 10)
         .select(col("vec_id").as("probe_id"), col("v").as("pv"),
           col("cluster"))

@@ -82,16 +82,23 @@ object GraftFunctions {
   import org.apache.spark.sql.SparkSession
   import org.apache.spark.sql.functions.call_function
 
-  /** Register the native functions in a session; idempotent. After this,
-    * both `GraftFunctions.cosine_sim(a, b)` and SQL `cosine_sim(a, b)`
-    * resolve to the codegen'd expression.
+  /** Register the native functions in a session; idempotent (a no-op when
+    * the session already has them, e.g. via GraftExtensions — avoids the
+    * per-call replacement warning). After this, both
+    * `GraftFunctions.cosine_sim(a, b)` and SQL `cosine_sim(a, b)` resolve
+    * to the codegen'd expression.
     */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)),
-      "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "kmv_distinct", exprs => KmvDistinct(exprs.head), "scala_udf")
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim")))
+      reg.createOrReplaceTempFunction(
+        "cosine_sim", exprs => CosineSimilarity(exprs(0), exprs(1)),
+        "scala_udf")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("kmv_distinct")))
+      reg.createOrReplaceTempFunction(
+        "kmv_distinct", exprs => KmvDistinct(exprs.head), "scala_udf")
   }
 
   /** Column-level entry point (requires register(spark) in the session). */

@@ -45,6 +45,9 @@ class DedupVectorSpec extends SparkSuite {
     val ivf = SparkEntry.queries("q_sim_topk_ivf")(spark, sf)
       .select("probe_id", "vec_id", "cos_r").collect()
     assert(ivf.nonEmpty)
+    val hits = ivf.count(r => exact.contains((r.getLong(0), r.getLong(1))))
+    info(f"ivf recall vs exact top-5: ${hits.toDouble / exact.size}%.2f " +
+      s"($hits/${exact.size})")
     // every ivf hit that also appears in the exact top-k must carry the
     // identical score (same native expression, same rounding)
     var overlap = 0
