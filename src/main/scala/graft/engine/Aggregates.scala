@@ -129,6 +129,21 @@ object Aggregates {
         .orderBy(col("l_returnflag"))
     },
 
+    // median + arg-extrema (min_by/max_by). The arg value embeds the key
+    // (price-in-cents * 1e7 + orderkey) so ties are impossible and both
+    // engines pick the same row deterministically.
+    "q_agg_median" -> { (s, d) =>
+      val byVal = round(col("o_totalprice") * 100).cast("long") *
+        lit(10000000L) + col("o_orderkey")
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          eround(median(col("o_totalprice")), 4).as("med_price"),
+          max_by(col("o_orderkey"), byVal).as("top_order"),
+          min_by(col("o_orderkey"), byVal).as("bottom_order"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // Value histogram (fixed-width bins) — data-profiling shape for
     // migration QA.
     "q_agg_histogram" -> { (s, d) =>
@@ -297,6 +312,16 @@ object Aggregates {
         | count(DISTINCT l_suppkey) AS n_supps,
         | CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_dist_qty
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_agg_median" ->
+      """SELECT o_orderpriority,
+        | round(median(o_totalprice) + 5e-10, 4) AS med_price,
+        | max_by(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
+        |   * 10000000 + o_orderkey) AS top_order,
+        | min_by(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
+        |   * 10000000 + o_orderkey) AS bottom_order
+        | FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_agg_filtered" ->

@@ -94,6 +94,14 @@ object Ingest {
         .orderBy(col("c_custkey"))
     },
 
+    // ORC round-trip (columnar alternative to parquet; built into Spark):
+    // write the table as ORC, read it back, prove scan+sink equivalence.
+    "q_scan_orc" -> { (s, d) =>
+      val out = tmp("supplier_orc", d)
+      Tables.supplier(s, d).write.mode("overwrite").orc(out)
+      s.read.orc(out).orderBy(col("s_suppkey"))
+    },
+
     // Schema-evolution read: two parquet generations (v2 adds a column),
     // read together with mergeSchema — missing columns surface as NULLs.
     // The 100 TB ingestion reality: schemas drift across years of files.
@@ -179,6 +187,11 @@ object Ingest {
       s"""SELECT l_returnflag, count(*) AS n,
          | ${Fx.oSum("l_extendedprice")} AS sum_price
          | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_scan_orc" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        | FROM supplier ORDER BY s_suppkey"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_scan_merge_schema" ->

@@ -230,6 +230,21 @@ object Scalar {
         .orderBy(col("o_orderkey"))
     },
 
+    // Bitwise surface: and/or/xor, popcount, shifts — the key-hashing /
+    // bitmap-index primitives (all codegen'd builtins).
+    "q_fn_bitwise" -> { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"),
+          col("o_orderkey").bitwiseAND(lit(255L)).as("b_and"),
+          col("o_orderkey").bitwiseOR(lit(16L)).as("b_or"),
+          col("o_orderkey").bitwiseXOR(col("o_custkey")).as("b_xor"),
+          bit_count(col("o_orderkey")).as("b_cnt"),
+          shiftleft(col("o_orderkey"), 3).as("b_shl"),
+          shiftright(col("o_orderkey"), 2).as("b_shr"))
+        .orderBy(col("o_orderkey"))
+    },
+
     "q_udf_scalar" -> { (s, d) =>
       val doiUdf = udf(normalizeDoi)
       Tables.customer(s, d)
@@ -382,6 +397,17 @@ object Scalar {
         | CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) + CAST(0.005 AS DECIMAL(18,3)) AS DECIMAL(18,3)) AS DOUBLE) AS plus_half_cent,
         | CAST(floor(CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT) AS whole,
         | CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) % 100 AS DECIMAL(18,2)) AS DOUBLE) AS mod100
+        | FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_fn_bitwise" ->
+      """SELECT o_orderkey,
+        | o_orderkey & 255 AS b_and,
+        | o_orderkey | 16 AS b_or,
+        | xor(o_orderkey, o_custkey) AS b_xor,
+        | bit_count(o_orderkey) AS b_cnt,
+        | o_orderkey << 3 AS b_shl,
+        | o_orderkey >> 2 AS b_shr
         | FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey"""
         .stripMargin.replaceAll("\n", " "),
 

@@ -52,6 +52,24 @@ object Streaming {
       .select(col("session_window.start").as("s_start"),
         col("session_window.end").as("s_end"), col("userId"), col("n"))
 
+  /** Stream-stream inner join: watermarks on BOTH sides plus a bounded
+    * event-time range condition, so each side buffers only its watermark
+    * horizon of state (join on user, right event within 30 minutes after
+    * the left event). Without the time bound Spark would have to retain
+    * unbounded state — this is the scale-safe shape.
+    */
+  def streamStreamJoin(left: DataFrame, right: DataFrame): DataFrame = {
+    val l = left.withWatermark("ts", "10 minutes")
+      .select(col("userId").as("l_user"), col("ts").as("l_ts"),
+        col("eventId").as("l_id"))
+    val r = right.withWatermark("ts", "10 minutes")
+      .select(col("userId").as("r_user"), col("ts").as("r_ts"),
+        col("eventId").as("r_id"))
+    l.join(r, col("l_user") === col("r_user")
+      && col("r_ts") >= col("l_ts")
+      && col("r_ts") <= col("l_ts") + expr("INTERVAL 30 MINUTES"))
+  }
+
   /** transformWithState (state API v2, Spark 4.x): running per-user value
     * sums in a typed ValueState. Requires the RocksDB state store provider
     * (set in the test harness).

@@ -156,6 +156,23 @@ object Vectors {
         .orderBy(col("probe_id"), col("rnk"))
     },
 
+    // Embedding-cosine near-dup pairs, exact + oracle-checked on a bounded
+    // corpus (the exact-verification half of embedding dedup, like
+    // q_dedup_ngram_jaccard for text; the unbounded scale path is the LSH
+    // bucketing of q_sim_pairs_lsh).
+    "q_dedup_embedding" -> { (s, d) =>
+      GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+        .select(col("vec_id"), vd(col("embedding")).as("v"))
+      val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"))
+      val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .withColumn("cos_r", eround(cosine(col("va"), col("vb")), 6))
+        .filter(col("cos_r") >= 0.3)
+        .select(col("id_a"), col("id_b"), col("cos_r"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // k-NN majority-vote label prediction over the top-5 neighbor sets.
     "q_knn_label_vote" -> { (s, d) =>
       GraftFunctions.register(s)
@@ -210,6 +227,19 @@ object Vectors {
          |  FROM s)
          | SELECT probe_id, rnk, vec_id, cos_r FROM r WHERE rnk <= 5
          | ORDER BY probe_id, rnk"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_dedup_embedding" ->
+      s"""WITH e AS (SELECT vec_id, $oVd AS v FROM embeddings WHERE vec_id < 300)
+         | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(list_dot_product(a.v, b.v)
+         |    / (sqrt(list_dot_product(a.v, a.v))
+         |       * sqrt(list_dot_product(b.v, b.v))) + 5e-10, 6) AS cos_r
+         | FROM e a, e b WHERE a.vec_id < b.vec_id
+         |  AND round(list_dot_product(a.v, b.v)
+         |    / (sqrt(list_dot_product(a.v, a.v))
+         |       * sqrt(list_dot_product(b.v, b.v))) + 5e-10, 6) >= 0.3
+         | ORDER BY id_a, id_b"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_knn_label_vote" ->

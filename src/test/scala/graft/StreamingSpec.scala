@@ -174,6 +174,29 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream join matches within the time bound only") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val msL = MemoryStream[Ev]
+    val msR = MemoryStream[Ev]
+    val tbl = freshTable()
+    val q = Streaming.streamStreamJoin(msL.toDF, msR.toDF)
+      .writeStream.format("memory").queryName(tbl)
+      .outputMode("append").start()
+    try {
+      msL.addData(Ev(ts("2024-01-01 10:00:00"), 1, "imp", 1.0, 10))
+      msR.addData(
+        Ev(ts("2024-01-01 10:20:00"), 1, "click", 1.0, 20), // in range
+        Ev(ts("2024-01-01 11:00:00"), 1, "click", 1.0, 21), // out of range
+        Ev(ts("2024-01-01 10:10:00"), 2, "click", 1.0, 22)) // other user
+      q.processAllAvailable()
+      val rows = spark.table(tbl)
+        .select(col("l_id"), col("r_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows === Set((10L, 20L)))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState tracks a running per-user maximum") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
