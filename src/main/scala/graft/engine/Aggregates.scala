@@ -129,6 +129,18 @@ object Aggregates {
         .orderBy(col("l_returnflag"))
     },
 
+    // Bitwise aggregates (bitmap/flag folds over a group).
+    "q_agg_bitops" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          bit_or(col("l_linenumber")).as("b_or"),
+          bit_and(col("l_linenumber")).as("b_and"),
+          bit_xor(col("l_orderkey")).as("b_xor"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // median + arg-extrema (min_by/max_by). The arg value embeds the key
     // (price-in-cents * 1e7 + orderkey) so ties are impossible and both
     // engines pick the same row deterministically.
@@ -311,6 +323,15 @@ object Aggregates {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         | count(DISTINCT l_suppkey) AS n_supps,
         | CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_dist_qty
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_agg_bitops" ->
+      """SELECT l_returnflag,
+        | bit_or(l_linenumber) AS b_or,
+        | bit_and(l_linenumber) AS b_and,
+        | bit_xor(l_orderkey) AS b_xor,
+        | count(*) AS n
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
         .stripMargin.replaceAll("\n", " "),
 

@@ -230,6 +230,16 @@ object Scalar {
         .orderBy(col("o_orderkey"))
     },
 
+    // Cryptographic digests — the content-addressing primitives a dedup /
+    // provenance pipeline keys on (hex output matches DuckDB's).
+    "q_fn_hash" -> { (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          md5(col("c_name").cast("binary")).as("h_md5"),
+          sha2(col("c_name").cast("binary"), 256).as("h_sha256"))
+        .orderBy(col("c_custkey"))
+    },
+
     // Bitwise surface: and/or/xor, popcount, shifts — the key-hashing /
     // bitmap-index primitives (all codegen'd builtins).
     "q_fn_bitwise" -> { (s, d) =>
@@ -398,6 +408,13 @@ object Scalar {
         | CAST(floor(CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT) AS whole,
         | CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) % 100 AS DECIMAL(18,2)) AS DOUBLE) AS mod100
         | FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_fn_hash" ->
+      """SELECT c_custkey,
+        | md5(c_name) AS h_md5,
+        | sha256(c_name) AS h_sha256
+        | FROM customer ORDER BY c_custkey"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_fn_bitwise" ->
