@@ -308,6 +308,17 @@ object Relational {
         .limit(20)
     },
 
+    // Keyset-free pagination: total order + OFFSET/LIMIT. (At 100 TB,
+    // page-N-by-offset still sorts/skips N rows — keyset pagination on the
+    // order key is the scale path; this pins the operator semantics.)
+    "q_limit_offset" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+        .offset(40)
+        .limit(20)
+    },
+
     "q_topk_per_group" -> { (s, d) =>
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(desc("o_totalprice"), asc("o_orderkey"))
@@ -530,6 +541,11 @@ object Relational {
     "q_limit" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         | ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_limit_offset" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        | ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20 OFFSET 40"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_topk_per_group" ->

@@ -83,6 +83,22 @@ class PlanSpec extends SparkSuite {
       s"expected exactly one hash exchange on o_custkey:\n$p")
   }
 
+  test("partitioned parquet read prunes partitions on the partition key") {
+    import org.apache.spark.sql.functions._
+    // materialize the partitioned sink, then read back with a partition
+    // filter: the filter must land in PartitionFilters (pruned directories,
+    // no data read for other flags), not in PushedFilters
+    SparkEntry.queries("q_sink_parquet")(spark, sf).collect()
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_ingest/" +
+      sf.replaceAll("[^A-Za-z0-9_]", "_") + "/lineitem_part"
+    val p = spark.read.parquet(dir)
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(l_returnflag"),
+      s"partition filter not pruned:\n$p")
+  }
+
   test("flagship aggregation combines map-side (partial aggregation)") {
     assert(plan("q_agg_group").contains("partial_sum"))
   }
