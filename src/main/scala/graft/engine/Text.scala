@@ -211,6 +211,30 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // End-to-end training-data cleaning composite: quality gate (token
+    // count + length + stopword ratio) -> exact dedup keeping the
+    // smallest doc_id as representative -> per-language corpus stats.
+    // One declarative plan (the gates sit directly above the scan, dedup
+    // is a single hash aggregate on text), oracle-replayed in SQL.
+    "q_pipeline_clean_corpus" -> { (s, d) =>
+      val gated = Tables.documents(s, d)
+        .withColumn("t", toks(col("text")))
+        .withColumn("n_tok", size(col("t")))
+        .filter(col("n_tok").between(10, 500) && length(col("text")) >= 40)
+        .filter(size(filter(col("t"), x => x.isInCollection(StopWords)))
+          .cast("double") / col("n_tok") <= 0.6)
+      gated.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"),
+          min_by(col("lang"), col("doc_id")).as("lang"),
+          min(col("n_tok")).as("n_tok"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("bigint").as("sum_tok"),
+          eround(sum(col("n_tok")).cast("double") / count(lit(1)), 4)
+            .as("avg_tok"))
+        .orderBy(col("lang"))
+    },
+
     // Rolling polynomial fingerprint: h = fold((h*31 + ascii(ch)) mod p).
     "q_text_fingerprint" -> { (s, d) =>
       Tables.documents(s, d)
@@ -419,6 +443,22 @@ object Text {
          | len($oToks) BETWEEN 10 AND 500 AND length(text) >= 40
          |   AS passes_length_gate
          | FROM documents ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_pipeline_clean_corpus" ->
+      s"""WITH gated AS (
+         |  SELECT doc_id, lang, text, len($oToks) AS n_tok FROM documents
+         |  WHERE len($oToks) BETWEEN 10 AND 500 AND length(text) >= 40
+         |   AND CAST(len(list_filter($oToks, x -> list_contains($oStop, x)))
+         |     AS DOUBLE) / len($oToks) <= 0.6),
+         | dedup AS (
+         |  SELECT min(doc_id) AS doc_id, min_by(lang, doc_id) AS lang,
+         |   min(n_tok) AS n_tok
+         |  FROM gated GROUP BY text)
+         | SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+         |  round(CAST(sum(n_tok) AS DOUBLE) / count(*) + 5e-10, 4) AS avg_tok
+         | FROM dedup GROUP BY lang ORDER BY lang"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_text_fingerprint" ->
