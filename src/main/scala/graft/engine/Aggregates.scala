@@ -129,6 +129,18 @@ object Aggregates {
         .orderBy(col("l_returnflag"))
     },
 
+    // Boolean aggregates + conditional count — the rule-check folds a
+    // validation/QA pass runs per group.
+    "q_agg_bool" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+          bool_or(col("o_totalprice") > 400000).as("any_suspicious"),
+          count_if(col("o_orderstatus") === "F").as("n_finished"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // Bitwise aggregates (bitmap/flag folds over a group).
     "q_agg_bitops" -> { (s, d) =>
       Tables.lineitem(s, d)
@@ -324,6 +336,14 @@ object Aggregates {
         | count(DISTINCT l_suppkey) AS n_supps,
         | CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_dist_qty
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_agg_bool" ->
+      """SELECT o_orderpriority,
+        | bool_and(o_totalprice > 1000) AS all_over_1k,
+        | bool_or(o_totalprice > 400000) AS any_suspicious,
+        | count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished
+        | FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_agg_bitops" ->
