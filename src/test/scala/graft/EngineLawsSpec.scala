@@ -97,6 +97,44 @@ class EngineLawsSpec extends SparkSuite {
       .filter(dayofmonth(col("parsed")) =!= 1).count() === 0)
   }
 
+  test("fuzzy join blocking is complete: equals the naive levenshtein join") {
+    // deletion-neighborhood (FastSS) candidates must find EXACTLY the
+    // pairs the exhaustive nested-loop finds — blocking may not lose pairs
+    val blocked = SparkEntry.queries("q_join_fuzzy")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey"),
+        regexp_replace(col("c_name"), "Customer#0*", "C").as("c_short"))
+    val supp = Tables.supplier(spark, sf)
+      .select(col("s_suppkey"),
+        regexp_replace(col("s_name"), "Supplier#0*", "C").as("s_short"))
+    val naive = cust.crossJoin(supp)
+      .filter(levenshtein(col("c_short"), col("s_short")) <= 1)
+      .select(col("c_custkey"), col("s_suppkey"),
+        levenshtein(col("c_short"), col("s_short")).as("dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(blocked === naive)
+  }
+
+  test("as-of join preserves event cardinality and never matches the future") {
+    val asof = SparkEntry.queries("q_join_asof")(spark, sf)
+    val events = Tables.events(spark, sf)
+    assert(asof.count() === events.count())
+    // every matched order must have been placed at or before the event
+    val checked = asof
+      .join(Tables.orders(spark, sf), Seq("o_orderkey"))
+      .join(events.select(col("event_id"), col("ts")), Seq("event_id"))
+      .filter(col("o_orderdate") > col("ts"))
+    assert(checked.count() === 0)
+  }
+
+  test("exact dedup partitions the corpus: copy counts sum to total docs") {
+    val dedup = SparkEntry.queries("q_dedup_exact")(spark, sf)
+    val total = Tables.documents(spark, sf).count()
+    val summed = dedup.agg(sum(col("n_copies"))).collect().head.getLong(0)
+    assert(summed === total)
+  }
+
   test("kmv sketch: accurate and independent of partitioning") {
     import graft.engine.functions.GraftFunctions
     GraftFunctions.register(spark)
