@@ -22,6 +22,69 @@ object Multimodal {
 
   val FeatureDim = 8
 
+  /** Minimal REAL P6 PPM codec — header parse + pixel plane, pure bytes,
+    * no media libraries needed. This makes the decode stage genuine for
+    * the one raster format expressible without codecs; JPEG/PNG/audio
+    * remain behind the clearly-labeled stubs below.
+    */
+  object Ppm {
+    def encode(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == w * h * 3, "pixel plane must be w*h*3 bytes")
+      s"P6\n$w $h\n255\n".getBytes("US-ASCII") ++ rgb
+    }
+
+    /** Parses "P6\n<w> <h>\n<maxval>\n" + pixel plane. */
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+      var i = 0
+      def token(): String = {
+        while (bytes(i) == ' ' || bytes(i) == '\n') i += 1
+        val start = i
+        while (i < bytes.length && bytes(i) != ' ' && bytes(i) != '\n') i += 1
+        new String(bytes, start, i - start, "US-ASCII")
+      }
+      val magic = token()
+      require(magic == "P6", s"not a P6 ppm: $magic")
+      val w = token().toInt
+      val h = token().toInt
+      val maxval = token().toInt
+      require(maxval == 255, s"unsupported maxval $maxval")
+      i += 1 // single whitespace after maxval
+      val rgb = java.util.Arrays.copyOfRange(bytes, i, i + w * h * 3)
+      (w, h, rgb)
+    }
+
+    /** Nearest-neighbor resize of the decoded plane; returns a valid PPM. */
+    def resizeNearest(w: Int, h: Int, rgb: Array[Byte],
+        tw: Int, th: Int): Array[Byte] = {
+      val out = new Array[Byte](tw * th * 3)
+      var y = 0
+      while (y < th) {
+        val sy = y * h / th
+        var x = 0
+        while (x < tw) {
+          val sx = x * w / tw
+          var c = 0
+          while (c < 3) {
+            out((y * tw + x) * 3 + c) = rgb((sy * w + sx) * 3 + c)
+            c += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      encode(tw, th, out)
+    }
+
+    /** Per-channel means over the pixel plane (real image statistics). */
+    def channelMeans(rgb: Array[Byte]): (Double, Double, Double) = {
+      val acc = new Array[Long](3)
+      var i = 0
+      while (i < rgb.length) { acc(i % 3) += rgb(i) & 0xff; i += 1 }
+      val n = rgb.length / 3.0
+      (acc(0) / n, acc(1) / n, acc(2) / n)
+    }
+  }
+
   /** STUB decoder: stands in for image/audio decode. Deterministic pure
     * function of the payload bytes so results are reproducible and
     * oracle-friendly.
@@ -136,6 +199,42 @@ object Multimodal {
         .orderBy(col("media_id"), col("frame_idx"))
     },
 
+    // REAL image path: deterministic 8x4 PPM images are synthesized from
+    // the document characters, then the genuine codec round-trips them —
+    // encode -> header-parse decode -> channel statistics -> real
+    // nearest-neighbor resize -> decode again. Fully oracle-checked (the
+    // oracle recomputes the channel means from the same characters).
+    "q_multimodal_ppm" -> { (s, d) =>
+      val frame = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("w", IntegerType),
+        StructField("h", IntegerType),
+        StructField("r_mean", DoubleType),
+        StructField("g_mean", DoubleType),
+        StructField("b_mean", DoubleType),
+        StructField("rw", IntegerType),
+        StructField("rh", IntegerType)))
+      frame.mapPartitions { rows =>
+        rows.map { r =>
+          val text = r.getString(1)
+          val px = Array.tabulate(8 * 4 * 3)(i =>
+            (text.charAt(i % text.length) & 0xff).toByte)
+          val img = Ppm.encode(8, 4, px)
+          val (w, h, rgb) = Ppm.decode(img)
+          val (rm, gm, bm) = Ppm.channelMeans(rgb)
+          val (rw, rh, _) = Ppm.decode(Ppm.resizeNearest(w, h, rgb, 4, 2))
+          Row(r.getLong(0), w, h, rm, gm, bm, rw, rh)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+        .select(col("doc_id"), col("w"), col("h"),
+          round(col("r_mean") + lit(5e-10), 4).as("r_mean"),
+          round(col("g_mean") + lit(5e-10), 4).as("g_mean"),
+          round(col("b_mean") + lit(5e-10), 4).as("b_mean"),
+          col("rw"), col("rh"))
+        .orderBy(col("doc_id"))
+    },
+
     // Resize (stubbed image decode): deterministic byte subsample; no
     // oracle (subsample stride logic), determinism asserted in ScalaTest.
     "q_multimodal_resize" -> { (s, d) =>
@@ -160,6 +259,19 @@ object Multimodal {
   )
 
   val oracle: Map[String, String] = Map(
+    "q_multimodal_ppm" ->
+      """WITH px AS (
+        | SELECT doc_id, i,
+        |  ascii(substring(text, (i % length(text)) + 1, 1)) AS v
+        | FROM documents, LATERAL unnest(generate_series(0, 95)) u(i))
+        | SELECT doc_id, 8 AS w, 4 AS h,
+        |  round(avg(v) FILTER (i % 3 = 0) + 5e-10, 4) AS r_mean,
+        |  round(avg(v) FILTER (i % 3 = 1) + 5e-10, 4) AS g_mean,
+        |  round(avg(v) FILTER (i % 3 = 2) + 5e-10, 4) AS b_mean,
+        |  4 AS rw, 2 AS rh
+        | FROM px GROUP BY doc_id ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
     "q_multimodal_frames" ->
       """SELECT doc_id AS media_id, k AS frame_idx,
         | length(text) // 4 AS frame_bytes,

@@ -110,6 +110,23 @@ class DedupVectorSpec extends SparkSuite {
     assert(perDoc.count() === 0)
   }
 
+  test("ppm codec: encode/decode round-trip, resize picks source pixels") {
+    import graft.engine.Multimodal.Ppm
+    // 2x2 image with four distinct pixels
+    val rgb = Array[Byte](
+      10, 11, 12,  20, 21, 22,   // row 0: (0,0) (1,0)
+      30, 31, 32,  40, 41, 42)   // row 1: (0,1) (1,1)
+    val (w, h, back) = Ppm.decode(Ppm.encode(2, 2, rgb))
+    assert((w, h) === (2, 2))
+    assert(back.toSeq === rgb.toSeq)
+    // nearest-neighbor 2x2 -> 1x1 keeps the top-left pixel
+    val (rw, rh, small) = Ppm.decode(Ppm.resizeNearest(2, 2, rgb, 1, 1))
+    assert((rw, rh) === (1, 1))
+    assert(small.toSeq === Seq[Byte](10, 11, 12))
+    val (rm, gm, bm) = Ppm.channelMeans(rgb)
+    assert((rm, gm, bm) === (25.0, 26.0, 27.0))
+  }
+
   test("multimodal features are deterministic with fixed dim") {
     val f = graft.engine.Multimodal.fakeDecodeFeatures("hello".getBytes)
     val g = graft.engine.Multimodal.fakeDecodeFeatures("hello".getBytes)
