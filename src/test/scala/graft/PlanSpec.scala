@@ -103,6 +103,18 @@ class PlanSpec extends SparkSuite {
     assert(plan("q_agg_group").contains("partial_sum"))
   }
 
+  test("AQE finalizes plans and coalesces small shuffle partitions") {
+    import org.apache.spark.sql.functions._
+    import graft.engine.Tables
+    val df = Tables.orders(spark, sf).groupBy("o_orderstatus").count()
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AdaptiveSparkPlan isFinalPlan=true"),
+      s"AQE did not finalize:\n$p")
+    assert(p.contains("AQEShuffleRead coalesced"),
+      s"AQE did not coalesce the tiny shuffle:\n$p")
+  }
+
   test("whole-stage codegen covers the flagship aggregation") {
     // AQE finalizes the plan (and inserts codegen stages) at execution
     val df = SparkEntry.queries("q_agg_group")(spark, sf)
