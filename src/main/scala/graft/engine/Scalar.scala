@@ -230,6 +230,23 @@ object Scalar {
         .orderBy(col("o_orderkey"))
     },
 
+    // Conditional scalar surface: coalesce/nullif/nvl, greatest/least —
+    // the null-taming combinators every mapping step leans on.
+    "q_fn_conditional" -> { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 1000)
+        .select(col("o_orderkey"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN"))
+            .as("status_or_open"),
+          nvl(nullif(col("o_orderpriority"), col("o_orderpriority")),
+            lit("none")).as("always_none"),
+          greatest(col("o_totalprice"), lit(100000.0)).as("floor_100k"),
+          least(col("o_totalprice"), lit(100000.0)).as("cap_100k"),
+          when(col("o_totalprice") > 200000, "big")
+            .otherwise("small").as("size_class"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // Cryptographic digests — the content-addressing primitives a dedup /
     // provenance pipeline keys on (hex output matches DuckDB's).
     "q_fn_hash" -> { (s, d) =>
@@ -407,6 +424,16 @@ object Scalar {
         | CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) + CAST(0.005 AS DECIMAL(18,3)) AS DECIMAL(18,3)) AS DOUBLE) AS plus_half_cent,
         | CAST(floor(CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT) AS whole,
         | CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) % 100 AS DECIMAL(18,2)) AS DOUBLE) AS mod100
+        | FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_fn_conditional" ->
+      """SELECT o_orderkey,
+        | coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+        | ifnull(nullif(o_orderpriority, o_orderpriority), 'none') AS always_none,
+        | greatest(o_totalprice, 100000.0) AS floor_100k,
+        | least(o_totalprice, 100000.0) AS cap_100k,
+        | CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS size_class
         | FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey"""
         .stripMargin.replaceAll("\n", " "),
 
