@@ -246,6 +246,35 @@ object Relational {
         .orderBy(col("c_custkey"), col("s_suppkey"))
     },
 
+    // Range join WITHOUT an equi key (events within +/-60s of each other,
+    // across all users) via time-bucketing: both sides bucket to the window
+    // width, the probe side explodes into {b-1, b, b+1}, the join is a
+    // hash EQUI-JOIN on the bucket, and the exact |dt| <= W residual
+    // filters. Each candidate pair arises in exactly one probe bucket, so
+    // no dedup is needed. The naive plan is an O(n^2) nested loop; this
+    // one shuffles on the bucket key and scales linearly in matches.
+    "q_join_range_bucket" -> { (s, d) =>
+      val W = 60000000L // 60s in microseconds
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), unix_micros(col("ts")).as("us"))
+      val probe = ev
+        .select(col("event_id").as("id_a"), col("us").as("us_a"),
+          explode(array(lit(-1L), lit(0L), lit(1L))).as("db"))
+        .withColumn("bucket", expr(s"us_a DIV $W") + col("db"))
+      val build = ev
+        .select(col("event_id").as("id_b"), col("us").as("us_b"))
+        .withColumn("bucket", expr(s"us_b DIV $W"))
+      val counts = probe.join(build, "bucket")
+        .filter(col("id_a") =!= col("id_b")
+          && abs(col("us_a") - col("us_b")) <= W)
+        .groupBy(col("id_a")).agg(count(lit(1)).as("n_near"))
+      ev.select(col("event_id").as("id_a"))
+        .join(counts, Seq("id_a"), "left_outer")
+        .select(col("id_a").as("event_id"),
+          coalesce(col("n_near"), lit(0L)).as("n_near"))
+        .orderBy(col("event_id"))
+    },
+
     // Validation report (migration gap analysis): per-record rule flags
     // and a ';'-joined reason string for records failing any rule.
     "q_validate_rules" -> { (s, d) =>
@@ -482,6 +511,15 @@ object Relational {
         |   FROM orders GROUP BY 1, 2) o
         | ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
         | ORDER BY e.event_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_join_range_bucket" ->
+      """WITH ev AS (SELECT event_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events)
+        | SELECT a.event_id, count(b.event_id) AS n_near
+        | FROM ev a LEFT JOIN ev b
+        |  ON b.event_id <> a.event_id AND abs(a.us - b.us) <= 60000000
+        | GROUP BY a.event_id ORDER BY a.event_id"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_join_interval" ->

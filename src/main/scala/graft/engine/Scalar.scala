@@ -230,6 +230,22 @@ object Scalar {
         .orderBy(col("o_orderkey"))
     },
 
+    // Extended string surface: split_part, translate, repeat, reverse,
+    // strpos, left/right — the field-mapping workhorses.
+    "q_fn_string2" -> { (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          split_part(col("c_name"), lit("#"), lit(1)).as("name_prefix"),
+          split_part(col("c_name"), lit("#"), lit(2)).as("name_digits"),
+          translate(col("c_name"), "0#", "_-").as("translated"),
+          repeat(substring(col("c_mktsegment"), 1, 2), 3).as("seg_repeat"),
+          reverse(col("c_name")).as("rev"),
+          instr(col("c_name"), "9").as("pos_nine"),
+          expr("left(c_name, 10)").as("l10"),
+          expr("right(c_name, 4)").as("r4"))
+        .orderBy(col("c_custkey"))
+    },
+
     // Conditional scalar surface: coalesce/nullif/nvl, greatest/least —
     // the null-taming combinators every mapping step leans on.
     "q_fn_conditional" -> { (s, d) =>
@@ -425,6 +441,19 @@ object Scalar {
         | CAST(floor(CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT) AS whole,
         | CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) % 100 AS DECIMAL(18,2)) AS DOUBLE) AS mod100
         | FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_fn_string2" ->
+      """SELECT c_custkey,
+        | split_part(c_name, '#', 1) AS name_prefix,
+        | split_part(c_name, '#', 2) AS name_digits,
+        | translate(c_name, '0#', '_-') AS translated,
+        | repeat(substring(c_mktsegment, 1, 2), 3) AS seg_repeat,
+        | reverse(c_name) AS rev,
+        | strpos(c_name, '9') AS pos_nine,
+        | left(c_name, 10) AS l10,
+        | right(c_name, 4) AS r4
+        | FROM customer ORDER BY c_custkey"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_fn_conditional" ->
