@@ -70,6 +70,14 @@ object Streaming {
       && col("r_ts") <= col("l_ts") + expr("INTERVAL 30 MINUTES"))
   }
 
+  /** Stream-static join: enrich a stream against a broadcast dimension
+    * table — no state store needed, the static side is re-read per
+    * micro-batch and broadcast.
+    */
+  def streamStaticJoin(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), events("userId") === dim("c_custkey"))
+      .select(col("eventId"), col("userId"), col("c_mktsegment"))
+
   /** transformWithState (state API v2, Spark 4.x): running per-user value
     * sums in a typed ValueState. Requires the RocksDB state store provider
     * (set in the test harness).

@@ -211,6 +211,40 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // Stratified sampling for dataset mixing: per-language keep fractions
+    // (upsample-free Bernoulli via sampleBy with a fixed seed). The mixing
+    // knob of corpus construction; no oracle (sampling is algorithm-
+    // specific) — ScalaTest asserts determinism and per-stratum rates.
+    "q_sample_stratified" -> { (s, d) =>
+      val fractions = Map("en" -> 0.25, "de" -> 1.0, "es" -> 1.0,
+        "fr" -> 1.0, "zh" -> 0.5)
+      Tables.documents(s, d)
+        .stat.sampleBy("lang", fractions, 42L)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"))
+        .orderBy(col("lang"))
+    },
+
+    // Context-window chunking: split each document into overlapping token
+    // windows (size 32, stride 24) — the pre-tokenization batching step of
+    // a training pipeline. Pure per-row explode, embarrassingly parallel.
+    "q_text_chunk" -> { (s, d) =>
+      val size = 32
+      val stride = 24
+      Tables.documents(s, d)
+        .withColumn("t", toks(col("text")))
+        .withColumn("start",
+          explode(sequence(lit(0),
+            greatest(ceil((org.apache.spark.sql.functions.size(col("t"))
+              - size).cast("double") / stride).cast("int"), lit(0)))))
+        .select(col("doc_id"), (col("start") * stride).as("tok_offset"),
+          array_join(slice(col("t"), col("start") * stride + 1, lit(size)),
+            " ").as("chunk"),
+          least(org.apache.spark.sql.functions.size(col("t"))
+            - col("start") * stride, lit(size)).as("n_tok"))
+        .orderBy(col("doc_id"), col("tok_offset"))
+    },
+
     // End-to-end training-data cleaning composite: quality gate (token
     // count + length + stopword ratio) -> exact dedup keeping the
     // smallest doc_id as representative -> per-language corpus stats.
@@ -443,6 +477,16 @@ object Text {
          | len($oToks) BETWEEN 10 AND 500 AND length(text) >= 40
          |   AS passes_length_gate
          | FROM documents ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_text_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $oToks AS tk FROM documents),
+         | st AS (SELECT doc_id, tk, k FROM t, LATERAL unnest(generate_series(0,
+         |   greatest(CAST(ceil((len(tk) - 32) / 24.0) AS INT), 0))) u(k))
+         | SELECT doc_id, k * 24 AS tok_offset,
+         |  array_to_string(list_slice(tk, k*24 + 1, k*24 + 32), ' ') AS chunk,
+         |  least(len(tk) - k*24, 32) AS n_tok
+         | FROM st ORDER BY doc_id, tok_offset"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_pipeline_clean_corpus" ->

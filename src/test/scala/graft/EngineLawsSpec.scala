@@ -135,6 +135,23 @@ class EngineLawsSpec extends SparkSuite {
     assert(summed === total)
   }
 
+  test("stratified sample keeps full strata exactly, partial strata near rate") {
+    val sf01 = "/root/testdata/sf0.01" // larger strata for tight tolerance
+    val kept = SparkEntry.queries("q_sample_stratified")(spark, sf01)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = Tables.documents(spark, sf01).groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fractions = Map("en" -> 0.25, "de" -> 1.0, "es" -> 1.0,
+      "fr" -> 1.0, "zh" -> 0.5)
+    for ((lang, f) <- fractions) {
+      val k = kept.getOrElse(lang, 0L).toDouble
+      val n = totals(lang).toDouble
+      if (f == 1.0) assert(k === n, s"$lang: full stratum must be complete")
+      else assert(math.abs(k / n - f) <= 0.12,
+        s"$lang: kept $k of $n, want ~$f")
+    }
+  }
+
   test("kmv sketch: accurate and independent of partitioning") {
     import graft.engine.functions.GraftFunctions
     GraftFunctions.register(spark)

@@ -197,6 +197,55 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-static join enriches events from a broadcast dimension") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val dim = graft.engine.Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val tbl = freshTable()
+    val q = Streaming.streamStaticJoin(ms.toDF, dim)
+      .writeStream.format("memory").queryName(tbl)
+      .outputMode("append").start()
+    try {
+      ms.addData(
+        Ev(ts("2024-01-01 10:00:00"), 1, "a", 1.0, 1),
+        Ev(ts("2024-01-01 10:01:00"), 2, "a", 1.0, 2))
+      q.processAllAvailable()
+      val rows = spark.table(tbl).collect()
+      assert(rows.length === 2)
+      val expected = dim.filter(col("c_custkey").isin(1, 2))
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      rows.foreach(r =>
+        assert(r.getString(2) === expected(r.getLong(1))))
+    } finally q.stop()
+  }
+
+  test("foreachBatch sink receives every micro-batch exactly once") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val seen = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
+    val q = ms.toDF
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset
+          [org.apache.spark.sql.Row], id: Long) =>
+        seen.put(id, batch.count())
+        ()
+      }
+      .outputMode("append").start()
+    try {
+      ms.addData(Ev(ts("2024-01-01 10:00:00"), 1, "a", 1.0, 1),
+        Ev(ts("2024-01-01 10:01:00"), 1, "a", 1.0, 2))
+      q.processAllAvailable()
+      ms.addData(Ev(ts("2024-01-01 10:02:00"), 1, "a", 1.0, 3))
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(seen.asScala.values.sum === 3)
+      assert(seen.size === 2)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState tracks a running per-user maximum") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
