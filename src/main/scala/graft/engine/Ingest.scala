@@ -94,6 +94,57 @@ object Ingest {
         .orderBy(col("c_custkey"))
     },
 
+    // Corrupt-tolerant CSV ingest: PERMISSIVE mode routes malformed rows
+    // into _corrupt_record instead of failing the job — the posture a
+    // 100 TB ingest needs (one bad row must not kill a 6-hour load).
+    // A malformed line is planted deterministically; the query reports
+    // good/bad counts. Oracle: the good rows are exactly the source table.
+    "q_scan_csv_corrupt" -> { (s, d) =>
+      val out = tmp("nation_csv_corrupt", d)
+      Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+        .write.mode("overwrite")
+        .option("header", "true").option("delimiter", "|").csv(out)
+      // plant one malformed line (wrong arity + non-numeric key) as its
+      // own file — appending to Spark's output would invalidate the Hadoop
+      // .crc sidecar; the first line repeats the header, which header=true
+      // strips per file
+      val w = new java.io.FileWriter(s"$out/extra.csv")
+      try w.write("n_nationkey|n_name|n_regionkey\nnot_a_number|broken\n")
+      finally w.close()
+      // PERMISSIVE null-pads malformed rows, so the planted line surfaces
+      // as (null, 'broken', null) and the key-null filter drops it. (The
+      // _corrupt_record capture variant needs a cache() per Spark's
+      // raw-file restriction — demonstrated in IngestSpec instead so the
+      // oracle query stays a pure scan.)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      s.read.schema(schema)
+        .option("header", "true").option("delimiter", "|")
+        .option("mode", "PERMISSIVE")
+        .csv(out)
+        .filter(col("n_nationkey").isNotNull)
+        .orderBy(col("n_nationkey"))
+    },
+
+    // Compressed sink round-trip: zstd parquet with bounded file sizes
+    // (maxRecordsPerFile) — codec + file-size discipline is what keeps a
+    // 100 TB dataset storable and scannable; equivalence proven against
+    // the source table.
+    "q_sink_parquet_zstd" -> { (s, d) =>
+      val out = tmp("orders_zstd", d)
+      Tables.orders(s, d).write.mode("overwrite")
+        .option("compression", "zstd")
+        .option("maxRecordsPerFile", 5000)
+        .parquet(out)
+      s.read.parquet(out)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), Fx.dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // ORC round-trip (columnar alternative to parquet; built into Spark):
     // write the table as ORC, read it back, prove scan+sink equivalence.
     "q_scan_orc" -> { (s, d) =>
@@ -192,6 +243,17 @@ object Ingest {
     "q_scan_orc" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         | FROM supplier ORDER BY s_suppkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_scan_csv_corrupt" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        | FROM nation ORDER BY n_nationkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_sink_parquet_zstd" ->
+      s"""SELECT o_orderstatus, count(*) AS n,
+         | ${Fx.oSum("o_totalprice")} AS total
+         | FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_scan_merge_schema" ->

@@ -47,6 +47,32 @@ class IngestSpec extends SparkSuite {
       "l_returnflag=R"))
   }
 
+  test("permissive csv captures the planted malformed row in _corrupt_record") {
+    import org.apache.spark.sql.types._
+    // materialize the corrupt fixture via the query (plants one bad line)
+    SparkEntry.queries("q_scan_csv_corrupt")(spark, sf).count()
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_ingest/" +
+      sf.replaceAll("[^A-Za-z0-9_]", "_") + "/nation_csv_corrupt"
+    val schema = StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType),
+      StructField("_corrupt_record", StringType)))
+    // Spark requires caching the parsed result before querying only the
+    // corrupt-record column from raw files
+    val read = spark.read.schema(schema)
+      .option("header", "true").option("delimiter", "|")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(out).cache()
+    try {
+      val bad = read.filter(col("_corrupt_record").isNotNull).collect()
+      assert(bad.length === 1)
+      assert(bad.head.getAs[String]("_corrupt_record") === "not_a_number|broken")
+      assert(read.filter(col("_corrupt_record").isNull).count() === 25)
+    } finally read.unpersist()
+  }
+
   test("multi-valued csv sink cells re-split to the right cardinality") {
     val rows = SparkEntry.queries("q_sink_csv_multival")(spark, sf)
     val perNation = Tables.customer(spark, sf)
