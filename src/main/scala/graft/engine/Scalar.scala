@@ -143,6 +143,18 @@ object Scalar {
         .orderBy(col("doc_id"), col("pos"))
     },
 
+    // Null-preserving generator: explode_outer keeps rows whose array is
+    // empty (emitting NULL) — the semantics an unnest-with-left-join needs;
+    // plain explode would silently drop those parents.
+    "q_fn_explode_outer" -> { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 300)
+        .select(col("o_orderkey"),
+          explode_outer(slice(sequence(lit(1), lit(3)), lit(1),
+            pmod(col("o_orderkey"), lit(3)).cast("int"))).as("i"))
+        .orderBy(col("o_orderkey"), col("i"))
+    },
+
     "q_fn_higher_order" -> { (s, d) =>
       Tables.embeddings(s, d)
         .filter(col("vec_id") < 50)
@@ -392,6 +404,15 @@ object Scalar {
         |   FROM documents WHERE doc_id < 20) t,
         | LATERAL unnest(generate_series(1, len(toks))) u(i)
         | ORDER BY doc_id, pos"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_fn_explode_outer" ->
+      """SELECT o.o_orderkey, u.i
+        | FROM (SELECT o_orderkey,
+        |   list_slice([1, 2, 3], 1, o_orderkey % 3) AS l
+        |  FROM orders WHERE o_orderkey < 300) o
+        | LEFT JOIN LATERAL (SELECT unnest(o.l) AS i) u ON true
+        | ORDER BY o_orderkey, i"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_fn_higher_order" ->

@@ -95,6 +95,20 @@ object Windows {
         .orderBy(col("c_custkey"))
     },
 
+    // Interval-typed RANGE frame over event time (1 trailing hour per
+    // user) — unlike q_win_moving's integer-seconds frame, the frame bound
+    // is a calendar interval on the timestamp itself (SQL-only surface,
+    // hence selectExpr).
+    "q_win_range_time" -> { (s, d) =>
+      Tables.events(s, d)
+        .selectExpr("event_id", "user_id",
+          """CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+            | PARTITION BY user_id ORDER BY ts
+            | RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+            | AS DOUBLE) AS hour_sum""".stripMargin.replaceAll("\n", " "))
+        .orderBy(col("event_id"))
+    },
+
     // High-cardinality partition key (o_custkey — keys grow with the data,
     // unlike the 5-value enum demos above): proves the window pattern
     // scales, since per-key state stays constant as rows grow 100x. The
@@ -171,6 +185,17 @@ object Windows {
         | FROM customer
         | WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
         | ORDER BY c_custkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_win_range_time" ->
+      """SELECT event_id, user_id,
+        | CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        |  PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |  AS DOUBLE) AS hour_sum
+        | FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |   FROM events)
+        | ORDER BY event_id"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_win_topn_hicard" ->
