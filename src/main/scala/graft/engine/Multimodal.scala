@@ -107,6 +107,76 @@ object Multimodal {
     out
   }
 
+  /** Minimal REAL WAV (RIFF/PCM16 mono) codec — like [[Ppm]], pure bytes,
+    * no libraries: 44-byte canonical header + little-endian 16-bit
+    * samples. Makes audio decode genuine for the one format expressible
+    * without codecs; compressed audio stays stubbed.
+    */
+  object Wav {
+    private def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    private def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+
+    def encode(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val header =
+        "RIFF".getBytes("US-ASCII") ++ le32(36 + dataLen) ++
+        "WAVE".getBytes("US-ASCII") ++
+        "fmt ".getBytes("US-ASCII") ++ le32(16) ++
+        le16(1) ++ le16(1) ++                     // PCM, mono
+        le32(sampleRate) ++ le32(sampleRate * 2) ++
+        le16(2) ++ le16(16) ++                    // block align, bits
+        "data".getBytes("US-ASCII") ++ le32(dataLen)
+      val out = new Array[Byte](44 + dataLen)
+      header.copyToArray(out)
+      var i = 0
+      while (i < samples.length) {
+        out(44 + 2 * i) = (samples(i) & 0xff).toByte
+        out(44 + 2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+        i += 1
+      }
+      out
+    }
+
+    /** Returns (sampleRate, samples); validates the canonical header. */
+    def decode(bytes: Array[Byte]): (Int, Array[Short]) = {
+      def ascii(off: Int, n: Int) = new String(bytes, off, n, "US-ASCII")
+      require(ascii(0, 4) == "RIFF" && ascii(8, 4) == "WAVE", "not RIFF/WAVE")
+      require(ascii(12, 4) == "fmt ", "missing fmt chunk")
+      def u16(off: Int) = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+      def u32(off: Int) = (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8) |
+        ((bytes(off + 2) & 0xff) << 16) | ((bytes(off + 3) & 0xff) << 24)
+      require(u16(20) == 1 && u16(22) == 1 && u16(34) == 16,
+        "only PCM16 mono supported")
+      require(ascii(36, 4) == "data", "missing data chunk")
+      val n = u32(40) / 2
+      val samples = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        samples(i) = ((bytes(44 + 2 * i) & 0xff) |
+          (bytes(44 + 2 * i + 1) << 8)).toShort
+        i += 1
+      }
+      (u32(24), samples)
+    }
+
+    /** Root-mean-square and peak amplitude — real signal statistics. */
+    def stats(samples: Array[Short]): (Double, Int) = {
+      var sum = 0.0
+      var peak = 0
+      var i = 0
+      while (i < samples.length) {
+        val v = samples(i).toInt
+        sum += v.toDouble * v
+        if (math.abs(v) > peak) peak = math.abs(v)
+        i += 1
+      }
+      (math.sqrt(sum / samples.length), peak)
+    }
+  }
+
   /** Media-shaped frame from the documents fixture: payload bytes (UTF-8 of
     * the text, standing in for encoded media) + typed metadata struct.
     */
@@ -235,6 +305,34 @@ object Multimodal {
         .orderBy(col("doc_id"))
     },
 
+    // REAL audio path (like q_multimodal_ppm for images): deterministic
+    // PCM16 waveforms are synthesized from document characters, encoded to
+    // canonical RIFF/WAV, then the genuine codec parses the header,
+    // extracts samples, and computes real signal statistics (RMS, peak).
+    // Fully oracle-checked.
+    "q_multimodal_wav" -> { (s, d) =>
+      val frame = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("sample_rate", IntegerType),
+        StructField("n_samples", IntegerType),
+        StructField("rms", DoubleType),
+        StructField("peak", IntegerType)))
+      frame.mapPartitions { rows =>
+        rows.map { r =>
+          val text = r.getString(1)
+          val samples = Array.tabulate(64)(i =>
+            (((text.charAt(i % text.length) & 0xff) - 64) * 256).toShort)
+          val (rate, back) = Wav.decode(Wav.encode(8000, samples))
+          val (rms, peak) = Wav.stats(back)
+          Row(r.getLong(0), rate, back.length, rms, peak)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          round(col("rms") + lit(5e-10), 4).as("rms"), col("peak"))
+        .orderBy(col("doc_id"))
+    },
+
     // Resize (stubbed image decode): deterministic byte subsample; no
     // oracle (subsample stride logic), determinism asserted in ScalaTest.
     "q_multimodal_resize" -> { (s, d) =>
@@ -270,6 +368,17 @@ object Multimodal {
         |  round(avg(v) FILTER (i % 3 = 2) + 5e-10, 4) AS b_mean,
         |  4 AS rw, 2 AS rh
         | FROM px GROUP BY doc_id ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_multimodal_wav" ->
+      """WITH sm AS (
+        | SELECT doc_id,
+        |  (ascii(substring(text, (i % length(text)) + 1, 1)) - 64) * 256 AS v
+        | FROM documents, LATERAL unnest(generate_series(0, 63)) u(i))
+        | SELECT doc_id, 8000 AS sample_rate, 64 AS n_samples,
+        |  round(sqrt(avg(CAST(v AS DOUBLE) * v)) + 5e-10, 4) AS rms,
+        |  CAST(max(abs(v)) AS INT) AS peak
+        | FROM sm GROUP BY doc_id ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_multimodal_frames" ->

@@ -127,6 +127,17 @@ class DedupVectorSpec extends SparkSuite {
     assert((rm, gm, bm) === (25.0, 26.0, 27.0))
   }
 
+  test("wav codec: encode/decode round-trip preserves samples and rate") {
+    import graft.engine.Multimodal.Wav
+    val samples = Array[Short](0, 1000, -1000, Short.MaxValue, Short.MinValue)
+    val (rate, back) = Wav.decode(Wav.encode(44100, samples))
+    assert(rate === 44100)
+    assert(back.toSeq === samples.toSeq)
+    val (rms, peak) = Wav.stats(Array[Short](3, -4))
+    assert(peak === 4)
+    assert(math.abs(rms - math.sqrt(12.5)) < 1e-12)
+  }
+
   test("multimodal features are deterministic with fixed dim") {
     val f = graft.engine.Multimodal.fakeDecodeFeatures("hello".getBytes)
     val g = graft.engine.Multimodal.fakeDecodeFeatures("hello".getBytes)
