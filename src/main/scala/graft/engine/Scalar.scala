@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 
 /** §2.8 Scalar function coverage (SURVEY.md): strings, regex, dates
   * (including EPrints-style partial-date normalization), math, arrays,
@@ -242,6 +242,38 @@ object Scalar {
         .orderBy(col("o_orderkey"))
     },
 
+    // Embedded-CSV cell parsing: from_csv round-trips a delimiter-joined
+    // line back into typed fields (the Bulkrax multi-value cell reality).
+    // Only parsed fields are output — parse(format(x)) == x, so the
+    // engines' float-formatting differences never surface.
+    "q_fn_csv" -> { (s, d) =>
+      val schema = StructType(Seq(
+        StructField("k", LongType),
+        StructField("seg", StringType),
+        StructField("bal", DoubleType)))
+      Tables.customer(s, d)
+        .withColumn("line", concat_ws(",", col("c_custkey"),
+          col("c_mktsegment"), col("c_acctbal")))
+        .withColumn("p", from_csv(col("line"), schema,
+          Map.empty[String, String]))
+        .select(col("c_custkey"), col("p.k").as("k"),
+          col("p.seg").as("seg"), col("p.bal").as("bal"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // URL dissection: host/path/query-parameter extraction (repository
+    // link hygiene in metadata cleanup).
+    "q_fn_url" -> { (s, d) =>
+      Tables.customer(s, d)
+        .withColumn("url", concat(lit("https://repo.example.edu/works/"),
+          col("c_custkey"), lit("?seg="), col("c_mktsegment")))
+        .select(col("c_custkey"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY"), lit("seg")).as("seg_param"))
+        .orderBy(col("c_custkey"))
+    },
+
     // Extended string surface: split_part, translate, repeat, reverse,
     // strpos, left/right — the field-mapping workhorses.
     "q_fn_string2" -> { (s, d) =>
@@ -462,6 +494,20 @@ object Scalar {
         | CAST(floor(CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT) AS whole,
         | CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) % 100 AS DECIMAL(18,2)) AS DOUBLE) AS mod100
         | FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_fn_csv" ->
+      """SELECT c_custkey, c_custkey AS k, c_mktsegment AS seg,
+        | c_acctbal AS bal
+        | FROM customer ORDER BY c_custkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_fn_url" ->
+      """SELECT c_custkey,
+        | 'repo.example.edu' AS host,
+        | '/works/' || c_custkey AS path,
+        | c_mktsegment AS seg_param
+        | FROM customer ORDER BY c_custkey"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_fn_string2" ->
