@@ -39,6 +39,11 @@ class PlanSpec extends SparkSuite {
     assert(plan("q_limit").contains("TakeOrderedAndProject"))
   }
 
+  test("global sort uses range partitioning (sampled split points)") {
+    assert(plan("q_sort_multi").contains("Exchange rangepartitioning"),
+      "total order should range-partition, not single-task sort")
+  }
+
   test("similarity top-k broadcasts probes; corpus is never shuffled") {
     val p = plan("q_sim_topk")
     assert(p.contains("BroadcastNestedLoopJoin") ||
