@@ -129,6 +129,17 @@ object Aggregates {
         .orderBy(col("l_returnflag"))
     },
 
+    // Ordered string aggregation (listagg WITHIN GROUP) — the SQL-standard
+    // form of the Bulkrax multi-value cell join.
+    "q_agg_listagg" -> { (s, d) =>
+      Tables.customer(s, d)
+        .groupBy(col("c_nationkey"))
+        .agg(expr("listagg(c_mktsegment, '|') WITHIN GROUP (ORDER BY c_mktsegment, c_custkey)")
+          .as("segments"),
+          count(lit(1)).as("n"))
+        .orderBy(col("c_nationkey"))
+    },
+
     // Boolean aggregates + conditional count — the rule-check folds a
     // validation/QA pass runs per group.
     "q_agg_bool" -> { (s, d) =>
@@ -336,6 +347,13 @@ object Aggregates {
         | count(DISTINCT l_suppkey) AS n_supps,
         | CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_dist_qty
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_agg_listagg" ->
+      """SELECT c_nationkey,
+        | string_agg(c_mktsegment, '|' ORDER BY c_mktsegment, c_custkey) AS segments,
+        | count(*) AS n
+        | FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_agg_bool" ->

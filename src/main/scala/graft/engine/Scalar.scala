@@ -242,6 +242,18 @@ object Scalar {
         .orderBy(col("o_orderkey"))
     },
 
+    // PII masking (builtin): upper->X, lower->x, digit->n, punctuation
+    // preserved — the redaction primitive for sharing migration reports.
+    "q_fn_mask" -> { (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          mask(col("c_name")).as("masked"),
+          base64(col("c_name").cast("binary")).as("b64"),
+          unbase64(base64(col("c_name").cast("binary"))).cast("string")
+            .as("b64_roundtrip"))
+        .orderBy(col("c_custkey"))
+    },
+
     // Embedded-CSV cell parsing: from_csv round-trips a delimiter-joined
     // line back into typed fields (the Bulkrax multi-value cell reality).
     // Only parsed fields are output — parse(format(x)) == x, so the
@@ -494,6 +506,15 @@ object Scalar {
         | CAST(floor(CAST(o_totalprice AS DECIMAL(18,2))) AS BIGINT) AS whole,
         | CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) % 100 AS DECIMAL(18,2)) AS DOUBLE) AS mod100
         | FROM orders WHERE o_orderkey < 1000 ORDER BY o_orderkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_fn_mask" ->
+      """SELECT c_custkey,
+        | regexp_replace(regexp_replace(regexp_replace(c_name,
+        |   '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g') AS masked,
+        | to_base64(CAST(c_name AS BLOB)) AS b64,
+        | c_name AS b64_roundtrip
+        | FROM customer ORDER BY c_custkey"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_fn_csv" ->

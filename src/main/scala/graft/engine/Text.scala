@@ -211,6 +211,28 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // PII scrubbing: redact emails and phone numbers before a corpus ships
+    // to training. Deterministic PII is planted in-query (the fixture text
+    // has none), then portable regexes redact and count. Pure per-row
+    // projection — embarrassingly parallel at 100 TB.
+    "q_text_pii_scrub" -> { (s, d) =>
+      val emailPat = "[a-z0-9.]+@[a-z0-9.]+[a-z]"
+      val phonePat = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      Tables.documents(s, d)
+        .withColumn("raw", concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.edu or "),
+          pmod(col("doc_id"), lit(900)) + 100, lit("-555-"),
+          lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0")))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("raw"), lit(emailPat), lit(0)))
+            .as("n_emails"),
+          size(regexp_extract_all(col("raw"), lit(phonePat), lit(0)))
+            .as("n_phones"),
+          regexp_replace(regexp_replace(col("raw"), emailPat, "<EMAIL>"),
+            phonePat, "<PHONE>").as("scrubbed"))
+        .orderBy(col("doc_id"))
+    },
+
     // Stratified sampling for dataset mixing: per-language keep fractions
     // (upsample-free Bernoulli via sampleBy with a fixed seed). The mixing
     // knob of corpus construction; no oracle (sampling is algorithm-
@@ -477,6 +499,21 @@ object Text {
          | len($oToks) BETWEEN 10 AND 500 AND length(text) >= 40
          |   AS passes_length_gate
          | FROM documents ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_text_pii_scrub" ->
+      """WITH raw AS (SELECT doc_id,
+        |  text || ' contact user' || doc_id || '@example.edu or '
+        |   || (doc_id % 900 + 100) || '-555-'
+        |   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+        | FROM documents)
+        | SELECT doc_id,
+        |  len(regexp_extract_all(raw, '[a-z0-9.]+@[a-z0-9.]+[a-z]')) AS n_emails,
+        |  len(regexp_extract_all(raw, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS n_phones,
+        |  regexp_replace(regexp_replace(raw,
+        |    '[a-z0-9.]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
+        |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
+        | FROM raw ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_text_chunk" ->
