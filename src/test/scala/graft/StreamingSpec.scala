@@ -268,6 +268,34 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow drains the file source then stops itself") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_avail_src").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_avail_ckpt").toString
+    Seq(
+      Ev(ts("2024-01-01 10:05:00"), 1, "a", 1.0, 1),
+      Ev(ts("2024-01-01 10:20:00"), 1, "a", 2.0, 2),
+      Ev(ts("2024-01-01 11:10:00"), 2, "b", 3.0, 3)
+    ).toDF().write.mode("overwrite").parquet(dir)
+    val tbl = freshTable()
+    val q = spark.readStream
+      .schema(spark.read.parquet(dir).schema).parquet(dir)
+      .groupBy(col("userId")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(tbl)
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "query should stop after draining")
+    assert(!q.isActive)
+    val rows = spark.table(tbl).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows === Map(1L -> 2L, 2L -> 1L))
+  }
+
   test("flatMapGroupsWithState keeps running per-user counts") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
