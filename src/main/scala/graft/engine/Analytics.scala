@@ -50,6 +50,26 @@ object Analytics {
         .orderBy(desc("revenue"), asc("n_name"))
     },
 
+    // Q10 shape: returned-item reporting — revenue lost to returns per
+    // customer in one quarter, top 20. Exercises the 4-table join with a
+    // selective fact filter (returnflag) + date-range partition-prunable
+    // predicate + high-cardinality group-by + top-N.
+    "q_shape_q10" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .join(Tables.lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_returnflag") === "R")
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(dsum(revenue, 4).as("revenue"))
+        .orderBy(desc("revenue"), asc("c_custkey"))
+        .limit(20)
+    },
+
     // Q18 shape: large-volume orders — join against the aggregated
     // qty-per-order exceeding a threshold (HAVING via derived table).
     "q_shape_q18" -> { (s, d) =>
@@ -94,6 +114,20 @@ object Analytics {
          |  AND s_nationkey = c_nationkey
          | WHERE r_name = 'ASIA'
          | GROUP BY n_name ORDER BY revenue DESC, n_name ASC"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_shape_q10" ->
+      s"""SELECT c_custkey, c_name, c_acctbal, n_name,
+         | ${oSum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+         | FROM customer
+         | JOIN orders ON c_custkey = o_custkey
+         | JOIN lineitem ON o_orderkey = l_orderkey
+         | JOIN nation ON c_nationkey = n_nationkey
+         | WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+         |  AND o_orderdate < TIMESTAMP '1996-04-01'
+         |  AND l_returnflag = 'R'
+         | GROUP BY c_custkey, c_name, c_acctbal, n_name
+         | ORDER BY revenue DESC, c_custkey ASC LIMIT 20"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_shape_q18" ->
