@@ -70,6 +70,22 @@ object Analytics {
         .limit(20)
     },
 
+    // Q4 shape: order-priority checking — orders in one quarter having at
+    // least one late-shipped item (EXISTS => left-semi join with a
+    // correlated cross-side predicate), counted per priority.
+    "q_shape_q4" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+      o.join(Tables.lineitem(s, d),
+          col("l_orderkey") === col("o_orderkey")
+            && col("l_shipdate") > col("o_orderdate")
+              + expr("INTERVAL 30 DAYS"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // Q18 shape: large-volume orders — join against the aggregated
     // qty-per-order exceeding a threshold (HAVING via derived table).
     "q_shape_q18" -> { (s, d) =>
@@ -128,6 +144,17 @@ object Analytics {
          |  AND l_returnflag = 'R'
          | GROUP BY c_custkey, c_name, c_acctbal, n_name
          | ORDER BY revenue DESC, c_custkey ASC LIMIT 20"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_shape_q4" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        | FROM orders
+        | WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |   WHERE l_orderkey = o_orderkey
+        |    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        | GROUP BY o_orderpriority ORDER BY o_orderpriority"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_shape_q18" ->

@@ -95,6 +95,24 @@ object Windows {
         .orderBy(col("c_custkey"))
     },
 
+    // nth_value / lead-with-default / last-ignoring-nulls — the sparse-
+    // series completions (carry-forward imputation is exactly
+    // last(ignoreNulls) over a running frame).
+    "q_win_nth" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("v_sparse",
+          when(col("value") < 0.2, lit(null)).otherwise(col("value")))
+        .select(col("event_id"), col("user_id"),
+          nth_value(col("value"), 3).over(wRun).as("third_v"),
+          lead(col("value"), 2, -1.0).over(w).as("lead2_or_neg1"),
+          last(col("v_sparse"), ignoreNulls = true).over(wRun)
+            .as("carry_forward"))
+        .orderBy(col("event_id"))
+    },
+
     // Interval-typed RANGE frame over event time (1 trailing hour per
     // user) — unlike q_win_moving's integer-seconds frame, the frame bound
     // is a calendar interval on the timestamp itself (SQL-only surface,
@@ -185,6 +203,20 @@ object Windows {
         | FROM customer
         | WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
         | ORDER BY c_custkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_win_nth" ->
+      """SELECT event_id, user_id,
+        | nth_value(value, 3) OVER wr AS third_v,
+        | lead(value, 2, -1.0) OVER w AS lead2_or_neg1,
+        | last_value(CASE WHEN value < 0.2 THEN NULL ELSE value END
+        |   IGNORE NULLS) OVER wr AS carry_forward
+        | FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |   FROM events)
+        | WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |  wr AS (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        | ORDER BY event_id"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_win_range_time" ->
