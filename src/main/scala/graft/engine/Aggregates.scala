@@ -129,6 +129,23 @@ object Aggregates {
         .orderBy(col("l_returnflag"))
     },
 
+    // Linear-regression aggregates: slope/intercept/r2 of price vs
+    // quantity per flag (trend profiling). Rounded like q_agg_stats —
+    // the sums inside are double and engine summation order differs.
+    "q_agg_regr" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("slope"),
+          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4)
+            .as("intercept"),
+          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6)
+            .as("r2"),
+          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Ordered string aggregation (listagg WITHIN GROUP) — the SQL-standard
     // form of the Bulkrax multi-value cell join.
     "q_agg_listagg" -> { (s, d) =>
@@ -346,6 +363,15 @@ object Aggregates {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         | count(DISTINCT l_suppkey) AS n_supps,
         | CAST(sum(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_dist_qty
+        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_agg_regr" ->
+      """SELECT l_returnflag,
+        | round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+        | round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+        | round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        | CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
         .stripMargin.replaceAll("\n", " "),
 
