@@ -22,4 +22,23 @@ class ConcurrencySpec extends SparkSuite {
     val results = Await.result(Future.sequence(futures), 120.seconds).toMap
     assert(results === expected)
   }
+
+  test("sink queries at two scale factors run concurrently without clobbering") {
+    // sink paths are scoped by sfDir — the same sink query at different
+    // SFs must produce its own (serial-identical) result even when the
+    // writes interleave on one session
+    val sfA = "/root/testdata/sf0.001"
+    val sfB = "/root/testdata/sf0.01"
+    val serialA = SparkEntry.queries("q_sink_parquet")(spark, sfA)
+      .collect().map(_.toSeq).toSeq
+    val serialB = SparkEntry.queries("q_sink_parquet")(spark, sfB)
+      .collect().map(_.toSeq).toSeq
+    val fa = Future(SparkEntry.queries("q_sink_parquet")(spark, sfA)
+      .collect().map(_.toSeq).toSeq)
+    val fb = Future(SparkEntry.queries("q_sink_parquet")(spark, sfB)
+      .collect().map(_.toSeq).toSeq)
+    assert(Await.result(fa, 180.seconds) === serialA)
+    assert(Await.result(fb, 180.seconds) === serialB)
+    assert(serialA !== serialB) // different SFs genuinely differ
+  }
 }
