@@ -100,6 +100,21 @@ object Scalar {
         .orderBy(col("o_orderkey"))
     },
 
+    // Second date batch: calendar arithmetic (month add with end-of-month
+    // clamp, last_day), and the week/quarter/day-of-week calendar fields.
+    "q_fn_date2" -> { (s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderkey") < 2000)
+        .select(
+          col("o_orderkey"),
+          add_months(to_date(col("o_orderdate")), 2).as("plus2m"),
+          last_day(to_date(col("o_orderdate"))).as("month_end"),
+          weekofyear(col("o_orderdate")).as("iso_week"),
+          quarter(col("o_orderdate")).as("q"),
+          dayofweek(col("o_orderdate")).as("dow_sun1"))
+        .orderBy(col("o_orderkey"))
+    },
+
     "q_fn_math" -> { (s, d) =>
       Tables.lineitem(s, d)
         .filter(col("l_orderkey") < 300)
@@ -131,6 +146,23 @@ object Scalar {
           element_at(col("toks"), 1).as("tok1"),
           array_join(slice(flatten(array(col("toks"), col("toks"))), 1, 2),
             ",").as("doubled2"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Second array batch: position/remove/overlap + element-wise
+    // min/max over a derived numeric array.
+    "q_fn_array2" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("lens", transform(col("toks"), t => length(t)))
+        .select(
+          col("doc_id"),
+          array_position(col("toks"), "the").as("pos_the"),
+          size(array_remove(col("toks"), "the")).as("n_no_the"),
+          arrays_overlap(col("toks"),
+            array(lit("the"), lit("a"))).as("has_stop"),
+          array_max(col("lens")).as("max_len"),
+          array_min(col("lens")).as("min_len"))
         .orderBy(col("doc_id"))
     },
 
@@ -414,6 +446,16 @@ object Scalar {
         | ORDER BY o_orderkey"""
         .stripMargin.replaceAll("\n", " "),
 
+    "q_fn_date2" ->
+      """SELECT o_orderkey,
+        | CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        | last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        | CAST(week(o_orderdate) AS INT) AS iso_week,
+        | CAST(quarter(o_orderdate) AS INT) AS q,
+        | CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow_sun1
+        | FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey"""
+        .stripMargin.replaceAll("\n", " "),
+
     "q_fn_math" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice,
         | round(l_extendedprice / 7 + 5e-10, 2) AS div7,
@@ -438,6 +480,17 @@ object Scalar {
         | array_to_string(list_sort(toks)[1:3], ',') AS first3,
         | toks[1] AS tok1,
         | array_to_string(list_concat(toks, toks)[1:2], ',') AS doubled2
+        | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        | ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_fn_array2" ->
+      """SELECT doc_id,
+        | CAST(coalesce(list_position(toks, 'the'), 0) AS BIGINT) AS pos_the,
+        | len(list_filter(toks, x -> x <> 'the')) AS n_no_the,
+        | len(list_intersect(toks, ['the', 'a'])) > 0 AS has_stop,
+        | list_max(list_transform(toks, x -> length(x))) AS max_len,
+        | list_min(list_transform(toks, x -> length(x))) AS min_len
         | FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
         | ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
