@@ -275,6 +275,21 @@ object Relational {
         .orderBy(col("event_id"))
     },
 
+    // SCD-2 effective dating: turn a keyed event history into
+    // [valid_from, valid_to) ranges with a current-record flag — the
+    // slowly-changing-dimension shape every migration load needs. One
+    // window over the key, no self-join.
+    "q_shape_scd2" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").as("valid_from"),
+          lead(col("o_orderdate"), 1).over(w).as("valid_to"),
+          lead(col("o_orderdate"), 1).over(w).isNull.as("is_current"))
+        .orderBy(col("o_custkey"), col("valid_from"), col("o_orderkey"))
+    },
+
     // Validation report (migration gap analysis): per-record rule flags
     // and a ';'-joined reason string for records failing any rule.
     "q_validate_rules" -> { (s, d) =>
@@ -511,6 +526,16 @@ object Relational {
         |   FROM orders GROUP BY 1, 2) o
         | ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
         | ORDER BY e.event_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_shape_scd2" ->
+      """SELECT o_custkey, o_orderkey,
+        | o_orderdate AS valid_from,
+        | lead(o_orderdate, 1) OVER w AS valid_to,
+        | lead(o_orderdate, 1) OVER w IS NULL AS is_current
+        | FROM orders
+        | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        | ORDER BY o_custkey, valid_from, o_orderkey"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_join_range_bucket" ->
