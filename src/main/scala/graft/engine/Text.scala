@@ -211,6 +211,25 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // Corpus-wide word-bigram frequencies (the n-gram statistics feeding
+    // language models / langid): per-row bigram explode, one shuffled
+    // count, top 20.
+    "q_text_ngrams" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("t", toks(col("text")))
+        // slice to (size-1) entries so single-token docs contribute no
+        // bigrams (sequence(1,0) would DESCEND in Spark)
+        .select(explode(slice(
+          transform(sequence(lit(1), greatest(size(col("t")) - 1, lit(1))),
+            i => concat_ws(" ", element_at(col("t"), i),
+              element_at(col("t"), i + 1))),
+          lit(1), greatest(size(col("t")) - 1, lit(0)))).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), asc("bigram"))
+        .limit(20)
+    },
+
     // PII scrubbing: redact emails and phone numbers before a corpus ships
     // to training. Deterministic PII is planted in-query (the fixture text
     // has none), then portable regexes redact and count. Pure per-row
@@ -499,6 +518,15 @@ object Text {
          | len($oToks) BETWEEN 10 AND 500 AND length(text) >= 40
          |   AS passes_length_gate
          | FROM documents ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_text_ngrams" ->
+      s"""WITH t AS (SELECT $oToks AS tk FROM documents),
+         | bg AS (SELECT tk[i] || ' ' || tk[i+1] AS bigram
+         |  FROM t, LATERAL unnest(generate_series(1, len(tk) - 1)) u(i)
+         |  WHERE len(tk) >= 2)
+         | SELECT bigram, count(*) AS n FROM bg
+         | GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_text_pii_scrub" ->

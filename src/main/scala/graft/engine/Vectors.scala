@@ -173,6 +173,28 @@ object Vectors {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Scalar (int8) quantization of embeddings — the 4x storage cut that
+    // makes a 100 TB vector corpus searchable in memory: q_i =
+    // round(v_i * 127 / max|v|), plus the reconstruction error that
+    // decision costs. Pure per-row HOF arithmetic.
+    "q_vec_quantize" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), vd(col("embedding")).as("v"))
+        .withColumn("scale",
+          aggregate(col("v"), lit(0.0), (m, x) => greatest(m, abs(x))))
+      emb.withColumn("q", transform(col("v"),
+          x => round(x * lit(127.0) / col("scale")).cast("int")))
+        .withColumn("deq", zip_with(col("q"), col("v"),
+          (q, _) => q.cast("double") * col("scale") / lit(127.0)))
+        .select(col("vec_id"),
+          eround(col("scale"), 6).as("scale"),
+          aggregate(col("q"), lit(0L), (a, x) => a + abs(x)).as("q_l1"),
+          eround(sqrt(aggregate(zip_with(col("v"), col("deq"),
+            (a, b) => (a - b) * (a - b)), lit(0.0), (acc, x) => acc + x)), 6)
+            .as("recon_err"))
+        .orderBy(col("vec_id"))
+    },
+
     // k-NN majority-vote label prediction over the top-5 neighbor sets.
     "q_knn_label_vote" -> { (s, d) =>
       GraftFunctions.register(s)
@@ -240,6 +262,24 @@ object Vectors {
          |    / (sqrt(list_dot_product(a.v, a.v))
          |       * sqrt(list_dot_product(b.v, b.v))) + 5e-10, 6) >= 0.3
          | ORDER BY id_a, id_b"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_vec_quantize" ->
+      s"""WITH e AS (SELECT vec_id, $oVd AS v FROM embeddings),
+         | s AS (SELECT vec_id, v,
+         |   list_reduce(list_transform(v, x -> abs(x)),
+         |     (a, b) -> greatest(a, b)) AS scale FROM e),
+         | q AS (SELECT vec_id, v, scale,
+         |   list_transform(v, x -> CAST(round(x * 127.0 / scale) AS INT)) AS qv
+         |  FROM s)
+         | SELECT vec_id, round(scale + 5e-10, 6) AS scale,
+         |  CAST(list_reduce(list_transform(qv, x -> CAST(abs(x) AS BIGINT)),
+         |    (a, b) -> a + b) AS BIGINT) AS q_l1,
+         |  round(sqrt(list_reduce(list_transform(list_zip(v, qv),
+         |    z -> (z[1] - CAST(z[2] AS DOUBLE) * scale / 127.0)
+         |       * (z[1] - CAST(z[2] AS DOUBLE) * scale / 127.0)),
+         |    (a, b) -> a + b)) + 5e-10, 6) AS recon_err
+         | FROM q ORDER BY vec_id"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_knn_label_vote" ->
