@@ -275,6 +275,24 @@ object Relational {
         .orderBy(col("event_id"))
     },
 
+    // Referential-integrity audit: orphan foreign keys per relationship
+    // (anti-join counts) — the pre-load QA gate of any migration. One row
+    // per FK edge; healthy fixtures report 0 orphans, which the oracle
+    // verifies rather than assumes.
+    "q_validate_fk" -> { (s, d) =>
+      def orphans(name: String, child: DataFrame, fk: String,
+          parent: DataFrame, pk: String): DataFrame =
+        child.join(parent, col(fk) === col(pk), "left_anti")
+          .agg(lit(name).as("fk_edge"), count(lit(1)).as("n_orphans"))
+      orphans("orders->customer", Tables.orders(s, d), "o_custkey",
+          Tables.customer(s, d), "c_custkey")
+        .unionByName(orphans("lineitem->orders", Tables.lineitem(s, d),
+          "l_orderkey", Tables.orders(s, d), "o_orderkey"))
+        .unionByName(orphans("customer->nation", Tables.customer(s, d),
+          "c_nationkey", Tables.nation(s, d), "n_nationkey"))
+        .orderBy(col("fk_edge"))
+    },
+
     // SCD-2 effective dating: turn a keyed event history into
     // [valid_from, valid_to) ranges with a current-record flag — the
     // slowly-changing-dimension shape every migration load needs. One
@@ -526,6 +544,19 @@ object Relational {
         |   FROM orders GROUP BY 1, 2) o
         | ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
         | ORDER BY e.event_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_validate_fk" ->
+      """SELECT * FROM (
+        | SELECT 'orders->customer' AS fk_edge, count(*) AS n_orphans
+        |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        | UNION ALL
+        | SELECT 'lineitem->orders', count(*)
+        |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        | UNION ALL
+        | SELECT 'customer->nation', count(*)
+        |  FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+        | ORDER BY fk_edge"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_shape_scd2" ->
