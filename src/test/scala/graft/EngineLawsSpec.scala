@@ -135,6 +135,64 @@ class EngineLawsSpec extends SparkSuite {
     assert(summed === total)
   }
 
+  test("bucketed range join equals the naive O(n^2) range join") {
+    import graft.engine.Tables
+    val bucketed = SparkEntry.queries("q_join_range_bucket")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), unix_micros(col("ts")).as("us"))
+    val a = ev.select(col("event_id").as("id_a"), col("us").as("us_a"))
+    val b = ev.select(col("event_id").as("id_b"), col("us").as("us_b"))
+    val naive = a.join(b, col("id_a") =!= col("id_b")
+        && abs(col("us_a") - col("us_b")) <= 60000000L)
+      .groupBy(col("id_a")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bucketed result covers every event (0 for isolated); naive omits them
+    assert(naive.forall { case (id, n) => bucketed.get(id).contains(n) })
+    assert(bucketed.filter(_._2 > 0).keySet === naive.keySet)
+  }
+
+  test("scd2 ranges tile each key's timeline with one current record") {
+    val scd = SparkEntry.queries("q_shape_scd2")(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](2),
+        Option(r.getAs[java.time.LocalDateTime](3)),
+        r.getBoolean(4)))
+    scd.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r =>
+        (r._2.toEpochSecond(java.time.ZoneOffset.UTC), r._3.isEmpty))
+      // exactly one open (current) range per key, and it is the last one
+      assert(rows.count(_._4) === 1)
+      assert(sorted.last._4)
+      // each closed range ends where the next begins
+      sorted.sliding(2).foreach {
+        case Array(prev, next) =>
+          assert(prev._3.contains(next._2),
+            s"range gap: ${prev._3} then ${next._2}")
+        case _ =>
+      }
+    }
+  }
+
+  test("chunking covers every token: offsets stride and lengths sum correctly") {
+    import graft.engine.Tables
+    val chunks = SparkEntry.queries("q_text_chunk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(3)))
+    val nTok = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(lower(col("text")), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    chunks.groupBy(_._1).foreach { case (doc, rows) =>
+      val sorted = rows.sortBy(_._2)
+      // offsets stride by 24 from 0; final chunk reaches the last token
+      sorted.zipWithIndex.foreach { case ((_, off, _), i) =>
+        assert(off === i * 24)
+      }
+      val (_, lastOff, lastLen) = sorted.last
+      assert(lastOff + lastLen === nTok(doc),
+        s"doc $doc: chunks end at ${lastOff + lastLen}, have ${nTok(doc)} tokens")
+    }
+  }
+
   test("stratified sample keeps full strata exactly, partial strata near rate") {
     val sf01 = "/root/testdata/sf0.01" // larger strata for tight tolerance
     val kept = SparkEntry.queries("q_sample_stratified")(spark, sf01)
