@@ -211,6 +211,36 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // Per-document repetition signals (the Gopher/C4-style quality rule:
+    // heavily repeated n-grams mark boilerplate/spam): fraction of bigram
+    // occurrences taken by the most frequent bigram + distinct-token
+    // ratio. Shuffles on (doc, bigram) then reduces per doc.
+    "q_text_repetition" -> { (s, d) =>
+      val base = Tables.documents(s, d)
+        .withColumn("t", toks(col("text")))
+        .withColumn("n_tok", size(col("t")))
+        .withColumn("n_dist", size(array_distinct(col("t"))))
+      val bigrams = base
+        .select(col("doc_id"), col("n_tok"), col("n_dist"),
+          explode(slice(
+            transform(sequence(lit(1), greatest(size(col("t")) - 1, lit(1))),
+              i => concat_ws(" ", element_at(col("t"), i),
+                element_at(col("t"), i + 1))),
+            lit(1), greatest(size(col("t")) - 1, lit(0)))).as("bigram"))
+      bigrams
+        .groupBy(col("doc_id"), col("n_tok"), col("n_dist"), col("bigram"))
+        .agg(count(lit(1)).as("bn"))
+        .groupBy(col("doc_id"), col("n_tok"), col("n_dist"))
+        .agg(sum(col("bn")).cast("bigint").as("n_bigrams"),
+          max(col("bn")).as("top_bigram_n"))
+        .select(col("doc_id"), col("n_bigrams"), col("top_bigram_n"),
+          eround(col("top_bigram_n") / col("n_bigrams"), 4)
+            .as("top_bigram_frac"),
+          eround(col("n_dist").cast("double") / col("n_tok"), 4)
+            .as("distinct_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
     // Corpus-wide word-bigram frequencies (the n-gram statistics feeding
     // language models / langid): per-row bigram explode, one shuffled
     // count, top 20.
@@ -518,6 +548,21 @@ object Text {
          | len($oToks) BETWEEN 10 AND 500 AND length(text) >= 40
          |   AS passes_length_gate
          | FROM documents ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $oToks AS tk FROM documents),
+         | bg AS (SELECT doc_id, len(tk) AS n_tok,
+         |   len(list_distinct(tk)) AS n_dist, tk[i] || ' ' || tk[i+1] AS bigram
+         |  FROM t, LATERAL unnest(generate_series(1, len(tk) - 1)) u(i)
+         |  WHERE len(tk) >= 2),
+         | cnt AS (SELECT doc_id, n_tok, n_dist, bigram, count(*) AS bn
+         |  FROM bg GROUP BY doc_id, n_tok, n_dist, bigram)
+         | SELECT doc_id, CAST(sum(bn) AS BIGINT) AS n_bigrams,
+         |  max(bn) AS top_bigram_n,
+         |  round(CAST(max(bn) AS DOUBLE) / sum(bn) + 5e-10, 4) AS top_bigram_frac,
+         |  round(CAST(n_dist AS DOUBLE) / n_tok + 5e-10, 4) AS distinct_ratio
+         | FROM cnt GROUP BY doc_id, n_tok, n_dist ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_text_ngrams" ->
