@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Without this, sbt re-logs the forked process's stdout with an "[info]"
+// prefix, which breaks line-oriented JSON parsing of Bench's output.
+// StdoutOutput passes the forked stdout through unwrapped.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -47,21 +47,36 @@ object Bench {
       selected.toSeq.sortBy(_._1).foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => }
       }
+    // Median-of-N per query: one timed pass cannot distinguish a real
+    // regression from driver-side contention (observed swings up to 4.5x
+    // between identical runs). Report the median (robust central tendency)
+    // and the min (best-case floor) per query; total = sum of medians.
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption)
+      .filter(_ >= 1).getOrElse(5)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      val median =
+        if (reps % 2 == 1) times(reps / 2)
+        else (times(reps / 2 - 1) + times(reps / 2)) / 2.0
+      (name, median, times.head)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, med, _) => s"\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val mins = results.map { case (k, _, mn) => s"\"" + k + "\":" + mn }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"reps":$reps,"sf":"$sfDir"}"""
     println(json)
-    // sbt prefixes stdout with "[info]", which breaks naive JSON parsing —
-    // also write the line to a file the driver can read verbatim.
-    val outPath =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_out.json")
+    // Belt and braces: also write the line to a file readable verbatim even
+    // if a wrapper mangles stdout. Default is cwd-relative so the path works
+    // wherever the repo is checked out; SPARK_GRAFT_BENCH_OUT overrides.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      new java.io.File("bench_out.json").getAbsolutePath)
     try {
       val w = new java.io.PrintWriter(outPath)
       try w.println(json) finally w.close()
