@@ -46,8 +46,12 @@ class DedupVectorSpec extends SparkSuite {
       .select("probe_id", "vec_id", "cos_r").collect()
     assert(ivf.nonEmpty)
     val hits = ivf.count(r => exact.contains((r.getLong(0), r.getLong(1))))
-    info(f"ivf recall vs exact top-5: ${hits.toDouble / exact.size}%.2f " +
-      s"($hits/${exact.size})")
+    val recall = hits.toDouble / exact.size
+    info(f"ivf recall vs exact top-5: $recall%.2f ($hits/${exact.size})")
+    // nprobe=2 over 8 learned centroids; single-cluster probing capped
+    // recall at 0.78 — the second-nearest cluster recovers the
+    // across-the-Voronoi-boundary neighbors.
+    assert(recall >= 0.9, f"ivf recall $recall%.2f below 0.9 gate")
     // every ivf hit that also appears in the exact top-k must carry the
     // identical score (same native expression, same rounding)
     var overlap = 0
