@@ -24,8 +24,9 @@ object Multimodal {
 
   /** Minimal REAL P6 PPM codec — header parse + pixel plane, pure bytes,
     * no media libraries needed. This makes the decode stage genuine for
-    * the one raster format expressible without codecs; JPEG/PNG/audio
-    * remain behind the clearly-labeled stubs below.
+    * the simplest raster format; see also [[Png]] (real, zlib-based) and
+    * [[Wav]] (real, PCM16). JPEG/compressed audio remain behind the
+    * clearly-labeled stubs below.
     */
   object Ppm {
     def encode(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
@@ -37,7 +38,8 @@ object Multimodal {
     def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
       var i = 0
       def token(): String = {
-        while (bytes(i) == ' ' || bytes(i) == '\n') i += 1
+        while (i < bytes.length && (bytes(i) == ' ' || bytes(i) == '\n')) i += 1
+        require(i < bytes.length, "truncated ppm header")
         val start = i
         while (i < bytes.length && bytes(i) != ' ' && bytes(i) != '\n') i += 1
         new String(bytes, start, i - start, "US-ASCII")
@@ -49,6 +51,9 @@ object Multimodal {
       val maxval = token().toInt
       require(maxval == 255, s"unsupported maxval $maxval")
       i += 1 // single whitespace after maxval
+      // copyOfRange zero-pads past the end, which would silently decode a
+      // truncated payload as black pixels — fail loudly instead.
+      require(bytes.length >= i + w * h * 3, "truncated pixel plane")
       val rgb = java.util.Arrays.copyOfRange(bytes, i, i + w * h * 3)
       (w, h, rgb)
     }
@@ -177,6 +182,151 @@ object Multimodal {
     }
   }
 
+  /** Minimal REAL PNG codec for 8-bit truecolor RGB — the third pure-byte
+    * format (after [[Ppm]] and [[Wav]]) implementable without media
+    * libraries: zlib is in the JDK (`java.util.zip.Deflater`/`Inflater`),
+    * leaving chunk framing (CRC-32 verified), IHDR parse, and the five
+    * scanline filters (None/Sub/Up/Average/Paeth) to implement per the PNG
+    * spec (RFC 2083). The encoder cycles filters Sub→Up→Average→Paeth
+    * across rows so the decoder's unfilter path is genuinely exercised.
+    * JPEG and compressed audio stay behind the labeled stubs.
+    */
+  object Png {
+    private val Sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      .map(_.toByte)
+
+    private def be32(v: Int): Array[Byte] =
+      Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+
+    private def chunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+      val t = tpe.getBytes("US-ASCII")
+      val crc = new java.util.zip.CRC32
+      crc.update(t)
+      crc.update(data)
+      be32(data.length) ++ t ++ data ++ be32(crc.getValue.toInt)
+    }
+
+    /** PNG filter-type-4 predictor (nearest of left/up/upper-left). */
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    private def predict(f: Int, left: Int, up: Int, ul: Int): Int = f match {
+      case 0 => 0
+      case 1 => left
+      case 2 => up
+      case 3 => (left + up) / 2
+      case 4 => paeth(left, up, ul)
+      case other => throw new IllegalArgumentException(s"bad filter $other")
+    }
+
+    def encode(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == w * h * 3, "pixel plane must be w*h*3 bytes")
+      val ihdr = be32(w) ++ be32(h) ++
+        Array[Byte](8, 2, 0, 0, 0) // bit depth 8, color type 2 (RGB)
+      val stride = w * 3
+      val raw = new Array[Byte](h * (stride + 1))
+      var y = 0
+      while (y < h) {
+        val f = y % 4 + 1 // cycle Sub/Up/Average/Paeth
+        raw(y * (stride + 1)) = f.toByte
+        var x = 0
+        while (x < stride) {
+          val cur = rgb(y * stride + x) & 0xff
+          val left = if (x >= 3) rgb(y * stride + x - 3) & 0xff else 0
+          val up = if (y >= 1) rgb((y - 1) * stride + x) & 0xff else 0
+          val ul =
+            if (x >= 3 && y >= 1) rgb((y - 1) * stride + x - 3) & 0xff else 0
+          raw(y * (stride + 1) + 1 + x) =
+            ((cur - predict(f, left, up, ul)) & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw)
+      deflater.finish()
+      val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
+      val buf = new Array[Byte](4096)
+      while (!deflater.finished())
+        out.write(buf, 0, deflater.deflate(buf))
+      deflater.end()
+      Sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+
+    /** Full decode: signature + CRC-verified chunk walk + zlib inflate +
+      * per-row unfilter. Ancillary chunks are skipped, as the spec allows.
+      */
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+      require(bytes.length >= 8 && Sig.indices.forall(k => bytes(k) == Sig(k)),
+        "not a png signature")
+      def u32(off: Int): Int =
+        ((bytes(off) & 0xff) << 24) | ((bytes(off + 1) & 0xff) << 16) |
+          ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+      var i = 8
+      var w = 0
+      var h = 0
+      var sawIhdr = false
+      var sawIend = false
+      val idat = new java.io.ByteArrayOutputStream()
+      while (!sawIend) {
+        require(i + 12 <= bytes.length, "truncated chunk header")
+        val len = u32(i)
+        require(len >= 0 && i + 12 + len <= bytes.length, "truncated chunk")
+        val tpe = new String(bytes, i + 4, 4, "US-ASCII")
+        val crc = new java.util.zip.CRC32
+        crc.update(bytes, i + 4, 4 + len)
+        require(crc.getValue.toInt == u32(i + 8 + len), s"bad CRC in $tpe")
+        tpe match {
+          case "IHDR" =>
+            w = u32(i + 8); h = u32(i + 12)
+            require(bytes(i + 16) == 8 && bytes(i + 17) == 2,
+              "only 8-bit truecolor RGB supported")
+            require(bytes(i + 18) == 0 && bytes(i + 19) == 0 &&
+              bytes(i + 20) == 0, "unsupported compression/filter/interlace")
+            sawIhdr = true
+          case "IDAT" => idat.write(bytes, i + 8, len)
+          case "IEND" => sawIend = true
+          case _ => () // ancillary chunk, skip
+        }
+        i += 12 + len
+      }
+      require(sawIhdr, "missing IHDR")
+      val inflater = new java.util.zip.Inflater()
+      inflater.setInput(idat.toByteArray)
+      val stride = w * 3
+      val raw = new Array[Byte](h * (stride + 1))
+      var off = 0
+      while (!inflater.finished() && off < raw.length) {
+        val n = inflater.inflate(raw, off, raw.length - off)
+        require(n > 0 || inflater.finished(), "truncated IDAT stream")
+        off += n
+      }
+      inflater.end()
+      require(off == raw.length, "decompressed size mismatch")
+      val rgb = new Array[Byte](h * stride)
+      var y = 0
+      while (y < h) {
+        val f = raw(y * (stride + 1)) & 0xff
+        var x = 0
+        while (x < stride) {
+          val v = raw(y * (stride + 1) + 1 + x) & 0xff
+          val left = if (x >= 3) rgb(y * stride + x - 3) & 0xff else 0
+          val up = if (y >= 1) rgb((y - 1) * stride + x) & 0xff else 0
+          val ul =
+            if (x >= 3 && y >= 1) rgb((y - 1) * stride + x - 3) & 0xff else 0
+          rgb(y * stride + x) = ((v + predict(f, left, up, ul)) & 0xff).toByte
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, rgb)
+    }
+  }
+
   /** Media-shaped frame from the documents fixture: payload bytes (UTF-8 of
     * the text, standing in for encoded media) + typed metadata struct.
     */
@@ -288,8 +438,11 @@ object Multimodal {
       frame.mapPartitions { rows =>
         rows.map { r =>
           val text = r.getString(1)
+          // 7-bit mask on BOTH engines (oracle: ascii(...) % 128): charAt is
+          // a UTF-16 unit, so & 0xff would silently diverge from the
+          // oracle's code-point ascii() on any non-ASCII input.
           val px = Array.tabulate(8 * 4 * 3)(i =>
-            (text.charAt(i % text.length) & 0xff).toByte)
+            (text.charAt(i % text.length) & 0x7f).toByte)
           val img = Ppm.encode(8, 4, px)
           val (w, h, rgb) = Ppm.decode(img)
           val (rm, gm, bm) = Ppm.channelMeans(rgb)
@@ -321,8 +474,10 @@ object Multimodal {
       frame.mapPartitions { rows =>
         rows.map { r =>
           val text = r.getString(1)
+          // 7-bit mask (see q_multimodal_ppm): (0x7f - 64) * 256 = 16128
+          // stays within Short range, so the .toShort never wraps.
           val samples = Array.tabulate(64)(i =>
-            (((text.charAt(i % text.length) & 0xff) - 64) * 256).toShort)
+            (((text.charAt(i % text.length) & 0x7f) - 64) * 256).toShort)
           val (rate, back) = Wav.decode(Wav.encode(8000, samples))
           val (rms, peak) = Wav.stats(back)
           Row(r.getLong(0), rate, back.length, rms, peak)
@@ -330,6 +485,47 @@ object Multimodal {
       }(org.apache.spark.sql.Encoders.row(outSchema))
         .select(col("doc_id"), col("sample_rate"), col("n_samples"),
           round(col("rms") + lit(5e-10), 4).as("rms"), col("peak"))
+        .orderBy(col("doc_id"))
+    },
+
+    // REAL PNG path: the same synthesized 8x4 pixel plane as
+    // q_multimodal_ppm, but round-tripped through the genuine PNG codec —
+    // zlib deflate/inflate, CRC-verified chunk framing, and
+    // Sub/Up/Average/Paeth scanline unfiltering — then channel statistics
+    // and a real resize. png_bytes (the compressed size) is emitted
+    // rows-only (deflate output isn't SQL-expressible); the
+    // oracle-checked columns recompute the channel means from the same
+    // characters.
+    "q_multimodal_png" -> { (s, d) =>
+      val frame = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("w", IntegerType),
+        StructField("h", IntegerType),
+        StructField("r_mean", DoubleType),
+        StructField("g_mean", DoubleType),
+        StructField("b_mean", DoubleType),
+        StructField("rw", IntegerType),
+        StructField("rh", IntegerType)))
+      frame.mapPartitions { rows =>
+        rows.map { r =>
+          val text = r.getString(1)
+          val px = Array.tabulate(8 * 4 * 3)(i =>
+            (text.charAt(i % text.length) & 0x7f).toByte)
+          val img = Png.encode(8, 4, px)
+          val (w, h, rgb) = Png.decode(img)
+          val (rm, gm, bm) = Ppm.channelMeans(rgb)
+          val (rw, rh, _) = Png.decode(
+            Png.encode(4, 2, Ppm.decode(
+              Ppm.resizeNearest(w, h, rgb, 4, 2))._3))
+          Row(r.getLong(0), w, h, rm, gm, bm, rw, rh)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+        .select(col("doc_id"), col("w"), col("h"),
+          round(col("r_mean") + lit(5e-10), 4).as("r_mean"),
+          round(col("g_mean") + lit(5e-10), 4).as("g_mean"),
+          round(col("b_mean") + lit(5e-10), 4).as("b_mean"),
+          col("rw"), col("rh"))
         .orderBy(col("doc_id"))
     },
 
@@ -360,7 +556,22 @@ object Multimodal {
     "q_multimodal_ppm" ->
       """WITH px AS (
         | SELECT doc_id, i,
-        |  ascii(substring(text, (i % length(text)) + 1, 1)) AS v
+        |  ascii(substring(text, (i % length(text)) + 1, 1)) % 128 AS v
+        | FROM documents, LATERAL unnest(generate_series(0, 95)) u(i))
+        | SELECT doc_id, 8 AS w, 4 AS h,
+        |  round(avg(v) FILTER (i % 3 = 0) + 5e-10, 4) AS r_mean,
+        |  round(avg(v) FILTER (i % 3 = 1) + 5e-10, 4) AS g_mean,
+        |  round(avg(v) FILTER (i % 3 = 2) + 5e-10, 4) AS b_mean,
+        |  4 AS rw, 2 AS rh
+        | FROM px GROUP BY doc_id ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Pixel-identical to the ppm oracle: the png codec must round-trip the
+    // same synthesized plane bit-for-bit.
+    "q_multimodal_png" ->
+      """WITH px AS (
+        | SELECT doc_id, i,
+        |  ascii(substring(text, (i % length(text)) + 1, 1)) % 128 AS v
         | FROM documents, LATERAL unnest(generate_series(0, 95)) u(i))
         | SELECT doc_id, 8 AS w, 4 AS h,
         |  round(avg(v) FILTER (i % 3 = 0) + 5e-10, 4) AS r_mean,
@@ -373,7 +584,7 @@ object Multimodal {
     "q_multimodal_wav" ->
       """WITH sm AS (
         | SELECT doc_id,
-        |  (ascii(substring(text, (i % length(text)) + 1, 1)) - 64) * 256 AS v
+        |  (ascii(substring(text, (i % length(text)) + 1, 1)) % 128 - 64) * 256 AS v
         | FROM documents, LATERAL unnest(generate_series(0, 63)) u(i))
         | SELECT doc_id, 8000 AS sample_rate, 64 AS n_samples,
         |  round(sqrt(avg(CAST(v AS DOUBLE) * v)) + 5e-10, 4) AS rms,

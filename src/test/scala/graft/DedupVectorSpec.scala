@@ -142,6 +142,37 @@ class DedupVectorSpec extends SparkSuite {
     assert(math.abs(rms - math.sqrt(12.5)) < 1e-12)
   }
 
+  test("png codec: round-trip is exact through all scanline filters") {
+    import graft.engine.Multimodal.Png
+    // 6x5 pseudo-random plane: 5 rows exercise the full Sub/Up/Average/
+    // Paeth filter cycle (encoder uses filter y%4+1) with content the
+    // predictors can't trivially cancel.
+    val rnd = new scala.util.Random(42)
+    val rgb = Array.fill(6 * 5 * 3)(rnd.nextInt(256).toByte)
+    val img = Png.encode(6, 5, rgb)
+    // genuine PNG container: signature + IHDR first
+    assert(img.take(4).toSeq === Seq[Byte](0x89.toByte, 'P', 'N', 'G'))
+    assert(new String(img.slice(12, 16), "US-ASCII") === "IHDR")
+    val (w, h, back) = Png.decode(img)
+    assert((w, h) === (6, 5))
+    assert(back.toSeq === rgb.toSeq)
+  }
+
+  test("png codec: corrupt CRC and truncated stream fail loudly") {
+    import graft.engine.Multimodal.Png
+    val img = Png.encode(2, 2, Array.fill(12)(7.toByte))
+    val corrupt = img.clone()
+    corrupt(20) = (corrupt(20) ^ 0x01).toByte // flip a bit inside IHDR data
+    intercept[IllegalArgumentException](Png.decode(corrupt))
+    intercept[IllegalArgumentException](Png.decode(img.dropRight(13)))
+  }
+
+  test("ppm codec: truncated pixel plane fails loudly") {
+    import graft.engine.Multimodal.Ppm
+    val img = Ppm.encode(2, 2, Array.fill(12)(7.toByte))
+    intercept[IllegalArgumentException](Ppm.decode(img.dropRight(1)))
+  }
+
   test("multimodal features are deterministic with fixed dim") {
     val f = graft.engine.Multimodal.fakeDecodeFeatures("hello".getBytes)
     val g = graft.engine.Multimodal.fakeDecodeFeatures("hello".getBytes)
