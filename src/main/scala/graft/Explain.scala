@@ -19,11 +19,15 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val reps = if (args.length > 2) args(2).toInt else 1
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.explain("formatted")
-    val t0 = System.nanoTime()
-    val n = df.count()
-    println(f"[explain] $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs")
+    (1 to reps).foreach { k =>
+      val t0 = System.nanoTime()
+      val n = df.count()
+      println(
+        f"[explain] $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs rep=$k")
+    }
     spark.stop()
   }
 }

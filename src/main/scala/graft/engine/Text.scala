@@ -31,18 +31,45 @@ object MinHash {
     h ^ (h >>> 33)
   }
 
-  /** Distinct 3-token shingle hashes (order-free; only minima are used). */
+  /** Distinct 3-token shingle hashes (order-free; only minima are used).
+    *
+    * Hot path: each token is hashed ONCE and the shingle hash is an
+    * order-sensitive mix chain of the three token hashes — no per-shingle
+    * `slice`/`mkString` string allocation (the dominant cost of the naive
+    * version). Dedup uses an open-addressed long table, pre-sized to
+    * power-of-two >= 2n, so no boxing and no rehash growth.
+    */
   def shingleHashes(text: String): Array[Long] = {
     val t = text.toLowerCase.split(' ')
     val n = math.max(t.length - 2, 1)
-    val seen = new java.util.HashSet[Long]()
+    val th = new Array[Long](t.length)
+    var j = 0
+    while (j < t.length) {
+      th(j) = mix(scala.util.hashing.MurmurHash3.stringHash(t(j)).toLong, 42L)
+      j += 1
+    }
+    // open-addressed seen set: 0 is the empty sentinel (a real hash of 0 is
+    // deterministically remapped — no accuracy impact, only hash identity)
+    var cap = 4
+    while (cap < n * 2) cap <<= 1
+    val table = new Array[Long](cap)
+    val mask = cap - 1
     val out = new Array[Long](n)
     var m = 0
     var i = 0
     while (i < n) {
-      val sh = t.slice(i, math.min(i + 3, t.length)).mkString(" ")
-      val h = mix(scala.util.hashing.MurmurHash3.stringHash(sh).toLong, 42L)
-      if (seen.add(h)) { out(m) = h; m += 1 }
+      val last = math.min(i + 3, t.length)
+      var h = 42L
+      var k = i
+      while (k < last) { h = mix(th(k), h); k += 1 }
+      if (h == 0L) h = 0x27D4EB2F165667C5L
+      var slot = (h & mask).toInt
+      while (table(slot) != 0L && table(slot) != h) slot = (slot + 1) & mask
+      if (table(slot) == 0L) {
+        table(slot) = h
+        out(m) = h
+        m += 1
+      }
       i += 1
     }
     java.util.Arrays.copyOf(out, m)
@@ -440,8 +467,7 @@ object Text {
     "q_dedup_near" -> { (s, d) =>
       import s.implicits._
       val corpus = nearDupCorpus(s, d)
-        .withColumn("sh", array_distinct(shingles(toks(col("text")))))
-      val banded = nearDupCorpus(s, d)
+      val banded = corpus
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions(_.flatMap { case (id, text) =>
           MinHash.bandHashes(text).zipWithIndex.map { case (b, i) =>
@@ -461,14 +487,24 @@ object Text {
             transform(slice(col("ids"), i + 2, size(col("ids"))),
               y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
         .select(col("p.id_a"), col("p.id_b")).distinct()
-      // Re-fetch shingle sets only for the (few) candidates, then confirm
-      // with exact Jaccard.
-      val sets = corpus.select(col("doc_id"), col("sh"))
+      // Exact-Jaccard confirm: join the candidate pairs to the raw text
+      // FIRST, and only then compute shingle arrays — so the expensive HOF
+      // shingle pipeline runs per matched candidate row, not over the whole
+      // corpus (and candidates are near-linear in true duplicates by LSH
+      // construction). Projecting the arrays behind a repartition
+      // materializes them once per pair (CollapseProject would otherwise
+      // inline the shingle subtree into each of the intersect/union
+      // references).
+      val txt = corpus.select(col("doc_id"), col("text"))
       cands
-        .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")),
+        .join(txt.select(col("doc_id").as("id_a"), col("text").as("text_a")),
           "id_a")
-        .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")),
+        .join(txt.select(col("doc_id").as("id_b"), col("text").as("text_b")),
           "id_b")
+        .select(col("id_a"), col("id_b"),
+          array_distinct(shingles(toks(col("text_a")))).as("sh_a"),
+          array_distinct(shingles(toks(col("text_b")))).as("sh_b"))
+        .repartition(col("id_a"))
         .select(col("id_a"), col("id_b"),
           eround(size(array_intersect(col("sh_a"), col("sh_b")))
             .cast("double")
