@@ -22,7 +22,7 @@ object Events {
     "q_stream_tumbling" -> { (s, d) =>
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
+        .agg(count(lit(1)).as("n"), lsum(col("value")).as("sum_v"))
         .select(col("window.start").as("w_start"),
           col("window.end").as("w_end"),
           col("event_type"), col("n"), col("sum_v"))
@@ -32,7 +32,7 @@ object Events {
     "q_stream_sliding" -> { (s, d) =>
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour", "15 minutes"))
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
+        .agg(count(lit(1)).as("n"), lsum(col("value")).as("sum_v"))
         .select(col("window.start").as("w_start"),
           col("window.end").as("w_end"), col("n"), col("sum_v"))
         .orderBy(col("w_start"))
@@ -41,7 +41,7 @@ object Events {
     "q_stream_session" -> { (s, d) =>
       Tables.events(s, d)
         .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
-        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
+        .agg(count(lit(1)).as("n"), lsum(col("value")).as("sum_v"))
         .select(col("user_id"),
           col("session_window.start").as("s_start"),
           col("session_window.end").as("s_end"),
@@ -55,7 +55,7 @@ object Events {
     "q_stream_tumbling" ->
       s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,
          | date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR AS w_end,
-         | event_type, count(*) AS n, ${oSum("value")} AS sum_v
+         | event_type, count(*) AS n, ${oLsum("value")} AS sum_v
          | FROM events GROUP BY 1, 2, 3 ORDER BY w_start, event_type"""
         .stripMargin.replaceAll("\n", " "),
 
@@ -66,7 +66,7 @@ object Events {
          |   - (o.k * INTERVAL '15 minutes') AS w_start,
          | time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
          |   - (o.k * INTERVAL '15 minutes') + INTERVAL 1 HOUR AS w_end,
-         | count(*) AS n, ${oSum("value")} AS sum_v
+         | count(*) AS n, ${oLsum("value")} AS sum_v
          | FROM events, (VALUES (0), (1), (2), (3)) o(k)
          | GROUP BY 1, 2 ORDER BY w_start"""
         .stripMargin.replaceAll("\n", " "),
@@ -86,7 +86,7 @@ object Events {
          |   FROM m)
          | SELECT user_id, min(ts) AS s_start,
          |  max(ts) + INTERVAL 30 MINUTE AS s_end,
-         |  count(*) AS n, ${oSum("value")} AS sum_v
+         |  count(*) AS n, ${oLsum("value")} AS sum_v
          | FROM g GROUP BY user_id, sid ORDER BY user_id, s_start"""
         .stripMargin.replaceAll("\n", " ")
   )
