@@ -12,6 +12,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // events.parquet carries nanosecond timestamps (INT64 nanos);
+      // surface them as long so Tables.events can DIV to micros exactly.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (JIT, codegen, parquet footer caches) with one small

@@ -17,6 +17,9 @@ object Explain {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // events.parquet carries nanosecond timestamps (INT64 nanos);
+      // surface them as long so Tables.events can DIV to micros exactly.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val reps = if (args.length > 2) args(2).toInt else 1

@@ -130,19 +130,34 @@ object Aggregates {
     },
 
     // Linear-regression aggregates: slope/intercept/r2 of price vs
-    // quantity per flag (trend profiling). Rounded like q_agg_stats —
-    // the sums inside are double and engine summation order differs.
+    // quantity per flag (trend profiling). Computed from exact decimal
+    // moments rather than the built-in regr_* (whose internal double sums
+    // are summation-order-dependent): products of 2dp values are exact at
+    // 4dp, so each moment casts to the identical double on both engines
+    // and every downstream arithmetic step is bit-identical — the rounding
+    // at the end is display-only, not a parity crutch.
     "q_agg_regr" -> { (s, d) =>
-      Tables.lineitem(s, d)
+      val m = Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4)
-            .as("slope"),
-          round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 4)
-            .as("intercept"),
-          round(regr_r2(col("l_extendedprice"), col("l_quantity")), 6)
-            .as("r2"),
-          regr_count(col("l_extendedprice"), col("l_quantity")).as("n"))
+          count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sx"),
+          dsum(col("l_extendedprice")).as("sy"),
+          dsum(col("l_quantity") * col("l_extendedprice"), 4).as("sxy"),
+          dsum(col("l_quantity") * col("l_quantity"), 4).as("sxx"),
+          dsum(col("l_extendedprice") * col("l_extendedprice"), 4)
+            .as("syy"))
+      val nD = col("n").cast("double")
+      val num = nD * col("sxy") - col("sx") * col("sy")
+      val den = nD * col("sxx") - col("sx") * col("sx")
+      val slope = num / den
+      m.select(
+        col("l_returnflag"),
+        eround(slope, 4).as("slope"),
+        eround((col("sy") - slope * col("sx")) / nD, 4).as("intercept"),
+        eround(num * num
+          / (den * (nD * col("syy") - col("sy") * col("sy"))), 6).as("r2"),
+        col("n"))
         .orderBy(col("l_returnflag"))
     },
 
@@ -366,13 +381,24 @@ object Aggregates {
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
         .stripMargin.replaceAll("\n", " "),
 
+    // Same exact-moment formulation as the Spark side: identical double
+    // inputs -> identical slope/intercept/r2 before the display rounding.
     "q_agg_regr" ->
-      """SELECT l_returnflag,
-        | round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
-        | round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
-        | round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
-        | CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
-        | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+      """WITH m AS (SELECT l_returnflag,
+        |   CAST(count(*) AS DOUBLE) AS n,
+        |   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |   CAST(sum(CAST(l_quantity*l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sxy,
+        |   CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+        |   CAST(sum(CAST(l_extendedprice*l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        | SELECT l_returnflag,
+        | round((n*sxy - sx*sy) / (n*sxx - sx*sx) + 5e-10, 4) AS slope,
+        | round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n + 5e-10, 4) AS intercept,
+        | round((n*sxy - sx*sy) * (n*sxy - sx*sy)
+        |   / ((n*sxx - sx*sx) * (n*syy - sy*sy)) + 5e-10, 6) AS r2,
+        | CAST(n AS BIGINT) AS n
+        | FROM m ORDER BY l_returnflag"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_agg_listagg" ->

@@ -108,9 +108,15 @@ object Ingest {
       // plant one malformed line (wrong arity + non-numeric key) as its
       // own file — appending to Spark's output would invalidate the Hadoop
       // .crc sidecar; the first line repeats the header, which header=true
-      // strips per file
-      val w = new java.io.FileWriter(s"$out/extra.csv")
-      try w.write("n_nationkey|n_name|n_regionkey\nnot_a_number|broken\n")
+      // strips per file. Written through the sink's own Hadoop FileSystem
+      // (not java.io) so the plant works on whatever scheme `out` resolves
+      // to, and its .crc sidecar stays consistent.
+      val plant = new org.apache.hadoop.fs.Path(s"$out/extra.csv")
+      val fs = plant.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val w = fs.create(plant, true)
+      try w.write(
+        "n_nationkey|n_name|n_regionkey\nnot_a_number|broken\n"
+          .getBytes("UTF-8"))
       finally w.close()
       // PERMISSIVE null-pads malformed rows, so the planted line surfaces
       // as (null, 'broken', null) and the key-null filter drops it. (The

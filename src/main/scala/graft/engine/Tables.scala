@@ -31,7 +31,15 @@ object Tables {
     * queries stay comparable.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // spark.sql.legacy.parquet.nanosAsLong must be set by the session
+    // builder (Verify/Bench/Explain/SparkSuite all do) — asserting here
+    // keeps query builders free of conf mutation at plan-build time while
+    // failing loudly if a foreign session forgets it.
+    require(
+      s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+        .contains("true"),
+      "session must set spark.sql.legacy.parquet.nanosAsLong=true " +
+        "(events.parquet stores INT64 nanosecond timestamps)")
     t(s, d, "events")
       // integer DIV, not `/` — double division loses precision at 1e18 ns
       .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))

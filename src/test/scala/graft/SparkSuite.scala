@@ -11,6 +11,9 @@ object SparkSuite {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // events.parquet carries nanosecond timestamps (INT64 nanos);
+      // surface them as long so Tables.events can DIV to micros exactly.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
