@@ -151,6 +151,23 @@ object Ingest {
         .orderBy(col("o_orderstatus"))
     },
 
+    // Partition pruning round-trip: hive-layout write partitioned by the
+    // priority enum, re-read with a partition-column filter. The filter
+    // resolves against directory names at planning time (PartitionFilters
+    // in the scan node, pinned by PlanSpec) — at 100 TB this is THE
+    // data-skipping lever: a pruned scan reads 1/5th of the files before
+    // any row is decoded.
+    "q_scan_partition_prune" -> { (s, d) =>
+      val out = tmp("orders_by_priority", d)
+      Tables.orders(s, d).write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(out)
+      s.read.parquet(out)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // ORC round-trip (columnar alternative to parquet; built into Spark):
     // write the table as ORC, read it back, prove scan+sink equivalence.
     "q_scan_orc" -> { (s, d) =>
@@ -260,6 +277,12 @@ object Ingest {
       s"""SELECT o_orderstatus, count(*) AS n,
          | ${Fx.oSum("o_totalprice")} AS total
          | FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_scan_partition_prune" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        | FROM orders WHERE o_orderpriority = '1-URGENT'
+        | ORDER BY o_orderkey"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_scan_merge_schema" ->

@@ -195,6 +195,40 @@ object Relational {
         .orderBy(col("event_id"))
     },
 
+    // Forward as-of with tolerance: for each event, the NEXT order by the
+    // same user at-or-after the event, but only within 7 days — the other
+    // direction family of q_join_asof (pandas merge_asof
+    // direction='forward'). Same join-free shape: one union, one per-user
+    // window; `first(ignoreNulls)` over the FOLLOWING frame picks the next
+    // order, and the tolerance is a residual null-out. Orders pre-aggregate
+    // to one row per (user, date) so tie-breaking is engine-independent.
+    "q_join_asof_fwd" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("user_id"),
+          col("o_orderdate").as("t"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+        .select(lit(null).cast("long").as("event_id"), col("user_id"),
+          col("t"), lit(1).as("kind"), col("o_orderkey"))
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts").as("t"),
+          lit(0).as("kind"), lit(null).cast("long").as("o_orderkey"))
+      // events (kind 0) sort before same-instant orders (kind 1), so the
+      // frame starting at the current row includes an order at exactly t
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("kind"), col("o_orderkey"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      e.unionByName(o)
+        .withColumn("nxt", first(
+          when(col("kind") === 1,
+            struct(col("t").as("ot"), col("o_orderkey").as("ok"))),
+          ignoreNulls = true).over(w))
+        .filter(col("kind") === 0)
+        .select(col("event_id"), col("user_id"),
+          when(col("nxt.ot") <= col("t") + expr("INTERVAL 7 DAYS"),
+            col("nxt.ok")).as("o_orderkey"))
+        .orderBy(col("event_id"))
+    },
+
     // Interval join: orders placed within 30 days after each order by the
     // same customer. Equi component (custkey) keeps it hash-partitionable.
     "q_join_interval" -> { (s, d) =>
@@ -543,6 +577,23 @@ object Relational {
         | ASOF LEFT JOIN (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
         |   FROM orders GROUP BY 1, 2) o
         | ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        | ORDER BY e.event_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // DuckDB ASOF matches the greatest value <= the probe, so the forward
+    // direction rides a negated epoch: max(-epoch) <= -epoch(ts) selects
+    // the smallest orderdate >= ts. Tolerance applied as a residual CASE.
+    "q_join_asof_fwd" ->
+      """WITH o AS (SELECT o_custkey AS user_id, o_orderdate AS t,
+        |   -epoch(o_orderdate) AS nt, max(o_orderkey) AS o_orderkey
+        |  FROM orders GROUP BY 1, 2, 3),
+        | e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |   -epoch(CAST(ts AS TIMESTAMP)) AS nts FROM events)
+        | SELECT e.event_id, e.user_id,
+        |  CASE WHEN o.t <= e.ts + INTERVAL 7 DAY THEN o.o_orderkey END
+        |   AS o_orderkey
+        | FROM e ASOF LEFT JOIN o
+        |  ON e.user_id = o.user_id AND o.nt <= e.nts
         | ORDER BY e.event_id"""
         .stripMargin.replaceAll("\n", " "),
 

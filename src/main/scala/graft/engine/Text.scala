@@ -323,6 +323,47 @@ object Text {
         .orderBy(col("lang"))
     },
 
+    // Deterministic per-group sampling: top-3 docs per language ordered by
+    // a cryptographic hash of the key — a reservoir-equivalent uniform
+    // sample that is reproducible across engines and runs (no RNG state).
+    // The rn<=3 filter plans WindowGroupLimit, so per-language state is a
+    // 3-row heap regardless of corpus size.
+    "q_sample_hash_group" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .orderBy(col("lang"), col("rn"))
+    },
+
+    // Winsorized length statistics: clip per-language token counts at the
+    // p05/p95 percentiles and compare raw vs clipped means — the outlier
+    // treatment applied before length-based quality filtering. Percentiles
+    // per group + one clipped aggregate; clipped values are rounded to the
+    // 6dp grid before the decimal sum so the mean is order-independent.
+    "q_text_winsorize" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("lang"),
+          size(toks(col("text"))).cast("double").as("n_tok"))
+      val pct = docs.groupBy(col("lang")).agg(
+        expr("percentile(n_tok, 0.05)").as("p05"),
+        expr("percentile(n_tok, 0.95)").as("p95"))
+      docs.join(pct, "lang")
+        .withColumn("wtok",
+          eround(least(greatest(col("n_tok"), col("p05")), col("p95")), 6))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          eround(min(col("p05")), 4).as("p05"),
+          eround(min(col("p95")), 4).as("p95"),
+          eround(dsum(col("n_tok"), 0) / count(lit(1)), 4).as("mean_raw"),
+          eround(dsum(col("wtok"), 6) / count(lit(1)), 4).as("mean_wins"))
+        .orderBy(col("lang"))
+    },
+
     // Context-window chunking: split each document into overlapping token
     // windows (size 32, stride 24) — the pre-tokenization batching step of
     // a training pipeline. Pure per-row explode, embarrassingly parallel.
@@ -623,6 +664,35 @@ object Text {
         |    '[a-z0-9.]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
         |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
         | FROM raw ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_sample_hash_group" ->
+      """SELECT doc_id, lang, source, rn FROM (
+        | SELECT doc_id, lang, source,
+        |  row_number() OVER (PARTITION BY lang
+        |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        | FROM documents)
+        | WHERE rn <= 3 ORDER BY lang, rn"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_text_winsorize" ->
+      s"""WITH t AS (SELECT lang,
+         |   CAST(len($oToks) AS DOUBLE) AS n_tok FROM documents),
+         | q AS (SELECT lang,
+         |   CAST(quantile_cont(n_tok, 0.05) AS DOUBLE) AS p05,
+         |   CAST(quantile_cont(n_tok, 0.95) AS DOUBLE) AS p95
+         |  FROM t GROUP BY lang),
+         | w AS (SELECT t.lang, n_tok, p05, p95,
+         |   round(least(greatest(n_tok, p05), p95) + 5e-10, 6) AS wtok
+         |  FROM t JOIN q USING (lang))
+         | SELECT lang, count(*) AS n_docs,
+         |  round(min(p05) + 5e-10, 4) AS p05,
+         |  round(min(p95) + 5e-10, 4) AS p95,
+         |  round(CAST(sum(CAST(n_tok AS DECIMAL(18,0))) AS DOUBLE)
+         |    / count(*) + 5e-10, 4) AS mean_raw,
+         |  round(CAST(sum(CAST(wtok AS DECIMAL(18,6))) AS DOUBLE)
+         |    / count(*) + 5e-10, 4) AS mean_wins
+         | FROM w GROUP BY lang ORDER BY lang"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_text_chunk" ->

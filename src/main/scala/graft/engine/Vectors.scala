@@ -187,6 +187,69 @@ object Vectors {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Near-dup GROUPS: connected components over the cosine-threshold pair
+    // graph — the step a training pipeline runs after pair generation to
+    // keep one canonical item per duplicate cluster. Iterative min-label
+    // propagation with a pointer-jumping step per round (comp <- comp of
+    // comp), the standard distributed CC formulation: O(log n) rounds, so
+    // ~40 rounds cover 1e12 nodes, and each round is two key-partitioned
+    // hash joins + one aggregate (no driver-side data, only a convergence
+    // count). The fixture graph converges in a handful of rounds.
+    "q_dedup_groups" -> { (s, d) =>
+      GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+        .select(col("vec_id"), vd(col("embedding")).as("v"))
+      val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"))
+      val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"))
+      val pairs = a.join(b, col("id_a") < col("id_b"))
+        .filter(eround(cosine(col("va"), col("vb")), 6) >= 0.3)
+        .select(col("id_a"), col("id_b"))
+      // Lineage MUST be truncated between rounds: each round references
+      // the previous labels three times, so without a checkpoint the
+      // logical plan grows 3^rounds and the analyzer OOMs. localCheckpoint
+      // (eager) materializes to executor storage; a cluster deployment
+      // would use reliable checkpoint() on the same cadence.
+      val edges = pairs.unionByName(
+          pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+        .localCheckpoint()
+      var labels = emb.select(col("vec_id"), col("vec_id").as("comp"))
+        .localCheckpoint()
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 40) {
+        val nbrMin = edges
+          .join(labels.select(col("vec_id").as("dst"),
+            col("comp").as("dcomp")), "dst")
+          .groupBy(col("src")).agg(min(col("dcomp")).as("nmin"))
+        val stepped = labels
+          .join(nbrMin.select(col("src").as("vec_id"), col("nmin")),
+            Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            least(col("comp"), coalesce(col("nmin"), col("comp")))
+              .as("comp"))
+        // pointer jump: comp <- comp(comp); comp values are always node
+        // ids, so the left join hits unless comp is already a root
+        val jumped = stepped.select(col("vec_id"), col("comp").as("mid"))
+          .join(stepped.select(col("vec_id").as("mid"),
+            col("comp").as("comp")), Seq("mid"), "left")
+          .select(col("vec_id"),
+            coalesce(col("comp"), col("mid")).as("comp"))
+          .localCheckpoint()
+        changed = jumped
+          .join(labels.select(col("vec_id"), col("comp").as("old")),
+            "vec_id")
+          .filter(col("comp") =!= col("old")).count()
+        labels = jumped
+        rounds += 1
+      }
+      val wComp = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("comp"))
+      labels.select(col("vec_id"), col("comp"),
+          count(lit(1)).over(wComp).as("comp_size"))
+        .orderBy(col("vec_id"))
+    },
+
     // Scalar (int8) quantization of embeddings — the 4x storage cut that
     // makes a 100 TB vector corpus searchable in memory: q_i =
     // round(v_i * 127 / max|v|), plus the reconstruction error that
@@ -276,6 +339,28 @@ object Vectors {
          |    / (sqrt(list_dot_product(a.v, a.v))
          |       * sqrt(list_dot_product(b.v, b.v))) + 5e-10, 6) >= 0.3
          | ORDER BY id_a, id_b"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Transitive closure by recursive CTE replicates the component labels
+    // exactly: comp = min reachable id. UNION (distinct) bounds recursion.
+    "q_dedup_groups" ->
+      s"""WITH RECURSIVE
+         | e AS (SELECT vec_id, $oVd AS v FROM embeddings WHERE vec_id < 300),
+         | p AS (SELECT a.vec_id AS ia, b.vec_id AS ib FROM e a, e b
+         |   WHERE a.vec_id < b.vec_id
+         |    AND round(list_dot_product(a.v, b.v)
+         |     / (sqrt(list_dot_product(a.v, a.v))
+         |        * sqrt(list_dot_product(b.v, b.v))) + 5e-10, 6) >= 0.3),
+         | ed AS (SELECT ia, ib FROM p UNION ALL SELECT ib, ia FROM p),
+         | reach(src, dst) AS (
+         |   SELECT vec_id, vec_id FROM e
+         |   UNION
+         |   SELECT r.src, ed.ib FROM reach r JOIN ed ON r.dst = ed.ia),
+         | comp AS (SELECT src AS vec_id, min(dst) AS comp
+         |   FROM reach GROUP BY src)
+         | SELECT vec_id, comp,
+         |  count(*) OVER (PARTITION BY comp) AS comp_size
+         | FROM comp ORDER BY vec_id"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_vec_quantize" ->

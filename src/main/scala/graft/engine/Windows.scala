@@ -141,6 +141,20 @@ object Windows {
           row_number().over(w).as("rn"))
         .filter(col("rn") <= 3)
         .orderBy(col("o_custkey"), col("rn"))
+    },
+
+    // Distribution buckets: ntile quartiles + cumulative distribution per
+    // segment (dataset balance / curriculum bucketing). The compound order
+    // key (acctbal, custkey) is unique, so both the quartile boundaries and
+    // cume_dist's peer groups are engine-independent.
+    "q_win_ntile_cume" -> { (s, d) =>
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+          ntile(4).over(w).as("quartile"),
+          eround(cume_dist().over(w), 6).as("cd"))
+        .orderBy(col("c_custkey"))
     }
   )
 
@@ -237,6 +251,15 @@ object Windows {
         |   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
         | FROM orders)
         | WHERE rn <= 3 ORDER BY o_custkey, rn"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_win_ntile_cume" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        | ntile(4) OVER w AS quartile,
+        | round(cume_dist() OVER w + 5e-10, 6) AS cd
+        | FROM customer
+        | WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        | ORDER BY c_custkey"""
         .stripMargin.replaceAll("\n", " ")
   )
 }

@@ -104,6 +104,17 @@ class PlanSpec extends SparkSuite {
       s"partition filter not pruned:\n$p")
   }
 
+  test("q_scan_partition_prune resolves the filter as PartitionFilters") {
+    val p = plan("q_scan_partition_prune")
+    assert(p.contains("PartitionFilters: [isnotnull(o_orderpriority"),
+      s"partition filter not pruned:\n$p")
+    assert(p.contains("(o_orderpriority#") || p.contains("= 1-URGENT"),
+      s"literal partition predicate missing:\n$p")
+    // the priority filter must NOT fall through to the data scan
+    assert(!p.contains("PushedFilters: [IsNotNull(o_orderpriority"),
+      s"partition predicate leaked into data filters:\n$p")
+  }
+
   test("flagship aggregation combines map-side (partial aggregation)") {
     assert(plan("q_agg_group").contains("partial_sum"))
   }
