@@ -8,11 +8,13 @@ import org.apache.spark.sql.types._
   * are opaque `binary` columns with a typed metadata struct; the
   * decode/feature-extract stage is a per-partition batch operator.
   *
-  * The actual codec is STUBBED with a deterministic byte-hash "decoder"
-  * (no image/audio libraries in this environment — see the builder brief);
-  * everything Spark-side is real: binary schema, partition-parallel
-  * `mapPartitions` with an explicit row encoder, fixed-width feature
-  * output, and metadata that survives the round-trip.
+  * Every codec here is REAL byte-level work, implemented in-repo with no
+  * media libraries: P6 PPM ([[Ppm]]), RIFF/PCM16 WAV ([[Wav]]), zlib PNG
+  * ([[Png]]), baseline T.81 JPEG ([[graft.engine.Jpeg]]) and IMA ADPCM
+  * compressed audio ([[Adpcm]]). Lossy formats keep byte-level oracles by
+  * construction (DC-constant JPEG blocks, constant ADPCM signals decode
+  * exactly); the general lossy paths are PSNR/SNR-tested in
+  * JpegCodecSpec/AdpcmCodecSpec.
   *
   * Scale posture: decode runs once per partition batch, never on the
   * driver; feature vectors are fixed-width arrays so downstream similarity
@@ -20,13 +22,11 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  val FeatureDim = 8
-
   /** Minimal REAL P6 PPM codec — header parse + pixel plane, pure bytes,
     * no media libraries needed. This makes the decode stage genuine for
-    * the simplest raster format; see also [[Png]] (real, zlib-based) and
-    * [[Wav]] (real, PCM16). JPEG/compressed audio remain behind the
-    * clearly-labeled stubs below.
+    * the simplest raster format; see also [[Png]] (real, zlib-based),
+    * [[Wav]] (real, PCM16), [[graft.engine.Jpeg]] (real, baseline T.81)
+    * and [[Adpcm]] (real, IMA ADPCM).
     */
   object Ppm {
     def encode(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
@@ -88,28 +88,6 @@ object Multimodal {
       val n = rgb.length / 3.0
       (acc(0) / n, acc(1) / n, acc(2) / n)
     }
-  }
-
-  /** STUB decoder: stands in for image/audio decode. Deterministic pure
-    * function of the payload bytes so results are reproducible and
-    * oracle-friendly.
-    */
-  def fakeDecodeFeatures(payload: Array[Byte]): Array[Double] = {
-    var h = 1125899906842597L // FNV-ish rolling state
-    val acc = new Array[Long](FeatureDim)
-    var i = 0
-    while (i < payload.length) {
-      h = h * 31 + (payload(i) & 0xff)
-      acc(i % FeatureDim) += (payload(i) & 0xff)
-      i += 1
-    }
-    val out = new Array[Double](FeatureDim)
-    var j = 0
-    while (j < FeatureDim) {
-      out(j) = (acc(j) % 1000) / 1000.0
-      j += 1
-    }
-    out
   }
 
   /** Minimal REAL WAV (RIFF/PCM16 mono) codec — like [[Ppm]], pure bytes,
@@ -182,6 +160,99 @@ object Multimodal {
     }
   }
 
+  /** REAL compressed-audio codec: IMA ADPCM (DVI4), the standard 4:1
+    * 16-bit→4-bit adaptive-delta compression (public spec: IMA Digital
+    * Audio Focus Group, also RFC 3551 DVI4). Frame layout here is the
+    * standard block-header shape: initial predictor (int16 LE), step
+    * index (1 byte), sample count (int32 LE), then packed nibbles
+    * (low nibble first). Pure deterministic integer math.
+    *
+    * A CONSTANT signal round-trips exactly (with predictor seeded from the
+    * first sample, diff stays 0 and the minimum step's vpdiff term
+    * `7 >> 3` is 0), which gives q_multimodal_adpcm its byte-level oracle;
+    * the general adaptive path is SNR-tested in AdpcmCodecSpec.
+    */
+  object Adpcm {
+    private val StepTable: Array[Int] = Array(
+      7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+      41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+      190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+      724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+      2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+      6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+      16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+    private val IndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+    def encode(samples: Array[Short]): Array[Byte] = {
+      require(samples.nonEmpty, "empty signal")
+      val out = new java.io.ByteArrayOutputStream()
+      var predictor: Int = samples(0)
+      var index = 0
+      out.write(predictor & 0xff); out.write((predictor >> 8) & 0xff)
+      out.write(index)
+      val n = samples.length
+      out.write(n & 0xff); out.write((n >> 8) & 0xff)
+      out.write((n >> 16) & 0xff); out.write((n >> 24) & 0xff)
+      var nibbleBuf = 0
+      var haveNibble = false
+      var i = 0
+      while (i < n) {
+        val step = StepTable(index)
+        var diff = samples(i) - predictor
+        var delta = 0
+        if (diff < 0) { delta = 8; diff = -diff }
+        if (diff >= step) { delta |= 4; diff -= step }
+        if (diff >= (step >> 1)) { delta |= 2; diff -= step >> 1 }
+        if (diff >= (step >> 2)) delta |= 1
+        // reconstruct exactly as the decoder will
+        var vpdiff = step >> 3
+        if ((delta & 4) != 0) vpdiff += step
+        if ((delta & 2) != 0) vpdiff += step >> 1
+        if ((delta & 1) != 0) vpdiff += step >> 2
+        predictor =
+          if ((delta & 8) != 0) predictor - vpdiff else predictor + vpdiff
+        predictor = math.max(-32768, math.min(32767, predictor))
+        index = math.max(0, math.min(88, index + IndexTable(delta & 7)))
+        if (haveNibble) {
+          out.write(nibbleBuf | (delta << 4)); haveNibble = false
+        } else { nibbleBuf = delta; haveNibble = true }
+        i += 1
+      }
+      if (haveNibble) out.write(nibbleBuf)
+      out.toByteArray
+    }
+
+    def decode(bytes: Array[Byte]): Array[Short] = {
+      require(bytes.length >= 7, "truncated adpcm header")
+      var predictor =
+        ((bytes(0) & 0xff) | ((bytes(1) & 0xff) << 8)).toShort.toInt
+      var index = bytes(2) & 0xff
+      require(index <= 88, s"invalid step index $index")
+      val n = (bytes(3) & 0xff) | ((bytes(4) & 0xff) << 8) |
+        ((bytes(5) & 0xff) << 16) | ((bytes(6) & 0xff) << 24)
+      require(n > 0 && bytes.length >= 7 + (n + 1) / 2,
+        "truncated adpcm payload")
+      val out = new Array[Short](n)
+      var i = 0
+      while (i < n) {
+        val b = bytes(7 + i / 2) & 0xff
+        val delta = if (i % 2 == 0) b & 0x0f else (b >> 4) & 0x0f
+        val step = StepTable(index)
+        var vpdiff = step >> 3
+        if ((delta & 4) != 0) vpdiff += step
+        if ((delta & 2) != 0) vpdiff += step >> 1
+        if ((delta & 1) != 0) vpdiff += step >> 2
+        predictor =
+          if ((delta & 8) != 0) predictor - vpdiff else predictor + vpdiff
+        predictor = math.max(-32768, math.min(32767, predictor))
+        index = math.max(0, math.min(88, index + IndexTable(delta & 7)))
+        out(i) = predictor.toShort
+        i += 1
+      }
+      out
+    }
+  }
+
   /** Minimal REAL PNG codec for 8-bit truecolor RGB — the third pure-byte
     * format (after [[Ppm]] and [[Wav]]) implementable without media
     * libraries: zlib is in the JDK (`java.util.zip.Deflater`/`Inflater`),
@@ -189,7 +260,7 @@ object Multimodal {
     * scanline filters (None/Sub/Up/Average/Paeth) to implement per the PNG
     * spec (RFC 2083). The encoder cycles filters Sub→Up→Average→Paeth
     * across rows so the decoder's unfilter path is genuinely exercised.
-    * JPEG and compressed audio stay behind the labeled stubs.
+    * JPEG ([[graft.engine.Jpeg]]) and compressed audio ([[Adpcm]]) are real as well.
     */
   object Png {
     private val Sig = Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
@@ -339,27 +410,6 @@ object Multimodal {
         length(col("text")).as("n_bytes"),
         col("source").as("origin")).as("meta"))
 
-  /** STUB resize: stands in for image resize — deterministic byte
-    * subsampling down to at most `target` bytes.
-    */
-  def fakeResize(payload: Array[Byte], target: Int): Array[Byte] = {
-    if (payload.length <= target) payload
-    else {
-      val step = math.ceil(payload.length.toDouble / target).toInt
-      payload.indices.collect { case i if i % step == 0 => payload(i) }.toArray
-    }
-  }
-
-  /** STUB frame sampling: stands in for video frame extraction — split the
-    * payload into `n` equal byte ranges (remainder dropped), one "frame"
-    * per range.
-    */
-  def frameSample(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
-    val len = payload.length / n
-    if (len == 0) Seq.empty
-    else (0 until n).map(k => payload.slice(k * len, (k + 1) * len))
-  }
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Oracle-checked metadata path: binary length + md5 digest.
     "q_multimodal_meta" -> { (s, d) =>
@@ -372,51 +422,79 @@ object Multimodal {
         .orderBy(col("media_id"))
     },
 
-    // Partition-parallel decode/feature-extract (stubbed codec); rows-only
-    // check + ScalaTest determinism assertions.
+    // REAL decode -> feature-extract: a 16x16 4-block JPEG is synthesized
+    // per document, decoded through the genuine T.81 path, and features
+    // are spatial pooling over the DECODED plane (4 block means + global
+    // mean, normalized by the 7-bit max). Constant blocks decode exactly,
+    // so every feature is byte-level oracle-checkable.
     "q_multimodal_features" -> { (s, d) =>
-      val frame = mediaFrame(s, d)
+      val frame = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val outSchema = StructType(Seq(
-        StructField("media_id", LongType),
-        StructField("n_bytes", IntegerType),
+        StructField("doc_id", LongType),
         StructField("features", ArrayType(DoubleType, containsNull = false))))
-      val decoded = frame.select(col("media_id"), col("payload"))
-        .mapPartitions { rows =>
-          rows.map { r =>
-            val payload = r.getAs[Array[Byte]]("payload")
-            Row(r.getLong(0), payload.length, fakeDecodeFeatures(payload).toSeq)
+      frame.mapPartitions { rows =>
+        rows.map { r =>
+          val text = r.getString(1)
+          val gray = new Array[Byte](16 * 16)
+          var i = 0
+          while (i < 256) {
+            val blk = (i / (16 * 8)) * 2 + ((i % 16) / 8)
+            gray(i) = (text.charAt(blk % text.length) & 0x7f).toByte
+            i += 1
           }
-        }(org.apache.spark.sql.Encoders.row(outSchema))
-      decoded
-        .select(col("media_id"), col("n_bytes"),
-          round(element_at(col("features"), 1), 6).as("f1"),
-          round(aggregate(col("features"), lit(0.0), (a, x) => a + x), 6)
-            .as("f_sum"))
-        .orderBy(col("media_id"))
+          val (w, h, _, plane) = Jpeg.decode(Jpeg.encodeGray(16, 16, gray))
+          // spatial pooling: per-block means + global mean, /127 normalized
+          val bsum = new Array[Long](4)
+          var j = 0
+          while (j < 256) {
+            bsum((j / (16 * 8)) * 2 + ((j % 16) / 8)) += (plane(j) & 0xff)
+            j += 1
+          }
+          val feats = Array(
+            bsum(0) / 64.0 / 127.0, bsum(1) / 64.0 / 127.0,
+            bsum(2) / 64.0 / 127.0, bsum(3) / 64.0 / 127.0,
+            (bsum(0) + bsum(1) + bsum(2) + bsum(3)) / 256.0 / 127.0)
+          Row(r.getLong(0), feats.toSeq)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+        .select(col("doc_id"),
+          round(element_at(col("features"), 1) + lit(5e-10), 6).as("f1"),
+          round(aggregate(col("features"), lit(0.0), (a, x) => a + x)
+            + lit(5e-10), 6).as("f_sum"))
+        .orderBy(col("doc_id"))
     },
 
-    // Frame sampling (stubbed video decode): one row per sampled frame,
-    // digest per frame. Byte ranges are plain substrings of the (ASCII)
-    // payload, so the frame digests are oracle-checkable in SQL.
+    // REAL frame sampling: the per-document "video" is a genuine
+    // MJPEG-style stream (4 concatenated JPEG frames, one constant value
+    // per frame); the query demuxes by SOI/EOI framing, decodes every
+    // frame, and emits per-frame dimensions + the decoded mean — the
+    // decode-side of frame extraction, fully oracle-checked.
     "q_multimodal_frames" -> { (s, d) =>
-      val frame = mediaFrame(s, d)
+      val frame = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val outSchema = StructType(Seq(
-        StructField("media_id", LongType),
+        StructField("doc_id", LongType),
         StructField("frame_idx", IntegerType),
-        StructField("frame", BinaryType)))
-      frame.select(col("media_id"), col("payload"))
-        .mapPartitions { rows =>
-          rows.flatMap { r =>
-            val payload = r.getAs[Array[Byte]]("payload")
-            frameSample(payload, 4).zipWithIndex.map { case (f, i) =>
-              Row(r.getLong(0), i, f)
-            }
+        StructField("fw", IntegerType),
+        StructField("fh", IntegerType),
+        StructField("y_mean", DoubleType)))
+      frame.mapPartitions { rows =>
+        rows.flatMap { r =>
+          val text = r.getString(1)
+          val stream = (0 until 4).flatMap { k =>
+            val v = (text.charAt(k % text.length) & 0x7f).toByte
+            Jpeg.encodeGray(8, 8, Array.fill(64)(v)).toSeq
+          }.toArray
+          Jpeg.splitStream(stream).zipWithIndex.map { case (f, i) =>
+            val (fw, fh, _, plane) = Jpeg.decode(f)
+            var sum = 0L
+            plane.foreach(b => sum += (b & 0xff))
+            Row(r.getLong(0), i, fw, fh, sum / 64.0)
           }
-        }(org.apache.spark.sql.Encoders.row(outSchema))
-        .select(col("media_id"), col("frame_idx"),
-          octet_length(col("frame")).as("frame_bytes"),
-          md5(col("frame")).as("frame_digest"))
-        .orderBy(col("media_id"), col("frame_idx"))
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+        .select(col("doc_id"), col("frame_idx"), col("fw"), col("fh"),
+          round(col("y_mean") + lit(5e-10), 4).as("y_mean"))
+        .orderBy(col("doc_id"), col("frame_idx"))
     },
 
     // REAL image path: deterministic 8x4 PPM images are synthesized from
@@ -488,6 +566,35 @@ object Multimodal {
         .orderBy(col("doc_id"))
     },
 
+    // REAL compressed-audio path: PCM16 -> IMA ADPCM (4 bits/sample) ->
+    // decode. A constant signal round-trips exactly (see Adpcm scaladoc),
+    // so rms/peak of the reconstruction are byte-level oracle-checkable;
+    // the adaptive lossy path is SNR-tested in AdpcmCodecSpec. adpcm_bytes
+    // pins the 4:1 compression concretely (header + n/2 nibble bytes).
+    "q_multimodal_adpcm" -> { (s, d) =>
+      val frame = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("n_samples", IntegerType),
+        StructField("adpcm_bytes", IntegerType),
+        StructField("rms", DoubleType),
+        StructField("peak", IntegerType)))
+      frame.mapPartitions { rows =>
+        rows.map { r =>
+          val text = r.getString(1)
+          val c = (((text.charAt(0) & 0x7f) - 64) * 256).toShort
+          val samples = Array.fill(400)(c)
+          val enc = Adpcm.encode(samples)
+          val back = Adpcm.decode(enc)
+          val (rms, peak) = Wav.stats(back)
+          Row(r.getLong(0), back.length, enc.length, rms, peak)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+        .select(col("doc_id"), col("n_samples"), col("adpcm_bytes"),
+          round(col("rms") + lit(5e-10), 4).as("rms"), col("peak"))
+        .orderBy(col("doc_id"))
+    },
+
     // REAL PNG path: the same synthesized 8x4 pixel plane as
     // q_multimodal_ppm, but round-tripped through the genuine PNG codec —
     // zlib deflate/inflate, CRC-verified chunk framing, and
@@ -529,25 +636,83 @@ object Multimodal {
         .orderBy(col("doc_id"))
     },
 
+    // REAL JPEG path: a genuine baseline-sequential T.81 codec (FDCT,
+    // Annex K Huffman tables, zigzag, byte stuffing — Jpeg.scala). JPEG is
+    // lossy in general, so the oracle-checkable surface is built from
+    // constant-color 8x8 blocks: those are DC-only and, with the DC quant
+    // step pinned to 1, round-trip EXACTLY — the decoded plane mean is
+    // byte-level SQL-expressible while the stream still exercises the full
+    // DCT/Huffman/marker machinery. The lossy general path is PSNR-tested
+    // in JpegCodecSpec.
+    "q_multimodal_jpeg" -> { (s, d) =>
+      val frame = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("w", IntegerType),
+        StructField("h", IntegerType),
+        StructField("y_mean", DoubleType)))
+      frame.mapPartitions { rows =>
+        rows.map { r =>
+          val text = r.getString(1)
+          // 16x16 grayscale, one constant value per 8x8 block, 7-bit mask
+          // on BOTH engines (oracle: ascii(...) % 128)
+          val gray = new Array[Byte](16 * 16)
+          var i = 0
+          while (i < 256) {
+            val blk = (i / (16 * 8)) * 2 + ((i % 16) / 8)
+            gray(i) = (text.charAt(blk % text.length) & 0x7f).toByte
+            i += 1
+          }
+          val img = Jpeg.encodeGray(16, 16, gray)
+          val (w, h, _, plane) = Jpeg.decode(img)
+          var sum = 0L
+          plane.foreach(b => sum += (b & 0xff))
+          Row(r.getLong(0), w, h, sum / 256.0)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+        .select(col("doc_id"), col("w"), col("h"),
+          round(col("y_mean") + lit(5e-10), 4).as("y_mean"))
+        .orderBy(col("doc_id"))
+    },
+
     // Resize (stubbed image decode): deterministic byte subsample; no
     // oracle (subsample stride logic), determinism asserted in ScalaTest.
+    // REAL resize pipeline: decode JPEG -> nearest-neighbor downscale of
+    // the decoded plane (16x16 -> 8x8) -> re-encode -> decode again for
+    // the output dimensions. The resized mean is computed on the resized
+    // plane before re-encoding (exact for constant blocks), so the whole
+    // row is oracle-checkable.
     "q_multimodal_resize" -> { (s, d) =>
-      val frame = mediaFrame(s, d)
+      val frame = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val outSchema = StructType(Seq(
-        StructField("media_id", LongType),
-        StructField("orig_bytes", IntegerType),
-        StructField("resized", BinaryType)))
-      frame.select(col("media_id"), col("payload"))
-        .mapPartitions { rows =>
-          rows.map { r =>
-            val payload = r.getAs[Array[Byte]]("payload")
-            Row(r.getLong(0), payload.length, fakeResize(payload, 64))
+        StructField("doc_id", LongType),
+        StructField("w", IntegerType),
+        StructField("h", IntegerType),
+        StructField("rw", IntegerType),
+        StructField("rh", IntegerType),
+        StructField("resized_mean", DoubleType)))
+      frame.mapPartitions { rows =>
+        rows.map { r =>
+          val text = r.getString(1)
+          val gray = new Array[Byte](16 * 16)
+          var i = 0
+          while (i < 256) {
+            val blk = (i / (16 * 8)) * 2 + ((i % 16) / 8)
+            gray(i) = (text.charAt(blk % text.length) & 0x7f).toByte
+            i += 1
           }
-        }(org.apache.spark.sql.Encoders.row(outSchema))
-        .select(col("media_id"), col("orig_bytes"),
-          octet_length(col("resized")).as("resized_bytes"),
-          md5(col("resized")).as("resized_digest"))
-        .orderBy(col("media_id"))
+          val (w, h, _, plane) = Jpeg.decode(Jpeg.encodeGray(16, 16, gray))
+          val resized = Array.tabulate(8 * 8)(j =>
+            plane((j / 8 * 2) * 16 + (j % 8) * 2))
+          var sum = 0L
+          resized.foreach(b => sum += (b & 0xff))
+          val (rw, rh, _, _) = Jpeg.decode(Jpeg.encodeGray(8, 8, resized))
+          Row(r.getLong(0), w, h, rw, rh, sum / 64.0)
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+        .select(col("doc_id"), col("w"), col("h"), col("rw"), col("rh"),
+          round(col("resized_mean") + lit(5e-10), 4).as("resized_mean"))
+        .orderBy(col("doc_id"))
     },
 
   )
@@ -581,6 +746,28 @@ object Multimodal {
         | FROM px GROUP BY doc_id ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
 
+    // Constant signal reconstructs exactly: rms = peak = |c| (IEEE sqrt of
+    // a perfect square is exact), adpcm_bytes = 7-byte header + n/2.
+    "q_multimodal_adpcm" ->
+      """SELECT doc_id, 400 AS n_samples, 207 AS adpcm_bytes,
+        | round(CAST(abs((ascii(substring(text, 1, 1)) % 128 - 64) * 256)
+        |   AS DOUBLE) + 5e-10, 4) AS rms,
+        | abs((ascii(substring(text, 1, 1)) % 128 - 64) * 256) AS peak
+        | FROM documents ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Decoded plane is exact for constant blocks, so the mean over the 4
+    // block constants replicates the Spark-side decoded-plane mean.
+    "q_multimodal_jpeg" ->
+      """WITH px AS (
+        | SELECT doc_id, b,
+        |  ascii(substring(text, (b % length(text)) + 1, 1)) % 128 AS v
+        | FROM documents, LATERAL unnest(generate_series(0, 3)) u(b))
+        | SELECT doc_id, 16 AS w, 16 AS h,
+        |  round(avg(v) + 5e-10, 4) AS y_mean
+        | FROM px GROUP BY doc_id ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
     "q_multimodal_wav" ->
       """WITH sm AS (
         | SELECT doc_id,
@@ -592,14 +779,44 @@ object Multimodal {
         | FROM sm GROUP BY doc_id ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
 
+    // Each demuxed frame is a constant-value JPEG, so the decoded mean is
+    // exactly the frame's source character value.
     "q_multimodal_frames" ->
-      """SELECT doc_id AS media_id, k AS frame_idx,
-        | length(text) // 4 AS frame_bytes,
-        | md5(substring(text, k * (length(text) // 4) + 1,
-        |   length(text) // 4)) AS frame_digest
+      """SELECT doc_id, k AS frame_idx, 8 AS fw, 8 AS fh,
+        | round(CAST(ascii(substring(text, (k % length(text)) + 1, 1)) % 128
+        |   AS DOUBLE) + 5e-10, 4) AS y_mean
         | FROM documents, LATERAL unnest(generate_series(0, 3)) u(k)
-        | WHERE length(text) // 4 > 0
-        | ORDER BY media_id, frame_idx"""
+        | ORDER BY doc_id, frame_idx"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Block means decode exactly; the fold order of f_sum mirrors the
+    // Spark-side left-associative aggregate over the feature array.
+    "q_multimodal_features" ->
+      """WITH v AS (SELECT doc_id,
+        |  ascii(substring(text, (0 % length(text)) + 1, 1)) % 128 AS v0,
+        |  ascii(substring(text, (1 % length(text)) + 1, 1)) % 128 AS v1,
+        |  ascii(substring(text, (2 % length(text)) + 1, 1)) % 128 AS v2,
+        |  ascii(substring(text, (3 % length(text)) + 1, 1)) % 128 AS v3
+        | FROM documents)
+        | SELECT doc_id,
+        |  round(v0/127.0 + 5e-10, 6) AS f1,
+        |  round(v0/127.0 + v1/127.0 + v2/127.0 + v3/127.0
+        |    + ((v0+v1+v2+v3)/4.0)/127.0 + 5e-10, 6) AS f_sum
+        | FROM v ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Nearest-neighbor downscale at even coordinates stays inside the
+    // source blocks, so the resized mean is the mean of the 4 block values.
+    "q_multimodal_resize" ->
+      """WITH v AS (SELECT doc_id,
+        |  ascii(substring(text, (0 % length(text)) + 1, 1)) % 128 AS v0,
+        |  ascii(substring(text, (1 % length(text)) + 1, 1)) % 128 AS v1,
+        |  ascii(substring(text, (2 % length(text)) + 1, 1)) % 128 AS v2,
+        |  ascii(substring(text, (3 % length(text)) + 1, 1)) % 128 AS v3
+        | FROM documents)
+        | SELECT doc_id, 16 AS w, 16 AS h, 8 AS rw, 8 AS rh,
+        |  round((v0+v1+v2+v3)/4.0 + 5e-10, 4) AS resized_mean
+        | FROM v ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id,

@@ -95,21 +95,15 @@ class DedupVectorSpec extends SparkSuite {
     pred.foreach(r => assert(labels.contains(r.getInt(1))))
   }
 
-  test("multimodal resize is deterministic and bounded") {
-    val p = (0 until 500).map(_.toByte).toArray
-    val a = graft.engine.Multimodal.fakeResize(p, 64)
-    val b = graft.engine.Multimodal.fakeResize(p, 64)
-    assert(a.toSeq === b.toSeq)
-    assert(a.length <= 64 && a.length > 0)
-    assert(graft.engine.Multimodal.fakeResize(Array[Byte](1, 2), 64)
-      .toSeq === Seq[Byte](1, 2)) // small payloads pass through
+  test("multimodal resize halves both decoded dimensions") {
     val rows = SparkEntry.queries("q_multimodal_resize")(spark, sf)
-    assert(rows.filter(col("resized_bytes") > 64).count() === 0)
+    assert(rows.filter(col("rw") =!= col("w") / 2
+      || col("rh") =!= col("h") / 2).count() === 0)
   }
 
-  test("multimodal frame sampling yields 4 equal frames per document") {
+  test("multimodal frame demux yields 4 decoded frames per document") {
     val frames = SparkEntry.queries("q_multimodal_frames")(spark, sf)
-    val perDoc = frames.groupBy("media_id").count()
+    val perDoc = frames.groupBy("doc_id").count()
       .filter(col("count") =!= 4)
     assert(perDoc.count() === 0)
   }
@@ -173,12 +167,9 @@ class DedupVectorSpec extends SparkSuite {
     intercept[IllegalArgumentException](Ppm.decode(img.dropRight(1)))
   }
 
-  test("multimodal features are deterministic with fixed dim") {
-    val f = graft.engine.Multimodal.fakeDecodeFeatures("hello".getBytes)
-    val g = graft.engine.Multimodal.fakeDecodeFeatures("hello".getBytes)
-    assert(f.toSeq === g.toSeq)
-    assert(f.length === graft.engine.Multimodal.FeatureDim)
+  test("multimodal features stay in the normalized [0, 1] range") {
     val rows = SparkEntry.queries("q_multimodal_features")(spark, sf)
     assert(rows.count() === 500)
+    assert(rows.filter(col("f1") < 0 || col("f1") > 1).count() === 0)
   }
 }

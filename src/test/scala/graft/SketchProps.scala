@@ -41,11 +41,15 @@ object SketchProps extends Properties("sketches") {
         (kmv.eval(buf(xs.toSeq)).asInstanceOf[Long] == xs.size.toLong)
   }
 
-  property("decoder is deterministic and bounded") = forAll {
-    (bytes: Array[Byte]) =>
-      val f = Multimodal.fakeDecodeFeatures(bytes)
-      val g = Multimodal.fakeDecodeFeatures(bytes)
-      f.toSeq == g.toSeq && f.length == Multimodal.FeatureDim &&
-        f.forall(x => x >= -1.0 && x < 1.0)
-  }
+  property("jpeg constant-block images decode exactly for any byte value") =
+    forAll { (seed: Int) =>
+      val vals = Array(seed & 0xff, (seed >> 8) & 0xff,
+        (seed >> 16) & 0xff, (seed >> 24) & 0xff)
+      val gray = new Array[Byte](16 * 16)
+      for (y <- 0 until 16; x <- 0 until 16)
+        gray(y * 16 + x) = vals((y / 8) * 2 + (x / 8)).toByte
+      val (w, h, nc, out) =
+        graft.engine.Jpeg.decode(graft.engine.Jpeg.encodeGray(16, 16, gray))
+      w == 16 && h == 16 && nc == 1 && java.util.Arrays.equals(out, gray)
+    }
 }
