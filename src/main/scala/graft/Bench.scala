@@ -34,7 +34,8 @@ object Bench {
       "q_text_tfidf", "q_text_termfreq", "q_dedup_exact", "q_dedup_near",
       "q_sim_topk", "q_sim_pairs_lsh", "q_knn_label_vote",
       "q_multimodal_features", "q_shape_q3", "q_shape_q5", "q_shape_q18",
-      "q_win_topn_hicard", "q_pipeline_clean_corpus")
+      "q_win_topn_hicard", "q_pipeline_clean_corpus",
+      "q_dedup_groups", "q_multimodal_jpeg", "q_scan_partition_prune")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     val selected =
