@@ -82,6 +82,26 @@ object Aggregates {
         .orderBy(col("event_type"))
     },
 
+    // Two-level mergeable HLL (Apache DataSketches via Spark builtins):
+    // sketch once per (priority, month) partition, then union the stored
+    // sketches per priority — the 100 TB pattern where raw data is touched
+    // once and all later rollups merge kilobyte sketches instead of
+    // rescanning. No SQL oracle (sketch binaries are engine-specific);
+    // EngineLawsSpec pins the law union(per-month sketches) == direct
+    // sketch of the union, and the estimate within rsd of exact.
+    "q_agg_hll_union" -> { (s, d) =>
+      val perMonth = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"),
+          date_trunc("month", col("o_orderdate")).as("m"))
+        .agg(hll_sketch_agg(col("o_custkey"), 12).as("sk"))
+      perMonth.groupBy(col("o_orderpriority"))
+        .agg(
+          hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+            .as("approx_customers"),
+          count(lit(1)).as("n_months"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     "q_agg_filtered" -> { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))

@@ -233,6 +233,35 @@ object Scalar {
         .orderBy(col("event_id"))
     },
 
+    // Spark 4 VARIANT path: parse_json shreds into the binary variant
+    // encoding once, then typed variant_get extraction — the modern
+    // semi-structured column type (vs the per-access string re-parse of
+    // get_json_object in q_fn_json).
+    "q_fn_variant" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          variant_get(parse_json(col("props")), "$.k", "int").as("k_val"))
+        .withColumn("k_sq", col("k_val") * col("k_val"))
+        .orderBy(col("event_id"))
+    },
+
+    // Struct pack / field access / struct-ordered array sort: argmax via
+    // sort_array over struct(price, key) — struct comparison is
+    // field-order lexicographic on both engines, and the unique key makes
+    // the ordering total.
+    "q_fn_struct" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sort_array(collect_list(struct(
+          col("o_totalprice").as("price"),
+          col("o_orderkey").as("key")))).as("arr"))
+        .select(col("o_custkey"), size(col("arr")).as("n"),
+          element_at(col("arr"), -1).getField("key").as("top_key"),
+          element_at(col("arr"), -1).getField("price").as("top_price"),
+          element_at(col("arr"), 1).getField("price").as("min_price"))
+        .orderBy(col("o_custkey"))
+    },
+
     // ANSI-safe error handling (SURVEY §7.4): Spark 4 runs ANSI-on, so
     // fallible casts/divisions in ETL flows go through try_* variants,
     // which yield NULL instead of failing the job.
@@ -538,6 +567,26 @@ object Scalar {
         | CAST(json_extract_string(props, '$.k') AS INT) AS fj,
         | CAST(json_extract_string(props, '$.k') AS INT) AS jt
         | FROM events WHERE event_id < 200 ORDER BY event_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_fn_variant" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+        | CAST(json_extract_string(props, '$.k') AS INT)
+        |   * CAST(json_extract_string(props, '$.k') AS INT) AS k_sq
+        | FROM events ORDER BY event_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_fn_struct" ->
+      """WITH g AS (SELECT o_custkey,
+        |  list_sort(list(struct_pack(price := o_totalprice,
+        |    key := o_orderkey))) AS arr
+        | FROM orders GROUP BY o_custkey)
+        | SELECT o_custkey, len(arr) AS n,
+        |  arr[len(arr)].key AS top_key,
+        |  arr[len(arr)].price AS top_price,
+        |  arr[1].price AS min_price
+        | FROM g ORDER BY o_custkey"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_fn_try" ->

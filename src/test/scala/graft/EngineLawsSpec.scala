@@ -232,6 +232,49 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("hll two-level merge == direct sketch; estimate near exact") {
+    val o = Tables.orders(spark, sf)
+    // law 1: union of per-month sketches gives the same estimate as one
+    // sketch over the raw rows (mergeability — what makes the two-level
+    // pattern sound at 100 TB)
+    val merged = SparkEntry.queries("q_agg_hll_union")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = o.groupBy(col("o_orderpriority"))
+      .agg(hll_sketch_estimate(
+        hll_sketch_agg(col("o_custkey"), 12)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged === direct, "two-level merge must equal direct sketch")
+    // law 2: estimate within HLL error (lgK=12 -> rsd ~1.6%; allow 3x)
+    val exact = o.groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((k, e) <- exact)
+      assert(math.abs(merged(k) - e).toDouble / e <= 0.05,
+        s"$k: hll ${merged(k)} vs exact $e")
+  }
+
+  test("winsorized means sit inside the clipping fences") {
+    val rows = SparkEntry.queries("q_text_winsorize")(spark, sf).collect()
+    rows.foreach { r =>
+      val (p05, p95) = (r.getDouble(2), r.getDouble(3))
+      val wins = r.getDouble(5)
+      assert(wins >= p05 - 1e-9 && wins <= p95 + 1e-9,
+        s"${r.getString(0)}: mean_wins $wins outside [$p05, $p95]")
+    }
+  }
+
+  test("dedup groups: component label is a member with the minimum id") {
+    val rows = SparkEntry.queries("q_dedup_groups")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val members = rows.map(_._1).toSet
+    val byComp = rows.groupBy(_._2)
+    byComp.foreach { case (comp, ms) =>
+      assert(members.contains(comp), s"label $comp is not a node")
+      assert(ms.map(_._1).min === comp,
+        s"component $comp labeled by a non-minimal id")
+    }
+  }
+
   test("approx_count_distinct within 3x rsd of exact") {
     val ev = Tables.events(spark, sf)
     val approx = SparkEntry.queries("q_agg_approx_distinct")(spark, sf)
