@@ -17,12 +17,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Aggregates.queries ++ Relational.queries ++ Windows.queries ++
       Events.queries ++ Scalar.queries ++ Text.queries ++ Vectors.queries ++
-      Ingest.queries ++ Multimodal.queries ++ Analytics.queries
+      Ingest.queries ++ Multimodal.queries ++ Analytics.queries ++
+      Subqueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Aggregates.oracle ++ Relational.oracle ++ Windows.oracle ++
       Events.oracle ++ Scalar.oracle ++ Text.oracle ++ Vectors.oracle ++
-      Ingest.oracle ++ Multimodal.oracle ++ Analytics.oracle
+      Ingest.oracle ++ Multimodal.oracle ++ Analytics.oracle ++
+      Subqueries.oracle
 }

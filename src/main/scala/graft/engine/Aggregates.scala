@@ -102,6 +102,26 @@ object Aggregates {
         .orderBy(col("o_orderpriority"))
     },
 
+    // Exact twin of q_agg_hll_union: RoaringBitmap-style exact distinct
+    // via Spark's bitmap functions. Level 1 builds one bitmap per
+    // (priority, month, 32k-id bucket); level 2 ORs bitmaps across months
+    // within a bucket; the final count sums disjoint buckets. Same
+    // touch-raw-data-once / merge-small-state-everywhere shape as the
+    // sketch, but exact — oracle is a plain count(DISTINCT).
+    "q_agg_bitmap_distinct" -> { (s, d) =>
+      val perBucket = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"),
+          date_trunc("month", col("o_orderdate")).as("m"),
+          expr("bitmap_bucket_number(o_custkey)").as("b"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))")
+          .as("bm"))
+      perBucket.groupBy(col("o_orderpriority"), col("b"))
+        .agg(expr("bitmap_or_agg(bm)").as("bm"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(expr("bitmap_count(bm)")).as("n_customers"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     "q_agg_filtered" -> { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
@@ -178,6 +198,39 @@ object Aggregates {
         eround(num * num
           / (den * (nD * col("syy") - col("sy") * col("sy"))), 6).as("r2"),
         col("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Higher-moment shape statistics (population skewness + excess
+    // kurtosis) from exact decimal power sums — same order-independence
+    // trick as q_agg_regr: the four moments are exact and identical on
+    // both engines, and the closed-form combination is then the same IEEE
+    // double expression on both sides. (Built-in skewness/kurtosis keep
+    // order-dependent double state AND the two engines disagree on
+    // bias correction — EngineLawsSpec pins ours against Spark's.)
+    "q_agg_skewkurt" -> { (s, d) =>
+      val q = col("l_quantity")
+      val m = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(q).as("s1"),
+          dsum(q * q, 4).as("s2"),
+          dsum(q * q * q, 6).as("s3"),
+          dsum(q * q * q * q, 8).as("s4"))
+      val nD = col("n").cast("double")
+      val mean = col("s1") / nD
+      val m2 = col("s2") / nD - mean * mean
+      val m3 = col("s3") / nD - lit(3) * mean * (col("s2") / nD) +
+        lit(2) * mean * mean * mean
+      val m4 = col("s4") / nD - lit(4) * mean * (col("s3") / nD) +
+        lit(6) * mean * mean * (col("s2") / nD) -
+        lit(3) * mean * mean * mean * mean
+      m.select(
+        col("l_returnflag"), col("n"),
+        eround(mean, 4).as("mean_qty"),
+        eround(m3 / sqrt(m2 * m2 * m2), 6).as("skew_qty"),
+        eround(m4 / (m2 * m2) - lit(3), 6).as("kurt_qty"))
         .orderBy(col("l_returnflag"))
     },
 
@@ -419,6 +472,34 @@ object Aggregates {
         |   / ((n*sxx - sx*sx) * (n*syy - sy*sy)) + 5e-10, 6) AS r2,
         | CAST(n AS BIGINT) AS n
         | FROM m ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_agg_bitmap_distinct" ->
+      """SELECT o_orderpriority,
+        | count(DISTINCT o_custkey) AS n_customers
+        | FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_agg_skewkurt" ->
+      """WITH m AS (SELECT l_returnflag,
+        |  CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |  CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s2,
+        |  CAST(sum(CAST(l_quantity*l_quantity*l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s3,
+        |  CAST(sum(CAST(l_quantity*l_quantity*l_quantity*l_quantity AS DECIMAL(18,8))) AS DOUBLE) AS s4
+        |  FROM lineitem GROUP BY l_returnflag),
+        | t AS (SELECT l_returnflag, n, s1/n AS mean,
+        |  s2/n AS r2, s3/n AS r3, s4/n AS r4 FROM m),
+        | u AS (SELECT l_returnflag, n, mean,
+        |  r2 - mean*mean AS m2,
+        |  r3 - 3*mean*r2 + 2*mean*mean*mean AS m3,
+        |  r4 - 4*mean*r3 + 6*mean*mean*r2 - 3*mean*mean*mean*mean AS m4
+        |  FROM t)
+        | SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  round(mean + 5e-10, 4) AS mean_qty,
+        |  round(m3/sqrt(m2*m2*m2) + 5e-10, 6) AS skew_qty,
+        |  round(m4/(m2*m2) - 3 + 5e-10, 6) AS kurt_qty
+        | FROM u ORDER BY l_returnflag"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_agg_listagg" ->

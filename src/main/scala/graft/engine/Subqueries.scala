@@ -1,0 +1,153 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL-text subquery surface (SURVEY §2.2's declarative-query capability,
+  * exercised through `spark.sql` rather than the DataFrame API). These hit
+  * Catalyst rewrite rules the DataFrame operators never touch:
+  * RewriteCorrelatedScalarSubquery (correlated scalar -> left outer join +
+  * aggregate, with the COUNT-bug null fixup), RewritePredicateSubquery
+  * (EXISTS/IN -> semi/anti join), and LateralJoin planning.
+  *
+  * Scale posture: every rewrite lands on a key-partitioned shuffle or
+  * broadcast join — the subquery text is sugar, the physical plan is the
+  * same join/aggregate shapes as the rest of the engine, so the 100 TB
+  * behavior is inherited from those operators.
+  *
+  * Temp-view names are scoped by the sfDir slug so concurrent builders at
+  * different scale factors on one shared session never collide
+  * (ConcurrencySpec's contract); re-registration of the same (view, sfDir)
+  * pair is idempotent.
+  */
+object Subqueries {
+
+  private def slug(d: String): String = d.replaceAll("[^A-Za-z0-9_]", "_")
+
+  /** Register the fixture views for this sfDir and return the suffix. */
+  private def views(s: SparkSession, d: String): String = {
+    val g = slug(d)
+    Tables.customer(s, d).createOrReplaceTempView(s"customer_$g")
+    Tables.orders(s, d).createOrReplaceTempView(s"orders_$g")
+    Tables.lineitem(s, d).createOrReplaceTempView(s"lineitem_$g")
+    g
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Correlated scalar subquery in the SELECT list: per-customer order
+    // count. Catalyst must rewrite to a left outer join + aggregate AND
+    // patch the COUNT bug (customers with no orders get 0, not NULL).
+    "q_subq_scalar" -> { (s, d) =>
+      val g = views(s, d)
+      s.sql(
+        s"""SELECT c_custkey, c_name,
+           | (SELECT count(*) FROM orders_$g o
+           |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+           | FROM customer_$g c
+           | WHERE c_custkey <= 500
+           | ORDER BY c_custkey""".stripMargin)
+    },
+
+    // Correlated EXISTS / NOT EXISTS over the same driving table in one
+    // query: orders that have at least one returned item and none shipped
+    // after the order date + 60 days. Both rewrite to semi/anti joins on
+    // l_orderkey with the correlated residual pushed into the join.
+    "q_subq_exists" -> { (s, d) =>
+      val g = views(s, d)
+      s.sql(
+        s"""SELECT o_orderkey, o_orderpriority
+           | FROM orders_$g o
+           | WHERE EXISTS (SELECT 1 FROM lineitem_$g l
+           |    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+           |  AND NOT EXISTS (SELECT 1 FROM lineitem_$g l
+           |    WHERE l.l_orderkey = o.o_orderkey
+           |     AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+           | ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // IN / NOT IN predicate subqueries (both key columns are non-null, so
+    // NOT IN's three-valued-logic trap is not in play): orders from
+    // BUILDING-segment customers, excluding multi-item orders.
+    "q_subq_in" -> { (s, d) =>
+      val g = views(s, d)
+      s.sql(
+        s"""SELECT o_orderkey, o_custkey, o_totalprice
+           | FROM orders_$g
+           | WHERE o_custkey IN (SELECT c_custkey FROM customer_$g
+           |    WHERE c_mktsegment = 'BUILDING')
+           |  AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem_$g
+           |    GROUP BY l_orderkey HAVING count(*) > 3)
+           | ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // Uncorrelated scalar subquery as a filter threshold. max() is exact
+    // on doubles (no summation-order sensitivity), so the comparison is
+    // engine-stable; the subquery plans as a one-row broadcast.
+    "q_subq_uncorrelated" -> { (s, d) =>
+      val g = views(s, d)
+      s.sql(
+        s"""SELECT o_orderkey, o_totalprice
+           | FROM orders_$g
+           | WHERE o_totalprice > (SELECT max(o_totalprice)
+           |    FROM orders_$g) * 0.8
+           | ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // LATERAL correlated subquery: each priority bucket's three most
+    // recent orders — the SQL spelling of top-k-per-group. Spark plans a
+    // LateralJoin; the DataFrame twin is q_topk_per_group's window.
+    "q_subq_lateral" -> { (s, d) =>
+      val g = views(s, d)
+      s.sql(
+        s"""SELECT p.o_orderpriority, t.o_orderkey, t.o_orderdate
+           | FROM (SELECT DISTINCT o_orderpriority FROM orders_$g) p,
+           |  LATERAL (SELECT o_orderkey, o_orderdate FROM orders_$g o
+           |    WHERE o.o_orderpriority = p.o_orderpriority
+           |    ORDER BY o_orderdate DESC, o_orderkey LIMIT 3) t
+           | ORDER BY p.o_orderpriority, t.o_orderdate DESC,
+           |  t.o_orderkey""".stripMargin)
+    }
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q_subq_scalar" ->
+      """SELECT c_custkey, c_name,
+        | (SELECT count(*) FROM orders o
+        |   WHERE o.o_custkey = c.c_custkey) AS n_orders
+        | FROM customer c WHERE c_custkey <= 500
+        | ORDER BY c_custkey""".stripMargin.replaceAll("\n", " "),
+
+    "q_subq_exists" ->
+      """SELECT o_orderkey, o_orderpriority
+        | FROM orders o
+        | WHERE EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |     AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        | ORDER BY o_orderkey""".stripMargin.replaceAll("\n", " "),
+
+    "q_subq_in" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        | FROM orders
+        | WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |    WHERE c_mktsegment = 'BUILDING')
+        |  AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem
+        |    GROUP BY l_orderkey HAVING count(*) > 3)
+        | ORDER BY o_orderkey""".stripMargin.replaceAll("\n", " "),
+
+    "q_subq_uncorrelated" ->
+      """SELECT o_orderkey, o_totalprice
+        | FROM orders
+        | WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) * 0.8
+        | ORDER BY o_orderkey""".stripMargin.replaceAll("\n", " "),
+
+    "q_subq_lateral" ->
+      """SELECT p.o_orderpriority, t.o_orderkey, t.o_orderdate
+        | FROM (SELECT DISTINCT o_orderpriority FROM orders) p,
+        |  LATERAL (SELECT o_orderkey, o_orderdate FROM orders o
+        |    WHERE o.o_orderpriority = p.o_orderpriority
+        |    ORDER BY o_orderdate DESC, o_orderkey LIMIT 3) t
+        | ORDER BY p.o_orderpriority, t.o_orderdate DESC, t.o_orderkey"""
+        .stripMargin.replaceAll("\n", " ")
+  )
+}

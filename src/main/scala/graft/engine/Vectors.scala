@@ -225,22 +225,23 @@ object Vectors {
         val stepped = labels
           .join(nbrMin.select(col("src").as("vec_id"), col("nmin")),
             Seq("vec_id"), "left")
-          .select(col("vec_id"),
+          .select(col("vec_id"), col("comp").as("old"),
             least(col("comp"), coalesce(col("nmin"), col("comp")))
               .as("comp"))
         // pointer jump: comp <- comp(comp); comp values are always node
-        // ids, so the left join hits unless comp is already a root
-        val jumped = stepped.select(col("vec_id"), col("comp").as("mid"))
+        // ids, so the left join hits unless comp is already a root. The
+        // pre-round label rides along as `old` so the convergence check
+        // below is a narrow filter-count over the checkpointed frame —
+        // no extra join against the previous labels.
+        val jumped = stepped
+          .select(col("vec_id"), col("old"), col("comp").as("mid"))
           .join(stepped.select(col("vec_id").as("mid"),
             col("comp").as("comp")), Seq("mid"), "left")
-          .select(col("vec_id"),
+          .select(col("vec_id"), col("old"),
             coalesce(col("comp"), col("mid")).as("comp"))
           .localCheckpoint()
-        changed = jumped
-          .join(labels.select(col("vec_id"), col("comp").as("old")),
-            "vec_id")
-          .filter(col("comp") =!= col("old")).count()
-        labels = jumped
+        changed = jumped.filter(col("comp") =!= col("old")).count()
+        labels = jumped.select(col("vec_id"), col("comp"))
         rounds += 1
       }
       val wComp = org.apache.spark.sql.expressions.Window

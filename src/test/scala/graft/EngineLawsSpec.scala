@@ -275,6 +275,22 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("exact-moment skew/kurtosis agree with Spark's builtin moments") {
+    val ours = SparkEntry.queries("q_agg_skewkurt")(spark, sf)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4))).toMap
+    val builtin = Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(skewness(col("l_quantity")).as("sk"),
+        kurtosis(col("l_quantity")).as("ku"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    for ((k, (sk, ku)) <- ours) {
+      assert(math.abs(sk - builtin(k)._1) < 1e-4, s"$k skew $sk")
+      assert(math.abs(ku - builtin(k)._2) < 1e-4, s"$k kurt $ku")
+    }
+  }
+
   test("approx_count_distinct within 3x rsd of exact") {
     val ev = Tables.events(spark, sf)
     val approx = SparkEntry.queries("q_agg_approx_distinct")(spark, sf)
