@@ -342,6 +342,31 @@ object Relational {
         .orderBy(col("o_custkey"), col("valid_from"), col("o_orderkey"))
     },
 
+    // MERGE / upsert shape (CDC apply): a base snapshot full-outer-joined
+    // with a change batch — matched rows take the new value, unmatched
+    // changes insert, untouched rows pass through, each tagged with its
+    // merge action. At 100 TB this is one key-partitioned shuffle join
+    // (or exchange-free with both sides bucketed on the key); the change
+    // batch here is derived from the fixture so the oracle can replay it.
+    "q_shape_merge" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val base = o.select(col("o_orderkey").as("k"),
+        col("o_totalprice").as("price_old"))
+      val updates = o.filter(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey").as("k"),
+          eround(col("o_totalprice") * 1.1, 2).as("price_new"))
+        .unionByName(o.filter(col("o_orderkey") % 1000 === 7)
+          .select((col("o_orderkey") + 10000000L).as("k"),
+            col("o_totalprice").as("price_new")))
+      base.join(updates, Seq("k"), "full")
+        .select(col("k"),
+          coalesce(col("price_new"), col("price_old")).as("price"),
+          when(col("price_old").isNull, "insert")
+            .when(col("price_new").isNull, "keep")
+            .otherwise("update").as("action"))
+        .orderBy(col("k"))
+    },
+
     // Validation report (migration gap analysis): per-record rule flags
     // and a ';'-joined reason string for records failing any rule.
     "q_validate_rules" -> { (s, d) =>
@@ -618,6 +643,24 @@ object Relational {
         | FROM orders
         | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         | ORDER BY o_custkey, valid_from, o_orderkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_shape_merge" ->
+      """WITH base AS (SELECT o_orderkey AS k, o_totalprice AS price_old
+        |  FROM orders),
+        | upd AS (
+        |  SELECT o_orderkey AS k,
+        |   round(o_totalprice * 1.1 + 5e-10, 2) AS price_new
+        |  FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000 AS k, o_totalprice AS price_new
+        |  FROM orders WHERE o_orderkey % 1000 = 7)
+        | SELECT COALESCE(b.k, u.k) AS k,
+        |  COALESCE(price_new, price_old) AS price,
+        |  CASE WHEN price_old IS NULL THEN 'insert'
+        |   WHEN price_new IS NULL THEN 'keep'
+        |   ELSE 'update' END AS action
+        | FROM base b FULL JOIN upd u ON b.k = u.k ORDER BY k"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_join_range_bucket" ->

@@ -408,6 +408,37 @@ object Text {
         .orderBy(col("lang"))
     },
 
+    // Training-data mixing: tier the corpus by quality signals, then
+    // deterministically downsample each tier at its own rate (high keeps
+    // all, mid 1/2, low 1/8) via an md5-prefix threshold — the seedless,
+    // engine-portable coin flip that makes a 100 TB mix reproducible and
+    // shardable (every executor decides keep/drop from the row alone; no
+    // RNG state, no shuffle). Output is the per-tier mix report.
+    "q_pipeline_train_mix" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("t", toks(col("text")))
+        .withColumn("n_tok", size(col("t")))
+        .withColumn("stop_ratio",
+          size(filter(col("t"), x => x.isInCollection(StopWords)))
+            .cast("double") / col("n_tok"))
+        .withColumn("tier",
+          when(col("n_tok").between(50, 500)
+            && col("stop_ratio") <= 0.4, "1_high")
+            .when(col("n_tok") >= 20 && col("stop_ratio") <= 0.55, "2_mid")
+            .otherwise("3_low"))
+        .withColumn("coin", substring(md5(col("doc_id").cast("string")), 1, 2))
+      docs.filter(
+          when(col("tier") === "1_high", lit(true))
+            .when(col("tier") === "2_mid", col("coin") < "80")
+            .otherwise(col("coin") < "20"))
+        .groupBy(col("tier"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("bigint").as("sum_tok"),
+          eround(sum(col("n_tok")).cast("double") / count(lit(1)), 4)
+            .as("avg_tok"))
+        .orderBy(col("tier"))
+    },
+
     // Rolling polynomial fingerprint: h = fold((h*31 + ascii(ch)) mod p).
     "q_text_fingerprint" -> { (s, d) =>
       Tables.documents(s, d)
@@ -703,6 +734,28 @@ object Text {
          |  array_to_string(list_slice(tk, k*24 + 1, k*24 + 32), ' ') AS chunk,
          |  least(len(tk) - k*24, 32) AS n_tok
          | FROM st ORDER BY doc_id, tok_offset"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_pipeline_train_mix" ->
+      s"""WITH t AS (SELECT doc_id, len($oToks) AS n_tok,
+         |  CAST(len(list_filter($oToks, x -> list_contains($oStop, x)))
+         |    AS DOUBLE) / len($oToks) AS stop_ratio
+         |  FROM documents),
+         | tiered AS (SELECT doc_id, n_tok,
+         |  CASE WHEN n_tok BETWEEN 50 AND 500 AND stop_ratio <= 0.4
+         |    THEN '1_high'
+         |   WHEN n_tok >= 20 AND stop_ratio <= 0.55 THEN '2_mid'
+         |   ELSE '3_low' END AS tier,
+         |  substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS coin
+         |  FROM t)
+         | SELECT tier, count(*) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS sum_tok,
+         |  round(CAST(sum(n_tok) AS DOUBLE) / count(*) + 5e-10, 4)
+         |    AS avg_tok
+         | FROM tiered
+         | WHERE tier = '1_high' OR (tier = '2_mid' AND coin < '80')
+         |  OR (tier = '3_low' AND coin < '20')
+         | GROUP BY tier ORDER BY tier"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_pipeline_clean_corpus" ->

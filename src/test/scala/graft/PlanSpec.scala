@@ -35,6 +35,18 @@ class PlanSpec extends SparkSuite {
     assert(plan("q_join_anti").contains("LeftAnti"))
   }
 
+  test("subquery text rewrites to joins — no nested-loop fallback") {
+    // EXISTS/NOT EXISTS -> semi + anti hash joins on the correlation key
+    val ex = plan("q_subq_exists")
+    assert(ex.contains("LeftSemi"), "EXISTS should plan as a semi join")
+    assert(ex.contains("LeftAnti"), "NOT EXISTS should plan as an anti join")
+    assert(!ex.contains("CartesianProduct"), s"no cartesian:\n$ex")
+    // correlated scalar count(*) -> outer join + aggregate (COUNT-bug path)
+    val sc = plan("q_subq_scalar")
+    assert(sc.contains("Aggregate") || sc.contains("HashAggregate"))
+    assert(!sc.contains("CartesianProduct"), s"no cartesian:\n$sc")
+  }
+
   test("global top-N plans as TakeOrderedAndProject, not a full sort") {
     assert(plan("q_limit").contains("TakeOrderedAndProject"))
   }
