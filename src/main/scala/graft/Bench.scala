@@ -35,7 +35,9 @@ object Bench {
       "q_sim_topk", "q_sim_pairs_lsh", "q_knn_label_vote",
       "q_multimodal_features", "q_shape_q3", "q_shape_q5", "q_shape_q18",
       "q_win_topn_hicard", "q_pipeline_clean_corpus",
-      "q_dedup_groups", "q_multimodal_jpeg", "q_scan_partition_prune")
+      "q_dedup_groups", "q_multimodal_jpeg", "q_scan_partition_prune",
+      "q_subq_exists", "q_agg_bitmap_distinct", "q_agg_hll_union",
+      "q_shape_merge", "q_pipeline_train_mix", "q_vec_centroid")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     val selected =

@@ -252,6 +252,23 @@ object Vectors {
     },
 
     // Scalar (int8) quantization of embeddings — the 4x storage cut that
+    // Per-label centroids (the k-means/IVF training primitive and the
+    // cluster-summary report): posexplode to (label, dim, x), one shuffle
+    // keyed on (label, dim), elementwise mean. Sums go through exact
+    // integer micros — round(x*1e6) on a float has provably no exact-half
+    // cases (a dyadic rational can never equal (2k+1)/2e6), so both
+    // engines sum identical longs, order-independently.
+    "q_vec_centroid" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), (col("pos") + 1).as("dim"), col("col").as("x"))
+        .groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n"),
+          eround(sum(round(col("x") * 1e6).cast("long")).cast("double")
+            / 1e6 / count(lit(1)), 6).as("c"))
+        .orderBy(col("label"), col("dim"))
+    },
+
     // makes a 100 TB vector corpus searchable in memory: q_i =
     // round(v_i * 127 / max|v|), plus the reconstruction error that
     // decision costs. Pure per-row HOF arithmetic.
@@ -362,6 +379,16 @@ object Vectors {
          | SELECT vec_id, comp,
          |  count(*) OVER (PARTITION BY comp) AS comp_size
          | FROM comp ORDER BY vec_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_vec_centroid" ->
+      """WITH e AS (SELECT label, i AS dim, embedding[i] AS x
+        |  FROM embeddings,
+        |  LATERAL unnest(generate_series(1, len(embedding))) u(i))
+        | SELECT label, dim, count(*) AS n,
+        |  round(CAST(sum(CAST(round(x * 1e6) AS BIGINT)) AS DOUBLE)
+        |    / 1e6 / count(*) + 5e-10, 6) AS c
+        | FROM e GROUP BY label, dim ORDER BY label, dim"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_vec_quantize" ->
