@@ -275,6 +275,19 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("merge actions reconcile exactly with the change batch") {
+    val actions = SparkEntry.queries("q_shape_merge")(spark, sf)
+      .groupBy(col("action")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val o = Tables.orders(spark, sf)
+    val total = o.count()
+    val updates = o.filter(col("o_orderkey") % 10 === 3).count()
+    val inserts = o.filter(col("o_orderkey") % 1000 === 7).count()
+    assert(actions("update") === updates, "every change batch row matched")
+    assert(actions("insert") === inserts, "every new key inserted")
+    assert(actions("keep") === total - updates, "untouched rows pass through")
+  }
+
   test("exact-moment skew/kurtosis agree with Spark's builtin moments") {
     val ours = SparkEntry.queries("q_agg_skewkurt")(spark, sf)
       .collect()
