@@ -37,7 +37,8 @@ object Bench {
       "q_win_topn_hicard", "q_pipeline_clean_corpus",
       "q_dedup_groups", "q_multimodal_jpeg", "q_scan_partition_prune",
       "q_subq_exists", "q_agg_bitmap_distinct", "q_agg_hll_union",
-      "q_shape_merge", "q_pipeline_train_mix", "q_vec_centroid")
+      "q_shape_merge", "q_pipeline_train_mix", "q_vec_centroid",
+      "q_dedup_simhash")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     val selected =

@@ -275,6 +275,23 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("observe() collects QA metrics during the action that computes them") {
+    // Pipeline instrumentation: row counts / sums ride the existing job
+    // as CollectMetrics — no second scan, no extra action. The metric
+    // values must equal a direct aggregation of the same frame.
+    val obs = new org.apache.spark.sql.Observation("qa")
+    val o = Tables.orders(spark, sf)
+      .observe(obs, count(lit(1)).as("n_rows"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+    val kept = o.filter(col("o_totalprice") > 1000).count()
+    val direct = Tables.orders(spark, sf)
+      .agg(count(lit(1)), sum(col("o_totalprice").cast("decimal(18,2)")))
+      .head()
+    assert(obs.get("n_rows") === direct.getLong(0))
+    assert(obs.get("total") === direct.getDecimal(1))
+    assert(kept <= direct.getLong(0))
+  }
+
   test("merge actions reconcile exactly with the change batch") {
     val actions = SparkEntry.queries("q_shape_merge")(spark, sf)
       .groupBy(col("action")).count().collect()
