@@ -234,6 +234,25 @@ object Aggregates {
         .orderBy(col("l_returnflag"))
     },
 
+    // Deterministic mode: the builtin `mode` leaves ties
+    // implementation-defined, so the modal value is derived explicitly —
+    // count per (group, value), then rank by (count desc, value asc).
+    // Two shuffles, both key-partitioned; the second input is one row
+    // per distinct (group, value), already tiny.
+    "q_agg_mode" -> { (s, d) =>
+      val counts = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(desc("n"), asc("o_orderstatus"))
+      counts.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_orderpriority"),
+          col("o_orderstatus").as("modal_status"), col("n"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     // Ordered string aggregation (listagg WITHIN GROUP) — the SQL-standard
     // form of the Bulkrax multi-value cell join.
     "q_agg_listagg" -> { (s, d) =>
@@ -500,6 +519,16 @@ object Aggregates {
         |  round(m3/sqrt(m2*m2*m2) + 5e-10, 6) AS skew_qty,
         |  round(m4/(m2*m2) - 3 + 5e-10, 6) AS kurt_qty
         | FROM u ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_agg_mode" ->
+      """WITH c AS (SELECT o_orderpriority, o_orderstatus, count(*) AS n
+        |  FROM orders GROUP BY o_orderpriority, o_orderstatus),
+        | r AS (SELECT o_orderpriority, o_orderstatus, n,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY n DESC, o_orderstatus ASC) AS rn FROM c)
+        | SELECT o_orderpriority, o_orderstatus AS modal_status, n
+        | FROM r WHERE rn = 1 ORDER BY o_orderpriority"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_agg_listagg" ->

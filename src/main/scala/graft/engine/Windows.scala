@@ -127,6 +127,29 @@ object Windows {
         .orderBy(col("event_id"))
     },
 
+    // Gaps-and-islands sessionization — the window-function spelling of
+    // session_window (q_stream_session): flag a row whose gap from its
+    // predecessor exceeds 5 minutes, running-sum the flags into session
+    // ids, aggregate per (user, session). One shuffle on user_id shared
+    // by both window passes and the final aggregate. Gap arithmetic runs
+    // on exact epoch micros, never truncated seconds.
+    "q_win_gaps_islands" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 300000000L, 1)
+            .otherwise(0))
+        .withColumn("sid", sum(col("new_s")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(count(lit(1)).as("n"),
+          min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+        .orderBy(col("user_id"), col("sid"))
+    },
+
     // High-cardinality partition key (o_custkey — keys grow with the data,
     // unlike the 5-value enum demos above): proves the window pattern
     // scales, since per-key state stays constant as rows grow 100x. The
@@ -231,6 +254,21 @@ object Windows {
         |  wr AS (PARTITION BY user_id ORDER BY ts, event_id
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         | ORDER BY event_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_win_gaps_islands" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS t
+        |  FROM events),
+        | f AS (SELECT event_id, user_id, t,
+        |  CASE WHEN lag(epoch_us(t)) OVER w IS NULL
+        |    OR epoch_us(t) - lag(epoch_us(t)) OVER w > 300000000
+        |   THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)),
+        | g AS (SELECT user_id, t, sum(new_s) OVER (PARTITION BY user_id
+        |   ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+        | SELECT user_id, CAST(sid AS BIGINT) AS sid, count(*) AS n,
+        |  min(t) AS s_start, max(t) AS s_end
+        | FROM g GROUP BY user_id, sid ORDER BY user_id, sid"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_win_range_time" ->
