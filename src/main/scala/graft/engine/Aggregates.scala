@@ -373,6 +373,27 @@ object Aggregates {
         .orderBy(col("l_returnflag"))
     },
 
+    // Mergeable Count-Min frequency sketch (second TypedImperativeAggregate
+    // surface): build one 64 KiB sketch per group — elementwise-sum merge,
+    // so the merged grid is identical under any partitioning — then answer
+    // point frequency queries for a probe set in the projection above.
+    // No oracle (hash-grid internals) — one-sidedness, error bound, and
+    // partition-independence asserted in ScalaTest.
+    "q_agg_cms_freq" -> { (s, d) =>
+      graft.engine.functions.GraftFunctions.register(s)
+      val probes = array((1 to 5).map(i => lit(i.toLong)): _*)
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("cms_sketch(l_suppkey)").as("sk"),
+          count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"), col("n_rows"), col("sk"),
+          explode(probes).as("suppkey"))
+        .withColumn("est", expr("cms_query(sk, suppkey)"))
+        .select(col("l_returnflag"), col("suppkey"), col("est"),
+          col("n_rows"))
+        .orderBy(col("l_returnflag"), col("suppkey"))
+    },
+
     // Typed Dataset surface: case-class rows + KeyValueGroupedDataset.
     // mapGroups carries no partial aggregation (whole groups shuffle) —
     // fine for bounded groups like these five statuses; use untyped agg

@@ -99,6 +99,14 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.FunctionIdentifier("kmv_distinct")))
       reg.createOrReplaceTempFunction(
         "kmv_distinct", exprs => KmvDistinct(exprs.head), "scala_udf")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("cms_sketch")))
+      reg.createOrReplaceTempFunction(
+        "cms_sketch", exprs => CmsSketch(exprs.head), "scala_udf")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("cms_query")))
+      reg.createOrReplaceTempFunction(
+        "cms_query", exprs => CmsQuery(exprs(0), exprs(1)), "scala_udf")
   }
 
   /** Column-level entry point (requires register(spark) in the session). */

@@ -21,5 +21,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("kmv_distinct"),
       new ExpressionInfo(classOf[KmvDistinct].getName, "kmv_distinct"),
       (exprs: Seq[Expression]) => KmvDistinct(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("cms_sketch"),
+      new ExpressionInfo(classOf[CmsSketch].getName, "cms_sketch"),
+      (exprs: Seq[Expression]) => CmsSketch(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("cms_query"),
+      new ExpressionInfo(classOf[CmsQuery].getName, "cms_query"),
+      (exprs: Seq[Expression]) => CmsQuery(exprs(0), exprs(1))))
   }
 }

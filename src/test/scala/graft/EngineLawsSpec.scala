@@ -292,6 +292,32 @@ class EngineLawsSpec extends SparkSuite {
     assert(kept <= direct.getLong(0))
   }
 
+  test("count-min sketch: one-sided, bounded error, partition-independent") {
+    val rows = SparkEntry.queries("q_agg_cms_freq")(spark, sf).collect()
+    val exact = Tables.lineitem(spark, sf)
+      .filter(col("l_suppkey").between(1, 5))
+      .groupBy(col("l_returnflag"), col("l_suppkey")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      val key = (r.getString(0), r.getLong(1))
+      val (est, n) = (r.getLong(2), r.getLong(3))
+      val truth = exact.getOrElse(key, 0L)
+      assert(est >= truth, s"$key: CMS must never undercount")
+      assert(est <= truth + 4 * n / 2048 + 1,
+        s"$key: est $est too far above $truth (n=$n)")
+    }
+    // elementwise-sum merge commutes -> byte-identical sketch under any
+    // partitioning
+    graft.engine.functions.GraftFunctions.register(spark)
+    val li = Tables.lineitem(spark, sf).select(col("l_suppkey"))
+    val s1 = li.repartition(1).agg(expr("cms_sketch(l_suppkey)"))
+      .head.getAs[Array[Byte]](0)
+    val s13 = li.repartition(13).agg(expr("cms_sketch(l_suppkey)"))
+      .head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(s1, s13),
+      "merged sketch must not depend on partitioning")
+  }
+
   test("merge actions reconcile exactly with the change batch") {
     val actions = SparkEntry.queries("q_shape_merge")(spark, sf)
       .groupBy(col("action")).count().collect()
