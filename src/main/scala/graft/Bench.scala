@@ -1,5 +1,25 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import java.util.concurrent.atomic.{AtomicLong, LongAdder}
+
+/** Per-task telemetry accumulated while a query's timed reps run: total JVM
+  * GC time and the largest single-task execution-memory peak. Storage memory
+  * is sampled separately (it's a session-level gauge, not a task metric).
+  */
+final class BenchListener extends SparkListener {
+  val gcMs = new LongAdder
+  val peakExecMem = new AtomicLong(0L)
+  override def onTaskEnd(te: SparkListenerTaskEnd): Unit = {
+    val m = te.taskMetrics
+    if (m != null) {
+      gcMs.add(m.jvmGCTime)
+      peakExecMem.getAndAccumulate(m.peakExecutionMemory, math.max)
+    }
+  }
+  def reset(): Unit = { gcMs.reset(); peakExecMem.set(0L) }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -60,7 +80,11 @@ object Bench {
     // and the min (best-case floor) per query; total = sum of medians.
     val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").flatMap(_.toIntOption)
       .filter(_ >= 1).getOrElse(5)
+    val listener = new BenchListener
+    spark.sparkContext.addSparkListener(listener)
+    // (name, median, min, gcMs, peakExecMem, storageBytesAfter)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      listener.reset()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -69,27 +93,47 @@ object Bench {
       val median =
         if (reps % 2 == 1) times(reps / 2)
         else (times(reps / 2 - 1) + times(reps / 2)) / 2.0
-      (name, median, times.head)
+      // Storage gauge AFTER the reps: a query that leaks cached/checkpointed
+      // blocks shows up as a monotone climb across the bench run.
+      val storage =
+        try spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+        catch { case _: Throwable => -1L }
+      (name, median, times.head, listener.gcMs.sum(), listener.peakExecMem.get(), storage)
     }
-    val qs = results.map { case (k, med, _) => s"\"" + k + "\":" + med }
+    val qs = results.map { case (k, med, _, _, _, _) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val mins = results.map { case (k, _, mn) => s"\"" + k + "\":" + mn }
+    val mins = results.map { case (k, _, mn, _, _, _) => "\"" + k + "\":" + mn }
       .mkString("{", ",", "}")
+    // Per-query telemetry: summed task GC ms over the reps, max single-task
+    // execution-memory peak, session storage bytes after the query, and an
+    // instability flag (median > 2x min = contention/GC, not the plan).
+    val telem = results.map { case (k, med, mn, gc, pk, st) =>
+      val unstable = mn > 0 && med > 2 * mn
+      s""""$k":{"gc_ms":$gc,"peak_exec_mem":$pk,"storage_bytes_after":$st,"unstable":$unstable}"""
+    }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"reps":$reps,"sf":"$sfDir"}"""
-    println(json)
-    // Belt and braces: also write the line to a file readable verbatim even
-    // if a wrapper mangles stdout. Default is cwd-relative so the path works
+    val nq = results.size
+    // The driver captures only the LAST ~2000 chars of stdout; a line with 46
+    // per-query medians is ~2.4 KB and gets its head truncated away. So the
+    // FINAL stdout line is a compact total-only summary (~130 chars), and the
+    // full per-query breakdown goes to the file sink only.
+    val compact =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":{"all_$nq":$total},"reps":$reps,"sf":"$sfDir"}"""
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"telemetry":$telem,"reps":$reps,"sf":"$sfDir"}"""
+    // Full detail to the file sink. Default is cwd-relative so the path works
     // wherever the repo is checked out; SPARK_GRAFT_BENCH_OUT overrides.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       new java.io.File("bench_out.json").getAbsolutePath)
     try {
       val w = new java.io.PrintWriter(outPath)
-      try w.println(json) finally w.close()
+      try w.println(full) finally w.close()
     } catch {
       case e: Throwable => System.err.println(s"[bench] write $outPath failed: $e")
     }
     spark.stop()
+    // Print last, after spark.stop(), so no late INFO/WARN line can land
+    // between this and process exit.
+    println(compact)
   }
 }

@@ -92,8 +92,8 @@ object Multimodal {
 
   /** Minimal REAL WAV (RIFF/PCM16 mono) codec — like [[Ppm]], pure bytes,
     * no libraries: 44-byte canonical header + little-endian 16-bit
-    * samples. Makes audio decode genuine for the one format expressible
-    * without codecs; compressed audio stays stubbed.
+    * samples. The compressed-audio path is covered by the real IMA ADPCM
+    * codec below (q_multimodal_adpcm) — no audio stubs remain.
     */
   object Wav {
     private def le32(v: Int): Array[Byte] =
@@ -675,8 +675,6 @@ object Multimodal {
         .orderBy(col("doc_id"))
     },
 
-    // Resize (stubbed image decode): deterministic byte subsample; no
-    // oracle (subsample stride logic), determinism asserted in ScalaTest.
     // REAL resize pipeline: decode JPEG -> nearest-neighbor downscale of
     // the decoded plane (16x16 -> 8x8) -> re-encode -> decode again for
     // the output dimensions. The resized mean is computed on the resized

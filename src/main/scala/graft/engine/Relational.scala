@@ -352,11 +352,19 @@ object Relational {
       val o = Tables.orders(s, d)
       val base = o.select(col("o_orderkey").as("k"),
         col("o_totalprice").as("price_old"))
+      // Synthesized insert keys are offset by max(o_orderkey), not a fixed
+      // constant: orderkeys pass 1e7 around TPC-H sf 1.7, and a fixed
+      // offset would then collide with real keys (duplicate keys in the
+      // change batch -> double-matched full-join rows). max + o_orderkey
+      // is collision-free at every sf: distinct inputs stay distinct and
+      // every result exceeds max. The 1-row max broadcasts.
+      val mx = o.agg(max(col("o_orderkey")).as("mx"))
       val updates = o.filter(col("o_orderkey") % 10 === 3)
         .select(col("o_orderkey").as("k"),
           eround(col("o_totalprice") * 1.1, 2).as("price_new"))
         .unionByName(o.filter(col("o_orderkey") % 1000 === 7)
-          .select((col("o_orderkey") + 10000000L).as("k"),
+          .crossJoin(broadcast(mx))
+          .select((col("o_orderkey") + col("mx")).as("k"),
             col("o_totalprice").as("price_new")))
       base.join(updates, Seq("k"), "full")
         .select(col("k"),
@@ -653,7 +661,8 @@ object Relational {
         |   round(o_totalprice * 1.1 + 5e-10, 2) AS price_new
         |  FROM orders WHERE o_orderkey % 10 = 3
         |  UNION ALL
-        |  SELECT o_orderkey + 10000000 AS k, o_totalprice AS price_new
+        |  SELECT o_orderkey + (SELECT max(o_orderkey) FROM orders) AS k,
+        |   o_totalprice AS price_new
         |  FROM orders WHERE o_orderkey % 1000 = 7)
         | SELECT COALESCE(b.k, u.k) AS k,
         |  COALESCE(price_new, price_old) AS price,

@@ -128,6 +128,14 @@ object Text {
     * near-duplicates (first token dropped, doc_id + 1,000,000) generated
     * FROM the fixture — guarantees recall targets are testable at any SF.
     */
+  /** The live simhash signature cache: the returned DataFrame reads it
+    * lazily after the query builder returns, so it can only be freed by
+    * the NEXT invocation — capping steady-state cache storage at one
+    * signature set regardless of how many times the query runs.
+    */
+  private val simhashSigCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   private def nearDupCorpus(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val planted = base.filter(col("doc_id") < 20)
@@ -490,8 +498,12 @@ object Text {
       // sum states — HOF `aggregate` lambdas run interpreted per element,
       // so the previous 32-fold formulation cost 32 interpreted array
       // scans per doc (~10s at sf0.1; this shape runs in ~1s). explode_outer
-      // keeps token-free docs (their bit sums aggregate NULL -> bit 0,
-      // identical to folding an empty array).
+      // is defensive for null-text docs: split() never yields an empty
+      // array (empty text gives [""], which votes like any token), but a
+      // NULL text gives a NULL array, whose explode_outer row hashes the
+      // NULL token to the xxhash64 seed (42) — a deterministic sentinel
+      // signature, not bit-0. The fixture has no null texts; the planted
+      // ScalaTest pins the behavior that matters (near-dup recall).
       val hashed = corpus
         .select(col("doc_id"), explode_outer(col("t")).as("tok"))
         .select(col("doc_id"), xxhash64(col("tok")).as("h"))
@@ -504,7 +516,16 @@ object Text {
       val simhashCol = (0 until 32).map { b =>
         when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L))
       }.reduce(_ + _)
+      // The band self-join below consumes the signatures TWICE; without a
+      // materialization, CollapseProject inlines the whole explode +
+      // 32-sum HashAggregate subtree into BOTH join inputs and the
+      // dominant stage runs twice (confirmed in the r3 plan audit).
+      // Persist once; the previous invocation's cache is dropped here so
+      // repeated runs (the bench does 5+1) hold at most one signature set.
       val sigs = bitSums.select(col("doc_id"), simhashCol.as("simhash"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      Option(simhashSigCache.getAndSet(sigs)).foreach(p =>
+        try p.unpersist(false) catch { case _: Throwable => () })
       val bandArr = array((0 until 4).map { b =>
         struct(lit(b).as("band"),
           shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("bits"))
@@ -550,7 +571,18 @@ object Text {
     // the computation itself (measured ~2x end to end).
     "q_dedup_near" -> { (s, d) =>
       import s.implicits._
-      val corpus = nearDupCorpus(s, d)
+      val raw = nearDupCorpus(s, d)
+      // Exact dedup FIRST: a degenerate corpus of mass-identical documents
+      // would otherwise land every copy in the same LSH buckets and make
+      // the per-bucket pair expansion quadratic in the copy count. One
+      // hash aggregate keyed on the text (min doc_id = representative)
+      // bounds every bucket by construction — members are now pairwise
+      // DISTINCT texts, so bucket width is governed by the LSH parameters,
+      // not by duplication. Pairs among exact copies are q_dedup_exact's
+      // output, not this operator's. (DedupDegenerateSpec plants a
+      // mass-identical corpus and pins the bound.)
+      val corpus = raw
+        .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
       val banded = corpus
         .select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions(_.flatMap { case (id, text) =>
@@ -579,7 +611,10 @@ object Text {
       // materializes them once per pair (CollapseProject would otherwise
       // inline the shingle subtree into each of the intersect/union
       // references).
-      val txt = corpus.select(col("doc_id"), col("text"))
+      // Confirm join reads the RAW corpus: candidate ids are representative
+      // ids, which exist there with identical text — this avoids computing
+      // the dedup aggregate a second time on the join path.
+      val txt = raw.select(col("doc_id"), col("text"))
       cands
         .join(txt.select(col("doc_id").as("id_a"), col("text").as("text_a")),
           "id_a")
