@@ -58,7 +58,9 @@ object Bench {
       "q_dedup_groups", "q_multimodal_jpeg", "q_scan_partition_prune",
       "q_subq_exists", "q_agg_bitmap_distinct", "q_agg_hll_union",
       "q_shape_merge", "q_pipeline_train_mix", "q_vec_centroid",
-      "q_dedup_simhash")
+      "q_dedup_simhash", "q_dedup_groups_lsh", "q_join_bloom_prune",
+      "q_layout_zorder", "q_text_dedup_span", "q_agg_heavy_hitters",
+      "q_agg_quantile_sketch")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     val selected =

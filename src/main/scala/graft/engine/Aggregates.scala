@@ -379,6 +379,55 @@ object Aggregates {
     // point frequency queries for a probe set in the projection above.
     // No oracle (hash-grid internals) — one-sidedness, error bound, and
     // partition-independence asserted in ScalaTest.
+    // Misra–Gries heavy hitters (third TypedImperativeAggregate surface):
+    // which values dominate a 100 TB stream, answered with 32 counters
+    // of state instead of an all-distinct-values shuffle. The summary
+    // and the exact total come from ONE pass/aggregate; the projection
+    // above keeps only items in the guaranteed-present zone
+    // (est > n/16 > n/(k+1) for k=32), which also makes the output set
+    // stable run-to-run. Demo domain is token LENGTH (corpus profiling:
+    // which record shapes dominate) — the fixture's token vocabulary is
+    // deliberately near-uniform, so raw tokens have no true heavy
+    // hitter; the approximation regime over 5k-distinct raw tokens is
+    // exercised by the laws test instead. No oracle (summary internals
+    // are algorithm-specific) — containment guarantee, error bound, and
+    // partition-independence of the guarantees asserted in ScalaTest.
+    "q_agg_heavy_hitters" -> { (s, d) =>
+      graft.engine.functions.GraftFunctions.register(s)
+      Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("tok"))
+        .select(length(col("tok")).cast("long").as("tok_len"))
+        .agg(expr("heavy_hitters(tok_len)").as("hh"),
+          count(lit(1)).as("n_total"))
+        .select(explode(col("hh")).as("e"), col("n_total"))
+        .select(col("e.item").as("tok_len"), col("e.est").as("est"),
+          col("n_total"))
+        .filter(col("est") > col("n_total") / 16)
+        .orderBy(desc("est"), asc("tok_len"))
+    },
+
+    // DDSketch relative-error quantiles (fourth TypedImperativeAggregate
+    // surface): per-group log-bucket sketches built in one pass; merge
+    // is bucket-wise sum, so the merged sketch (and thus every
+    // estimate) is byte-identical under any partitioning. The
+    // guarantee is RELATIVE error ≤ α=1% — the right contract for
+    // long-tailed size/price/latency domains where exact percentile's
+    // full sort or approx_percentile's rank error misbehave at the
+    // tail. No oracle (bucket internals) — relative-error bound,
+    // partition-independence, and quantile monotonicity in ScalaTest.
+    "q_agg_quantile_sketch" -> { (s, d) =>
+      graft.engine.functions.GraftFunctions.register(s)
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("dd_sketch(l_extendedprice)").as("sk"),
+          count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"), col("n_rows"),
+          expr("dd_quantile(sk, 0.5d)").as("p50"),
+          expr("dd_quantile(sk, 0.95d)").as("p95"),
+          expr("dd_quantile(sk, 0.99d)").as("p99"))
+        .orderBy(col("l_returnflag"))
+    },
+
     "q_agg_cms_freq" -> { (s, d) =>
       graft.engine.functions.GraftFunctions.register(s)
       val probes = array((1 to 5).map(i => lit(i.toLong)): _*)

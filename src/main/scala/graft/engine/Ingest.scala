@@ -225,6 +225,36 @@ object Ingest {
         .orderBy(col("l_orderkey"))
     },
 
+    // Z-order clustered layout: compute a Morton key over the two
+    // predicate dimensions, range-partition + sort the files by it, and
+    // answer a 2-D box query from the clustered copy. At 100 TB the
+    // payoff is file-level min/max pruning on BOTH dimensions (a
+    // single-column sort order can only serve one); correctness is
+    // layout-independent, so the oracle is the same box filter on the
+    // unclustered table, with the zkey recomputed by an explicit 32-term
+    // shift/mask sum that is bit-identical to the native expression.
+    "q_layout_zorder" -> { (s, d) =>
+      graft.engine.functions.GraftFunctions.register(s)
+      val out = tmp("lineitem_zorder", d)
+      Tables.lineitem(s, d)
+        .withColumn("zkey", expr("morton2(l_partkey, l_suppkey)"))
+        .repartitionByRange(8, col("zkey"))
+        .sortWithinPartitions(col("zkey"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        // box bounds inside the smallest fixture's key ranges (sf0.001:
+        // partkey 0..199, suppkey 0..9) so the result is non-empty at
+        // every scale factor
+        .filter(col("l_partkey").between(20, 150)
+          && col("l_suppkey").between(2, 8))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"), col("zkey"))
+        // (l_orderkey, l_linenumber) is NOT unique in the fixture —
+        // include the box dimensions for a total order
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"))
+    },
+
     // Bulkrax-style multi-valued CSV sink: arrays -> ';'-joined cells ->
     // CSV -> read back -> re-split. Oracle reproduces the aggregation.
     "q_sink_csv_multival" -> { (s, d) =>
@@ -246,6 +276,15 @@ object Ingest {
 
   val oracle: Map[String, String] = Map(
     "q_scan_parquet" -> "SELECT count(*) AS n FROM lineitem",
+
+    "q_layout_zorder" ->
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         | ${graft.engine.functions.Morton2.oracleSql("l_partkey", "l_suppkey")} AS zkey
+         | FROM lineitem
+         | WHERE l_partkey BETWEEN 20 AND 150
+         |   AND l_suppkey BETWEEN 2 AND 8
+         | ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey"""
+        .stripMargin.replaceAll("\n", " "),
 
     "q_scan_csv" ->
       """SELECT n_nationkey, nullif(n_name, 'NATION_3') AS n_name,

@@ -412,6 +412,32 @@ object Relational {
         .orderBy(col("o_orderstatus"))
     },
 
+    // Runtime-filter pattern (user-land twin of Spark's injected bloom
+    // runtime filters): build a 64 KiB bloom over the SELECTIVE dim's join
+    // keys in one aggregate, broadcast the 1-row sketch, and drop
+    // non-matching fact rows at the scan — BEFORE the shuffle/join pays
+    // for them. The exact join above the pruned scan removes the bloom's
+    // false positives, so semantics equal the plain join (which is the
+    // oracle). At 100 TB this is the lever when BOTH join sides are too
+    // big to broadcast: the bloom costs one pass over the dim + a KB-scale
+    // broadcast, and typically drops >90% of fact rows pre-shuffle.
+    "q_join_bloom_prune" -> { (s, d) =>
+      graft.engine.functions.GraftFunctions.register(s)
+      val dim = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val bloom = dim.agg(expr("bloom_agg(o_orderkey)").as("bf"))
+      Tables.lineitem(s, d)
+        .crossJoin(broadcast(bloom))             // 1-row sketch broadcast
+        .where(expr("bloom_contains(bf, l_orderkey)"))
+        .drop("bf")
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("l_returnflag"))
+    },
+
     "q_join_self" -> { (s, d) =>
       val n1 = Tables.nation(s, d).as("n1")
       val n2 = Tables.nation(s, d).as("n2")
@@ -721,6 +747,14 @@ object Relational {
          | ${oSum("l_quantity")} AS qty
          | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          | GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_join_bloom_prune" ->
+      s"""SELECT l_returnflag, count(*) AS n_items,
+         | ${oSum("l_extendedprice")} AS sum_price
+         | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         | WHERE o_orderpriority = '1-URGENT'
+         | GROUP BY l_returnflag ORDER BY l_returnflag"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_join_self" ->

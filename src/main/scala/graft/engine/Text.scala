@@ -295,6 +295,33 @@ object Text {
         .limit(20)
     },
 
+    // Span-level (substring) duplicate detection — the word-8-gram
+    // variant of suffix-style training-data dedup: a span is duplicated
+    // if the same 8 consecutive tokens occur anywhere else in the corpus
+    // (another doc or another offset). Shingles are md5'd so the shuffle
+    // key is a fixed 32-byte digest, never the raw span text; the global
+    // occurrence count comes from a WINDOW over the digest, so the
+    // explode+md5 subtree is computed ONCE (a groupBy+self-join twin
+    // would materialize it twice — the exact defect the simhash query
+    // was rewritten to avoid). Two shuffles total (digest, then doc) of
+    // (id, digest) pairs — linear in corpus token count at 100 TB.
+    "q_text_dedup_span" -> { (s, d) =>
+      val n = 8
+      val sh = Tables.documents(s, d)
+        .withColumn("t", toks(col("text")))
+        .filter(size(col("t")) >= n)
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(1), size(col("t")) - (n - 1)),
+            i => md5(concat_ws(" ", slice(col("t"), i, lit(n)))))).as("dg"))
+      sh.withColumn("c", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("dg"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"),
+          count(when(col("c") > 1, 1)).as("n_dup_spans"))
+        .withColumn("dup_frac", col("n_dup_spans") / col("n_spans"))
+        .orderBy(col("doc_id"))
+    },
+
     // PII scrubbing: redact emails and phone numbers before a corpus ships
     // to training. Deterministic PII is planted in-query (the fixture text
     // has none), then portable regexes redact and count. Pure per-row
@@ -727,6 +754,18 @@ object Text {
          |  WHERE len(tk) >= 2)
          | SELECT bigram, count(*) AS n FROM bg
          | GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_text_dedup_span" ->
+      s"""WITH t AS (SELECT doc_id, $oToks AS tk FROM documents),
+         | sh AS (SELECT doc_id, md5(array_to_string(tk[i:i+7], ' ')) AS dg
+         |  FROM t, LATERAL unnest(generate_series(1, len(tk) - 7)) u(i)
+         |  WHERE len(tk) >= 8),
+         | g AS (SELECT *, count(*) OVER (PARTITION BY dg) AS c FROM sh)
+         | SELECT doc_id, count(*) AS n_spans,
+         |  count(*) FILTER (WHERE c > 1) AS n_dup_spans,
+         |  (count(*) FILTER (WHERE c > 1)) / count(*) AS dup_frac
+         | FROM g GROUP BY doc_id ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_text_pii_scrub" ->

@@ -107,6 +107,31 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.FunctionIdentifier("cms_query")))
       reg.createOrReplaceTempFunction(
         "cms_query", exprs => CmsQuery(exprs(0), exprs(1)), "scala_udf")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_agg")))
+      reg.createOrReplaceTempFunction(
+        "bloom_agg", exprs => BloomAgg(exprs.head), "scala_udf")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("bloom_contains")))
+      reg.createOrReplaceTempFunction(
+        "bloom_contains", exprs => BloomContains(exprs(0), exprs(1)),
+        "scala_udf")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("morton2")))
+      reg.createOrReplaceTempFunction(
+        "morton2", exprs => Morton2(exprs(0), exprs(1)), "scala_udf")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("heavy_hitters")))
+      reg.createOrReplaceTempFunction(
+        "heavy_hitters", exprs => MisraGries(exprs.head), "scala_udf")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("dd_sketch")))
+      reg.createOrReplaceTempFunction(
+        "dd_sketch", exprs => DdSketch(exprs.head), "scala_udf")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("dd_quantile")))
+      reg.createOrReplaceTempFunction(
+        "dd_quantile", exprs => DdQuantile(exprs(0), exprs(1)), "scala_udf")
   }
 
   /** Column-level entry point (requires register(spark) in the session). */

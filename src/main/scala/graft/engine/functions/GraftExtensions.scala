@@ -29,5 +29,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cms_query"),
       new ExpressionInfo(classOf[CmsQuery].getName, "cms_query"),
       (exprs: Seq[Expression]) => CmsQuery(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(classOf[BloomAgg].getName, "bloom_agg"),
+      (exprs: Seq[Expression]) => BloomAgg(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(classOf[BloomContains].getName, "bloom_contains"),
+      (exprs: Seq[Expression]) => BloomContains(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("morton2"),
+      new ExpressionInfo(classOf[Morton2].getName, "morton2"),
+      (exprs: Seq[Expression]) => Morton2(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("heavy_hitters"),
+      new ExpressionInfo(classOf[MisraGries].getName, "heavy_hitters"),
+      (exprs: Seq[Expression]) => MisraGries(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("dd_sketch"),
+      new ExpressionInfo(classOf[DdSketch].getName, "dd_sketch"),
+      (exprs: Seq[Expression]) => DdSketch(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("dd_quantile"),
+      new ExpressionInfo(classOf[DdQuantile].getName, "dd_quantile"),
+      (exprs: Seq[Expression]) => DdQuantile(exprs(0), exprs(1))))
   }
 }

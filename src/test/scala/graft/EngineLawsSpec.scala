@@ -318,6 +318,110 @@ class EngineLawsSpec extends SparkSuite {
       "merged sketch must not depend on partitioning")
   }
 
+  test("bloom filter: no false negatives, bounded FPR, partition-independent") {
+    graft.engine.functions.GraftFunctions.register(spark)
+    val keys = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"))
+    val bf = keys.agg(expr("bloom_agg(o_orderkey)")).head.getAs[Array[Byte]](0)
+    // every inserted key tests true (the one-sided guarantee the pruning
+    // join relies on)
+    val misses = keys
+      .crossJoin(broadcast(keys.sparkSession.range(1).select(lit(bf).as("bf"))))
+      .filter(!expr("bloom_contains(bf, o_orderkey)"))
+      .count()
+    assert(misses === 0L, "a bloom filter must never produce false negatives")
+    // absent keys (offset far past the keyspace) test true only rarely:
+    // m/n >= 10 at this fixture scale -> expect well under 5% FPR
+    val probes = 10000
+    val fp = spark.range(1000000000L, 1000000000L + probes)
+      .select(lit(bf).as("bf"), col("id"))
+      .filter(expr("bloom_contains(bf, id)"))
+      .count()
+    assert(fp < probes / 20, s"FPR too high: $fp/$probes")
+    // OR-merge is commutative, associative and idempotent -> the merged
+    // filter is byte-identical under any partitioning
+    val b13 = keys.repartition(13).agg(expr("bloom_agg(o_orderkey)"))
+      .head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(bf, b13),
+      "merged bloom filter must not depend on partitioning")
+  }
+
+  test("ddsketch: relative error <= alpha, partition-independent, monotone") {
+    graft.engine.functions.GraftFunctions.register(spark)
+    val li = Tables.lineitem(spark, sf).select(col("l_extendedprice"))
+    val qs = Seq(0.1, 0.5, 0.9, 0.95, 0.99)
+    val exact = li.stat.approxQuantile("l_extendedprice",
+      qs.toArray, 0.0) // relativeError=0 -> exact quantiles
+    val est = li.agg(expr("dd_sketch(l_extendedprice)").as("sk"))
+      .select(qs.map(q => expr(s"dd_quantile(sk, ${q}d)").as(s"q$q")): _*)
+      .head()
+    qs.indices.foreach { i =>
+      val (e, x) = (est.getDouble(i), exact(i))
+      assert(math.abs(e - x) <= 0.011 * x,
+        s"q=${qs(i)}: est $e vs exact $x exceeds 1% relative error")
+      if (i > 0) assert(est.getDouble(i) >= est.getDouble(i - 1),
+        "quantile estimates must be monotone in q")
+    }
+    // bucket-wise-sum merge -> byte-identical sketch for any partitioning
+    val s1 = li.repartition(1).agg(expr("dd_sketch(l_extendedprice)"))
+      .head.getAs[Array[Byte]](0)
+    val s13 = li.repartition(13).agg(expr("dd_sketch(l_extendedprice)"))
+      .head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(s1, s13),
+      "merged ddsketch must not depend on partitioning")
+  }
+
+  test("misra-gries: containment guarantee, one-sided bounded error") {
+    graft.engine.functions.GraftFunctions.register(spark)
+    val k = 32
+    val tokens = Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), " ")).as("tok"))
+    val exact = tokens.groupBy(col("tok")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = exact.values.sum
+    def summary(parts: Int): Map[String, Long] = tokens.repartition(parts)
+      .agg(expr("heavy_hitters(tok)").as("hh"))
+      .select(explode(col("hh")).as("e"))
+      .select(col("e.item"), col("e.est")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for (parts <- Seq(1, 13)) {
+      val mg = summary(parts)
+      // one-sided: never overcount; undercount bounded by n/(k+1)
+      mg.foreach { case (tok, est) =>
+        val truth = exact.getOrElse(tok, 0L)
+        assert(est <= truth, s"$tok: est $est above true $truth")
+        assert(truth - est <= n / (k + 1) + 1,
+          s"$tok: est $est too far below $truth (n=$n)")
+      }
+      // containment: every true heavy hitter (> n/(k+1)) is present —
+      // the guarantee holds under ANY partitioning
+      exact.filter(_._2 > n / (k + 1)).keys.foreach(tok =>
+        assert(mg.contains(tok), s"heavy hitter $tok missing (p=$parts)"))
+    }
+  }
+
+  test("morton z-order key: bijective on the grid, monotone per axis") {
+    import graft.engine.functions.Morton2.interleave
+    val grid = for (x <- 0 until 64; y <- 0 until 64) yield interleave(x, y)
+    assert(grid.distinct.size === 64 * 64, "interleave must be injective")
+    assert(grid.max === interleave(63, 63) && grid.min === 0L)
+    // for a fixed other coordinate the key is strictly increasing in each
+    // axis (x bits occupy disjoint positions from y bits)
+    for (y <- Seq(0L, 7L, 63L); x <- 1 until 64)
+      assert(interleave(x, y) > interleave(x - 1L, y))
+    for (x <- Seq(0L, 7L, 63L); y <- 1 until 64)
+      assert(interleave(x, y) > interleave(x, y - 1L))
+    // bits >= 16 are ignored, so wide domains must be bucketed first
+    assert(interleave(0x10001L, 5L) === interleave(1L, 5L))
+    // the codegen'd SQL surface agrees with the JVM reference
+    graft.engine.functions.GraftFunctions.register(spark)
+    val viaSql = spark.range(100)
+      .selectExpr("id", "morton2(id, id * 3 % 64) AS z").collect()
+    viaSql.foreach(r =>
+      assert(r.getLong(1) === interleave(r.getLong(0), r.getLong(0) * 3 % 64)))
+  }
+
   test("merge actions reconcile exactly with the change batch") {
     val actions = SparkEntry.queries("q_shape_merge")(spark, sf)
       .groupBy(col("action")).count().collect()
