@@ -86,6 +86,49 @@ object Analytics {
         .orderBy(col("o_orderpriority"))
     },
 
+    // Funnel analysis: view -> click -> purchase, time-ordered per user.
+    // Each stage is "first event of this type AT OR AFTER the user's
+    // previous-stage timestamp": stage frames stay user-keyed aggregates
+    // (one row per user), so the two stage joins are between
+    // already-reduced sides — the standard scale shape for funnels
+    // (never a per-event self-join). Output: users surviving each stage.
+    "q_shape_funnel" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id").where(col("ts") >= col("v_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("c_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id").where(col("ts") >= col("c_ts"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("p_ts"))
+      v.agg(count(lit(1)).as("n_users")).select(lit("1_view").as("stage"),
+          col("n_users"))
+        .unionAll(c.agg(count(lit(1)).as("n_users"))
+          .select(lit("2_click").as("stage"), col("n_users")))
+        .unionAll(p.agg(count(lit(1)).as("n_users"))
+          .select(lit("3_purchase").as("stage"), col("n_users")))
+        .orderBy(col("stage"))
+    },
+
+    // Cohort retention: users grouped by the week of their first event
+    // (the cohort), counted per week-offset of later activity. Two
+    // user-keyed shuffles (first-week aggregate, distinct activity
+    // weeks) and one join between reduced sides; both engines truncate
+    // weeks to ISO Mondays, so the cohort keys agree exactly.
+    "q_shape_cohort" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+      val firstW = ev.groupBy(col("user_id")).agg(min(col("w")).as("cw"))
+      ev.distinct()
+        .join(firstW, "user_id")
+        .withColumn("week_offset",
+          (datediff(col("w"), col("cw")) / 7).cast("int"))
+        .groupBy(col("cw").as("cohort_week"), col("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("week_offset"))
+    },
+
     // Q18 shape: large-volume orders — join against the aggregated
     // qty-per-order exceeding a threshold (HAVING via derived table).
     "q_shape_q18" -> { (s, d) =>
@@ -155,6 +198,36 @@ object Analytics {
         |   WHERE l_orderkey = o_orderkey
         |    AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
         | GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_shape_funnel" ->
+      """WITH v AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS v_ts
+        |   FROM events WHERE event_type = 'view' GROUP BY user_id),
+        | c AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS c_ts
+        |   FROM events e JOIN v ON e.user_id = v.user_id
+        |   WHERE e.event_type = 'click'
+        |    AND CAST(e.ts AS TIMESTAMP) >= v.v_ts GROUP BY e.user_id),
+        | p AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS p_ts
+        |   FROM events e JOIN c ON e.user_id = c.user_id
+        |   WHERE e.event_type = 'purchase'
+        |    AND CAST(e.ts AS TIMESTAMP) >= c.c_ts GROUP BY e.user_id)
+        | SELECT '1_view' AS stage, count(*) AS n_users FROM v
+        | UNION ALL SELECT '2_click' AS stage, count(*) AS n_users FROM c
+        | UNION ALL SELECT '3_purchase' AS stage, count(*) AS n_users FROM p
+        | ORDER BY stage"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_shape_cohort" ->
+      """WITH ev AS (SELECT DISTINCT user_id,
+        |   CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+        |     AS w FROM events),
+        | f AS (SELECT user_id, min(w) AS cw FROM ev GROUP BY user_id)
+        | SELECT cw AS cohort_week,
+        |  CAST(date_diff('day', cw, w) / 7 AS INT) AS week_offset,
+        |  count(DISTINCT ev.user_id) AS n_users
+        | FROM ev JOIN f ON ev.user_id = f.user_id
+        | GROUP BY cohort_week, week_offset
+        | ORDER BY cohort_week, week_offset"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_shape_q18" ->

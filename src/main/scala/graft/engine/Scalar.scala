@@ -134,6 +134,31 @@ object Scalar {
           col("l_extendedprice"), col("qty_sq"), col("absd"))
     },
 
+    // Geospatial scalar batch: haversine great-circle distance + a
+    // bounding-box predicate over deterministic synthetic coordinates
+    // derived from the customer key (the fixture has no geo columns).
+    // Pure per-row math — embarrassingly parallel; trig goes through
+    // libm on both engines, so the distance is epsilon-rounded at 6dp
+    // like ln/exp in q_fn_math (every arithmetic step is mirrored
+    // operation-for-operation so only the final libm ulp differs).
+    "q_fn_geo" -> { (s, d) =>
+      val lat = (col("c_custkey") % 170).cast("double") - 85 + 0.5
+      val lon = ((col("c_custkey") * 7) % 350).cast("double") - 175 + 0.5
+      val p = lit(math.Pi)
+      val lat0 = lit(40.44)
+      val lon0 = lit(-79.95)
+      val sLat = sin((lat - lat0) * p / 180 / 2)
+      val sLon = sin((lon - lon0) * p / 180 / 2)
+      val a = (sLat * sLat) +
+        cos(lat0 * p / 180) * cos(lat * p / 180) * (sLon * sLon)
+      Tables.customer(s, d)
+        .filter(col("c_custkey") < 500)
+        .select(col("c_custkey"), lat.as("lat"), lon.as("lon"),
+          eround(asin(sqrt(a)) * 2 * 6371.0, 6).as("dist_km"),
+          (lat.between(-10, 60) && lon.between(-100, 50)).as("in_bbox"))
+        .orderBy(col("c_custkey"))
+    },
+
     "q_fn_array" -> { (s, d) =>
       Tables.documents(s, d)
         .withColumn("toks", split(col("text"), " "))
@@ -499,6 +524,23 @@ object Scalar {
         | CAST(sign(l_discount - 0.05) AS DOUBLE) AS sg
         | FROM lineitem WHERE l_orderkey < 300
         | ORDER BY l_orderkey, l_linenumber, l_extendedprice, qty_sq, absd"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_fn_geo" ->
+      """WITH g AS (SELECT c_custkey,
+        |  CAST(c_custkey % 170 AS DOUBLE) - 85 + 0.5 AS lat,
+        |  CAST((c_custkey * 7) % 350 AS DOUBLE) - 175 + 0.5 AS lon
+        | FROM customer WHERE c_custkey < 500)
+        | SELECT c_custkey, lat, lon,
+        |  round(asin(sqrt(
+        |    sin((lat - 40.44) * pi() / 180 / 2)
+        |     * sin((lat - 40.44) * pi() / 180 / 2)
+        |    + cos(40.44 * pi() / 180) * cos(lat * pi() / 180)
+        |     * (sin((lon - -79.95) * pi() / 180 / 2)
+        |        * sin((lon - -79.95) * pi() / 180 / 2))
+        |  )) * 2 * 6371.0 + 5e-10, 6) AS dist_km,
+        |  (lat BETWEEN -10 AND 60 AND lon BETWEEN -100 AND 50) AS in_bbox
+        | FROM g ORDER BY c_custkey"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_fn_array" ->

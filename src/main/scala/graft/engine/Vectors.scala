@@ -398,6 +398,34 @@ object Vectors {
         .select(col("probe_id"), col("label").as("predicted_label"),
           col("votes"))
         .orderBy(col("probe_id"))
+    },
+
+    // The custom-optimizer-rule demo (SURVEY §4.3): the query is WRITTEN
+    // as a brute-force cross join + cosine-threshold filter, with the
+    // explicit `graft_approx` opt-in marker; SimilarityJoinRewrite
+    // (injected via GraftExtensions in every engine session) rewrites it
+    // into an LSH bucket EQUI-join with the exact cosine kept as a
+    // post-join filter — no CartesianProduct in the physical plan
+    // (pinned in PlanSpec). Precision stays exact; recall is bucket-
+    // approximate, which the marker consents to. On this corpus the
+    // only >=0.99 pairs are the planted identical copies (verified:
+    // max natural cosine ~0.48), identical vectors always share the
+    // bucket, so the DuckDB oracle can be the EXACT all-pairs replay.
+    // In a session without the rule the marker is identity and the same
+    // plan runs exactly (cartesian) — semantics never silently change.
+    "q_sim_join_rewrite" -> { (s, d) =>
+      GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+        .select(col("vec_id"), vd(col("embedding")).as("v"))
+      val corpus = emb.unionByName(emb.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("v")))
+      val a = corpus.select(col("vec_id").as("id_a"), col("v").as("va"))
+      val b = corpus.select(col("vec_id").as("id_b"), col("v").as("vb"))
+      a.crossJoin(b)
+        .filter(col("id_a") < col("id_b")
+          && expr("graft_approx(cosine_sim(va, vb))") >= 0.99)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
     }
   )
 
@@ -405,6 +433,19 @@ object Vectors {
     "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 
   val oracle: Map[String, String] = Map(
+    "q_sim_join_rewrite" ->
+      s"""WITH e AS (SELECT vec_id, $oVd AS v FROM embeddings
+         |   WHERE vec_id < 300),
+         | c AS (SELECT * FROM e UNION ALL
+         |   SELECT vec_id + 1000000 AS vec_id, v FROM e WHERE vec_id < 10)
+         | SELECT a.vec_id AS id_a, b.vec_id AS id_b
+         | FROM c a, c b WHERE a.vec_id < b.vec_id
+         |  AND list_dot_product(a.v, b.v)
+         |    / (sqrt(list_dot_product(a.v, a.v))
+         |       * sqrt(list_dot_product(b.v, b.v))) >= 0.99
+         | ORDER BY id_a, id_b"""
+        .stripMargin.replaceAll("\n", " "),
+
     "q_vec_norm" ->
       s"""SELECT vec_id,
          | round(sqrt(list_dot_product(v, v)) + 5e-10, 6) AS l2_norm,

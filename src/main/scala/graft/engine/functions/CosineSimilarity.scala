@@ -132,6 +132,14 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.FunctionIdentifier("dd_quantile")))
       reg.createOrReplaceTempFunction(
         "dd_quantile", exprs => DdQuantile(exprs(0), exprs(1)), "scala_udf")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_approx")))
+      reg.createOrReplaceTempFunction(
+        "graft_approx", exprs => GraftApprox(exprs.head), "scala_udf")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("simhash_bucket")))
+      reg.createOrReplaceTempFunction(
+        "simhash_bucket", exprs => SimHashBucket(exprs.head), "scala_udf")
   }
 
   /** Column-level entry point (requires register(spark) in the session). */

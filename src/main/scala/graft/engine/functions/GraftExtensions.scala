@@ -53,5 +53,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dd_quantile"),
       new ExpressionInfo(classOf[DdQuantile].getName, "dd_quantile"),
       (exprs: Seq[Expression]) => DdQuantile(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_approx"),
+      new ExpressionInfo(classOf[GraftApprox].getName, "graft_approx"),
+      (exprs: Seq[Expression]) => GraftApprox(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_bucket"),
+      new ExpressionInfo(classOf[SimHashBucket].getName, "simhash_bucket"),
+      (exprs: Seq[Expression]) => SimHashBucket(exprs.head)))
+    // the one custom optimizer rule (SURVEY §4.3): opt-in rewrite of
+    // marker-flagged brute-force similarity joins into LSH bucket
+    // equi-joins; plans without the graft_approx marker are untouched
+    ext.injectOptimizerRule(_ => SimilarityJoinRewrite)
   }
 }

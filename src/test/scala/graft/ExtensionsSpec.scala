@@ -36,4 +36,37 @@ class ExtensionsSpec extends SparkSuite {
       SparkSession.setActiveSession(orig)
     }
   }
+
+  test("similarity-join rewrite: no cartesian, equals the exact spelling") {
+    import org.apache.spark.sql.functions._
+    graft.engine.functions.GraftFunctions.register(spark)
+    // the registry query is written as crossJoin + graft_approx filter;
+    // with the rule injected (SparkSuite session) the physical plan must
+    // contain an equi-join on the simhash bucket and NO cartesian/BNLJ
+    val df = SparkEntry.queries("q_sim_join_rewrite")(spark, sf)
+    val physical = df.queryExecution.executedPlan.toString
+    assert(!physical.contains("CartesianProduct")
+      && !physical.contains("BroadcastNestedLoopJoin"),
+      s"rewrite did not fire:\n$physical")
+    assert(physical.contains("simhash_bucket"),
+      "equi-join key must be the simhash bucket")
+    // result equals the exact (marker-free, genuinely cartesian) spelling
+    // on this corpus: the only >=0.99 pairs are planted identical copies,
+    // which always share the bucket
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 300)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val corpus = emb.unionByName(emb.filter(col("vec_id") < 10)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("v")))
+    val a = corpus.select(col("vec_id").as("id_a"), col("v").as("va"))
+    val b = corpus.select(col("vec_id").as("id_b"), col("v").as("vb"))
+    val exact = a.crossJoin(b)
+      .filter(col("id_a") < col("id_b")
+        && expr("cosine_sim(va, vb)") >= 0.99)
+      .select(col("id_a"), col("id_b"))
+      .orderBy(col("id_a"), col("id_b"))
+    assert(df.collect().toSeq === exact.collect().toSeq)
+    assert(df.count() === 10L, "exactly the ten planted copy pairs")
+  }
 }

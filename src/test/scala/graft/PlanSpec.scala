@@ -127,6 +127,41 @@ class PlanSpec extends SparkSuite {
       s"partition predicate leaked into data filters:\n$p")
   }
 
+  test("bloom prune binds the sketch as a scalar subquery, filters the scan side") {
+    val p = plan("q_join_bloom_prune")
+    // the sketch executes once (Subquery), never rides a per-row join
+    assert(p.contains("Subquery") || p.contains("scalar-subquery"),
+      s"expected a scalar subquery binding:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "the sketch must not be joined row-by-row")
+    // the bloom_contains predicate sits in a Filter on the lineitem side,
+    // below the join
+    assert(p.contains("bloom_contains"), "probe predicate missing")
+  }
+
+  test("zorder read-back pushes the box predicate into the clustered scan") {
+    val p = plan("q_layout_zorder")
+    assert(p.contains("PushedFilters: [IsNotNull(l_partkey), IsNotNull(l_suppkey), GreaterThanOrEqual(l_partkey,20)"),
+      s"box predicate must reach the clustered parquet scan:\n$p")
+  }
+
+  test("span dedup computes the shingle subtree once (single window, no self-join)") {
+    val p = plan("q_text_dedup_span")
+    // one generate (explode) feeding a window — a groupBy+join spelling
+    // would show two Generate subtrees
+    assert("Generate explode".r.findAllIn(p).size == 1,
+      s"shingle explode must appear exactly once:\n$p")
+    assert(p.contains("Window"), "occurrence counts must come from a window")
+  }
+
+  test("similarity-join rewrite plans an equi-join on the simhash bucket") {
+    val p = plan("q_sim_join_rewrite")
+    assert(!p.contains("CartesianProduct")
+      && !p.contains("BroadcastNestedLoopJoin"),
+      s"marker-flagged similarity join must not stay cartesian:\n$p")
+    assert(p.contains("simhash_bucket"), "bucket equi-join key missing")
+  }
+
   test("flagship aggregation combines map-side (partial aggregation)") {
     assert(plan("q_agg_group").contains("partial_sum"))
   }

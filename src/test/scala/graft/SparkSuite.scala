@@ -8,6 +8,10 @@ object SparkSuite {
   lazy val session: SparkSession = {
     val s = SparkSession.builder()
       .master("local[4]")
+      // same extension set as the Verify/Bench/Explain entry points, so
+      // tests exercise the injected functions AND the similarity-join
+      // optimizer rule exactly as the driver's sessions do
+      .withExtensions(new graft.engine.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
