@@ -255,6 +255,60 @@ object Ingest {
           col("l_partkey"), col("l_suppkey"))
     },
 
+    // Incremental aggregate maintenance (materialized-view refresh): the
+    // pre-cutoff history is aggregated ONCE into a persisted KB-scale
+    // state, and each refresh merges the delta batch's aggregate into it
+    // by union + re-aggregation — at 100 TB the refresh cost is the
+    // delta scan, never a rescan of history. Exactness discipline: the
+    // stored sums stay DECIMAL(18,2) (associative, order-independent) and
+    // only the FINAL projection casts to double, so merged state is
+    // bit-identical to the full recompute, which is the oracle.
+    "q_shape_incr_agg" -> { (s, d) =>
+      val out = tmp("orders_agg_state", d)
+      val cutoff = lit("1997-01-01").cast("timestamp")
+      Tables.orders(s, d).filter(col("o_orderdate") < cutoff)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("tot"))
+        .write.mode("overwrite").parquet(out)
+      val delta = Tables.orders(s, d).filter(col("o_orderdate") >= cutoff)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).as("tot"))
+      s.read.parquet(out).unionByName(delta)
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("n")).as("n"), sum(col("tot")).as("tot"))
+        .select(col("o_orderpriority"), col("n"),
+          col("tot").cast("double").as("total"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // Small-file compaction — the operational 100 TB hygiene pass: a
+    // fragmented landing zone (64 round-robin part files) is rewritten
+    // into 4 range-partitioned, sorted files (clustered for downstream
+    // min/max skipping on the sort key). Content must be bit-preserved:
+    // the oracle recomputes the aggregate from the source table, and the
+    // before/after file counts are emitted as columns (64 and 4 by
+    // construction — a divergence hash-fails the row).
+    "q_sink_compact" -> { (s, d) =>
+      val frag = tmp("lineitem_frag", d)
+      val comp = tmp("lineitem_compact", d)
+      Tables.lineitem(s, d).repartition(64)
+        .write.mode("overwrite").parquet(frag)
+      s.read.parquet(frag)
+        .repartitionByRange(4, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"))
+        .write.mode("overwrite").parquet(comp)
+      def nFiles(p: String): Int = Option(new java.io.File(p).listFiles())
+        .map(_.count(f => f.getName.startsWith("part-"))).getOrElse(-1)
+      s.read.parquet(comp)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), Fx.dsum(col("l_quantity")).as("qty"))
+        .withColumn("files_before", lit(nFiles(frag)))
+        .withColumn("files_after", lit(nFiles(comp)))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Bulkrax-style multi-valued CSV sink: arrays -> ';'-joined cells ->
     // CSV -> read back -> re-split. Oracle reproduces the aggregation.
     "q_sink_csv_multival" -> { (s, d) =>
@@ -276,6 +330,18 @@ object Ingest {
 
   val oracle: Map[String, String] = Map(
     "q_scan_parquet" -> "SELECT count(*) AS n FROM lineitem",
+
+    "q_shape_incr_agg" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        | FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_sink_compact" ->
+      s"""SELECT l_returnflag, count(*) AS n, ${Fx.oSum("l_quantity")} AS qty,
+         | 64 AS files_before, 4 AS files_after
+         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", " "),
 
     "q_layout_zorder" ->
       s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
