@@ -443,6 +443,33 @@ object Aggregates {
         .orderBy(col("l_returnflag"), col("suppkey"))
     },
 
+    // KMV set algebra: per-flag sketches built ONCE (one pass over the
+    // raw rows), then |A|, |B|, |A∪B| (merge-and-trim) and |A∩B|
+    // (inclusion-exclusion) computed purely over the 2 KB serialized
+    // sketches in the projection — the build-once / combine-forever
+    // pattern that answers arbitrary set questions at 100 TB without
+    // rescanning. Deterministic for a given dataset (k-smallest-hash
+    // state is partition-independent). No oracle (hash internals) —
+    // error bounds + exactness-below-k in ScalaTest.
+    "q_agg_kmv_setops" -> { (s, d) =>
+      graft.engine.functions.GraftFunctions.register(s)
+      val sk = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("kmv_sketch(l_partkey)").as("sk"))
+      val a = sk.select(col("l_returnflag").as("flag_a"),
+        col("sk").as("sk_a"))
+      val b = sk.select(col("l_returnflag").as("flag_b"),
+        col("sk").as("sk_b"))
+      a.join(broadcast(b), col("flag_a") < col("flag_b"))
+        .select(col("flag_a"), col("flag_b"),
+          expr("kmv_est(sk_a)").as("est_a"),
+          expr("kmv_est(sk_b)").as("est_b"),
+          expr("kmv_union_est(sk_a, sk_b)").as("est_union"))
+        .withColumn("est_intersect",
+          col("est_a") + col("est_b") - col("est_union"))
+        .orderBy(col("flag_a"), col("flag_b"))
+    },
+
     // Typed Dataset surface: case-class rows + KeyValueGroupedDataset.
     // mapGroups carries no partial aggregation (whole groups shuffle) —
     // fine for bounded groups like these five statuses; use untyped agg

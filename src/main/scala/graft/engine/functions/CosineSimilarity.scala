@@ -140,6 +140,19 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.FunctionIdentifier("simhash_bucket")))
       reg.createOrReplaceTempFunction(
         "simhash_bucket", exprs => SimHashBucket(exprs.head), "scala_udf")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("kmv_sketch")))
+      reg.createOrReplaceTempFunction(
+        "kmv_sketch", exprs => KmvSketchAgg(exprs.head), "scala_udf")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("kmv_est")))
+      reg.createOrReplaceTempFunction(
+        "kmv_est", exprs => KmvEstimate(exprs.head), "scala_udf")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("kmv_union_est")))
+      reg.createOrReplaceTempFunction(
+        "kmv_union_est", exprs => KmvUnionEstimate(exprs(0), exprs(1)),
+        "scala_udf")
   }
 
   /** Column-level entry point (requires register(spark) in the session). */

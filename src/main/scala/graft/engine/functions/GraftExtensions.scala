@@ -61,6 +61,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash_bucket"),
       new ExpressionInfo(classOf[SimHashBucket].getName, "simhash_bucket"),
       (exprs: Seq[Expression]) => SimHashBucket(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_sketch"),
+      (exprs: Seq[Expression]) => KmvSketchAgg(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_est"),
+      new ExpressionInfo(classOf[KmvEstimate].getName, "kmv_est"),
+      (exprs: Seq[Expression]) => KmvEstimate(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_union_est"),
+      new ExpressionInfo(classOf[KmvUnionEstimate].getName, "kmv_union_est"),
+      (exprs: Seq[Expression]) => KmvUnionEstimate(exprs(0), exprs(1))))
     // the one custom optimizer rule (SURVEY §4.3): opt-in rewrite of
     // marker-flagged brute-force similarity joins into LSH bucket
     // equi-joins; plans without the graft_approx marker are untouched

@@ -347,6 +347,34 @@ class EngineLawsSpec extends SparkSuite {
       "merged bloom filter must not depend on partitioning")
   }
 
+  test("kmv set algebra: union/intersection estimates near exact") {
+    graft.engine.functions.GraftFunctions.register(spark)
+    val li = Tables.lineitem(spark, sf)
+    def exactDistinct(flags: String*): Long =
+      li.filter(col("l_returnflag").isin(flags: _*))
+        .select(col("l_partkey")).distinct().count()
+    val rows = SparkEntry.queries("q_agg_kmv_setops")(spark, sf).collect()
+    rows.foreach { r =>
+      val (fa, fb) = (r.getString(0), r.getString(1))
+      val exA = exactDistinct(fa)
+      val exB = exactDistinct(fb)
+      val exU = exactDistinct(fa, fb)
+      val exI = exA + exB - exU
+      // rsd ~ 1/sqrt(k-1) ~ 6.3% at k=256; allow 3x
+      def within(est: Long, exact: Long, tol: Double, what: String): Unit =
+        assert(math.abs(est - exact) <= math.max(tol * exact, 5),
+          s"$fa/$fb $what: est $est vs exact $exact")
+      within(r.getLong(2), exA, 0.2, "''|A|''")
+      within(r.getLong(3), exB, 0.2, "''|B|''")
+      within(r.getLong(4), exU, 0.2, "''|A u B|''")
+      // inclusion-exclusion compounds three estimates' errors: bound the
+      // intersection ABSOLUTELY by a fraction of the union size
+      assert(math.abs(r.getLong(5) - exI) <= 0.3 * exU + 5,
+        s"$fa/$fb intersection: est ${r.getLong(5)} vs exact $exI")
+    }
+    assert(rows.length === 3, "three unordered flag pairs")
+  }
+
   test("ddsketch: relative error <= alpha, partition-independent, monotone") {
     graft.engine.functions.GraftFunctions.register(spark)
     val li = Tables.lineitem(spark, sf).select(col("l_extendedprice"))
