@@ -41,6 +41,42 @@ object SketchProps extends Properties("sketches") {
         (kmv.eval(buf(xs.toSeq)).asInstanceOf[Long] == xs.size.toLong)
   }
 
+  private def bloomOf(xs: Seq[Long]): Array[Byte] = {
+    val agg = graft.engine.functions.BloomAgg(
+      org.apache.spark.sql.catalyst.expressions.BoundReference(
+        0, org.apache.spark.sql.types.LongType, nullable = false))
+    val buf = xs.foldLeft(agg.createAggregationBuffer()) { (b, x) =>
+      agg.update(b,
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](x)))
+    }
+    agg.serialize(buf)
+  }
+
+  property("bloom: every inserted value tests positive (no false negatives)") =
+    forAll { (xs: List[Long]) =>
+      val ser = bloomOf(xs)
+      xs.forall(graft.engine.functions.BloomBits.mightContainLong(ser, _))
+    }
+
+  property("bloom: OR-merge order never changes the bits") = forAll {
+    (a: List[Long], b: List[Long]) =>
+      java.util.Arrays.equals(bloomOf(a ++ b), bloomOf(b ++ a))
+  }
+
+  property("morton: low-16-bit pair roundtrips through the z-key") = forAll {
+    (x: Int, y: Int) =>
+      val (xm, ym) = ((x & 0xFFFF).toLong, (y & 0xFFFF).toLong)
+      val z = graft.engine.functions.Morton2.interleave(xm, ym)
+      def gather(v: Long, off: Int): Long = {
+        var out = 0L
+        var i = 0
+        while (i < 16) { out |= ((v >>> (2 * i + off)) & 1L) << i; i += 1 }
+        out
+      }
+      gather(z, 0) == xm && gather(z, 1) == ym
+  }
+
   property("jpeg constant-block images decode exactly for any byte value") =
     forAll { (seed: Int) =>
       val vals = Array(seed & 0xff, (seed >> 8) & 0xff,
