@@ -347,6 +347,33 @@ class EngineLawsSpec extends SparkSuite {
       "merged bloom filter must not depend on partitioning")
   }
 
+  test("span dedup: window spelling equals the groupBy+join spelling") {
+    // the production query counts shingle occurrences with a window so
+    // the explode+md5 subtree runs once; this replays it with the naive
+    // two-subtree groupBy+self-join and demands identical output, and
+    // pins that the fixture genuinely contains duplicated spans
+    val n = 8
+    val sh = Tables.documents(spark, sf)
+      .withColumn("t", split(lower(col("text")), " "))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("t")) - (n - 1)),
+          i => md5(concat_ws(" ", slice(col("t"), i, lit(n)))))).as("dg"))
+    val counts = sh.groupBy(col("dg")).agg(count(lit(1)).as("c"))
+    val viaJoin = sh.join(counts, "dg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        count(when(col("c") > 1, 1)).as("n_dup_spans"))
+      .withColumn("dup_frac", col("n_dup_spans") / col("n_spans"))
+      .orderBy(col("doc_id"))
+      .collect().map(_.toSeq).toSeq
+    val viaWindow = SparkEntry.queries("q_text_dedup_span")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(viaWindow === viaJoin)
+    assert(viaWindow.exists(r => r(2).asInstanceOf[Long] > 0),
+      "fixture must contain at least one genuinely duplicated span")
+  }
+
   test("kmv set algebra: union/intersection estimates near exact") {
     graft.engine.functions.GraftFunctions.register(spark)
     val li = Tables.lineitem(spark, sf)
