@@ -3,7 +3,7 @@ package graft.engine.functions
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, GreaterThanOrEqual, Literal, PredicateHelper, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -37,11 +37,11 @@ case class GraftApprox(child: Expression) extends UnaryExpression {
   * hyperplane derived by hashing (p, i) — no plane matrix is stored or
   * shipped. Two identical vectors always share the signature; vectors at
   * cosine angle θ disagree on each bit with probability θ/π. Used as the
-  * equi-join key the rewrite introduces. Cold path relative to the scan
-  * (one call per row vs per-element arithmetic), so CodegenFallback.
+  * equi-join key the rewrite introduces — a PER-ROW hot path on both
+  * join inputs, so it participates in whole-stage codegen via a static
+  * helper call (the BloomContains pattern) instead of interpreted eval.
   */
-case class SimHashBucket(child: Expression)
-  extends UnaryExpression with CodegenFallback {
+case class SimHashBucket(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType | DoubleType, _) =>
@@ -52,28 +52,19 @@ case class SimHashBucket(child: Expression)
   override def dataType: DataType = IntegerType
   override def prettyName: String = "simhash_bucket"
 
-  private val isFloat = child.dataType match {
+  private def isFloat = child.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
 
-  override def nullSafeEval(v: Any): Any = {
-    val arr = v.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    var sig = 0
-    var p = 0
-    while (p < 16) {
-      var dot = 0.0
-      var i = 0
-      while (i < n) {
-        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
-        dot += (if ((SimHashBucket.mix(p, i) & 1L) == 0L) x else -x)
-        i += 1
-      }
-      if (dot >= 0) sig |= 1 << p
-      p += 1
-    }
-    sig
+  override def nullSafeEval(v: Any): Any =
+    SimHashBucket.signature(v.asInstanceOf[ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val helper = SimHashBucket.getClass.getName.stripSuffix("$") + "$.MODULE$"
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = $helper.signature($v, $isFloat);")
   }
 
   override protected def withNewChildInternal(
@@ -87,6 +78,25 @@ object SimHashBucket {
     h ^= h >>> 30; h *= 0xBF58476D1CE4E5B9L
     h ^= h >>> 27; h *= 0x94D049BB133111EBL
     h ^ (h >>> 31)
+  }
+
+  /** Shared by interpreted eval and generated code. */
+  def signature(arr: ArrayData, isFloat: Boolean): Int = {
+    val n = arr.numElements()
+    var sig = 0
+    var p = 0
+    while (p < 16) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        dot += (if ((mix(p, i) & 1L) == 0L) x else -x)
+        i += 1
+      }
+      if (dot >= 0) sig |= 1 << p
+      p += 1
+    }
+    sig
   }
 }
 
