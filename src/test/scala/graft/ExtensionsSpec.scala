@@ -70,6 +70,29 @@ class ExtensionsSpec extends SparkSuite {
     assert(u === 90L, s"disjoint union below k must be exact, got $u")
   }
 
+  test("rewrite is strictly opt-in: marker-free spelling stays untouched") {
+    import org.apache.spark.sql.functions._
+    graft.engine.functions.GraftFunctions.register(spark)
+    // identical query WITHOUT graft_approx: the optimizer must leave the
+    // (bounded) cartesian plan alone — an optimizer rule that silently
+    // degrades recall would be a correctness bug
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") < 50)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"))
+    val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"))
+    val exactPlan = a.crossJoin(b)
+      .filter(col("id_a") < col("id_b")
+        && expr("cosine_sim(va, vb)") >= 0.99)
+      .queryExecution.executedPlan.toString
+    assert(!exactPlan.contains("simhash_bucket"),
+      "rule must not touch a marker-free plan")
+    assert(exactPlan.contains("BroadcastNestedLoopJoin")
+      || exactPlan.contains("CartesianProduct"),
+      s"marker-free spelling should stay a nested-loop/cartesian:\n$exactPlan")
+  }
+
   test("similarity-join rewrite: no cartesian, equals the exact spelling") {
     import org.apache.spark.sql.functions._
     graft.engine.functions.GraftFunctions.register(spark)
