@@ -202,6 +202,57 @@ object Text {
         .orderBy(col("doc_id"), col("term"))
     },
 
+    // Unigram language-model scoring (perplexity proxy) — the standard
+    // LM-quality filter for training corpora: score each document by the
+    // mean token surprisal -ln p(t) under the corpus unigram model.
+    // Token probabilities come from a WINDOW over the exploded tokens
+    // (corpus counts computed in the same pass as the tokens, like
+    // q_text_dedup_span); the corpus total rides in via a broadcast
+    // 1-row frame. Float-parity discipline: each token's surprisal is
+    // epsilon-rounded to 6dp and lifted to DECIMAL(18,6), so the
+    // per-doc mean is an EXACT decimal sum / count — order-independent
+    // and bit-identical to the oracle.
+    "q_text_lm_score" -> { (s, d) =>
+      val toksDf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      val total = toksDf.select(count(lit(1)).as("n_total"))
+      toksDf
+        .withColumn("cnt", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))))
+        .crossJoin(broadcast(total))
+        .withColumn("surprisal",
+          eround(-log(col("cnt") / col("n_total")), 6)
+            .cast("decimal(18,6)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          (sum(col("surprisal")).cast("double") / count(lit(1)))
+            .cast("double").as("mean_surprisal"))
+        .orderBy(col("doc_id"))
+    },
+
+    // URL canonicalization + exact dedup — the web-corpus dedup step:
+    // lowercase, strip utm_* tracking parameters, normalize the dangling
+    // separator, then hash-group on the canonical form. URLs are
+    // synthesized deterministically from the fixture (documents carry no
+    // URL column); the regex steps are identical character-for-character
+    // in both engines (DuckDB needs the 'g' flag for replace-all).
+    "q_text_dedup_url" -> { (s, d) =>
+      val raw = concat(lit("https://Host"),
+        pmod(col("doc_id"), lit(20)), lit(".EXAMPLE.org/p/"),
+        pmod(col("doc_id"), lit(50)), lit("?utm_source=s"),
+        pmod(col("doc_id"), lit(3)), lit("&id="),
+        pmod(col("doc_id"), lit(100)), lit("&utm_campaign=c"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), raw.as("url"))
+        .withColumn("canonical",
+          regexp_replace(
+            regexp_replace(lower(col("url")), "[?&]utm_[a-z_]+=[^&]*", ""),
+            "/p/([0-9]+)&", "/p/$1?"))
+        .groupBy(col("canonical"))
+        .agg(count(lit(1)).as("n_dupes"), min(col("doc_id")).as("keep_id"))
+        .orderBy(col("canonical"))
+    },
+
     "q_text_lang_stats" -> { (s, d) =>
       Tables.documents(s, d)
         .withColumn("n_tok", size(toks(col("text"))))
@@ -754,6 +805,29 @@ object Text {
          |  WHERE len(tk) >= 2)
          | SELECT bigram, count(*) AS n FROM bg
          | GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_text_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, unnest($oToks) AS tok FROM documents),
+         | c AS (SELECT *, count(*) OVER (PARTITION BY tok) AS cnt,
+         |   count(*) OVER () AS n_total FROM t)
+         | SELECT doc_id, count(*) AS n_tok,
+         |  CAST(sum(CAST(round(-ln(cnt / n_total) + 5e-10, 6)
+         |    AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_surprisal
+         | FROM c GROUP BY doc_id ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_text_dedup_url" ->
+      """WITH u AS (SELECT doc_id,
+        |  'https://Host' || (doc_id % 20) || '.EXAMPLE.org/p/'
+        |   || (doc_id % 50) || '?utm_source=s' || (doc_id % 3)
+        |   || '&id=' || (doc_id % 100) || '&utm_campaign=c' AS url
+        | FROM documents)
+        | SELECT canonical, count(*) AS n_dupes, min(doc_id) AS keep_id
+        | FROM (SELECT doc_id, regexp_replace(regexp_replace(lower(url),
+        |   '[?&]utm_[a-z_]+=[^&]*', '', 'g'), '/p/([0-9]+)&', '/p/\1?')
+        |   AS canonical FROM u)
+        | GROUP BY canonical ORDER BY canonical"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_text_dedup_span" ->
