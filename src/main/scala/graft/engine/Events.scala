@@ -47,6 +47,35 @@ object Events {
           col("session_window.end").as("s_end"),
           col("n"), col("sum_v"))
         .orderBy(col("user_id"), col("s_start"))
+    },
+
+    // Time-series resampling with forward fill — the gap-filling ETL
+    // step sensors/metrics pipelines run before joins on aligned time
+    // grids: per-user hourly sums on a DENSE hourly grid spanning each
+    // user's active range, empty hours carrying the last observed value
+    // forward. The grid comes from sequence()+explode of per-user
+    // bounds (reduced frame), the fill from last(ignoreNulls) over an
+    // UNBOUNDED PRECEDING frame — one user_id shuffle end-to-end, no
+    // self-joins; hourly sums use the exact long-cents lsum state.
+    "q_ts_resample" -> { (s, d) =>
+      val hourly = Tables.events(s, d).filter(col("user_id") < 20)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+          col("value"))
+        .groupBy(col("user_id"), col("h"))
+        .agg(lsum(col("value")).as("v"), count(lit(1)).as("n_ev"))
+      val grid = hourly.groupBy(col("user_id"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("user_id"), explode(
+          sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("h"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      grid.join(hourly, Seq("user_id", "h"), "left")
+        .select(col("user_id"), col("h"),
+          coalesce(col("n_ev"), lit(0L)).as("n_ev"),
+          last(col("v"), ignoreNulls = true).over(w).as("v_ffill"))
+        .orderBy(col("user_id"), col("h"))
     }
   )
 
@@ -88,6 +117,23 @@ object Events {
          |  max(ts) + INTERVAL 30 MINUTE AS s_end,
          |  count(*) AS n, ${oLsum("value")} AS sum_v
          | FROM g GROUP BY user_id, sid ORDER BY user_id, s_start"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_ts_resample" ->
+      s"""WITH hourly AS (SELECT user_id,
+         |   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         |   ${oLsum("value")} AS v, count(*) AS n_ev
+         |  FROM events WHERE user_id < 20 GROUP BY user_id, h),
+         | grid AS (SELECT user_id,
+         |   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+         |  FROM (SELECT user_id, min(h) AS h0, max(h) AS h1
+         |        FROM hourly GROUP BY user_id))
+         | SELECT g.user_id, g.h, coalesce(n_ev, 0) AS n_ev,
+         |  last_value(v IGNORE NULLS) OVER (PARTITION BY g.user_id
+         |    ORDER BY g.h
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
+         | FROM grid g LEFT JOIN hourly USING (user_id, h)
+         | ORDER BY user_id, h"""
         .stripMargin.replaceAll("\n", " ")
   )
 }
