@@ -129,6 +129,53 @@ object Analytics {
         .orderBy(col("cohort_week"), col("week_offset"))
     },
 
+    // PageRank (5 fixed iterations, damping 0.85) over the derived
+    // same-region nation graph — the second iterative-graph operator
+    // beside connected components. Parity trick that also matters at
+    // scale: ranks live as exact integer NANOS (1e-9 units), so each
+    // iteration is `nanos*85 DIV (deg*100)` per edge + an exact long
+    // sum per destination — integer partial aggregation is
+    // order-independent, making the fixpoint bit-identical on any
+    // partitioning AND in the oracle's unrolled-CTE replay (double
+    // arithmetic would drift with summation order). Every node has
+    // in/out edges by construction (each region holds 5 nations), so
+    // no dangling-mass correction is needed.
+    "q_graph_pagerank" -> { (s, d) =>
+      val n = Tables.nation(s, d)
+        .select(col("n_nationkey").as("src"), col("n_regionkey").as("rk"))
+      // asymmetric graph: a ring within each region (everyone has an
+      // in-edge) plus a hub edge to the region's min-key nation (mass
+      // concentrates, ranks differentiate — the same-region complete
+      // graph would fix at the uniform vector and prove nothing)
+      val wReg = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("rk")).orderBy(col("src"))
+      val withNbr = n
+        .withColumn("nxt", lead(col("src"), 1).over(wReg))
+        .withColumn("mn", min(col("src")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("rk"))))
+      val ring = withNbr
+        .select(col("src"), coalesce(col("nxt"), col("mn")).as("dst"))
+      val hub = withNbr.filter(col("src") =!= col("mn"))
+        .select(col("src"), col("mn").as("dst"))
+      val edges = ring.unionByName(hub)
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      var ranks = n.select(col("src").as("node"))
+        .withColumn("nanos", lit(40000000L)) // 1e9 / 25 nations
+      for (_ <- 1 to 5) {
+        ranks = edges
+          .join(ranks, edges("src") === ranks("node"))
+          .join(deg, "src")
+          .select(col("dst").as("node"),
+            expr("nanos * 85 DIV (deg * 100)").as("contrib"))
+          .groupBy(col("node"))
+          .agg((lit(6000000L) + sum(col("contrib"))).as("nanos"))
+      }
+      ranks
+        .select(col("node"), col("nanos"),
+          (col("nanos") / 1e9).as("rank"))
+        .orderBy(col("node"))
+    },
+
     // Q18 shape: large-volume orders — join against the aggregated
     // qty-per-order exceeding a threshold (HAVING via derived table).
     "q_shape_q18" -> { (s, d) =>
@@ -229,6 +276,31 @@ object Analytics {
         | GROUP BY cohort_week, week_offset
         | ORDER BY cohort_week, week_offset"""
         .stripMargin.replaceAll("\n", " "),
+
+    "q_graph_pagerank" -> {
+      // one CTE per iteration (unrolled; grouping inside a recursive CTE
+      // is not portable); integer nanos keep every stage exact
+      val iter = (i: Int) =>
+        s"""pr$i AS (SELECT e.dst AS node,
+           | 6000000 + sum((p.nanos * 85) // (deg.deg * 100)) AS nanos
+           | FROM pr${i - 1} p
+           | JOIN e ON p.node = e.src
+           | JOIN deg ON deg.src = p.node
+           | GROUP BY e.dst)"""
+      s"""WITH n AS (SELECT n_nationkey AS src, n_regionkey AS rk FROM nation),
+         | nbr AS (SELECT src, rk,
+         |   lead(src) OVER (PARTITION BY rk ORDER BY src) AS nxt,
+         |   min(src) OVER (PARTITION BY rk) AS mn FROM n),
+         | e AS (SELECT src, coalesce(nxt, mn) AS dst FROM nbr
+         |   UNION ALL SELECT src, mn AS dst FROM nbr WHERE src <> mn),
+         | deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         | pr0 AS (SELECT src AS node, CAST(40000000 AS BIGINT) AS nanos
+         |   FROM n),
+         | ${(1 to 5).map(iter).mkString(", ")}
+         | SELECT node, nanos, CAST(nanos AS DOUBLE) / 1e9 AS rank
+         | FROM pr5 ORDER BY node"""
+        .stripMargin.replaceAll("\n", " ")
+    },
 
     "q_shape_q18" ->
       s"""SELECT c_name, o_orderkey, o_orderdate, o_totalprice, total_qty
