@@ -414,6 +414,46 @@ object Text {
     // sample that is reproducible across engines and runs (no RNG state).
     // The rn<=3 filter plans WindowGroupLimit, so per-language state is a
     // 3-row heap regardless of corpus size.
+    // Weighted (probability-proportional-to-size) SYSTEMATIC sampling:
+    // walk the corpus in key order accumulating integer token-count
+    // weights and keep every document whose cumulative weight crosses a
+    // multiple of step = total/100 — long documents are proportionally
+    // more likely to cross a boundary, giving ~100 docs sampled ∝ size
+    // with ZERO randomness (pure integer window arithmetic, so the
+    // sample is reproducible shard-by-shard and oracle-exact, unlike
+    // u^(1/w) reservoir schemes whose libm keys can't hash-match across
+    // engines). The quality-weighted mixing step of corpus construction.
+    // The cumulative weight is computed in the SCALE-SAFE two-level
+    // form — per-shard prefix sums plus broadcast shard offsets — never
+    // a single-partition global window: cum_w(doc) = offset(shard) +
+    // intra-shard running sum, identical values to the global cumsum
+    // the oracle computes directly.
+    "q_sample_weighted" -> { (s, d) =>
+      val wnd = org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(toks(col("text"))).cast("long").as("w"))
+        .withColumn("shard", expr("doc_id DIV 1000"))
+      val intra = docs.withColumn("intra",
+        sum(col("w")).over(wnd.partitionBy(col("shard"))
+          .orderBy(col("doc_id")).rowsBetween(wnd.unboundedPreceding, 0)))
+      // shard totals are a tiny reduced frame; their prefix offsets and
+      // the grand total broadcast back to the data
+      val offs = docs.groupBy(col("shard")).agg(sum(col("w")).as("st"))
+        .withColumn("off", coalesce(sum(col("st")).over(
+          wnd.orderBy(col("shard"))
+            .rowsBetween(wnd.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("total_w", sum(col("st")).over(wnd
+          .rowsBetween(wnd.unboundedPreceding, wnd.unboundedFollowing)))
+        .select(col("shard"), col("off"), col("total_w"))
+      intra.join(broadcast(offs), "shard")
+        .withColumn("cum_w", col("off") + col("intra"))
+        .withColumn("step", expr("total_w DIV 100"))
+        .filter(expr("cum_w DIV step") > expr("(cum_w - w) DIV step"))
+        .select(col("doc_id"), col("lang"), col("w"), col("cum_w"))
+        .orderBy(col("doc_id"))
+    },
+
     "q_sample_hash_group" -> { (s, d) =>
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("lang"))
@@ -805,6 +845,19 @@ object Text {
          |  WHERE len(tk) >= 2)
          | SELECT bigram, count(*) AS n FROM bg
          | GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_sample_weighted" ->
+      s"""WITH d AS (SELECT doc_id, lang, CAST(len($oToks) AS BIGINT) AS w
+         |  FROM documents),
+         | c AS (SELECT *,
+         |   sum(w) OVER (ORDER BY doc_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
+         |   sum(w) OVER () AS total_w FROM d)
+         | SELECT doc_id, lang, w, cum_w FROM c
+         | WHERE (cum_w // (total_w // 100))
+         |     > ((cum_w - w) // (total_w // 100))
+         | ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_text_lm_score" ->
