@@ -297,7 +297,8 @@ object Analytics {
          | pr0 AS (SELECT src AS node, CAST(40000000 AS BIGINT) AS nanos
          |   FROM n),
          | ${(1 to 5).map(iter).mkString(", ")}
-         | SELECT node, nanos, CAST(nanos AS DOUBLE) / 1e9 AS rank
+         | SELECT node, CAST(nanos AS BIGINT) AS nanos,
+         |  CAST(nanos AS DOUBLE) / 1e9 AS rank
          | FROM pr5 ORDER BY node"""
         .stripMargin.replaceAll("\n", " ")
     },

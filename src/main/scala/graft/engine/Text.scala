@@ -423,11 +423,16 @@ object Text {
     // sample is reproducible shard-by-shard and oracle-exact, unlike
     // u^(1/w) reservoir schemes whose libm keys can't hash-match across
     // engines). The quality-weighted mixing step of corpus construction.
-    // The cumulative weight is computed in the SCALE-SAFE two-level
-    // form — per-shard prefix sums plus broadcast shard offsets — never
-    // a single-partition global window: cum_w(doc) = offset(shard) +
-    // intra-shard running sum, identical values to the global cumsum
-    // the oracle computes directly.
+    // The cumulative weight is computed in the SCALE-SAFE hierarchical
+    // form — a three-level tree prefix sum (doc → 1000-doc shard →
+    // 1000-shard super-shard) — never a single-partition window over
+    // the data: cum_w(doc) = super_offset + shard_offset_within_super
+    // + intra-shard running sum, identical values to the global cumsum
+    // the oracle computes directly. The one unpartitioned window runs
+    // over the SUPER-shard frame: docs/10^6 rows, i.e. ~10^5 rows for
+    // 10^11 docs (~100 TB of 1 KB documents) — a few MB on one task.
+    // step is floored at 1 so a degenerate corpus (<100 total tokens)
+    // selects every document instead of dividing by zero.
     "q_sample_weighted" -> { (s, d) =>
       val wnd = org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
@@ -437,18 +442,29 @@ object Text {
       val intra = docs.withColumn("intra",
         sum(col("w")).over(wnd.partitionBy(col("shard"))
           .orderBy(col("doc_id")).rowsBetween(wnd.unboundedPreceding, 0)))
-      // shard totals are a tiny reduced frame; their prefix offsets and
-      // the grand total broadcast back to the data
-      val offs = docs.groupBy(col("shard")).agg(sum(col("w")).as("st"))
-        .withColumn("off", coalesce(sum(col("st")).over(
-          wnd.orderBy(col("shard"))
+      // level 2: per-shard totals, prefix-summed WITHIN each super-shard
+      val shardTot = docs.groupBy(col("shard"))
+        .agg(sum(col("w")).as("st"))
+        .withColumn("sup", expr("shard DIV 1000"))
+        .withColumn("soff", coalesce(sum(col("st")).over(
+          wnd.partitionBy(col("sup")).orderBy(col("shard"))
             .rowsBetween(wnd.unboundedPreceding, -1)), lit(0L)))
-        .withColumn("total_w", sum(col("st")).over(wnd
+      // level 3: super-shard totals — the only unpartitioned window,
+      // over a frame 10^6x smaller than the data
+      val supOffs = shardTot.groupBy(col("sup"))
+        .agg(sum(col("st")).as("sut"))
+        .withColumn("sup_off", coalesce(sum(col("sut")).over(
+          wnd.orderBy(col("sup"))
+            .rowsBetween(wnd.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("total_w", sum(col("sut")).over(wnd
           .rowsBetween(wnd.unboundedPreceding, wnd.unboundedFollowing)))
-        .select(col("shard"), col("off"), col("total_w"))
+        .select(col("sup"), col("sup_off"), col("total_w"))
+      val offs = shardTot.join(broadcast(supOffs), "sup")
+        .select(col("shard"), (col("sup_off") + col("soff")).as("off"),
+          col("total_w"))
       intra.join(broadcast(offs), "shard")
         .withColumn("cum_w", col("off") + col("intra"))
-        .withColumn("step", expr("total_w DIV 100"))
+        .withColumn("step", expr("greatest(total_w DIV 100, 1L)"))
         .filter(expr("cum_w DIV step") > expr("(cum_w - w) DIV step"))
         .select(col("doc_id"), col("lang"), col("w"), col("cum_w"))
         .orderBy(col("doc_id"))
@@ -854,9 +870,9 @@ object Text {
          |   sum(w) OVER (ORDER BY doc_id
          |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_w,
          |   sum(w) OVER () AS total_w FROM d)
-         | SELECT doc_id, lang, w, cum_w FROM c
-         | WHERE (cum_w // (total_w // 100))
-         |     > ((cum_w - w) // (total_w // 100))
+         | SELECT doc_id, lang, w, CAST(cum_w AS BIGINT) AS cum_w FROM c
+         | WHERE (cum_w // greatest(total_w // 100, 1))
+         |     > ((cum_w - w) // greatest(total_w // 100, 1))
          | ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
 

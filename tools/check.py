@@ -13,8 +13,20 @@ Values are compared via CANONICAL STRINGS to mirror the driver's hash gate
 so DECIMAL('1524135.00') != float 1524135.0, exactly as the driver sees
 it). A Decimal-vs-float column pairing is reported as a TYPE failure even
 when the strings happen to match, because it diverges whenever a value has
-a trailing zero in its last scale digit."""
-import duckdb, json, sys, math
+a trailing zero in its last scale digit.
+
+SCHEMA AUDIT (the round-4 lesson): fetchall() flattens DuckDB HUGEINT to a
+plain Python int, so value comparison alone is BLIND to the exact bug class
+the driver fails on — an oracle whose sum(BIGINT) output widens to HUGEINT
+hashes differently at the driver even though every value equals Spark's
+BIGINT. Before comparing values we therefore DESCRIBE both result schemas
+and (a) reject any oracle output column typed HUGEINT/UHUGEINT outright,
+(b) reject any per-column numeric type-class divergence (int/float/decimal)
+between oracle and Spark — even when the result has zero rows.
+
+`python3 tools/check.py --selftest` plants a bare sum(BIGINT) oracle and
+asserts the audit rejects it (regression test for the r4 failure class)."""
+import duckdb, json, sys, math, re
 from decimal import Decimal
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -57,6 +69,42 @@ def veq(a, b):
         return False
     return canon(a) == canon(b)
 
+def sql_types(con, sql):
+    """Result schema of a query as {column: duckdb type string}."""
+    rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    return {r[0]: r[1] for r in rows}
+
+def type_class(t):
+    """Bucket a DuckDB type string the way the driver's hash treats it."""
+    t = t.upper()
+    if t in ("HUGEINT", "UHUGEINT", "INT128", "UINT128"):
+        return "hugeint"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT", "UTINYINT",
+             "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "int"
+    if t in ("FLOAT", "DOUBLE", "REAL"):
+        return "float"
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    return "other"
+
+def audit_schemas(exp_types, got_types):
+    """Return a failure message if the oracle result schema would hash-
+    diverge from the Spark result schema at the driver, else None.
+    Catches the r4 HUGEINT bug class even on zero-row results."""
+    for c, t in exp_types.items():
+        if type_class(t) == "hugeint":
+            return (f"oracle column {c} is {t} — cast it to BIGINT/DOUBLE "
+                    "in the oracle SQL (driver hashes HUGEINT differently)")
+    for c, t in exp_types.items():
+        if c in got_types:
+            ec, gc = type_class(t), type_class(got_types[c])
+            if {ec, gc} in ({"decimal", "float"}, {"decimal", "int"},
+                            {"float", "int"}):
+                return (f"column {c} type-class mismatch: oracle {t} vs "
+                        f"spark {got_types[c]}")
+    return None
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
@@ -68,6 +116,7 @@ def main():
     for name in sorted(oracle):
         sql = oracle[name]
         try:
+            exp_types = sql_types(con, sql)
             exp_cols = [d[0] for d in con.execute(sql).description]
             exp = con.execute(sql).fetchall()
         except Exception as e:
@@ -75,10 +124,15 @@ def main():
             fails.append(name); continue
         try:
             q = f"SELECT * FROM '{out_dir}/{name}/*.parquet'"
+            got_types = sql_types(con, q)
             got_cols = [d[0] for d in con.execute(q).description]
             got = con.execute(q).fetchall()
         except Exception as e:
             print(f"FAIL {name}: spark output missing: {str(e).splitlines()[0]}")
+            fails.append(name); continue
+        bad_schema = audit_schemas(exp_types, got_types)
+        if bad_schema:
+            print(f"FAIL {name}: schema audit: {bad_schema}")
             fails.append(name); continue
         eperm = sorted(range(len(exp_cols)), key=lambda i: exp_cols[i])
         gperm = sorted(range(len(got_cols)), key=lambda i: got_cols[i])
@@ -106,5 +160,30 @@ def main():
     print(f"== {ok}/{len(oracle)} matched; failed: {fails if fails else 'none'}")
     sys.exit(1 if fails else 0)
 
+def selftest():
+    """Regression test for the r4 failure class: a bare sum(BIGINT) oracle
+    (HUGEINT result column) MUST be rejected by the schema audit; the cast
+    form MUST pass it."""
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t AS SELECT CAST(range AS BIGINT) AS v "
+                "FROM range(10)")
+    bad = sql_types(con, "SELECT sum(v) AS s FROM t")
+    good = sql_types(con, "SELECT CAST(sum(v) AS BIGINT) AS s FROM t")
+    assert audit_schemas(bad, {"s": "BIGINT"}) is not None, \
+        "audit failed to reject a HUGEINT oracle column"
+    assert audit_schemas(good, {"s": "BIGINT"}) is None, \
+        "audit wrongly rejected a BIGINT-cast oracle column"
+    # window sum over BIGINT is HUGEINT too — the q_sample_weighted shape
+    wbad = sql_types(con, "SELECT sum(v) OVER (ORDER BY v) AS c FROM t")
+    assert audit_schemas(wbad, {"c": "BIGINT"}) is not None, \
+        "audit failed to reject a HUGEINT window-sum column"
+    # decimal-vs-float divergence must fail even with zero value rows
+    assert audit_schemas({"x": "DECIMAL(18,2)"}, {"x": "DOUBLE"}) is not None
+    assert audit_schemas({"x": "DOUBLE"}, {"x": "DOUBLE"}) is None
+    print("selftest ok: HUGEINT + type-class audits reject the r4 bug class")
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
+        selftest()
+    else:
+        main()
