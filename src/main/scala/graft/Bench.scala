@@ -42,7 +42,15 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
     // Headline set: the flagship, every heavy operator (dedup, similarity,
     // sinks, big joins), and at least one query per SURVEY §2 category.
-    // SPARK_GRAFT_BENCH_ALL=1 times the full registry instead.
+    // EXCLUSION RULE for the rest of the registry: a query is left out of
+    // the headline only if it is (a) a map-only per-row projection or
+    // scalar-function demo whose cost is the parquet scan (q_fn_*,
+    // q_project, q_filter_*, q_text per-row scorers), (b) a lookup over a
+    // dimension table orders of magnitude below the fact tables (region/
+    // nation shapes), or (c) a variant timed via its primary form (e.g.
+    // q_join_left/right/full vs q_join_inner_*). Every query with a
+    // shuffle, sort, window, join or sink over a fact-scale table IS in
+    // the headline. SPARK_GRAFT_BENCH_ALL=1 times the full registry.
     val headline = Set(
       "q_agg_group", "q_agg_rollup", "q_agg_custom_typed",
       "q_agg_kmv_distinct", "q_scan_parquet", "q_sink_parquet",
@@ -60,11 +68,22 @@ object Bench {
       "q_shape_merge", "q_pipeline_train_mix", "q_vec_centroid",
       "q_dedup_simhash", "q_dedup_groups_lsh", "q_join_bloom_prune",
       "q_layout_zorder", "q_text_dedup_span", "q_agg_heavy_hitters",
-      "q_agg_quantile_sketch")
+      "q_agg_quantile_sketch",
+      // round-4 long tail, registered r5 so the driver sees their cost
+      "q_sim_join_rewrite", "q_ts_resample", "q_text_lm_score",
+      "q_text_dedup_url", "q_graph_pagerank", "q_sample_weighted",
+      "q_shape_funnel", "q_shape_cohort", "q_fn_geo", "q_shape_incr_agg",
+      "q_sink_compact", "q_agg_kmv_setops")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid
+    // for isolating one query's cost or chasing instability).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected =
-      if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1"))
+      if (only.isDefined)
+        SparkEntry.queries.view.filterKeys(only.get).toMap
+      else if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1"))
         SparkEntry.queries
       else SparkEntry.queries.view.filterKeys(headline).toMap
     // Steady-state methodology: run the selected set once untimed at the
@@ -84,14 +103,26 @@ object Bench {
       .filter(_ >= 1).getOrElse(5)
     val listener = new BenchListener
     spark.sparkContext.addSparkListener(listener)
-    // (name, median, min, gcMs, peakExecMem, storageBytesAfter)
+    // Global JVM GC time (all collectors) — unlike the task-metric sum,
+    // this also sees collections that run BETWEEN tasks or concurrently
+    // with driver-side planning, which is where cross-query interference
+    // hides (the r4 `unstable` flags had task gc_ms ~0).
+    def jvmGcMs(): Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+    }
+    // (name, median, min, gcMs, peakExecMem, storageBytesAfter,
+    //  perRepSec, perRepGcMs)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       listener.reset()
-      val times = (1 to reps).map { _ =>
+      val perRep = (1 to reps).map { _ =>
+        val gc0 = jvmGcMs()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
+        ((System.nanoTime() - t0) / 1e9, jvmGcMs() - gc0)
+      }
+      val times = perRep.map(_._1).sorted
       val median =
         if (reps % 2 == 1) times(reps / 2)
         else (times(reps / 2 - 1) + times(reps / 2)) / 2.0
@@ -100,18 +131,24 @@ object Bench {
       val storage =
         try spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
         catch { case _: Throwable => -1L }
-      (name, median, times.head, listener.gcMs.sum(), listener.peakExecMem.get(), storage)
+      (name, median, times.head, listener.gcMs.sum(),
+        listener.peakExecMem.get(), storage, perRep.map(_._1),
+        perRep.map(_._2))
     }
-    val qs = results.map { case (k, med, _, _, _, _) => "\"" + k + "\":" + med }
-      .mkString("{", ",", "}")
-    val mins = results.map { case (k, _, mn, _, _, _) => "\"" + k + "\":" + mn }
-      .mkString("{", ",", "}")
+    val qs = results.map { case (k, med, _, _, _, _, _, _) =>
+      "\"" + k + "\":" + med }.mkString("{", ",", "}")
+    val mins = results.map { case (k, _, mn, _, _, _, _, _) =>
+      "\"" + k + "\":" + mn }.mkString("{", ",", "}")
     // Per-query telemetry: summed task GC ms over the reps, max single-task
-    // execution-memory peak, session storage bytes after the query, and an
-    // instability flag (median > 2x min = contention/GC, not the plan).
-    val telem = results.map { case (k, med, mn, gc, pk, st) =>
+    // execution-memory peak, session storage bytes after the query, an
+    // instability flag (median > 2x min = contention/GC, not the plan), and
+    // the per-rep wall/global-GC series so a slow rep can be attributed
+    // (rep-local GC spike = JVM interference; flat GC = planning/IO).
+    val telem = results.map { case (k, med, mn, gc, pk, st, rs, rg) =>
       val unstable = mn > 0 && med > 2 * mn
-      s""""$k":{"gc_ms":$gc,"peak_exec_mem":$pk,"storage_bytes_after":$st,"unstable":$unstable}"""
+      val repsS = rs.map(t => f"$t%.3f").mkString("[", ",", "]")
+      val repsG = rg.mkString("[", ",", "]")
+      s""""$k":{"gc_ms":$gc,"peak_exec_mem":$pk,"storage_bytes_after":$st,"unstable":$unstable,"rep_sec":$repsS,"rep_gc_ms":$repsG}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val nq = results.size

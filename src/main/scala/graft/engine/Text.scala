@@ -136,6 +136,11 @@ object Text {
   private val simhashSigCache =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
+  /** Same steady-state-one-copy cache discipline for the span-dedup
+    * shingle stream (see [[simhashSigCache]]). */
+  private val spanShCache =
+    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
+
   private def nearDupCorpus(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val planted = base.filter(col("doc_id") < 20)
@@ -349,23 +354,38 @@ object Text {
     // Span-level (substring) duplicate detection — the word-8-gram
     // variant of suffix-style training-data dedup: a span is duplicated
     // if the same 8 consecutive tokens occur anywhere else in the corpus
-    // (another doc or another offset). Shingles are md5'd so the shuffle
-    // key is a fixed 32-byte digest, never the raw span text; the global
-    // occurrence count comes from a WINDOW over the digest, so the
-    // explode+md5 subtree is computed ONCE (a groupBy+self-join twin
-    // would materialize it twice — the exact defect the simhash query
-    // was rewritten to avoid). Two shuffles total (digest, then doc) of
-    // (id, digest) pairs — linear in corpus token count at 100 TB.
+    // (another doc or another offset). The shuffle key is the top 60
+    // bits of the md5, parsed to a BIGINT (conv(hex,16,10)) — an 8-byte
+    // key instead of the 32-char hex string, 4x less shuffle volume.
+    // The oracle digests IDENTICALLY so a (cosmically unlikely) 60-bit
+    // collision collides on both engines and the hash gate still agrees.
+    // Occurrence counts come from a partial-aggregating hash groupBy +
+    // a shuffle-HASH join back (hinted: the default sort-merge would
+    // sort BOTH full shingle streams; the r4 window formulation sorted
+    // one and couldn't map-side combine at all). The exploded shingle
+    // stream is persisted once so explode+md5 isn't computed for both
+    // join inputs. Two big-stream shuffles of 16-byte rows, zero sorts,
+    // every aggregate spillable — linear in corpus token count at 100 TB.
     "q_text_dedup_span" -> { (s, d) =>
       val n = 8
+      // unpersist the previous invocation's cache BEFORE persisting: the
+      // two invocations' plans canonicalize identically, so persist-then-
+      // unpersist-old would drop the SHARED entry and leave every run
+      // after the first uncached (caught by PlanSpec in the full suite)
+      Option(spanShCache.getAndSet(null)).foreach(p =>
+        try p.unpersist(false) catch { case _: Throwable => () })
       val sh = Tables.documents(s, d)
         .withColumn("t", toks(col("text")))
         .filter(size(col("t")) >= n)
         .select(col("doc_id"), explode(
           transform(sequence(lit(1), size(col("t")) - (n - 1)),
-            i => md5(concat_ws(" ", slice(col("t"), i, lit(n)))))).as("dg"))
-      sh.withColumn("c", count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("dg"))))
+            i => conv(substring(
+              md5(concat_ws(" ", slice(col("t"), i, lit(n)))), 1, 15),
+              16, 10).cast("long"))).as("dg"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      spanShCache.set(sh)
+      val counts = sh.groupBy(col("dg")).agg(count(lit(1)).as("c"))
+      sh.join(counts.hint("shuffle_hash"), "dg")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_spans"),
           count(when(col("c") > 1, 1)).as("n_dup_spans"))
@@ -654,12 +674,15 @@ object Text {
       // materialization, CollapseProject inlines the whole explode +
       // 32-sum HashAggregate subtree into BOTH join inputs and the
       // dominant stage runs twice (confirmed in the r3 plan audit).
-      // Persist once; the previous invocation's cache is dropped here so
+      // Persist once; the previous invocation's cache is dropped FIRST
+      // (identical canonicalized plans share one CacheManager entry, so
+      // persist-then-unpersist-old would leave runs 2+ uncached) and
       // repeated runs (the bench does 5+1) hold at most one signature set.
+      Option(simhashSigCache.getAndSet(null)).foreach(p =>
+        try p.unpersist(false) catch { case _: Throwable => () })
       val sigs = bitSums.select(col("doc_id"), simhashCol.as("simhash"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      Option(simhashSigCache.getAndSet(sigs)).foreach(p =>
-        try p.unpersist(false) catch { case _: Throwable => () })
+      simhashSigCache.set(sigs)
       val bandArr = array((0 until 4).map { b =>
         struct(lit(b).as("band"),
           shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("bits"))
@@ -901,7 +924,9 @@ object Text {
 
     "q_text_dedup_span" ->
       s"""WITH t AS (SELECT doc_id, $oToks AS tk FROM documents),
-         | sh AS (SELECT doc_id, md5(array_to_string(tk[i:i+7], ' ')) AS dg
+         | sh AS (SELECT doc_id, ('0x' ||
+         |   substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15))::BIGINT
+         |   AS dg
          |  FROM t, LATERAL unnest(generate_series(1, len(tk) - 7)) u(i)
          |  WHERE len(tk) >= 8),
          | g AS (SELECT *, count(*) OVER (PARTITION BY dg) AS c FROM sh)

@@ -70,8 +70,9 @@ case class BloomAgg(
   override def eval(buf: Array[Long]): Any = serialize(buf)
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(8 + buf.length * 8)
+    val bb = ByteBuffer.allocate(12 + buf.length * 8)
     bb.putInt(numBits).putInt(numHashes)
+      .putInt(BloomBits.typeTag(child.dataType))
     var i = 0
     while (i < buf.length) { bb.putLong(buf(i)); i += 1 }
     bb.array()
@@ -79,7 +80,7 @@ case class BloomAgg(
 
   override def deserialize(bytes: Array[Byte]): Array[Long] = {
     val bb = ByteBuffer.wrap(bytes)
-    val m = bb.getInt; bb.getInt
+    val m = bb.getInt; bb.getInt; bb.getInt
     val buf = new Array[Long](m / 64)
     var i = 0
     while (i < buf.length) { buf(i) = bb.getLong; i += 1 }
@@ -106,6 +107,26 @@ object BloomBits {
   val seedA = 0x9E3779B97F4A7C15L
   val seedB = 0xC2B2AE3D27D4EB4FL
 
+  /** Stable tag for the Catalyst type a sketch was built over, carried in
+    * the serialized header. xxhash64 hashes an int and a long to DIFFERENT
+    * values, so probing an int-built sketch with a bigint key would yield
+    * silent FALSE NEGATIVES — breaking the documented one-sided guarantee
+    * the downstream exact join relies on. The probe verifies the tag and
+    * fails loudly on mismatch instead.
+    */
+  def typeTag(dt: DataType): Int = dt.catalogString.hashCode
+
+  private def checkTag(ser: Array[Byte], expected: Int,
+      probeType: String): Unit = {
+    val tag = readInt(ser, 8)
+    if (tag != expected)
+      throw new IllegalArgumentException(
+        s"bloom_contains: probe type $probeType does not match the type " +
+          "the sketch was built over (different types hash differently — " +
+          "the test would return silent false negatives); cast the probe " +
+          "to the build key's type")
+  }
+
   private def readInt(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xFF) << 24) | ((b(off + 1) & 0xFF) << 16) |
       ((b(off + 2) & 0xFF) << 8) | (b(off + 3) & 0xFF)
@@ -123,18 +144,21 @@ object BloomBits {
     var i = 0
     while (i < k) {
       val bit = java.lang.Math.floorMod(h1 + i * h2odd, m.toLong).toInt
-      if ((readLong(ser, 8 + (bit >>> 6) * 8) & (1L << (bit & 63))) == 0L)
+      if ((readLong(ser, 12 + (bit >>> 6) * 8) & (1L << (bit & 63))) == 0L)
         return false
       i += 1
     }
     true
   }
 
+  private val longTag = typeTag(LongType)
+
   /** Fast path for long keys (the join-key case) — callable from
     * generated Java with a primitive argument, keeping the probe inside
     * whole-stage codegen.
     */
   def mightContainLong(ser: Array[Byte], v: Long): Boolean = {
+    checkTag(ser, longTag, "bigint")
     val h1 = XxHash64Function.hash(v, LongType, seedA)
     val h2 = XxHash64Function.hash(v, LongType, seedB) | 1L
     test(ser, h1, h2)
@@ -142,6 +166,7 @@ object BloomBits {
 
   /** Generic path: hashes the boxed value under its Catalyst type. */
   def mightContain(ser: Array[Byte], v: Any, dt: DataType): Boolean = {
+    checkTag(ser, typeTag(dt), dt.catalogString)
     val h1 = XxHash64Function.hash(v, dt, seedA)
     val h2 = XxHash64Function.hash(v, dt, seedB) | 1L
     test(ser, h1, h2)

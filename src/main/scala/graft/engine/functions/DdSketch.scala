@@ -42,6 +42,20 @@ case class DdSketch(
   override def dataType: DataType = BinaryType
   override def prettyName: String = "dd_sketch"
 
+  // update() casts to Double; without this check `dd_sketch(int_col)`
+  // would die at RUNTIME with ClassCastException instead of a clean
+  // analysis error (same discipline as MisraGries)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case DoubleType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+          .TypeCheckFailure(
+            s"dd_sketch requires a double input (cast first), got ${other.sql}")
+    }
+
   private val gamma = (1 + alpha) / (1 - alpha)
   private val logGamma = math.log(gamma)
 

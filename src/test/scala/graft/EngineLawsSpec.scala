@@ -347,11 +347,48 @@ class EngineLawsSpec extends SparkSuite {
       "merged bloom filter must not depend on partitioning")
   }
 
-  test("span dedup: window spelling equals the groupBy+join spelling") {
-    // the production query counts shingle occurrences with a window so
-    // the explode+md5 subtree runs once; this replays it with the naive
-    // two-subtree groupBy+self-join and demands identical output, and
-    // pins that the fixture genuinely contains duplicated spans
+  test("bloom filter: probing with a different key type fails loudly") {
+    // int and bigint hash to different xxhash64 values, so a mismatched
+    // probe would silently drop present keys (false negatives) — the
+    // serialized header carries the build type and the probe verifies it
+    graft.engine.functions.GraftFunctions.register(spark)
+    val bf = spark.range(100).agg(expr("bloom_agg(id)"))
+      .head.getAs[Array[Byte]](0)
+    val ok = spark.range(100)
+      .select(lit(bf).as("bf"), col("id"))
+      .filter(expr("bloom_contains(bf, id)")).count()
+    assert(ok === 100L)
+    val e = intercept[Exception] {
+      spark.range(100)
+        .select(lit(bf).as("bf"), col("id").cast("int").as("id"))
+        .filter(expr("bloom_contains(bf, id)")).count()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.getMessage != null) &&
+      causes(e).exists(c => c.getMessage != null &&
+        c.getMessage.contains("does not match the type")),
+      s"expected a type-mismatch error, got: $e")
+  }
+
+  test("dd_sketch: non-double input is a clean analysis error") {
+    graft.engine.functions.GraftFunctions.register(spark)
+    val e = intercept[Exception] {
+      spark.range(10).agg(expr("dd_sketch(id)")).collect()
+    }
+    assert(e.getMessage != null &&
+      e.getMessage.toLowerCase.contains("double"),
+      s"expected an analysis error mentioning double, got: ${e.getMessage}")
+  }
+
+  test("span dedup: groupBy+join spelling equals the naive window spelling") {
+    // the production query counts shingle occurrences via a partial-
+    // aggregating groupBy + hash join-back over 60-bit BIGINT digests;
+    // this replays it with the naive window over the FULL 128-bit md5
+    // string (independent digest width AND independent count plumbing)
+    // and demands identical output — also pinning that the truncated
+    // digest introduces no collisions at fixture scale and that the
+    // fixture genuinely contains duplicated spans
     val n = 8
     val sh = Tables.documents(spark, sf)
       .withColumn("t", split(lower(col("text")), " "))
@@ -359,18 +396,18 @@ class EngineLawsSpec extends SparkSuite {
       .select(col("doc_id"), explode(
         transform(sequence(lit(1), size(col("t")) - (n - 1)),
           i => md5(concat_ws(" ", slice(col("t"), i, lit(n)))))).as("dg"))
-    val counts = sh.groupBy(col("dg")).agg(count(lit(1)).as("c"))
-    val viaJoin = sh.join(counts, "dg")
+    val viaWindow = sh.withColumn("c", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("dg"))))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"),
         count(when(col("c") > 1, 1)).as("n_dup_spans"))
       .withColumn("dup_frac", col("n_dup_spans") / col("n_spans"))
       .orderBy(col("doc_id"))
       .collect().map(_.toSeq).toSeq
-    val viaWindow = SparkEntry.queries("q_text_dedup_span")(spark, sf)
+    val viaJoin = SparkEntry.queries("q_text_dedup_span")(spark, sf)
       .collect().map(_.toSeq).toSeq
-    assert(viaWindow === viaJoin)
-    assert(viaWindow.exists(r => r(2).asInstanceOf[Long] > 0),
+    assert(viaJoin === viaWindow)
+    assert(viaJoin.exists(r => r(2).asInstanceOf[Long] > 0),
       "fixture must contain at least one genuinely duplicated span")
   }
 

@@ -145,13 +145,25 @@ class PlanSpec extends SparkSuite {
       s"box predicate must reach the clustered parquet scan:\n$p")
   }
 
-  test("span dedup computes the shingle subtree once (single window, no self-join)") {
+  test("span dedup: persisted shingles, hash join-back, no sorts on the stream") {
     val p = plan("q_text_dedup_span")
-    // one generate (explode) feeding a window — a groupBy+join spelling
-    // would show two Generate subtrees
-    assert("Generate explode".r.findAllIn(p).size == 1,
-      s"shingle explode must appear exactly once:\n$p")
-    assert(p.contains("Window"), "occurrence counts must come from a window")
+    // both join inputs must read the SAME persisted shingle stream — the
+    // Generate may print once per InMemoryRelation block but must never
+    // appear outside one (that would mean explode+md5 is computed twice)
+    assert("InMemoryTableScan".r.findAllIn(p).size == 2,
+      s"both join inputs must read the persisted shingle stream:\n$p")
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Generate explode") && !l.contains("+- Generate")),
+      s"explode must live under the InMemoryRelation only:\n$p")
+    // occurrence counts: partial-aggregating groupBy + shuffled HASH join
+    // (a window can't map-side combine; sort-merge would sort both full
+    // shingle streams)
+    assert(p.contains("ShuffledHashJoin"),
+      s"join-back must be a shuffled hash join:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      s"no sort-merge or window over the shingle stream:\n$p")
+    assert(p.contains("partial_count"),
+      "occurrence counting must partially aggregate map-side")
   }
 
   test("similarity-join rewrite plans an equi-join on the simhash bucket") {
