@@ -73,7 +73,10 @@ object Bench {
       "q_sim_join_rewrite", "q_ts_resample", "q_text_lm_score",
       "q_text_dedup_url", "q_graph_pagerank", "q_sample_weighted",
       "q_shape_funnel", "q_shape_cohort", "q_fn_geo", "q_shape_incr_agg",
-      "q_sink_compact", "q_agg_kmv_setops")
+      "q_sink_compact", "q_agg_kmv_setops",
+      // round-5 curation operators (§2.14)
+      "q_text_contaminate", "q_text_dedup_chunks", "q_vec_kmeans",
+      "q_dedup_semantic")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

@@ -393,6 +393,80 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // Eval-set decontamination — the benchmark-overlap check every
+    // training corpus runs before release (GPT-3 appendix C shape): flag
+    // training documents sharing any word-8-gram with the held-out eval
+    // set. The eval set here is carved deterministically from the fixture
+    // (doc_id % 10 == 7 — in production it would be the benchmark files);
+    // its DISTINCT shingle digests are BROADCAST, because eval sets are
+    // MB-scale by construction while the training corpus is the 100 TB
+    // side — the corpus is never shuffled, each doc is scored in its scan
+    // partition and only the per-doc counts aggregate. Digests are the
+    // same 60-bit BIGINT form as q_text_dedup_span (mirrored in the
+    // oracle, so collisions — if any — agree across engines).
+    "q_text_contaminate" -> { (s, d) =>
+      val n = 8
+      val sh = Tables.documents(s, d)
+        .withColumn("t", toks(col("text")))
+        .filter(size(col("t")) >= n)
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(1), size(col("t")) - (n - 1)),
+            i => conv(substring(
+              md5(concat_ws(" ", slice(col("t"), i, lit(n)))), 1, 15),
+              16, 10).cast("long"))).as("dg"))
+      // the doc_id predicate commutes with the explode, so each branch
+      // scans only its own slice of the corpus — no shared subtree worth
+      // persisting (eval reads ~1% of rows)
+      val evalSet = sh.filter(pmod(col("doc_id"), lit(10)) === 7)
+        .select(col("dg")).distinct().withColumn("hit", lit(1))
+      sh.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+        .join(broadcast(evalSet), Seq("dg"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"), count(col("hit")).as("n_hits"))
+        .withColumn("contam_frac",
+          col("n_hits").cast("double") / col("n_spans"))
+        .withColumn("flagged", col("n_hits") > 0)
+        .orderBy(col("doc_id"))
+    },
+
+    // Chunk-level exact dedup WITH corpus reconstruction — the C4-style
+    // "remove duplicated paragraphs, keep the first occurrence" rewrite
+    // (the fixture has no paragraph breaks, so the unit is a 10-token
+    // chunk). Every chunk occurrence is keyed by its 60-bit digest; the
+    // globally-first occurrence (min of doc_id*1e6+position — positions
+    // bounded <1e6, i.e. docs up to 10M tokens, far past any training
+    // document) survives, every later occurrence is dropped, and each
+    // doc's surviving chunks reassemble in original order via
+    // array_sort(collect_list(struct(pos, chunk))). Same partial-agg
+    // groupBy + shuffled-hash join-back shape as q_text_dedup_span — no
+    // sorts over the chunk stream, linear at 100 TB.
+    "q_text_dedup_chunks" -> { (s, d) =>
+      val w = 10
+      val ch = Tables.documents(s, d)
+        .withColumn("t", toks(col("text")))
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(1),
+            expr(s"CAST((size(t) + ${w - 1}) DIV $w AS INT)")),
+            ci => struct(ci.as("ci"),
+              concat_ws(" ", slice(col("t"), (ci - 1) * w + 1, lit(w)))
+                .as("chunk")))).as("c"))
+        .select(col("doc_id"), col("c.ci").as("ci"), col("c.chunk").as("chunk"))
+        .withColumn("dg", conv(substring(md5(col("chunk")), 1, 15), 16, 10)
+          .cast("long"))
+        .withColumn("occ", col("doc_id") * lit(1000000L) + col("ci"))
+      val firsts = ch.groupBy(col("dg")).agg(min(col("occ")).as("first_occ"))
+      ch.join(firsts.hint("shuffle_hash"), "dg")
+        .withColumn("keep", col("occ") === col("first_occ"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          count(when(col("keep"), 1)).as("n_kept"),
+          concat_ws(" ", transform(
+            array_sort(collect_list(when(col("keep"),
+              struct(col("ci"), col("chunk"))))),
+            t => t.getField("chunk"))).as("clean_text"))
+        .orderBy(col("doc_id"))
+    },
+
     // PII scrubbing: redact emails and phone numbers before a corpus ships
     // to training. Deterministic PII is planted in-query (the fixture text
     // has none), then portable regexes redact and count. Pure per-row
@@ -934,6 +1008,40 @@ object Text {
          |  count(*) FILTER (WHERE c > 1) AS n_dup_spans,
          |  (count(*) FILTER (WHERE c > 1)) / count(*) AS dup_frac
          | FROM g GROUP BY doc_id ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_text_contaminate" ->
+      s"""WITH t AS (SELECT doc_id, $oToks AS tk FROM documents),
+         | sh AS (SELECT doc_id, ('0x' ||
+         |   substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15))::BIGINT
+         |   AS dg
+         |  FROM t, LATERAL unnest(generate_series(1, len(tk) - 7)) u(i)
+         |  WHERE len(tk) >= 8),
+         | ev AS (SELECT DISTINCT dg FROM sh WHERE doc_id % 10 = 7)
+         | SELECT sh.doc_id, count(*) AS n_spans, count(ev.dg) AS n_hits,
+         |  CAST(count(ev.dg) AS DOUBLE) / count(*) AS contam_frac,
+         |  count(ev.dg) > 0 AS flagged
+         | FROM sh LEFT JOIN ev ON sh.dg = ev.dg
+         | WHERE sh.doc_id % 10 <> 7
+         | GROUP BY sh.doc_id ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_text_dedup_chunks" ->
+      s"""WITH t AS (SELECT doc_id, $oToks AS tk FROM documents),
+         | ch AS (SELECT doc_id, ci,
+         |   array_to_string(tk[(ci-1)*10+1 : (ci-1)*10+10], ' ') AS chunk
+         |  FROM t, LATERAL unnest(
+         |    generate_series(1, (len(tk) + 9) // 10)) u(ci)),
+         | dgd AS (SELECT doc_id, ci, chunk,
+         |   ('0x' || substr(md5(chunk), 1, 15))::BIGINT AS dg,
+         |   doc_id * 1000000 + ci AS occ FROM ch),
+         | f AS (SELECT dg, min(occ) AS first_occ FROM dgd GROUP BY dg)
+         | SELECT doc_id, count(*) AS n_chunks,
+         |  count(*) FILTER (WHERE occ = first_occ) AS n_kept,
+         |  coalesce(string_agg(chunk, ' ' ORDER BY ci)
+         |    FILTER (WHERE occ = first_occ), '') AS clean_text
+         | FROM dgd JOIN f USING (dg)
+         | GROUP BY doc_id ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_text_pii_scrub" ->

