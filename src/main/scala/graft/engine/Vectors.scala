@@ -35,10 +35,6 @@ object Vectors {
   private def cosine(a: Column, b: Column): Column =
     GraftFunctions.cosine_sim(a, b)
 
-  /** Deterministic ±1 hyperplane weight for plane p, dimension i. */
-  private def planeSign(p: Column, i: Column): Column =
-    when(pmod(xxhash64(p, i), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))
-
   /** Unpersist the materialized blocks behind a localCheckpoint'd frame.
     * A local checkpoint's plan is a LogicalRDD leaf wrapping the persisted
     * RDD directly, so unpersisting that RDD frees the executor storage the
@@ -89,21 +85,18 @@ object Vectors {
     base.unionByName(planted)
   }
 
-  /** 8-plane random-hyperplane LSH bucketing + bucket-key equi self-join +
-    * exact-cosine confirm (>= 0.99): candidate pairs without an n² step —
-    * the self-join shuffles on the bucket key, so work is n·bucket_width.
-    * Returns (id_a, id_b, cos_r), id_a < id_b, unordered.
+  /** Random-hyperplane LSH bucketing + bucket-key equi self-join + exact-
+    * cosine confirm (>= 0.99): candidate pairs without an n² step — the
+    * self-join shuffles on the bucket key, so work is n·bucket_width.
+    * The bucket is the native 16-bit codegen'd [[functions.SimHashBucket]]
+    * signature (the same expression the similarity-join rewrite keys on):
+    * identical vectors always collide, and vs the previous interpreted
+    * 8-plane HOF formulation the per-row cost drops out of interpreted
+    * lambda evaluation AND 16 planes cut bucket width 256x, shrinking the
+    * candidate join. Returns (id_a, id_b, cos_r), id_a < id_b, unordered.
     */
   private def lshPairs(corpus: DataFrame): DataFrame = {
-    val bucketed = corpus.withColumn("bucket",
-      aggregate(
-        transform(sequence(lit(0), lit(7)), p =>
-          when(aggregate(zip_with(col("v"),
-              transform(sequence(lit(0), size(col("v")) - 1),
-                i => planeSign(p, i)),
-              (x, s) => x * s), lit(0.0), (acc, x) => acc + x) > 0,
-            lit(1L)).otherwise(lit(0L))),
-        lit(0L), (acc, bit) => acc * 2 + bit))
+    val bucketed = corpus.withColumn("bucket", expr("simhash_bucket(v)"))
     val l = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
       col("v").as("va"))
     val r = bucketed.select(col("bucket"), col("vec_id").as("id_b"),
