@@ -76,7 +76,13 @@ object Bench {
       "q_sink_compact", "q_agg_kmv_setops",
       // round-5 curation operators (§2.14)
       "q_text_contaminate", "q_text_dedup_chunks", "q_vec_kmeans",
-      "q_dedup_semantic")
+      "q_dedup_semantic",
+      // promoted by the r5 full-registry audit: every remaining query
+      // with a fact-scale shuffle/sort/sink was > 0.5s and belongs here
+      "q_sim_topk_ivf", "q_shape_q10", "q_shape_q4", "q_subq_in",
+      "q_subq_lateral", "q_validate_fk", "q_win_gaps_islands",
+      "q_text_ngrams", "q_sink_parquet_zstd", "q_multimodal_frames",
+      "q_multimodal_resize", "q_text_repetition", "q_scan_merge_schema")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

@@ -217,16 +217,21 @@ object Vectors {
       GraftFunctions.register(s)
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), vd(col("embedding")).as("v"))
-      def assign(cents: DataFrame): DataFrame = {
-        val wAssign = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("vec_id"))
-          .orderBy(desc("c_cos"), asc("c_id"))
+      // argmax via a partial-aggregating min(struct(-cos, c_id)) — exact
+      // same winner as the previous row_number window (negating the
+      // eround'd double is exact; tie-break c_id ASC identical) but the
+      // per-vector reduction combines MAP-SIDE instead of shuffling and
+      // sorting every (vector, centroid) pair; v rides back via a
+      // vec_id join against the scan
+      def assign(cents: DataFrame): DataFrame =
         emb.crossJoin(broadcast(cents))
           .withColumn("c_cos", eround(cosine(col("v"), col("cv")), 6))
-          .withColumn("ar", row_number().over(wAssign))
-          .filter(col("ar") === 1)
-          .select(col("vec_id"), col("v"), col("c_id").as("cluster"))
-      }
+          .groupBy(col("vec_id"))
+          .agg(min(struct((-col("c_cos")).as("nc"),
+            col("c_id").as("cid"))).as("m"))
+          .select(col("vec_id"), col("m.cid").as("cluster"))
+          .join(emb, "vec_id")
+          .select(col("vec_id"), col("v"), col("cluster"))
       // element-wise mean per cluster: posexplode -> avg per (cluster,
       // dim) -> reassemble the array in dim order
       def mean(assigned: DataFrame): DataFrame =
@@ -432,15 +437,18 @@ object Vectors {
     // k=8 centroids BROADCAST (assignments are map-side, argmin via a
     // partial-aggregating min(struct) — never a window over the corpus);
     // the update shuffles (cluster, dim) partial sums only. O(k·n·d)
-    // work, one small shuffle per iteration — linear at 100 TB.
+    // work, one small shuffle per iteration — linear at 100 TB. The
+    // distance is the native codegen'd int_sqdist (integer arithmetic is
+    // exact and associative, so the fused loop is bit-identical to the
+    // HOF fold and to the oracle's list_reduce).
     "q_vec_kmeans" -> { (s, d) =>
+      GraftFunctions.register(s)
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), transform(col("embedding"),
           x => round(x.cast("double") * 1e6).cast("long")).as("q"))
       def assign(cents: DataFrame): DataFrame =
         emb.crossJoin(broadcast(cents))
-          .withColumn("dist", aggregate(zip_with(col("q"), col("cv"),
-            (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+          .withColumn("dist", expr("int_sqdist(q, cv)"))
           .groupBy(col("vec_id"))
           .agg(min(struct(col("dist"), col("c_id"))).as("m"))
           .select(col("vec_id"), col("m.c_id").as("cluster"),
@@ -473,6 +481,7 @@ object Vectors {
     // k with corpus size (k = n/64 here) and assigning via the
     // broadcast-centroid map-side argmin exactly as q_vec_kmeans does.
     "q_dedup_semantic" -> { (s, d) =>
+      GraftFunctions.register(s)
       val base = Tables.embeddings(s, d).filter(col("vec_id") < 300)
         .select(col("vec_id"), transform(col("embedding"),
           x => round(x.cast("double") * 1e6).cast("long")).as("q"))
@@ -484,8 +493,7 @@ object Vectors {
         .filter(col("vec_id") < col("k"))
         .select(col("vec_id").as("c_id"), col("q").as("cv"))
       val assigned = corpus.crossJoin(broadcast(seeds))
-        .withColumn("dist", aggregate(zip_with(col("q"), col("cv"),
-          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+        .withColumn("dist", expr("int_sqdist(q, cv)"))
         .groupBy(col("vec_id"))
         .agg(min(struct(col("dist"), col("c_id"))).as("m"))
         .select(col("vec_id"), col("m.c_id").as("cluster"))
@@ -495,9 +503,7 @@ object Vectors {
         .join(cl.select(col("cluster"), col("vec_id").as("id_b"),
           col("q").as("qb")), Seq("cluster"))
         .filter(col("id_a") < col("id_b")
-          && aggregate(zip_with(col("qa"), col("qb"),
-            (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
-            <= lit(2000000000L))
+          && expr("int_sqdist(qa, qb)") <= lit(2000000000L))
         .select(col("id_b").as("vec_id")).distinct()
         .withColumn("dropped", lit(1))
       assigned.join(drops, Seq("vec_id"), "left")

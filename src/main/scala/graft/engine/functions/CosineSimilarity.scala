@@ -78,6 +78,67 @@ case class CosineSimilarity(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(newLeft, newRight)
 }
 
+/** Native squared L2 distance over two bigint arrays — the hot scalar of
+  * the integer-exact k-means / SemDeDup path (quantized micros vectors).
+  * Integer sums are associative and overflow-free at the micros magnitudes
+  * (|diff| <= 2e6 → diff² <= 4e12, × 64 dims ≪ 2⁶³), so the fused loop is
+  * bit-identical to the `aggregate(zip_with(...))` fold and to DuckDB's
+  * `list_reduce(list_transform(list_zip(...)))` — swapping in the native
+  * expression cannot change any query output, it only moves the work from
+  * interpreted per-element closures into whole-stage codegen.
+  */
+case class LongSqDist(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"int_sqdist expects array<bigint> inputs, got " +
+        s"${left.dataType.sql} / ${right.dataType.sql}")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.LongType
+  override def prettyName: String = "int_sqdist"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      val d = x.getLong(i) - y.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $d = $a.getLong($i) - $b.getLong($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
 object GraftFunctions {
   import org.apache.spark.sql.SparkSession
   import org.apache.spark.sql.functions.call_function
@@ -152,6 +213,11 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.FunctionIdentifier("kmv_union_est")))
       reg.createOrReplaceTempFunction(
         "kmv_union_est", exprs => KmvUnionEstimate(exprs(0), exprs(1)),
+        "scala_udf")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("int_sqdist")))
+      reg.createOrReplaceTempFunction(
+        "int_sqdist", exprs => LongSqDist(exprs(0), exprs(1)),
         "scala_udf")
   }
 

@@ -62,6 +62,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[SimHashBucket].getName, "simhash_bucket"),
       (exprs: Seq[Expression]) => SimHashBucket(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("int_sqdist"),
+      new ExpressionInfo(classOf[LongSqDist].getName, "int_sqdist"),
+      (exprs: Seq[Expression]) => LongSqDist(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("kmv_sketch"),
       new ExpressionInfo(classOf[KmvSketchAgg].getName, "kmv_sketch"),
       (exprs: Seq[Expression]) => KmvSketchAgg(exprs.head)))

@@ -77,6 +77,22 @@ class CurationSpec extends SparkSuite {
       f"(${100.0 * (seedCost - finalCost) / seedCost}%.1f%% reduction)")
   }
 
+  test("int_sqdist: native expression equals the HOF fold on the corpus") {
+    graft.engine.functions.GraftFunctions.register(spark)
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), transform(col("embedding"),
+        x => round(x.cast("double") * 1e6).cast("long")).as("q"))
+    val pairs = emb.limit(50).select(col("vec_id").as("ia"), col("q").as("qa"))
+      .crossJoin(emb.limit(50).select(col("vec_id").as("ib"),
+        col("q").as("qb")))
+    val diff = pairs
+      .withColumn("nat", expr("int_sqdist(qa, qb)"))
+      .withColumn("hof", aggregate(zip_with(col("qa"), col("qb"),
+        (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+      .filter(col("nat") =!= col("hof"))
+    assert(diff.count() === 0, "native and HOF distances must agree exactly")
+  }
+
   test("semdedup: planted identical copies drop, originals survive") {
     val out = SparkEntry.queries("q_dedup_semantic")(spark, sf).collect()
     val kept = out.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
