@@ -40,13 +40,25 @@ class CurationSpec extends SparkSuite {
     // the corpus genuinely contains duplicate chunks (something dropped)
     assert(out.exists(r => r.getLong(2) < r.getLong(1)),
       "fixture must contain at least one duplicated chunk")
-    // global first-occurrence rule: every distinct chunk digest appears in
-    // the cleaned corpus EXACTLY once
+    // global first-occurrence rule, checked independently: re-chunk the
+    // CLEANED corpus (clean_text is a space-joined sequence of surviving
+    // 10-token chunks, so re-splitting on token decades recovers them)
+    // and demand every chunk is globally unique — the defining property
+    // of a C4-style rewrite
+    val recheck = SparkEntry.queries("q_text_dedup_chunks")(spark, sf)
+      .filter(length(col("clean_text")) > 0)
+      .withColumn("t", split(col("clean_text"), " "))
+      .select(explode(transform(
+        sequence(lit(1), expr("CAST((size(t) + 9) DIV 10 AS INT)")),
+        ci => concat_ws(" ", slice(col("t"), (ci - 1) * 10 + 1, lit(10)))))
+        .as("chunk"))
+    val total = recheck.count()
+    val distinct = recheck.distinct().count()
+    assert(total === distinct,
+      s"cleaned corpus still contains duplicate chunks: $total vs $distinct")
     val totalKept = out.map(_.getLong(2)).sum
-    val distinctChunks = SparkEntry.queries("q_text_dedup_chunks")(spark, sf)
-      .select(explode(split(col("clean_text"), " ")).as("tok"))
-      .count() // token-level sanity only; digest-level check below
-    assert(distinctChunks >= totalKept, "kept chunks must carry tokens")
+    assert(total === totalKept,
+      s"re-chunked cleaned corpus ($total) must equal kept count ($totalKept)")
   }
 
   test("kmeans: assignment is a proper argmin and iterating reduces cost") {
