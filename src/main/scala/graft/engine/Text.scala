@@ -675,6 +675,64 @@ object Text {
         .orderBy(col("tier"))
     },
 
+    // The END-TO-END curation funnel — quality gate → eval-set
+    // decontamination → exact dedup → per-language mix report, the
+    // composite a training-data team actually ships (each stage also
+    // exists as its own audited operator: q_text_quality,
+    // q_text_contaminate, q_dedup_exact). Output is the per-language
+    // FUNNEL REPORT (docs surviving each stage + final token budget) —
+    // the artifact that decides mixture weights. Scale shape: quality is
+    // per-row; decontamination broadcasts the MB-scale eval digest set
+    // (corpus never shuffled); dedup shuffles once on the text hash; the
+    // report is one partial-aggregating groupBy. Every stage linear at
+    // 100 TB.
+    "q_pipeline_curate" -> { (s, d) =>
+      val n = 8
+      val sh = (df: DataFrame) => df
+        .filter(size(col("t")) >= n)
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(1), size(col("t")) - (n - 1)),
+            i => conv(substring(
+              md5(concat_ws(" ", slice(col("t"), i, lit(n)))), 1, 15),
+              16, 10).cast("long"))).as("dg"))
+      val docs = Tables.documents(s, d)
+        .filter(pmod(col("doc_id"), lit(10)) =!= 7) // eval slice held out
+        .withColumn("t", toks(col("text")))
+        .withColumn("n_tok", size(col("t")))
+        .withColumn("q_ok", col("n_tok").between(10, 500)
+          && length(col("text")) >= 40
+          && size(array_distinct(col("t"))).cast("double")
+            / col("n_tok") >= 0.5)
+      val evalSh = sh(Tables.documents(s, d)
+          .filter(pmod(col("doc_id"), lit(10)) === 7)
+          .withColumn("t", toks(col("text"))))
+        .select(col("dg")).distinct().withColumn("hit", lit(1))
+      val contam = sh(docs)
+        .join(broadcast(evalSh), Seq("dg"), "left")
+        .groupBy(col("doc_id")).agg(count(col("hit")).as("hits"))
+        .filter(col("hits") > 0)
+        .select(col("doc_id")).withColumn("contam", lit(1))
+      val flagged = docs.join(contam, Seq("doc_id"), "left")
+        .withColumn("c_ok", col("contam").isNull)
+      val surv = flagged.filter(col("q_ok") && col("c_ok"))
+        .withColumn("h", md5(col("text")))
+      val firsts = surv.groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+      val fin = surv.join(firsts, "h")
+        .select(col("doc_id"), (col("doc_id") === col("keep_id")).as("f_ok"))
+      flagged
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("q_ok"),
+          col("c_ok"))
+        .join(fin, Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_raw"),
+          count(when(col("q_ok"), 1)).as("n_quality"),
+          count(when(col("q_ok") && col("c_ok"), 1)).as("n_clean"),
+          count(when(col("f_ok"), 1)).as("n_final"),
+          sum(when(col("f_ok"), col("n_tok")).otherwise(lit(0)))
+            .cast("long").as("tok_final"))
+        .orderBy(col("lang"))
+    },
+
     // Rolling polynomial fingerprint: h = fold((h*31 + ascii(ch)) mod p).
     "q_text_fingerprint" -> { (s, d) =>
       Tables.documents(s, d)
@@ -1008,6 +1066,43 @@ object Text {
          |  count(*) FILTER (WHERE c > 1) AS n_dup_spans,
          |  (count(*) FILTER (WHERE c > 1)) / count(*) AS dup_frac
          | FROM g GROUP BY doc_id ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_pipeline_curate" ->
+      s"""WITH train AS (SELECT doc_id, lang, text, $oToks AS tk
+         |   FROM documents WHERE doc_id % 10 <> 7),
+         | d AS (SELECT doc_id, lang, text, tk, len(tk) AS n_tok,
+         |   (len(tk) BETWEEN 10 AND 500 AND length(text) >= 40
+         |    AND CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) >= 0.5)
+         |   AS q_ok FROM train),
+         | evs AS (SELECT DISTINCT ('0x' ||
+         |   substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15))::BIGINT
+         |   AS dg
+         |  FROM (SELECT $oToks AS tk FROM documents WHERE doc_id % 10 = 7)
+         |   e, LATERAL unnest(generate_series(1, len(tk) - 7)) u(i)
+         |  WHERE len(tk) >= 8),
+         | tsh AS (SELECT doc_id, ('0x' ||
+         |   substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15))::BIGINT
+         |   AS dg
+         |  FROM d, LATERAL unnest(generate_series(1, len(tk) - 7)) u(i)
+         |  WHERE len(tk) >= 8),
+         | contam AS (SELECT DISTINCT tsh.doc_id FROM tsh
+         |   JOIN evs ON tsh.dg = evs.dg),
+         | f AS (SELECT d.*, (contam.doc_id IS NULL) AS c_ok
+         |   FROM d LEFT JOIN contam ON d.doc_id = contam.doc_id),
+         | surv AS (SELECT * FROM f WHERE q_ok AND c_ok),
+         | firsts AS (SELECT md5(text) AS h, min(doc_id) AS keep_id
+         |   FROM surv GROUP BY 1),
+         | fin AS (SELECT surv.doc_id, (surv.doc_id = firsts.keep_id)
+         |   AS f_ok FROM surv JOIN firsts ON md5(surv.text) = firsts.h)
+         | SELECT lang, count(*) AS n_raw,
+         |  count(*) FILTER (WHERE q_ok) AS n_quality,
+         |  count(*) FILTER (WHERE q_ok AND c_ok) AS n_clean,
+         |  count(*) FILTER (WHERE f_ok) AS n_final,
+         |  CAST(sum(CASE WHEN f_ok THEN n_tok ELSE 0 END) AS BIGINT)
+         |   AS tok_final
+         | FROM f LEFT JOIN fin ON f.doc_id = fin.doc_id
+         | GROUP BY lang ORDER BY lang"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_text_contaminate" ->

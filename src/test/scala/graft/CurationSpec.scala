@@ -89,6 +89,37 @@ class CurationSpec extends SparkSuite {
       f"(${100.0 * (seedCost - finalCost) / seedCost}%.1f%% reduction)")
   }
 
+  test("curate funnel: stages are monotone and consistent with the parts") {
+    val out = SparkEntry.queries("q_pipeline_curate")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (raw, q, c, f) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(raw >= q && q >= c && c >= f,
+        s"funnel must be monotone: $raw >= $q >= $c >= $f (${r.getString(0)})")
+      assert(f > 0, s"every fixture language must survive curation")
+      assert(r.getLong(5) > 0, "final token budget must be positive")
+    }
+    // raw totals must equal the training split (eval slice held out)
+    val trainDocs = graft.engine.Tables.documents(spark, sf)
+      .filter(pmod(col("doc_id"), lit(10)) =!= 7).count()
+    assert(out.map(_.getLong(1)).sum === trainDocs)
+    // decontamination inside the funnel agrees with the standalone
+    // operator: every doc it flags that also passes quality is exactly
+    // the n_clean deficit
+    val flaggedQuality = SparkEntry.queries("q_text_contaminate")(spark, sf)
+      .filter(col("flagged"))
+      .join(graft.engine.Tables.documents(spark, sf), "doc_id")
+      .withColumn("t", split(lower(col("text")), " "))
+      .filter(size(col("t")).between(10, 500) && length(col("text")) >= 40
+        && size(array_distinct(col("t"))).cast("double")
+          / size(col("t")) >= 0.5)
+      .count()
+    val deficit = out.map(r => r.getLong(2) - r.getLong(3)).sum
+    assert(deficit === flaggedQuality,
+      s"funnel decontamination deficit $deficit != standalone $flaggedQuality")
+  }
+
   test("int_sqdist: native expression equals the HOF fold on the corpus") {
     graft.engine.functions.GraftFunctions.register(spark)
     val emb = graft.engine.Tables.embeddings(spark, sf)
