@@ -78,6 +78,30 @@ object Streaming {
     events.join(broadcast(dim), events("userId") === dim("c_custkey"))
       .select(col("eventId"), col("userId"), col("c_mktsegment"))
 
+  /** Streaming eval-set decontamination: the q_text_contaminate shape on
+    * an UNBOUNDED ingest stream — per micro-batch, each document's
+    * word-8-gram 60-bit digests explode and stream-static LEFT-join
+    * against the broadcast eval digest set (`dg` column), then per-doc
+    * span/hit counts aggregate in update mode. The static side loads
+    * once; the stream side is never shuffled beyond the per-doc
+    * aggregation, so ingest-time curation keeps the batch operator's
+    * scale shape.
+    */
+  def streamingDecontaminate(docs: DataFrame, evalDg: DataFrame): DataFrame = {
+    val n = 8
+    val sh = docs
+      .withColumn("t", split(lower(col("text")), " "))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("t")) - (n - 1)),
+          i => conv(substring(
+            md5(concat_ws(" ", slice(col("t"), i, lit(n)))), 1, 15),
+            16, 10).cast("long"))).as("dg"))
+    sh.join(broadcast(evalDg.withColumn("hit", lit(1))), Seq("dg"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"), count(col("hit")).as("n_hits"))
+  }
+
   /** transformWithState (state API v2, Spark 4.x): running per-user value
     * sums in a typed ValueState. Requires the RocksDB state store provider
     * (set in the test harness).

@@ -221,6 +221,44 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("streaming decontamination flags eval overlap across micro-batches") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    // eval digest set: the 8-grams of one known benchmark sentence,
+    // digested with the SAME expression the streaming side uses
+    val evalDg = Seq((0L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+      .toDF("doc_id", "text")
+      .withColumn("t", split(lower(col("text")), " "))
+      .select(explode(transform(sequence(lit(1), size(col("t")) - 7),
+        i => conv(substring(
+          md5(concat_ws(" ", slice(col("t"), i, lit(8)))), 1, 15),
+          16, 10).cast("long"))).as("dg"))
+      .distinct()
+    val ms = MemoryStream[(Long, String)]
+    val tbl = freshTable()
+    val q = graft.engine.Streaming.streamingDecontaminate(
+        ms.toDF.toDF("doc_id", "text"), evalDg)
+      .writeStream.format("memory").queryName(tbl)
+      .outputMode("update").start()
+    try {
+      ms.addData(
+        // contains "beta gamma delta epsilon zeta eta theta iota" -> hit
+        (1L, "prefix beta gamma delta epsilon zeta eta theta iota suffix"),
+        (2L, "one two three four five six seven eight nine ten"))
+      q.processAllAvailable()
+      // a later micro-batch: another clean doc
+      ms.addData((3L, "ten nine eight seven six five four three two one"))
+      q.processAllAvailable()
+      val rows = spark.table(tbl)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+        .toMap
+      assert(rows(1L)._2 > 0, "doc 1 shares an eval 8-gram and must flag")
+      assert(rows(2L)._2 === 0 && rows(3L)._2 === 0,
+        "clean docs must not flag")
+      assert(rows(1L)._1 === 3, "10 tokens -> 3 8-gram spans")
+    } finally q.stop()
+  }
+
   test("foreachBatch sink receives every micro-batch exactly once") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
