@@ -439,7 +439,11 @@ object Text {
     // doc's surviving chunks reassemble in original order via
     // array_sort(collect_list(struct(pos, chunk))). Same partial-agg
     // groupBy + shuffled-hash join-back shape as q_text_dedup_span — no
-    // sorts over the chunk stream, linear at 100 TB.
+    // sorts over the chunk stream, linear at 100 TB. Unlike span dedup
+    // the chunk stream is NOT persisted: it carries the chunk TEXT (for
+    // reconstruction), so caching it would hold ~the whole corpus in
+    // executor storage; recomputing the tokenize+digest scan twice is
+    // two embarrassingly-parallel passes and the cheaper trade at scale.
     "q_text_dedup_chunks" -> { (s, d) =>
       val w = 10
       val ch = Tables.documents(s, d)
