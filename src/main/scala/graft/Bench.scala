@@ -76,7 +76,7 @@ object Bench {
       "q_sink_compact", "q_agg_kmv_setops",
       // round-5 curation operators (§2.14)
       "q_text_contaminate", "q_text_dedup_chunks", "q_vec_kmeans",
-      "q_dedup_semantic", "q_pipeline_curate",
+      "q_dedup_semantic", "q_pipeline_curate", "q_shape_incr_dedup",
       // promoted by the r5 full-registry audit: every remaining query
       // with a fact-scale shuffle/sort/sink was > 0.5s and belongs here
       "q_sim_topk_ivf", "q_shape_q10", "q_shape_q4", "q_subq_in",

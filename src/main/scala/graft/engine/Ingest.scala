@@ -283,6 +283,55 @@ object Ingest {
         .orderBy(col("o_orderpriority"))
     },
 
+    // Incremental dedup against a MAINTAINED digest store — the
+    // production shape of corpus dedup: history batches have already been
+    // ingested and their text digests persisted; a new delta batch is
+    // (1) anti-joined against the store (drop anything the corpus has
+    // seen), (2) deduped within itself, and (3) its new digests appended.
+    // Semantics are ARRIVAL-ORDER-WINS (a history copy beats an earlier-
+    // id delta copy — incremental dedup can never reclaim an already-
+    // ingested doc), which the oracle replays with a batch-priority
+    // coalesce. The store is (digest, keep_id) per DISTINCT text — far
+    // smaller than the corpus; the anti-join shuffles on the digest (a
+    // bloom prefilter à la q_join_bloom_prune drops most probes at the
+    // scan when the delta is small). Refresh cost is the delta scan plus
+    // one digest-keyed join — never a history rescan.
+    "q_shape_incr_dedup" -> { (s, d) =>
+      val store = tmp("doc_digest_store", d)
+      // the fixture has no exact-duplicate texts, so duplicates are
+      // PLANTED deterministically (the nearDupCorpus pattern): each
+      // even (history) doc_id < 20 re-arrives in the delta batch at
+      // id+1000001 (odd), and doc 1's text arrives twice within the
+      // delta (1 and 1000003) — exercising both the cross-batch drop
+      // and the within-batch dedup
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val docs = base
+        .unionByName(base
+          .filter(col("doc_id") < 20 && pmod(col("doc_id"), lit(2)) === 0)
+          .select((col("doc_id") + 1000001L).as("doc_id"), col("lang"),
+            col("text")))
+        .unionByName(base.filter(col("doc_id") === 1)
+          .select((col("doc_id") + 1000002L).as("doc_id"), col("lang"),
+            col("text")))
+      docs.filter(pmod(col("doc_id"), lit(2)) === 0) // "already ingested"
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep_id"))
+        .write.mode("overwrite").parquet(store)
+      val delta = docs
+        .filter(pmod(col("doc_id"), lit(2)) === 1)
+        .withColumn("h", md5(col("text")))
+      val newDelta = delta
+        .join(s.read.parquet(store), Seq("h"), "left_anti")
+        .groupBy(col("h")).agg(min(col("doc_id")).as("keep_id"))
+      val keptIds = s.read.parquet(store).unionByName(newDelta)
+      docs.join(keptIds.select(col("keep_id").as("doc_id")), "doc_id")
+        .select(col("doc_id"), col("lang"),
+          when(pmod(col("doc_id"), lit(2)) === 0, "history")
+            .otherwise("delta").as("batch"))
+        .orderBy(col("doc_id"))
+    },
+
     // Small-file compaction — the operational 100 TB hygiene pass: a
     // fragmented landing zone (64 round-robin part files) is rewritten
     // into 4 range-partitioned, sorted files (clustered for downstream
@@ -335,6 +384,26 @@ object Ingest {
       """SELECT o_orderpriority, count(*) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         | FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // arrival-order-wins: the minimum HISTORY (even) id per text if one
+    // exists, else the minimum delta id — exactly what maintaining the
+    // digest store incrementally produces
+    "q_shape_incr_dedup" ->
+      """WITH docs AS (SELECT doc_id, lang, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000001, lang, text FROM documents
+        |   WHERE doc_id < 20 AND doc_id % 2 = 0
+        |  UNION ALL SELECT doc_id + 1000002, lang, text FROM documents
+        |   WHERE doc_id = 1),
+        | k AS (SELECT md5(text) AS h,
+        |  coalesce(min(doc_id) FILTER (WHERE doc_id % 2 = 0),
+        |           min(doc_id)) AS keep_id
+        | FROM docs GROUP BY 1)
+        | SELECT d.doc_id, d.lang,
+        |  CASE WHEN d.doc_id % 2 = 0 THEN 'history' ELSE 'delta' END
+        |   AS batch
+        | FROM docs d JOIN k ON d.doc_id = k.keep_id
+        | ORDER BY d.doc_id"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_sink_compact" ->

@@ -82,4 +82,21 @@ class IngestSpec extends SparkSuite {
       assert(r.getAs[Int]("n_names").toLong === perNation(r.getInt(0)))
     }
   }
+
+  test("incremental dedup: arrival order wins, planted copies drop") {
+    val rows = SparkEntry.queries("q_shape_incr_dedup")(spark, sf).collect()
+    val ids = rows.map(_.getLong(0)).toSet
+    // every planted copy (re-arriving text) must lose to its original
+    assert(!ids.exists(_ >= 1000000L), "no planted duplicate may survive")
+    // the cross-batch copies' ORIGINALS are history docs and must survive
+    for (i <- 0L until 20L by 2)
+      assert(ids.contains(i), s"history original $i must survive")
+    // doc 1's delta-internal duplicate keeps the minimum id
+    assert(ids.contains(1L))
+    // batch labels agree with id parity
+    rows.foreach { r =>
+      val expect = if (r.getLong(0) % 2 == 0) "history" else "delta"
+      assert(r.getString(2) === expect)
+    }
+  }
 }
