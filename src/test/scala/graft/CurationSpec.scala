@@ -13,7 +13,7 @@ class CurationSpec extends SparkSuite {
     val out = SparkEntry.queries("q_text_contaminate")(spark, sf)
     val rows = out.collect()
     // no eval doc leaks into the scored set
-    assert(rows.forall(_.getLong(0) % 100 != 7), "eval docs must be excluded")
+    assert(rows.forall(_.getLong(0) % 10 != 7), "eval docs must be excluded")
     // the fixture has genuine cross-doc duplicated 8-gram spans (pinned by
     // the span-dedup law test), so SOME train doc must overlap the eval
     // slice; and every flagged doc must have n_hits > 0 and frac in (0,1]
@@ -81,7 +81,7 @@ class CurationSpec extends SparkSuite {
       .withColumn("dist", aggregate(zip_with(col("q"), col("cv"),
         (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
       .groupBy(col("vec_id")).agg(min(col("dist")).as("d"))
-      .agg(sum(col("d"))).head.getLong(0)
+      .agg(sum(col("d"))).head().getLong(0)
     val finalCost = rows.map(_.getLong(2)).sum
     assert(finalCost <= seedCost,
       s"3 Lloyd iterations must not increase cost: $finalCost > $seedCost")

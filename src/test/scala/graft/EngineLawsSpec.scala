@@ -311,9 +311,9 @@ class EngineLawsSpec extends SparkSuite {
     graft.engine.functions.GraftFunctions.register(spark)
     val li = Tables.lineitem(spark, sf).select(col("l_suppkey"))
     val s1 = li.repartition(1).agg(expr("cms_sketch(l_suppkey)"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     val s13 = li.repartition(13).agg(expr("cms_sketch(l_suppkey)"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     assert(java.util.Arrays.equals(s1, s13),
       "merged sketch must not depend on partitioning")
   }
@@ -323,7 +323,7 @@ class EngineLawsSpec extends SparkSuite {
     val keys = Tables.orders(spark, sf)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select(col("o_orderkey"))
-    val bf = keys.agg(expr("bloom_agg(o_orderkey)")).head.getAs[Array[Byte]](0)
+    val bf = keys.agg(expr("bloom_agg(o_orderkey)")).head().getAs[Array[Byte]](0)
     // every inserted key tests true (the one-sided guarantee the pruning
     // join relies on)
     val misses = keys
@@ -342,7 +342,7 @@ class EngineLawsSpec extends SparkSuite {
     // OR-merge is commutative, associative and idempotent -> the merged
     // filter is byte-identical under any partitioning
     val b13 = keys.repartition(13).agg(expr("bloom_agg(o_orderkey)"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     assert(java.util.Arrays.equals(bf, b13),
       "merged bloom filter must not depend on partitioning")
   }
@@ -353,7 +353,7 @@ class EngineLawsSpec extends SparkSuite {
     // serialized header carries the build type and the probe verifies it
     graft.engine.functions.GraftFunctions.register(spark)
     val bf = spark.range(100).agg(expr("bloom_agg(id)"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     val ok = spark.range(100)
       .select(lit(bf).as("bf"), col("id"))
       .filter(expr("bloom_contains(bf, id)")).count()
@@ -457,9 +457,9 @@ class EngineLawsSpec extends SparkSuite {
     }
     // bucket-wise-sum merge -> byte-identical sketch for any partitioning
     val s1 = li.repartition(1).agg(expr("dd_sketch(l_extendedprice)"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     val s13 = li.repartition(13).agg(expr("dd_sketch(l_extendedprice)"))
-      .head.getAs[Array[Byte]](0)
+      .head().getAs[Array[Byte]](0)
     assert(java.util.Arrays.equals(s1, s13),
       "merged ddsketch must not depend on partitioning")
   }

@@ -40,20 +40,20 @@ class ExtensionsSpec extends SparkSuite {
   test("round-4 native functions resolve and evaluate from raw SQL") {
     graft.engine.functions.GraftFunctions.register(spark)
     // morton2: known interleave (x=3 -> bits 0,2; y=1 -> bit 1) = 7
-    assert(spark.sql("SELECT morton2(3L, 1L) AS z").head.getLong(0) === 7L)
+    assert(spark.sql("SELECT morton2(3L, 1L) AS z").head().getLong(0) === 7L)
     // bloom generic (string) path: present key found, absent key (usually)
     // not — assert only the guaranteed direction plus correct arity
     val bloomRow = spark.sql(
       """SELECT bloom_contains(bf, 'BUILDING') AS hit
         | FROM (SELECT bloom_agg(x) AS bf FROM (VALUES ('BUILDING'),
-        |   ('MACHINERY'), ('AUTOMOBILE')) t(x))""".stripMargin).head
+        |   ('MACHINERY'), ('AUTOMOBILE')) t(x))""".stripMargin).head()
     assert(bloomRow.getBoolean(0), "inserted string must test positive")
     // dd_sketch/dd_quantile: quantile of a constant column is the value
     // up to the bucket's relative error
     val p50 = spark.sql(
       """SELECT dd_quantile(dd_sketch(CAST(x AS DOUBLE)), 0.5d) AS p
         | FROM (SELECT explode(sequence(1, 100)) x)""".stripMargin)
-      .head.getDouble(0)
+      .head().getDouble(0)
     assert(math.abs(p50 - 50.0) <= 2.0, s"p50 of 1..100 was $p50")
     // heavy_hitters: 5 distinct values below k -> exact counts
     val hh = spark.sql(
@@ -66,7 +66,7 @@ class ExtensionsSpec extends SparkSuite {
       """SELECT kmv_union_est(
         |  (SELECT kmv_sketch(x) FROM (SELECT explode(sequence(1, 50)) x)),
         |  (SELECT kmv_sketch(x) FROM (SELECT explode(sequence(51, 90)) x)))
-        |  AS u""".stripMargin).head.getLong(0)
+        |  AS u""".stripMargin).head().getLong(0)
     assert(u === 90L, s"disjoint union below k must be exact, got $u")
   }
 

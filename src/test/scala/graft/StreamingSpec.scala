@@ -21,7 +21,7 @@ class StreamingSpec extends SparkSuite {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[Ev]
     val tbl = freshTable()
-    val q = Streaming.tumblingCounts(ms.toDF)
+    val q = Streaming.tumblingCounts(ms.toDF())
       .writeStream.format("memory").queryName(tbl)
       .outputMode("append").start()
     try {
@@ -54,7 +54,7 @@ class StreamingSpec extends SparkSuite {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[Ev]
     val tbl = freshTable()
-    val q = Streaming.dedupWithinWatermark(ms.toDF)
+    val q = Streaming.dedupWithinWatermark(ms.toDF())
       .writeStream.format("memory").queryName(tbl)
       .outputMode("append").start()
     try {
@@ -93,7 +93,7 @@ class StreamingSpec extends SparkSuite {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[Ev]
     val tbl = freshTable()
-    val q = Streaming.sessionCounts(ms.toDF)
+    val q = Streaming.sessionCounts(ms.toDF())
       .writeStream.format("memory").queryName(tbl)
       .outputMode("append").start()
     try {
@@ -180,7 +180,7 @@ class StreamingSpec extends SparkSuite {
     val msL = MemoryStream[Ev]
     val msR = MemoryStream[Ev]
     val tbl = freshTable()
-    val q = Streaming.streamStreamJoin(msL.toDF, msR.toDF)
+    val q = Streaming.streamStreamJoin(msL.toDF(), msR.toDF())
       .writeStream.format("memory").queryName(tbl)
       .outputMode("append").start()
     try {
@@ -204,7 +204,7 @@ class StreamingSpec extends SparkSuite {
     val dim = graft.engine.Tables.customer(spark, sf)
       .select(col("c_custkey"), col("c_mktsegment"))
     val tbl = freshTable()
-    val q = Streaming.streamStaticJoin(ms.toDF, dim)
+    val q = Streaming.streamStaticJoin(ms.toDF(), dim)
       .writeStream.format("memory").queryName(tbl)
       .outputMode("append").start()
     try {
@@ -237,7 +237,7 @@ class StreamingSpec extends SparkSuite {
     val ms = MemoryStream[(Long, String)]
     val tbl = freshTable()
     val q = graft.engine.Streaming.streamingDecontaminate(
-        ms.toDF.toDF("doc_id", "text"), evalDg)
+        ms.toDF().toDF("doc_id", "text"), evalDg)
       .writeStream.format("memory").queryName(tbl)
       .outputMode("update").start()
     try {
@@ -264,7 +264,7 @@ class StreamingSpec extends SparkSuite {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[Ev]
     val seen = new java.util.concurrent.ConcurrentHashMap[Long, Long]()
-    val q = ms.toDF
+    val q = ms.toDF()
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset
           [org.apache.spark.sql.Row], id: Long) =>
