@@ -89,6 +89,8 @@ object Bench {
     // for isolating one query's cost or chasing instability).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach(_.diff(SparkEntry.queries.keySet).foreach(k =>
+      System.err.println(s"[bench] BENCH_ONLY query missing from registry: $k")))
     val selected =
       if (only.isDefined)
         SparkEntry.queries.view.filterKeys(only.get).toMap
@@ -155,7 +157,10 @@ object Bench {
     // (rep-local GC spike = JVM interference; flat GC = planning/IO).
     val telem = results.map { case (k, med, mn, gc, pk, st, rs, rg) =>
       val unstable = mn > 0 && med > 2 * mn
-      val repsS = rs.map(t => f"$t%.3f").mkString("[", ",", "]")
+      // Locale.ROOT: the f-interpolator uses the default locale, which in
+      // comma-decimal locales would emit "0,123" — invalid JSON.
+      val repsS = rs.map(t => String.format(java.util.Locale.ROOT, "%.3f",
+        Double.box(t))).mkString("[", ",", "]")
       val repsG = rg.mkString("[", ",", "]")
       s""""$k":{"gc_ms":$gc,"peak_exec_mem":$pk,"storage_bytes_after":$st,"unstable":$unstable,"rep_sec":$repsS,"rep_gc_ms":$repsG}"""
     }.mkString("{", ",", "}")

@@ -97,7 +97,11 @@ object Streaming {
           i => conv(substring(
             md5(concat_ws(" ", slice(col("t"), i, lit(n)))), 1, 15),
             16, 10).cast("long"))).as("dg"))
-    sh.join(broadcast(evalDg.withColumn("hit", lit(1))), Seq("dg"), "left")
+    // DISTINCT the static side like the batch twin (q_text_contaminate):
+    // duplicate eval digests would multiply stream rows through the left
+    // join and inflate both n_spans and n_hits.
+    sh.join(broadcast(evalDg.select(col("dg")).distinct()
+        .withColumn("hit", lit(1))), Seq("dg"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_spans"), count(col("hit")).as("n_hits"))
   }

@@ -11,12 +11,18 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * (SURVEY §4.3 exception (c): the one scalar hot enough in the similarity
   * path to justify a custom Expression).
   *
-  * Semantics are EXACTLY the sequential-fold formula used by the
-  * higher-order-function formulation (dot/(sqrt(na)*sqrt(nb)), left-to-right
-  * accumulation) so results stay bit-identical with the DuckDB oracle's
-  * `list_dot_product` — swapping implementations cannot change any query
-  * output. Unlike the lambda version it participates in whole-stage codegen
-  * (single fused loop, no per-element closure dispatch).
+  * Semantics on the happy path (equal lengths, non-zero norms) are EXACTLY
+  * the sequential-fold formula used by the higher-order-function formulation
+  * (dot/(sqrt(na)*sqrt(nb)), left-to-right accumulation) so results stay
+  * bit-identical with the DuckDB oracle's `list_dot_product` — swapping
+  * implementations cannot change any query output. Unlike the lambda version
+  * it participates in whole-stage codegen (single fused loop, no per-element
+  * closure dispatch). Two guarded edges (neither occurs in any fixture, so
+  * parity is unaffected): mismatched lengths return null (the zip_with fold
+  * null-pads and its sum goes null too), and a zero-norm input returns 0.0
+  * instead of the fold's 0/0 = NaN — NaN inverts between `desc` sorts (NaN
+  * greatest) and `min(struct(-cos, id))` argmins (NaN last), so a defined
+  * "no similarity" value is the only ordering-stable choice.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -30,12 +36,14 @@ case class CosineSimilarity(left: Expression, right: Expression)
       s"cosine_sim expects array<double> inputs, got " +
         s"${left.dataType.sql} / ${right.dataType.sql}")
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -48,7 +56,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       nb += yi * yi
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext,
@@ -62,15 +71,19 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = $a.getDouble($i);
-         |  double $yi = $b.getDouble($i);
-         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = $a.getDouble($i);
+         |    double $yi = $b.getDouble($i);
+         |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |  }
+         |  ${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0 : $dot /
+         |    (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = $dot /
-         |  (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 
@@ -85,7 +98,9 @@ case class CosineSimilarity(left: Expression, right: Expression)
   * bit-identical to the `aggregate(zip_with(...))` fold and to DuckDB's
   * `list_reduce(list_transform(list_zip(...)))` — swapping in the native
   * expression cannot change any query output, it only moves the work from
-  * interpreted per-element closures into whole-stage codegen.
+  * interpreted per-element closures into whole-stage codegen. Mismatched
+  * lengths return null, exactly like the fold (zip_with null-pads the
+  * shorter side and the sum goes null) — no silent min-length truncation.
   */
 case class LongSqDist(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -101,12 +116,14 @@ case class LongSqDist(left: Expression, right: Expression)
         s"${left.dataType.sql} / ${right.dataType.sql}")
   override def dataType: DataType =
     org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "int_sqdist"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -125,13 +142,17 @@ case class LongSqDist(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long $acc = 0L;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  long $d = $a.getLong($i) - $b.getLong($i);
-         |  $acc += $d * $d;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    long $d = $a.getLong($i) - $b.getLong($i);
+         |    $acc += $d * $d;
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -136,6 +136,20 @@ class CurationSpec extends SparkSuite {
     assert(diff.count() === 0, "native and HOF distances must agree exactly")
   }
 
+  test("native expression edges: mismatched length -> null, zero norm -> 0.0") {
+    graft.engine.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT int_sqdist(array(1L, 2L), array(1L)) AS sd_mismatch,
+        |       cosine_sim(array(1.0D, 2.0D), array(1.0D)) AS cs_mismatch,
+        |       cosine_sim(array(0.0D, 0.0D), array(1.0D, 2.0D)) AS cs_zero,
+        |       cosine_sim(array(1.0D, 0.0D), array(0.0D, 0.0D)) AS cs_zero2
+        |""".stripMargin).collect()(0)
+    assert(r.isNullAt(0), "int_sqdist on mismatched lengths must be null")
+    assert(r.isNullAt(1), "cosine_sim on mismatched lengths must be null")
+    assert(r.getDouble(2) === 0.0, "zero-norm left must give 0.0, not NaN")
+    assert(r.getDouble(3) === 0.0, "zero-norm right must give 0.0, not NaN")
+  }
+
   test("semdedup: planted identical copies drop, originals survive") {
     val out = SparkEntry.queries("q_dedup_semantic")(spark, sf).collect()
     val kept = out.filter(_.getBoolean(2)).map(_.getLong(0)).toSet
