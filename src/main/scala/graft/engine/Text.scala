@@ -2,6 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.engine.functions.GraftFunctions
 
 /** §2.10 Text analysis + deduplication for LLM-data pipelines (SURVEY.md;
   * north star /root/repo/BASELINE.json:6).
@@ -305,30 +306,27 @@ object Text {
     // Per-document repetition signals (the Gopher/C4-style quality rule:
     // heavily repeated n-grams mark boilerplate/spam): fraction of bigram
     // occurrences taken by the most frequent bigram + distinct-token
-    // ratio. Shuffles on (doc, bigram) then reduces per doc.
+    // ratio. The statistic is per-document, so it is computed MAP-ONLY by
+    // the native [[functions.BigramTopCount]] expression (a per-row count
+    // fold over the token array) — the previous explode → groupBy((doc,
+    // bigram)) → re-agg formulation shuffled ~the corpus token count twice
+    // for an answer every row already contains; zero exchanges remain
+    // before the final presentation orderBy. n_bigrams is n_tok - 1 by
+    // construction (each adjacent pair is one occurrence); docs with
+    // fewer than 2 tokens have no bigrams and drop, exactly as the
+    // explode dropped them.
     "q_text_repetition" -> { (s, d) =>
-      val base = Tables.documents(s, d)
+      GraftFunctions.register(s)
+      Tables.documents(s, d)
         .withColumn("t", toks(col("text")))
-        .withColumn("n_tok", size(col("t")))
-        .withColumn("n_dist", size(array_distinct(col("t"))))
-      val bigrams = base
-        .select(col("doc_id"), col("n_tok"), col("n_dist"),
-          explode(slice(
-            transform(sequence(lit(1), greatest(size(col("t")) - 1, lit(1))),
-              i => concat_ws(" ", element_at(col("t"), i),
-                element_at(col("t"), i + 1))),
-            lit(1), greatest(size(col("t")) - 1, lit(0)))).as("bigram"))
-      bigrams
-        .groupBy(col("doc_id"), col("n_tok"), col("n_dist"), col("bigram"))
-        .agg(count(lit(1)).as("bn"))
-        .groupBy(col("doc_id"), col("n_tok"), col("n_dist"))
-        .agg(sum(col("bn")).cast("bigint").as("n_bigrams"),
-          max(col("bn")).as("top_bigram_n"))
-        .select(col("doc_id"), col("n_bigrams"), col("top_bigram_n"),
-          eround(col("top_bigram_n") / col("n_bigrams"), 4)
-            .as("top_bigram_frac"),
-          eround(col("n_dist").cast("double") / col("n_tok"), 4)
-            .as("distinct_ratio"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"),
+          (size(col("t")) - 1).cast("bigint").as("n_bigrams"),
+          expr("bigram_top_n(t)").as("top_bigram_n"),
+          eround(expr("bigram_top_n(t)")
+            / (size(col("t")) - 1).cast("bigint"), 4).as("top_bigram_frac"),
+          eround(size(array_distinct(col("t"))).cast("double")
+            / size(col("t")), 4).as("distinct_ratio"))
         .orderBy(col("doc_id"))
     },
 

@@ -160,6 +160,71 @@ case class LongSqDist(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(newLeft, newRight)
 }
 
+/** Per-row helper behind [[BigramTopCount]] — kept as a static method so
+  * generated code calls straight into compiled bytecode (one invokestatic
+  * inside the whole-stage loop, same pattern the JVM JITs for built-in
+  * array funcs) instead of falling back to interpreted expression eval.
+  */
+object BigramTop {
+  import org.apache.spark.unsafe.types.UTF8String
+  private val Space = UTF8String.fromString(" ")
+
+  def topCount(arr: ArrayData): Long = {
+    val n = arr.numElements()
+    if (n < 2) return 0L
+    val counts = new java.util.HashMap[UTF8String, Integer](
+      Integer.highestOneBit(math.min(n, 1 << 16)) * 2)
+    var best = 0
+    var i = 0
+    while (i < n - 1) {
+      val a = arr.getUTF8String(i)
+      val b = arr.getUTF8String(i + 1)
+      if (a != null && b != null) {
+        // tokens are whitespace-split, so space-joining is injective —
+        // the key equals the concat_ws(" ", tok_i, tok_i+1) bigram string
+        val key = UTF8String.concatWs(Space, a, b)
+        val c = counts.merge(key, 1, (x: Integer, y: Integer) =>
+          Integer.valueOf(x + y))
+        if (c > best) best = c
+      }
+      i += 1
+    }
+    best.toLong
+  }
+}
+
+/** Native max-bigram-occurrence count over a token array — the per-row
+  * replacement for the shuffled groupBy((doc, bigram)) → re-agg-per-doc
+  * formulation of q_text_repetition: the statistic is per-document, so at
+  * 100 TB the old shape shuffled ~the corpus token count for a map-only
+  * answer. Returns max over adjacent-pair bigrams of their occurrence
+  * count (0 when fewer than 2 tokens) — identical to
+  * `max(count(*)) GROUP BY bigram` per document.
+  */
+case class BigramTopCount(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.{LongType, StringType}
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bigram_top_n expects array<string> input, got ${other.sql}")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "bigram_top_n"
+
+  override def nullSafeEval(a: Any): Any =
+    BigramTop.topCount(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      a => s"graft.engine.functions.BigramTop.topCount($a)")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Expression = copy(newChild)
+}
+
 object GraftFunctions {
   import org.apache.spark.sql.SparkSession
   import org.apache.spark.sql.functions.call_function
@@ -240,6 +305,10 @@ object GraftFunctions {
       reg.createOrReplaceTempFunction(
         "int_sqdist", exprs => LongSqDist(exprs(0), exprs(1)),
         "scala_udf")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("bigram_top_n")))
+      reg.createOrReplaceTempFunction(
+        "bigram_top_n", exprs => BigramTopCount(exprs.head), "scala_udf")
   }
 
   /** Column-level entry point (requires register(spark) in the session). */

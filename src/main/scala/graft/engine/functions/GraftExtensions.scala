@@ -74,6 +74,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KmvEstimate].getName, "kmv_est"),
       (exprs: Seq[Expression]) => KmvEstimate(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("bigram_top_n"),
+      new ExpressionInfo(classOf[BigramTopCount].getName, "bigram_top_n"),
+      (exprs: Seq[Expression]) => BigramTopCount(exprs.head)))
+    ext.injectFunction((
       FunctionIdentifier("kmv_union_est"),
       new ExpressionInfo(classOf[KmvUnionEstimate].getName, "kmv_union_est"),
       (exprs: Seq[Expression]) => KmvUnionEstimate(exprs(0), exprs(1))))
