@@ -82,7 +82,10 @@ object Bench {
       "q_sim_topk_ivf", "q_shape_q10", "q_shape_q4", "q_subq_in",
       "q_subq_lateral", "q_validate_fk", "q_win_gaps_islands",
       "q_text_ngrams", "q_sink_parquet_zstd", "q_multimodal_frames",
-      "q_multimodal_resize", "q_text_repetition", "q_scan_merge_schema")
+      "q_multimodal_resize", "q_text_repetition", "q_scan_merge_schema",
+      // round-6: map-only but regex-heavy per row — its cost is CPU, not
+      // the parquet scan, so it belongs in the headline
+      "q_text_html_extract")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid
@@ -124,8 +127,21 @@ object Bench {
         .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
     }
     // (name, median, min, gcMs, peakExecMem, storageBytesAfter,
-    //  perRepSec, perRepGcMs)
+    //  perRepSec, perRepGcMs, warmSec)
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Per-query untimed warm rep at the TARGET SF before the timed
+      // loop: the sf0.001 session warm pass compiles codegen classes but
+      // doesn't push the per-query hot loops through tiered JIT (C2 needs
+      // data-scale invocation counts), so without this the first timed
+      // reps of a late-in-the-run query can measure compilation/deopt
+      // recovery instead of data-proportional work (the r5 driver run
+      // showed q_ts_resample reps decaying 0.748→0.144 s — classic
+      // warm-down the 5-rep median doesn't hide). The warm rep's wall
+      // time is kept as telemetry (warm_sec) so first-run cost stays
+      // visible instead of silently discarded.
+      val w0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val warmSec = (System.nanoTime() - w0) / 1e9
       listener.reset()
       val perRep = (1 to reps).map { _ =>
         val gc0 = jvmGcMs()
@@ -144,25 +160,26 @@ object Bench {
         catch { case _: Throwable => -1L }
       (name, median, times.head, listener.gcMs.sum(),
         listener.peakExecMem.get(), storage, perRep.map(_._1),
-        perRep.map(_._2))
+        perRep.map(_._2), warmSec)
     }
-    val qs = results.map { case (k, med, _, _, _, _, _, _) =>
+    val qs = results.map { case (k, med, _, _, _, _, _, _, _) =>
       "\"" + k + "\":" + med }.mkString("{", ",", "}")
-    val mins = results.map { case (k, _, mn, _, _, _, _, _) =>
+    val mins = results.map { case (k, _, mn, _, _, _, _, _, _) =>
       "\"" + k + "\":" + mn }.mkString("{", ",", "}")
     // Per-query telemetry: summed task GC ms over the reps, max single-task
     // execution-memory peak, session storage bytes after the query, an
     // instability flag (median > 2x min = contention/GC, not the plan), and
     // the per-rep wall/global-GC series so a slow rep can be attributed
     // (rep-local GC spike = JVM interference; flat GC = planning/IO).
-    val telem = results.map { case (k, med, mn, gc, pk, st, rs, rg) =>
+    val telem = results.map { case (k, med, mn, gc, pk, st, rs, rg, ws) =>
       val unstable = mn > 0 && med > 2 * mn
       // Locale.ROOT: the f-interpolator uses the default locale, which in
       // comma-decimal locales would emit "0,123" — invalid JSON.
-      val repsS = rs.map(t => String.format(java.util.Locale.ROOT, "%.3f",
-        Double.box(t))).mkString("[", ",", "]")
+      def f3(t: Double) =
+        String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
+      val repsS = rs.map(f3).mkString("[", ",", "]")
       val repsG = rg.mkString("[", ",", "]")
-      s""""$k":{"gc_ms":$gc,"peak_exec_mem":$pk,"storage_bytes_after":$st,"unstable":$unstable,"rep_sec":$repsS,"rep_gc_ms":$repsG}"""
+      s""""$k":{"gc_ms":$gc,"peak_exec_mem":$pk,"storage_bytes_after":$st,"unstable":$unstable,"warm_sec":${f3(ws)},"rep_sec":$repsS,"rep_gc_ms":$repsG}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val nq = results.size

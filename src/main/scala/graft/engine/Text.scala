@@ -150,6 +150,31 @@ object Text {
     base.unionByName(planted)
   }
 
+  /** Tag-aware block-text extraction over an `html` column: script/style
+    * drop → block-element split → tag strip → link-density boilerplate
+    * filter (a block survives with no anchors, or when its text outweighs
+    * 20 chars per anchor) → reassembly. Adds `cleaned`, `blocks`, `kept`,
+    * `extracted`. Pure per-row string ops — map-only at any scale; the
+    * lazy/dotall regexes behave identically in java.util.regex and RE2,
+    * so the oracle twin is a 1:1 spelling.
+    */
+  private def htmlExtract(df: DataFrame): DataFrame = {
+    val tagless =
+      "trim(regexp_replace(regexp_replace(%s, '<[^>]*>', ' '), ' +', ' '))"
+    val nLinks = "size(regexp_extract_all(%s, '<a [^>]*>', 0))"
+    df.withColumn("cleaned", regexp_replace(col("html"),
+        "(?s)<script.*?</script>|<style.*?</style>", " "))
+      .withColumn("blocks", expr("regexp_extract_all(cleaned, " +
+        "'(?s)<(?:p|h1|nav|div|footer)[^>]*>(.*?)" +
+        "</(?:p|h1|nav|div|footer)>', 1)"))
+      .withColumn("kept", expr(
+        s"""filter(transform(
+           |  filter(blocks, x -> ${nLinks.format("x")} = 0
+           |    OR length(${tagless.format("x")}) > 20 * ${nLinks.format("x")}),
+           |  x -> ${tagless.format("x")}), x -> x <> '')""".stripMargin))
+      .withColumn("extracted", array_join(col("kept"), " "))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_tokens" -> { (s, d) =>
       Tables.documents(s, d)
@@ -327,6 +352,87 @@ object Text {
             / (size(col("t")) - 1).cast("bigint"), 4).as("top_bigram_frac"),
           eround(size(array_distinct(col("t"))).cast("double")
             / size(col("t")), 4).as("distinct_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
+    // HTML/boilerplate extraction — the CommonCrawl→text FIRST stage of a
+    // web-corpus funnel (C4/Gopher start here): drop script/style, split
+    // into block elements, strip tags, and drop link-dense boilerplate
+    // (nav/footer/ad blocks) by the classic link-density heuristic (a
+    // block survives only if it has no anchors or its text outweighs
+    // 20 chars per anchor). The fixture corpus is plain text, so each doc
+    // is first wrapped in a deterministic page (head + nav + h1 + two <p>
+    // halves + ad div + footer, one content-side inline anchor to exercise
+    // the DENSITY branch, not just links=0) — construction and extraction
+    // are both pure per-row string ops, mirrored 1:1 in the oracle.
+    // `lossless` audits round-tripping: kept blocks must reassemble to
+    // exactly heading + tokens + inline-anchor text. Map-only at 100 TB.
+    "q_text_html_extract" -> { (s, d) =>
+      htmlExtract(Tables.documents(s, d)
+        .withColumn("t", toks(col("text")))
+        .withColumn("k", expr("(size(t) + 1) div 2"))
+        .withColumn("html", concat(
+          lit("<html><head><title>Doc "), col("doc_id"),
+          lit("</title><style>p{margin:0}</style><script>var i="),
+          col("doc_id"),
+          lit(";</script></head><body><nav><a href=\"/\">home</a> " +
+            "<a href=\"/docs\">docs</a> <a href=\"/about\">about</a></nav>" +
+            "<h1>entry</h1><p>"),
+          expr("array_join(slice(t, 1, k), ' ')"),
+          lit("</p><div><a href=\"/buy\">buy</a> <a href=\"/now\">now</a> " +
+            "ad</div><p>"),
+          expr("array_join(slice(t, k + 1, size(t) - k), ' ')"),
+          lit(" <a href=\"/ref\">ref</a></p><footer>" +
+            "<a href=\"/tos\">terms</a> <a href=\"/priv\">privacy</a>" +
+            "</footer></body></html>"))))
+        .select(col("doc_id"),
+          size(col("blocks")).as("n_blocks"),
+          expr("size(regexp_extract_all(cleaned, '<a [^>]*>', 0))")
+            .as("n_links"),
+          size(col("kept")).as("n_kept"),
+          length(col("extracted")).as("extract_len"),
+          (col("extracted") ===
+            concat_ws(" ", lit("entry"), array_join(col("t"), " "),
+              lit("ref"))).as("lossless"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Unicode normalization / encoding repair — the standard pre-dedup
+    // pass: mojibake repair (UTF-8-read-as-Latin-1 'Ã©' → 'é', Windows
+    // smart-quote 'â€™' → '’') FIRST on the raw bytes-as-chars, then NFC
+    // composition (native [[functions.NfcNormalize]], same name as
+    // DuckDB's built-in so the oracle is a 1:1 spelling), then control/
+    // zero-width strip + whitespace collapse. Without this, visually
+    // identical NFC/NFD spellings hash to different dedup keys and
+    // silently survive q_dedup_exact (CurationSpec pins the twins-dedup
+    // law). The fixture is ASCII, so NFD / NFC / mojibake / control-char
+    // suffixes are planted deterministically by doc_id residue — every
+    // branch of the repair is exercised and oracle-checked. Map-only.
+    "q_text_normalize" -> { (s, d) =>
+      GraftFunctions.register(s)
+      // Planted suffixes (raw UTF-8 in source) by doc_id residue:
+      // %7==3 NFD 'cafe'+U+0301, %7==4 NFC 'caf'+U+00E9 (the twins),
+      // %11==5 mojibake 'caf'+U+00C3+U+00A9, %13==6 BEL + zero-width
+      // space U+200B.
+      Tables.documents(s, d)
+        .withColumn("raw", concat(col("text"),
+          when(pmod(col("doc_id"), lit(7)) === 3, lit(" café"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7)) === 4, lit(" café"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(11)) === 5, lit(" cafÃ©"))
+            .otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(13)) === 6, lit(" x​"))
+            .otherwise(lit(""))))
+        .withColumn("norm", trim(regexp_replace(regexp_replace(
+          expr("nfc_normalize(replace(replace(raw, 'Ã©', " +
+            "'é'), 'â€™', '’'))"),
+          "[\\x00-\\x1f\\x7f\\x{200B}]", ""), " +", " ")))
+        .select(col("doc_id"),
+          length(col("raw")).as("raw_len"),
+          length(col("norm")).as("norm_len"),
+          (col("raw") =!= col("norm")).as("changed"),
+          md5(col("norm").cast("binary")).as("norm_md5"))
         .orderBy(col("doc_id"))
     },
 
@@ -697,8 +803,30 @@ object Text {
             i => conv(substring(
               md5(concat_ws(" ", slice(col("t"), i, lit(n)))), 1, 15),
               16, 10).cast("long"))).as("dg"))
-      val docs = Tables.documents(s, d)
+      // STAGE 0 (round 6): web pages → text. The fixture corpus is plain
+      // text, so each training doc is first wrapped in a deterministic
+      // page (nav/ad/footer boilerplate around two content blocks) and
+      // run through the same htmlExtract used by q_text_html_extract.
+      // Extraction is lossless on these pages BY CONSTRUCTION (content
+      // blocks carry no anchors), and the funnel's oracle twin starts
+      // from the raw text — so the driver's hash match doubles as the
+      // stage-0 consistency proof, and CurationSpec pins it directly.
+      val pages = Tables.documents(s, d)
         .filter(pmod(col("doc_id"), lit(10)) =!= 7) // eval slice held out
+        .withColumn("t0", toks(col("text")))
+        .withColumn("k", expr("(size(t0) + 1) div 2"))
+        .withColumn("html", concat(
+          lit("<html><head><style>p{margin:0}</style><script>var i=0;" +
+            "</script></head><body><nav><a href=\"/\">home</a> " +
+            "<a href=\"/docs\">docs</a></nav><p>"),
+          expr("array_join(slice(t0, 1, k), ' ')"),
+          lit("</p><div><a href=\"/buy\">buy</a> <a href=\"/now\">now</a> " +
+            "ad</div><p>"),
+          expr("array_join(slice(t0, k + 1, size(t0) - k), ' ')"),
+          lit("</p><footer><a href=\"/tos\">terms</a></footer>" +
+            "</body></html>")))
+      val docs = htmlExtract(pages)
+        .select(col("doc_id"), col("lang"), col("extracted").as("text"))
         .withColumn("t", toks(col("text")))
         .withColumn("n_tok", size(col("t")))
         .withColumn("q_ok", col("n_tok").between(10, 500)
@@ -1009,6 +1137,70 @@ object Text {
          |  round(CAST(max(bn) AS DOUBLE) / sum(bn) + 5e-10, 4) AS top_bigram_frac,
          |  round(CAST(n_dist AS DOUBLE) / n_tok + 5e-10, 4) AS distinct_ratio
          | FROM cnt GROUP BY doc_id, n_tok, n_dist ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Mirrors the Spark construction 1:1: same page template, same block
+    // regexes (RE2 and java.util.regex agree on (?s), lazy .*?, and
+    // non-capturing groups for these patterns), same link-density rule.
+    "q_text_html_extract" ->
+      s"""WITH d AS (SELECT doc_id, $oToks AS tk FROM documents),
+         | h AS (SELECT doc_id, tk,
+         |  '<html><head><title>Doc ' || doc_id ||
+         |  '</title><style>p{margin:0}</style><script>var i=' || doc_id ||
+         |  ';</script></head><body><nav><a href="/">home</a> <a href="/docs">docs</a> <a href="/about">about</a></nav><h1>entry</h1><p>' ||
+         |  array_to_string(tk[1:(len(tk)+1)//2], ' ') ||
+         |  '</p><div><a href="/buy">buy</a> <a href="/now">now</a> ad</div><p>' ||
+         |  array_to_string(tk[(len(tk)+1)//2+1:len(tk)], ' ') ||
+         |  ' <a href="/ref">ref</a></p><footer><a href="/tos">terms</a> <a href="/priv">privacy</a></footer></body></html>' AS html
+         |  FROM d),
+         | c AS (SELECT doc_id, tk, regexp_replace(html,
+         |   '(?s)<script.*?</script>|<style.*?</style>', ' ', 'g') AS cleaned
+         |  FROM h),
+         | b AS (SELECT doc_id, tk, cleaned, regexp_extract_all(cleaned,
+         |   '(?s)<(?:p|h1|nav|div|footer)[^>]*>(.*?)</(?:p|h1|nav|div|footer)>',
+         |   1) AS blocks FROM c),
+         | k AS (SELECT doc_id, tk, blocks,
+         |   len(regexp_extract_all(cleaned, '<a [^>]*>', 0)) AS n_links,
+         |   list_filter(list_transform(
+         |     list_filter(blocks, x ->
+         |       len(regexp_extract_all(x, '<a [^>]*>', 0)) = 0
+         |       OR length(trim(regexp_replace(regexp_replace(x,
+         |          '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')))
+         |         > 20 * len(regexp_extract_all(x, '<a [^>]*>', 0))),
+         |     x -> trim(regexp_replace(regexp_replace(x, '<[^>]*>', ' ',
+         |       'g'), ' +', ' ', 'g'))), x -> x <> '') AS kept
+         |  FROM b)
+         | SELECT doc_id, len(blocks) AS n_blocks, n_links,
+         |  len(kept) AS n_kept,
+         |  length(array_to_string(kept, ' ')) AS extract_len,
+         |  array_to_string(kept, ' ')
+         |    = 'entry ' || array_to_string(tk, ' ') || ' ref' AS lossless
+         | FROM k ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // chr() spellings keep the oracle ASCII-only: 769=U+0301 combining
+    // acute (NFD), 233=U+00E9 'é' (NFC), 195/169='Ã'/'©' (mojibake pair),
+    // 7=BEL, 8203=U+200B zero-width space, 226/8364/8482='â'/'€'/'™',
+    // 8217=U+2019 right quote.
+    "q_text_normalize" ->
+      """WITH d AS (SELECT doc_id, text
+         |  || CASE WHEN doc_id % 7 = 3 THEN ' cafe' || chr(769) ELSE '' END
+         |  || CASE WHEN doc_id % 7 = 4 THEN ' caf' || chr(233) ELSE '' END
+         |  || CASE WHEN doc_id % 11 = 5
+         |       THEN ' caf' || chr(195) || chr(169) ELSE '' END
+         |  || CASE WHEN doc_id % 13 = 6
+         |       THEN chr(7) || ' x' || chr(8203) ELSE '' END AS raw
+         |  FROM documents),
+         | n AS (SELECT doc_id, raw,
+         |  trim(regexp_replace(regexp_replace(
+         |    nfc_normalize(replace(replace(raw,
+         |      chr(195) || chr(169), chr(233)),
+         |      chr(226) || chr(8364) || chr(8482), chr(8217))),
+         |    '[\x00-\x1f\x7f\x{200B}]', '', 'g'), ' +', ' ', 'g')) AS norm
+         |  FROM d)
+         | SELECT doc_id, length(raw) AS raw_len, length(norm) AS norm_len,
+         |  raw <> norm AS changed, md5(norm) AS norm_md5
+         | FROM n ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_text_ngrams" ->

@@ -206,13 +206,14 @@ object Vectors {
     },
 
     // IVF-style approximate top-k (the 100 TB scale path for q_sim_topk):
-    // centroids learned with 2 Lloyd iterations (seeded from the first 8
-    // vectors for determinism), every vector assigned to its nearest
-    // centroid, probes search ONLY their own cluster. Centroid components
-    // are epsilon-rounded so the double mean (whose summation order is
-    // engine-internal) cannot flip borderline assignments between runs.
-    // No oracle (approximation is algorithm-defined); ScalaTest measures
-    // recall against the exact top-k and logs it.
+    // 32 inverted lists learned with 2 Lloyd iterations (seeded from the
+    // first 32 vectors for determinism), every vector assigned to its
+    // nearest centroid, probes search only their nprobe nearest lists.
+    // Centroid components are epsilon-rounded so the double mean (whose
+    // summation order is engine-internal) cannot flip borderline
+    // assignments between runs. No oracle (approximation is
+    // algorithm-defined); ScalaTest measures recall against the exact
+    // top-k at BOTH the fixture and the sf0.1 bench scale.
     "q_sim_topk_ivf" -> { (s, d) =>
       GraftFunctions.register(s)
       val emb = Tables.embeddings(s, d)
@@ -244,17 +245,20 @@ object Vectors {
             array_sort(collect_list(struct(col("pos"), col("cx")))),
             t => t.getField("cx")).as("cv"))
           .select(col("cluster").as("c_id"), col("cv"))
-      val seed = emb.filter(col("vec_id") < 8)
+      val seed = emb.filter(col("vec_id") < 32)
         .select(col("vec_id").as("c_id"), col("v").as("cv"))
       val learned = (0 until 2).foldLeft(seed)((c, _) => mean(assign(c)))
       val assigned = assign(learned)
-      // nprobe = 3: each probe searches its THREE nearest clusters. A single
-      // cluster caps recall when a true neighbor sits just across a Voronoi
-      // boundary (measured: 0.78 @ nprobe=1, 0.86 @ 2, >=0.9 @ 3 on the
-      // sf0.001 fixture); still only ~3/8 of the corpus per probe vs brute
-      // force. (probe, candidate) pairs stay unique because every candidate
-      // lives in exactly one cluster and the probe rows carry distinct
-      // clusters — no dedup needed.
+      // nprobe = 16 of 32 lists (~half the corpus per probe vs brute
+      // force). The fixture embeddings are label-structureless (same-label
+      // and cross-label mean cosine are both ~0), so recall at fixed scan
+      // fraction is governed by how finely the list ranking resolves
+      // probe-alignment: the round-6 DedupVectorSpec bench-scale law
+      // showed the old 8-list layout saturating at 0.86–0.88 recall from
+      // nprobe 3–5 at sf0.1, while 32 lists at the same 50% scan fraction
+      // clear the >=0.9 gate at both scales. (probe, candidate) pairs stay
+      // unique because every candidate lives in exactly one cluster and
+      // the probe rows carry distinct clusters — no dedup needed.
       val wProbe = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id"))
         .orderBy(desc("c_cos"), asc("c_id"))
@@ -262,7 +266,7 @@ object Vectors {
         .crossJoin(broadcast(learned))
         .withColumn("c_cos", eround(cosine(col("v"), col("cv")), 6))
         .withColumn("pr", row_number().over(wProbe))
-        .filter(col("pr") <= 3)
+        .filter(col("pr") <= 16)
         .select(col("vec_id").as("probe_id"), col("v").as("pv"),
           col("c_id").as("cluster"))
       val wTop = org.apache.spark.sql.expressions.Window

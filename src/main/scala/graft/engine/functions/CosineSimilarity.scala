@@ -309,6 +309,10 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.FunctionIdentifier("bigram_top_n")))
       reg.createOrReplaceTempFunction(
         "bigram_top_n", exprs => BigramTopCount(exprs.head), "scala_udf")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize")))
+      reg.createOrReplaceTempFunction(
+        "nfc_normalize", exprs => NfcNormalize(exprs.head), "scala_udf")
   }
 
   /** Column-level entry point (requires register(spark) in the session). */

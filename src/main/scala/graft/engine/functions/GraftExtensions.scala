@@ -74,6 +74,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[KmvEstimate].getName, "kmv_est"),
       (exprs: Seq[Expression]) => KmvEstimate(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
+    ext.injectFunction((
       FunctionIdentifier("bigram_top_n"),
       new ExpressionInfo(classOf[BigramTopCount].getName, "bigram_top_n"),
       (exprs: Seq[Expression]) => BigramTopCount(exprs.head)))

@@ -136,6 +136,63 @@ class CurationSpec extends SparkSuite {
     assert(diff.count() === 0, "native and HOF distances must agree exactly")
   }
 
+  test("html extract: boilerplate dropped, content blocks lossless") {
+    val out = SparkEntry.queries("q_text_html_extract")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getInt(1) === 6, "6 blocks per synthesized page")
+      assert(r.getInt(2) === 8, "8 anchors per synthesized page")
+      assert(r.getInt(3) === 3,
+        "h1 + two content <p> survive; nav/ad/footer drop")
+      assert(r.getBoolean(5),
+        s"doc ${r.getLong(0)}: kept blocks must reassemble losslessly")
+    }
+  }
+
+  test("curate stage 0: wrapped pages extract back to the raw text funnel") {
+    // The funnel result with HTML stage 0 must equal the funnel computed
+    // from raw text (the oracle twin starts from raw text, so the driver
+    // hash-checks this too; here it's pinned locally and structurally).
+    val out = SparkEntry.queries("q_pipeline_curate")(spark, sf).collect()
+    val docs = graft.engine.Tables.documents(spark, sf)
+      .filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.map(r => r.getString(0) -> r.getLong(1)).toMap === docs,
+      "per-language raw counts must match the unwrapped corpus")
+  }
+
+  test("nfc_normalize: NFD/NFC twins dedup together in the exact-dedup shape") {
+    graft.engine.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val twins = Seq((1L, "resume café work"),
+      (2L, "resume café work")).toDF("doc_id", "text")
+    // without normalization the visually-identical spellings survive
+    // exact dedup as two groups
+    assert(twins.groupBy(col("text")).count().count() === 2L)
+    val groups = twins
+      .withColumn("text", expr("nfc_normalize(text)"))
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .collect()
+    assert(groups.length === 1 && groups(0).getLong(2) === 2L,
+      "NFC-normalized twins must collapse to one dedup group")
+  }
+
+  test("q_text_normalize: planted branches fire; normalization idempotent") {
+    graft.engine.functions.GraftFunctions.register(spark)
+    val out = SparkEntry.queries("q_text_normalize")(spark, sf)
+    val changed = out.filter(col("changed")).count()
+    assert(changed > 0, "planted NFD/mojibake/control suffixes must change")
+    // idempotence: re-normalizing an already-normalized string is the
+    // identity (NFC is idempotent; repairs/strips have nothing left to do)
+    val normed = graft.engine.Tables.documents(spark, sf).limit(50)
+      .select(expr("nfc_normalize(text)").as("n1"))
+      .withColumn("n2", expr("nfc_normalize(n1)"))
+      .filter(col("n1") =!= col("n2"))
+    assert(normed.count() === 0L, "nfc_normalize must be idempotent")
+  }
+
   test("native expression edges: mismatched length -> null, zero norm -> 0.0") {
     graft.engine.functions.GraftFunctions.register(spark)
     val r = spark.sql(

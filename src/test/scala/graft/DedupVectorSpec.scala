@@ -64,6 +64,37 @@ class DedupVectorSpec extends SparkSuite {
     assert(overlap > 0) // clusters restrict but never distort scores
   }
 
+  // ---- recall at the BENCH scale (sf0.1) — VERDICT r5 item 6: the
+  // approximate paths carry a measured guarantee at the scale the driver
+  // benches, not just the toy fixture. Guarded by assume() so the suite
+  // still runs on a checkout without the sf0.1 fixture.
+
+  test("ivf recall vs exact top-k >= 0.9 at sf0.1 (bench scale)") {
+    val sfB = "/root/testdata/sf0.1"
+    assume(new java.io.File(sfB).isDirectory)
+    val exact = SparkEntry.queries("q_sim_topk")(spark, sfB)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("q_sim_topk_ivf")(spark, sfB)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val recall = ivf.count(exact.contains).toDouble / exact.size
+    info(f"ivf recall vs exact top-5 at sf0.1: $recall%.2f " +
+      f"(${ivf.count(exact.contains)}/${exact.size})")
+    assert(recall >= 0.9, f"sf0.1 ivf recall $recall%.2f below 0.9 gate")
+  }
+
+  test("LSH planted-pair recall 1.0 at sf0.1 (bench scale)") {
+    val sfB = "/root/testdata/sf0.1"
+    assume(new java.io.File(sfB).isDirectory)
+    val pairs = SparkEntry.queries("q_sim_pairs_lsh")(spark, sfB)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val planted = pairs.filter(p => p._2 == p._1 + 1000000L)
+    info(s"lsh planted pairs found at sf0.1: ${planted.length}/10")
+    assert(planted.length === 10)
+    planted.foreach(p => assert(p._3 === 1.0))
+  }
+
   test("exact dedup keeps the minimum doc_id per text") {
     val deduped = SparkEntry.queries("q_dedup_exact")(spark, sf)
     val n = graft.engine.Tables.documents(spark, sf)
