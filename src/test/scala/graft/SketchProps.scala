@@ -77,6 +77,27 @@ object SketchProps extends Properties("sketches") {
       gather(z, 0) == xm && gather(z, 1) == ym
   }
 
+  property("bigram_top_n equals the reference max-group-count on any tokens") =
+    forAll { (raw: List[Int]) =>
+      // small vocabulary so repeated bigrams actually occur
+      val toks = raw.map(i => ("tok" + math.floorMod(i, 5)))
+      val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        toks.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray)
+      val expected =
+        if (toks.length < 2) 0L
+        else toks.sliding(2).map(_.mkString(" ")).toSeq
+          .groupBy(identity).values.map(_.size).max.toLong
+      graft.engine.functions.BigramTop.topCount(arr) == expected
+    }
+
+  property("nfc normalization is idempotent and composes NFD sequences") =
+    forAll { (s: String) =>
+      import org.apache.spark.unsafe.types.UTF8String
+      val once = graft.engine.functions.NfcNorm.nfc(UTF8String.fromString(s))
+      val twice = graft.engine.functions.NfcNorm.nfc(once)
+      once == twice
+    }
+
   property("jpeg constant-block images decode exactly for any byte value") =
     forAll { (seed: Int) =>
       val vals = Array(seed & 0xff, (seed >> 8) & 0xff,
