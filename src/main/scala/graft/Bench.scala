@@ -85,7 +85,9 @@ object Bench {
       "q_multimodal_resize", "q_text_repetition", "q_scan_merge_schema",
       // round-6: map-only but regex-heavy per row — its cost is CPU, not
       // the parquet scan, so it belongs in the headline
-      "q_text_html_extract")
+      "q_text_html_extract",
+      // round-6: windows + bin-explode shuffle over the corpus
+      "q_pipeline_pack")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

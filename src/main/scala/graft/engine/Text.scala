@@ -863,6 +863,58 @@ object Text {
         .orderBy(col("lang"))
     },
 
+    // Sequence packing — the LAST step of a training-data pipeline: docs
+    // concatenate in doc_id order into one token stream, which is cut
+    // into fixed 512-token context windows (chunks may span documents,
+    // exactly how LLM pretraining batches are packed). Per-window fill
+    // report: contributing docs, token count (512 everywhere but the
+    // final window — PackSpec-pinned), boundary-spanning docs, first doc.
+    // The global token offset is the same three-level tree prefix sum as
+    // q_sample_weighted (intra-shard window → per-shard offsets within
+    // super-shards → one tiny super-shard window, 10^6x smaller than the
+    // data); integer addition is exact under any grouping, so the tree
+    // equals the flat cumulative sum the oracle computes. The bin explode
+    // adds one row per spanned boundary — ~n_tokens/512 extra rows
+    // corpus-wide, negligible.
+    "q_pipeline_pack" -> { (s, d) =>
+      val wnd = org.apache.spark.sql.expressions.Window
+      val B = 512L
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), size(toks(col("text"))).cast("long").as("w"))
+        .withColumn("shard", expr("doc_id DIV 1000"))
+      val intra = docs.withColumn("intra",
+        sum(col("w")).over(wnd.partitionBy(col("shard"))
+          .orderBy(col("doc_id")).rowsBetween(wnd.unboundedPreceding, 0)))
+      val shardTot = docs.groupBy(col("shard"))
+        .agg(sum(col("w")).as("st"))
+        .withColumn("sup", expr("shard DIV 1000"))
+        .withColumn("soff", coalesce(sum(col("st")).over(
+          wnd.partitionBy(col("sup")).orderBy(col("shard"))
+            .rowsBetween(wnd.unboundedPreceding, -1)), lit(0L)))
+      val supOffs = shardTot.groupBy(col("sup"))
+        .agg(sum(col("st")).as("sut"))
+        .withColumn("sup_off", coalesce(sum(col("sut")).over(
+          wnd.orderBy(col("sup")).rowsBetween(wnd.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col("sup"), col("sup_off"))
+      val offs = shardTot.join(broadcast(supOffs), "sup")
+        .select(col("shard"), (col("sup_off") + col("soff")).as("shard_off"))
+      intra.join(broadcast(offs), "shard")
+        .withColumn("cum_w", col("shard_off") + col("intra"))
+        .withColumn("off", col("cum_w") - col("w"))
+        .withColumn("fb", expr(s"off DIV $B"))
+        .withColumn("lb", expr(s"(cum_w - 1) DIV $B"))
+        .select(col("doc_id"), col("off"), col("cum_w"), col("fb"),
+          col("lb"), explode(sequence(col("fb"), col("lb"))).as("bin"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(least((col("bin") + 1) * B, col("cum_w"))
+            - greatest(col("bin") * B, col("off"))).cast("long").as("n_tok"),
+          count(when(col("fb") =!= col("lb"), 1)).as("n_spanning"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("bin"))
+    },
+
     // Rolling polynomial fingerprint: h = fold((h*31 + ascii(ch)) mod p).
     "q_text_fingerprint" -> { (s, d) =>
       Tables.documents(s, d)
@@ -1210,6 +1262,25 @@ object Text {
          |  WHERE len(tk) >= 2)
          | SELECT bigram, count(*) AS n FROM bg
          | GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // CAST the window cumulative sum: DuckDB widens windowed sum(BIGINT)
+    // to HUGEINT, which the driver's schema audit rejects.
+    "q_pipeline_pack" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($oToks) AS BIGINT) AS w
+         |  FROM documents),
+         | c AS (SELECT doc_id, w, CAST(sum(w) OVER (ORDER BY doc_id
+         |   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_w FROM d),
+         | e AS (SELECT doc_id, w, cum_w, cum_w - w AS off,
+         |   (cum_w - w) // 512 AS fb, (cum_w - 1) // 512 AS lb FROM c),
+         | x AS (SELECT doc_id, off, cum_w, fb, lb,
+         |   unnest(generate_series(fb, lb)) AS bin FROM e)
+         | SELECT bin, count(*) AS n_docs,
+         |  CAST(sum(least((bin+1)*512, cum_w) - greatest(bin*512, off))
+         |    AS BIGINT) AS n_tok,
+         |  count(CASE WHEN fb <> lb THEN 1 END) AS n_spanning,
+         |  min(doc_id) AS first_doc
+         | FROM x GROUP BY bin ORDER BY bin"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_sample_weighted" ->

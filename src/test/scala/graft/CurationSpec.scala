@@ -193,6 +193,24 @@ class CurationSpec extends SparkSuite {
     assert(normed.count() === 0L, "nfc_normalize must be idempotent")
   }
 
+  test("sequence packing: every window full but the last, tokens conserved") {
+    val out = SparkEntry.queries("q_pipeline_pack")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val bins = out.map(_.getLong(0))
+    assert(bins.toSeq === (0L until bins.length).toSeq,
+      "windows must be contiguous from 0")
+    out.dropRight(1).foreach(r =>
+      assert(r.getLong(2) === 512L, s"window ${r.getLong(0)} not full"))
+    val total = graft.engine.Tables.documents(spark, sf)
+      .select(sum(size(split(lower(col("text")), " "))).cast("long"))
+      .collect()(0).getLong(0)
+    assert(out.map(_.getLong(2)).sum === total,
+      "packed token count must equal the corpus token count")
+    // every boundary between consecutive windows is crossed by either a
+    // spanning doc or an exact doc boundary — n_docs per window >= 1
+    out.foreach(r => assert(r.getLong(1) >= 1L))
+  }
+
   test("native expression edges: mismatched length -> null, zero norm -> 0.0") {
     graft.engine.functions.GraftFunctions.register(spark)
     val r = spark.sql(
