@@ -87,7 +87,15 @@ object Bench {
       // the parquet scan, so it belongs in the headline
       "q_text_html_extract",
       // round-6: windows + bin-explode shuffle over the corpus
-      "q_pipeline_pack")
+      "q_pipeline_pack",
+      // round-6 batch 2: fact-scale join chain (q7), events shuffles
+      // (retention fan-out + interpolation windows), the PQ learn/encode/
+      // rerank pipeline, and the HOF entropy fold (CPU-bound per row)
+      "q_shape_q7", "q_shape_retention", "q_ts_interpolate", "q_vec_pq",
+      "q_text_entropy",
+      // round-6 batch 3: lineitem⋈part fact joins (q14/q19) and the
+      // corpus-wide prefix-sum sharding
+      "q_shape_q14", "q_shape_q19", "q_pipeline_shard")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

@@ -190,6 +190,104 @@ object Analytics {
           col("o_totalprice"), col("total_qty"))
         .orderBy(desc("total_qty"), asc("o_orderkey"))
         .limit(50)
+    },
+
+    // Q7 shape: volume shipping between nations — bilateral revenue per
+    // (supplier nation, customer nation, ship year) within a 4-nation
+    // bloc. The nation dimensions are filtered to the bloc BEFORE joining
+    // the fact chain, so the supplier join is a selective broadcast
+    // semi-filter over lineitem (at 100 TB: ~4/25 of suppliers survive,
+    // pruning the fact scan before the orders shuffle); the cross-side
+    // supp≠cust predicate runs after the joins on the reduced stream.
+    "q_shape_q7" -> { (s, d) =>
+      val bloc = Seq("NATION_1", "NATION_2", "NATION_3", "NATION_4")
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name").isin(bloc: _*))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d).filter(col("n_name").isin(bloc: _*))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(dsum(revenue, 4).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+
+    // Q14 shape: promo revenue share for one ship month — conditional
+    // aggregation over the lineitem⋈part join. part scales with the fact
+    // tables (it is NOT broadcast; the join shuffles on partkey and the
+    // selective shipdate filter prunes lineitem first), and both the
+    // promo numerator and the total denominator come out of ONE pass.
+    "q_shape_q14" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1996-02-01").cast("timestamp"))
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .agg(
+          eround(lit(100) *
+            dsum(when(col("p_type") === "PROMO", revenue).otherwise(0), 4)
+            / dsum(revenue, 4), 4).as("promo_pct"),
+          dsum(when(col("p_type") === "PROMO", revenue).otherwise(0), 4)
+            .as("promo_revenue"),
+          dsum(revenue, 4).as("total_revenue"),
+          count(lit(1)).as("n_items"))
+    },
+
+    // Q19 shape: discounted revenue under an OR-of-ANDs predicate
+    // (brand × size-range × quantity-range arms) — the classic test that
+    // a disjunctive join predicate still prunes: the part-side arms
+    // (brand, size) push below the join, the lineitem quantity bounds
+    // push to the scan, and the per-arm conjunction evaluates on the
+    // joined row. Grouped by brand so each arm's contribution is visible.
+    "q_shape_q19" -> { (s, d) =>
+      val arm1 = (col("p_brand") === "Brand#1")
+        .and(col("p_size").between(1, 15))
+        .and(col("l_quantity").between(1, 20))
+      val arm2 = (col("p_brand") === "Brand#7")
+        .and(col("p_size").between(5, 30))
+        .and(col("l_quantity").between(10, 35))
+      val arm3 = (col("p_brand") === "Brand#13")
+        .and(col("p_size").between(10, 50))
+        .and(col("l_quantity").between(20, 50))
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .filter(arm1 || arm2 || arm3)
+        .groupBy(col("p_brand"))
+        .agg(dsum(revenue, 4).as("revenue"), count(lit(1)).as("n_items"))
+        .orderBy(col("p_brand"))
+    },
+
+    // DAU / rolling-7-day-distinct (WAU) retention with the stickiness
+    // ratio — the product-analytics daily board. SINGLE-SCAN shape: raw
+    // events shrink to DISTINCT (day, user) pairs (one shuffle, partial
+    // dedup map-side); each pair then fans out to the ≤7 window-days it
+    // serves carrying an offset-zero flag, and ONE grouped dual
+    // count-distinct produces wau (all offsets) and dau (offset 0)
+    // together — no range-self-join, no second scan of events, and the
+    // observed-days restriction falls out as `dau > 0` (a window-day
+    // exists in the calendar iff someone was active exactly then).
+    // Linear in distinct pairs, never in raw events.
+    "q_shape_retention" -> { (s, d) =>
+      val du = Tables.events(s, d)
+        .select(to_date(col("ts")).as("d"), col("user_id")).distinct()
+      du.select(col("user_id"), col("d"),
+          explode(sequence(lit(0), lit(6))).as("k"))
+        .select(date_add(col("d"), col("k")).as("d"),
+          col("user_id"), (col("k") === 0).as("today"))
+        .groupBy(col("d"))
+        .agg(countDistinct(when(col("today"), col("user_id"))).as("dau"),
+          countDistinct(col("user_id")).as("wau"))
+        .filter(col("dau") > 0)
+        .select(col("d"), col("dau"), col("wau"),
+          eround(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
+        .orderBy(col("d"))
     }
   )
 
@@ -312,6 +410,71 @@ object Analytics {
          |  ON o_orderkey = big.l_orderkey
          | JOIN customer ON o_custkey = c_custkey
          | ORDER BY total_qty DESC, o_orderkey ASC LIMIT 50"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_shape_q7" ->
+      s"""SELECT supp_nation, cust_nation, l_year,
+         | ${oSum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+         | FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |   CAST(year(l_shipdate) AS INT) AS l_year,
+         |   l_extendedprice, l_discount
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+         |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+         |  WHERE n1.n_name IN
+         |    ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+         |   AND n2.n_name IN
+         |    ('NATION_1', 'NATION_2', 'NATION_3', 'NATION_4')
+         |   AND n1.n_name <> n2.n_name)
+         | GROUP BY supp_nation, cust_nation, l_year
+         | ORDER BY supp_nation, cust_nation, l_year"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_shape_q14" ->
+      s"""SELECT
+         | round(100 * ${oSum("CASE WHEN p_type = 'PROMO' THEN " +
+          "l_extendedprice * (1 - l_discount) ELSE 0 END", 4)}
+         |   / ${oSum("l_extendedprice * (1 - l_discount)", 4)}
+         |   + 5e-10, 4) AS promo_pct,
+         | ${oSum("CASE WHEN p_type = 'PROMO' THEN " +
+          "l_extendedprice * (1 - l_discount) ELSE 0 END", 4)}
+         |   AS promo_revenue,
+         | ${oSum("l_extendedprice * (1 - l_discount)", 4)}
+         |   AS total_revenue,
+         | count(*) AS n_items
+         | FROM lineitem JOIN part ON l_partkey = p_partkey
+         | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1996-02-01'"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_shape_q19" ->
+      s"""SELECT p_brand,
+         | ${oSum("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+         | count(*) AS n_items
+         | FROM lineitem JOIN part ON l_partkey = p_partkey
+         | WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+         |    AND l_quantity BETWEEN 1 AND 20)
+         |  OR (p_brand = 'Brand#7' AND p_size BETWEEN 5 AND 30
+         |    AND l_quantity BETWEEN 10 AND 35)
+         |  OR (p_brand = 'Brand#13' AND p_size BETWEEN 10 AND 50
+         |    AND l_quantity BETWEEN 20 AND 50)
+         | GROUP BY p_brand ORDER BY p_brand"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_shape_retention" ->
+      """WITH du AS (SELECT DISTINCT
+        |   CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d, user_id FROM events),
+        | days AS (SELECT DISTINCT d FROM du),
+        | dau AS (SELECT d, count(*) AS dau FROM du GROUP BY d),
+        | wau AS (SELECT days.d AS d, count(DISTINCT du.user_id) AS wau
+        |   FROM days JOIN du ON du.d BETWEEN days.d - 6 AND days.d
+        |   GROUP BY days.d)
+        | SELECT d, dau, wau,
+        |  round(CAST(dau AS DOUBLE) / wau + 5e-10, 4) AS stickiness
+        | FROM dau JOIN wau USING (d) ORDER BY d"""
         .stripMargin.replaceAll("\n", " ")
   )
 }

@@ -76,6 +76,53 @@ object Events {
           coalesce(col("n_ev"), lit(0L)).as("n_ev"),
           last(col("v"), ignoreNulls = true).over(w).as("v_ffill"))
         .orderBy(col("user_id"), col("h"))
+    },
+
+    // Linear-interpolation gap fill — the second resampling policy beside
+    // forward fill: a missing hour takes the value lerped between the
+    // nearest observed hours on either side. Same one-shuffle shape as
+    // q_ts_resample (everything after the hourly rollup runs inside a
+    // single user_id partition ordering); the bracketing observations
+    // come from last/first(ignoreNulls) over the preceding/following
+    // frames — no self-join against the observation set. Parity: the
+    // fraction is a ratio of exact integer second deltas and the lerp is
+    // the same IEEE expression on both engines; eround is display-only.
+    "q_ts_interpolate" -> { (s, d) =>
+      val hourly = Tables.events(s, d).filter(col("user_id") < 10)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+          col("value"))
+        .groupBy(col("user_id"), col("h"))
+        .agg(lsum(col("value")).as("v"))
+      val grid = hourly.groupBy(col("user_id"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("user_id"), explode(
+          sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("h"))
+      val base = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("h"))
+      val wp = base.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wn = base.rowsBetween(
+        0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      val obsH = when(col("v").isNotNull, col("h"))
+      val f = grid.join(hourly, Seq("user_id", "h"), "left")
+        .select(col("user_id"), col("h"), col("v"),
+          last(col("v"), ignoreNulls = true).over(wp).as("v_prev"),
+          last(obsH, ignoreNulls = true).over(wp).as("h_prev"),
+          first(col("v"), ignoreNulls = true).over(wn).as("v_next"),
+          first(obsH, ignoreNulls = true).over(wn).as("h_next"))
+      val frac = (unix_timestamp(col("h")) - unix_timestamp(col("h_prev")))
+        .cast("double") /
+        (unix_timestamp(col("h_next")) - unix_timestamp(col("h_prev")))
+          .cast("double")
+      f.select(col("user_id"), col("h"), col("v").as("v_obs"),
+          eround(
+            when(col("v").isNotNull, col("v"))
+              .when(col("v_prev").isNull, col("v_next"))
+              .when(col("v_next").isNull, col("v_prev"))
+              .otherwise(col("v_prev")
+                + (col("v_next") - col("v_prev")) * frac), 4)
+            .as("v_interp"))
+        .orderBy(col("user_id"), col("h"))
     }
   )
 
@@ -134,6 +181,38 @@ object Events {
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ffill
          | FROM grid g LEFT JOIN hourly USING (user_id, h)
          | ORDER BY user_id, h"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_ts_interpolate" ->
+      s"""WITH hourly AS (SELECT user_id,
+         |   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         |   ${oLsum("value")} AS v
+         |  FROM events WHERE user_id < 10 GROUP BY user_id, h),
+         | grid AS (SELECT user_id,
+         |   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+         |  FROM (SELECT user_id, min(h) AS h0, max(h) AS h1
+         |        FROM hourly GROUP BY user_id)),
+         | f AS (SELECT g.user_id, g.h, v,
+         |   last_value(v IGNORE NULLS) OVER wp AS v_prev,
+         |   last_value(CASE WHEN v IS NOT NULL THEN g.h END IGNORE NULLS)
+         |     OVER wp AS h_prev,
+         |   first_value(v IGNORE NULLS) OVER wn AS v_next,
+         |   first_value(CASE WHEN v IS NOT NULL THEN g.h END IGNORE NULLS)
+         |     OVER wn AS h_next
+         |  FROM grid g LEFT JOIN hourly USING (user_id, h)
+         |  WINDOW wp AS (PARTITION BY g.user_id ORDER BY g.h
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         |   wn AS (PARTITION BY g.user_id ORDER BY g.h
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+         | SELECT user_id, h, v AS v_obs,
+         |  round(CASE WHEN v IS NOT NULL THEN v
+         |    WHEN v_prev IS NULL THEN v_next
+         |    WHEN v_next IS NULL THEN v_prev
+         |    ELSE v_prev + (v_next - v_prev) *
+         |     (CAST(date_diff('second', h_prev, h) AS DOUBLE)
+         |      / CAST(date_diff('second', h_prev, h_next) AS DOUBLE))
+         |  END + 5e-10, 4) AS v_interp
+         | FROM f ORDER BY user_id, h"""
         .stripMargin.replaceAll("\n", " ")
   )
 }

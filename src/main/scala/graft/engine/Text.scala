@@ -328,6 +328,59 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // Lexicon/blocklist filtering (the C4 "bad-words" gate): per-doc hit
+    // count against a curated term list + hit-rate keep/drop flag. The
+    // lexicon is a broadcast-free LITERAL array folded per row
+    // (size(filter(tokens, contains))) — map-only at any scale; a real
+    // deployment swaps the literal for a broadcast variable, same plan
+    // shape. "spam" never occurs in the fixture vocabulary, exercising
+    // the zero-hit path alongside the hot "slow"/"dup" terms.
+    "q_text_blocklist" -> { (s, d) =>
+      val lex = array(lit("slow"), lit("dup"), lit("spam"))
+      Tables.documents(s, d)
+        .withColumn("t", toks(col("text")))
+        .select(col("doc_id"),
+          size(col("t")).as("n_tok"),
+          size(filter(col("t"), x => array_contains(lex, x))).as("n_hits"))
+        .withColumn("hit_rate",
+          eround(col("n_hits").cast("double") / col("n_tok"), 6))
+        .withColumn("keep", col("hit_rate") <= 0.05)
+        .orderBy(col("doc_id"))
+    },
+
+    // Per-document token Shannon entropy (base 2) — the information-
+    // density quality signal (low entropy = TEMPLATED/repetitive text).
+    // MAP-ONLY like q_text_repetition, but via pure higher-order
+    // functions instead of a native expression: sort the token array,
+    // fold it counting runs, and accumulate Σ c·log2(c); then
+    // H = log2(n) − Σ c·log2(c) / n. The oracle is DuckDB's builtin
+    // entropy() aggregate over unnested tokens — a genuinely different
+    // formulation (−Σ p·log2 p in hash order), so eround(6) absorbs the
+    // last-ulp summation differences while pinning the mathematics.
+    "q_text_entropy" -> { (s, d) =>
+      val acc = expr(
+        """aggregate(
+          |  array_sort(split(lower(text), ' ')),
+          |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L,
+          |               'acc', CAST(0 AS DOUBLE)),
+          |  (st, t) -> IF(t <=> st.prev,
+          |    named_struct('prev', t, 'run', st.run + 1L, 'acc', st.acc),
+          |    named_struct('prev', t, 'run', 1L,
+          |      'acc', st.acc + IF(st.run > 0L,
+          |        CAST(st.run AS DOUBLE) * log2(CAST(st.run AS DOUBLE)),
+          |        CAST(0 AS DOUBLE)))),
+          |  st -> st.acc + IF(st.run > 0L,
+          |    CAST(st.run AS DOUBLE) * log2(CAST(st.run AS DOUBLE)),
+          |    CAST(0 AS DOUBLE)))""".stripMargin)
+      Tables.documents(s, d)
+        .withColumn("t", toks(col("text")))
+        .select(col("doc_id"), size(col("t")).as("n_tok"),
+          size(array_distinct(col("t"))).as("n_dist"),
+          eround(log2(size(col("t")).cast("double"))
+            - acc / size(col("t")).cast("double"), 6).as("entropy"))
+        .orderBy(col("doc_id"))
+    },
+
     // Per-document repetition signals (the Gopher/C4-style quality rule:
     // heavily repeated n-grams mark boilerplate/spam): fraction of bigram
     // occurrences taken by the most frequent bigram + distinct-token
@@ -915,6 +968,49 @@ object Text {
         .orderBy(col("bin"))
     },
 
+    // Output sharding — the writer-side sibling of q_pipeline_pack: WHOLE
+    // documents assign greedily (in doc_id order) to shards of ~2048
+    // tokens by their start offset, so shard files land near the target
+    // size without splitting a document. A shard can exceed the budget by
+    // at most one document's tail — the documented greedy bound,
+    // surfaced per shard as `n_tok`. Same three-level tree prefix sum as
+    // pack/sample_weighted (the only unpartitioned window runs at
+    // super-shard level, ~10⁶× smaller than the data); integer addition
+    // keeps every offset exact under any partitioning.
+    "q_pipeline_shard" -> { (s, d) =>
+      val wnd = org.apache.spark.sql.expressions.Window
+      val B = 2048L
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), size(toks(col("text"))).cast("long").as("w"))
+        .withColumn("shard", expr("doc_id DIV 1000"))
+      val intra = docs.withColumn("intra",
+        sum(col("w")).over(wnd.partitionBy(col("shard"))
+          .orderBy(col("doc_id")).rowsBetween(wnd.unboundedPreceding, 0)))
+      val shardTot = docs.groupBy(col("shard"))
+        .agg(sum(col("w")).as("st"))
+        .withColumn("sup", expr("shard DIV 1000"))
+        .withColumn("soff", coalesce(sum(col("st")).over(
+          wnd.partitionBy(col("sup")).orderBy(col("shard"))
+            .rowsBetween(wnd.unboundedPreceding, -1)), lit(0L)))
+      val supOffs = shardTot.groupBy(col("sup"))
+        .agg(sum(col("st")).as("sut"))
+        .withColumn("sup_off", coalesce(sum(col("sut")).over(
+          wnd.orderBy(col("sup")).rowsBetween(wnd.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col("sup"), col("sup_off"))
+      val offs = shardTot.join(broadcast(supOffs), "sup")
+        .select(col("shard"), (col("sup_off") + col("soff")).as("shard_off"))
+      intra.join(broadcast(offs), "shard")
+        .withColumn("off", col("shard_off") + col("intra") - col("w"))
+        .withColumn("shard_id", expr(s"off DIV $B"))
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("w")).cast("long").as("n_tok"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("shard_id"))
+    },
+
     // Rolling polynomial fingerprint: h = fold((h*31 + ascii(ch)) mod p).
     "q_text_fingerprint" -> { (s, d) =>
       Tables.documents(s, d)
@@ -1176,6 +1272,26 @@ object Text {
          | FROM documents ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
 
+    "q_text_blocklist" ->
+      s"""SELECT doc_id, n_tok, n_hits,
+         | round(CAST(n_hits AS DOUBLE) / n_tok + 5e-10, 6) AS hit_rate,
+         | round(CAST(n_hits AS DOUBLE) / n_tok + 5e-10, 6) <= 0.05 AS keep
+         | FROM (SELECT doc_id, len($oToks) AS n_tok,
+         |   len(list_filter($oToks,
+         |     x -> list_contains(['slow', 'dup', 'spam'], x))) AS n_hits
+         |  FROM documents) ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_text_entropy" ->
+      s"""WITH t AS (SELECT doc_id, unnest($oToks) AS tok FROM documents),
+         | e AS (SELECT doc_id, entropy(tok) AS h FROM t GROUP BY doc_id)
+         | SELECT d.doc_id, len($oToks) AS n_tok,
+         |  len(list_distinct($oToks)) AS n_dist,
+         |  round(h + 5e-10, 6) AS entropy
+         | FROM documents d JOIN e ON d.doc_id = e.doc_id
+         | ORDER BY d.doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
     "q_text_repetition" ->
       s"""WITH t AS (SELECT doc_id, $oToks AS tk FROM documents),
          | bg AS (SELECT doc_id, len(tk) AS n_tok,
@@ -1281,6 +1397,18 @@ object Text {
          |  count(CASE WHEN fb <> lb THEN 1 END) AS n_spanning,
          |  min(doc_id) AS first_doc
          | FROM x GROUP BY bin ORDER BY bin"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_pipeline_shard" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($oToks) AS BIGINT) AS w
+         |  FROM documents),
+         | c AS (SELECT doc_id, w, CAST(sum(w) OVER (ORDER BY doc_id
+         |   ROWS UNBOUNDED PRECEDING) AS BIGINT) - w AS off FROM d),
+         | x AS (SELECT doc_id, w, off // 2048 AS shard_id FROM c)
+         | SELECT shard_id, count(*) AS n_docs,
+         |  CAST(sum(w) AS BIGINT) AS n_tok,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         | FROM x GROUP BY shard_id ORDER BY shard_id"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_sample_weighted" ->

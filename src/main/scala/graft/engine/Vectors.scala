@@ -473,6 +473,87 @@ object Vectors {
         .orderBy(col("vec_id"))
     },
 
+    // Product quantization (Jégou et al., PQ) — the memory-compressed ANN
+    // path beside IVF: each 64-dim vector splits into m=4 contiguous
+    // 16-dim subvectors; per subspace a 16-entry codebook is learned with
+    // 2 Lloyd iterations (seeded from the first 16 vectors); every vector
+    // encodes as 4 one-byte codes (16× compression of the micros array);
+    // probes score candidates by ADC — a per-probe 4×16 distance TABLE,
+    // approx distance = Σ_sub table[code] — then the ADC top-200
+    // SHORTLIST is reranked with the exact full-vector distance (the
+    // production PQ shape: codes generate candidates, originals decide).
+    // ORACLE-EXACT like q_vec_kmeans: integer-micros quantization, exact
+    // BIGINT squared distances, truncating-division centroid updates,
+    // (dist, id) tie-breaks — the unrolled SQL replay is bit-identical,
+    // no epsilon. Scale shape: the codebooks (4×16 rows) and the probes'
+    // distance tables (probes×64 rows) broadcast; encoding is a map-side
+    // argmin via partial-agg min(struct); the ADC join touches each code
+    // row once per probe and partial-aggregates the 4-term sums map-side;
+    // the rerank broadcasts the probes×200 shortlist back against the
+    // corpus scan (a semi-join — only shortlisted vectors are decoded);
+    // the only windows run per-probe over candidate scores (bounded
+    // probe set), mirroring q_sim_topk. Subvector extraction is a
+    // per-row slice — no shuffle.
+    "q_vec_pq" -> { (s, d) =>
+      GraftFunctions.register(s)
+      val qs = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => round(x.cast("double") * 1e6).cast("long")).as("q"))
+      val subs = qs
+        .withColumn("sd", expr("size(q) DIV 4"))
+        .select(col("vec_id"),
+          explode(sequence(lit(0), lit(3))).as("sub_id"),
+          expr("slice(q, sub_id * sd + 1, sd)").as("sv"))
+      // cb: (sub_id, c_id, cv); assignment = per-(vector, subspace) argmin
+      def assign(cb: DataFrame): DataFrame =
+        subs.join(broadcast(cb), Seq("sub_id"))
+          .withColumn("dist", expr("int_sqdist(sv, cv)"))
+          .groupBy(col("vec_id"), col("sub_id"))
+          .agg(min(struct(col("dist"), col("c_id"))).as("m"))
+          .select(col("vec_id"), col("sub_id"), col("m.c_id").as("code"))
+      def update(asg: DataFrame): DataFrame =
+        asg.join(subs, Seq("vec_id", "sub_id"))
+          .select(col("sub_id"), col("code"), posexplode(col("sv")))
+          .groupBy(col("sub_id"), col("code"), col("pos"))
+          .agg(expr("sum(col) DIV count(1)").as("cx"))
+          .groupBy(col("sub_id"), col("code"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"),
+            col("cx")))), t => t.getField("cx")).as("cv"))
+          .select(col("sub_id"), col("code").as("c_id"), col("cv"))
+      val seed = subs.filter(col("vec_id") < 16)
+        .select(col("sub_id"), col("vec_id").as("c_id"), col("sv").as("cv"))
+      val cb = update(assign(update(assign(seed))))
+      val enc = assign(cb)
+      // ADC: per-probe distance table over the learned codebooks
+      val dt = subs.filter(col("vec_id") < 10)
+        .join(broadcast(cb), Seq("sub_id"))
+        .withColumn("pd", expr("int_sqdist(sv, cv)"))
+        .select(col("vec_id").as("probe_id"), col("sub_id"),
+          col("c_id").as("code"), col("pd"))
+      val wAdc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id")).orderBy(asc("ad2"), asc("vec_id"))
+      val shortlist = enc.join(broadcast(dt), Seq("sub_id", "code"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .groupBy(col("probe_id"), col("vec_id"))
+        .agg(sum(col("pd")).as("ad2"))
+        .withColumn("rs", row_number().over(wAdc))
+        .filter(col("rs") <= 200)
+        .select(col("probe_id"), col("vec_id"), col("ad2"))
+      // exact rerank: decode only the shortlisted originals
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id")).orderBy(asc("d2"), asc("vec_id"))
+      qs.join(broadcast(shortlist), "vec_id")
+        .join(broadcast(qs.filter(col("vec_id") < 10)
+          .select(col("vec_id").as("probe_id"), col("q").as("pq"))),
+          Seq("probe_id"))
+        .withColumn("d2", expr("int_sqdist(q, pq)"))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 5)
+        .select(col("probe_id"), col("rnk"), col("vec_id"), col("d2"),
+          col("ad2"))
+        .orderBy(col("probe_id"), col("rnk"))
+    },
+
     // SemDeDup (Abbas et al. 2023) — semantic dedup via embedding
     // clusters: assign every vector to its nearest seed centroid, then
     // drop any vector whose squared integer-micros distance to a LOWER-id
@@ -697,6 +778,68 @@ object Vectors {
          | ${asg(3, "c2")}
          | SELECT vec_id, c_id AS cluster, CAST(dist AS BIGINT) AS dist
          | FROM b3 WHERE rn = 1 ORDER BY vec_id"""
+        .stripMargin.replaceAll("\n", " ")
+    },
+
+    "q_vec_pq" -> {
+      // same unrolled integer-exact replay as the kmeans oracle, with a
+      // (sub_id) grouping column threaded through every stage; dims stay
+      // GLOBAL indices (each codebook row carries its subspace's dims),
+      // which joins identically to the Spark side's per-sub slices
+      def asg(i: Int, cb: String) =
+        s"""a$i AS (SELECT e.vec_id, e.sub_id, c.c_id,
+           |   sum((e.x - c.c) * (e.x - c.c)) AS dist
+           |  FROM e JOIN $cb c
+           |   ON e.sub_id = c.sub_id AND e.dim = c.dim
+           |  GROUP BY e.vec_id, e.sub_id, c.c_id),
+           | b$i AS (SELECT vec_id, sub_id, c_id, row_number() OVER
+           |   (PARTITION BY vec_id, sub_id ORDER BY dist, c_id) AS rn
+           |  FROM a$i),
+           | g$i AS (SELECT vec_id, sub_id, c_id FROM b$i WHERE rn = 1)"""
+          .stripMargin
+      def upd(i: Int) =
+        s"""cb$i AS (SELECT g.sub_id, g.c_id, e.dim,
+           |  CAST(sum(e.x) AS BIGINT) // count(*) AS c
+           | FROM e JOIN g$i g
+           |  ON e.vec_id = g.vec_id AND e.sub_id = g.sub_id
+           | GROUP BY g.sub_id, g.c_id, e.dim)"""
+          .stripMargin
+      s"""WITH e AS (SELECT vec_id,
+         |   CAST((i - 1) // (len(embedding) // 4) AS BIGINT) AS sub_id,
+         |   i AS dim, CAST(round(embedding[i] * 1e6) AS BIGINT) AS x
+         |  FROM embeddings,
+         |  LATERAL unnest(generate_series(1, len(embedding))) u(i)),
+         | cb0 AS (SELECT sub_id, vec_id AS c_id, dim, x AS c FROM e
+         |   WHERE vec_id < 16),
+         | ${asg(1, "cb0")}, ${upd(1)}, ${asg(2, "cb1")}, ${upd(2)},
+         | ${asg(3, "cb2")},
+         | dt AS (SELECT e.vec_id AS probe_id, e.sub_id, c.c_id AS code,
+         |   sum((e.x - c.c) * (e.x - c.c)) AS pd
+         |  FROM e JOIN cb2 c ON e.sub_id = c.sub_id AND e.dim = c.dim
+         |  WHERE e.vec_id < 10
+         |  GROUP BY probe_id, e.sub_id, c.c_id),
+         | ad AS (SELECT dt.probe_id, g.vec_id,
+         |   CAST(sum(dt.pd) AS BIGINT) AS ad2
+         |  FROM g3 g JOIN dt
+         |   ON g.sub_id = dt.sub_id AND g.c_id = dt.code
+         |  WHERE g.vec_id <> dt.probe_id
+         |  GROUP BY dt.probe_id, g.vec_id),
+         | sl AS (SELECT probe_id, vec_id, ad2 FROM (SELECT probe_id,
+         |   vec_id, ad2, row_number() OVER
+         |   (PARTITION BY probe_id ORDER BY ad2, vec_id) AS rs FROM ad)
+         |  WHERE rs <= 200),
+         | q AS (SELECT vec_id, list_transform(embedding,
+         |   x -> CAST(round(x * 1e6) AS BIGINT)) AS qv FROM embeddings),
+         | rr AS (SELECT sl.probe_id, sl.vec_id, sl.ad2,
+         |   list_reduce(list_transform(list_zip(cq.qv, pq.qv),
+         |     z -> (z[1]-z[2])*(z[1]-z[2])), (a, b) -> a + b) AS d2
+         |  FROM sl JOIN q cq ON sl.vec_id = cq.vec_id
+         |  JOIN q pq ON sl.probe_id = pq.vec_id),
+         | top AS (SELECT probe_id, vec_id, CAST(d2 AS BIGINT) AS d2, ad2,
+         |   row_number() OVER
+         |   (PARTITION BY probe_id ORDER BY d2, vec_id) AS rnk FROM rr)
+         | SELECT probe_id, rnk, vec_id, d2, ad2 FROM top
+         | WHERE rnk <= 5 ORDER BY probe_id, rnk"""
         .stripMargin.replaceAll("\n", " ")
     },
 

@@ -556,4 +556,152 @@ class EngineLawsSpec extends SparkSuite {
         s"$k: approx $a vs exact $e")
     }
   }
+
+  test("retention: wau bounds dau, stickiness in (0,1], first day equal") {
+    val rows = SparkEntry.queries("q_shape_retention")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dau, wau, st) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(wau >= dau, s"day ${r.get(0)}: wau $wau < dau $dau")
+      assert(st > 0 && st <= 1.0, s"day ${r.get(0)}: stickiness $st")
+    }
+    // the first observed day has no trailing window behind it
+    assert(rows.head.getLong(1) === rows.head.getLong(2))
+    // wau on any day never exceeds the 7-day sum of daus ending there
+    val daus = rows.map(r => r.getDate(0).toLocalDate -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val d = r.getDate(0).toLocalDate
+      val cap = (0 to 6).map(k => daus.getOrElse(d.minusDays(k), 0L)).sum
+      assert(r.getLong(2) <= cap)
+    }
+  }
+
+  test("interpolation: exact on observed hours, bracketed on gaps") {
+    val rows = SparkEntry.queries("q_ts_interpolate")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var gaps = 0
+    // group per user, walk the hourly series reconstructing brackets
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val series = rs.sortBy(_.getTimestamp(1).getTime)
+      val obs = series.filter(!_.isNullAt(2))
+        .map(r => r.getTimestamp(1).getTime -> r.getDouble(2))
+      series.foreach { r =>
+        val t = r.getTimestamp(1).getTime
+        val vi = r.getDouble(3)
+        if (!r.isNullAt(2)) {
+          assert(math.abs(vi - r.getDouble(2)) < 1e-9,
+            "observed hour must pass through unchanged")
+        } else {
+          gaps += 1
+          val before = obs.filter(_._1 < t).map(_._2)
+          val after = obs.filter(_._1 > t).map(_._2)
+          val (lo, hi) = (before.last, after.head)
+          assert(vi >= math.min(lo, hi) - 1e-9
+            && vi <= math.max(lo, hi) + 1e-9,
+            s"lerp $vi outside bracket [$lo, $hi]")
+        }
+      }
+    }
+    assert(gaps > 0, "fixture must exercise the interpolation branch")
+  }
+
+  test("token entropy bounded by log2(distinct), uniform text exact") {
+    val rows = SparkEntry.queries("q_text_entropy")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nDist, h) = (r.getInt(2), r.getDouble(3))
+      assert(h >= -1e-9, s"doc ${r.getLong(0)}: negative entropy $h")
+      // 1e-6: the displayed value is eround(6)'d, so a perfectly uniform
+      // doc (H = log2(n_dist) exactly) can round a half-grid above it
+      assert(h <= math.log(nDist.toDouble) / math.log(2.0) + 1e-6,
+        s"doc ${r.getLong(0)}: H=$h above log2($nDist)")
+    }
+    // all-distinct tokens => H = log2(n) exactly (every run has length 1)
+    import spark.implicits._
+    val toy = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    toy.createOrReplaceTempView("entropy_toy")
+    val h = spark.sql(
+      """SELECT aggregate(array_sort(split(lower(text), ' ')),
+        |  named_struct('prev', CAST(NULL AS STRING), 'run', 0L,
+        |               'acc', CAST(0 AS DOUBLE)),
+        |  (st, t) -> IF(t <=> st.prev,
+        |    named_struct('prev', t, 'run', st.run + 1L, 'acc', st.acc),
+        |    named_struct('prev', t, 'run', 1L,
+        |      'acc', st.acc + IF(st.run > 0L,
+        |        CAST(st.run AS DOUBLE) * log2(CAST(st.run AS DOUBLE)),
+        |        CAST(0 AS DOUBLE)))),
+        |  st -> st.acc + IF(st.run > 0L,
+        |    CAST(st.run AS DOUBLE) * log2(CAST(st.run AS DOUBLE)),
+        |    CAST(0 AS DOUBLE))) AS acc
+        |FROM entropy_toy""".stripMargin).head().getDouble(0)
+    assert(h === 0.0) // Σ c·log2 c with all c=1 — H = log2(4) - 0/4 = 2
+  }
+
+  test("blocklist: hits bounded, keep flag consistent with hit rate") {
+    val rows = SparkEntry.queries("q_text_blocklist")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var hitDocs = 0
+    rows.foreach { r =>
+      val (nTok, nHits, rate, keep) =
+        (r.getInt(1), r.getInt(2), r.getDouble(3), r.getBoolean(4))
+      assert(nHits >= 0 && nHits <= nTok)
+      assert(math.abs(rate - nHits.toDouble / nTok) < 1e-4)
+      assert(keep === (rate <= 0.05))
+      if (nHits > 0) hitDocs += 1
+    }
+    assert(hitDocs > 0, "lexicon terms must occur in the fixture")
+    assert(hitDocs < rows.length, "some docs must be clean")
+  }
+
+  test("q14 promo share bounded and consistent with its components") {
+    val r = SparkEntry.queries("q_shape_q14")(spark, sf).head()
+    val (pct, promo, total) =
+      (r.getDouble(0), r.getDouble(1), r.getDouble(2))
+    assert(pct >= 0.0 && pct <= 100.0)
+    assert(promo >= 0.0 && promo <= total)
+    assert(math.abs(pct - 100.0 * promo / total) < 1e-3)
+  }
+
+  test("q19 rows stay inside the predicate arms") {
+    val rows = SparkEntry.queries("q_shape_q19")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val arms = Set("Brand#1", "Brand#7", "Brand#13")
+    rows.foreach { r =>
+      assert(arms.contains(r.getString(0)))
+      assert(r.getDouble(1) > 0)
+    }
+  }
+
+  test("sharding conserves tokens, keeps doc ranges disjoint and ordered") {
+    val rows = SparkEntry.queries("q_pipeline_shard")(spark, sf).collect()
+    assert(rows.length > 1, "fixture must span several shards")
+    val total = Tables.documents(spark, sf)
+      .select(size(split(lower(col("text")), " ")).cast("long").as("w"))
+      .agg(sum(col("w"))).head().getLong(0)
+    assert(rows.map(_.getLong(2)).sum === total, "every token lands once")
+    assert(rows.map(_.getLong(0)).toSeq ===
+      (0L until rows.length.toLong), "shard ids contiguous from 0")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getLong(4) < b.getLong(3),
+        "doc id ranges must not overlap across shards")
+    }
+    // greedy bound: a non-final shard spans offsets [kB, (k+1)B) by doc
+    // START, so it holds at least B - w_max + 1 tokens where w_max is
+    // the longest document
+    val wMax = Tables.documents(spark, sf)
+      .select(size(split(lower(col("text")), " ")).cast("long").as("w"))
+      .agg(max(col("w"))).head().getLong(0)
+    rows.init.foreach(r => assert(r.getLong(2) >= 2048L - wMax + 1))
+  }
+
+  test("q7 bilateral groups stay inside the bloc, off-diagonal only") {
+    val bloc = Set("NATION_1", "NATION_2", "NATION_3", "NATION_4")
+    val rows = SparkEntry.queries("q_shape_q7")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (sn, cn) = (r.getString(0), r.getString(1))
+      assert(bloc.contains(sn) && bloc.contains(cn) && sn != cn)
+      assert(r.getDouble(3) > 0, "revenue positive")
+    }
+  }
 }
