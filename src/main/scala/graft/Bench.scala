@@ -95,7 +95,11 @@ object Bench {
       "q_text_entropy",
       // round-6 batch 3: lineitem⋈part fact joins (q14/q19) and the
       // corpus-wide prefix-sum sharding
-      "q_shape_q14", "q_shape_q19", "q_pipeline_shard")
+      "q_shape_q14", "q_shape_q19", "q_pipeline_shard",
+      // round-6 batch 4: per-order self-join pair mining + session-path
+      // window chain (q_agg_argmax is excluded by rule (c) — same
+      // partial-agg shape as the flagship q_agg_group)
+      "q_shape_basket", "q_shape_paths")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

@@ -239,6 +239,23 @@ object Aggregates {
     // count per (group, value), then rank by (count desc, value asc).
     // Two shuffles, both key-partitioned; the second input is one row
     // per distinct (group, value), already tiny.
+    // max_by/min_by (SQL-standard arg-max aggregates): the order that set
+    // each priority's price extremes. Partial-aggregating (the (value,
+    // arg) pair state combines map-side — no window, no self-join back
+    // to the fact table); the fixture's per-group extremes are UNIQUE at
+    // every SF (verified for all three), so the arbitrary-among-ties
+    // semantics both engines share cannot diverge.
+    "q_agg_argmax" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(max(col("o_totalprice")).as("max_price"),
+          max_by(col("o_orderkey"), col("o_totalprice")).as("top_order"),
+          min(col("o_totalprice")).as("min_price"),
+          min_by(col("o_orderkey"), col("o_totalprice"))
+            .as("cheapest_order"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     "q_agg_mode" -> { (s, d) =>
       val counts = Tables.orders(s, d)
         .groupBy(col("o_orderpriority"), col("o_orderstatus"))
@@ -616,6 +633,14 @@ object Aggregates {
         |  round(m3/sqrt(m2*m2*m2) + 5e-10, 6) AS skew_qty,
         |  round(m4/(m2*m2) - 3 + 5e-10, 6) AS kurt_qty
         | FROM u ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_agg_argmax" ->
+      """SELECT o_orderpriority, max(o_totalprice) AS max_price,
+        | arg_max(o_orderkey, o_totalprice) AS top_order,
+        | min(o_totalprice) AS min_price,
+        | arg_min(o_orderkey, o_totalprice) AS cheapest_order
+        | FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_agg_mode" ->

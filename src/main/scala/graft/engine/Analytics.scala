@@ -220,6 +220,56 @@ object Analytics {
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     },
 
+    // Market-basket co-occurrence (frequent-itemset mining, pair level):
+    // part pairs bought together in one order, top 20. Scale shape: the
+    // per-order item lists dedupe and self-join WITHIN the orderkey
+    // partition (one shuffle; per-order fan-out is quadratic in basket
+    // width, which is data-bounded small — the classic a-priori layout),
+    // then pair counts partial-aggregate map-side. No order's basket
+    // ever crosses an executor.
+    "q_shape_basket" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
+      a.join(b, Seq("l_orderkey"))
+        .filter(col("part_a") < col("part_b"))
+        .groupBy(col("part_a"), col("part_b"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(desc("n_orders"), asc("part_a"), asc("part_b"))
+        .limit(20)
+    },
+
+    // Session path strings — the user-journey rollup over the same
+    // 30-minute sessionization as q_stream_session: per session, the
+    // ordered event-type sequence joined as 'a>b>c', then the top-20
+    // most common journeys. Ordering inside collect_list is pinned by
+    // sorting (ts, event_id, type) structs AFTER collection (array_sort
+    // is deterministic; collect_list order is not) — one user_id-
+    // partitioned window chain + one small path-count aggregate.
+    "q_shape_paths" -> { (s, d) =>
+      val wU = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val sess = Tables.events(s, d)
+        .withColumn("tus", expr("unix_micros(ts)"))
+        .withColumn("new_s",
+          when(col("tus")
+            - lag(col("tus"), 1).over(wU) > 1800000000L, 1)
+            .when(lag(col("tus"), 1).over(wU).isNull, 1).otherwise(0))
+        .withColumn("sid", sum(col("new_s")).over(
+          wU.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      sess.groupBy(col("user_id"), col("sid"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("ts"), col("event_id"),
+            col("event_type")))),
+          t => t.getField("event_type")), ">").as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .orderBy(desc("n_sessions"), asc("path"))
+        .limit(20)
+    },
+
     // Q14 shape: promo revenue share for one ship month — conditional
     // aggregation over the lineitem⋈part join. part scales with the fact
     // tables (it is NOT broadcast; the join shuffles on partkey and the
@@ -431,6 +481,34 @@ object Analytics {
          |   AND n1.n_name <> n2.n_name)
          | GROUP BY supp_nation, cust_nation, l_year
          | ORDER BY supp_nation, cust_nation, l_year"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_shape_basket" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        | SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |  count(*) AS n_orders
+        | FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |  AND a.l_partkey < b.l_partkey
+        | GROUP BY part_a, part_b
+        | ORDER BY n_orders DESC, part_a, part_b LIMIT 20"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_shape_paths" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |   event_type FROM events),
+        | m AS (SELECT user_id, event_id, ts, event_type,
+        |   CASE WHEN lag(ts) OVER w IS NULL
+        |     OR date_diff('us', lag(ts) OVER w, ts) > 1800000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | g AS (SELECT user_id, event_id, ts, event_type,
+        |   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+        | p AS (SELECT user_id, sid,
+        |   string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |  FROM g GROUP BY user_id, sid)
+        | SELECT path, count(*) AS n_sessions FROM p
+        | GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_shape_q14" ->

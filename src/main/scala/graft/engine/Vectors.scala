@@ -504,15 +504,21 @@ object Vectors {
         .select(col("vec_id"),
           explode(sequence(lit(0), lit(3))).as("sub_id"),
           expr("slice(q, sub_id * sd + 1, sd)").as("sv"))
+      // Codebooks train on a deterministic SAMPLE (vec_id < 256), not the
+      // corpus — at 100 TB the Lloyd iterations would otherwise rescan
+      // the full table once per assign/update; with a sample the corpus
+      // is touched exactly twice (encode + rerank decode), which is the
+      // production PQ shape (train offline, encode in one pass).
+      val sample = subs.filter(col("vec_id") < 256)
       // cb: (sub_id, c_id, cv); assignment = per-(vector, subspace) argmin
-      def assign(cb: DataFrame): DataFrame =
-        subs.join(broadcast(cb), Seq("sub_id"))
+      def assign(over: DataFrame, cb: DataFrame): DataFrame =
+        over.join(broadcast(cb), Seq("sub_id"))
           .withColumn("dist", expr("int_sqdist(sv, cv)"))
           .groupBy(col("vec_id"), col("sub_id"))
           .agg(min(struct(col("dist"), col("c_id"))).as("m"))
           .select(col("vec_id"), col("sub_id"), col("m.c_id").as("code"))
       def update(asg: DataFrame): DataFrame =
-        asg.join(subs, Seq("vec_id", "sub_id"))
+        asg.join(sample, Seq("vec_id", "sub_id"))
           .select(col("sub_id"), col("code"), posexplode(col("sv")))
           .groupBy(col("sub_id"), col("code"), col("pos"))
           .agg(expr("sum(col) DIV count(1)").as("cx"))
@@ -520,10 +526,10 @@ object Vectors {
           .agg(transform(array_sort(collect_list(struct(col("pos"),
             col("cx")))), t => t.getField("cx")).as("cv"))
           .select(col("sub_id"), col("code").as("c_id"), col("cv"))
-      val seed = subs.filter(col("vec_id") < 16)
+      val seed = sample.filter(col("vec_id") < 16)
         .select(col("sub_id"), col("vec_id").as("c_id"), col("sv").as("cv"))
-      val cb = update(assign(update(assign(seed))))
-      val enc = assign(cb)
+      val cb = update(assign(sample, update(assign(sample, seed))))
+      val enc = assign(subs, cb)
       // ADC: per-probe distance table over the learned codebooks
       val dt = subs.filter(col("vec_id") < 10)
         .join(broadcast(cb), Seq("sub_id"))
@@ -786,10 +792,12 @@ object Vectors {
       // (sub_id) grouping column threaded through every stage; dims stay
       // GLOBAL indices (each codebook row carries its subspace's dims),
       // which joins identically to the Spark side's per-sub slices
-      def asg(i: Int, cb: String) =
+      // learning CTEs (asg1/2 + upd1/2) read the `es` SAMPLE; only the
+      // final encode (asg3) touches the full long-format table
+      def asg(i: Int, cb: String, over: String) =
         s"""a$i AS (SELECT e.vec_id, e.sub_id, c.c_id,
            |   sum((e.x - c.c) * (e.x - c.c)) AS dist
-           |  FROM e JOIN $cb c
+           |  FROM $over e JOIN $cb c
            |   ON e.sub_id = c.sub_id AND e.dim = c.dim
            |  GROUP BY e.vec_id, e.sub_id, c.c_id),
            | b$i AS (SELECT vec_id, sub_id, c_id, row_number() OVER
@@ -800,7 +808,7 @@ object Vectors {
       def upd(i: Int) =
         s"""cb$i AS (SELECT g.sub_id, g.c_id, e.dim,
            |  CAST(sum(e.x) AS BIGINT) // count(*) AS c
-           | FROM e JOIN g$i g
+           | FROM es e JOIN g$i g
            |  ON e.vec_id = g.vec_id AND e.sub_id = g.sub_id
            | GROUP BY g.sub_id, g.c_id, e.dim)"""
           .stripMargin
@@ -809,10 +817,11 @@ object Vectors {
          |   i AS dim, CAST(round(embedding[i] * 1e6) AS BIGINT) AS x
          |  FROM embeddings,
          |  LATERAL unnest(generate_series(1, len(embedding))) u(i)),
+         | es AS (SELECT * FROM e WHERE vec_id < 256),
          | cb0 AS (SELECT sub_id, vec_id AS c_id, dim, x AS c FROM e
          |   WHERE vec_id < 16),
-         | ${asg(1, "cb0")}, ${upd(1)}, ${asg(2, "cb1")}, ${upd(2)},
-         | ${asg(3, "cb2")},
+         | ${asg(1, "cb0", "es")}, ${upd(1)}, ${asg(2, "cb1", "es")},
+         | ${upd(2)}, ${asg(3, "cb2", "e")},
          | dt AS (SELECT e.vec_id AS probe_id, e.sub_id, c.c_id AS code,
          |   sum((e.x - c.c) * (e.x - c.c)) AS pd
          |  FROM e JOIN cb2 c ON e.sub_id = c.sub_id AND e.dim = c.dim

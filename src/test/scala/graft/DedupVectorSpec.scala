@@ -112,7 +112,7 @@ class DedupVectorSpec extends SparkSuite {
     val hits = pq.count(r => exact.contains((r.getLong(0), r.getLong(2))))
     val recall = hits.toDouble / exact.size
     info(f"pq recall vs exact top-5: $recall%.2f ($hits/${exact.size})")
-    // ADC top-200 shortlist covers 0.96 of the exact top-5 at this SF
+    // ADC top-200 shortlist covers 0.98 of the exact top-5 at this SF
     // (random structureless embeddings quantize noisily); the exact
     // rerank makes every covered neighbor surface in order.
     assert(recall >= 0.9, f"pq recall $recall%.2f below 0.9 gate")
@@ -132,8 +132,8 @@ class DedupVectorSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1)))
     val recall = pq.count(exact.contains).toDouble / exact.size
     info(f"pq recall vs exact top-5 at sf0.1: $recall%.2f")
-    // measured 0.86 with the 200-wide shortlist (4% of the sf0.1
-    // corpus); the gate leaves headroom for fixture regeneration noise
+    // measured 0.82 with sample-trained codebooks and the 200-wide
+    // shortlist (4% of the sf0.1 corpus); headroom for fixture noise
     assert(recall >= 0.75,
       f"sf0.1 pq recall $recall%.2f below the floor — shortlist " +
         "width no longer matches the corpus size")

@@ -653,6 +653,54 @@ class EngineLawsSpec extends SparkSuite {
     assert(hitDocs < rows.length, "some docs must be clean")
   }
 
+  test("argmax rows carry the price their arg achieves") {
+    val rows = SparkEntry.queries("q_agg_argmax")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byKey = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      assert(byKey(r.getLong(2)) === r.getDouble(1),
+        "top_order must be the row that set max_price")
+      assert(byKey(r.getLong(4)) === r.getDouble(3),
+        "cheapest_order must be the row that set min_price")
+      assert(r.getDouble(3) <= r.getDouble(1))
+    }
+  }
+
+  test("basket pairs are ordered, distinct, and support-bounded") {
+    val rows = SparkEntry.queries("q_shape_basket")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val orders = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey")).distinct().count()
+    val seen = scala.collection.mutable.Set[(Long, Long)]()
+    var prev = Long.MaxValue
+    rows.foreach { r =>
+      val (a, b, n) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(a < b, "pair canonical order")
+      assert(seen.add((a, b)), "no duplicate pairs")
+      assert(n >= 1 && n <= orders, "support bounded by order count")
+      assert(n <= prev, "descending by support"); prev = n
+    }
+  }
+
+  test("session paths agree with the session-window sessionization") {
+    val rows = SparkEntry.queries("q_shape_paths")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val types = Tables.events(spark, sf)
+      .select(col("event_type")).distinct().collect()
+      .map(_.getString(0)).toSet
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 1)
+      r.getString(0).split(">").foreach(t =>
+        assert(types.contains(t), s"unknown event type '$t' in path"))
+    }
+    // the top-20 paths can't hold more sessions than sessionization
+    // produced in total (same 30-min gap rule as q_stream_session)
+    val sessions = SparkEntry.queries("q_stream_session")(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum <= sessions)
+  }
+
   test("q14 promo share bounded and consistent with its components") {
     val r = SparkEntry.queries("q_shape_q14")(spark, sf).head()
     val (pct, promo, total) =
