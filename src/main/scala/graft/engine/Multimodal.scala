@@ -90,6 +90,92 @@ object Multimodal {
     }
   }
 
+  /** Minimal REAL BMP (Windows V3, 24bpp uncompressed) codec — pure
+    * bytes like [[Ppm]]: 14-byte BITMAPFILEHEADER + 40-byte
+    * BITMAPINFOHEADER, pixel rows stored BOTTOM-UP in BGR order with
+    * each row zero-padded to a 4-byte boundary — the three layout
+    * quirks (row inversion, channel swap, stride padding) that make BMP
+    * a REAL decode exercise rather than a header skip. Encode takes an
+    * RGB top-down plane; decode returns the identical plane.
+    */
+  object Bmp {
+    /** Row byte width padded to the BMP 4-byte boundary. */
+    def stride(w: Int): Int = (w * 3 + 3) / 4 * 4
+
+    private def le16(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte; b(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    private def le32(b: Array[Byte], off: Int, v: Int): Unit = {
+      b(off) = (v & 0xff).toByte
+      b(off + 1) = ((v >> 8) & 0xff).toByte
+      b(off + 2) = ((v >> 16) & 0xff).toByte
+      b(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    private def rd16(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+    private def rd32(b: Array[Byte], off: Int): Int =
+      (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+        ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+    def encode(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == w * h * 3, "pixel plane must be w*h*3 bytes")
+      val st = stride(w)
+      val size = 54 + h * st
+      val out = new Array[Byte](size)
+      out(0) = 'B'; out(1) = 'M'
+      le32(out, 2, size); le32(out, 10, 54)
+      le32(out, 14, 40); le32(out, 18, w); le32(out, 22, h)
+      le16(out, 26, 1); le16(out, 28, 24)
+      le32(out, 30, 0); le32(out, 34, h * st)
+      le32(out, 38, 2835); le32(out, 42, 2835)
+      var y = 0
+      while (y < h) {
+        val dstRow = 54 + (h - 1 - y) * st // bottom-up
+        var x = 0
+        while (x < w) {
+          val s = (y * w + x) * 3
+          out(dstRow + x * 3) = rgb(s + 2)     // B
+          out(dstRow + x * 3 + 1) = rgb(s + 1) // G
+          out(dstRow + x * 3 + 2) = rgb(s)     // R
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** Parses the headers and unwinds bottom-up BGR rows back to a
+      * top-down RGB plane; rejects anything but uncompressed 24bpp.
+      */
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+      require(bytes.length >= 54, "truncated bmp header")
+      require(bytes(0) == 'B' && bytes(1) == 'M', "not a BM file")
+      val off = rd32(bytes, 10)
+      val w = rd32(bytes, 18)
+      val h = rd32(bytes, 22)
+      require(w > 0 && h > 0, "top-down/degenerate bmp unsupported")
+      require(rd16(bytes, 28) == 24, "only 24bpp supported")
+      require(rd32(bytes, 30) == 0, "only BI_RGB (uncompressed)")
+      val st = stride(w)
+      require(bytes.length >= off + h * st, "truncated pixel rows")
+      val rgb = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        val srcRow = off + (h - 1 - y) * st
+        var x = 0
+        while (x < w) {
+          val dst = (y * w + x) * 3
+          rgb(dst) = bytes(srcRow + x * 3 + 2)
+          rgb(dst + 1) = bytes(srcRow + x * 3 + 1)
+          rgb(dst + 2) = bytes(srcRow + x * 3)
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, rgb)
+    }
+  }
+
   /** Minimal REAL WAV (RIFF/PCM16 mono) codec — like [[Ppm]], pure bytes,
     * no libraries: 44-byte canonical header + little-endian 16-bit
     * samples. The compressed-audio path is covered by the real IMA ADPCM
@@ -536,6 +622,44 @@ object Multimodal {
         .orderBy(col("doc_id"))
     },
 
+    // REAL BMP path: the same synthesized plane as ppm/png but at 7×4 so
+    // the row stride pads (21 → 24 bytes) — the decode must undo
+    // bottom-up row order, BGR channel order, AND stride padding to
+    // reproduce the plane; channel means then replay in the oracle from
+    // the same ascii()%128 construction, and the layout fields
+    // (file_size, row_stride) are closed-form header checks.
+    "q_multimodal_bmp" -> { (s, d) =>
+      val frame = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("w", IntegerType),
+        StructField("h", IntegerType),
+        StructField("r_mean", DoubleType),
+        StructField("g_mean", DoubleType),
+        StructField("b_mean", DoubleType),
+        StructField("file_size", IntegerType),
+        StructField("row_stride", IntegerType)))
+      frame.mapPartitions { rows =>
+        rows.map { r =>
+          val text = r.getString(1)
+          val px = Array.tabulate(7 * 4 * 3)(i =>
+            (text.charAt(i % text.length) & 0x7f).toByte)
+          val img = Bmp.encode(7, 4, px)
+          val (w, h, rgb) = Bmp.decode(img)
+          require(java.util.Arrays.equals(rgb, px),
+            "bmp round-trip must reproduce the plane bit-for-bit")
+          val (rm, gm, bm) = Ppm.channelMeans(rgb)
+          Row(r.getLong(0), w, h, rm, gm, bm, img.length, Bmp.stride(w))
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+        .select(col("doc_id"), col("w"), col("h"),
+          round(col("r_mean") + lit(5e-10), 4).as("r_mean"),
+          round(col("g_mean") + lit(5e-10), 4).as("g_mean"),
+          round(col("b_mean") + lit(5e-10), 4).as("b_mean"),
+          col("file_size"), col("row_stride"))
+        .orderBy(col("doc_id"))
+    },
+
     // REAL audio path (like q_multimodal_ppm for images): deterministic
     // PCM16 waveforms are synthesized from document characters, encoded to
     // canonical RIFF/WAV, then the genuine codec parses the header,
@@ -726,6 +850,20 @@ object Multimodal {
         |  round(avg(v) FILTER (i % 3 = 1) + 5e-10, 4) AS g_mean,
         |  round(avg(v) FILTER (i % 3 = 2) + 5e-10, 4) AS b_mean,
         |  4 AS rw, 2 AS rh
+        | FROM px GROUP BY doc_id ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same plane at 7×4; file_size = 54 + 4 rows × 24-byte stride.
+    "q_multimodal_bmp" ->
+      """WITH px AS (
+        | SELECT doc_id, i,
+        |  ascii(substring(text, (i % length(text)) + 1, 1)) % 128 AS v
+        | FROM documents, LATERAL unnest(generate_series(0, 83)) u(i))
+        | SELECT doc_id, 7 AS w, 4 AS h,
+        |  round(avg(v) FILTER (i % 3 = 0) + 5e-10, 4) AS r_mean,
+        |  round(avg(v) FILTER (i % 3 = 1) + 5e-10, 4) AS g_mean,
+        |  round(avg(v) FILTER (i % 3 = 2) + 5e-10, 4) AS b_mean,
+        |  150 AS file_size, 24 AS row_stride
         | FROM px GROUP BY doc_id ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
 
