@@ -99,7 +99,9 @@ object Bench {
       // round-6 batch 4: per-order self-join pair mining + session-path
       // window chain (q_agg_argmax is excluded by rule (c) — same
       // partial-agg shape as the flagship q_agg_group)
-      "q_shape_basket", "q_shape_paths")
+      "q_shape_basket", "q_shape_paths",
+      // round-6: CDC apply — log-collapse window + snapshot full join
+      "q_shape_cdc")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

@@ -375,6 +375,50 @@ object Relational {
         .orderBy(col("k"))
     },
 
+    // CDC apply — the two cases q_shape_merge's upsert doesn't cover:
+    // DELETES and MULTI-VERSION change logs (latest change per key wins
+    // by sequence number). A deterministic two-batch log is synthesized
+    // from orders (seq 1: updates on key%10∈{4,5,6} + inserts on {8,9}
+    // above max(key); seq 2: delete on 6, re-update on 4), collapsed to
+    // latest-per-key with one keyed window, then applied to the %10<8
+    // snapshot via a full outer join. Scale shape: the log collapses
+    // BEFORE touching the snapshot (per-key window over the log only),
+    // and the apply is one key-partitioned join — the standard CDC-merge
+    // layout at any scale. Price updates are exact double adds of 2dp
+    // values, IEEE-identical in the oracle replay.
+    "q_shape_cdc" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      val mx = o.agg(max(col("o_orderkey")).as("mx"))
+      val snap = o.filter(col("o_orderkey") % 10 < 8)
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").as("price_old"))
+      val m10 = col("o_orderkey") % 10
+      val changes = o.filter(m10.isin(4, 5, 6))
+        .select(col("o_orderkey").as("k"), lit(1).as("seq"),
+          lit("U").as("op"), (col("o_totalprice") + 100.0).as("np"))
+        .unionByName(o.filter(m10.isin(8, 9)).crossJoin(broadcast(mx))
+          .select((col("o_orderkey") + col("mx")).as("k"), lit(1).as("seq"),
+            lit("I").as("op"), col("o_totalprice").as("np")))
+        .unionByName(o.filter(m10 === 6)
+          .select(col("o_orderkey").as("k"), lit(2).as("seq"),
+            lit("D").as("op"), lit(null).cast("double").as("np")))
+        .unionByName(o.filter(m10 === 4)
+          .select(col("o_orderkey").as("k"), lit(2).as("seq"),
+            lit("U").as("op"), (col("o_totalprice") + 200.0).as("np")))
+      val wK = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(desc("seq"))
+      val latest = changes.withColumn("rn", row_number().over(wK))
+        .filter(col("rn") === 1).select(col("k"), col("op"), col("np"))
+      snap.join(latest, Seq("k"), "full")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(col("k").as("o_orderkey"),
+          when(col("op").isNull, "keep")
+            .when(col("op") === "I", "insert")
+            .otherwise("update").as("action"),
+          coalesce(col("np"), col("price_old")).as("price"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // Validation report (migration gap analysis): per-record rule flags
     // and a ';'-joined reason string for records failing any rule.
     "q_validate_rules" -> { (s, d) =>
@@ -701,6 +745,36 @@ object Relational {
         |   WHEN price_new IS NULL THEN 'keep'
         |   ELSE 'update' END AS action
         | FROM base b FULL JOIN upd u ON b.k = u.k ORDER BY k"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_shape_cdc" ->
+      """WITH o AS (SELECT o_orderkey, o_totalprice FROM orders),
+        | mx AS (SELECT max(o_orderkey) AS mx FROM o),
+        | snap AS (SELECT o_orderkey AS k, o_totalprice AS price_old
+        |  FROM o WHERE o_orderkey % 10 < 8),
+        | ch AS (
+        |  SELECT o_orderkey AS k, 1 AS seq, 'U' AS op,
+        |    o_totalprice + 100.0 AS np
+        |  FROM o WHERE o_orderkey % 10 IN (4, 5, 6)
+        |  UNION ALL
+        |  SELECT o_orderkey + mx.mx, 1, 'I', o_totalprice
+        |  FROM o, mx WHERE o_orderkey % 10 IN (8, 9)
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'D', NULL
+        |  FROM o WHERE o_orderkey % 10 = 6
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'U', o_totalprice + 200.0
+        |  FROM o WHERE o_orderkey % 10 = 4),
+        | lat AS (SELECT k, op, np FROM (SELECT k, op, np,
+        |   row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn
+        |  FROM ch) WHERE rn = 1)
+        | SELECT coalesce(s.k, l.k) AS o_orderkey,
+        |  CASE WHEN l.op IS NULL THEN 'keep'
+        |   WHEN l.op = 'I' THEN 'insert' ELSE 'update' END AS action,
+        |  coalesce(l.np, s.price_old) AS price
+        | FROM snap s FULL JOIN lat l ON s.k = l.k
+        | WHERE l.op IS NULL OR l.op <> 'D'
+        | ORDER BY o_orderkey"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_join_range_bucket" ->

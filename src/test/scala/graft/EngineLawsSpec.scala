@@ -701,6 +701,29 @@ class EngineLawsSpec extends SparkSuite {
     assert(rows.map(_.getLong(1)).sum <= sessions)
   }
 
+  test("cdc apply reconciles exactly with the synthesized change log") {
+    val out = SparkEntry.queries("q_shape_cdc")(spark, sf).collect()
+    val actions = out.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    def res(ds: Long*) = o.keys.count(k => ds.contains(k % 10))
+    assert(actions("keep") === res(0, 1, 2, 3, 7), "untouched residues")
+    assert(actions("update") === res(4, 5), "updated minus deleted")
+    assert(actions("insert") === res(8, 9), "inserted above max key")
+    assert(out.length === actions.values.sum)
+    // latest-wins: %10==4 carries the seq-2 price, %10==5 the seq-1 one;
+    // %10==6 must be gone entirely from the non-inserted key space
+    val mx = o.keys.max
+    out.filter(_.getString(1) == "update").foreach { r =>
+      val (k, p) = (r.getLong(0), r.getDouble(2))
+      if (k % 10 == 4) assert(p === o(k) + 200.0)
+      else assert(k % 10 === 5L); if (k % 10 == 5) assert(p === o(k) + 100.0)
+    }
+    assert(!out.exists(r => r.getLong(0) <= mx && r.getLong(0) % 10 == 6),
+      "deleted keys must not survive")
+  }
+
   test("q14 promo share bounded and consistent with its components") {
     val r = SparkEntry.queries("q_shape_q14")(spark, sf).head()
     val (pct, promo, total) =
