@@ -48,9 +48,8 @@ class DedupVectorSpec extends SparkSuite {
     val hits = ivf.count(r => exact.contains((r.getLong(0), r.getLong(1))))
     val recall = hits.toDouble / exact.size
     info(f"ivf recall vs exact top-5: $recall%.2f ($hits/${exact.size})")
-    // nprobe=3 over 8 learned centroids; single-cluster probing capped
-    // recall at 0.78 (0.86 at nprobe=2) — the extra nearest clusters
-    // recover the across-the-Voronoi-boundary neighbors.
+    // nprobe=16 over 32 learned lists (the round-6 layout; the old
+    // 8-list/nprobe-3 shape saturated at 0.86-0.88 recall at sf0.1).
     assert(recall >= 0.9, f"ivf recall $recall%.2f below 0.9 gate")
     // every ivf hit that also appears in the exact top-k must carry the
     // identical score (same native expression, same rounding)
