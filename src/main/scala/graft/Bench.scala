@@ -101,7 +101,11 @@ object Bench {
       // partial-agg shape as the flagship q_agg_group)
       "q_shape_basket", "q_shape_paths",
       // round-6: CDC apply — log-collapse window + snapshot full join
-      "q_shape_cdc")
+      "q_shape_cdc",
+      // round-6 batch 5: fact-scale semi/anti pair (q21), distinct-pair
+      // reduction + exclusion anti join (q16), recent-orders anti probe
+      // (q22), and the degree-oriented wedge join (triangles)
+      "q_shape_q16", "q_shape_q21", "q_shape_q22", "q_graph_triangles")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

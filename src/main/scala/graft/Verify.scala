@@ -24,7 +24,21 @@ object Verify {
     // warm the session (JIT, codegen, parquet footer caches) so the first
     // dumped query isn't billed several seconds of startup cost
     try SparkEntry.entry(spark).count() catch { case _: Throwable => }
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // Optional comma-separated subset for the per-query pre-declare gate
+    // (full dumps stay the default; the driver sets nothing). Unknown
+    // names warn loudly instead of silently shrinking the selection.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { sel =>
+      val unknown = sel.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty)
+        System.err.println(
+          s"[verify] WARNING: unknown names in SPARK_GRAFT_VERIFY_ONLY: " +
+            unknown.toSeq.sorted.mkString(", "))
+    }
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       try {
         val t0 = System.nanoTime()
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

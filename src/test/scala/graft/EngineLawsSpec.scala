@@ -765,6 +765,107 @@ class EngineLawsSpec extends SparkSuite {
     rows.init.foreach(r => assert(r.getLong(2) >= 2048L - wMax + 1))
   }
 
+  test("q16 supplier counts match an independent non-anti-join spelling") {
+    val rows = SparkEntry.queries("q_shape_q16")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val sizes = Set(1, 5, 10, 15, 20, 25, 30, 35)
+    rows.foreach { r =>
+      assert(r.getString(0) != "Brand#1")
+      assert(sizes.contains(r.getInt(2)))
+      assert(r.getLong(3) > 0)
+    }
+    // independent spelling: inner-join supplier and keep the >= 2000 side
+    val ok = Tables.supplier(spark, sf)
+      .filter(col("s_acctbal") >= 2000).select(col("s_suppkey"))
+    val expect = Tables.lineitem(spark, sf)
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+      .join(ok, col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.part(spark, sf), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand") =!= "Brand#1"
+        && col("p_size").isin(sizes.toSeq: _*))
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)) -> r.getLong(3))
+      .toMap
+    rows.foreach { r =>
+      val k = (r.getString(0), r.getString(1), r.getInt(2))
+      assert(expect(k) === r.getLong(3), s"group $k")
+    }
+  }
+
+  test("q21 numwait matches the per-order counting formulation") {
+    val rows = SparkEntry.queries("q_shape_q21")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // independent spelling: per order, total distinct suppliers and
+    // distinct LATE suppliers; a late pair waits iff the order is
+    // multi-supplier and its late-supplier count is exactly one
+    val li = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"),
+        (col("l_shipdate") > col("o_orderdate")
+          + expr("INTERVAL 45 DAYS")).as("late"))
+      .distinct()
+    val perOrder = li.groupBy(col("ok"))
+      .agg(countDistinct(col("sk")).as("n_supp"),
+        countDistinct(when(col("late"), col("sk"))).as("n_late"))
+    val expect = li.filter(col("late"))
+      .join(perOrder, "ok")
+      .filter(col("n_supp") >= 2 && col("n_late") === 1)
+      .groupBy(col("sk")).agg(count(lit(1)).as("numwait"))
+      .join(Tables.supplier(spark, sf), col("sk") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(expect(r.getString(0)) === r.getLong(1), r.getString(0))
+    }
+  }
+
+  test("q22 members exceed the positive-balance average and are inactive") {
+    val rows = SparkEntry.queries("q_shape_q22")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val cust = Tables.customer(spark, sf).collect()
+    val pos = cust.map(_.getDouble(3)).filter(_ > 0)
+    // exact decimal-cents average, same construction as the query
+    val avg = pos.map(v => math.round(v * 100)).sum.toDouble / 100.0 /
+      pos.length
+    val recent = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select(col("o_custkey")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val members = cust.filter(r => r.getDouble(3) > avg
+      && !recent.contains(r.getLong(0)))
+    assert(rows.map(_.getLong(1)).sum === members.length)
+    def asL(r: org.apache.spark.sql.Row, i: Int): Long =
+      r.getAs[Number](i).longValue
+    val byNation = members.groupBy(asL(_, 2)).map { case (n, rs) =>
+      n -> rs.length.toLong
+    }
+    rows.foreach(r => assert(byNation(asL(r, 0)) === r.getLong(1)))
+  }
+
+  test("triangle count matches the naive id-ordered triple join") {
+    val row = SparkEntry.queries("q_graph_triangles")(spark, sf).head()
+    val (nNodes, nEdges, nTri) =
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    assert(nNodes > 0 && nEdges > 0)
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val und = li.select(col("l_orderkey"), col("l_partkey").as("u"))
+      .join(li.select(col("l_orderkey"), col("l_partkey").as("v")),
+        Seq("l_orderkey"))
+      .filter(col("u") < col("v"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("u"), col("v"))
+    assert(und.count() === nEdges)
+    val e12 = und.select(col("u").as("a"), col("v").as("b"))
+    val e13 = und.select(col("u").as("a"), col("v").as("c"))
+    val e23 = und.select(col("u").as("b"), col("v").as("c"))
+    val naive = e12.join(e13, Seq("a")).filter(col("b") < col("c"))
+      .join(e23, Seq("b", "c")).count()
+    assert(naive === nTri, s"naive $naive vs oriented $nTri")
+  }
+
   test("q7 bilateral groups stay inside the bloc, off-diagonal only") {
     val bloc = Set("NATION_1", "NATION_2", "NATION_3", "NATION_4")
     val rows = SparkEntry.queries("q_shape_q7")(spark, sf).collect()
