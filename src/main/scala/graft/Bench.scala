@@ -105,7 +105,10 @@ object Bench {
       // round-6 batch 5: fact-scale semi/anti pair (q21), distinct-pair
       // reduction + exclusion anti join (q16), recent-orders anti probe
       // (q22), and the degree-oriented wedge join (triangles)
-      "q_shape_q16", "q_shape_q21", "q_shape_q22", "q_graph_triangles")
+      "q_shape_q16", "q_shape_q21", "q_shape_q22", "q_graph_triangles",
+      // round-6 batch 6: 16-lag window chain over events + the
+      // shard-partitioned corpus shuffle sort
+      "q_ts_ewma", "q_pipeline_shuffle")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

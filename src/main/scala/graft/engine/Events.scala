@@ -87,6 +87,40 @@ object Events {
     // frames — no self-join against the observation set. Parity: the
     // fraction is a ratio of exact integer second deltas and the lerp is
     // the same IEEE expression on both engines; eround is display-only.
+    // Exponentially-weighted moving average (alpha = 1/2, 16-observation
+    // memory) — the smoothing policy beside ffill/lerp. EXACT arithmetic:
+    // the hourly value lifts to integer cents, each of the 16 lag terms
+    // weights by a power of two (2^15 for the current row down to 2^0),
+    // and num/den accumulate as longs — order-independent, far below
+    // 2^53, so the final double division is the identical IEEE op on
+    // both engines (a float pow()-chain would drift). Truncating the
+    // geometric tail at 16 terms caps the dropped mass at 2^-16 of the
+    // weight — the standard finite-memory EWMA. One user-partitioned
+    // window carries all 16 lags; no self-join, no global window.
+    "q_ts_ewma" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("h"))
+      val hourly = Tables.events(s, d).filter(col("user_id") < 20)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+          col("value"))
+        .groupBy(col("user_id"), col("h"))
+        .agg(lsum(col("value")).as("v"))
+        .withColumn("c", round(col("v") * 100).cast("long"))
+      val terms = (0 until 16).map { j =>
+        val c = if (j == 0) col("c") else lag(col("c"), j).over(w)
+        val wt = 1L << (15 - j)
+        (when(c.isNotNull, c * wt).otherwise(0L),
+          when(c.isNotNull, lit(wt)).otherwise(0L))
+      }
+      hourly
+        .withColumn("num", terms.map(_._1).reduce(_ + _))
+        .withColumn("den", terms.map(_._2).reduce(_ + _))
+        .select(col("user_id"), col("h"), col("v"),
+          (col("num").cast("double") / col("den").cast("double")
+            / lit(100.0)).as("ewma"))
+        .orderBy(col("user_id"), col("h"))
+    },
+
     "q_ts_interpolate" -> { (s, d) =>
       val hourly = Tables.events(s, d).filter(col("user_id") < 10)
         .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
@@ -182,6 +216,31 @@ object Events {
          | FROM grid g LEFT JOIN hourly USING (user_id, h)
          | ORDER BY user_id, h"""
         .stripMargin.replaceAll("\n", " "),
+
+    "q_ts_ewma" -> {
+      // same 16-term lag chain, generated so both engines share the exact
+      // integer weights
+      val terms = (0 until 16).map { j =>
+        val c = if (j == 0) "c" else s"lag(c, $j) OVER w"
+        val wt = 1L << (15 - j)
+        (s"CASE WHEN $c IS NOT NULL THEN $c * $wt ELSE 0 END",
+          s"CASE WHEN $c IS NOT NULL THEN $wt ELSE 0 END")
+      }
+      s"""WITH hourly AS (SELECT user_id,
+         |   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         |   ${oLsum("value")} AS v
+         |  FROM events WHERE user_id < 20 GROUP BY user_id, h),
+         | hc AS (SELECT user_id, h, v,
+         |   CAST(round(v * 100) AS BIGINT) AS c FROM hourly),
+         | t AS (SELECT user_id, h, v,
+         |   ${terms.map(_._1).mkString(" + ")} AS num,
+         |   ${terms.map(_._2).mkString(" + ")} AS den
+         |  FROM hc WINDOW w AS (PARTITION BY user_id ORDER BY h))
+         | SELECT user_id, h, v,
+         |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100.0 AS ewma
+         | FROM t ORDER BY user_id, h"""
+        .stripMargin.replaceAll("\n", " ")
+    },
 
     "q_ts_interpolate" ->
       s"""WITH hourly AS (SELECT user_id,

@@ -1011,6 +1011,30 @@ object Text {
         .orderBy(col("shard_id"))
     },
 
+    // Deterministic global corpus shuffle — the step between curation and
+    // packing: training epochs need documents in a pseudo-random but
+    // REPRODUCIBLE order, decoupled from ingest order. The md5 of the
+    // doc_id is the seedless permutation key (same construction as the
+    // weighted-sample and hash-coin operators); docs route to 8 shards by
+    // the key's top 32 bits and get a shard-local position. Scale shape:
+    // one hash-partitioned exchange on `shard` + a per-shard sort — the
+    // window is shard-partitioned, never global, so a 1000-executor run
+    // sorts 1/N of the corpus per task (shards would be O(output files)
+    // in production, keeping each sort in-memory).
+    "q_pipeline_shuffle" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+      val keyed = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string")).as("k"))
+        .withColumn("shard",
+          conv(substring(col("k"), 1, 8), 16, 10).cast("long") % 8)
+      keyed
+        .withColumn("pos", row_number().over(
+          w.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))))
+        .select(col("doc_id"), col("source"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    },
+
     // Rolling polynomial fingerprint: h = fold((h*31 + ascii(ch)) mod p).
     "q_text_fingerprint" -> { (s, d) =>
       Tables.documents(s, d)
@@ -1409,6 +1433,18 @@ object Text {
          |  CAST(sum(w) AS BIGINT) AS n_tok,
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          | FROM x GROUP BY shard_id ORDER BY shard_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_pipeline_shuffle" ->
+      """WITH k AS (SELECT doc_id, source,
+        |   md5(CAST(doc_id AS VARCHAR)) AS k,
+        |   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+        |     AS shard
+        |  FROM documents)
+        | SELECT doc_id, source, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id)
+        |   AS INT) AS pos
+        | FROM k ORDER BY shard, pos"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_sample_weighted" ->

@@ -866,6 +866,47 @@ class EngineLawsSpec extends SparkSuite {
     assert(naive === nTri, s"naive $naive vs oriented $nTri")
   }
 
+  test("ewma replays the exact 16-term integer-weighted walk") {
+    val rows = SparkEntry.queries("q_ts_ewma")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val series = rs.sortBy(_.getTimestamp(1).getTime)
+      val cents = series.map(r => math.round(r.getDouble(2) * 100))
+      series.zipWithIndex.foreach { case (r, i) =>
+        var num = 0L; var den = 0L
+        for (j <- 0 until 16 if i - j >= 0) {
+          val wt = 1L << (15 - j)
+          num += cents(i - j) * wt; den += wt
+        }
+        val expect = num.toDouble / den.toDouble / 100.0
+        assert(r.getDouble(3) === expect,
+          s"user ${r.getLong(0)} hour ${r.getTimestamp(1)}")
+      }
+    }
+    // a row with >= 16 predecessors weights the full geometric window
+    val full = rows.groupBy(_.getLong(0)).values.filter(_.length > 16)
+    assert(full.nonEmpty, "fixture must exercise the saturated window")
+  }
+
+  test("shuffle is a permutation with dense per-shard positions") {
+    val rows = SparkEntry.queries("q_pipeline_shuffle")(spark, sf).collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.length.toLong === nDocs, "every doc appears exactly once")
+    assert(rows.map(_.getLong(0)).distinct.length === rows.length)
+    rows.groupBy(_.getLong(2)).foreach { case (shard, rs) =>
+      assert(rs.map(_.getInt(3)).sorted.toSeq === (1 to rs.length),
+        s"shard $shard positions must be dense 1..n")
+    }
+    // shard routing matches an independent md5 computation
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.take(50).foreach { r =>
+      val hex = md.digest(r.getLong(0).toString
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val shard = java.lang.Long.parseLong(hex.substring(0, 8), 16) % 8
+      assert(r.getLong(2) === shard, s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("q7 bilateral groups stay inside the bloc, off-diagonal only") {
     val bloc = Set("NATION_1", "NATION_2", "NATION_3", "NATION_4")
     val rows = SparkEntry.queries("q_shape_q7")(spark, sf).collect()
