@@ -47,12 +47,13 @@ object Vectors {
       case _ => ()
     } catch { case _: Throwable => () }
 
-  /** The FINAL label frame of an iterative-CC invocation must stay pinned —
-    * the returned DataFrame reads its blocks lazily, after this function
-    * returns. Each invocation frees the previous invocation's final frame,
-    * capping steady-state checkpoint storage at one small labels frame per
-    * variant no matter how many times the query runs (the bench runs it
-    * 5+1 times in one session).
+  /** Pinned localCheckpoint frames, keyed per variant+fixture: the FINAL
+    * frame of an invocation must stay pinned — the returned DataFrame reads
+    * its blocks lazily, after the builder returns. Each invocation frees
+    * the previous invocation's frame, capping steady-state checkpoint
+    * storage at one small frame per slot no matter how many times the
+    * query runs (the bench runs each 6+ times in one session). Used by the
+    * iterative-CC label frames and q_vec_pq's trained codebook.
     */
   private val ccPinned =
     new scala.collection.concurrent.TrieMap[String, DataFrame]()
@@ -528,7 +529,14 @@ object Vectors {
           .select(col("sub_id"), col("code").as("c_id"), col("cv"))
       val seed = sample.filter(col("vec_id") < 16)
         .select(col("sub_id"), col("vec_id").as("c_id"), col("sv").as("cv"))
+      // The trained codebook (4x16 tiny rows) is referenced twice below
+      // (corpus encode + ADC tables); without materialization Spark
+      // re-runs the whole Lloyd chain per reference. Train-once is also
+      // the production PQ contract — the codebook is an artifact, not a
+      // view. Pinned-frame hygiene as with the CC labels.
       val cb = update(assign(sample, update(assign(sample, seed))))
+        .localCheckpoint()
+      ccPinned.put(s"pq:$d", cb).foreach(freeCheckpoint)
       val enc = assign(subs, cb)
       // ADC: per-probe distance table over the learned codebooks
       val dt = subs.filter(col("vec_id") < 10)
