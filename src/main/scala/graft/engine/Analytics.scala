@@ -240,19 +240,26 @@ object Analytics {
     },
 
     // Market-basket co-occurrence (frequent-itemset mining, pair level):
-    // part pairs bought together in one order, top 20. Scale shape: the
-    // per-order item lists dedupe and self-join WITHIN the orderkey
-    // partition (one shuffle; per-order fan-out is quadratic in basket
-    // width, which is data-bounded small — the classic a-priori layout),
-    // then pair counts partial-aggregate map-side. No order's basket
-    // ever crosses an executor.
+    // part pairs bought together in one order, top 20. Scale shape: ONE
+    // shuffle total — collect_set gathers (and dedupes) each order's
+    // basket in a single orderkey aggregation, then the ordered pairs
+    // expand map-side with an indexed-transform HOF (quadratic only in
+    // basket width, which is data-bounded small — the a-priori layout)
+    // and pair counts partial-aggregate before the final exchange. The
+    // previous self-join spelling shuffled the distinct pair set twice
+    // more for the same result.
     "q_shape_basket" -> { (s, d) =>
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val a = li.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      val b = li.select(col("l_orderkey"), col("l_partkey").as("part_b"))
-      a.join(b, Seq("l_orderkey"))
-        .filter(col("part_a") < col("part_b"))
+      val baskets = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      baskets
+        .select(explode(flatten(transform(col("parts"), (x, i) =>
+          transform(
+            slice(col("parts"), i + lit(2),
+              greatest(size(col("parts")) - i - lit(1), lit(0))),
+            y => struct(x.as("part_a"), y.as("part_b")))))).as("p"))
+        .select(col("p.part_a"), col("p.part_b"))
         .groupBy(col("part_a"), col("part_b"))
         .agg(count(lit(1)).as("n_orders"))
         .orderBy(desc("n_orders"), asc("part_a"), asc("part_b"))
@@ -437,18 +444,27 @@ object Analytics {
     // unbounded hub blow-up of naive id-ordering). The closure probe is
     // one semi join against the canonical undirected edge set.
     "q_graph_triangles" -> { (s, d) =>
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val a = li.select(col("l_orderkey"), col("l_partkey").as("u"))
-      val b = li.select(col("l_orderkey"), col("l_partkey").as("v"))
+      // Edge generation is the one-shuffle basket shape (see
+      // q_shape_basket): collect_set gathers each order's deduped basket,
+      // ordered pairs expand map-side via the indexed-transform HOF, and
+      // the support count partial-aggregates before its exchange.
+      val baskets = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
       // The edge set is referenced five times below (degrees, orientation,
       // closure probe, node/edge counts); without materialization Spark
-      // re-runs the fact-scale basket self-join for each reference.
+      // re-runs the fact-scale pair generation for each reference.
       // Triangle algorithms always materialize their (much smaller,
       // aggregated) edge list once — localCheckpoint is the single-JVM
       // analog of the reliable checkpoint a cluster run would use.
-      val und = a.join(b, Seq("l_orderkey"))
-        .filter(col("u") < col("v"))
+      val und = baskets
+        .select(explode(flatten(transform(col("parts"), (x, i) =>
+          transform(
+            slice(col("parts"), i + lit(2),
+              greatest(size(col("parts")) - i - lit(1), lit(0))),
+            y => struct(x.as("u"), y.as("v")))))).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
         .groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= 2)
