@@ -108,7 +108,9 @@ object Bench {
       "q_shape_q16", "q_shape_q21", "q_shape_q22", "q_graph_triangles",
       // round-6 batch 6: 16-lag window chain over events + the
       // shard-partitioned corpus shuffle sort
-      "q_ts_ewma", "q_pipeline_shuffle")
+      "q_ts_ewma", "q_pipeline_shuffle",
+      // round-6: corpus vocab aggregation + 3 learned BPE merges
+      "q_text_bpe_train")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

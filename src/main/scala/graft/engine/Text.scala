@@ -1011,6 +1011,56 @@ object Text {
         .orderBy(col("shard_id"))
     },
 
+    // BPE tokenizer TRAINING (Sennrich et al. 2016) — learn the first 3
+    // merge rules from corpus word frequencies: count adjacent symbol
+    // pairs weighted by word frequency, take the most frequent pair
+    // (ties: lexicographic), merge it greedily left-to-right in every
+    // word, repeat. Determinism rides on two shared primitives: the
+    // weighted pair counts are exact integer sums, and the merge step is
+    // string replace() over a sentinel-wrapped symbol encoding
+    // ("~a~~b~~c~") — both engines' replace() scans left-to-right
+    // non-overlapping, which IS greedy BPE merge semantics, and the
+    // double-sentinel boundary makes a pair pattern unable to half-match
+    // a longer symbol. Scale shape: everything after the one vocab
+    // aggregation operates on the (tiny) word-frequency table — per
+    // iteration one pair-count aggregate + a 1-row broadcast of the
+    // winning pair; the corpus is scanned exactly once no matter how
+    // many merges are learned.
+    "q_text_bpe_train" -> { (s, d) =>
+      val vocab = Tables.documents(s, d)
+        .select(explode(toks(col("text"))).as("w"))
+        .filter(col("w").rlike("^[a-z]+$"))
+        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+        .select(regexp_replace(col("w"), "(.)", "~$1~").as("repr"),
+          col("freq"))
+      def pairCounts(words: DataFrame): DataFrame =
+        words
+          .withColumn("syms",
+            split(expr("trim(BOTH '~' FROM repr)"), "~~"))
+          .filter(size(col("syms")) >= 2)
+          .select(col("freq"), explode(expr(
+            "transform(sequence(1, size(syms) - 1)," +
+              " k -> struct(syms[k-1] AS a, syms[k] AS b))")).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum(col("freq")).as("cnt"))
+      var words = vocab
+      var merges = Seq.empty[DataFrame]
+      for (i <- 1 to 3) {
+        val best = pairCounts(words)
+          .orderBy(desc("cnt"), asc("a"), asc("b")).limit(1)
+        merges :+= best.select(lit(i).as("rank"), col("a").as("pair_a"),
+          col("b").as("pair_b"), concat(col("a"), col("b")).as("merged"),
+          col("cnt"))
+        words = words.crossJoin(broadcast(
+            best.select(col("a").as("ba"), col("b").as("bb"))))
+          .withColumn("repr", expr(
+            "replace(repr, '~' || ba || '~~' || bb || '~'," +
+              " '~' || ba || bb || '~')"))
+          .select(col("repr"), col("freq"))
+      }
+      merges.reduce(_ unionByName _).orderBy(col("rank"))
+    },
+
     // Deterministic global corpus shuffle — the step between curation and
     // packing: training epochs need documents in a pseudo-random but
     // REPRODUCIBLE order, decoupled from ingest order. The md5 of the
@@ -1434,6 +1484,36 @@ object Text {
          |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
          | FROM x GROUP BY shard_id ORDER BY shard_id"""
         .stripMargin.replaceAll("\n", " "),
+
+    "q_text_bpe_train" -> {
+      // unrolled merge iterations (grouping inside recursive CTEs is not
+      // portable) — same sentinel encoding, same replace() merge
+      val iter = (i: Int) =>
+        s"""s$i AS (SELECT freq,
+           |   string_split(trim(repr, '~'), '~~') AS syms FROM w${i - 1}),
+           | r$i AS (SELECT freq, syms,
+           |   unnest(generate_series(2, len(syms))) AS k
+           |  FROM s$i WHERE len(syms) >= 2),
+           | p$i AS (SELECT syms[k-1] AS a, syms[k] AS b,
+           |   CAST(sum(freq) AS BIGINT) AS cnt FROM r$i GROUP BY a, b),
+           | b$i AS (SELECT a, b, cnt FROM p$i
+           |  ORDER BY cnt DESC, a, b LIMIT 1),
+           | w$i AS (SELECT
+           |   replace(repr, '~' || a || '~~' || b || '~',
+           |     '~' || a || b || '~') AS repr, freq FROM w${i - 1}, b$i)"""
+      s"""WITH v AS (SELECT w, count(*) AS freq FROM
+         |   (SELECT unnest($oToks) AS w FROM documents)
+         |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w),
+         | w0 AS (SELECT regexp_replace(w, '(.)', '~\\1~', 'g') AS repr,
+         |   freq FROM v),
+         | ${(1 to 3).map(iter).mkString(", ")}
+         | SELECT 1 AS rank, a AS pair_a, b AS pair_b, a || b AS merged,
+         |   cnt FROM b1
+         | UNION ALL SELECT 2, a, b, a || b, cnt FROM b2
+         | UNION ALL SELECT 3, a, b, a || b, cnt FROM b3
+         | ORDER BY rank"""
+        .stripMargin.replaceAll("\n", " ")
+    },
 
     "q_pipeline_shuffle" ->
       """WITH k AS (SELECT doc_id, source,

@@ -907,6 +907,42 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("bpe training replays the greedy merge walk in pure Scala") {
+    val rows = SparkEntry.queries("q_text_bpe_train")(spark, sf).collect()
+    assert(rows.length === 3)
+    // independent replay: straight-line BPE over the same vocab
+    var vocab = Tables.documents(spark, sf)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .collect()
+      .map(r => r.getString(0).map(_.toString).toVector -> r.getLong(1))
+      .toVector
+    rows.foreach { r =>
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long].withDefaultValue(0L)
+      vocab.foreach { case (syms, f) =>
+        syms.sliding(2).filter(_.length == 2)
+          .foreach(p => counts((p(0), p(1))) += f)
+      }
+      val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      assert((r.getString(1), r.getString(2)) === best._1,
+        s"rank ${r.getInt(0)}")
+      assert(r.getLong(4) === best._2, s"rank ${r.getInt(0)} count")
+      val (ba, bb) = best._1
+      vocab = vocab.map { case (syms, f) =>
+        val out = Vector.newBuilder[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == ba && syms(i + 1) == bb) {
+            out += ba + bb; i += 2
+          } else { out += syms(i); i += 1 }
+        }
+        out.result() -> f
+      }
+    }
+  }
+
   test("q7 bilateral groups stay inside the bloc, off-diagonal only") {
     val bloc = Set("NATION_1", "NATION_2", "NATION_3", "NATION_4")
     val rows = SparkEntry.queries("q_shape_q7")(spark, sf).collect()
