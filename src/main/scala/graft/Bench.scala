@@ -110,7 +110,13 @@ object Bench {
       // shard-partitioned corpus shuffle sort
       "q_ts_ewma", "q_pipeline_shuffle",
       // round-6: corpus vocab aggregation + 3 learned BPE merges
-      "q_text_bpe_train")
+      "q_text_bpe_train",
+      // round-6 batch 7: the remaining partsupp-free TPC-H shapes —
+      // scan-side global agg (q6), 7-table market share (q8), late-
+      // priority split (q12), left-join order-count distribution (q13),
+      // quarterly top supplier (q15), small-quantity decorrelation (q17)
+      "q_shape_q6", "q_shape_q8", "q_shape_q12", "q_shape_q13",
+      "q_shape_q15", "q_shape_q17")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

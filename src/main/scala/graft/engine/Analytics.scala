@@ -512,6 +512,141 @@ object Analytics {
         .select(col("d"), col("dau"), col("wau"),
           eround(col("dau").cast("double") / col("wau"), 4).as("stickiness"))
         .orderBy(col("d"))
+    },
+
+    // Q6 shape: forecast revenue change — the pure scan-side query: every
+    // predicate (shipdate year, discount band, quantity cap) pushes to the
+    // parquet scan, and the single global aggregate partial-aggregates
+    // map-side, so the exchange carries exactly one row per partition.
+    // price(2dp) * discount(2dp) is exact at 4dp.
+    "q_shape_q6" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+          && col("l_discount").between(0.05, 0.07)
+          && col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount"), 4)
+          .as("revenue"), count(lit(1)).as("n_items"))
+    },
+
+    // Q8 shape: national market share — NATION_1's share of STANDARD-part
+    // revenue sold into ASIA, per order year. Supplier→nation maps
+    // broadcast (dimension-sized after the nation join, the q7 pattern);
+    // part and customer scale with the facts so their joins shuffle —
+    // customer membership is a left-semi (no payload columns needed).
+    // Both the numerator and denominator come out of ONE aggregation pass,
+    // and the share divides two identically-derived doubles (exact decimal
+    // sums), so the epsilon-round is deterministic on both engines.
+    "q_shape_q8" -> { (s, d) =>
+      val asiaCust = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d)
+            .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val suppNation = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d).filter(col("p_type") === "STANDARD")
+          .select(col("p_partkey")), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+            && col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(asiaCust, col("o_custkey") === col("c_custkey"), "left_semi")
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(dsum(when(col("supp_nation") === "NATION_1", revenue)
+          .otherwise(0), 4).as("nation_revenue"),
+          dsum(revenue, 4).as("total_revenue"))
+        .select(col("o_year"),
+          eround(col("nation_revenue") / col("total_revenue"), 4)
+            .as("mkt_share"),
+          col("nation_revenue"), col("total_revenue"))
+        .orderBy(col("o_year"))
+    },
+
+    // Q12 shape, adapted to the fixture schema (no l_shipmode/l_commitdate
+    // columns): late-shipment priority split — among lines shipped >60
+    // days after their order date, how many belong to urgent/high-priority
+    // orders vs the rest, per return flag. Counting via count(CASE...)
+    // keeps the output BIGINT on both engines (a sum(1) spelling widens to
+    // HUGEINT in DuckDB — the round-4 bug class).
+    "q_shape_q12" -> { (s, d) =>
+      val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(when(hi, 1)).as("high_line_count"),
+          count(when(!hi, 1)).as("low_line_count"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // Q13 shape: customer distribution by order count — the canonical
+    // LEFT-join-then-double-aggregate: zero-order customers must survive
+    // to the c_count=0 bucket, and the join-side filter (non-urgent
+    // priority only) belongs on the orders input, NOT the join result.
+    // Scale shape: one custkey shuffle for the join+first aggregate, then
+    // the second groupBy runs over |distinct counts| rows (tiny).
+    "q_shape_q13" -> { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d)
+          .filter(col("o_orderpriority") =!= "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(desc("custdist"), desc("c_count"))
+    },
+
+    // Q15 shape: top supplier by quarterly revenue. The max is a 1-row
+    // aggregate broadcast back over the per-supplier revenue table
+    // (scalar-subquery decorrelation); equality on total_revenue is safe
+    // because both sides are the same exact-decimal-sum-cast-to-double.
+    "q_shape_q15" -> { (s, d) =>
+      val rev = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+          && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(dsum(revenue, 4).as("total_revenue"))
+      rev.crossJoin(broadcast(
+          rev.agg(max(col("total_revenue")).as("max_revenue"))))
+        .filter(col("total_revenue") === col("max_revenue"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    },
+
+    // Q17 shape: small-quantity-order revenue for one brand/size slice.
+    // The correlated `l_quantity < 0.2 * avg(l_quantity per part)` is
+    // decorrelated into a per-part stats aggregate joined back — and the
+    // 20% threshold compares EXACTLY as integers (quantities are whole
+    // numbers): qty < 0.2*sum/n  ⟺  5*qty*n < sum, so no float-boundary
+    // divergence between engines is possible. Only qualifying parts reach
+    // the stats aggregate (filter first), and the joined-back stats table
+    // is one row per part — broadcastable at any corpus scale.
+    "q_shape_q17" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .join(Tables.part(s, d)
+          .filter(col("p_brand") === "Brand#3" && col("p_size") <= 10)
+          .select(col("p_partkey")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      val stats = li.groupBy(col("l_partkey").as("sp"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+      li.join(broadcast(stats), col("l_partkey") === col("sp"))
+        .filter(col("l_quantity").cast("long") * 5 * col("n_lines")
+          < col("sum_qty"))
+        .agg(eround(dsum(col("l_extendedprice")) / 7.0, 4).as("avg_yearly"),
+          count(lit(1)).as("n_items"))
     }
   )
 
@@ -795,6 +930,91 @@ object Analytics {
         | SELECT d, dau, wau,
         |  round(CAST(dau AS DOUBLE) / wau + 5e-10, 4) AS stickiness
         | FROM dau JOIN wau USING (d) ORDER BY d"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_shape_q6" ->
+      s"""SELECT ${oSum("l_extendedprice * l_discount", 4)} AS revenue,
+         | count(*) AS n_items
+         | FROM lineitem
+         | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1997-01-01'
+         |  AND l_discount BETWEEN 0.05 AND 0.07
+         |  AND l_quantity < 24"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_shape_q8" ->
+      s"""SELECT o_year,
+         | round(nation_revenue / total_revenue + 5e-10, 4) AS mkt_share,
+         | nation_revenue, total_revenue
+         | FROM (SELECT o_year,
+         |   ${oSum("CASE WHEN supp_nation = 'NATION_1' THEN rev " +
+          "ELSE 0 END", 4)} AS nation_revenue,
+         |   ${oSum("rev", 4)} AS total_revenue
+         |  FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         |    l_extendedprice * (1 - l_discount) AS rev,
+         |    n2.n_name AS supp_nation
+         |   FROM lineitem
+         |   JOIN part ON l_partkey = p_partkey
+         |   JOIN supplier ON l_suppkey = s_suppkey
+         |   JOIN nation n2 ON s_nationkey = n2.n_nationkey
+         |   JOIN orders ON l_orderkey = o_orderkey
+         |   JOIN customer ON o_custkey = c_custkey
+         |   JOIN nation n1 ON c_nationkey = n1.n_nationkey
+         |   JOIN region ON n1.n_regionkey = r_regionkey
+         |   WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+         |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+         |    AND o_orderdate < TIMESTAMP '1998-01-01')
+         |  GROUP BY o_year)
+         | ORDER BY o_year"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_shape_q12" ->
+      """SELECT l_returnflag,
+        | count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 END) AS high_line_count,
+        | count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |   THEN 1 END) AS low_line_count
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        | GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_shape_q13" ->
+      """SELECT c_count, count(*) AS custdist
+        | FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN (SELECT * FROM orders
+        |    WHERE o_orderpriority <> '1-URGENT') o
+        |   ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        | GROUP BY c_count ORDER BY custdist DESC, c_count DESC"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_shape_q15" ->
+      s"""WITH r AS (SELECT l_suppkey,
+         |  ${oSum("l_extendedprice * (1 - l_discount)", 4)}
+         |   AS total_revenue
+         | FROM lineitem
+         | WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |  AND l_shipdate < TIMESTAMP '1996-04-01'
+         | GROUP BY l_suppkey)
+         | SELECT s_suppkey, s_name, total_revenue
+         | FROM r JOIN supplier ON l_suppkey = s_suppkey
+         | WHERE total_revenue = (SELECT max(total_revenue) FROM r)
+         | ORDER BY s_suppkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_shape_q17" ->
+      s"""WITH li AS (SELECT l_partkey, l_quantity, l_extendedprice
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_brand = 'Brand#3' AND p_size <= 10),
+         | st AS (SELECT l_partkey AS sp, count(*) AS n_lines,
+         |   sum(CAST(l_quantity AS BIGINT)) AS sum_qty
+         |  FROM li GROUP BY l_partkey)
+         | SELECT round(${oSum("l_extendedprice")} / 7.0 + 5e-10, 4)
+         |   AS avg_yearly,
+         |  count(*) AS n_items
+         | FROM li JOIN st ON l_partkey = sp
+         | WHERE CAST(l_quantity AS BIGINT) * 5 * n_lines < sum_qty"""
         .stripMargin.replaceAll("\n", " ")
   )
 }

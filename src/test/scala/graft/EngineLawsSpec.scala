@@ -953,4 +953,101 @@ class EngineLawsSpec extends SparkSuite {
       assert(r.getDouble(3) > 0, "revenue positive")
     }
   }
+
+  test("q6 revenue replays as exact 4dp-cent integer sum over the slice") {
+    val rows = SparkEntry.queries("q_shape_q6")(spark, sf).collect()
+    assert(rows.length === 1)
+    val slice = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1997-01-01").cast("timestamp")
+        && col("l_discount").between(0.05, 0.07)
+        && col("l_quantity") < 24)
+      .select(col("l_extendedprice"), col("l_discount")).collect()
+    assert(rows(0).getLong(1) === slice.length)
+    // same construction as dsum(·, 4): HALF_UP the double product at 4dp
+    val cents = slice.map { r =>
+      BigDecimal(r.getDouble(0) * r.getDouble(1))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    assert(rows(0).getDouble(0) === cents.toDouble)
+  }
+
+  test("q8 share is nation/total and bounded by [0,1]") {
+    val rows = SparkEntry.queries("q_shape_q8")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (share, nat, tot) =
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(nat >= 0 && nat <= tot && tot > 0)
+      assert(share >= 0 && share <= 1)
+      assert(math.abs(share - nat / tot) < 1e-4)
+      assert(Seq(1996, 1997).contains(r.getInt(0)))
+    }
+  }
+
+  test("q12 high+low equals the independent late-line count per flag") {
+    val rows = SparkEntry.queries("q_shape_q12")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val late = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") >
+        col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) === late(r.getString(0)))
+    }
+  }
+
+  test("q13 distribution accounts for every customer and every order") {
+    val rows = SparkEntry.queries("q_shape_q13")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nCust = Tables.customer(spark, sf).count()
+    // every customer lands in exactly one bucket
+    assert(rows.map(_.getLong(1)).sum === nCust)
+    // sum(c_count * custdist) = matched (customer, order) pairs
+    val custKeys = Tables.customer(spark, sf)
+      .select(col("c_custkey")).distinct()
+    val nPairs = Tables.orders(spark, sf)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .join(custKeys, col("o_custkey") === col("c_custkey"), "left_semi")
+      .count()
+    assert(rows.map(r => r.getLong(0) * r.getLong(1)).sum === nPairs)
+  }
+
+  test("q15 winners carry the maximum per-supplier quarterly revenue") {
+    val rows = SparkEntry.queries("q_shape_q15")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val perSupp = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp")
+        && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(Fx.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+        .as("tr"))
+      .collect().map(_.getDouble(1))
+    val mx = perSupp.max
+    rows.foreach(r => assert(r.getDouble(2) === mx))
+    assert(rows.length === perSupp.count(_ == mx))
+  }
+
+  test("q17 keeps exactly the lines below 20% of their part's mean qty") {
+    val rows = SparkEntry.queries("q_shape_q17")(spark, sf).collect()
+    assert(rows.length === 1)
+    val li = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf)
+        .filter(col("p_brand") === "Brand#3" && col("p_size") <= 10)
+        .select(col("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .collect()
+    val stats = li.groupBy(_.getLong(0)).map { case (k, rs) =>
+      k -> (rs.size.toLong, rs.map(_.getDouble(1).toLong).sum)
+    }
+    val kept = li.filter { r =>
+      val (n, sq) = stats(r.getLong(0))
+      r.getDouble(1).toLong * 5 * n < sq
+    }
+    assert(rows(0).getLong(1) === kept.length)
+  }
 }
