@@ -116,7 +116,11 @@ object Bench {
       // priority split (q12), left-join order-count distribution (q13),
       // quarterly top supplier (q15), small-quantity decorrelation (q17)
       "q_shape_q6", "q_shape_q8", "q_shape_q12", "q_shape_q13",
-      "q_shape_q15", "q_shape_q17")
+      "q_shape_q15", "q_shape_q17",
+      // round-6 batch 8: exact-integer 3-sigma anomaly scan (events
+      // shuffled twice), neighbor-set Jaccard over co-purchase edges
+      // (fact-scale pair generation), last-touch attribution window
+      "q_ts_anomaly", "q_graph_jaccard", "q_shape_attribution")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

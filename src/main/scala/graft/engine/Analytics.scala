@@ -624,6 +624,74 @@ object Analytics {
         .orderBy(col("s_suppkey"))
     },
 
+    // Neighbor-set Jaccard similarity over the co-purchase graph — the
+    // fourth graph operator (CC, PageRank, triangles, similarity). For
+    // each support-≥2 edge (u,v): |N(u)∩N(v)| / |N(u)∪N(v)|, top 20.
+    // Scale shape: adjacency lists materialize once per node (bounded by
+    // max degree — the support filter prunes hubs the same way triangles
+    // does), each edge joins its two lists and intersects MAP-SIDE via
+    // array_intersect, so per-edge cost is O(deg(u)+deg(v)) with no
+    // wedge-explosion shuffle. Zero-common edges are filtered to match
+    // the oracle's inner common-neighbor join.
+    "q_graph_jaccard" -> { (s, d) =>
+      val baskets = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      val und = baskets
+        .select(explode(flatten(transform(col("parts"), (x, i) =>
+          transform(
+            slice(col("parts"), i + lit(2),
+              greatest(size(col("parts")) - i - lit(1), lit(0))),
+            y => struct(x.as("u"), y.as("v")))))).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
+        .groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+      triPinned.put("jac:" + d, und).foreach(freeCheckpoint)
+      val adjSet = und.select(col("u").as("n"), col("v").as("nb"))
+        .unionAll(und.select(col("v").as("n"), col("u").as("nb")))
+        .groupBy(col("n"))
+        .agg(sort_array(collect_set(col("nb"))).as("nbs"))
+      und
+        .join(adjSet.select(col("n").as("u"), col("nbs").as("nbs_u")), "u")
+        .join(adjSet.select(col("n").as("v"), col("nbs").as("nbs_v")), "v")
+        .select(col("u"), col("v"),
+          size(array_intersect(col("nbs_u"), col("nbs_v")))
+            .cast("long").as("common_nb"),
+          (size(col("nbs_u")) + size(col("nbs_v"))).cast("long").as("dd"))
+        .filter(col("common_nb") > 0)
+        .select(col("u"), col("v"), col("common_nb"),
+          eround(col("common_nb").cast("double")
+            / (col("dd") - col("common_nb")), 4).as("jaccard"))
+        .orderBy(desc("jaccard"), asc("u"), asc("v"))
+        .limit(20)
+    },
+
+    // Last-touch marketing attribution: each purchase's value goes to the
+    // event type of the user's most recent PRECEDING non-purchase event
+    // ('direct' when none exists). One user-partitioned window carries
+    // the running last-touch channel — a single shuffle on user_id, then
+    // a tiny per-channel aggregate; the money sum uses the exact
+    // long-cents lsum state.
+    "q_shape_attribution" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .withColumn("ch",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("ch"), lit("direct")).as("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          lsum(col("value")).as("attributed_revenue"))
+        .orderBy(col("channel"))
+    },
+
     // Q17 shape: small-quantity-order revenue for one brand/size slice.
     // The correlated `l_quantity < 0.2 * avg(l_quantity per part)` is
     // decorrelated into a per-part stats aggregate joined back — and the
@@ -1001,6 +1069,42 @@ object Analytics {
          | FROM r JOIN supplier ON l_suppkey = s_suppkey
          | WHERE total_revenue = (SELECT max(total_revenue) FROM r)
          | ORDER BY s_suppkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_graph_jaccard" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        | und AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+        |   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |   GROUP BY u, v HAVING count(*) >= 2),
+        | adj AS (SELECT u AS n, v AS nb FROM und
+        |   UNION ALL SELECT v AS n, u AS nb FROM und),
+        | deg AS (SELECT n, count(*) AS dg FROM adj GROUP BY n),
+        | cmn AS (SELECT e.u, e.v, count(*) AS c
+        |   FROM und e JOIN adj a ON a.n = e.u
+        |    JOIN adj b ON b.n = e.v AND b.nb = a.nb
+        |   GROUP BY e.u, e.v)
+        | SELECT u, v, c AS common_nb,
+        |  round(CAST(c AS DOUBLE) / (du.dg + dv.dg - c) + 5e-10, 4)
+        |   AS jaccard
+        | FROM cmn JOIN deg du ON u = du.n JOIN deg dv ON v = dv.n
+        | ORDER BY jaccard DESC, u, v LIMIT 20"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_shape_attribution" ->
+      s"""WITH e AS (SELECT user_id, event_id,
+         |   CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+         | a AS (SELECT event_type, value,
+         |   last_value(CASE WHEN event_type <> 'purchase'
+         |     THEN event_type END IGNORE NULLS)
+         |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ch
+         |  FROM e)
+         | SELECT coalesce(ch, 'direct') AS channel,
+         |  count(*) AS n_purchases,
+         |  ${oLsum("value")} AS attributed_revenue
+         | FROM a WHERE event_type = 'purchase'
+         | GROUP BY channel ORDER BY channel"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_shape_q17" ->

@@ -157,6 +157,39 @@ object Events {
                 + (col("v_next") - col("v_prev")) * frac), 4)
             .as("v_interp"))
         .orderBy(col("user_id"), col("h"))
+    },
+
+    // Z-score anomaly detection per event type — |value − μ| > 3σ against
+    // the population stats of the event's own type. The correlated test
+    // decorrelates into a per-type stats aggregate broadcast back (one
+    // row per type), and the 3σ test compares EXACTLY: value lifts to
+    // integer cents c, and z² > 9 rewrites as (n·c − S)² > 9(nQ − S²)
+    // where S = Σc and Q = Σc² — all-integer, so there is no float
+    // boundary for the engines to disagree on, and the σ=0 group
+    // degenerates safely (both sides 0, no NaN). Sums and products run
+    // as DECIMAL(38,0) / HUGEINT: exact up to ~1e12 rows per type
+    // (|n·c−S| ≤ n·maxc ≈ 5e16 → squared ≈ 2.5e33 < 1e38).
+    "q_ts_anomaly" -> { (s, d) =>
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+      val stats = ev
+        .groupBy(col("event_type").as("et"))
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("c").cast(dec)).as("sv"),
+          sum(col("c").cast(dec) * col("c").cast(dec)).as("qv"))
+      val dev = stats("n") * col("c").cast(dec) - col("sv")
+      val anom = dev * dev > lit(9).cast(dec) *
+        (col("n") * col("qv") - col("sv") * col("sv"))
+      ev.join(broadcast(stats), col("event_type") === col("et"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_total"),
+          count(when(anom, 1)).as("n_anomalies"))
+        .select(col("event_type"), col("n_total"), col("n_anomalies"),
+          eround(col("n_anomalies").cast("double") / col("n_total"), 4)
+            .as("anomaly_pct"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -272,6 +305,24 @@ object Events {
          |      / CAST(date_diff('second', h_prev, h_next) AS DOUBLE))
          |  END + 5e-10, 4) AS v_interp
          | FROM f ORDER BY user_id, h"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_ts_anomaly" ->
+      """WITH e AS (SELECT event_type,
+        |   CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        | st AS (SELECT event_type AS et,
+        |   CAST(count(*) AS HUGEINT) AS n,
+        |   sum(CAST(c AS HUGEINT)) AS sv,
+        |   sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS qv
+        |  FROM e GROUP BY event_type)
+        | SELECT event_type, count(*) AS n_total,
+        |  count(CASE WHEN (n*c - sv)*(n*c - sv) > 9*(n*qv - sv*sv)
+        |    THEN 1 END) AS n_anomalies,
+        |  round(CAST(count(CASE WHEN (n*c - sv)*(n*c - sv)
+        |      > 9*(n*qv - sv*sv) THEN 1 END) AS DOUBLE)
+        |    / count(*) + 5e-10, 4) AS anomaly_pct
+        | FROM e JOIN st ON event_type = et
+        | GROUP BY event_type ORDER BY event_type"""
         .stripMargin.replaceAll("\n", " ")
   )
 }

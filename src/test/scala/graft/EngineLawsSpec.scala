@@ -1031,6 +1031,70 @@ class EngineLawsSpec extends SparkSuite {
     assert(rows.length === perSupp.count(_ == mx))
   }
 
+  test("q_ts_anomaly replays the exact integer 3-sigma walk") {
+    val rows = SparkEntry.queries("q_ts_anomaly")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"),
+        round(col("value") * 100).cast("long").as("c")).collect()
+      .map(r => r.getString(0) -> BigInt(r.getLong(1)))
+    val byType = ev.groupBy(_._1)
+    rows.foreach { r =>
+      val cs = byType(r.getString(0)).map(_._2)
+      val (n, s1, q1) = (BigInt(cs.length), cs.sum, cs.map(c => c * c).sum)
+      val nAnom = cs.count(c => {
+        val dev = n * c - s1
+        dev * dev > 9 * (n * q1 - s1 * s1)
+      })
+      assert(r.getLong(1) === cs.length.toLong)
+      assert(r.getLong(2) === nAnom.toLong, r.getString(0))
+      assert(r.getDouble(3) ===
+        math.round(nAnom.toDouble / cs.length * 10000 + 5e-6) / 10000.0)
+    }
+  }
+
+  test("q_graph_jaccard matches a brute-force neighbor-set recompute") {
+    val rows = SparkEntry.queries("q_graph_jaccard")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val edges = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("l_partkey")).as("ps")).collect()
+      .flatMap(_.getSeq[Long](1).sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).filter(_._2.length >= 2).keySet
+    val nbrs = edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    rows.foreach { r =>
+      val (u, v) = (r.getLong(0), r.getLong(1))
+      assert(edges.contains((u, v)))
+      val c = (nbrs(u) & nbrs(v)).size.toLong
+      assert(r.getLong(2) === c)
+      val j = c.toDouble / (nbrs(u).size + nbrs(v).size - c)
+      assert(math.abs(r.getDouble(3) - j) < 1e-4)
+    }
+    // top-20 really is the maximum jaccard over all edges
+    val all = edges.toSeq.map { case (u, v) =>
+      val c = (nbrs(u) & nbrs(v)).size
+      c.toDouble / (nbrs(u).size + nbrs(v).size - c)
+    }.filter(_ > 0).sorted(Ordering[Double].reverse)
+    assert(math.abs(rows.head.getDouble(3) - all.head) < 1e-4)
+  }
+
+  test("q_shape_attribution conserves purchases and revenue") {
+    val rows = SparkEntry.queries("q_shape_attribution")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val purchases = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .agg(count(lit(1)).as("n"), Fx.lsum(col("value")).as("v"))
+      .collect().head
+    assert(rows.map(_.getLong(1)).sum === purchases.getLong(0))
+    // lsum cents are integers, so per-channel sums add exactly
+    val total = rows.map(r => math.round(r.getDouble(2) * 100)).sum
+    assert(total === math.round(purchases.getDouble(1) * 100))
+    val types = Set("click", "view", "signup", "error", "direct")
+    rows.foreach(r => assert(types.contains(r.getString(0))))
+  }
+
   test("q17 keeps exactly the lines below 20% of their part's mean qty") {
     val rows = SparkEntry.queries("q_shape_q17")(spark, sf).collect()
     assert(rows.length === 1)
