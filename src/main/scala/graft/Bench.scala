@@ -120,7 +120,11 @@ object Bench {
       // round-6 batch 8: exact-integer 3-sigma anomaly scan (events
       // shuffled twice), neighbor-set Jaccard over co-purchase edges
       // (fact-scale pair generation), last-touch attribution window
-      "q_ts_anomaly", "q_graph_jaccard", "q_shape_attribution")
+      "q_ts_anomaly", "q_graph_jaccard", "q_shape_attribution",
+      // round-6 batch 9: bigram-LM corpus windows (two fact-scale
+      // shuffles), the lag-chain pattern scan, and the clamped-balance
+      // mapPartitions fold (repartition + in-partition sort)
+      "q_text_lm_bigram", "q_win_pattern", "q_shape_inventory")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

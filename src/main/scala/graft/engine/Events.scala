@@ -190,6 +190,47 @@ object Events {
           eround(col("n_anomalies").cast("double") / col("n_total"), 4)
             .as("anomaly_pct"))
         .orderBy(col("event_type"))
+    },
+
+    // Clamped running balance (event-sourced inventory): purchases add
+    // value, errors refund it, and the balance can never go below zero —
+    // each clamp DISCARDS the overdraft, which makes the fold genuinely
+    // non-associative: no window/aggregate spelling exists, so this is
+    // the documented mapPartitions case (imperative per-key state, like
+    // the byte codecs in Multimodal). repartition(user_id) +
+    // sortWithinPartitions pins key locality and event order — the exact
+    // layout a cluster run would use — and the partition fold carries one
+    // (balance, clamps) pair per user, emitting only user summaries
+    // (state O(users/partition), never O(rows)). All arithmetic is long
+    // cents; the oracle replays the same walk as a recursive CTE.
+    "q_shape_inventory" -> { (s, d) =>
+      import s.implicits._
+      val ordered = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "error"))
+        .select(col("user_id"),
+          (round(col("value") * 100).cast("long") *
+            when(col("event_type") === "purchase", 1L).otherwise(-1L))
+            .as("dc"),
+          col("ts"), col("event_id"))
+        .repartition(col("user_id"))
+        .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+        .select(col("user_id"), col("dc"))
+      ordered.as[(Long, Long)].mapPartitions { it =>
+        val res = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var cur = 0L; var bal = 0L; var clamps = 0L; var has = false
+        def flush(): Unit = if (has) res += ((cur, bal, clamps))
+        it.foreach { case (u, dc) =>
+          if (!has || u != cur) { flush(); cur = u; bal = 0L; clamps = 0L
+            has = true }
+          val nb = bal + dc
+          if (nb < 0) { bal = 0L; clamps += 1 } else bal = nb
+        }
+        flush(); res.iterator
+      }.toDF("user_id", "bal_cents", "n_clamps")
+        .select(col("user_id"),
+          (col("bal_cents") / 100.0).cast("double").as("final_balance"),
+          col("n_clamps"))
+        .orderBy(col("user_id"))
     }
   )
 
@@ -323,6 +364,31 @@ object Events {
         |    / count(*) + 5e-10, 4) AS anomaly_pct
         | FROM e JOIN st ON event_type = et
         | GROUP BY event_type ORDER BY event_type"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_shape_inventory" ->
+      """WITH RECURSIVE e AS (SELECT user_id,
+        |   CAST(round(value * 100) AS BIGINT)
+        |     * (CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END)
+        |    AS dc,
+        |   row_number() OVER (PARTITION BY user_id
+        |     ORDER BY ts, event_id) AS rn
+        |  FROM (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type, value FROM events
+        |   WHERE event_type IN ('purchase', 'error'))),
+        | walk AS (
+        |  SELECT user_id, rn, greatest(dc, 0) AS bal,
+        |   CASE WHEN dc < 0 THEN CAST(1 AS BIGINT)
+        |    ELSE CAST(0 AS BIGINT) END AS clamps
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn, greatest(w.bal + e.dc, 0),
+        |   w.clamps + CASE WHEN w.bal + e.dc < 0 THEN 1 ELSE 0 END
+        |  FROM walk w JOIN e ON e.user_id = w.user_id
+        |   AND e.rn = w.rn + 1)
+        | SELECT user_id, max_by(bal, rn) / 100.0 AS final_balance,
+        |  CAST(max_by(clamps, rn) AS BIGINT) AS n_clamps
+        | FROM walk GROUP BY user_id ORDER BY user_id"""
         .stripMargin.replaceAll("\n", " ")
   )
 }

@@ -261,6 +261,47 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // Bigram LM scoring with add-one smoothing — the conditional upgrade
+    // of q_text_lm_score: per-bigram surprisal −ln((c12+1)/(c1+V)),
+    // averaged per document. Same parity recipe as the unigram LM: the
+    // probability is one identical double expression on both engines, the
+    // per-bigram surprisal epsilon-rounds to DECIMAL(18,6), and the
+    // per-doc mean sums those exact decimals (order-independent). Corpus
+    // counts come from window partitions over the bigram stream (no
+    // self-joins); V is a 1-row broadcast.
+    "q_text_lm_bigram" -> { (s, d) =>
+      val tk = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+      val vocab = tk.select(countDistinct(col("tok")).as("v"))
+      val wd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      tk.withColumn("w2", lead(col("tok"), 1).over(wd))
+        .filter(col("w2").isNotNull)
+        .select(col("doc_id"), col("tok").as("w1"), col("w2"))
+        // both corpus counts ride ONE w1 exchange: c12 is the peer-group
+        // count (RANGE CURRENT ROW..CURRENT ROW over w1 ordered by w2 =
+        // rows tied on w2), c1 the whole-partition count — the (w1,w2)
+        // repartition a naive second window would add is gone
+        .withColumn("c12", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("w1")).orderBy(col("w2"))
+            .rangeBetween(
+              org.apache.spark.sql.expressions.Window.currentRow,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+        .withColumn("c1", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))))
+        .crossJoin(broadcast(vocab))
+        .withColumn("surprisal",
+          eround(-log((col("c12") + 1.0) / (col("c1") + col("v"))), 6)
+            .cast("decimal(18,6)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          (sum(col("surprisal")).cast("double") / count(lit(1)))
+            .cast("double").as("mean_surprisal"))
+        .orderBy(col("doc_id"))
+    },
+
     // URL canonicalization + exact dedup — the web-corpus dedup step:
     // lowercase, strip utm_* tracking parameters, normalize the dangling
     // separator, then hash-group on the canonical form. URLs are
@@ -1548,6 +1589,24 @@ object Text {
          |  CAST(sum(CAST(round(-ln(cnt / n_total) + 5e-10, 6)
          |    AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_surprisal
          | FROM c GROUP BY doc_id ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_text_lm_bigram" ->
+      s"""WITH a AS (SELECT doc_id, $oToks AS arr FROM documents),
+         | t AS (SELECT doc_id, unnest(arr) AS tok,
+         |   generate_subscripts(arr, 1) AS pos FROM a),
+         | vv AS (SELECT count(DISTINCT tok) AS v FROM t),
+         | b AS (SELECT doc_id, tok AS w1,
+         |   lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+         |  FROM t),
+         | bg AS (SELECT doc_id, w1, w2 FROM b WHERE w2 IS NOT NULL),
+         | c AS (SELECT *,
+         |   count(*) OVER (PARTITION BY w1, w2) AS c12,
+         |   count(*) OVER (PARTITION BY w1) AS c1 FROM bg)
+         | SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(CAST(round(-ln((c12 + 1.0) / (c1 + v)) + 5e-10, 6)
+         |    AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_surprisal
+         | FROM c CROSS JOIN vv GROUP BY doc_id ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_text_dedup_url" ->

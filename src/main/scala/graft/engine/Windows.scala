@@ -178,6 +178,30 @@ object Windows {
           ntile(4).over(w).as("quartile"),
           eround(cume_dist().over(w), 6).as("cd"))
         .orderBy(col("c_custkey"))
+    },
+
+    // Sequence-pattern detection (MATCH_RECOGNIZE-style, spelled as a lag
+    // chain): local minima ("V shapes", down-then-up) and strict deep Vs
+    // (down-down-up) in each user's value series. Pure comparisons on the
+    // stored doubles — no arithmetic, so engine parity is structural. One
+    // user_id shuffle carries the whole lag chain; the per-user aggregate
+    // is map-side after it.
+    "q_win_pattern" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val l1 = lag(col("value"), 1).over(w)
+      val l2 = lag(col("value"), 2).over(w)
+      val l3 = lag(col("value"), 3).over(w)
+      val vShape = l2 > l1 && l1 < col("value")
+      val deepV = l3 > l2 && l2 > l1 && l1 < col("value")
+      Tables.events(s, d)
+        .select(col("user_id"), col("value"),
+          vShape.as("is_v"), deepV.as("is_deep"))
+        .groupBy(col("user_id"))
+        .agg(count(when(col("is_v"), 1)).as("n_v"),
+          count(when(col("is_deep"), 1)).as("n_deep_v"))
+        .filter(col("n_v") > 0)
+        .orderBy(col("user_id"))
     }
   )
 
@@ -298,6 +322,23 @@ object Windows {
         | FROM customer
         | WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
         | ORDER BY c_custkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_win_pattern" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |   CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+        | f AS (SELECT user_id, value,
+        |   lag(value, 1) OVER w AS l1,
+        |   lag(value, 2) OVER w AS l2,
+        |   lag(value, 3) OVER w AS l3
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        | SELECT user_id,
+        |  count(CASE WHEN l2 > l1 AND l1 < value THEN 1 END) AS n_v,
+        |  count(CASE WHEN l3 > l2 AND l2 > l1 AND l1 < value
+        |    THEN 1 END) AS n_deep_v
+        | FROM f GROUP BY user_id
+        | HAVING count(CASE WHEN l2 > l1 AND l1 < value THEN 1 END) > 0
+        | ORDER BY user_id"""
         .stripMargin.replaceAll("\n", " ")
   )
 }

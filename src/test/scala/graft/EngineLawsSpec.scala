@@ -1095,6 +1095,87 @@ class EngineLawsSpec extends SparkSuite {
     rows.foreach(r => assert(types.contains(r.getString(0))))
   }
 
+  test("q_win_pattern matches a brute-force local-minimum scan") {
+    val rows = SparkEntry.queries("q_win_pattern")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val series = Tables.events(spark, sf)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3)))
+      .groupBy(_._1)
+      .map { case (u, rs) =>
+        u -> rs.sortBy(r => (r._2.getTime, r._2.getNanos, r._3))
+          .map(_._4).toVector
+      }
+    val expect = series.map { case (u, vs) =>
+      val v = (3 until vs.length).count(i =>
+        vs(i - 2) > vs(i - 1) && vs(i - 1) < vs(i)) +
+        (if (vs.length >= 3 && vs(0) > vs(1) && vs(1) < vs(2)) 1 else 0)
+      val deep = (3 until vs.length).count(i =>
+        vs(i - 3) > vs(i - 2) && vs(i - 2) > vs(i - 1) && vs(i - 1) < vs(i))
+      u -> (v, deep)
+    }
+    rows.foreach { r =>
+      val (v, deep) = expect(r.getLong(0))
+      assert(r.getLong(1) === v.toLong && r.getLong(2) === deep.toLong)
+    }
+    assert(rows.length === expect.count(_._2._1 > 0))
+  }
+
+  test("q_text_lm_bigram conserves bigram counts and replays surprisal") {
+    val rows = SparkEntry.queries("q_text_lm_bigram")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toVector)
+    // n_bigrams = n_tokens - 1 for every doc with >= 2 tokens
+    val nt = docs.toMap
+    rows.foreach(r => assert(r.getLong(1) === nt(r.getLong(0)).length - 1L))
+    // full replay of the smoothed surprisal mean on the corpus counts
+    val bigrams = docs.flatMap { case (_, ts) => ts.sliding(2).map(p =>
+      (p(0), p(1))) }
+    val c12 = bigrams.groupBy(identity).view.mapValues(_.length).toMap
+    val c1 = bigrams.groupBy(_._1).view.mapValues(_.length).toMap
+    val v = docs.flatMap(_._2).distinct.length
+    rows.take(20).foreach { r =>
+      val ts = nt(r.getLong(0))
+      val s = ts.sliding(2).map { p =>
+        val pr = (c12((p(0), p(1))) + 1.0) / (c1(p(0)) + v)
+        BigDecimal(-math.log(pr) + 5e-10)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      assert(math.abs(r.getDouble(2) - s.toDouble / (ts.length - 1)) < 1e-9)
+    }
+  }
+
+  test("q_shape_inventory replays the clamped fold in pure Scala") {
+    val rows = SparkEntry.queries("q_shape_inventory")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getDouble(4)))
+    val expect = ev.groupBy(_._1).map { case (u, rs) =>
+      var bal = 0L; var clamps = 0L
+      rs.sortBy(r => (r._2.getTime, r._2.getNanos, r._3)).foreach { r =>
+        val dc = math.round(r._5 * 100) * (if (r._4 == "purchase") 1 else -1)
+        val nb = bal + dc
+        if (nb < 0) { bal = 0L; clamps += 1 } else bal = nb
+      }
+      u -> (bal, clamps)
+    }
+    assert(rows.length === expect.size)
+    rows.foreach { r =>
+      val (bal, clamps) = expect(r.getLong(0))
+      assert(r.getDouble(1) === bal / 100.0, s"user ${r.getLong(0)}")
+      assert(r.getLong(2) === clamps)
+    }
+  }
+
   test("q17 keeps exactly the lines below 20% of their part's mean qty") {
     val rows = SparkEntry.queries("q_shape_q17")(spark, sf).collect()
     assert(rows.length === 1)
