@@ -124,7 +124,10 @@ object Bench {
       // round-6 batch 9: bigram-LM corpus windows (two fact-scale
       // shuffles), the lag-chain pattern scan, and the clamped-balance
       // mapPartitions fold (repartition + in-partition sort)
-      "q_text_lm_bigram", "q_win_pattern", "q_shape_inventory")
+      "q_text_lm_bigram", "q_win_pattern", "q_shape_inventory",
+      // round-6 batch 10: nearest as-of dual windows, RAKE corpus
+      // keyphrase scoring (regex+explode CPU), temperature mixing agg
+      "q_join_asof_near", "q_text_keyphrase", "q_pipeline_mix_temp")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

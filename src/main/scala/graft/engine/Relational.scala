@@ -229,6 +229,61 @@ object Relational {
         .orderBy(col("event_id"))
     },
 
+    // Nearest-direction as-of (pandas merge_asof direction='nearest'):
+    // for each event, the same user's time-closest order, either side;
+    // exact ties prefer the earlier (backward) order. Same join-free
+    // union shape as the asof pair — ONE user_id exchange carries two
+    // windows whose orderings differ only in the event/order tiebreak at
+    // equal timestamps (orders first for the preceding frame, events
+    // first for the following frame), so a same-instant order is visible
+    // to both sides at distance zero and the tie rule decides. Distances
+    // compare in exact integer micros.
+    "q_join_asof_near" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("user_id"),
+          col("o_orderdate").as("t"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+        .select(lit(null).cast("long").as("event_id"), col("user_id"),
+          col("t"), lit(true).as("is_order"), col("o_orderkey"))
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts").as("t"),
+          lit(false).as("is_order"),
+          lit(null).cast("long").as("o_orderkey"))
+      val ord = struct(col("t").as("ot"), col("o_orderkey").as("ok"))
+      val wbOrdersFirst = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("is_order").cast("int").desc,
+          col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wfEventsFirst = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("is_order").cast("int").asc,
+          col("o_orderkey"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      e.unionByName(o)
+        .withColumn("prv", last(when(col("is_order"), ord),
+          ignoreNulls = true).over(wbOrdersFirst))
+        .withColumn("nxt", first(when(col("is_order"), ord),
+          ignoreNulls = true).over(wfEventsFirst))
+        .filter(!col("is_order"))
+        .select(col("event_id"), col("user_id"),
+          when(col("prv").isNull && col("nxt").isNull,
+            lit(null).cast("long"))
+            .when(col("nxt").isNull, col("prv.ok"))
+            .when(col("prv").isNull, col("nxt.ok"))
+            .when(unix_micros(col("t")) - unix_micros(col("prv.ot"))
+              <= unix_micros(col("nxt.ot")) - unix_micros(col("t")),
+              col("prv.ok"))
+            .otherwise(col("nxt.ok")).as("o_orderkey"),
+          when(col("prv").isNull && col("nxt").isNull,
+            lit(null).cast("string"))
+            .when(col("nxt").isNull, lit("back"))
+            .when(col("prv").isNull, lit("fwd"))
+            .when(unix_micros(col("t")) - unix_micros(col("prv.ot"))
+              <= unix_micros(col("nxt.ot")) - unix_micros(col("t")),
+              lit("back"))
+            .otherwise(lit("fwd")).as("near_dir"))
+        .orderBy(col("event_id"))
+    },
+
     // Interval join: orders placed within 30 days after each order by the
     // same customer. Equi component (custkey) keeps it hash-partitionable.
     "q_join_interval" -> { (s, d) =>
@@ -703,6 +758,37 @@ object Relational {
         | FROM e ASOF LEFT JOIN o
         |  ON e.user_id = o.user_id AND o.nt <= e.nts
         | ORDER BY e.event_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_join_asof_near" ->
+      """WITH o AS (SELECT o_custkey AS user_id, o_orderdate AS t,
+        |   max(o_orderkey) AS o_orderkey FROM orders GROUP BY 1, 2),
+        | e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        | b AS (SELECT e.event_id, e.user_id, e.ts,
+        |   o.o_orderkey AS bk, o.t AS bt
+        |  FROM e ASOF LEFT JOIN o
+        |   ON e.user_id = o.user_id AND o.t <= e.ts),
+        | f AS (SELECT e2.event_id, o2.o_orderkey AS fk, o2.t AS ft
+        |  FROM (SELECT event_id, user_id, ts, -epoch(ts) AS nts FROM e) e2
+        |  ASOF LEFT JOIN (SELECT user_id, t, -epoch(t) AS nt, o_orderkey
+        |    FROM o) o2
+        |   ON e2.user_id = o2.user_id AND o2.nt <= e2.nts)
+        | SELECT b.event_id, b.user_id,
+        |  CASE WHEN bk IS NULL AND fk IS NULL THEN NULL
+        |   WHEN fk IS NULL THEN bk
+        |   WHEN bk IS NULL THEN fk
+        |   WHEN epoch_us(ts) - epoch_us(bt)
+        |     <= epoch_us(ft) - epoch_us(ts) THEN bk
+        |   ELSE fk END AS o_orderkey,
+        |  CASE WHEN bk IS NULL AND fk IS NULL THEN NULL
+        |   WHEN fk IS NULL THEN 'back'
+        |   WHEN bk IS NULL THEN 'fwd'
+        |   WHEN epoch_us(ts) - epoch_us(bt)
+        |     <= epoch_us(ft) - epoch_us(ts) THEN 'back'
+        |   ELSE 'fwd' END AS near_dir
+        | FROM b JOIN f USING (event_id)
+        | ORDER BY event_id"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_validate_fk" ->

@@ -302,6 +302,68 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // RAKE keyphrase extraction (Rose et al. 2010): candidate phrases are
+    // maximal stopword-free token runs; each word scores degree/frequency
+    // over the corpus (degree = Σ length of phrases containing it), and a
+    // phrase scores the sum of its word scores. Parity recipe: word score
+    // is one identical integer division ε-rounded to DECIMAL(18,6), so
+    // the per-phrase sum is exact and order-independent. Scale shape: the
+    // word stats ride one word-partition exchange; the phrase re-sum is a
+    // second token-stream shuffle; top-20 is a tiny final sort.
+    "q_text_keyphrase" -> { (s, d) =>
+      val marked = transform(toks(col("text")),
+        t => when(t.isin(StopWords: _*), lit("§")).otherwise(t))
+      val phrases = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(filter(
+            transform(split(array_join(marked, " "), "§"),
+              p => trim(p)),
+            p => p =!= "")).as(Seq("pid", "phrase")))
+      val words = phrases
+        .withColumn("wlen", size(split(col("phrase"), " ")))
+        .select(col("doc_id"), col("pid"), col("phrase"), col("wlen"),
+          explode(split(col("phrase"), " ")).as("w"))
+      words
+        .withColumn("freq", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("w"))))
+        .withColumn("deg", sum(col("wlen")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("w"))))
+        .withColumn("wscore",
+          eround(col("deg").cast("double") / col("freq"), 6)
+            .cast("decimal(18,6)"))
+        .groupBy(col("doc_id"), col("pid"), col("phrase"))
+        .agg(sum(col("wscore")).as("ps"))
+        .groupBy(col("phrase"))
+        .agg(count(lit(1)).as("n_occur"),
+          max(col("ps")).cast("double").as("score"))
+        .orderBy(desc("score"), asc("phrase"))
+        .limit(20)
+    },
+
+    // Temperature-based language mixing (the standard multilingual LLM
+    // sampling recipe, T=2 i.e. α=1/2): per-language sampling weight
+    // ∝ n^α. α=1/2 keeps parity trivial — sqrt is IEEE-correctly-rounded
+    // on BOTH engines (unlike pow), and the per-language √n ε-rounds to
+    // DECIMAL(18,6) so the normalizing sum is exact and order-free. One
+    // tiny aggregate + a 1-row broadcast; linear in the corpus.
+    "q_pipeline_mix_temp" -> { (s, d) =>
+      val wdec = Tables.documents(s, d)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("sw",
+          eround(sqrt(col("n_docs")), 6).cast("decimal(18,6)"))
+      val tot = wdec.agg(sum(col("sw")).as("tot_sw"),
+        sum(col("n_docs")).as("tot_n"))
+      val ratio = col("sw").cast("double") / col("tot_sw").cast("double")
+      wdec.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_docs"),
+          eround(col("n_docs").cast("double") / col("tot_n"), 6)
+            .as("raw_share"),
+          eround(ratio, 6).as("weight"),
+          round(ratio * 10000 + lit(5e-10), 0).cast("long").as("quota_10k"))
+        .orderBy(col("lang"))
+    },
+
     // URL canonicalization + exact dedup — the web-corpus dedup step:
     // lowercase, strip utm_* tracking parameters, normalize the dangling
     // separator, then hash-group on the canonical form. URLs are
@@ -1607,6 +1669,47 @@ object Text {
          |  CAST(sum(CAST(round(-ln((c12 + 1.0) / (c1 + v)) + 5e-10, 6)
          |    AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_surprisal
          | FROM c CROSS JOIN vv GROUP BY doc_id ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_text_keyphrase" ->
+      s"""WITH ph0 AS (SELECT doc_id,
+         |  string_split(array_to_string(list_transform($oToks,
+         |    t -> CASE WHEN list_contains($oStop, t)
+         |      THEN '§' ELSE t END), ' '), '§') AS parr
+         | FROM documents),
+         | ph AS (SELECT doc_id, trim(unnest(parr)) AS phrase,
+         |   generate_subscripts(parr, 1) AS pid FROM ph0),
+         | w AS (SELECT doc_id, pid, phrase,
+         |   len(string_split(phrase, ' ')) AS wlen,
+         |   unnest(string_split(phrase, ' ')) AS w
+         |  FROM ph WHERE phrase <> ''),
+         | sc AS (SELECT doc_id, pid, phrase, wlen, w,
+         |   count(*) OVER (PARTITION BY w) AS freq,
+         |   sum(wlen) OVER (PARTITION BY w) AS deg FROM w),
+         | ps AS (SELECT doc_id, pid, phrase,
+         |   sum(CAST(round(CAST(deg AS DOUBLE) / freq + 5e-10, 6)
+         |     AS DECIMAL(18,6))) AS ps
+         |  FROM sc GROUP BY doc_id, pid, phrase)
+         | SELECT phrase, count(*) AS n_occur,
+         |  CAST(max(ps) AS DOUBLE) AS score
+         | FROM ps GROUP BY phrase
+         | ORDER BY score DESC, phrase LIMIT 20"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_pipeline_mix_temp" ->
+      """WITH c AS (SELECT lang, count(*) AS n_docs
+        |  FROM documents GROUP BY lang),
+        | w AS (SELECT lang, n_docs,
+        |   CAST(round(sqrt(n_docs) + 5e-10, 6) AS DECIMAL(18,6)) AS sw
+        |  FROM c),
+        | t AS (SELECT CAST(sum(sw) AS DOUBLE) AS tot_sw,
+        |   sum(n_docs) AS tot_n FROM w)
+        | SELECT lang, n_docs,
+        |  round(CAST(n_docs AS DOUBLE) / tot_n + 5e-10, 6) AS raw_share,
+        |  round(CAST(sw AS DOUBLE) / tot_sw + 5e-10, 6) AS weight,
+        |  CAST(round(CAST(sw AS DOUBLE) / tot_sw * 10000 + 5e-10, 0)
+        |    AS BIGINT) AS quota_10k
+        | FROM w CROSS JOIN t ORDER BY lang"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_text_dedup_url" ->

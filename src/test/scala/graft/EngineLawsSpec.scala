@@ -1176,6 +1176,96 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("q_join_asof_near picks the time-closest order, ties backward") {
+    val rows = SparkEntry.queries("q_join_asof_near")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val orders = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("tu"))
+      .agg(max(col("o_orderkey")).as("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val events = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .map(e => e._1 -> e).toMap
+    var checked = 0
+    rows.foreach { r =>
+      val (eid, uid) = (r.getLong(0), r.getLong(1))
+      val t = events(eid)._3
+      orders.get(uid) match {
+        case None => assert(r.isNullAt(2) && r.isNullAt(3))
+        case Some(os) =>
+          val back = os.filter(_._2 <= t)
+            .sortBy(o => (-o._2, -o._3)).headOption
+          val fwd = os.filter(_._2 >= t)
+            .sortBy(o => (o._2, -o._3)).headOption
+          val (ek, ed) = (back, fwd) match {
+            case (None, None) => (None, None)
+            case (Some(b), None) => (Some(b._3), Some("back"))
+            case (None, Some(f)) => (Some(f._3), Some("fwd"))
+            case (Some(b), Some(f)) =>
+              if (t - b._2 <= f._2 - t) (Some(b._3), Some("back"))
+              else (Some(f._3), Some("fwd"))
+          }
+          val gotK = if (r.isNullAt(2)) None else Some(r.getLong(2))
+          val gotD = if (r.isNullAt(3)) None else Some(r.getString(3))
+          assert(gotK === ek && gotD === ed, s"event $eid")
+          checked += 1
+      }
+    }
+    assert(checked > 0)
+  }
+
+  test("q_text_keyphrase replays RAKE degree/frequency scoring") {
+    val rows = SparkEntry.queries("q_text_keyphrase")(spark, sf).collect()
+    assert(rows.length === 20)
+    val stop = Set("the", "a")
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), lower(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toVector)
+    // candidate phrases: maximal stopword-free runs
+    val phrases = docs.flatMap { case (_, ts) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[Vector[String]]
+      var cur = Vector.empty[String]
+      ts.foreach { t =>
+        if (stop(t)) { if (cur.nonEmpty) out += cur; cur = Vector.empty }
+        else cur :+= t
+      }
+      if (cur.nonEmpty) out += cur
+      out
+    }
+    val allWords = phrases.flatMap(p => p.map(w => (w, p.length)))
+    val freq = allWords.groupBy(_._1).view.mapValues(_.length).toMap
+    val deg = allWords.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    def wscore(w: String) = BigDecimal(deg(w).toDouble / freq(w) + 5e-10)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val scored = phrases.map(p => p.mkString(" ") -> p.map(wscore).sum)
+    val best = scored.groupBy(_._1).view
+      .mapValues(v => (v.length, v.head._2.toDouble)).toMap
+    rows.foreach { r =>
+      val (n, s0) = best(r.getString(0))
+      assert(r.getLong(1) === n.toLong)
+      assert(math.abs(r.getDouble(2) - s0) < 1e-9)
+    }
+    // the reported top really is the global maximum
+    val maxScore = scored.map(_._2.toDouble).max
+    assert(math.abs(rows.head.getDouble(2) - maxScore) < 1e-9)
+  }
+
+  test("q_pipeline_mix_temp flattens the language distribution") {
+    val rows = SparkEntry.queries("q_pipeline_mix_temp")(spark, sf).collect()
+    assert(rows.length === 5)
+    assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    assert(math.abs(rows.map(_.getLong(4)).sum - 10000L) <= 3)
+    // temperature sampling pulls every share toward uniform
+    rows.foreach { r =>
+      val (raw, w) = (r.getDouble(2), r.getDouble(3))
+      if (raw > 0.2) assert(w < raw) else assert(w > raw)
+    }
+  }
+
   test("q17 keeps exactly the lines below 20% of their part's mean qty") {
     val rows = SparkEntry.queries("q_shape_q17")(spark, sf).collect()
     assert(rows.length === 1)
