@@ -127,7 +127,10 @@ object Bench {
       "q_text_lm_bigram", "q_win_pattern", "q_shape_inventory",
       // round-6 batch 10: nearest as-of dual windows, RAKE corpus
       // keyphrase scoring (regex+explode CPU), temperature mixing agg
-      "q_join_asof_near", "q_text_keyphrase", "q_pipeline_mix_temp")
+      "q_join_asof_near", "q_text_keyphrase", "q_pipeline_mix_temp",
+      // round-6 batch 11: binary-signature ANN (codegen'd xor+popcount)
+      // and the hourly self-join forecast backtest
+      "q_sim_topk_hamming", "q_ts_backtest")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

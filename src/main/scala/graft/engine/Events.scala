@@ -231,6 +231,29 @@ object Events {
           (col("bal_cents") / 100.0).cast("double").as("final_balance"),
           col("n_clamps"))
         .orderBy(col("user_id"))
+    },
+
+    // Seasonal-naive forecast backtest: predict each hour's per-type
+    // total as the value one week (168 h) earlier, score MAE over the
+    // hours where both sides exist. The hourly sums are exact long
+    // cents (lsum), so |actual − predicted| is exact at 2dp and the MAE
+    // is an exact-decimal mean — fully engine-parity-safe. One hourly
+    // aggregate + an equi self-join on (type, hour−168h): both sides
+    // share the aggregate's partitioning, no window over the raw stream.
+    "q_ts_backtest" -> { (s, d) =>
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(lsum(col("value")).as("v"))
+      val pred = hourly.select(col("event_type"),
+        (col("h") + expr("INTERVAL 168 HOURS")).as("h"),
+        col("v").as("v_pred"))
+      hourly.join(pred, Seq("event_type", "h"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          eround(sum(abs(col("v") - col("v_pred"))
+            .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double") / count(lit(1)), 4).as("mae"))
+        .orderBy(col("event_type"))
     }
   )
 
@@ -389,6 +412,20 @@ object Events {
         | SELECT user_id, max_by(bal, rn) / 100.0 AS final_balance,
         |  CAST(max_by(clamps, rn) AS BIGINT) AS n_clamps
         | FROM walk GROUP BY user_id ORDER BY user_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_ts_backtest" ->
+      s"""WITH hourly AS (SELECT event_type,
+         |   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         |   ${oLsum("value")} AS v
+         |  FROM events GROUP BY event_type, h),
+         | pred AS (SELECT event_type, h + INTERVAL 168 HOUR AS h,
+         |   v AS v_pred FROM hourly)
+         | SELECT event_type, count(*) AS n_hours,
+         |  round(CAST(sum(CAST(abs(v - v_pred) AS DECIMAL(18,2)))
+         |    AS DOUBLE) / count(*) + 5e-10, 4) AS mae
+         | FROM hourly JOIN pred USING (event_type, h)
+         | GROUP BY event_type ORDER BY event_type"""
         .stripMargin.replaceAll("\n", " ")
   )
 }

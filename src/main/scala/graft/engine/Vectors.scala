@@ -194,6 +194,40 @@ object Vectors {
         .orderBy(col("probe_id"), col("rnk"))
     },
 
+    // Hamming-space ANN over sign-binarized embeddings — the 1-bit
+    // quantization ANN family (binary embeddings à la ITQ): dim i sets a
+    // bit iff embedding[i] > 0, packed into two 32-bit halves (a single
+    // 64-bit pack would need 1L<<63, whose sign wrap invites engine
+    // drift), distance = popcount(xor(lo)) + popcount(xor(hi)). ALL
+    // integer ops — unlike float ANN this variant is fully oracle-able
+    // with exact hash parity. Signatures are 16 bytes/vector (64× smaller
+    // than the float vectors), the probe set broadcasts, and the xor+
+    // popcount inner loop is codegen'd arithmetic — the classic memory-
+    // bound rerank-filter layout at 100 TB.
+    "q_sim_topk_hamming" -> { (s, d) =>
+      def half(off: Int) = expr(
+        s"""aggregate(sequence(0, 31), 0L, (acc, i) ->
+           | acc + CASE WHEN element_at(embedding, i + ${off + 1}) > 0
+           |  THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin)
+      val sigs = Tables.embeddings(s, d)
+        .select(col("vec_id"), half(0).as("lo"), half(32).as("hi"))
+      val probes = sigs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"),
+          col("lo").as("plo"), col("hi").as("phi"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id"))
+        .orderBy(asc("hamming"), asc("vec_id"))
+      sigs.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("hamming",
+          (bit_count(col("lo").bitwiseXOR(col("plo")))
+            + bit_count(col("hi").bitwiseXOR(col("phi")))).cast("long"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("probe_id"), col("rnk"), col("vec_id"), col("hamming"))
+        .orderBy(col("probe_id"), col("rnk"))
+    },
+
     // All-pairs candidate generation via 8-plane random-hyperplane LSH
     // (SimHash buckets). Corpus includes planted identical copies
     // (vec_id + 1,000,000) so recall is testable; no oracle (candidate set
@@ -616,6 +650,27 @@ object Vectors {
     "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 
   val oracle: Map[String, String] = Map(
+    "q_sim_topk_hamming" ->
+      """WITH s AS (SELECT vec_id,
+        |   CAST(list_sum(list_transform(range(0, 32), i ->
+        |     CASE WHEN embedding[i + 1] > 0
+        |      THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS lo,
+        |   CAST(list_sum(list_transform(range(0, 32), i ->
+        |     CASE WHEN embedding[i + 33] > 0
+        |      THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS hi
+        |  FROM embeddings),
+        | p AS (SELECT vec_id AS probe_id, lo AS plo, hi AS phi
+        |  FROM s WHERE vec_id < 10),
+        | d AS (SELECT p.probe_id, s.vec_id,
+        |   CAST(bit_count(xor(s.lo, p.plo))
+        |     + bit_count(xor(s.hi, p.phi)) AS BIGINT) AS hamming
+        |  FROM s CROSS JOIN p WHERE s.vec_id <> p.probe_id),
+        | r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+        |    ORDER BY hamming, vec_id) AS rnk FROM d)
+        | SELECT probe_id, rnk, vec_id, hamming FROM r
+        | WHERE rnk <= 5 ORDER BY probe_id, rnk"""
+        .stripMargin.replaceAll("\n", " "),
+
     "q_sim_join_rewrite" ->
       s"""WITH e AS (SELECT vec_id, $oVd AS v FROM embeddings
          |   WHERE vec_id < 300),

@@ -1266,6 +1266,50 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("q_sim_topk_hamming replays sign-bit signatures and distances") {
+    val rows = SparkEntry.queries("q_sim_topk_hamming")(spark, sf).collect()
+    assert(rows.length === 50)
+    val sigs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map { r =>
+        val e = r.getSeq[Float](1)
+        val bits = e.indices.filter(i => e(i) > 0)
+          .foldLeft(BigInt(0))((a, i) => a.setBit(i))
+        r.getLong(0) -> bits
+      }.toMap
+    def ham(a: BigInt, b: BigInt) = (a ^ b).bitCount.toLong
+    rows.groupBy(_.getLong(0)).foreach { case (p, rs) =>
+      val expect = sigs.keys.filter(_ != p).toSeq
+        .map(v => (v, ham(sigs(p), sigs(v))))
+        .sortBy { case (v, h) => (h, v) }.take(5)
+      rs.sortBy(_.getInt(1)).zip(expect).foreach { case (r, (v, h)) =>
+        assert(r.getLong(2) === v && r.getLong(3) === h, s"probe $p")
+      }
+    }
+  }
+
+  test("q_ts_backtest MAE replays the seasonal-naive walk") {
+    val rows = SparkEntry.queries("q_ts_backtest")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val hourly = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(Fx.lsum(col("value")).as("v"))
+      .select(col("event_type"), unix_micros(col("h")), col("v"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val week = 168L * 3600 * 1000000
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val pairs = hourly.collect {
+        case ((t, h), v) if t == et && hourly.contains((t, h - week)) =>
+          math.round(math.abs(v - hourly((t, h - week))) * 100)
+      }
+      assert(r.getLong(1) === pairs.size.toLong)
+      val mae = pairs.sum.toDouble / 100.0 / pairs.size
+      assert(math.abs(r.getDouble(2) - mae) < 1e-4, et)
+    }
+  }
+
   test("q17 keeps exactly the lines below 20% of their part's mean qty") {
     val rows = SparkEntry.queries("q_shape_q17")(spark, sf).collect()
     assert(rows.length === 1)
