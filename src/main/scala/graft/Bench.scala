@@ -130,7 +130,11 @@ object Bench {
       "q_join_asof_near", "q_text_keyphrase", "q_pipeline_mix_temp",
       // round-6 batch 11: binary-signature ANN (codegen'd xor+popcount)
       // and the hourly self-join forecast backtest
-      "q_sim_topk_hamming", "q_ts_backtest")
+      "q_sim_topk_hamming", "q_ts_backtest",
+      // round-6 batch 12: RFM triple-ntile over the customer aggregate,
+      // the drawdown running-max window, association-rule mining over
+      // the checkpointed basket frame
+      "q_shape_rfm", "q_win_drawdown", "q_shape_basket_rules")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

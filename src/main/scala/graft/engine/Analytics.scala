@@ -514,6 +514,93 @@ object Analytics {
         .orderBy(col("d"))
     },
 
+    // RFM customer segmentation: recency (days since last order, against
+    // the corpus max date), frequency (order count), monetary (exact-cent
+    // total spend) per customer, each scored into population quintiles,
+    // then segment sizes. Quintile ties break on c_custkey so ntile is
+    // engine-independent; recency is an exact integer day diff. The three
+    // ntiles ride ONE global ordering each (unpartitioned windows over
+    // the CUSTOMER aggregate — bounded, one row per customer, and spelled
+    // that way because quintiles are population-relative by definition;
+    // at 10^9 customers this is the one place you'd swap in approx
+    // percentile boundaries).
+    "q_shape_rfm" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val ref = Tables.orders(s, d)
+        .agg(max(col("o_orderdate")).as("ref_date"))
+      val rfm = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(max(col("o_orderdate")).as("last_o"),
+          count(lit(1)).as("freq"),
+          dsum(col("o_totalprice")).as("monetary"))
+        .crossJoin(broadcast(ref))
+        .select(col("o_custkey"),
+          datediff(col("ref_date"), col("last_o")).cast("long")
+            .as("recency_days"),
+          col("freq"), col("monetary"))
+      rfm
+        .withColumn("r_score", ntile(5).over(
+          W.orderBy(col("recency_days"), col("o_custkey"))))
+        .withColumn("f_score", ntile(5).over(
+          W.orderBy(desc("freq"), asc("o_custkey"))))
+        .withColumn("m_score", ntile(5).over(
+          W.orderBy(desc("monetary"), asc("o_custkey"))))
+        .groupBy(col("r_score"), col("f_score"), col("m_score"))
+        .agg(count(lit(1)).as("n_cust"),
+          dsum(col("monetary")).as("segment_value"))
+        .orderBy(col("r_score"), col("f_score"), col("m_score"))
+    },
+
+    // Association rules over the co-purchase pairs: confidence
+    // P(b|a) = n_ab/n_a and lift = n_ab·N/(n_a·n_b) for both directions
+    // of every support-≥2 pair, top 20 by lift. All inputs are exact
+    // integer counts — the ratios are single identical double divisions
+    // ε-rounded, so the rule metrics hash-match exactly. Reuses the
+    // one-shuffle basket pair generation; item supports join back
+    // broadcast (one row per item).
+    "q_shape_basket_rules" -> { (s, d) =>
+      // the basket frame feeds three consumers (N, item supports, pair
+      // counts) — materialize the aggregated (much smaller) form once,
+      // same pinned-checkpoint hygiene as q_graph_triangles
+      val baskets = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+        .localCheckpoint()
+      triPinned.put("rules:" + d, baskets).foreach(freeCheckpoint)
+      val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+      val itemSupp = baskets
+        .select(explode(col("parts")).as("item"))
+        .groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+      val pairs = baskets
+        .select(explode(flatten(transform(col("parts"), (x, i) =>
+          transform(
+            slice(col("parts"), i + lit(2),
+              greatest(size(col("parts")) - i - lit(1), lit(0))),
+            y => struct(x.as("u"), y.as("v")))))).as("p"))
+        .select(col("p.u"), col("p.v"))
+        .groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("n_ab"))
+        .filter(col("n_ab") >= 2)
+      val both = pairs
+        .select(col("u").as("a"), col("v").as("b"), col("n_ab"))
+        .unionAll(pairs
+          .select(col("v").as("a"), col("u").as("b"), col("n_ab")))
+      both
+        .join(broadcast(itemSupp.select(col("item").as("a"),
+          col("n_item").as("n_a"))), "a")
+        .join(broadcast(itemSupp.select(col("item").as("b"),
+          col("n_item").as("n_b"))), "b")
+        .crossJoin(broadcast(nOrders))
+        .select(col("a"), col("b"), col("n_ab"),
+          eround(col("n_ab").cast("double") / col("n_a"), 6)
+            .as("confidence"),
+          eround(col("n_ab").cast("double") * col("n_orders")
+            / (col("n_a") * col("n_b")), 6).as("lift"))
+        .orderBy(desc("lift"), desc("confidence"), asc("a"), asc("b"))
+        .limit(20)
+    },
+
     // Q6 shape: forecast revenue change — the pure scan-side query: every
     // predicate (shipdate year, discount band, quantity cap) pushes to the
     // parquet scan, and the single global aggregate partial-aggregates
@@ -998,6 +1085,49 @@ object Analytics {
         | SELECT d, dau, wau,
         |  round(CAST(dau AS DOUBLE) / wau + 5e-10, 4) AS stickiness
         | FROM dau JOIN wau USING (d) ORDER BY d"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_shape_rfm" ->
+      s"""WITH ref AS (SELECT max(o_orderdate) AS ref_date FROM orders),
+         | rfm AS (SELECT o_custkey,
+         |   CAST(date_diff('day', max(o_orderdate),
+         |     (SELECT ref_date FROM ref)) AS BIGINT) AS recency_days,
+         |   count(*) AS freq,
+         |   ${oSum("o_totalprice")} AS monetary
+         |  FROM orders GROUP BY o_custkey),
+         | sc AS (SELECT
+         |   ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+         |   ntile(5) OVER (ORDER BY freq DESC, o_custkey) AS f_score,
+         |   ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score,
+         |   monetary
+         |  FROM rfm)
+         | SELECT r_score, f_score, m_score, count(*) AS n_cust,
+         |  CAST(sum(CAST(monetary AS DECIMAL(18,2))) AS DOUBLE)
+         |   AS segment_value
+         | FROM sc GROUP BY r_score, f_score, m_score
+         | ORDER BY r_score, f_score, m_score"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_shape_basket_rules" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        | n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+        | it AS (SELECT l_partkey AS item, count(DISTINCT l_orderkey)
+        |   AS n_item FROM li GROUP BY l_partkey),
+        | pr AS (SELECT a.l_partkey AS u, b.l_partkey AS v,
+        |   count(*) AS n_ab
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |   AND a.l_partkey < b.l_partkey
+        |  GROUP BY u, v HAVING count(*) >= 2),
+        | bo AS (SELECT u AS a, v AS b, n_ab FROM pr
+        |  UNION ALL SELECT v AS a, u AS b, n_ab FROM pr)
+        | SELECT a, b, n_ab,
+        |  round(CAST(n_ab AS DOUBLE) / ia.n_item + 5e-10, 6)
+        |   AS confidence,
+        |  round(CAST(n_ab AS DOUBLE) * n.n_orders
+        |    / (ia.n_item * ib.n_item) + 5e-10, 6) AS lift
+        | FROM bo JOIN it ia ON bo.a = ia.item
+        |  JOIN it ib ON bo.b = ib.item CROSS JOIN n
+        | ORDER BY lift DESC, confidence DESC, a, b LIMIT 20"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_shape_q6" ->

@@ -202,6 +202,25 @@ object Windows {
           count(when(col("is_deep"), 1)).as("n_deep_v"))
         .filter(col("n_v") > 0)
         .orderBy(col("user_id"))
+    },
+
+    // Maximum drawdown per user series (peak-to-trough): running maximum
+    // over the preceding frame, drawdown = peak − current, max per user.
+    // Values lift to exact long cents so max/subtraction never touch
+    // floats until the final /100 display division (identical on both
+    // engines). One user_id shuffle; the running max is O(1) state.
+    "q_win_drawdown" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("c", round(col("value") * 100).cast("long"))
+        .withColumn("peak", max(col("c")).over(w))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("peak") - col("c")) / 100.0).cast("double")
+            .as("max_drawdown"))
+        .orderBy(col("user_id"))
     }
   )
 
@@ -339,6 +358,18 @@ object Windows {
         | FROM f GROUP BY user_id
         | HAVING count(CASE WHEN l2 > l1 AND l1 < value THEN 1 END) > 0
         | ORDER BY user_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_win_drawdown" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |   CAST(ts AS TIMESTAMP) AS ts,
+        |   CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        | f AS (SELECT user_id, c,
+        |   max(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS UNBOUNDED PRECEDING) AS peak FROM e)
+        | SELECT user_id, count(*) AS n_events,
+        |  CAST(max(peak - c) / 100.0 AS DOUBLE) AS max_drawdown
+        | FROM f GROUP BY user_id ORDER BY user_id"""
         .stripMargin.replaceAll("\n", " ")
   )
 }

@@ -1310,6 +1310,72 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("q_shape_rfm partitions every ordering customer into quintiles") {
+    val rows = SparkEntry.queries("q_shape_rfm")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nCust = Tables.orders(spark, sf)
+      .select(col("o_custkey")).distinct().count()
+    assert(rows.map(_.getLong(3)).sum === nCust)
+    rows.foreach { r =>
+      Seq(r.getInt(0), r.getInt(1), r.getInt(2)).foreach(sc =>
+        assert(sc >= 1 && sc <= 5))
+      assert(r.getDouble(4) > 0)
+    }
+    // each axis's quintile sizes are ntile-balanced (diff <= 1)
+    for (axis <- 0 to 2) {
+      val sizes = rows.groupBy(_.getInt(axis)).view
+        .mapValues(_.map(_.getLong(3)).sum).values.toSeq
+      assert(sizes.max - sizes.min <= 1)
+    }
+  }
+
+  test("q_win_drawdown replays the peak-to-trough walk") {
+    val rows = SparkEntry.queries("q_win_drawdown")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byUser = Tables.events(spark, sf)
+      .select(col("user_id"), unix_micros(col("ts")), col("event_id"),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val series = byUser(r.getLong(0)).sortBy(e => (e._2, e._3))
+        .map(e => math.round(e._4 * 100))
+      var peak = Long.MinValue; var dd = Long.MinValue
+      series.foreach { c =>
+        peak = math.max(peak, c); dd = math.max(dd, peak - c)
+      }
+      assert(r.getLong(1) === series.length.toLong)
+      assert(r.getDouble(2) === dd / 100.0, s"user ${r.getLong(0)}")
+    }
+  }
+
+  test("q_shape_basket_rules replays confidence and lift") {
+    val rows = SparkEntry.queries("q_shape_basket_rules")(spark, sf).collect()
+    assert(rows.length === 20)
+    val baskets = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val n = baskets.size.toLong
+    val supp = baskets.values.flatten.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val pairCnt = baskets.values.flatMap(b =>
+      b.toSeq.sorted.combinations(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val nab = pairCnt.getOrElse(if (a < b) (a, b) else (b, a), 0L)
+      assert(nab >= 2 && r.getLong(2) === nab)
+      assert(math.abs(r.getDouble(3) - nab.toDouble / supp(a)) < 1e-5)
+      assert(math.abs(r.getDouble(4)
+        - nab.toDouble * n / (supp(a) * supp(b))) < 1e-5)
+    }
+    // reported lift really is the global maximum over support->=2 rules
+    val maxLift = pairCnt.collect { case ((a, b), c) if c >= 2 =>
+      c.toDouble * n / (supp(a) * supp(b)) }.max
+    assert(math.abs(rows.head.getDouble(4) - maxLift) < 1e-5)
+  }
+
   test("q17 keeps exactly the lines below 20% of their part's mean qty") {
     val rows = SparkEntry.queries("q_shape_q17")(spark, sf).collect()
     assert(rows.length === 1)
