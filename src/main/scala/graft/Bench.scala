@@ -134,7 +134,10 @@ object Bench {
       // round-6 batch 12: RFM triple-ntile over the customer aggregate,
       // the drawdown running-max window, association-rule mining over
       // the checkpointed basket frame
-      "q_shape_rfm", "q_win_drawdown", "q_shape_basket_rules")
+      "q_shape_rfm", "q_win_drawdown", "q_shape_basket_rules",
+      // round-6 batch 13: two-stage matryoshka ANN and the BPE
+      // train→apply corpus pass (learn iterations + vocab join)
+      "q_vec_matryoshka", "q_pipeline_tokenizer_apply")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

@@ -108,6 +108,47 @@ object Text {
   import Fx._
 
   private def toks(c: Column): Column = split(lower(c), " ")
+
+  /** The shared BPE training walk (Sennrich 2016, 3 merges over the
+    * alpha-word vocabulary in double-sentinel encoding): returns the three
+    * 1-row best-pair frames (a, b, cnt) and the post-merge vocabulary
+    * (w, repr, freq). Used by q_text_bpe_train (reports the merges) and
+    * q_pipeline_tokenizer_apply (joins token occurrences to the merged
+    * vocab's symbol counts).
+    */
+  private def bpeWalk(s: SparkSession, d: String)
+      : (Seq[DataFrame], DataFrame) = {
+    val vocab = Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .select(col("w"), regexp_replace(col("w"), "(.)", "~$1~").as("repr"),
+        col("freq"))
+    def pairCounts(words: DataFrame): DataFrame =
+      words
+        .withColumn("syms",
+          split(expr("trim(BOTH '~' FROM repr)"), "~~"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1)," +
+            " k -> struct(syms[k-1] AS a, syms[k] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+    var words = vocab
+    var merges = Seq.empty[DataFrame]
+    for (_ <- 1 to 3) {
+      val best = pairCounts(words)
+        .orderBy(desc("cnt"), asc("a"), asc("b")).limit(1)
+      merges :+= best
+      words = words.crossJoin(broadcast(
+          best.select(col("a").as("ba"), col("b").as("bb"))))
+        .withColumn("repr", expr(
+          "replace(repr, '~' || ba || '~~' || bb || '~'," +
+            " '~' || ba || bb || '~')"))
+        .select(col("w"), col("repr"), col("freq"))
+    }
+    (merges, words)
+  }
   private val StopWords = Seq("the", "a")
 
   // Deterministic vocabulary-marker sets for the language/topic-ID
@@ -1130,38 +1171,39 @@ object Text {
     // winning pair; the corpus is scanned exactly once no matter how
     // many merges are learned.
     "q_text_bpe_train" -> { (s, d) =>
-      val vocab = Tables.documents(s, d)
-        .select(explode(toks(col("text"))).as("w"))
-        .filter(col("w").rlike("^[a-z]+$"))
-        .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-        .select(regexp_replace(col("w"), "(.)", "~$1~").as("repr"),
-          col("freq"))
-      def pairCounts(words: DataFrame): DataFrame =
-        words
-          .withColumn("syms",
-            split(expr("trim(BOTH '~' FROM repr)"), "~~"))
-          .filter(size(col("syms")) >= 2)
-          .select(col("freq"), explode(expr(
-            "transform(sequence(1, size(syms) - 1)," +
-              " k -> struct(syms[k-1] AS a, syms[k] AS b))")).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum(col("freq")).as("cnt"))
-      var words = vocab
-      var merges = Seq.empty[DataFrame]
-      for (i <- 1 to 3) {
-        val best = pairCounts(words)
-          .orderBy(desc("cnt"), asc("a"), asc("b")).limit(1)
-        merges :+= best.select(lit(i).as("rank"), col("a").as("pair_a"),
+      val (merges, _) = bpeWalk(s, d)
+      merges.zipWithIndex.map { case (best, i) =>
+        best.select(lit(i + 1).as("rank"), col("a").as("pair_a"),
           col("b").as("pair_b"), concat(col("a"), col("b")).as("merged"),
           col("cnt"))
-        words = words.crossJoin(broadcast(
-            best.select(col("a").as("ba"), col("b").as("bb"))))
-          .withColumn("repr", expr(
-            "replace(repr, '~' || ba || '~~' || bb || '~'," +
-              " '~' || ba || bb || '~')"))
-          .select(col("repr"), col("freq"))
-      }
-      merges.reduce(_ unionByName _).orderBy(col("rank"))
+      }.reduce(_ unionByName _).orderBy(col("rank"))
+    },
+
+    // BPE TRAIN → APPLY round trip: run the 3 learned merges over the
+    // whole corpus and report the per-language compression (chars per
+    // BPE symbol). The merged VOCAB (one row per distinct word) is where
+    // replaces happen — token occurrences never re-run the merge, they
+    // broadcast-join the vocab's symbol counts, which is exactly how a
+    // trained tokenizer deploys at 100 TB (tiny merge table + map-side
+    // lookup). The oracle re-derives the merges with the train oracle's
+    // unrolled-CTE machinery and applies them the same way.
+    "q_pipeline_tokenizer_apply" -> { (s, d) =>
+      val (_, finalWords) = bpeWalk(s, d)
+      val wordSyms = finalWords.select(col("w"),
+        size(split(expr("trim(BOTH '~' FROM repr)"), "~~")).as("n_sym"))
+      Tables.documents(s, d)
+        .select(col("lang"), explode(toks(col("text"))).as("w"))
+        .filter(col("w").rlike("^[a-z]+$"))
+        .join(broadcast(wordSyms), "w")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(length(col("w")).cast("long")).as("n_chars"),
+          sum(col("n_sym").cast("long")).as("n_tokens"))
+        .select(col("lang"), col("n_words"), col("n_chars"),
+          col("n_tokens"),
+          eround(col("n_chars").cast("double") / col("n_tokens"), 4)
+            .as("compression"))
+        .orderBy(col("lang"))
     },
 
     // Deterministic global corpus shuffle — the step between curation and
@@ -1615,6 +1657,44 @@ object Text {
          | UNION ALL SELECT 2, a, b, a || b, cnt FROM b2
          | UNION ALL SELECT 3, a, b, a || b, cnt FROM b3
          | ORDER BY rank"""
+        .stripMargin.replaceAll("\n", " ")
+    },
+
+    "q_pipeline_tokenizer_apply" -> {
+      // the train oracle's unrolled-CTE machinery, with the original word
+      // carried through so token occurrences can join the merged vocab
+      val iter = (i: Int) =>
+        s"""s$i AS (SELECT freq,
+           |   string_split(trim(repr, '~'), '~~') AS syms FROM w${i - 1}),
+           | r$i AS (SELECT freq, syms,
+           |   unnest(generate_series(2, len(syms))) AS k
+           |  FROM s$i WHERE len(syms) >= 2),
+           | p$i AS (SELECT syms[k-1] AS a, syms[k] AS b,
+           |   CAST(sum(freq) AS BIGINT) AS cnt FROM r$i GROUP BY a, b),
+           | b$i AS (SELECT a, b, cnt FROM p$i
+           |  ORDER BY cnt DESC, a, b LIMIT 1),
+           | w$i AS (SELECT w,
+           |   replace(repr, '~' || a || '~~' || b || '~',
+           |     '~' || a || b || '~') AS repr, freq FROM w${i - 1}, b$i)"""
+      s"""WITH v AS (SELECT w, count(*) AS freq FROM
+         |   (SELECT unnest($oToks) AS w FROM documents)
+         |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w),
+         | w0 AS (SELECT w, regexp_replace(w, '(.)', '~\\1~', 'g') AS repr,
+         |   freq FROM v),
+         | ${(1 to 3).map(iter).mkString(", ")},
+         | vs AS (SELECT w,
+         |   len(string_split(trim(repr, '~'), '~~')) AS n_sym FROM w3),
+         | tok AS (SELECT lang, unnest($oToks) AS w FROM documents),
+         | g AS (SELECT lang, count(*) AS n_words,
+         |   CAST(sum(CAST(length(t.w) AS BIGINT)) AS BIGINT) AS n_chars,
+         |   CAST(sum(CAST(n_sym AS BIGINT)) AS BIGINT) AS n_tokens
+         |  FROM tok t JOIN vs ON t.w = vs.w
+         |  WHERE regexp_matches(t.w, '^[a-z]+$$')
+         |  GROUP BY lang)
+         | SELECT lang, n_words, n_chars, n_tokens,
+         |  round(CAST(n_chars AS DOUBLE) / n_tokens + 5e-10, 4)
+         |   AS compression
+         | FROM g ORDER BY lang"""
         .stripMargin.replaceAll("\n", " ")
     },
 

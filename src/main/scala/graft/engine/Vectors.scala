@@ -194,6 +194,36 @@ object Vectors {
         .orderBy(col("probe_id"), col("rnk"))
     },
 
+    // Matryoshka-representation ANN (MRL-style prefix truncation): coarse
+    // rank on the FIRST 16 dimensions only (4× cheaper dot products and
+    // 4× smaller scan footprint — with MRL-trained embeddings the prefix
+    // is a valid low-dim embedding), keep 50 candidates per probe, rerank
+    // those by full 64-dim cosine, return top 5. Same ε-round + vec_id
+    // tiebreak determinism as q_sim_topk at both stages; WindowGroupLimit
+    // bounds per-probe state at both ranks.
+    "q_vec_matryoshka" -> { (s, d) =>
+      GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d).withColumn("v", vd(col("embedding")))
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id")).orderBy(desc("cos_c"), asc("vec_id"))
+      val wf = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id")).orderBy(desc("cos_f"), asc("vec_id"))
+      emb.select(col("vec_id"), col("v"))
+        .crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("cos_c",
+          eround(cosine(slice(col("pv"), 1, 16), slice(col("v"), 1, 16)), 6))
+        .withColumn("rc", row_number().over(wc))
+        .filter(col("rc") <= 50)
+        .withColumn("cos_f", eround(cosine(col("pv"), col("v")), 6))
+        .withColumn("rnk", row_number().over(wf))
+        .filter(col("rnk") <= 5)
+        .select(col("probe_id"), col("rnk"), col("vec_id"), col("cos_f"))
+        .orderBy(col("probe_id"), col("rnk"))
+    },
+
     // Hamming-space ANN over sign-binarized embeddings — the 1-bit
     // quantization ANN family (binary embeddings à la ITQ): dim i sets a
     // bit iff embedding[i] > 0, packed into two 32-bit halves (a single
@@ -650,6 +680,29 @@ object Vectors {
     "list_transform(embedding, x -> CAST(x AS DOUBLE))"
 
   val oracle: Map[String, String] = Map(
+    "q_vec_matryoshka" ->
+      s"""WITH e AS (SELECT vec_id, $oVd AS v FROM embeddings),
+         | p AS (SELECT vec_id AS probe_id, v AS pv FROM e
+         |  WHERE vec_id < 10),
+         | c AS (SELECT p.probe_id, e.vec_id, p.pv, e.v,
+         |   round(list_dot_product(p.pv[1:16], e.v[1:16])
+         |     / (sqrt(list_dot_product(p.pv[1:16], p.pv[1:16]))
+         |        * sqrt(list_dot_product(e.v[1:16], e.v[1:16])))
+         |    + 5e-10, 6) AS cos_c
+         |  FROM e, p WHERE e.vec_id <> p.probe_id),
+         | rc AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_c DESC, vec_id ASC) AS rcn FROM c),
+         | f AS (SELECT probe_id, vec_id,
+         |   round(list_dot_product(pv, v)
+         |     / (sqrt(list_dot_product(pv, pv))
+         |        * sqrt(list_dot_product(v, v))) + 5e-10, 6) AS cos_f
+         |  FROM rc WHERE rcn <= 50),
+         | r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+         |    ORDER BY cos_f DESC, vec_id ASC) AS rnk FROM f)
+         | SELECT probe_id, rnk, vec_id, cos_f FROM r WHERE rnk <= 5
+         | ORDER BY probe_id, rnk"""
+        .stripMargin.replaceAll("\n", " "),
+
     "q_sim_topk_hamming" ->
       """WITH s AS (SELECT vec_id,
         |   CAST(list_sum(list_transform(range(0, 32), i ->

@@ -1376,6 +1376,57 @@ class EngineLawsSpec extends SparkSuite {
     assert(math.abs(rows.head.getDouble(4) - maxLift) < 1e-5)
   }
 
+  test("q_vec_matryoshka replays the coarse-then-rerank two-stage walk") {
+    val rows = SparkEntry.queries("q_vec_matryoshka")(spark, sf).collect()
+    assert(rows.length === 50)
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]) = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      a.indices.foreach { i =>
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      math.round((d / (math.sqrt(na) * math.sqrt(nb)) + 5e-10) * 1e6) / 1e6
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (p, rs) =>
+      val pv = vecs(p)
+      val coarse = vecs.keys.filter(_ != p).toSeq
+        .map(v => (v, cos(pv.take(16), vecs(v).take(16))))
+        .sortBy { case (v, c) => (-c, v) }.take(50)
+      val expect = coarse
+        .map { case (v, _) => (v, cos(pv, vecs(v))) }
+        .sortBy { case (v, c) => (-c, v) }.take(5)
+      rs.sortBy(_.getInt(1)).zip(expect).foreach { case (r, (v, c)) =>
+        assert(r.getLong(2) === v && math.abs(r.getDouble(3) - c) < 1e-6,
+          s"probe $p")
+      }
+    }
+  }
+
+  test("q_pipeline_tokenizer_apply conserves words and compresses") {
+    val rows =
+      SparkEntry.queries("q_pipeline_tokenizer_apply")(spark, sf).collect()
+    assert(rows.length === 5)
+    val alphaWords = Tables.documents(spark, sf)
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("n"),
+        sum(length(col("w")).cast("long")).as("chars"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    rows.foreach { r =>
+      val (n, chars) = alphaWords(r.getString(0))
+      assert(r.getLong(1) === n)
+      assert(r.getLong(2) === chars)
+      // 3 merges strictly compress: fewer symbols than chars, at least
+      // one per word
+      assert(r.getLong(3) < chars && r.getLong(3) >= n)
+      assert(math.abs(r.getDouble(4)
+        - chars.toDouble / r.getLong(3)) < 1e-4)
+    }
+  }
+
   test("q17 keeps exactly the lines below 20% of their part's mean qty") {
     val rows = SparkEntry.queries("q_shape_q17")(spark, sf).collect()
     assert(rows.length === 1)
