@@ -137,7 +137,10 @@ object Bench {
       "q_shape_rfm", "q_win_drawdown", "q_shape_basket_rules",
       // round-6 batch 13: two-stage matryoshka ANN and the BPE
       // train→apply corpus pass (learn iterations + vocab join)
-      "q_vec_matryoshka", "q_pipeline_tokenizer_apply")
+      "q_vec_matryoshka", "q_pipeline_tokenizer_apply",
+      // round-6 batch 14: lag-window gap distribution + the Pareto
+      // cumulative-share scan over the customer revenue aggregate
+      "q_shape_order_gaps", "q_shape_pareto")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

@@ -601,6 +601,63 @@ object Analytics {
         .limit(20)
     },
 
+    // Inter-order gap distribution: day gaps between each customer's
+    // consecutive orders (lag over the customer partition — exact integer
+    // day diffs on date-grain timestamps), bucketed into standard
+    // retention bands with an exact-decimal mean per bucket. One custkey
+    // shuffle for the lag; the bucket rollup is a 5-row aggregate.
+    "q_shape_order_gaps" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val gaps = Tables.orders(s, d)
+        .withColumn("prev_d", lag(col("o_orderdate"), 1).over(w))
+        .filter(col("prev_d").isNotNull)
+        .select(datediff(col("o_orderdate"), col("prev_d")).cast("long")
+          .as("gap_days"))
+      gaps
+        .select(col("gap_days"),
+          when(col("gap_days") <= 7, "a_0_7")
+            .when(col("gap_days") <= 30, "b_8_30")
+            .when(col("gap_days") <= 90, "c_31_90")
+            .when(col("gap_days") <= 365, "d_91_365")
+            .otherwise("e_365_plus").as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_gaps"),
+          eround(sum(col("gap_days")).cast("double") / count(lit(1)), 2)
+            .as("mean_gap"))
+        .orderBy(col("bucket"))
+    },
+
+    // Pareto revenue concentration: how many top customers cover 80% of
+    // total order revenue. Customer revenues are exact cents; the
+    // cumulative share runs over the (bounded, one-row-per-customer)
+    // revenue aggregate — the same documented population-relative window
+    // class as q_shape_rfm, ordered (revenue desc, custkey) so ranks are
+    // engine-independent. Integer comparison 5·cum < 4·total avoids any
+    // 0.8 float boundary.
+    "q_shape_pareto" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val rev = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      val cum = rev
+        .withColumn("cum", sum(col("c")).over(
+          W.orderBy(desc("c"), asc("o_custkey"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .crossJoin(broadcast(rev.agg(sum(col("c")).as("tot"),
+          count(lit(1)).as("n_cust"))))
+      cum
+        .agg(count(when(col("cum") * 5 < col("tot") * 4, 1)).as("n_before"),
+          max(col("n_cust")).as("n_customers"),
+          max(col("tot")).as("tot_cents"))
+        .select((col("n_before") + 1).as("n_top80"),
+          col("n_customers"),
+          eround((col("n_before") + lit(1)).cast("double")
+            / col("n_customers"), 6).as("top80_frac"),
+          (col("tot_cents") / 100.0).cast("double").as("total_revenue"))
+    },
+
     // Q6 shape: forecast revenue change — the pure scan-side query: every
     // predicate (shipdate year, discount band, quantity cap) pushes to the
     // parquet scan, and the single global aggregate partial-aggregates
@@ -1085,6 +1142,43 @@ object Analytics {
         | SELECT d, dau, wau,
         |  round(CAST(dau AS DOUBLE) / wau + 5e-10, 4) AS stickiness
         | FROM dau JOIN wau USING (d) ORDER BY d"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_shape_order_gaps" ->
+      """WITH g AS (SELECT CAST(date_diff('day',
+        |    lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey), o_orderdate)
+        |   AS BIGINT) AS gap_days FROM orders),
+        | b AS (SELECT gap_days,
+        |   CASE WHEN gap_days <= 7 THEN 'a_0_7'
+        |    WHEN gap_days <= 30 THEN 'b_8_30'
+        |    WHEN gap_days <= 90 THEN 'c_31_90'
+        |    WHEN gap_days <= 365 THEN 'd_91_365'
+        |    ELSE 'e_365_plus' END AS bucket
+        |  FROM g WHERE gap_days IS NOT NULL)
+        | SELECT bucket, count(*) AS n_gaps,
+        |  round(CAST(sum(gap_days) AS DOUBLE) / count(*) + 5e-10, 2)
+        |   AS mean_gap
+        | FROM b GROUP BY bucket ORDER BY bucket"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_shape_pareto" ->
+      """WITH rev AS (SELECT o_custkey,
+        |   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS c
+        |  FROM orders GROUP BY o_custkey),
+        | t AS (SELECT CAST(sum(c) AS BIGINT) AS tot,
+        |   count(*) AS n_cust FROM rev),
+        | cu AS (SELECT c,
+        |   CAST(sum(c) OVER (ORDER BY c DESC, o_custkey
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM rev)
+        | SELECT
+        |  count(CASE WHEN cum * 5 < tot * 4 THEN 1 END) + 1 AS n_top80,
+        |  max(n_cust) AS n_customers,
+        |  round(CAST(count(CASE WHEN cum * 5 < tot * 4 THEN 1 END) + 1
+        |     AS DOUBLE) / max(n_cust) + 5e-10, 6) AS top80_frac,
+        |  CAST(max(tot) / 100.0 AS DOUBLE) AS total_revenue
+        | FROM cu CROSS JOIN t"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_shape_rfm" ->

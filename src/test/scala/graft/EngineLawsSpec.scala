@@ -1427,6 +1427,48 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("q_shape_order_gaps conserves gaps and replays the bucket means") {
+    val rows = SparkEntry.queries("q_shape_order_gaps")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val orders = Tables.orders(spark, sf)
+      .select(col("o_custkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")),
+        col("o_orderkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val gaps: Seq[Long] = orders.groupBy(_._1).values.toSeq.flatMap { os =>
+      os.toSeq.sortBy(o => (o._2, o._3)).sliding(2).collect {
+        case Seq(a, b) => (b._2 - a._2) / (86400L * 1000000)
+      }
+    }
+    assert(rows.map(_.getLong(1)).sum === gaps.size.toLong)
+    val byBucket = gaps.groupBy(g =>
+      if (g <= 7) "a_0_7" else if (g <= 30) "b_8_30"
+      else if (g <= 90) "c_31_90" else if (g <= 365) "d_91_365"
+      else "e_365_plus")
+    rows.foreach { r =>
+      val bs = byBucket(r.getString(0))
+      assert(r.getLong(1) === bs.size.toLong)
+      assert(math.abs(r.getDouble(2) - bs.sum.toDouble / bs.size) < 0.01)
+    }
+  }
+
+  test("q_shape_pareto finds the minimal 80% cover") {
+    val rows = SparkEntry.queries("q_shape_pareto")(spark, sf).collect()
+    assert(rows.length === 1)
+    val cents = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(r => (-r._2, r._1)).map(_._2)
+    val tot = cents.sum
+    val k = rows(0).getLong(0).toInt
+    assert(rows(0).getLong(1) === cents.length.toLong)
+    // top-k covers >= 80%, top-(k-1) does not
+    assert(cents.take(k).sum * 5L >= tot * 4L)
+    if (k > 1) assert(cents.take(k - 1).sum * 5L < tot * 4L)
+    assert(rows(0).getDouble(3) === tot / 100.0)
+  }
+
   test("q17 keeps exactly the lines below 20% of their part's mean qty") {
     val rows = SparkEntry.queries("q_shape_q17")(spark, sf).collect()
     assert(rows.length === 1)
