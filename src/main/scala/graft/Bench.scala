@@ -140,7 +140,9 @@ object Bench {
       "q_vec_matryoshka", "q_pipeline_tokenizer_apply",
       // round-6 batch 14: lag-window gap distribution + the Pareto
       // cumulative-share scan over the customer revenue aggregate
-      "q_shape_order_gaps", "q_shape_pareto")
+      "q_shape_order_gaps", "q_shape_pareto",
+      // round-6 batch 15: distinct-day islands + monthly AOV lag
+      "q_win_streaks", "q_shape_aov_trend")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

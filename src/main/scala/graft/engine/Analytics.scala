@@ -658,6 +658,24 @@ object Analytics {
           (col("tot_cents") / 100.0).cast("double").as("total_revenue"))
     },
 
+    // Monthly average-order-value trend with month-over-month delta: one
+    // month aggregate (exact-decimal mean), then a lag over the bounded
+    // month axis (~one row per month — the documented population-window
+    // class). The delta subtracts two identically-derived doubles, so it
+    // is engine-identical before its ε-round.
+    "q_shape_aov_trend" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val monthly = Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          davg(col("o_totalprice")).as("aov"))
+      monthly
+        .withColumn("mom_delta",
+          eround(col("aov") - lag(col("aov"), 1).over(
+            W.orderBy(col("month"))), 4))
+        .orderBy(col("month"))
+    },
+
     // Q6 shape: forecast revenue change — the pure scan-side query: every
     // predicate (shipdate year, discount band, quantity cap) pushes to the
     // parquet scan, and the single global aggregate partial-aggregates
@@ -1142,6 +1160,18 @@ object Analytics {
         | SELECT d, dau, wau,
         |  round(CAST(dau AS DOUBLE) / wau + 5e-10, 4) AS stickiness
         | FROM dau JOIN wau USING (d) ORDER BY d"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_shape_aov_trend" ->
+      s"""WITH m AS (SELECT
+         |   CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+         |   count(*) AS n_orders,
+         |   ${oAvg("o_totalprice")} AS aov
+         |  FROM orders GROUP BY month)
+         | SELECT month, n_orders, aov,
+         |  round(aov - lag(aov) OVER (ORDER BY month) + 5e-10, 4)
+         |   AS mom_delta
+         | FROM m ORDER BY month"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_shape_order_gaps" ->

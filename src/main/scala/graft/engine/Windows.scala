@@ -221,6 +221,25 @@ object Windows {
           (max(col("peak") - col("c")) / 100.0).cast("double")
             .as("max_drawdown"))
         .orderBy(col("user_id"))
+    },
+
+    // Longest consecutive-day activity streak per user — the classic
+    // islands trick with no gaps-threshold parameter: over each user's
+    // DISTINCT active days, day − row_number() is constant within a
+    // consecutive run, so one groupBy on that anchor yields run lengths.
+    // One user_id shuffle over the (small) distinct-day aggregate.
+    "q_win_streaks" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+        .withColumn("anchor",
+          date_sub(col("day"), row_number().over(w)))
+        .groupBy(col("user_id"), col("anchor"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(max(col("len")).as("longest_streak"),
+          count(lit(1)).as("n_streaks"))
+        .orderBy(col("user_id"))
     }
   )
 
@@ -370,6 +389,19 @@ object Windows {
         | SELECT user_id, count(*) AS n_events,
         |  CAST(max(peak - c) / 100.0 AS DOUBLE) AS max_drawdown
         | FROM f GROUP BY user_id ORDER BY user_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_win_streaks" ->
+      """WITH du AS (SELECT DISTINCT user_id,
+        |   CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        | a AS (SELECT user_id, day,
+        |   day - CAST(row_number() OVER (PARTITION BY user_id
+        |     ORDER BY day) AS INT) AS anchor FROM du),
+        | runs AS (SELECT user_id, anchor, count(*) AS len
+        |  FROM a GROUP BY user_id, anchor)
+        | SELECT user_id, max(len) AS longest_streak,
+        |  count(*) AS n_streaks
+        | FROM runs GROUP BY user_id ORDER BY user_id"""
         .stripMargin.replaceAll("\n", " ")
   )
 }

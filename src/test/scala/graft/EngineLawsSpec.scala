@@ -1469,6 +1469,40 @@ class EngineLawsSpec extends SparkSuite {
     assert(rows(0).getDouble(3) === tot / 100.0)
   }
 
+  test("q_win_streaks replays the consecutive-day runs") {
+    val rows = SparkEntry.queries("q_win_streaks")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val days = Tables.events(spark, sf)
+      .select(col("user_id"),
+        datediff(to_date(col("ts")), lit("2024-01-01").cast("date"))
+          .cast("long")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+    rows.foreach { r =>
+      val ds = days(r.getLong(0)).map(_._2).sorted
+      var longest = 0L; var nRuns = 0L; var cur = 0L; var prev = Long.MinValue
+      ds.foreach { d =>
+        if (d == prev + 1) cur += 1 else { nRuns += 1; cur = 1 }
+        longest = math.max(longest, cur); prev = d
+      }
+      assert(r.getLong(1) === longest, s"user ${r.getLong(0)}")
+      assert(r.getLong(2) === nRuns)
+    }
+  }
+
+  test("q_shape_aov_trend deltas telescope across the month axis") {
+    val rows = SparkEntry.queries("q_shape_aov_trend")(spark, sf).collect()
+    assert(rows.length > 12)
+    assert(rows.head.isNullAt(3))
+    // delta telescoping: aov(k) - aov(0) == sum of deltas up to k
+    val aovs = rows.map(_.getDouble(2))
+    val deltas = rows.drop(1).map(_.getDouble(3))
+    aovs.indices.drop(1).foreach { k =>
+      assert(math.abs((aovs(k) - aovs(0)) - deltas.take(k).sum) < 1e-2)
+    }
+    val nOrders = Tables.orders(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum === nOrders)
+  }
+
   test("q17 keeps exactly the lines below 20% of their part's mean qty") {
     val rows = SparkEntry.queries("q_shape_q17")(spark, sf).collect()
     assert(rows.length === 1)
