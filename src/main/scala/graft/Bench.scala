@@ -142,7 +142,9 @@ object Bench {
       // cumulative-share scan over the customer revenue aggregate
       "q_shape_order_gaps", "q_shape_pareto",
       // round-6 batch 15: distinct-day islands + monthly AOV lag
-      "q_win_streaks", "q_shape_aov_trend")
+      "q_win_streaks", "q_shape_aov_trend",
+      // round-6 batch 16: vocab×pair JSD grid joins + the Gini rank scan
+      "q_text_js_divergence", "q_agg_gini")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

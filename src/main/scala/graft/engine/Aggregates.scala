@@ -514,6 +514,32 @@ object Aggregates {
         .groupBy(col("l_returnflag"))
         .agg(wm(col("l_extendedprice"), col("l_quantity")).as("wavg_price"))
         .orderBy(col("l_returnflag"))
+    },
+
+    // Gini coefficient of the customer revenue distribution (pairs with
+    // q_shape_pareto): G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over ascending
+    // exact-cent revenues with custkey tiebreaks. Every term is integer
+    // (DECIMAL(38,0) / HUGEINT state, exact far past any fixture), so
+    // the coefficient is a single identical double division. The rank
+    // runs over the bounded one-row-per-customer aggregate — the
+    // documented population-relative window class.
+    "q_agg_gini" -> { (s, d) =>
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val W = org.apache.spark.sql.expressions.Window
+      val rev = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      rev
+        .withColumn("i", row_number().over(
+          W.orderBy(asc("c"), asc("o_custkey"))).cast(dec))
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("c").cast(dec)).as("sx"),
+          sum(col("i") * col("c").cast(dec)).as("six"))
+        .select(col("n").cast("long").as("n_customers"),
+          (col("sx").cast("double") / 100.0).as("total_revenue"),
+          eround((lit(2).cast(dec) * col("six")
+            - (col("n") + lit(1).cast(dec)) * col("sx")).cast("double")
+            / (col("n") * col("sx")).cast("double"), 6).as("gini"))
     }
   )
 
@@ -557,6 +583,23 @@ object Aggregates {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_agg_gini" ->
+      """WITH rev AS (SELECT o_custkey,
+        |   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS c
+        |  FROM orders GROUP BY o_custkey),
+        | r AS (SELECT c, CAST(row_number() OVER (ORDER BY c, o_custkey)
+        |    AS HUGEINT) AS i FROM rev),
+        | a AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |   sum(CAST(c AS HUGEINT)) AS sx, sum(i * CAST(c AS HUGEINT))
+        |    AS six FROM r)
+        | SELECT CAST(n AS BIGINT) AS n_customers,
+        |  CAST(sx AS DOUBLE) / 100.0 AS total_revenue,
+        |  round(CAST(2 * six - (n + 1) * sx AS DOUBLE)
+        |    / CAST(n * sx AS DOUBLE) + 5e-10, 6) AS gini
+        | FROM a"""
+        .stripMargin.replaceAll("\n", " "),
+
     "q_agg_global" ->
       s"""SELECT ${oSum("l_quantity")} AS sum_qty,
          | min(l_extendedprice) AS min_price,

@@ -343,6 +343,46 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // Jensen–Shannon divergence between language term distributions —
+    // the corpus-drift / domain-diversity measurement (nats, KL-to-
+    // midpoint form, so log(0) never arises). Parity recipe: p, q, m are
+    // identical integer-ratio doubles, each term's contribution is one
+    // identical expression ε-rounded to DECIMAL(18,9), and the per-pair
+    // sum is exact and order-free. Scale shape: term counts aggregate
+    // once, the 5-lang totals self-join into 10 pairs (broadcast), and
+    // the vocab×pair grid joins counts twice on (lang, term).
+    "q_text_js_divergence" -> { (s, d) =>
+      val tc = Tables.documents(s, d)
+        .select(col("lang"), explode(toks(col("text"))).as("w"))
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cnt"))
+      val totals = tc.groupBy(col("lang")).agg(sum(col("cnt")).as("n_l"))
+      val pairs = totals
+        .select(col("lang").as("lang_a"), col("n_l").as("n_a"))
+        .crossJoin(totals
+          .select(col("lang").as("lang_b"), col("n_l").as("n_b")))
+        .filter(col("lang_a") < col("lang_b"))
+      val p = coalesce(col("ca"), lit(0L)).cast("double") / col("n_a")
+      val q = coalesce(col("cb"), lit(0L)).cast("double") / col("n_b")
+      val m = (p + q) / lit(2)
+      val contrib =
+        lit(0.5) * (when(p > 0, p * log(p / m)).otherwise(lit(0.0))
+          + when(q > 0, q * log(q / m)).otherwise(lit(0.0)))
+      tc.select(col("w")).distinct()
+        .crossJoin(broadcast(pairs))
+        .join(tc.select(col("lang").as("lang_a"), col("w"),
+          col("cnt").as("ca")), Seq("lang_a", "w"), "left")
+        .join(tc.select(col("lang").as("lang_b"), col("w"),
+          col("cnt").as("cb")), Seq("lang_b", "w"), "left")
+        .select(col("lang_a"), col("lang_b"),
+          col("ca"), col("cb"),
+          eround(contrib, 9).cast("decimal(18,9)").as("c9"))
+        .groupBy(col("lang_a"), col("lang_b"))
+        .agg(count(when(col("ca").isNotNull || col("cb").isNotNull, 1))
+          .as("n_terms"),
+          eround(sum(col("c9")).cast("double"), 6).as("jsd_nats"))
+        .orderBy(col("lang_a"), col("lang_b"))
+    },
+
     // RAKE keyphrase extraction (Rose et al. 2010): candidate phrases are
     // maximal stopword-free token runs; each word scores degree/frequency
     // over the corpus (degree = Σ length of phrases containing it), and a
@@ -1749,6 +1789,38 @@ object Text {
          |  CAST(sum(CAST(round(-ln((c12 + 1.0) / (c1 + v)) + 5e-10, 6)
          |    AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_surprisal
          | FROM c CROSS JOIN vv GROUP BY doc_id ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_text_js_divergence" ->
+      s"""WITH tc AS (SELECT lang, w, count(*) AS cnt FROM
+         |   (SELECT lang, unnest($oToks) AS w FROM documents)
+         |  GROUP BY lang, w),
+         | tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_l
+         |  FROM tc GROUP BY lang),
+         | pr AS (SELECT a.lang AS lang_a, a.n_l AS n_a,
+         |   b.lang AS lang_b, b.n_l AS n_b
+         |  FROM tot a CROSS JOIN tot b WHERE a.lang < b.lang),
+         | grid AS (SELECT w, lang_a, n_a, lang_b, n_b
+         |  FROM (SELECT DISTINCT w FROM tc) CROSS JOIN pr),
+         | j AS (SELECT g.lang_a, g.lang_b,
+         |   ta.cnt AS ca, tb.cnt AS cb,
+         |   CAST(coalesce(ta.cnt, 0) AS DOUBLE) / g.n_a AS p,
+         |   CAST(coalesce(tb.cnt, 0) AS DOUBLE) / g.n_b AS q
+         |  FROM grid g
+         |  LEFT JOIN tc ta ON ta.lang = g.lang_a AND ta.w = g.w
+         |  LEFT JOIN tc tb ON tb.lang = g.lang_b AND tb.w = g.w),
+         | c AS (SELECT lang_a, lang_b, ca, cb,
+         |   CAST(round(0.5 * (
+         |     CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2))
+         |      ELSE 0.0 END
+         |     + CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2))
+         |      ELSE 0.0 END) + 5e-10, 9) AS DECIMAL(18,9)) AS c9
+         |  FROM j)
+         | SELECT lang_a, lang_b,
+         |  count(CASE WHEN ca IS NOT NULL OR cb IS NOT NULL THEN 1 END)
+         |   AS n_terms,
+         |  round(CAST(sum(c9) AS DOUBLE) + 5e-10, 6) AS jsd_nats
+         | FROM c GROUP BY lang_a, lang_b ORDER BY lang_a, lang_b"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_text_keyphrase" ->

@@ -1503,6 +1503,56 @@ class EngineLawsSpec extends SparkSuite {
     assert(rows.map(_.getLong(1)).sum === nOrders)
   }
 
+  test("q_text_js_divergence is symmetric-bounded and replays one pair") {
+    val rows =
+      SparkEntry.queries("q_text_js_divergence")(spark, sf).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      // JSD in nats is bounded by ln 2, positive for distinct langs
+      assert(r.getDouble(3) > 0 && r.getDouble(3) <= math.log(2) + 1e-9)
+      assert(r.getString(0) < r.getString(1))
+    }
+    // replay the (de, en) pair in Scala with the same rounding walk
+    val tc = Tables.documents(spark, sf)
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("w"))
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val byLang = tc.groupBy(_._1._1)
+    val (na, nb) = (byLang("de").values.sum, byLang("en").values.sum)
+    val vocab = tc.keySet.map(_._2)
+    val jsd = vocab.toSeq.map { w =>
+      val p = tc.getOrElse(("de", w), 0L).toDouble / na
+      val q = tc.getOrElse(("en", w), 0L).toDouble / nb
+      val m = (p + q) / 2
+      val c = 0.5 * ((if (p > 0) p * math.log(p / m) else 0.0)
+        + (if (q > 0) q * math.log(q / m) else 0.0))
+      BigDecimal(c + 5e-10).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }.sum
+    val got = rows.find(r =>
+      r.getString(0) == "de" && r.getString(1) == "en").get
+    assert(math.abs(got.getDouble(3) - jsd.toDouble) < 1e-6)
+  }
+
+  test("q_agg_gini replays the rank formula and agrees with Pareto") {
+    val rows = SparkEntry.queries("q_agg_gini")(spark, sf).collect()
+    assert(rows.length === 1)
+    val cents = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(r => (r._2, r._1)).map(_._2)
+    val n = cents.length.toLong
+    val sx = cents.map(BigInt(_)).sum
+    val six = cents.zipWithIndex.map { case (c, i) =>
+      BigInt(i + 1) * c }.sum
+    val gini = (BigDecimal(2 * six - (n + 1) * sx)
+      / BigDecimal(n * sx)).toDouble
+    assert(rows(0).getLong(0) === n)
+    assert(math.abs(rows(0).getDouble(2) - gini) < 1e-5)
+    assert(gini > 0 && gini < 1)
+  }
+
   test("q17 keeps exactly the lines below 20% of their part's mean qty") {
     val rows = SparkEntry.queries("q_shape_q17")(spark, sf).collect()
     assert(rows.length === 1)
