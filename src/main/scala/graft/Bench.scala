@@ -144,7 +144,9 @@ object Bench {
       // round-6 batch 15: distinct-day islands + monthly AOV lag
       "q_win_streaks", "q_shape_aov_trend",
       // round-6 batch 16: vocab×pair JSD grid joins + the Gini rank scan
-      "q_text_js_divergence", "q_agg_gini")
+      "q_text_js_divergence", "q_agg_gini",
+      // round-6 batch 17: two-level entropy profile + prefix-key dedup
+      "q_agg_entropy_cat", "q_text_dedup_prefix")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

@@ -516,6 +516,31 @@ object Aggregates {
         .orderBy(col("l_returnflag"))
     },
 
+    // Categorical-column entropy profiling: Shannon entropy (nats) of the
+    // order-priority distribution within each order status — the standard
+    // data-profiling "how informative is this column per segment" signal.
+    // Same surprisal recipe as the text-entropy family: p is an identical
+    // integer-ratio double, each category's −p·ln(p) ε-rounds to
+    // DECIMAL(18,9), the per-group sum is exact. Two-level aggregate:
+    // (status, priority) counts, then a status-partition window for the
+    // totals — both ride one status-compatible exchange.
+    "q_agg_entropy_cat" -> { (s, d) =>
+      val counts = Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("n", sum(col("c")).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("o_orderstatus"))))
+      val p = col("c").cast("double") / col("n")
+      counts
+        .select(col("o_orderstatus"),
+          eround(-p * log(p), 9).cast("decimal(18,9)").as("h9"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_categories"),
+          eround(sum(col("h9")).cast("double"), 6).as("entropy_nats"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // Gini coefficient of the customer revenue distribution (pairs with
     // q_shape_pareto): G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over ascending
     // exact-cent revenues with custkey tiebreaks. Every term is integer
@@ -583,6 +608,22 @@ object Aggregates {
   }
 
   val oracle: Map[String, String] = Map(
+    "q_agg_entropy_cat" ->
+      """WITH c AS (SELECT o_orderstatus, o_orderpriority,
+        |   count(*) AS c FROM orders
+        |  GROUP BY o_orderstatus, o_orderpriority),
+        | w AS (SELECT o_orderstatus, c,
+        |   CAST(sum(c) OVER (PARTITION BY o_orderstatus) AS BIGINT) AS n
+        |  FROM c),
+        | h AS (SELECT o_orderstatus,
+        |   CAST(round(-(CAST(c AS DOUBLE) / n)
+        |     * ln(CAST(c AS DOUBLE) / n) + 5e-10, 9)
+        |    AS DECIMAL(18,9)) AS h9 FROM w)
+        | SELECT o_orderstatus, count(*) AS n_categories,
+        |  round(CAST(sum(h9) AS DOUBLE) + 5e-10, 6) AS entropy_nats
+        | FROM h GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+        .stripMargin.replaceAll("\n", " "),
+
     "q_agg_gini" ->
       """WITH rev AS (SELECT o_custkey,
         |   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)

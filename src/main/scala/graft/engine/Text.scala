@@ -343,6 +343,26 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // Prefix-duplicate detection — the cheap first pass of boilerplate/
+    // mirror detection: documents sharing their first 100 characters are
+    // near-certain template copies even when tails diverge. One hash
+    // aggregate on the fixed-width prefix (the key is 100 bytes regardless
+    // of document size — contrast full-text exact dedup whose key is the
+    // whole document); reports each group's survivor, the copy count, and
+    // how many distinct full texts hide behind the shared prefix.
+    "q_text_dedup_prefix" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          substring(col("text"), 1, 100).as("pfx"))
+        .groupBy(col("pfx"))
+        .agg(min(col("doc_id")).as("keep_id"),
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_distinct_texts"))
+        .filter(col("n_docs") > 1)
+        .select(col("keep_id"), col("n_docs"), col("n_distinct_texts"))
+        .orderBy(col("keep_id"))
+    },
+
     // Jensen–Shannon divergence between language term distributions —
     // the corpus-drift / domain-diversity measurement (nats, KL-to-
     // midpoint form, so log(0) never arises). Parity recipe: p, q, m are
@@ -1789,6 +1809,13 @@ object Text {
          |  CAST(sum(CAST(round(-ln((c12 + 1.0) / (c1 + v)) + 5e-10, 6)
          |    AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_surprisal
          | FROM c CROSS JOIN vv GROUP BY doc_id ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_text_dedup_prefix" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_docs,
+        |  count(DISTINCT text) AS n_distinct_texts
+        | FROM documents GROUP BY substr(text, 1, 100)
+        | HAVING count(*) > 1 ORDER BY keep_id"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_text_js_divergence" ->

@@ -1553,6 +1553,49 @@ class EngineLawsSpec extends SparkSuite {
     assert(gini > 0 && gini < 1)
   }
 
+  test("q_agg_entropy_cat is bounded by ln(k) and replays one group") {
+    val rows = SparkEntry.queries("q_agg_entropy_cat")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val k = r.getLong(1)
+      assert(r.getDouble(2) >= 0
+        && r.getDouble(2) <= math.log(k.toDouble) + 1e-9)
+    }
+    val counts = Tables.orders(spark, sf)
+      .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getLong(2))).groupBy(_._1)
+    rows.foreach { r =>
+      val cs = counts(r.getString(0)).map(_._2)
+      val n = cs.sum.toDouble
+      val h = cs.map { c =>
+        val p = c / n
+        BigDecimal(-p * math.log(p) + 5e-10)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      assert(r.getLong(1) === cs.length.toLong)
+      assert(math.abs(r.getDouble(2) - h.toDouble) < 1e-6)
+    }
+  }
+
+  test("q_text_dedup_prefix groups exactly the shared-prefix documents") {
+    val rows = SparkEntry.queries("q_text_dedup_prefix")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val groups = docs.groupBy(_._2.take(100)).values.filter(_.length > 1)
+    assert(rows.length === groups.size)
+    val expect = groups.map { g =>
+      g.map(_._1).min -> (g.length.toLong, g.map(_._2).distinct.length.toLong)
+    }.toMap
+    rows.foreach { r =>
+      val (n, nd) = expect(r.getLong(0))
+      assert(r.getLong(1) === n && r.getLong(2) === nd)
+      assert(nd <= n)
+    }
+  }
+
   test("q17 keeps exactly the lines below 20% of their part's mean qty") {
     val rows = SparkEntry.queries("q_shape_q17")(spark, sf).collect()
     assert(rows.length === 1)
