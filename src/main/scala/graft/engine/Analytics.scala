@@ -658,6 +658,30 @@ object Analytics {
           (col("tot_cents") / 100.0).cast("double").as("total_revenue"))
     },
 
+    // Repeat-purchase rate per brand: of the distinct (customer, part)
+    // pairs ever bought, what share recurs in a second order — the
+    // retention-of-demand signal. Distinct (cust, part, order) triples
+    // reduce first (one orderkey→custkey join + one distinct), then the
+    // per-pair order counts partial-aggregate, and the brand rollup joins
+    // part. The rate is one integer-ratio double ε-rounded.
+    "q_shape_reorder_rate" -> { (s, d) =>
+      val pairs = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey"), col("l_partkey"), col("l_orderkey"))
+        .distinct()
+        .groupBy(col("o_custkey"), col("l_partkey"))
+        .agg(count(lit(1)).as("n_orders"))
+      pairs
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_pairs"),
+          count(when(col("n_orders") >= 2, 1)).as("n_repeat"))
+        .select(col("p_brand"), col("n_pairs"), col("n_repeat"),
+          eround(col("n_repeat").cast("double") / col("n_pairs"), 6)
+            .as("reorder_rate"))
+        .orderBy(col("p_brand"))
+    },
+
     // Monthly average-order-value trend with month-over-month delta: one
     // month aggregate (exact-decimal mean), then a lag over the bounded
     // month axis (~one row per month — the documented population-window
@@ -1160,6 +1184,19 @@ object Analytics {
         | SELECT d, dau, wau,
         |  round(CAST(dau AS DOUBLE) / wau + 5e-10, 4) AS stickiness
         | FROM dau JOIN wau USING (d) ORDER BY d"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_shape_reorder_rate" ->
+      """WITH tri AS (SELECT DISTINCT o_custkey, l_partkey, l_orderkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        | pr AS (SELECT o_custkey, l_partkey, count(*) AS n_orders
+        |  FROM tri GROUP BY o_custkey, l_partkey)
+        | SELECT p_brand, count(*) AS n_pairs,
+        |  count(CASE WHEN n_orders >= 2 THEN 1 END) AS n_repeat,
+        |  round(CAST(count(CASE WHEN n_orders >= 2 THEN 1 END) AS DOUBLE)
+        |    / count(*) + 5e-10, 6) AS reorder_rate
+        | FROM pr JOIN part ON l_partkey = p_partkey
+        | GROUP BY p_brand ORDER BY p_brand"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_shape_aov_trend" ->

@@ -343,6 +343,38 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // Vocabulary growth curve (Heaps' law measurement): distinct-vocab
+    // size vs cumulative token count, sampled every 50 documents in
+    // doc_id order. "Running distinct" is spelled relationally: each
+    // term's FIRST document (min doc_id per term) turns the cumulative
+    // distinct into a cumulative SUM of first-occurrence counts — no
+    // stateful scan. The doc axis is bounded (one row per document id in
+    // the sample grid), so its cumulative windows are the documented
+    // population class; all counts integer-exact.
+    "q_text_vocab_growth" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val tk = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      val perDoc = tk.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"))
+      val firstSeen = tk.groupBy(col("w"))
+        .agg(min(col("doc_id")).as("first_doc"))
+        .groupBy(col("first_doc")).agg(count(lit(1)).as("n_new"))
+      perDoc
+        .join(firstSeen, col("doc_id") === col("first_doc"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"))
+        .withColumn("cum_tokens", sum(col("n_tok")).over(
+          W.orderBy(col("doc_id"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .withColumn("vocab_size", sum(col("n_new")).over(
+          W.orderBy(col("doc_id"))
+            .rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id"), col("cum_tokens"), col("vocab_size"))
+        .orderBy(col("doc_id"))
+    },
+
     // Prefix-duplicate detection — the cheap first pass of boilerplate/
     // mirror detection: documents sharing their first 100 characters are
     // near-certain template copies even when tails diverge. One hash
@@ -1809,6 +1841,26 @@ object Text {
          |  CAST(sum(CAST(round(-ln((c12 + 1.0) / (c1 + v)) + 5e-10, 6)
          |    AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_surprisal
          | FROM c CROSS JOIN vv GROUP BY doc_id ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_text_vocab_growth" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($oToks) AS w FROM documents),
+         | pd AS (SELECT doc_id, count(*) AS n_tok FROM tk
+         |  GROUP BY doc_id),
+         | fs AS (SELECT first_doc, count(*) AS n_new FROM
+         |   (SELECT w, min(doc_id) AS first_doc FROM tk GROUP BY w)
+         |  GROUP BY first_doc),
+         | j AS (SELECT pd.doc_id, n_tok,
+         |   coalesce(n_new, 0) AS n_new
+         |  FROM pd LEFT JOIN fs ON pd.doc_id = fs.first_doc),
+         | c AS (SELECT doc_id,
+         |   CAST(sum(n_tok) OVER (ORDER BY doc_id
+         |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+         |   CAST(sum(n_new) OVER (ORDER BY doc_id
+         |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+         |  FROM j)
+         | SELECT doc_id, cum_tokens, vocab_size FROM c
+         | WHERE doc_id % 50 = 0 ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_text_dedup_prefix" ->
