@@ -25,24 +25,24 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = t(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = t(s, d, "lineitem")
 
-  /** `events.ts` is nanosecond parquet (FIXTURES.md), which Spark rejects by
-    * default. Read nanos as long, then floor-truncate to microseconds —
-    * identical to DuckDB's `CAST(ts AS TIMESTAMP)` truncation, so oracle
-    * queries stay comparable.
+  /** `events.ts` has shipped in two fixture generations: INT64 nanosecond
+    * timestamps (needs spark.sql.legacy.parquet.nanosAsLong=true, then a
+    * floor-truncate to microseconds) and plain microsecond TIMESTAMP (which
+    * Spark reads as TIMESTAMP_NTZ because parquet marks it not-UTC-adjusted).
+    * Branch on the physical schema so both generations yield the same
+    * session-local TIMESTAMP column — sessions pin UTC, so the NTZ→LTZ cast
+    * is value-identical to DuckDB's `CAST(ts AS TIMESTAMP)`.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    // spark.sql.legacy.parquet.nanosAsLong must be set by the session
-    // builder (Verify/Bench/Explain/SparkSuite all do) — asserting here
-    // keeps query builders free of conf mutation at plan-build time while
-    // failing loudly if a foreign session forgets it.
-    require(
-      s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
-        .contains("true"),
-      "session must set spark.sql.legacy.parquet.nanosAsLong=true " +
-        "(events.parquet stores INT64 nanosecond timestamps)")
-    t(s, d, "events")
-      // integer DIV, not `/` — double division loses precision at 1e18 ns
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = t(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer DIV, not `/` — double division loses precision at 1e18 ns
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
