@@ -320,6 +320,40 @@ object Aggregates {
         .orderBy(col("o_orderpriority"))
     },
 
+    // Robust spread profiling: median absolute deviation per event type,
+    // plus the |x − med| > 3·1.4826·MAD robust outlier rule — the MAD
+    // sibling of q_ts_anomaly's 3σ test (σ-free, so a single wild value
+    // cannot widen its own gate; 1.4826 ≈ 1/Φ⁻¹(3/4) makes MAD a
+    // consistent σ estimator under normality). Parity: values are stored
+    // 2dp doubles, both medians interpolate (a+b)/2 of identically-stored
+    // doubles — the same IEEE op on both engines — and the threshold
+    // compares two identically-derived doubles, so no rounding boundary
+    // exists anywhere; display values ε-round. Three scans of events
+    // (type-median, deviation-median, outlier count), each a map-side
+    // partial agg over a ~5-key group with the per-type stats joined back
+    // as broadcasts — the exact two-level median is the honest cost at
+    // 100 TB; the one-pass approximate path is q_agg_quantile_sketch.
+    "q_agg_mad" -> { (s, d) =>
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val med = ev.groupBy(col("event_type"))
+        .agg(median(col("value")).as("med"))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("adev", abs(col("value") - col("med")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(median(col("adev")).as("mad"))
+      dev.join(broadcast(mad), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          eround(first(col("med")), 6).as("med_value"),
+          eround(first(col("mad")), 6).as("mad_value"),
+          count_if(col("adev") > lit(3.0) * lit(1.4826) * col("mad"))
+            .as("n_outlier"))
+        .withColumn("outlier_rate",
+          eround(col("n_outlier").cast("double") / col("n"), 6))
+        .orderBy(col("event_type"))
+    },
+
     // Value histogram (fixed-width bins) — data-profiling shape for
     // migration QA.
     "q_agg_histogram" -> { (s, d) =>
@@ -769,6 +803,28 @@ object Aggregates {
         | min_by(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
         |   * 10000000 + o_orderkey) AS bottom_order
         | FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Mirrors the Spark construction 1:1 (same medians, same threshold
+    // expression 3.0 * 1.4826 * mad, left-assoc on both engines); the
+    // FILTER count stays BIGINT — never sum(CASE...) which widens to
+    // HUGEINT (the r4 bug class).
+    "q_agg_mad" ->
+      """WITH med AS (SELECT event_type, median(value) AS med
+        |   FROM events GROUP BY 1),
+        | dev AS (SELECT e.event_type, abs(e.value - m.med) AS adev, m.med
+        |   FROM events e JOIN med m USING (event_type)),
+        | mad AS (SELECT event_type, median(adev) AS mad
+        |   FROM dev GROUP BY 1)
+        | SELECT d.event_type, count(*) AS n,
+        |  round(max(d.med) + 5e-10, 6) AS med_value,
+        |  round(max(m2.mad) + 5e-10, 6) AS mad_value,
+        |  count(*) FILTER (WHERE d.adev > 3.0 * 1.4826 * m2.mad)
+        |    AS n_outlier,
+        |  round(CAST(count(*) FILTER (WHERE d.adev > 3.0 * 1.4826 * m2.mad)
+        |    AS DOUBLE) / count(*) + 5e-10, 6) AS outlier_rate
+        | FROM dev d JOIN mad m2 USING (event_type)
+        | GROUP BY d.event_type ORDER BY d.event_type"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_agg_filtered" ->

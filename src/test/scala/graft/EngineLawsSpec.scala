@@ -1578,6 +1578,35 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("q_agg_mad replays the two-level median walk and outlier gate") {
+    val rows = SparkEntry.queries("q_agg_mad")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    def med(xs: Array[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+    }
+    val byType = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    assert(rows.length === byType.size)
+    rows.foreach { r =>
+      val vs = byType(r.getString(0)).map(_._2)
+      val m = med(vs)
+      val adev = vs.map(v => math.abs(v - m))
+      val mad = med(adev)
+      val nOut = adev.count(_ > 3.0 * 1.4826 * mad)
+      assert(r.getLong(1) === vs.length.toLong)
+      assert(math.abs(r.getDouble(2) - m) < 1e-6)
+      assert(math.abs(r.getDouble(3) - mad) < 1e-6)
+      assert(r.getLong(4) === nOut.toLong)
+      // MAD is robust: never larger than the max deviation, and the
+      // outlier fraction under the 3·1.4826 gate is at most 50% by
+      // construction (more than half the points sit within one MAD).
+      assert(mad <= adev.max + 1e-12)
+      assert(nOut * 2 <= vs.length)
+    }
+  }
+
   test("q_text_dedup_prefix groups exactly the shared-prefix documents") {
     val rows = SparkEntry.queries("q_text_dedup_prefix")(spark, sf).collect()
     assert(rows.nonEmpty)
