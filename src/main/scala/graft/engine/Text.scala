@@ -725,6 +725,47 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // Code-vs-prose detection — the corpus-routing gate of a mixed web
+    // pipeline (StarCoder/Dolma-style stacks route code and prose into
+    // different dedup + quality chains). The fixture corpus is prose
+    // word-soup, so every third document is first RENDERED as code (one
+    // '  var tok = x + n;' line per token inside a braced function body)
+    // — construction and detection are both pure per-row string ops,
+    // mirrored 1:1 in the oracle. Signals: punctuation-symbol density via
+    // translate-strip (identical remove-semantics on both engines),
+    // keyword hits over whitespace-split tokens, indented-line fraction;
+    // the code flag thresholds the ROUNDED density and the integer hit
+    // count, so every comparison is on an identically-derived value.
+    // Map-only at 100 TB. CurationSpec pins detector accuracy = 1.0 on
+    // the planted corpus.
+    "q_text_code_detect" -> { (s, d) =>
+      val symDens = eround((length(col("src"))
+        - length(translate(col("src"), "{}();=", ""))).cast("double")
+        / length(col("src")), 6)
+      Tables.documents(s, d)
+        .withColumn("t", toks(col("text")))
+        .withColumn("is_wrapped", pmod(col("doc_id"), lit(3)) === 0)
+        .withColumn("src", when(col("is_wrapped"),
+          concat(lit("def f_"), col("doc_id").cast("string"), lit("(x) {\n"),
+            array_join(transform(col("t"), tok =>
+              concat(lit("  var "), tok, lit(" = x + "),
+                length(tok).cast("string"), lit(";"))), "\n"),
+            lit("\n  return x;\n}")))
+          .otherwise(col("text")))
+        .withColumn("lines", split(col("src"), "\n", -1))
+        .select(col("doc_id"), col("is_wrapped"),
+          size(col("lines")).as("n_lines"),
+          symDens.as("sym_density"),
+          size(filter(split(col("src"), "[ \\n]+", -1),
+            x => x.isin("def", "var", "return"))).as("kw_hits"),
+          eround(size(filter(col("lines"), ln => ln.like("  %")))
+            .cast("double") / size(col("lines")), 6).as("indent_frac"),
+          (symDens > 0.02 ||
+            size(filter(split(col("src"), "[ \\n]+", -1),
+              x => x.isin("def", "var", "return"))) >= 2).as("is_code"))
+        .orderBy(col("doc_id"))
+    },
+
     // Corpus-wide word-bigram frequencies (the n-gram statistics feeding
     // language models / langid): per-row bigram explode, one shuffled
     // count, top 20.
@@ -1680,6 +1721,36 @@ object Text {
          | SELECT doc_id, length(raw) AS raw_len, length(norm) AS norm_len,
          |  raw <> norm AS changed, md5(norm) AS norm_md5
          | FROM n ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Mirrors the Spark construction 1:1: same rendered page (chr(10)
+    // newlines), same translate-strip symbol set, same '[ \n]+' RE2/Java
+    // token split, same rounded-density + integer-hit-count flag.
+    "q_text_code_detect" ->
+      s"""WITH w AS (SELECT doc_id, text, $oToks AS t,
+         |   doc_id % 3 = 0 AS is_wrapped FROM documents),
+         | s AS (SELECT doc_id, is_wrapped,
+         |  CASE WHEN is_wrapped THEN
+         |    'def f_' || CAST(doc_id AS VARCHAR) || '(x) {' || chr(10) ||
+         |    array_to_string(list_transform(t, tok ->
+         |      '  var ' || tok || ' = x + '
+         |      || CAST(length(tok) AS VARCHAR) || ';'), chr(10)) ||
+         |    chr(10) || '  return x;' || chr(10) || '}'
+         |  ELSE text END AS src
+         |  FROM w),
+         | l AS (SELECT doc_id, is_wrapped, src,
+         |   string_split(src, chr(10)) AS lines,
+         |   round(CAST(length(src) - length(translate(src, '{}();=', ''))
+         |     AS DOUBLE) / length(src) + 5e-10, 6) AS sym_density,
+         |   len(list_filter(regexp_split_to_array(src, '[ \n]+'),
+         |     x -> x IN ('def', 'var', 'return'))) AS kw_hits
+         |  FROM s)
+         | SELECT doc_id, is_wrapped, len(lines) AS n_lines, sym_density,
+         |  kw_hits,
+         |  round(CAST(len(list_filter(lines, ln -> ln LIKE '  %'))
+         |    AS DOUBLE) / len(lines) + 5e-10, 6) AS indent_frac,
+         |  (sym_density > 0.02 OR kw_hits >= 2) AS is_code
+         | FROM l ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_text_ngrams" ->

@@ -149,6 +149,30 @@ class CurationSpec extends SparkSuite {
     }
   }
 
+  test("code detect: planted code routes perfectly, prose never flags") {
+    val out = SparkEntry.queries("q_text_code_detect")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val nTok = graft.engine.Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(lower(col("text")), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    out.foreach { r =>
+      val id = r.getLong(0); val wrapped = r.getBoolean(1)
+      assert(wrapped === (id % 3 == 0))
+      // accuracy 1.0 on the planted corpus: is_code <=> is_wrapped
+      assert(r.getBoolean(6) === wrapped,
+        s"doc $id: detector must agree with the planted label")
+      if (wrapped) {
+        // header + one var line per token + return + closing brace
+        assert(r.getInt(2) === nTok(id) + 3)
+        assert(r.getInt(4) >= 2, "def + var*n + return keyword hits")
+        assert(r.getDouble(3) > 0.02)
+      } else {
+        assert(r.getInt(2) === 1 && r.getInt(4) === 0)
+        assert(r.getDouble(3) === 0.0 && r.getDouble(5) === 0.0)
+      }
+    }
+  }
+
   test("curate stage 0: wrapped pages extract back to the raw text funnel") {
     // The funnel result with HTML stage 0 must equal the funnel computed
     // from raw text (the oracle twin starts from raw text, so the driver
