@@ -1398,6 +1398,41 @@ object Text {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // Asymmetric shingle CONTAINMENT (|S(p)∩S(c)| / |S(p)|) — the
+    // subset-duplication measure Jaccard misses: a short doc quoted
+    // wholesale inside a long one scores near 1.0 here but near 0 on
+    // Jaccard (the union is dominated by the long doc). Production
+    // framing: a bounded probe set (known templates / suspected sources)
+    // broadcasts against the full corpus — one linear scan, map-side
+    // array_intersect, top-3 per probe via a WindowGroupLimit-bounded
+    // rank (per-probe heap state, never a global sort). The corpus×corpus
+    // variant swaps the probe broadcast for the MinHash-LSH candidate
+    // join (q_dedup_near). Ranking uses the ROUNDED score + doc_id
+    // tiebreak so both engines pick identical rows.
+    "q_text_containment" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_distinct(shingles(toks(col("text")))).as("sh"))
+      val probes = broadcast(docs.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("id_p"), col("sh").as("sh_p")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("id_p"))
+        .orderBy(col("cont_probe").desc, col("doc_id"))
+      docs.filter(col("doc_id") >= 20).join(probes)
+        .select(col("id_p"), col("doc_id"),
+          size(array_intersect(col("sh_p"), col("sh"))).as("n_common"),
+          size(col("sh_p")).as("n_probe"), size(col("sh")).as("n_doc"))
+        .withColumn("cont_probe",
+          eround(col("n_common").cast("double") / col("n_probe"), 6))
+        .withColumn("cont_doc",
+          eround(col("n_common").cast("double") / col("n_doc"), 6))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("id_p"), col("rank"), col("doc_id"), col("n_common"),
+          col("cont_probe"), col("cont_doc"))
+        .orderBy(col("id_p"), col("rank"))
+    },
+
     // SimHash near-dup detection: 32-bit signature from signed token-hash
     // bit votes; near-dup pairs = Hamming distance <= 6 among banding
     // candidates. Candidate generation is the Google-simhash blocking
@@ -2231,7 +2266,27 @@ object Text {
          | FROM d a, d b WHERE a.doc_id < b.doc_id
          |  AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |    / len(list_distinct(list_concat(a.sh, b.sh))) + 5e-10, 6) >= 0.02
-         | ORDER BY id_a, id_b"""
+         | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
+
+    // Same shingling as the Jaccard oracle; rank on the identical rounded
+    // score with the doc_id tiebreak the Spark window uses.
+    "q_text_containment" ->
+      s"""WITH d AS (SELECT doc_id,
+         |  list_distinct(list_transform(
+         |    generate_series(1, greatest(len($oToks) - 2, 1)),
+         |    i -> array_to_string($oToks[i:i+2], ' '))) AS sh
+         |  FROM documents),
+         | scored AS (SELECT p.doc_id AS id_p, c.doc_id AS doc_id,
+         |   len(list_intersect(p.sh, c.sh)) AS n_common,
+         |   round(CAST(len(list_intersect(p.sh, c.sh)) AS DOUBLE)
+         |     / len(p.sh) + 5e-10, 6) AS cont_probe,
+         |   round(CAST(len(list_intersect(p.sh, c.sh)) AS DOUBLE)
+         |     / len(c.sh) + 5e-10, 6) AS cont_doc
+         |  FROM d p, d c WHERE p.doc_id < 20 AND c.doc_id >= 20),
+         | ranked AS (SELECT *, row_number() OVER (PARTITION BY id_p
+         |   ORDER BY cont_probe DESC, doc_id) AS rank FROM scored)
+         | SELECT id_p, rank, doc_id, n_common, cont_probe, cont_doc
+         | FROM ranked WHERE rank <= 3 ORDER BY id_p, rank"""
         .stripMargin.replaceAll("\n", " ")
   )
 }

@@ -1607,6 +1607,35 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("q_text_containment replays the probe-vs-corpus top-3 walk") {
+    val rows = SparkEntry.queries("q_text_containment")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    def sh(text: String): Set[String] = {
+      val t = text.toLowerCase.split(" ", -1)
+      (1 to math.max(t.length - 2, 1))
+        .map(i => t.slice(i - 1, i + 2).mkString(" ")).toSet
+    }
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), sh(r.getString(1))))
+    val probes = docs.filter(_._1 < 20); val corpus = docs.filter(_._1 >= 20)
+    def r6(x: Double) = BigDecimal(x + 5e-10)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = probes.flatMap { case (p, sp) =>
+      corpus.map { case (c, sc) =>
+        val n = (sp & sc).size
+        (p, c, n, r6(n.toDouble / sp.size), r6(n.toDouble / sc.size))
+      }.sortBy { case (_, c, _, cp, _) => (-cp, c) }.take(3)
+        .zipWithIndex.map { case ((p, c, n, cp, cd), i) => (p, i + 1, c, n, cp, cd) }
+    }.sortBy(t => (t._1, t._2))
+    val got = rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+      r.getInt(3), r.getDouble(4), r.getDouble(5))).toSeq
+    assert(got === expect.toSeq)
+    // asymmetry: containment is direction-sensitive whenever set sizes
+    // differ — the statistic Jaccard cannot express.
+    assert(rows.exists(r => r.getDouble(4) !== r.getDouble(5)))
+  }
+
   test("q_text_dedup_prefix groups exactly the shared-prefix documents") {
     val rows = SparkEntry.queries("q_text_dedup_prefix")(spark, sf).collect()
     assert(rows.nonEmpty)
