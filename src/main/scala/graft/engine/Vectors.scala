@@ -507,6 +507,48 @@ object Vectors {
     // partial-aggregating min(struct) — never a window over the corpus);
     // the update shuffles (cluster, dim) partial sums only. O(k·n·d)
     // work, one small shuffle per iteration — linear at 100 TB. The
+    // Embedding-space outlier scoring — the curation signal that drops
+    // corrupt / off-distribution embeddings before they poison ANN
+    // shortlists or cluster-balanced sampling: assign every vector to its
+    // nearest seed centroid (broadcast, map-side argmin — the q_vec_kmeans
+    // assignment stage), then flag vectors whose distance-to-centroid sits
+    // >3σ above their OWN cluster's distance distribution. The 3σ test is
+    // EXACT (the q_ts_anomaly recipe): with integer distances d, the test
+    // (n·d − S)² > 9·(n·Q − S²) uses only integer moments in
+    // DECIMAL(38,0)/HUGEINT state, so no float boundary exists anywhere.
+    // Headroom: Q ≈ n·d², d ≈ 2.6e14 at micros scale → exact to ~1e8
+    // vectors per cluster; past that, widen the quantization or shard the
+    // moment state. Per-cluster stats broadcast back; σ=0 clusters
+    // degenerate safely (LHS = 0 → no outliers). Linear, two scans.
+    "q_vec_outlier" -> { (s, d) =>
+      GraftFunctions.register(s)
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), transform(col("embedding"),
+          x => round(x.cast("double") * 1e6).cast("long")).as("q"))
+      val seed = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("c_id"), col("q").as("cv"))
+      val assigned = emb.crossJoin(broadcast(seed))
+        .withColumn("dist", expr("int_sqdist(q, cv)"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("dist"), col("c_id"))).as("m"))
+        .select(col("vec_id"), col("m.c_id").as("cluster"),
+          col("m.dist").as("dist"))
+      val stats = assigned.groupBy(col("cluster"))
+        .agg(count(lit(1)).cast(dec38).as("n"),
+          sum(col("dist").cast(dec38)).as("s"),
+          sum(col("dist").cast(dec19) * col("dist").cast(dec19)).as("qq"))
+      val dd = col("dist").cast(dec38)
+      assigned.join(broadcast(stats), Seq("cluster"))
+        .select(col("vec_id"), col("cluster"), col("dist"),
+          col("n").cast("long").as("n_cluster"),
+          ((col("n") * dd - col("s")) * (col("n") * dd - col("s")) >
+            lit(9) * (col("n") * col("qq") - col("s") * col("s")))
+            .as("is_outlier"))
+        .orderBy(col("vec_id"))
+    },
+
     // distance is the native codegen'd int_sqdist (integer arithmetic is
     // exact and associative, so the fused loop is bit-identical to the
     // HOF fold and to the oracle's list_reduce).
@@ -869,6 +911,35 @@ object Vectors {
          |  FROM votes)
          | SELECT probe_id, label AS predicted_label, votes FROM best
          | WHERE vr = 1 ORDER BY probe_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same exact-integer replay as the kmeans oracle (one assignment
+    // stage), then HUGEINT moment arithmetic for the 3σ gate — HUGEINT
+    // (int128) and Spark's DECIMAL(38,0) both hold every intermediate
+    // exactly at fixture scale, so the boolean matches bit-for-bit.
+    "q_vec_outlier" ->
+      """WITH e AS (SELECT vec_id, i AS dim,
+        |   CAST(round(embedding[i] * 1e6) AS BIGINT) AS x
+        |  FROM embeddings,
+        |  LATERAL unnest(generate_series(1, len(embedding))) u(i)),
+        | c0 AS (SELECT vec_id AS c_id, dim, x AS c FROM e
+        |   WHERE vec_id < 8),
+        | a1 AS (SELECT e.vec_id, c.c_id,
+        |   sum((e.x - c.c) * (e.x - c.c)) AS dist
+        |  FROM e JOIN c0 c ON e.dim = c.dim
+        |  GROUP BY e.vec_id, c.c_id),
+        | b1 AS (SELECT vec_id, c_id, dist, row_number() OVER
+        |   (PARTITION BY vec_id ORDER BY dist, c_id) AS rn FROM a1),
+        | g AS (SELECT vec_id, c_id AS cluster,
+        |   CAST(dist AS HUGEINT) AS dist FROM b1 WHERE rn = 1),
+        | st AS (SELECT cluster, CAST(count(*) AS HUGEINT) AS n,
+        |   sum(dist) AS s, sum(dist * dist) AS qq
+        |  FROM g GROUP BY cluster)
+        | SELECT g.vec_id, g.cluster, CAST(g.dist AS BIGINT) AS dist,
+        |  CAST(st.n AS BIGINT) AS n_cluster,
+        |  (st.n * g.dist - st.s) * (st.n * g.dist - st.s)
+        |    > 9 * (st.n * st.qq - st.s * st.s) AS is_outlier
+        | FROM g JOIN st USING (cluster) ORDER BY g.vec_id"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_vec_kmeans" -> {

@@ -1578,6 +1578,41 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("q_vec_outlier replays the integer 3-sigma distance gate") {
+    val rows = SparkEntry.queries("q_vec_outlier")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 1e6)).toArray))
+    val seeds = emb.filter(_._1 < 8)
+    def sqd(a: Array[Long], b: Array[Long]): BigInt =
+      a.zip(b).map { case (x, y) => BigInt(x - y) * BigInt(x - y) }.sum
+    val assigned = emb.map { case (id, q) =>
+      val (cid, dist) = seeds.map { case (c, cv) => (c, sqd(q, cv)) }
+        .minBy { case (c, dv) => (dv, c) }
+      (id, cid, dist)
+    }
+    val stats = assigned.groupBy(_._2).map { case (c, g) =>
+      val ds = g.map(_._3)
+      c -> (BigInt(ds.length), ds.sum, ds.map(d => d * d).sum)
+    }
+    val expect = assigned.map { case (id, c, d) =>
+      val (n, sSum, qSum) = stats(c)
+      val lhs = (n * d - sSum) * (n * d - sSum)
+      (id, c, d.toLong, n.toLong, lhs > 9 * (n * qSum - sSum * sSum))
+    }.sortBy(_._1).toSeq
+    val got = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getBoolean(4))).toSeq
+    assert(got === expect)
+    // the gate is one-sided and bounded: by Chebyshev at most n/9 rows
+    // per cluster can sit beyond 3 sigma.
+    stats.foreach { case (c, (n, _, _)) =>
+      val flagged = got.count(t => t._2 == c && t._5)
+      assert(BigInt(flagged) * 9 <= n)
+    }
+  }
+
   test("q_agg_mad replays the two-level median walk and outlier gate") {
     val rows = SparkEntry.queries("q_agg_mad")(spark, sf).collect()
     assert(rows.nonEmpty)
