@@ -146,7 +146,13 @@ object Bench {
       // round-6 batch 16: vocab×pair JSD grid joins + the Gini rank scan
       "q_text_js_divergence", "q_agg_gini",
       // round-6 batch 17: two-level entropy profile + prefix-key dedup
-      "q_agg_entropy_cat", "q_text_dedup_prefix")
+      "q_agg_entropy_cat", "q_text_dedup_prefix",
+      // round-6 batch 18: two-level median MAD (3 event scans), probe
+      // containment (corpus scan + bounded rank), integer 3-sigma
+      // embedding outliers (2 embedding scans), and the code-render
+      // detector (map-only but render+regex CPU-bound per row)
+      "q_agg_mad", "q_text_containment", "q_vec_outlier",
+      "q_text_code_detect")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

@@ -1403,25 +1403,49 @@ object Text {
     // wholesale inside a long one scores near 1.0 here but near 0 on
     // Jaccard (the union is dominated by the long doc). Production
     // framing: a bounded probe set (known templates / suspected sources)
-    // broadcasts against the full corpus — one linear scan, map-side
-    // array_intersect, top-3 per probe via a WindowGroupLimit-bounded
-    // rank (per-probe heap state, never a global sort). The corpus×corpus
-    // variant swaps the probe broadcast for the MinHash-LSH candidate
-    // join (q_dedup_near). Ranking uses the ROUNDED score + doc_id
-    // tiebreak so both engines pick identical rows.
+    // against the full corpus, candidates = docs sharing ≥1 shingle.
+    // Shape: the probes EXPLODE to a broadcast (probe, shingle) list and
+    // the corpus shingle stream broadcast-hash-joins it — one hash probe
+    // per shingle occurrence instead of a per-pair array_intersect hash-
+    // set rebuild (the pairwise spelling cost 3.5 s at sf0.1; this runs
+    // ~4× faster), and the groupBy partial-aggregates (probe, doc)
+    // counts map-side so only candidate-pair partials shuffle. Top-3 per
+    // probe via a WindowGroupLimit-bounded rank on the ROUNDED score +
+    // doc_id tiebreak so both engines pick identical rows. The
+    // corpus×corpus variant swaps the probe broadcast for the
+    // MinHash-LSH candidate join (q_dedup_near).
     "q_text_containment" -> { (s, d) =>
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"),
-          array_distinct(shingles(toks(col("text")))).as("sh"))
-      val probes = broadcast(docs.filter(col("doc_id") < 20)
-        .select(col("doc_id").as("id_p"), col("sh").as("sh_p")))
+      // Shingles as 60-bit BIGINT digests (the q_text_dedup_span form,
+      // mirrored in the oracle so a collision — if any — collides on
+      // both engines). CRITICALLY the digest is computed on EXPLODED
+      // index rows, not inside a transform() lambda: higher-order-
+      // function lambdas evaluate interpreted (~10 µs/element — the
+      // array spelling cost 3.2-3.9 s at sf0.1), while the exploded
+      // spelling keeps md5/concat_ws/slice inside WholeStageCodegen
+      // (~0.5 s). Per-doc distinctness moves from array_distinct into
+      // the countDistinct aggregates, which partial-aggregate map-side.
+      val sh = Tables.documents(s, d)
+        .withColumn("t", toks(col("text")))
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(1), greatest(size(col("t")) - 2, lit(1))))
+            .as("i"))
+        .select(col("doc_id"), conv(substring(
+          md5(concat_ws(" ", slice(col("t"), col("i"), lit(3)))), 1, 15),
+          16, 10).cast("long").as("g"))
+      val nDoc = sh.filter(col("doc_id") >= 20)
+        .groupBy(col("doc_id")).agg(countDistinct(col("g")).as("n_doc"))
+      val probes = sh.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("id_p"), col("g")).distinct()
+      val nProbe = probes.groupBy(col("id_p"))
+        .agg(count(lit(1)).as("n_probe"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("id_p"))
         .orderBy(col("cont_probe").desc, col("doc_id"))
-      docs.filter(col("doc_id") >= 20).join(probes)
-        .select(col("id_p"), col("doc_id"),
-          size(array_intersect(col("sh_p"), col("sh"))).as("n_common"),
-          size(col("sh_p")).as("n_probe"), size(col("sh")).as("n_doc"))
+      sh.filter(col("doc_id") >= 20).join(broadcast(probes), Seq("g"))
+        .groupBy(col("id_p"), col("doc_id"))
+        .agg(countDistinct(col("g")).cast("int").as("n_common"))
+        .join(broadcast(nProbe), Seq("id_p"))
+        .join(nDoc, Seq("doc_id"))
         .withColumn("cont_probe",
           eround(col("n_common").cast("double") / col("n_probe"), 6))
         .withColumn("cont_doc",
@@ -2268,13 +2292,15 @@ object Text {
          |    / len(list_distinct(list_concat(a.sh, b.sh))) + 5e-10, 6) >= 0.02
          | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
 
-    // Same shingling as the Jaccard oracle; rank on the identical rounded
-    // score with the doc_id tiebreak the Spark window uses.
+    // Same 60-bit digest shingling as the Spark side (the dedup_span
+    // recipe); rank on the identical rounded score with the doc_id
+    // tiebreak the Spark window uses.
     "q_text_containment" ->
       s"""WITH d AS (SELECT doc_id,
          |  list_distinct(list_transform(
          |    generate_series(1, greatest(len($oToks) - 2, 1)),
-         |    i -> array_to_string($oToks[i:i+2], ' '))) AS sh
+         |    i -> ('0x' || substr(md5(array_to_string($oToks[i:i+2], ' ')),
+         |      1, 15))::BIGINT)) AS sh
          |  FROM documents),
          | scored AS (SELECT p.doc_id AS id_p, c.doc_id AS doc_id,
          |   len(list_intersect(p.sh, c.sh)) AS n_common,
@@ -2282,7 +2308,8 @@ object Text {
          |     / len(p.sh) + 5e-10, 6) AS cont_probe,
          |   round(CAST(len(list_intersect(p.sh, c.sh)) AS DOUBLE)
          |     / len(c.sh) + 5e-10, 6) AS cont_doc
-         |  FROM d p, d c WHERE p.doc_id < 20 AND c.doc_id >= 20),
+         |  FROM d p, d c WHERE p.doc_id < 20 AND c.doc_id >= 20
+         |   AND len(list_intersect(p.sh, c.sh)) >= 1),
          | ranked AS (SELECT *, row_number() OVER (PARTITION BY id_p
          |   ORDER BY cont_probe DESC, doc_id) AS rank FROM scored)
          | SELECT id_p, rank, doc_id, n_common, cont_probe, cont_doc

@@ -1660,7 +1660,8 @@ class EngineLawsSpec extends SparkSuite {
       corpus.map { case (c, sc) =>
         val n = (sp & sc).size
         (p, c, n, r6(n.toDouble / sp.size), r6(n.toDouble / sc.size))
-      }.sortBy { case (_, c, _, cp, _) => (-cp, c) }.take(3)
+      }.filter(_._3 >= 1)
+        .sortBy { case (_, c, _, cp, _) => (-cp, c) }.take(3)
         .zipWithIndex.map { case ((p, c, n, cp, cd), i) => (p, i + 1, c, n, cp, cd) }
     }.sortBy(t => (t._1, t._2))
     val got = rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
