@@ -89,14 +89,16 @@ object Streaming {
     */
   def streamingDecontaminate(docs: DataFrame, evalDg: DataFrame): DataFrame = {
     val n = 8
+    // exploded-index digest spelling (see q_text_dedup_span): codegen'd
+    // md5 per row instead of an interpreted transform() lambda
     val sh = docs
       .withColumn("t", split(lower(col("text")), " "))
       .filter(size(col("t")) >= n)
-      .select(col("doc_id"), explode(
-        transform(sequence(lit(1), size(col("t")) - (n - 1)),
-          i => conv(substring(
-            md5(concat_ws(" ", slice(col("t"), i, lit(n)))), 1, 15),
-            16, 10).cast("long"))).as("dg"))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - (n - 1))).as("i"))
+      .select(col("doc_id"), conv(substring(
+        md5(concat_ws(" ", slice(col("t"), col("i"), lit(n)))), 1, 15),
+        16, 10).cast("long").as("dg"))
     // DISTINCT the static side like the batch twin (q_text_contaminate):
     // duplicate eval digests would multiply stream rows through the left
     // join and inflate both n_spans and n_hits.

@@ -178,11 +178,6 @@ object Text {
   private val simhashSigCache =
     new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
 
-  /** Same steady-state-one-copy cache discipline for the span-dedup
-    * shingle stream (see [[simhashSigCache]]). */
-  private val spanShCache =
-    new java.util.concurrent.atomic.AtomicReference[DataFrame](null)
-
   private def nearDupCorpus(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val planted = base.filter(col("doc_id") < 20)
@@ -797,27 +792,26 @@ object Text {
     // a shuffle-HASH join back (hinted: the default sort-merge would
     // sort BOTH full shingle streams; the r4 window formulation sorted
     // one and couldn't map-side combine at all). The exploded shingle
-    // stream is persisted once so explode+md5 isn't computed for both
-    // join inputs. Two big-stream shuffles of 16-byte rows, zero sorts,
-    // every aggregate spillable — linear in corpus token count at 100 TB.
+    // stream digests on EXPLODED index rows so md5/slice stay inside
+    // WholeStageCodegen — a transform() lambda evaluates interpreted at
+    // ~10 µs/element (measured on q_text_containment: 3.9 s vs 1.2 s at
+    // sf0.1). The two join inputs each recompute the scan+digest pass:
+    // at 100 TB two embarrassingly-parallel codegen scans beat pinning a
+    // corpus-token-count × 16-byte stream in executor storage (the
+    // previous persisted spelling also left a cross-invocation storage
+    // residual — gone with the cache). Two big-stream shuffles of
+    // 16-byte rows, zero sorts, every aggregate spillable — linear in
+    // corpus token count at 100 TB.
     "q_text_dedup_span" -> { (s, d) =>
       val n = 8
-      // unpersist the previous invocation's cache BEFORE persisting: the
-      // two invocations' plans canonicalize identically, so persist-then-
-      // unpersist-old would drop the SHARED entry and leave every run
-      // after the first uncached (caught by PlanSpec in the full suite)
-      Option(spanShCache.getAndSet(null)).foreach(p =>
-        try p.unpersist(false) catch { case _: Throwable => () })
       val sh = Tables.documents(s, d)
         .withColumn("t", toks(col("text")))
         .filter(size(col("t")) >= n)
-        .select(col("doc_id"), explode(
-          transform(sequence(lit(1), size(col("t")) - (n - 1)),
-            i => conv(substring(
-              md5(concat_ws(" ", slice(col("t"), i, lit(n)))), 1, 15),
-              16, 10).cast("long"))).as("dg"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      spanShCache.set(sh)
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(1), size(col("t")) - (n - 1))).as("i"))
+        .select(col("doc_id"), conv(substring(
+          md5(concat_ws(" ", slice(col("t"), col("i"), lit(n)))), 1, 15),
+          16, 10).cast("long").as("dg"))
       val counts = sh.groupBy(col("dg")).agg(count(lit(1)).as("c"))
       sh.join(counts.hint("shuffle_hash"), "dg")
         .groupBy(col("doc_id"))
@@ -840,14 +834,16 @@ object Text {
     // oracle, so collisions — if any — agree across engines).
     "q_text_contaminate" -> { (s, d) =>
       val n = 8
+      // exploded-index digest spelling (see q_text_dedup_span): codegen'd
+      // md5 per row instead of an interpreted transform() lambda
       val sh = Tables.documents(s, d)
         .withColumn("t", toks(col("text")))
         .filter(size(col("t")) >= n)
-        .select(col("doc_id"), explode(
-          transform(sequence(lit(1), size(col("t")) - (n - 1)),
-            i => conv(substring(
-              md5(concat_ws(" ", slice(col("t"), i, lit(n)))), 1, 15),
-              16, 10).cast("long"))).as("dg"))
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(1), size(col("t")) - (n - 1))).as("i"))
+        .select(col("doc_id"), conv(substring(
+          md5(concat_ws(" ", slice(col("t"), col("i"), lit(n)))), 1, 15),
+          16, 10).cast("long").as("dg"))
       // the doc_id predicate commutes with the explode, so each branch
       // scans only its own slice of the corpus — no shared subtree worth
       // persisting (eval reads ~1% of rows)
@@ -1126,13 +1122,15 @@ object Text {
     // 100 TB.
     "q_pipeline_curate" -> { (s, d) =>
       val n = 8
+      // exploded-index digest spelling (see q_text_dedup_span): codegen'd
+      // md5 per row instead of an interpreted transform() lambda
       val sh = (df: DataFrame) => df
         .filter(size(col("t")) >= n)
-        .select(col("doc_id"), explode(
-          transform(sequence(lit(1), size(col("t")) - (n - 1)),
-            i => conv(substring(
-              md5(concat_ws(" ", slice(col("t"), i, lit(n)))), 1, 15),
-              16, 10).cast("long"))).as("dg"))
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(1), size(col("t")) - (n - 1))).as("i"))
+        .select(col("doc_id"), conv(substring(
+          md5(concat_ws(" ", slice(col("t"), col("i"), lit(n)))), 1, 15),
+          16, 10).cast("long").as("dg"))
       // STAGE 0 (round 6): web pages → text. The fixture corpus is plain
       // text, so each training doc is first wrapped in a deterministic
       // page (nav/ad/footer boilerplate around two content blocks) and
