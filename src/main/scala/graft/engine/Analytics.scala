@@ -37,6 +37,24 @@ object Analytics {
   private val triPinned =
     new scala.collection.concurrent.TrieMap[String, DataFrame]()
 
+  /** Ordered within-basket part pairs via two codegen'd Generates:
+    * explode each sorted-distinct basket twice and keep b > a — the same
+    * pair set as the previous nested-transform spelling (parts is sorted
+    * and distinct, so slice-from-i+2 pairs are exactly the a<b pairs),
+    * but higher-order-function lambdas evaluate INTERPRETED per emitted
+    * element (~10 µs each — measured on q_text_containment) while
+    * Generate emits rows natively; the extra filtered w(w+1)/2 rows are
+    * far cheaper than any interpreted lambda. Quadratic only in basket
+    * width, which is data-bounded small (the a-priori layout); pair
+    * counts still partial-aggregate map-side before their exchange.
+    */
+  private def orderedPairs(baskets: DataFrame, a: String, b: String)
+      : DataFrame =
+    baskets
+      .select(col("parts"), explode(col("parts")).as(a))
+      .select(col(a), explode(col("parts")).as(b))
+      .filter(col(b) > col(a))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q3 shape: revenue of undelivered orders for one market segment.
     "q_shape_q3" -> { (s, d) =>
@@ -243,23 +261,17 @@ object Analytics {
     // part pairs bought together in one order, top 20. Scale shape: ONE
     // shuffle total — collect_set gathers (and dedupes) each order's
     // basket in a single orderkey aggregation, then the ordered pairs
-    // expand map-side with an indexed-transform HOF (quadratic only in
-    // basket width, which is data-bounded small — the a-priori layout)
-    // and pair counts partial-aggregate before the final exchange. The
-    // previous self-join spelling shuffled the distinct pair set twice
-    // more for the same result.
+    // expand map-side via the codegen'd double-Generate [[orderedPairs]]
+    // (quadratic only in basket width, which is data-bounded small — the
+    // a-priori layout) and pair counts partial-aggregate before the
+    // final exchange. The previous self-join spelling shuffled the
+    // distinct pair set twice more for the same result.
     "q_shape_basket" -> { (s, d) =>
       val baskets = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey"))
         .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-      baskets
-        .select(explode(flatten(transform(col("parts"), (x, i) =>
-          transform(
-            slice(col("parts"), i + lit(2),
-              greatest(size(col("parts")) - i - lit(1), lit(0))),
-            y => struct(x.as("part_a"), y.as("part_b")))))).as("p"))
-        .select(col("p.part_a"), col("p.part_b"))
+      orderedPairs(baskets, "part_a", "part_b")
         .groupBy(col("part_a"), col("part_b"))
         .agg(count(lit(1)).as("n_orders"))
         .orderBy(desc("n_orders"), asc("part_a"), asc("part_b"))
@@ -397,10 +409,12 @@ object Analytics {
       val lateOthers = late
         .select(col("l_suppkey").as("x_supp"), col("l_orderkey").as("x_ord"))
       late
-        .join(others, col("o_ord") === col("l_orderkey")
-          && col("o_supp") =!= col("l_suppkey"), "left_semi")
-        .join(lateOthers, col("x_ord") === col("l_orderkey")
-          && col("x_supp") =!= col("l_suppkey"), "left_anti")
+        .join(others.hint("shuffle_hash"),
+          col("o_ord") === col("l_orderkey")
+            && col("o_supp") =!= col("l_suppkey"), "left_semi")
+        .join(lateOthers.hint("shuffle_hash"),
+          col("x_ord") === col("l_orderkey")
+            && col("x_supp") =!= col("l_suppkey"), "left_anti")
         .groupBy(col("l_suppkey"))
         .agg(count(lit(1)).as("numwait"))
         .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
@@ -458,13 +472,7 @@ object Analytics {
       // Triangle algorithms always materialize their (much smaller,
       // aggregated) edge list once — localCheckpoint is the single-JVM
       // analog of the reliable checkpoint a cluster run would use.
-      val und = baskets
-        .select(explode(flatten(transform(col("parts"), (x, i) =>
-          transform(
-            slice(col("parts"), i + lit(2),
-              greatest(size(col("parts")) - i - lit(1), lit(0))),
-            y => struct(x.as("u"), y.as("v")))))).as("p"))
-        .select(col("p.u").as("u"), col("p.v").as("v"))
+      val und = orderedPairs(baskets, "u", "v")
         .groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= 2)
@@ -572,13 +580,7 @@ object Analytics {
       val itemSupp = baskets
         .select(explode(col("parts")).as("item"))
         .groupBy(col("item")).agg(count(lit(1)).as("n_item"))
-      val pairs = baskets
-        .select(explode(flatten(transform(col("parts"), (x, i) =>
-          transform(
-            slice(col("parts"), i + lit(2),
-              greatest(size(col("parts")) - i - lit(1), lit(0))),
-            y => struct(x.as("u"), y.as("v")))))).as("p"))
-        .select(col("p.u"), col("p.v"))
+      val pairs = orderedPairs(baskets, "u", "v")
         .groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("n_ab"))
         .filter(col("n_ab") >= 2)
@@ -824,13 +826,7 @@ object Analytics {
         .select(col("l_orderkey"), col("l_partkey"))
         .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-      val und = baskets
-        .select(explode(flatten(transform(col("parts"), (x, i) =>
-          transform(
-            slice(col("parts"), i + lit(2),
-              greatest(size(col("parts")) - i - lit(1), lit(0))),
-            y => struct(x.as("u"), y.as("v")))))).as("p"))
-        .select(col("p.u").as("u"), col("p.v").as("v"))
+      val und = orderedPairs(baskets, "u", "v")
         .groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= 2)
