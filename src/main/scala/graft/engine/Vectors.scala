@@ -525,8 +525,7 @@ object Vectors {
       val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
       val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), transform(col("embedding"),
-          x => round(x.cast("double") * 1e6).cast("long")).as("q"))
+        .select(col("vec_id"), expr("int_micros(embedding)").as("q"))
       val seed = emb.filter(col("vec_id") < 8)
         .select(col("vec_id").as("c_id"), col("q").as("cv"))
       val assigned = emb.crossJoin(broadcast(seed))
@@ -555,8 +554,7 @@ object Vectors {
     "q_vec_kmeans" -> { (s, d) =>
       GraftFunctions.register(s)
       val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), transform(col("embedding"),
-          x => round(x.cast("double") * 1e6).cast("long")).as("q"))
+        .select(col("vec_id"), expr("int_micros(embedding)").as("q"))
       def assign(cents: DataFrame): DataFrame =
         emb.crossJoin(broadcast(cents))
           .withColumn("dist", expr("int_sqdist(q, cv)"))
@@ -604,8 +602,7 @@ object Vectors {
     "q_vec_pq" -> { (s, d) =>
       GraftFunctions.register(s)
       val qs = Tables.embeddings(s, d)
-        .select(col("vec_id"), transform(col("embedding"),
-          x => round(x.cast("double") * 1e6).cast("long")).as("q"))
+        .select(col("vec_id"), expr("int_micros(embedding)").as("q"))
       val subs = qs
         .withColumn("sd", expr("size(q) DIV 4"))
         .select(col("vec_id"),
@@ -688,8 +685,7 @@ object Vectors {
     "q_dedup_semantic" -> { (s, d) =>
       GraftFunctions.register(s)
       val base = Tables.embeddings(s, d).filter(col("vec_id") < 300)
-        .select(col("vec_id"), transform(col("embedding"),
-          x => round(x.cast("double") * 1e6).cast("long")).as("q"))
+        .select(col("vec_id"), expr("int_micros(embedding)").as("q"))
       val corpus = base.unionByName(base.filter(col("vec_id") < 10)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("q")))
       val k = base.agg(greatest((count(lit(1)) / 64).cast("long"), lit(1L))

@@ -313,6 +313,10 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.FunctionIdentifier("nfc_normalize")))
       reg.createOrReplaceTempFunction(
         "nfc_normalize", exprs => NfcNormalize(exprs.head), "scala_udf")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("int_micros")))
+      reg.createOrReplaceTempFunction(
+        "int_micros", exprs => IntMicros(exprs.head), "scala_udf")
   }
 
   /** Column-level entry point (requires register(spark) in the session). */

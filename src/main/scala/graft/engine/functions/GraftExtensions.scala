@@ -78,6 +78,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (exprs: Seq[Expression]) => NfcNormalize(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("int_micros"),
+      new ExpressionInfo(classOf[IntMicros].getName, "int_micros"),
+      (exprs: Seq[Expression]) => IntMicros(exprs.head)))
+    ext.injectFunction((
       FunctionIdentifier("bigram_top_n"),
       new ExpressionInfo(classOf[BigramTopCount].getName, "bigram_top_n"),
       (exprs: Seq[Expression]) => BigramTopCount(exprs.head)))

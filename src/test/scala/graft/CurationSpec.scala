@@ -136,6 +136,17 @@ class CurationSpec extends SparkSuite {
     assert(diff.count() === 0, "native and HOF distances must agree exactly")
   }
 
+  test("int_micros: native expression equals the round-lambda spelling") {
+    graft.engine.functions.GraftFunctions.register(spark)
+    val diff = graft.engine.Tables.embeddings(spark, sf)
+      .withColumn("nat", expr("int_micros(embedding)"))
+      .withColumn("hof", transform(col("embedding"),
+        x => round(x.cast("double") * 1e6).cast("long")))
+      .filter(col("nat") =!= col("hof"))
+    assert(diff.count() === 0,
+      "native and lambda quantizations must agree exactly per element")
+  }
+
   test("html extract: boilerplate dropped, content blocks lossless") {
     val out = SparkEntry.queries("q_text_html_extract")(spark, sf).collect()
     assert(out.nonEmpty)
