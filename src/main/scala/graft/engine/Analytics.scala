@@ -308,6 +308,59 @@ object Analytics {
         .limit(20)
     },
 
+    // Peak concurrent sessions per day — the capacity-planning /
+    // interval-stabbing window shape: sessionize (30-min gaps, the same
+    // machinery as q_shape_paths), split each session interval at UTC
+    // day boundaries, emit +1/−1 boundary events, and take the max
+    // running sum per day. CLOSED-interval semantics: at equal
+    // timestamps the +1 sorts before the −1 (ORDER BY tus, delta DESC),
+    // so a one-event session still registers; rows tied on (tus, delta)
+    // commute (identical deltas yield the same prefix-sum multiset in
+    // any order), so the per-day MAX is deterministic under the ROWS
+    // frame despite the non-total tie order. All arithmetic is exact
+    // integer micros and ±1 integer sums — no float anywhere. Scale
+    // shape: one user_id shuffle sessionizes, then one day-partitioned
+    // window over session BOUNDARIES (2 rows per session-day, orders of
+    // magnitude below the event stream); a production variant sub-buckets
+    // each day by hour and merges hierarchical maxima.
+    "q_shape_concurrency" -> { (s, d) =>
+      val wU = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("tus"), col("event_id"))
+      val sess = Tables.events(s, d)
+        .withColumn("tus", expr("unix_micros(ts)"))
+        .withColumn("new_s",
+          when(col("tus")
+            - lag(col("tus"), 1).over(wU) > 1800000000L, 1)
+            .when(lag(col("tus"), 1).over(wU).isNull, 1).otherwise(0))
+        .withColumn("sid", sum(col("new_s")).over(
+          wU.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      val iv = sess.groupBy(col("user_id"), col("sid"))
+        .agg(min(col("tus")).as("s_us"), max(col("tus")).as("e_us"))
+        .withColumn("day", explode(sequence(
+          to_date(timestamp_micros(col("s_us"))),
+          to_date(timestamp_micros(col("e_us"))))))
+        .withColumn("day_us",
+          expr("unix_micros(CAST(day AS TIMESTAMP))"))
+        .withColumn("s_clip", greatest(col("s_us"), col("day_us")))
+        .withColumn("e_clip",
+          least(col("e_us"), col("day_us") + lit(86399999999L)))
+      val bounds = iv
+        .select(col("day"), col("s_clip").as("tus"), lit(1).as("delta"))
+        .unionByName(iv
+          .select(col("day"), col("e_clip").as("tus"),
+            lit(-1).as("delta")))
+      val wD = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("day")).orderBy(col("tus"), col("delta").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      bounds.withColumn("run", sum(col("delta")).over(wD))
+        .groupBy(col("day"))
+        .agg(count(when(col("delta") === 1, 1)).as("n_sessions"),
+          max(col("run")).as("peak_concurrent"))
+        .orderBy(col("day"))
+    },
+
     // Q14 shape: promo revenue share for one ship month — conditional
     // aggregation over the lineitem⋈part join. part scales with the fact
     // tables (it is NOT broadcast; the join shuffles on partkey and the
@@ -1068,6 +1121,43 @@ object Analytics {
         |  FROM g GROUP BY user_id, sid)
         | SELECT path, count(*) AS n_sessions FROM p
         | GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same sessionization CTEs as the paths oracle; the day split uses
+    // generate_series over dates and the boundary scan mirrors the
+    // Spark (tus, delta DESC) closed-interval ordering.
+    "q_shape_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+        | m AS (SELECT user_id, event_id, tus,
+        |   CASE WHEN lag(tus) OVER w IS NULL
+        |     OR tus - lag(tus) OVER w > 1800000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        | g AS (SELECT user_id, tus,
+        |   sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |     ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+        | iv AS (SELECT user_id, sid, min(tus) AS s_us, max(tus) AS e_us
+        |  FROM g GROUP BY user_id, sid),
+        | dd AS (SELECT user_id, sid, s_us, e_us,
+        |   CAST(unnest(generate_series(
+        |     CAST(make_timestamp(s_us) AS DATE),
+        |     CAST(make_timestamp(e_us) AS DATE),
+        |     INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM iv),
+        | cl AS (SELECT day,
+        |   greatest(s_us, epoch_us(CAST(day AS TIMESTAMP))) AS s_clip,
+        |   least(e_us, epoch_us(CAST(day AS TIMESTAMP)) + 86399999999)
+        |     AS e_clip
+        |  FROM dd),
+        | b AS (SELECT day, s_clip AS tus, 1 AS delta FROM cl
+        |  UNION ALL SELECT day, e_clip AS tus, -1 AS delta FROM cl),
+        | r AS (SELECT day, delta, sum(delta) OVER (PARTITION BY day
+        |   ORDER BY tus, delta DESC ROWS UNBOUNDED PRECEDING) AS run
+        |  FROM b)
+        | SELECT day, count(*) FILTER (WHERE delta = 1) AS n_sessions,
+        |  CAST(max(run) AS BIGINT) AS peak_concurrent
+        | FROM r GROUP BY day ORDER BY day"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_shape_q14" ->

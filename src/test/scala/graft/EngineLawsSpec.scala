@@ -1578,6 +1578,46 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("q_shape_concurrency replays the day-split interval stabbing") {
+    val rows = SparkEntry.queries("q_shape_concurrency")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val dayUs = 86400000000L
+    // sessionize per user on 30-min gaps, then clip to UTC days
+    val intervals = ev.groupBy(_._1).values.flatMap { g =>
+      val ts = g.sortBy(e => (e._3, e._2)).map(_._3)
+      val sessions = ts.foldLeft(List.empty[(Long, Long)]) {
+        case (acc, t) => acc match {
+          case (s0, e0) :: rest if t - e0 <= 1800000000L =>
+            (s0, t) :: rest
+          case _ => (t, t) :: acc
+        }
+      }
+      sessions.flatMap { case (s0, e0) =>
+        (s0 / dayUs to e0 / dayUs).map { day =>
+          (day, math.max(s0, day * dayUs),
+            math.min(e0, day * dayUs + dayUs - 1))
+        }
+      }
+    }.toSeq
+    val expect = intervals.groupBy(_._1).map { case (day, ivs) =>
+      val bounds = ivs.flatMap { case (_, a, b) => Seq((a, 1), (b, -1)) }
+        .sortBy { case (t, dl) => (t, -dl) }
+      val peaks = bounds.scanLeft(0) { case (acc, (_, dl)) => acc + dl }
+      day -> (ivs.size.toLong, peaks.max.toLong)
+    }
+    assert(rows.length === expect.size)
+    rows.foreach { r =>
+      val day = r.getDate(0).toLocalDate.toEpochDay
+      val (n, peak) = expect(day)
+      assert(r.getLong(1) === n, s"day $day interval count")
+      assert(r.getLong(2) === peak, s"day $day peak")
+      assert(peak >= 1 && peak <= n)
+    }
+  }
+
   test("q_vec_outlier replays the integer 3-sigma distance gate") {
     val rows = SparkEntry.queries("q_vec_outlier")(spark, sf).collect()
     assert(rows.nonEmpty)
