@@ -1109,6 +1109,48 @@ object Text {
         .orderBy(col("tier"))
     },
 
+    // Per-domain token caps (the Dolma/C4 "no single domain dominates"
+    // policy): any source holding more than 5% of corpus tokens is
+    // downsampled to the cap with the seedless md5-coin — EXACT-integer
+    // decision everywhere: coin32 is the first 8 md5 hex digits (uniform
+    // in [0, 2³²)), the keep threshold is (cap_tokens · 2³²) DIV
+    // src_tokens computed in DECIMAL(38,0)/HUGEINT (headroom to ~10¹⁶
+    // corpus tokens; IntegralDivide lands back in BIGINT), and a doc
+    // survives iff coin32 < thresh — shard-stable, no RNG state, no
+    // float boundary. Scale shape: two tiny aggregates (per-source,
+    // total), the per-source thresholds broadcast back, and the corpus
+    // is scanned map-only — never shuffled.
+    "q_pipeline_cap_domain" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tok", size(toks(col("text"))))
+        .withColumn("coin32", conv(substring(
+          md5(col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"))
+      val bySrc = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("n_tokens"))
+      val total = bySrc.agg(sum(col("n_tokens")).cast("long")
+        .as("total_tok"))
+      val th = bySrc.crossJoin(broadcast(total))
+        .withColumn("cap_tok", expr("total_tok DIV 20"))
+        .withColumn("thresh", when(col("n_tokens") > col("cap_tok"),
+          expr("CAST(cap_tok AS DECIMAL(38,0)) * 4294967296 DIV n_tokens"))
+          .otherwise(lit(4294967296L)))
+      docs.join(broadcast(th.select(col("source"), col("n_docs"),
+          col("n_tokens"), col("thresh"))), Seq("source"))
+        .groupBy(col("source"), col("n_docs"), col("n_tokens"),
+          col("thresh"))
+        .agg(count(when(col("coin32") < col("thresh"), 1))
+          .as("n_docs_kept"),
+          coalesce(sum(when(col("coin32") < col("thresh"),
+            col("n_tok"))), lit(0)).cast("long").as("n_tokens_kept"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          (col("thresh") < 4294967296L).as("capped"),
+          eround(col("thresh").cast("double") / 4294967296.0, 6)
+            .as("keep_rate"),
+          col("n_docs_kept"), col("n_tokens_kept"))
+        .orderBy(col("source"))
+    },
+
     // The END-TO-END curation funnel — quality gate → eval-set
     // decontamination → exact dedup → per-language mix report, the
     // composite a training-data team actually ships (each stage also
@@ -2243,6 +2285,36 @@ object Text {
          | WHERE tier = '1_high' OR (tier = '2_mid' AND coin < '80')
          |  OR (tier = '3_low' AND coin < '20')
          | GROUP BY tier ORDER BY tier"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Mirrors the Spark construction 1:1: same coin32, same HUGEINT
+    // (cap·2³²)//src_tokens threshold, same integer keep test.
+    "q_pipeline_cap_domain" ->
+      s"""WITH docs AS (SELECT doc_id, source, len($oToks) AS n_tok,
+         |   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |     AS coin32
+         |  FROM documents),
+         | bysrc AS (SELECT source, count(*) AS n_docs,
+         |   CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM docs GROUP BY 1),
+         | tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tok
+         |  FROM bysrc),
+         | th AS (SELECT source, n_docs, n_tokens,
+         |   CASE WHEN n_tokens > total_tok // 20
+         |    THEN CAST((CAST(total_tok // 20 AS HUGEINT) * 4294967296)
+         |      // n_tokens AS BIGINT)
+         |    ELSE 4294967296 END AS thresh
+         |  FROM bysrc, tot)
+         | SELECT d.source, t.n_docs, t.n_tokens,
+         |  t.thresh < 4294967296 AS capped,
+         |  round(CAST(t.thresh AS DOUBLE) / 4294967296 + 5e-10, 6)
+         |    AS keep_rate,
+         |  count(*) FILTER (WHERE d.coin32 < t.thresh) AS n_docs_kept,
+         |  CAST(coalesce(sum(d.n_tok)
+         |    FILTER (WHERE d.coin32 < t.thresh), 0) AS BIGINT)
+         |    AS n_tokens_kept
+         | FROM docs d JOIN th t USING (source)
+         | GROUP BY d.source, t.n_docs, t.n_tokens, t.thresh
+         | ORDER BY d.source"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_pipeline_clean_corpus" ->

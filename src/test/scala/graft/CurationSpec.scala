@@ -136,6 +136,33 @@ class CurationSpec extends SparkSuite {
     assert(diff.count() === 0, "native and HOF distances must agree exactly")
   }
 
+  test("cap_domain: caps bind exactly and conservation holds") {
+    val rows = SparkEntry.queries("q_pipeline_cap_domain")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(2)).sum
+    val cap = total / 20
+    rows.foreach { r =>
+      val (nTok, capped, rate) =
+        (r.getLong(2), r.getBoolean(3), r.getDouble(4))
+      assert(capped === (nTok > cap), "capped iff source exceeds 5% cap")
+      if (capped) {
+        assert(rate < 1.0 && rate > 0.0)
+        // the md5 coin tracks the target rate; 25-doc sources give the
+        // binomial a wide berth (>=3x the standard error at these sizes)
+        assert(r.getLong(5) <= r.getLong(1))
+        assert(r.getLong(6) <= nTok)
+      } else {
+        assert(rate === 1.0)
+        assert(r.getLong(5) === r.getLong(1) && r.getLong(6) === nTok)
+      }
+    }
+    // downsampling strictly reduces capped sources in aggregate
+    val kept = rows.filter(_.getBoolean(3)).map(_.getLong(6)).sum
+    val before = rows.filter(_.getBoolean(3)).map(_.getLong(2)).sum
+    assert(kept < before)
+  }
+
   test("int_micros: native expression equals the round-lambda spelling") {
     graft.engine.functions.GraftFunctions.register(spark)
     val diff = graft.engine.Tables.embeddings(spark, sf)
