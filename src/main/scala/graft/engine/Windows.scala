@@ -73,6 +73,32 @@ object Windows {
         .orderBy(col("event_id"))
     },
 
+    // Rolling MEDIAN (robust smoother — one wild tick cannot drag the
+    // curve the way q_win_moving's mean can): median over the trailing
+    // 5-row frame per user. Spark disallows median() with a window
+    // frame, so the frame is collected (≤5 values — O(1) state), sorted,
+    // and interpolated explicitly; the oracle keeps DuckDB's native
+    // windowed median — a genuinely different spelling of the same
+    // statistic. Parity: the frame is totally ordered by (ts, event_id)
+    // and both engines interpolate the same ≤5 stored 2dp doubles
+    // ((a+b)/2 is the identical IEEE op); ε-round displays it. One
+    // user_id shuffle.
+    "q_win_rolling_median" -> { (s, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-4, Window.currentRow)
+      val arr = array_sort(collect_list(col("value")).over(w))
+      val n = size(arr)
+      val med = when(n % 2 === 1,
+        element_at(arr, ((n + 1) / 2).cast("int")))
+        .otherwise((element_at(arr, (n / 2).cast("int"))
+          + element_at(arr, (n / 2).cast("int") + 1)) / 2)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("value"),
+          eround(med, 6).as("roll_med"))
+        .orderBy(col("event_id"))
+    },
+
     "q_win_firstlast" -> { (s, d) =>
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -282,6 +308,15 @@ object Windows {
         | WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
         |   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         | ORDER BY event_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_win_rolling_median" ->
+      """SELECT event_id, user_id, value,
+        | round(median(value) OVER (PARTITION BY user_id
+        |   ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) + 5e-10, 6)
+        |   AS roll_med
+        | FROM events ORDER BY event_id"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_win_firstlast" ->

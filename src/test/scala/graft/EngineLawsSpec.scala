@@ -1578,6 +1578,36 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("q_win_rolling_median replays the trailing-5 frame walk") {
+    val rows = SparkEntry.queries("q_win_rolling_median")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    def r6(x: Double) = BigDecimal(x + 5e-10)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val expect = ev.groupBy(_._1).values.flatMap { g =>
+      val sorted = g.sortBy(e => (e._3, e._2))
+      sorted.indices.map { i =>
+        val frame = sorted.slice(math.max(0, i - 4), i + 1)
+          .map(_._4).sorted
+        val m = if (frame.length % 2 == 1) frame(frame.length / 2)
+          else (frame(frame.length / 2 - 1) + frame(frame.length / 2)) / 2
+        sorted(i)._2 -> r6(m)
+      }
+    }.toMap
+    rows.foreach { r =>
+      assert(r.getDouble(3) === expect(r.getLong(0)),
+        s"event ${r.getLong(0)}")
+    }
+    // robustness: the rolling median never exceeds the frame max, and a
+    // median curve is bounded by the raw value range
+    val (lo, hi) = (ev.map(_._4).min, ev.map(_._4).max)
+    rows.foreach(r => assert(r.getDouble(3) >= lo && r.getDouble(3) <= hi))
+  }
+
   test("q_shape_concurrency replays the day-split interval stabbing") {
     val rows = SparkEntry.queries("q_shape_concurrency")(spark, sf).collect()
     assert(rows.nonEmpty)
