@@ -152,7 +152,11 @@ object Bench {
       // embedding outliers (2 embedding scans), and the code-render
       // detector (map-only but render+regex CPU-bound per row)
       "q_agg_mad", "q_text_containment", "q_vec_outlier",
-      "q_text_code_detect")
+      "q_text_code_detect",
+      // round-6 batch 19: day-split interval stabbing (two event
+      // windows), domain-cap corpus scan, rolling-median frame window
+      "q_shape_concurrency", "q_pipeline_cap_domain",
+      "q_win_rolling_median")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders, SparkSession}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
@@ -318,6 +318,48 @@ object Aggregates {
           max_by(col("o_orderkey"), byVal).as("top_order"),
           min_by(col("o_orderkey"), byVal).as("bottom_order"))
         .orderBy(col("o_orderpriority"))
+    },
+
+    // Welch two-sample t-test between every event-type pair — the A/B
+    // experimentation aggregate (unequal variances, no pooling). Parity
+    // recipe: per-type moments are EXACT integers (cents in
+    // DECIMAL(38,0) — headroom past 1e12 rows/type), and every derived
+    // double (mean, sample variance, t, Welch–Satterthwaite df) is the
+    // IDENTICAL expression tree on both engines, so each is the same
+    // IEEE double before the ε-round. Scale shape: one partial-agg scan
+    // to a ~5-row stats frame, then a tiny pair cross join — the corpus
+    // is read once and never shuffled.
+    "q_agg_ttest" -> { (s, d) =>
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      val st = Tables.events(s, d)
+        .withColumn("c", round(col("value") * 100).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c").cast(dec38)).as("sc"),
+          sum(col("c").cast(dec19) * col("c").cast(dec19)).as("qc"))
+      def mean(sc: Column, n: Column): Column =
+        sc.cast("double") / n / 100.0
+      def variance(qc: Column, sc: Column, n: Column): Column =
+        (qc.cast("double") - sc.cast("double") * sc.cast("double") / n) /
+          (n - 1) / 10000.0
+      val a = st.select(col("event_type").as("type_a"), col("n").as("n_a"),
+        col("sc").as("sc_a"), col("qc").as("qc_a"))
+      val b = st.select(col("event_type").as("type_b"), col("n").as("n_b"),
+        col("sc").as("sc_b"), col("qc").as("qc_b"))
+      val va = variance(col("qc_a"), col("sc_a"), col("n_a")) / col("n_a")
+      val vb = variance(col("qc_b"), col("sc_b"), col("n_b")) / col("n_b")
+      a.crossJoin(b).filter(col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          eround(mean(col("sc_a"), col("n_a")), 6).as("mean_a"),
+          eround(mean(col("sc_b"), col("n_b")), 6).as("mean_b"),
+          eround((mean(col("sc_a"), col("n_a"))
+            - mean(col("sc_b"), col("n_b"))) / sqrt(va + vb), 6)
+            .as("t_stat"),
+          eround((va + vb) * (va + vb) /
+            (va * va / (col("n_a") - 1) + vb * vb / (col("n_b") - 1)), 4)
+            .as("df"))
+        .orderBy(col("type_a"), col("type_b"))
     },
 
     // Robust spread profiling: median absolute deviation per event type,
@@ -803,6 +845,54 @@ object Aggregates {
         | min_by(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
         |   * 10000000 + o_orderkey) AS bottom_order
         | FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Mirrors the Spark expression tree 1:1 — every double derives from
+    // exact integer moments through the identical op sequence (division
+    // order matters and is copied exactly).
+    "q_agg_ttest" ->
+      """WITH st AS (SELECT event_type, count(*) AS n,
+        |   sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT))
+        |     AS sc,
+        |   sum(CAST(round(value * 100) AS BIGINT)
+        |     * CAST(round(value * 100) AS BIGINT)) AS qc
+        |  FROM events GROUP BY event_type)
+        | SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |  a.n AS n_a, b.n AS n_b,
+        |  round(CAST(a.sc AS DOUBLE) / a.n / 100.0 + 5e-10, 6) AS mean_a,
+        |  round(CAST(b.sc AS DOUBLE) / b.n / 100.0 + 5e-10, 6) AS mean_b,
+        |  round((CAST(a.sc AS DOUBLE) / a.n / 100.0
+        |      - CAST(b.sc AS DOUBLE) / b.n / 100.0)
+        |    / sqrt(
+        |      (CAST(a.qc AS DOUBLE) - CAST(a.sc AS DOUBLE)
+        |        * CAST(a.sc AS DOUBLE) / a.n) / (a.n - 1) / 10000.0 / a.n
+        |      + (CAST(b.qc AS DOUBLE) - CAST(b.sc AS DOUBLE)
+        |        * CAST(b.sc AS DOUBLE) / b.n) / (b.n - 1) / 10000.0 / b.n)
+        |    + 5e-10, 6) AS t_stat,
+        |  round((
+        |      (CAST(a.qc AS DOUBLE) - CAST(a.sc AS DOUBLE)
+        |        * CAST(a.sc AS DOUBLE) / a.n) / (a.n - 1) / 10000.0 / a.n
+        |      + (CAST(b.qc AS DOUBLE) - CAST(b.sc AS DOUBLE)
+        |        * CAST(b.sc AS DOUBLE) / b.n) / (b.n - 1) / 10000.0 / b.n)
+        |    * (
+        |      (CAST(a.qc AS DOUBLE) - CAST(a.sc AS DOUBLE)
+        |        * CAST(a.sc AS DOUBLE) / a.n) / (a.n - 1) / 10000.0 / a.n
+        |      + (CAST(b.qc AS DOUBLE) - CAST(b.sc AS DOUBLE)
+        |        * CAST(b.sc AS DOUBLE) / b.n) / (b.n - 1) / 10000.0 / b.n)
+        |    / (
+        |      ((CAST(a.qc AS DOUBLE) - CAST(a.sc AS DOUBLE)
+        |        * CAST(a.sc AS DOUBLE) / a.n) / (a.n - 1) / 10000.0 / a.n)
+        |      * ((CAST(a.qc AS DOUBLE) - CAST(a.sc AS DOUBLE)
+        |        * CAST(a.sc AS DOUBLE) / a.n) / (a.n - 1) / 10000.0 / a.n)
+        |      / (a.n - 1)
+        |      + ((CAST(b.qc AS DOUBLE) - CAST(b.sc AS DOUBLE)
+        |        * CAST(b.sc AS DOUBLE) / b.n) / (b.n - 1) / 10000.0 / b.n)
+        |      * ((CAST(b.qc AS DOUBLE) - CAST(b.sc AS DOUBLE)
+        |        * CAST(b.sc AS DOUBLE) / b.n) / (b.n - 1) / 10000.0 / b.n)
+        |      / (b.n - 1))
+        |    + 5e-10, 4) AS df
+        | FROM st a, st b WHERE a.event_type < b.event_type
+        | ORDER BY type_a, type_b"""
         .stripMargin.replaceAll("\n", " "),
 
     // Mirrors the Spark construction 1:1 (same medians, same threshold

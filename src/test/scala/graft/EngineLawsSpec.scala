@@ -1683,6 +1683,39 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("q_agg_ttest replays Welch from integer moments") {
+    val rows = SparkEntry.queries("q_agg_ttest")(spark, sf).collect()
+    assert(rows.length === 10, "5 event types give 10 unordered pairs")
+    def r(x: Double, s: Int) = BigDecimal(x + 5e-10)
+      .setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byType = Tables.events(spark, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r0 => (r0.getString(0), math.round(r0.getDouble(1) * 100)))
+      .groupBy(_._1)
+    def mom(t: String) = {
+      val cs = byType(t).map(_._2)
+      (cs.length.toLong, cs.map(BigInt(_)).sum,
+        cs.map(c => BigInt(c) * BigInt(c)).sum)
+    }
+    rows.foreach { row =>
+      val (na, sa, qa) = mom(row.getString(0))
+      val (nb, sb, qb) = mom(row.getString(1))
+      def meanOf(sc: BigInt, n: Long) = sc.toDouble / n / 100.0
+      def vOf(q: BigInt, sc: BigInt, n: Long) =
+        (q.toDouble - sc.toDouble * sc.toDouble / n) / (n - 1) / 10000.0 / n
+      val (va, vb) = (vOf(qa, sa, na), vOf(qb, sb, nb))
+      val t = (meanOf(sa, na) - meanOf(sb, nb)) / math.sqrt(va + vb)
+      val df = (va + vb) * (va + vb) /
+        (va * va / (na - 1) + vb * vb / (nb - 1))
+      assert(row.getLong(2) === na && row.getLong(3) === nb)
+      assert(math.abs(row.getDouble(6) - t) < 1e-5)
+      assert(math.abs(row.getDouble(7) - df) < 1e-3)
+      // Welch df is bounded by min(n-1) and na+nb-2
+      assert(row.getDouble(7) >= math.min(na, nb) - 1
+        && row.getDouble(7) <= na + nb - 2)
+    }
+  }
+
   test("q_agg_mad replays the two-level median walk and outlier gate") {
     val rows = SparkEntry.queries("q_agg_mad")(spark, sf).collect()
     assert(rows.nonEmpty)
