@@ -308,6 +308,30 @@ object Analytics {
         .limit(20)
     },
 
+    // Daily new-vs-returning user split — the growth-accounting twin of
+    // q_shape_retention: each user's first-seen day marks them "new" on
+    // exactly one day and "returning" on every later active day. All
+    // counts are integers; pct_new is one identical division ε-rounded.
+    // Scale shape: the event stream reduces to DISTINCT (day, user)
+    // pairs first (partial-agg dedup map-side), first-seen days are a
+    // second aggregate over that much smaller frame, and the join back
+    // shuffles only the distinct pairs on user_id — the raw stream is
+    // read once.
+    "q_shape_new_vs_returning" -> { (s, d) =>
+      val du = Tables.events(s, d)
+        .select(to_date(col("ts")).as("day"), col("user_id")).distinct()
+      val first = du.groupBy(col("user_id"))
+        .agg(min(col("day")).as("first_day"))
+      du.join(first, Seq("user_id"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).as("n_active"),
+          count(when(col("day") === col("first_day"), 1)).as("n_new"))
+        .withColumn("n_returning", col("n_active") - col("n_new"))
+        .withColumn("pct_new",
+          eround(col("n_new").cast("double") / col("n_active"), 6))
+        .orderBy(col("day"))
+    },
+
     // Peak concurrent sessions per day — the capacity-planning /
     // interval-stabbing window shape: sessionize (30-min gaps, the same
     // machinery as q_shape_paths), split each session interval at UTC
@@ -1121,6 +1145,20 @@ object Analytics {
         |  FROM g GROUP BY user_id, sid)
         | SELECT path, count(*) AS n_sessions FROM p
         | GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_shape_new_vs_returning" ->
+      """WITH du AS (SELECT DISTINCT CAST(CAST(ts AS TIMESTAMP) AS DATE)
+        |   AS day, user_id FROM events),
+        | f AS (SELECT user_id, min(day) AS first_day FROM du GROUP BY 1)
+        | SELECT du.day, count(*) AS n_active,
+        |  count(*) FILTER (WHERE du.day = f.first_day) AS n_new,
+        |  count(*) - count(*) FILTER (WHERE du.day = f.first_day)
+        |    AS n_returning,
+        |  round(CAST(count(*) FILTER (WHERE du.day = f.first_day)
+        |    AS DOUBLE) / count(*) + 5e-10, 6) AS pct_new
+        | FROM du JOIN f USING (user_id)
+        | GROUP BY du.day ORDER BY du.day"""
         .stripMargin.replaceAll("\n", " "),
 
     // Same sessionization CTEs as the paths oracle; the day split uses

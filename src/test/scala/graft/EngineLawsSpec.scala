@@ -1608,6 +1608,23 @@ class EngineLawsSpec extends SparkSuite {
     rows.foreach(r => assert(r.getDouble(3) >= lo && r.getDouble(3) <= hi))
   }
 
+  test("q_shape_new_vs_returning conserves users and actives") {
+    val rows = SparkEntry.queries("q_shape_new_vs_returning")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val nUsers = Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    // every user is new on exactly one day
+    assert(rows.map(_.getLong(2)).sum === nUsers)
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2) + r.getLong(3))
+      assert(r.getLong(2) >= 0 && r.getLong(3) >= 0)
+    }
+    // the first day has no returning users
+    val firstDay = rows.minBy(_.getDate(0).getTime)
+    assert(firstDay.getLong(3) === 0L)
+  }
+
   test("q_shape_concurrency replays the day-split interval stabbing") {
     val rows = SparkEntry.queries("q_shape_concurrency")(spark, sf).collect()
     assert(rows.nonEmpty)
