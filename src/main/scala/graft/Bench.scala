@@ -156,7 +156,10 @@ object Bench {
       // round-6 batch 19: day-split interval stabbing (two event
       // windows), domain-cap corpus scan, rolling-median frame window
       "q_shape_concurrency", "q_pipeline_cap_domain",
-      "q_win_rolling_median")
+      "q_win_rolling_median",
+      // round-6 batch 20: Welch moments scan + the distinct-pair
+      // growth split
+      "q_agg_ttest", "q_shape_new_vs_returning")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

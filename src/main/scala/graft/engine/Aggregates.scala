@@ -320,6 +320,37 @@ object Aggregates {
         .orderBy(col("o_orderpriority"))
     },
 
+    // Pearson chi-squared independence test between event type and a
+    // derived user cohort (user_id mod 4) — the categorical-association
+    // profiler beside q_agg_ttest's numeric test. Parity recipe: observed
+    // counts and marginals are exact integers; each cell's expected value
+    // and (o−e)²/e are identical double expressions ε-rounded to
+    // DECIMAL(18,9) so the final sum is exact and order-free (the JSD
+    // recipe). Scale shape: one partial-agg scan to an r×c contingency
+    // frame, marginals broadcast back — the corpus is never shuffled.
+    "q_agg_chi2" -> { (s, d) =>
+      val obs = Tables.events(s, d)
+        .select(col("event_type"), pmod(col("user_id"), lit(4)).as("cohort"))
+        .groupBy(col("event_type"), col("cohort"))
+        .agg(count(lit(1)).as("o"))
+      val rt = obs.groupBy(col("event_type")).agg(sum(col("o")).as("rt"))
+      val ct = obs.groupBy(col("cohort")).agg(sum(col("o")).as("ct"))
+      val n = obs.agg(sum(col("o")).as("n"))
+      obs.join(broadcast(rt), Seq("event_type"))
+        .join(broadcast(ct), Seq("cohort"))
+        .crossJoin(broadcast(n))
+        .withColumn("e", col("rt").cast("double") * col("ct") / col("n"))
+        .withColumn("cell",
+          eround((col("o") - col("e")) * (col("o") - col("e")) / col("e"),
+            9).cast("decimal(18,9)"))
+        .agg(count(lit(1)).as("n_cells"),
+          countDistinct(col("event_type")).as("r"),
+          countDistinct(col("cohort")).as("c"),
+          eround(sum(col("cell")).cast("double"), 6).as("chi2"))
+        .select(col("n_cells"),
+          ((col("r") - 1) * (col("c") - 1)).as("dof"), col("chi2"))
+    },
+
     // Welch two-sample t-test between every event-type pair — the A/B
     // experimentation aggregate (unequal variances, no pooling). Parity
     // recipe: per-type moments are EXACT integers (cents in
@@ -845,6 +876,27 @@ object Aggregates {
         | min_by(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
         |   * 10000000 + o_orderkey) AS bottom_order
         | FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Mirrors the Spark cell expression 1:1; per-cell ε-round to
+    // DECIMAL(18,9) keeps the sum exact and order-free.
+    "q_agg_chi2" ->
+      """WITH obs AS (SELECT event_type, user_id % 4 AS cohort,
+        |   count(*) AS o FROM events GROUP BY 1, 2),
+        | rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+        |  FROM obs GROUP BY 1),
+        | ct AS (SELECT cohort, CAST(sum(o) AS BIGINT) AS ct
+        |  FROM obs GROUP BY 1),
+        | nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+        | cells AS (SELECT obs.event_type, obs.cohort, obs.o,
+        |   CAST(rt.rt AS DOUBLE) * ct.ct / nn.n AS e
+        |  FROM obs JOIN rt USING (event_type) JOIN ct USING (cohort), nn)
+        | SELECT count(*) AS n_cells,
+        |  (count(DISTINCT event_type) - 1) * (count(DISTINCT cohort) - 1)
+        |    AS dof,
+        |  round(CAST(sum(CAST(round((o - e) * (o - e) / e + 5e-10, 9)
+        |    AS DECIMAL(18,9))) AS DOUBLE) + 5e-10, 6) AS chi2
+        | FROM cells"""
         .stripMargin.replaceAll("\n", " "),
 
     // Mirrors the Spark expression tree 1:1 — every double derives from

@@ -1700,6 +1700,29 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("q_agg_chi2 replays the contingency walk") {
+    val rows = SparkEntry.queries("q_agg_chi2")(spark, sf).collect()
+    assert(rows.length === 1)
+    val obs = Tables.events(spark, sf)
+      .select(col("event_type"), pmod(col("user_id"), lit(4))).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val cells = obs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rT = obs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cT = obs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = obs.length.toDouble
+    val chi2 = cells.map { case ((t, c), o) =>
+      val e = rT(t).toDouble * cT(c) / n
+      BigDecimal((o - e) * (o - e) / e + 5e-10)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    }.sum.toDouble
+    val r0 = rows(0)
+    assert(r0.getLong(0) === cells.size.toLong,
+      "every contingency cell is populated at fixture scale")
+    assert(r0.getLong(1) === (rT.size - 1).toLong * (cT.size - 1))
+    assert(math.abs(r0.getDouble(2) - chi2) < 1e-5)
+    assert(r0.getDouble(2) >= 0.0)
+  }
+
   test("q_agg_ttest replays Welch from integer moments") {
     val rows = SparkEntry.queries("q_agg_ttest")(spark, sf).collect()
     assert(rows.length === 10, "5 event types give 10 unordered pairs")
