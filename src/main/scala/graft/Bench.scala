@@ -159,7 +159,10 @@ object Bench {
       "q_win_rolling_median",
       // round-6 batch 20: Welch moments scan + the distinct-pair
       // growth split
-      "q_agg_ttest", "q_shape_new_vs_returning")
+      "q_agg_ttest", "q_shape_new_vs_returning",
+      // round-6 batch 21: chi2 contingency scan + the MMR shortlist
+      // walk (corpus scan + int_dot window)
+      "q_agg_chi2", "q_vec_mmr")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

@@ -507,6 +507,74 @@ object Vectors {
     // partial-aggregating min(struct) — never a window over the corpus);
     // the update shuffles (cluster, dim) partial sums only. O(k·n·d)
     // work, one small shuffle per iteration — linear at 100 TB. The
+    // MMR diversified top-k (Carbonell & Goldstein 1998) — the retrieval
+    // post-processor that keeps a result list from collapsing onto five
+    // copies of the same near-duplicate: greedily pick 5 of the top-20
+    // relevance candidates, each step maximizing
+    //   λ·rel(p,c) − (1−λ)·max_{s∈selected} sim(c,s)
+    // with λ = 1/2, which cancels to the EXACT-INTEGER argmax of
+    // rel − max_sim (all int_dot products of micros vectors are exact
+    // longs), tie-broken on vec_id — so the whole greedy walk is
+    // oracle-replayable with no epsilon (the oracle unrolls it as CTEs).
+    // Scale shape: probes broadcast, the top-20 shortlist bounds
+    // per-probe state (WindowGroupLimit), then each probe's shortlist
+    // collects into ONE row and the entire greedy walk runs as a nested
+    // higher-order fold over that 20-element array — one shuffle total,
+    // no per-step jobs (the dataframe-per-step spelling cost 4-8 s at
+    // sf0.1 in pure scheduling overhead; this runs ~0.5 s). The fold's
+    // argmax comparator is a total order (score, then vec_id), so the
+    // result is independent of collect_list order.
+    "q_vec_mmr" -> { (s, d) =>
+      GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr("int_micros(embedding)").as("q"))
+      val probes = broadcast(emb.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("p"), col("q").as("pq")))
+      val wRel = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("p")).orderBy(desc("rel"), asc("vec_id"))
+      val cand = emb.crossJoin(probes)
+        .filter(col("vec_id") =!= col("p"))
+        .withColumn("rel", expr("int_dot(q, pq)"))
+        .withColumn("rnk", row_number().over(wRel))
+        .filter(col("rnk") <= 20)
+        .select(col("p"), col("vec_id").as("c"), col("rel"), col("q"))
+      // max similarity of x against the selected set (0 when empty —
+      // the rank-1 pick is pure relevance)
+      def penSql(x: String, sel: String): String =
+        s"""aggregate($sel, CAST(NULL AS BIGINT),
+           |  (m, s2) -> IF(m IS NULL, int_dot($x.q, s2.q),
+           |    greatest(m, int_dot($x.q, s2.q))),
+           |  m -> coalesce(m, CAST(0 AS BIGINT)))""".stripMargin
+      val pickSql =
+        s"""named_struct('rank', k, 'c', x.c, 'rel', x.rel,
+           |  'pen', ${penSql("x", "sel")}, 'q', x.q)""".stripMargin
+      val selT = "STRUCT<rank: INT, c: BIGINT, rel: BIGINT, " +
+        "pen: BIGINT, q: ARRAY<BIGINT>>"
+      val mmr = expr(
+        s"""aggregate(
+           |  sequence(1, 5),
+           |  CAST(array() AS ARRAY<$selT>),
+           |  (sel, k) -> array_append(sel,
+           |    aggregate(
+           |      filter(arr, x -> NOT exists(sel, s -> s.c = x.c)),
+           |      CAST(NULL AS $selT),
+           |      (b, x) -> CASE
+           |        WHEN b IS NULL THEN $pickSql
+           |        WHEN (x.rel - ${penSql("x", "sel")}) > (b.rel - b.pen)
+           |          OR ((x.rel - ${penSql("x", "sel")}) = (b.rel - b.pen)
+           |            AND x.c < b.c)
+           |        THEN $pickSql
+           |        ELSE b END)))""".stripMargin)
+      cand.groupBy(col("p"))
+        .agg(collect_list(struct(col("c"), col("rel"), col("q")))
+          .as("arr"))
+        .select(col("p"), explode(mmr).as("e"))
+        .select(col("p").as("probe_id"), col("e.rank").as("rank"),
+          col("e.c").as("vec_id"), col("e.rel").as("rel"),
+          col("e.pen").as("max_sim_sel"))
+        .orderBy(col("probe_id"), col("rank"))
+    },
+
     // Embedding-space outlier scoring — the curation signal that drops
     // corrupt / off-distribution embeddings before they poison ANN
     // shortlists or cluster-balanced sampling: assign every vector to its
@@ -908,6 +976,53 @@ object Vectors {
          | SELECT probe_id, label AS predicted_label, votes FROM best
          | WHERE vr = 1 ORDER BY probe_id"""
         .stripMargin.replaceAll("\n", " "),
+
+    // Unrolled greedy replay: same integer dot products via the
+    // unnest-join sum, same rel − max_sim argmax with the vec_id
+    // tiebreak, one CTE block per greedy step (the kmeans/PQ precedent).
+    "q_vec_mmr" -> {
+      def step(k: Int, prev: String) =
+        s"""pen$k AS (SELECT cand.p, cand.c, cand.rel, max(pr.dcc) AS pen
+           |  FROM cand
+           |  ANTI JOIN $prev sx ON sx.p = cand.p AND sx.s = cand.c
+           |  JOIN pair pr ON pr.p = cand.p AND pr.ca = cand.c
+           |  JOIN $prev sy ON sy.p = pr.p AND sy.s = pr.cb
+           |  GROUP BY 1, 2, 3),
+           | pk$k AS (SELECT p, $k AS rank, c AS s, rel, pen,
+           |   row_number() OVER (PARTITION BY p ORDER BY pen - rel, c)
+           |     AS rn FROM pen$k),
+           | sel$k AS (SELECT * FROM $prev UNION ALL
+           |  SELECT p, rank, s, rel, pen FROM pk$k WHERE rn = 1)"""
+          .stripMargin
+      s"""WITH el AS (SELECT vec_id, i AS dim,
+         |   CAST(round(embedding[i] * 1e6) AS BIGINT) AS x
+         |  FROM embeddings,
+         |  LATERAL unnest(generate_series(1, len(embedding))) u(i)),
+         | rel0 AS (SELECT pe.vec_id AS p, ce.vec_id AS c,
+         |   sum(pe.x * ce.x) AS rel
+         |  FROM el pe JOIN el ce ON pe.dim = ce.dim
+         |  WHERE pe.vec_id < 3 AND ce.vec_id <> pe.vec_id
+         |  GROUP BY 1, 2),
+         | cand AS (SELECT p, c, rel FROM (SELECT p, c, rel,
+         |   row_number() OVER (PARTITION BY p ORDER BY rel DESC, c)
+         |     AS rnk FROM rel0) WHERE rnk <= 20),
+         | pair AS (SELECT x.p, x.c AS ca, y.c AS cb,
+         |   sum(ex.x * ey.x) AS dcc
+         |  FROM cand x JOIN cand y ON x.p = y.p AND x.c <> y.c
+         |  JOIN el ex ON ex.vec_id = x.c
+         |  JOIN el ey ON ey.vec_id = y.c AND ex.dim = ey.dim
+         |  GROUP BY 1, 2, 3),
+         | sel1 AS (SELECT p, 1 AS rank, c AS s, rel,
+         |   CAST(0 AS BIGINT) AS pen FROM (SELECT p, c, rel,
+         |   row_number() OVER (PARTITION BY p ORDER BY rel DESC, c)
+         |     AS rn FROM cand) WHERE rn = 1),
+         | ${step(2, "sel1")}, ${step(3, "sel2")}, ${step(4, "sel3")},
+         | ${step(5, "sel4")}
+         | SELECT p AS probe_id, rank, s AS vec_id,
+         |  CAST(rel AS BIGINT) AS rel, CAST(pen AS BIGINT) AS max_sim_sel
+         | FROM sel5 ORDER BY probe_id, rank"""
+        .stripMargin.replaceAll("\n", " ")
+    },
 
     // Same exact-integer replay as the kmeans oracle (one assignment
     // stage), then HUGEINT moment arithmetic for the 3σ gate — HUGEINT

@@ -160,6 +160,69 @@ case class LongSqDist(left: Expression, right: Expression)
       newRight: Expression): Expression = copy(newLeft, newRight)
 }
 
+/** Native integer dot product over two bigint arrays — the exact
+  * relevance/affinity scalar of the integer-micros retrieval path (MMR
+  * diversification, shortlist scoring). Products are exact longs at the
+  * micros magnitudes (|x·y| ≤ 1e12, × 64 dims ≪ 2⁶³) and integer sums are
+  * associative, so the fused loop is bit-identical to any fold order and
+  * to the oracle's unnest-join sum. Mismatched lengths return null like
+  * the zip_with fold.
+  */
+case class LongDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  import org.apache.spark.sql.types.LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (Seq(left, right).forall(_.dataType match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    })) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"int_dot expects array<bigint> inputs, got " +
+        s"${left.dataType.sql} / ${right.dataType.sql}")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "int_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  ${ev.value} = $acc;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(newLeft, newRight)
+}
+
 /** Per-row helper behind [[BigramTopCount]] — kept as a static method so
   * generated code calls straight into compiled bytecode (one invokestatic
   * inside the whole-stage loop, same pattern the JVM JITs for built-in
@@ -317,6 +380,10 @@ object GraftFunctions {
         org.apache.spark.sql.catalyst.FunctionIdentifier("int_micros")))
       reg.createOrReplaceTempFunction(
         "int_micros", exprs => IntMicros(exprs.head), "scala_udf")
+    if (!reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("int_dot")))
+      reg.createOrReplaceTempFunction(
+        "int_dot", exprs => LongDot(exprs(0), exprs(1)), "scala_udf")
   }
 
   /** Column-level entry point (requires register(spark) in the session). */

@@ -82,6 +82,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[IntMicros].getName, "int_micros"),
       (exprs: Seq[Expression]) => IntMicros(exprs.head)))
     ext.injectFunction((
+      FunctionIdentifier("int_dot"),
+      new ExpressionInfo(classOf[LongDot].getName, "int_dot"),
+      (exprs: Seq[Expression]) => LongDot(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("bigram_top_n"),
       new ExpressionInfo(classOf[BigramTopCount].getName, "bigram_top_n"),
       (exprs: Seq[Expression]) => BigramTopCount(exprs.head)))

@@ -1665,6 +1665,46 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("q_vec_mmr replays the greedy diversification walk") {
+    val rows = SparkEntry.queries("q_vec_mmr")(spark, sf).collect()
+    assert(rows.length === 15, "3 probes x 5 picks")
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.round(x.toDouble * 1e6)).toArray))
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val byId = emb.toMap
+    val expect = emb.filter(_._1 < 3).flatMap { case (p, pq) =>
+      val cand = emb.filter(_._1 != p)
+        .map { case (c, q) => (c, dot(q, pq)) }
+        .sortBy { case (c, r) => (-r, c) }.take(20)
+      var sel = List.empty[(Int, Long, Long, Long)] // rank, c, rel, pen
+      for (k <- 1 to 5) {
+        val (c, rel, pen) = cand
+          .filter(x => !sel.exists(_._2 == x._1))
+          .map { case (c, r) =>
+            val pen = if (sel.isEmpty) 0L
+              else sel.map(s => dot(byId(c), byId(s._2))).max
+            (c, r, pen)
+          }.minBy { case (c, r, pen) => (pen - r, c) }
+        sel = sel :+ ((k, c, rel, pen))
+      }
+      sel.map { case (k, c, r, pen) => (p, k, c, r, pen) }
+    }.sortBy(t => (t._1, t._2)).toSeq
+    val got = rows.map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))).toSeq
+    assert(got === expect)
+    // rank 1 is the pure-relevance argmax (penalty 0), and relevance
+    // within a probe's picks never increases after diversification kicks
+    // in relative to the rank-1 pick
+    rows.filter(_.getInt(1) === 1).foreach(r => assert(r.getLong(4) === 0L))
+    rows.groupBy(_.getLong(0)).values.foreach { g =>
+      val top = g.minBy(_.getInt(1)).getLong(3)
+      g.foreach(r => assert(r.getLong(3) <= top))
+    }
+  }
+
   test("q_vec_outlier replays the integer 3-sigma distance gate") {
     val rows = SparkEntry.queries("q_vec_outlier")(spark, sf).collect()
     assert(rows.nonEmpty)
