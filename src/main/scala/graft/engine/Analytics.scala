@@ -308,6 +308,31 @@ object Analytics {
         .limit(20)
     },
 
+    // Event-type transition matrix (the first-order Markov chain behind
+    // journey Sankeys and next-step prediction): per user, each event's
+    // successor type via one lead() over the (ts, event_id) order, then
+    // (from, to) counts and the row-conditional transition probability.
+    // Counts are integers; p_next is one identical ε-rounded division
+    // against the broadcast from-totals. One user_id shuffle + a 25-cell
+    // aggregate — the matrix is |types|², never data-scale.
+    "q_shape_transitions" -> { (s, d) =>
+      val wU = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .withColumn("next_type", lead(col("event_type"), 1).over(wU))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy(col("from_type"))
+        .agg(sum(col("n")).as("n_from"))
+      pairs.join(broadcast(totals), Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          col("n_from").cast("long").as("n_from"),
+          eround(col("n").cast("double") / col("n_from"), 6).as("p_next"))
+        .orderBy(col("from_type"), col("to_type"))
+    },
+
     // Daily new-vs-returning user split — the growth-accounting twin of
     // q_shape_retention: each user's first-seen day marks them "new" on
     // exactly one day and "returning" on every later active day. All
@@ -1145,6 +1170,21 @@ object Analytics {
         |  FROM g GROUP BY user_id, sid)
         | SELECT path, count(*) AS n_sessions FROM p
         | GROUP BY path ORDER BY n_sessions DESC, path LIMIT 20"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_shape_transitions" ->
+      """WITH p AS (SELECT event_type AS from_type,
+        |   lead(event_type) OVER (PARTITION BY user_id
+        |     ORDER BY CAST(ts AS TIMESTAMP), event_id) AS to_type
+        |  FROM events),
+        | c AS (SELECT from_type, to_type, count(*) AS n FROM p
+        |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        | t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from
+        |  FROM c GROUP BY 1)
+        | SELECT c.from_type, c.to_type, c.n, t.n_from,
+        |  round(CAST(c.n AS DOUBLE) / t.n_from + 5e-10, 6) AS p_next
+        | FROM c JOIN t USING (from_type)
+        | ORDER BY c.from_type, c.to_type"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_shape_new_vs_returning" ->

@@ -1608,6 +1608,21 @@ class EngineLawsSpec extends SparkSuite {
     rows.foreach(r => assert(r.getDouble(3) >= lo && r.getDouble(3) <= hi))
   }
 
+  test("q_shape_transitions rows are stochastic and conserve steps") {
+    val rows = SparkEntry.queries("q_shape_transitions")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // per from_type, probabilities sum to ~1 and counts to n_from
+    rows.groupBy(_.getString(0)).values.foreach { g =>
+      assert(math.abs(g.map(_.getDouble(4)).sum - 1.0) < 1e-4)
+      assert(g.map(_.getLong(2)).sum === g.head.getLong(3))
+    }
+    // total transitions = events - one terminal event per user
+    val ev = Tables.events(spark, sf)
+    val nEv = ev.count(); val nUsers = ev.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum === nEv - nUsers)
+  }
+
   test("q_shape_new_vs_returning conserves users and actives") {
     val rows = SparkEntry.queries("q_shape_new_vs_returning")(spark, sf)
       .collect()
