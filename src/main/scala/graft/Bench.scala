@@ -162,7 +162,10 @@ object Bench {
       "q_agg_ttest", "q_shape_new_vs_returning",
       // round-6 batch 21: chi2 contingency scan + the MMR shortlist
       // walk (corpus scan + int_dot window)
-      "q_agg_chi2", "q_vec_mmr")
+      "q_agg_chi2", "q_vec_mmr",
+      // round-6 batch 22: Markov lead window + the hashed-embedding
+      // double aggregate over the token stream
+      "q_shape_transitions", "q_text_hash_embed")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

@@ -720,6 +720,32 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // Feature-hashing document embedding (the "hashing trick",
+    // Weinberger 2009) — a model-free 32-bucket doc representation for
+    // cheap clustering/near-dup blocking when no learned embeddings
+    // exist. Each token hashes to a bucket (md5-derived so the oracle
+    // mirrors it digit-for-digit); the profile reported per doc is
+    // all-integer: nnz buckets, l1 (= token count), l2² of the bucket
+    // counts, and the argmax bucket with a unique (-cnt·64 + b) key so
+    // tie-breaks cannot diverge. Scale shape: explode + two
+    // partial-aggregating groupBys over (doc, bucket) partials — linear
+    // in corpus tokens, no windows.
+    "q_text_hash_embed" -> { (s, d) =>
+      val bc = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        .withColumn("b", pmod(conv(substring(md5(col("tok")), 1, 8),
+          16, 10).cast("long"), lit(32)))
+        .groupBy(col("doc_id"), col("b"))
+        .agg(count(lit(1)).as("cnt"))
+      bc.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nnz"),
+          sum(col("cnt")).cast("long").as("l1"),
+          sum(col("cnt") * col("cnt")).cast("long").as("l2sq"),
+          min_by(col("b"), col("cnt") * lit(-64L) + col("b"))
+            .as("top_bucket"))
+        .orderBy(col("doc_id"))
+    },
+
     // Code-vs-prose detection — the corpus-routing gate of a mixed web
     // pipeline (StarCoder/Dolma-style stacks route code and prose into
     // different dedup + quality chains). The fixture corpus is prose
@@ -1820,6 +1846,17 @@ object Text {
          | SELECT doc_id, length(raw) AS raw_len, length(norm) AS norm_len,
          |  raw <> norm AS changed, md5(norm) AS norm_md5
          | FROM n ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_text_hash_embed" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($oToks) AS tok FROM documents),
+         | hb AS (SELECT doc_id,
+         |   ('0x' || substr(md5(tok), 1, 8))::BIGINT % 32 AS b FROM tk),
+         | bc AS (SELECT doc_id, b, count(*) AS cnt FROM hb GROUP BY 1, 2)
+         | SELECT doc_id, count(*) AS nnz, CAST(sum(cnt) AS BIGINT) AS l1,
+         |  CAST(sum(cnt * cnt) AS BIGINT) AS l2sq,
+         |  arg_min(b, (-cnt) * 64 + b) AS top_bucket
+         | FROM bc GROUP BY doc_id ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
 
     // Mirrors the Spark construction 1:1: same rendered page (chr(10)

@@ -1840,6 +1840,24 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("q_text_hash_embed conserves tokens and bounds the profile") {
+    val rows = SparkEntry.queries("q_text_hash_embed")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nTok = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(split(lower(col("text")), " ")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val (nnz, l1, l2sq, top) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(l1 === nTok(r.getLong(0)).toLong, "l1 = token count")
+      assert(nnz >= 1 && nnz <= math.min(32, l1))
+      // Cauchy–Schwarz band: l1²/nnz <= l2sq·... actually l2sq between
+      // the uniform and concentrated extremes
+      assert(l2sq >= (l1 * l1 + nnz - 1) / nnz && l2sq <= l1 * l1)
+      assert(top >= 0 && top < 32)
+    }
+  }
+
   test("q_text_containment replays the probe-vs-corpus top-3 walk") {
     val rows = SparkEntry.queries("q_text_containment")(spark, sf).collect()
     assert(rows.nonEmpty)
