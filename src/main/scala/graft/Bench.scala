@@ -165,7 +165,9 @@ object Bench {
       "q_agg_chi2", "q_vec_mmr",
       // round-6 batch 22: Markov lead window + the hashed-embedding
       // double aggregate over the token stream
-      "q_shape_transitions", "q_text_hash_embed")
+      "q_shape_transitions", "q_text_hash_embed",
+      // round-6 batch 23: the CUSUM running window over events
+      "q_ts_cusum")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

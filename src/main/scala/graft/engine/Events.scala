@@ -240,6 +240,45 @@ object Events {
     // is an exact-decimal mean — fully engine-parity-safe. One hourly
     // aggregate + an equi self-join on (type, hour−168h): both sides
     // share the aggregate's partitioning, no window over the raw stream.
+    // CUSUM changepoint drift detection per event type (Page 1954): the
+    // cumulative sum of deviations from the series mean peaks where the
+    // level shifts. EXACT-integer spelling: with cents c, prefix sums P_i
+    // and totals (n, S), the mean-centred cusum scales to
+    //   n·cusum_i = n·P_i − i·S
+    // — all BIGINT (headroom ~1e9 rows/type at these magnitudes; widen
+    // to DECIMAL(38,0) past that), so the peak and its argmax position
+    // (earliest (tus, event_id) on ties via one min(struct)) are
+    // deterministic with no float anywhere; only the display drift
+    // divides back to currency. One event_type-partitioned running
+    // window + a per-type argmin — single shuffle.
+    "q_ts_cusum" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+        .orderBy(col("tus"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      val ev = Tables.events(s, d)
+        .withColumn("c", round(col("value") * 100).cast("long"))
+        .withColumn("tus", expr("unix_micros(ts)"))
+      val st = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+      ev.join(broadcast(st), Seq("event_type"))
+        .withColumn("i", count(lit(1)).over(w))
+        .withColumn("pc", sum(col("c")).over(w))
+        .withColumn("scaled", col("n") * col("pc") - col("i") * col("sc"))
+        .groupBy(col("event_type"))
+        .agg(first(col("n")).as("n"),
+          min(struct((-abs(col("scaled"))).as("na"), col("tus"),
+            col("event_id"), col("scaled"))).as("m"))
+        .select(col("event_type"), col("n"),
+          abs(col("m.scaled")).as("peak_scaled"),
+          timestamp_micros(col("m.tus")).as("peak_ts"),
+          col("m.event_id").as("peak_event"),
+          eround(abs(col("m.scaled")).cast("double") / col("n") / 100.0, 4)
+            .as("peak_drift"))
+        .orderBy(col("event_type"))
+    },
+
     "q_ts_backtest" -> { (s, d) =>
       val hourly = Tables.events(s, d)
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
@@ -412,6 +451,30 @@ object Events {
         | SELECT user_id, max_by(bal, rn) / 100.0 AS final_balance,
         |  CAST(max_by(clamps, rn) AS BIGINT) AS n_clamps
         | FROM walk GROUP BY user_id ORDER BY user_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Mirrors the integer n-scaled cusum and the (−|scaled|, tus,
+    // event_id) argmin tie rule exactly.
+    "q_ts_cusum" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |   CAST(round(value * 100) AS BIGINT) AS c,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+        | st AS (SELECT event_type, count(*) AS n,
+        |   CAST(sum(c) AS BIGINT) AS sc FROM e GROUP BY 1),
+        | cum AS (SELECT e.event_type, e.event_id, e.tus, st.n,
+        |   st.n * CAST(sum(e.c) OVER w AS BIGINT)
+        |     - (count(*) OVER w) * st.sc AS scaled
+        |  FROM e JOIN st USING (event_type)
+        |  WINDOW w AS (PARTITION BY e.event_type
+        |    ORDER BY e.tus, e.event_id ROWS UNBOUNDED PRECEDING)),
+        | pk AS (SELECT event_type, n, scaled, tus, event_id,
+        |   row_number() OVER (PARTITION BY event_type
+        |     ORDER BY -abs(scaled), tus, event_id) AS rn FROM cum)
+        | SELECT event_type, n, abs(scaled) AS peak_scaled,
+        |  make_timestamp(tus) AS peak_ts, event_id AS peak_event,
+        |  round(CAST(abs(scaled) AS DOUBLE) / n / 100.0 + 5e-10, 4)
+        |    AS peak_drift
+        | FROM pk WHERE rn = 1 ORDER BY event_type"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_ts_backtest" ->

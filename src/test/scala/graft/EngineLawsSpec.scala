@@ -1031,6 +1031,35 @@ class EngineLawsSpec extends SparkSuite {
     assert(rows.length === perSupp.count(_ == mx))
   }
 
+  test("q_ts_cusum replays the n-scaled drift walk") {
+    val rows = SparkEntry.queries("q_ts_cusum")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byType = Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(ts)"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 100)))
+      .groupBy(_._1)
+    assert(rows.length === byType.size)
+    rows.foreach { r =>
+      val g = byType(r.getString(0)).sortBy(e => (e._3, e._2))
+      val n = g.length.toLong
+      val sc = g.map(_._4).sum
+      var pc = 0L; var i = 0L
+      val walk = g.map { e =>
+        pc += e._4; i += 1
+        (math.abs(n * pc - i * sc), e._3, e._2)
+      }
+      val best = walk.minBy { case (a, t, id) => (-a, t, id) }
+      assert(r.getLong(1) === n)
+      assert(r.getLong(2) === best._1, "peak scaled drift")
+      assert(r.getLong(4) === best._3, "peak event id")
+      // the cusum returns to ~zero at the series end: n*P_n - n*S = 0,
+      // so a nonzero peak means the walk genuinely wandered
+      assert(n * pc - i * sc === 0L)
+    }
+  }
+
   test("q_ts_anomaly replays the exact integer 3-sigma walk") {
     val rows = SparkEntry.queries("q_ts_anomaly")(spark, sf).collect()
     assert(rows.nonEmpty)
