@@ -167,7 +167,9 @@ object Bench {
       // double aggregate over the token stream
       "q_shape_transitions", "q_text_hash_embed",
       // round-6 batch 23: the CUSUM running window over events
-      "q_ts_cusum")
+      "q_ts_cusum",
+      // round-6 batch 24: PMI pair-count shuffle over the bigram stream
+      "q_text_pmi")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

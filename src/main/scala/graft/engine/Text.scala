@@ -720,6 +720,43 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // PMI collocation discovery (Church & Hanks 1990): word pairs whose
+    // adjacency is most surprising under unigram independence —
+    // PMI = ln(p(w1w2)) − ln(p(w1)) − ln(p(w2)), the statistic behind
+    // phrase-vocabulary induction (word2vec-style phrase passes).
+    // Parity: every probability is a ratio of exact integer counts, each
+    // ln runs on the identical double, and the ε-round absorbs libm ulp
+    // drift (the lm_score precedent); ranking is on the ROUNDED pmi with
+    // (w1, w2) tiebreaks. The c12 ≥ 5 support gate drops noise pairs.
+    // Scale shape: bigram index rows explode codegen'd (no HOF lambda),
+    // one (w1,w2) count shuffle, the vocab-sized unigram side broadcasts
+    // twice, totals broadcast as 1-row frames — linear in corpus tokens.
+    "q_text_pmi" -> { (s, d) =>
+      val tk = Tables.documents(s, d).withColumn("t", toks(col("text")))
+      val uni = tk.select(explode(col("t")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val nTot = uni.agg(sum(col("c")).cast("long").as("n"))
+      val big = tk.filter(size(col("t")) >= 2)
+        .select(col("t"), explode(sequence(lit(1),
+          greatest(size(col("t")) - 1, lit(1)))).as("i"))
+        .select(element_at(col("t"), col("i")).as("w1"),
+          element_at(col("t"), col("i") + 1).as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      val mTot = big.agg(sum(col("c12")).cast("long").as("m"))
+      big.filter(col("c12") >= 5)
+        .join(broadcast(uni.select(col("w").as("w1"), col("c").as("c1"))),
+          Seq("w1"))
+        .join(broadcast(uni.select(col("w").as("w2"), col("c").as("c2"))),
+          Seq("w2"))
+        .crossJoin(broadcast(nTot)).crossJoin(broadcast(mTot))
+        .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+          eround(log(col("c12").cast("double") / col("m"))
+            - log(col("c1").cast("double") / col("n"))
+            - log(col("c2").cast("double") / col("n")), 6).as("pmi"))
+        .orderBy(desc("pmi"), asc("w1"), asc("w2"))
+        .limit(20)
+    },
+
     // Feature-hashing document embedding (the "hashing trick",
     // Weinberger 2009) — a model-free 32-bucket doc representation for
     // cheap clustering/near-dup blocking when no learned embeddings
@@ -1846,6 +1883,26 @@ object Text {
          | SELECT doc_id, length(raw) AS raw_len, length(norm) AS norm_len,
          |  raw <> norm AS changed, md5(norm) AS norm_md5
          | FROM n ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_text_pmi" ->
+      s"""WITH t AS (SELECT $oToks AS tk FROM documents),
+         | uni AS (SELECT w, count(*) AS c
+         |  FROM (SELECT unnest(tk) AS w FROM t) GROUP BY w),
+         | nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+         | bg AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+         |  FROM t, LATERAL unnest(generate_series(1, len(tk) - 1)) u(i)
+         |  WHERE len(tk) >= 2),
+         | big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+         | mm AS (SELECT CAST(sum(c12) AS BIGINT) AS m FROM big)
+         | SELECT b.w1, b.w2, b.c12, u1.c AS c1, u2.c AS c2,
+         |  round(ln(CAST(b.c12 AS DOUBLE) / mm.m)
+         |    - ln(CAST(u1.c AS DOUBLE) / nn.n)
+         |    - ln(CAST(u2.c AS DOUBLE) / nn.n) + 5e-10, 6) AS pmi
+         | FROM big b JOIN uni u1 ON u1.w = b.w1
+         |  JOIN uni u2 ON u2.w = b.w2, nn, mm
+         | WHERE b.c12 >= 5
+         | ORDER BY pmi DESC, w1, w2 LIMIT 20"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_text_hash_embed" ->

@@ -1869,6 +1869,30 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("q_text_pmi replays the collocation scores and ranking") {
+    val rows = SparkEntry.queries("q_text_pmi")(spark, sf).collect()
+    assert(rows.length === 20)
+    val toks = Tables.documents(spark, sf)
+      .select(col("text")).collect()
+      .map(_.getString(0).toLowerCase.split(" ", -1))
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.length).toMap
+    val n = toks.map(_.length).sum.toDouble
+    val bigs = toks.filter(_.length >= 2)
+      .flatMap(t => t.sliding(2).map(p => (p(0), p(1))))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val m = bigs.values.sum.toDouble
+    def r6(x: Double) = BigDecimal(x + 5e-10)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expect = bigs.filter(_._2 >= 5).map { case ((a, b), c12) =>
+      (a, b, c12.toLong, uni(a).toLong, uni(b).toLong,
+        r6(math.log(c12 / m) - math.log(uni(a) / n)
+          - math.log(uni(b) / n)))
+    }.toSeq.sortBy { case (a, b, _, _, _, p) => (-p, a, b) }.take(20)
+    val got = rows.map(r => (r.getString(0), r.getString(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getDouble(5))).toSeq
+    assert(got === expect)
+  }
+
   test("q_text_hash_embed conserves tokens and bounds the profile") {
     val rows = SparkEntry.queries("q_text_hash_embed")(spark, sf).collect()
     assert(rows.nonEmpty)
