@@ -320,6 +320,41 @@ object Aggregates {
         .orderBy(col("o_orderpriority"))
     },
 
+    // Delete-one-group jackknife standard error of the mean event value
+    // (Quenouille/Tukey) — the resampling-free uncertainty estimate that
+    // pairs with q_agg_ttest: 8 deterministic md5 user buckets, each
+    // left out once; SE² = (G−1)/G · Σ(mᵢ − m̄)². Parity recipe: bucket
+    // moments are exact integer cents; each leave-one-out mean mᵢ is an
+    // identical double expression ε-rounded to DECIMAL(18,9) so Σmᵢ and
+    // Σmᵢ² are exact and order-free (the JSD recipe — an unrounded
+    // 8-double sum would depend on partial-agg order); the final sqrt
+    // runs on the identical double. One partial-agg corpus scan → 8-row
+    // frame → 1-row result; the corpus is never shuffled.
+    "q_agg_jackknife" -> { (s, d) =>
+      val dec = "decimal(18,9)"
+      val ev = Tables.events(s, d)
+        .withColumn("c", round(col("value") * 100).cast("long"))
+        .withColumn("b", pmod(conv(substring(
+          md5(col("user_id").cast("string")), 1, 8), 16, 10).cast("long"),
+          lit(8)))
+      val g = ev.groupBy(col("b"))
+        .agg(count(lit(1)).as("ng"), sum(col("c")).as("sg"))
+      val tot = g.agg(sum(col("ng")).cast("long").as("n"),
+        sum(col("sg")).cast("long").as("s"), count(lit(1)).as("gcnt"))
+      g.crossJoin(broadcast(tot))
+        .withColumn("mi", eround((col("s") - col("sg")).cast("double")
+          / (col("n") - col("ng")) / 100.0, 9).cast(dec))
+        .groupBy(col("n"), col("s"), col("gcnt"))
+        .agg(sum(col("mi")).as("smi"),
+          sum(col("mi") * col("mi")).as("smi2"))
+        .select(col("n"), col("gcnt").as("n_groups"),
+          eround(col("s").cast("double") / col("n") / 100.0, 6).as("mean"),
+          eround(sqrt((col("gcnt") - 1).cast("double") / col("gcnt")
+            * (col("smi2").cast("double")
+              - col("smi").cast("double") * col("smi").cast("double")
+                / col("gcnt"))), 6).as("se_jack"))
+    },
+
     // Pearson chi-squared independence test between event type and a
     // derived user cohort (user_id mod 4) — the categorical-association
     // profiler beside q_agg_ttest's numeric test. Parity recipe: observed
@@ -876,6 +911,32 @@ object Aggregates {
         | min_by(o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT)
         |   * 10000000 + o_orderkey) AS bottom_order
         | FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Mirrors the Spark expression tree 1:1; each leave-one-out mean is
+    // ε-rounded to DECIMAL(18,9) before the exact order-free sums.
+    "q_agg_jackknife" ->
+      """WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS c,
+        |   ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+        |     % 8 AS b
+        |  FROM events),
+        | g AS (SELECT b, count(*) AS ng, CAST(sum(c) AS BIGINT) AS sg
+        |  FROM e GROUP BY b),
+        | t AS (SELECT CAST(sum(ng) AS BIGINT) AS n,
+        |   CAST(sum(sg) AS BIGINT) AS s, count(*) AS gcnt FROM g),
+        | loo AS (SELECT t.n, t.s, t.gcnt,
+        |   CAST(round(CAST(t.s - g.sg AS DOUBLE) / (t.n - g.ng) / 100.0
+        |     + 5e-10, 9) AS DECIMAL(18,9)) AS mi
+        |  FROM g, t),
+        | agg AS (SELECT n, s, gcnt, sum(mi) AS smi,
+        |   sum(mi * mi) AS smi2 FROM loo GROUP BY n, s, gcnt)
+        | SELECT n, gcnt AS n_groups,
+        |  round(CAST(s AS DOUBLE) / n / 100.0 + 5e-10, 6) AS mean,
+        |  round(sqrt(CAST(gcnt - 1 AS DOUBLE) / gcnt
+        |    * (CAST(smi2 AS DOUBLE)
+        |      - CAST(smi AS DOUBLE) * CAST(smi AS DOUBLE) / gcnt))
+        |    + 5e-10, 6) AS se_jack
+        | FROM agg"""
         .stripMargin.replaceAll("\n", " "),
 
     // Mirrors the Spark cell expression 1:1; per-cell ε-round to

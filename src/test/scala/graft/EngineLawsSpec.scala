@@ -1784,6 +1784,38 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("q_agg_jackknife replays the delete-one-bucket walk") {
+    val rows = SparkEntry.queries("q_agg_jackknife")(spark, sf).collect()
+    assert(rows.length === 1)
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("value")).collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100)))
+    def bucket(u: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+        .take(4).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex, 16) % 8
+    }
+    val g = ev.groupBy(e => bucket(e._1)).map { case (b, es) =>
+      (b, es.length.toLong, es.map(_._2).sum)
+    }.toSeq
+    val n = g.map(_._2).sum; val s = g.map(_._3).sum
+    def r9(x: Double) = BigDecimal(x + 5e-10)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val mi = g.map { case (_, ng, sg) =>
+      r9((s - sg).toDouble / (n - ng) / 100.0)
+    }
+    val gc = g.size
+    val se = math.sqrt((gc - 1).toDouble / gc *
+      (mi.map(x => x * x).sum.toDouble
+        - mi.sum.toDouble * mi.sum.toDouble / gc))
+    val r = rows(0)
+    assert(r.getLong(0) === n && r.getLong(1) === gc.toLong)
+    assert(math.abs(r.getDouble(3) - se) < 1e-6)
+    // jackknife SE of a mean is positive and far below the value range
+    assert(r.getDouble(3) > 0 && r.getDouble(3) < r.getDouble(2))
+  }
+
   test("q_agg_chi2 replays the contingency walk") {
     val rows = SparkEntry.queries("q_agg_chi2")(spark, sf).collect()
     assert(rows.length === 1)
