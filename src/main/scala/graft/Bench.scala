@@ -169,7 +169,9 @@ object Bench {
       // round-6 batch 23: the CUSUM running window over events
       "q_ts_cusum",
       // round-6 batch 24: PMI pair-count shuffle over the bigram stream
-      "q_text_pmi")
+      "q_text_pmi",
+      // round-6 batch 25: jackknife moment scan (same class as ttest)
+      "q_agg_jackknife")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid
