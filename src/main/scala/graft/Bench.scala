@@ -171,7 +171,9 @@ object Bench {
       // round-6 batch 24: PMI pair-count shuffle over the bigram stream
       "q_text_pmi",
       // round-6 batch 25: jackknife moment scan (same class as ttest)
-      "q_agg_jackknife")
+      "q_agg_jackknife",
+      // round-6 batch 26: trailing-frame integer anomaly window
+      "q_win_roll_anomaly")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

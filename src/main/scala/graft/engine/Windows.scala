@@ -99,6 +99,34 @@ object Windows {
         .orderBy(col("event_id"))
     },
 
+    // Rolling 3σ anomaly gate — the windowed sibling of q_ts_anomaly:
+    // each event is judged against its OWN trailing-20 window's
+    // distribution, so level shifts don't poison the gate the way a
+    // population σ does. EXACT integers throughout (the q_ts_anomaly
+    // recipe applied per frame): with cents c and frame moments (n, S,
+    // Q), outlier ⟺ (n·c − S)² > 9·(nQ − S²), every term BIGINT
+    // (magnitudes ≤ 4.4e15 at 20-row frames); a 10-row burn-in guards
+    // the cold start and σ=0 frames degenerate safely. One
+    // event_type-partitioned window, O(1) frame state.
+    "q_win_roll_anomaly" -> { (s, d) =>
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("tus"), col("event_id"))
+        .rowsBetween(-19, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("c", round(col("value") * 100).cast("long"))
+        .withColumn("tus", expr("unix_micros(ts)"))
+        .withColumn("nw", count(lit(1)).over(w))
+        .withColumn("sw", sum(col("c")).over(w))
+        .withColumn("qw", sum(col("c") * col("c")).over(w))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("nw").as("n_window"),
+          ((col("nw") * col("c") - col("sw"))
+            * (col("nw") * col("c") - col("sw"))
+            > lit(9L) * (col("nw") * col("qw") - col("sw") * col("sw"))
+            && col("nw") >= 10).as("is_outlier"))
+        .orderBy(col("event_id"))
+    },
+
     "q_win_firstlast" -> { (s, d) =>
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -307,6 +335,24 @@ object Windows {
         |   CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) AS ts_sec FROM events)
         | WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
         |   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        | ORDER BY event_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Mirrors the integer frame moments and the 3σ comparison exactly;
+    // window sums cast back from HUGEINT to BIGINT.
+    "q_win_roll_anomaly" ->
+      """SELECT event_id, event_type, value, nw AS n_window,
+        | ((nw * c - sw) * (nw * c - sw) > 9 * (nw * qw - sw * sw)
+        |   AND nw >= 10) AS is_outlier
+        | FROM (SELECT event_id, event_type, value, c,
+        |   count(*) OVER w AS nw,
+        |   CAST(sum(c) OVER w AS BIGINT) AS sw,
+        |   CAST(sum(c * c) OVER w AS BIGINT) AS qw
+        |  FROM (SELECT event_id, event_type, value,
+        |    CAST(round(value * 100) AS BIGINT) AS c,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events)
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY tus, event_id
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
         | ORDER BY event_id"""
         .stripMargin.replaceAll("\n", " "),
 

@@ -1031,6 +1031,38 @@ class EngineLawsSpec extends SparkSuite {
     assert(rows.length === perSupp.count(_ == mx))
   }
 
+  test("q_win_roll_anomaly replays the trailing-frame integer gate") {
+    val rows = SparkEntry.queries("q_win_roll_anomaly")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val byType = Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(ts)"), col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        math.round(r.getDouble(3) * 100)))
+      .groupBy(_._1)
+    val expect = byType.values.flatMap { g =>
+      val s = g.sortBy(e => (e._3, e._2))
+      s.indices.map { i =>
+        val fr = s.slice(math.max(0, i - 19), i + 1).map(_._4)
+        val (n, sm, q) = (fr.length.toLong, fr.sum,
+          fr.map(c => c * c).sum)
+        val c = s(i)._4
+        val out = (n * c - sm) * (n * c - sm) > 9 * (n * q - sm * sm) &&
+          n >= 10
+        s(i)._2 -> (n, out)
+      }
+    }.toMap
+    var flagged = 0
+    rows.foreach { r =>
+      val (n, out) = expect(r.getLong(0))
+      assert(r.getLong(3) === n && r.getBoolean(4) === out)
+      if (out) flagged += 1
+    }
+    // the gate fires somewhere but is Chebyshev-bounded per frame
+    assert(flagged > 0 && flagged * 9 <= rows.length)
+  }
+
   test("q_ts_cusum replays the n-scaled drift walk") {
     val rows = SparkEntry.queries("q_ts_cusum")(spark, sf).collect()
     assert(rows.nonEmpty)
