@@ -1061,6 +1061,23 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // Uniform k-sample WITHOUT replacement via the order-statistics
+    // trick — the deterministic distributed equivalent of reservoir
+    // sampling: rank every row by a seedless md5 key and keep the
+    // bottom k. Shard-stable (the key is a pure row function, no RNG
+    // state), and the plan is a bounded global top-k
+    // (TakeOrderedAndProject — per-partition k-row heaps, never a full
+    // sort), so the same spelling holds at any scale. The 'rsv' salt
+    // decorrelates this sample from every other md5-coin operator.
+    "q_sample_reservoir" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("rk",
+          md5(concat(lit("rsv"), col("doc_id").cast("string"))))
+        .orderBy(col("rk"), col("doc_id")).limit(100)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    },
+
     "q_sample_hash_group" -> { (s, d) =>
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("lang"))
@@ -2318,6 +2335,14 @@ object Text {
         |    '[a-z0-9.]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
         |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
         | FROM raw ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_sample_reservoir" ->
+      """SELECT doc_id, lang, source FROM (
+        | SELECT doc_id, lang, source
+        | FROM documents
+        | ORDER BY md5('rsv' || CAST(doc_id AS VARCHAR)), doc_id
+        | LIMIT 100) ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_sample_hash_group" ->

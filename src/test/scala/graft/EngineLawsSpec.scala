@@ -1957,6 +1957,21 @@ class EngineLawsSpec extends SparkSuite {
     assert(got === expect)
   }
 
+  test("q_sample_reservoir is the exact bottom-100 of the hash order") {
+    val rows = SparkEntry.queries("q_sample_reservoir")(spark, sf)
+      .collect()
+    assert(rows.length === 100)
+    def rk(id: Long): String = java.security.MessageDigest
+      .getInstance("MD5").digest(("rsv" + id).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val ids = Tables.documents(spark, sf)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val expect = ids.sortBy(id => (rk(id), id)).take(100).sorted.toSeq
+    assert(rows.map(_.getLong(0)).toSeq === expect)
+    // a uniform sample straddles the id range, not a prefix of it
+    assert(expect.head < ids.length / 4 && expect.last > ids.length / 2)
+  }
+
   test("q_text_hash_embed conserves tokens and bounds the profile") {
     val rows = SparkEntry.queries("q_text_hash_embed")(spark, sf).collect()
     assert(rows.nonEmpty)
