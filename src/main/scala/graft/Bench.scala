@@ -173,7 +173,11 @@ object Bench {
       // round-6 batch 25: jackknife moment scan (same class as ttest)
       "q_agg_jackknife",
       // round-6 batch 26: trailing-frame integer anomaly window
-      "q_win_roll_anomaly")
+      "q_win_roll_anomaly",
+      // round-6 batch 27: dense-grid ACF (checkpointed hourly series +
+      // lag windows), fused-frame rolling OLS slope, and the two
+      // ratio-of-products seasonal profiles (fact-scale partial aggs)
+      "q_ts_acf", "q_win_slope", "q_ts_diurnal", "q_shape_seasonality")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

@@ -999,6 +999,34 @@ object Analytics {
           < col("sum_qty"))
         .agg(eround(dsum(col("l_extendedprice")) / 7.0, 4).as("avg_yearly"),
           count(lit(1)).as("n_items"))
+    },
+
+    // Day-of-week seasonality index of order revenue — the weekly-cycle
+    // profile behind staffing/campaign planning: each ISO weekday's mean
+    // order value relative to the overall mean. The ratio-of-products
+    // trick ((S_g·n)/(g·S), all four factors exact BIGINT cents/counts)
+    // defers the only float op to one final division, so the index is
+    // engine-parity-exact with no decimal state. One partial-agg scan +
+    // a 1-row broadcast; at any scale this is a 7-row result off a
+    // single exchange. ISO numbering: Monday=1..Sunday=7 on both engines
+    // (Spark dayofweek is Sunday=1, DuckDB's is Sunday=0 — both are
+    // remapped to ISO rather than papering over one engine's encoding).
+    "q_shape_seasonality" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+        .select(
+          when(dayofweek(col("o_orderdate")) === 1, 7)
+            .otherwise(dayofweek(col("o_orderdate")) - 1).as("iso_dow"),
+          round(col("o_totalprice") * 100).cast("long").as("c"))
+      val tot = o.agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+      o.groupBy(col("iso_dow"))
+        .agg(count(lit(1)).as("n_orders"), sum(col("c")).as("sg"))
+        .crossJoin(broadcast(tot))
+        .select(col("iso_dow"), col("n_orders"),
+          (col("sg") / 100.0).cast("double").as("revenue"),
+          eround((col("sg") * col("n")).cast("double")
+            / (col("n_orders") * col("sc")).cast("double"), 6)
+            .as("rev_index"))
+        .orderBy(col("iso_dow"))
     }
   )
 
@@ -1574,6 +1602,22 @@ object Analytics {
          |  count(*) AS n_items
          | FROM li JOIN st ON l_partkey = sp
          | WHERE CAST(l_quantity AS BIGINT) * 5 * n_lines < sum_qty"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // DuckDB dayofweek is Sunday=0; remap to ISO like the Spark side.
+    "q_shape_seasonality" ->
+      """WITH o AS (SELECT
+        |   CASE WHEN dayofweek(CAST(o_orderdate AS TIMESTAMP)) = 0 THEN 7
+        |    ELSE dayofweek(CAST(o_orderdate AS TIMESTAMP)) END AS iso_dow,
+        |   CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+        | tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(c) AS BIGINT) AS sc FROM o),
+        | g AS (SELECT iso_dow, CAST(count(*) AS BIGINT) AS n_orders,
+        |   CAST(sum(c) AS BIGINT) AS sg FROM o GROUP BY 1)
+        | SELECT iso_dow, n_orders, sg / 100.0 AS revenue,
+        |  round(CAST(sg * n AS DOUBLE) / CAST(n_orders * sc AS DOUBLE)
+        |    + 5e-10, 6) AS rev_index
+        | FROM g CROSS JOIN tot ORDER BY iso_dow"""
         .stripMargin.replaceAll("\n", " ")
   )
 }

@@ -18,6 +18,20 @@ import org.apache.spark.sql.functions._
 object Events {
   import Fx._
 
+  private def freeCheckpoint(df: DataFrame): Unit =
+    try df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => ()
+    } catch { case _: Throwable => () }
+
+  /** Latest pinned hourly-series checkpoint per fixture dir (q_ts_acf):
+    * same hygiene as Analytics.triPinned — the current invocation's
+    * blocks stay pinned, the previous invocation's are freed.
+    */
+  private val acfPinned =
+    new scala.collection.concurrent.TrieMap[String, DataFrame]()
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_tumbling" -> { (s, d) =>
       Tables.events(s, d)
@@ -293,6 +307,84 @@ object Events {
             .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
             .cast("double") / count(lit(1)), 4).as("mae"))
         .orderBy(col("event_type"))
+    },
+
+    // Sample autocorrelation of the hourly arrival-count series at lags
+    // 1..6 per event type — the periodicity probe run before picking a
+    // seasonal-naive lag (see q_ts_backtest). The series is the DENSE
+    // hourly grid (empty hours count 0 — ACF over a gappy series is
+    // meaningless), built per type from sequence(min,max,1h). EXACT
+    // integer spelling: with counts x_t and totals (n, S), the n-scaled
+    // deviation d_t = n·x_t − S is integral, so r_k = Σ d_t·d_{t−k} /
+    // Σ d_t² divides two exactly-computed integers (DECIMAL(38,0) state:
+    // d² sums pass 2⁶³ once n·x nears 1e9·1e3). |r_k| ≤ 1 by
+    // Cauchy–Schwarz; a constant series (den 0) yields null, not NaN.
+    // One grid join + one type-partitioned lag window + one partial agg.
+    "q_ts_acf" -> { (s, d) =>
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val W = org.apache.spark.sql.expressions.Window
+      val lags = 1 to 6
+      // The hourly series is referenced three times below (grid bounds,
+      // the dense left-join, series totals); without materialization each
+      // reference re-scans the fact-scale events table. The aggregate is
+      // tiny (types × hours), so checkpoint it once — events is scanned
+      // exactly once per invocation (same hygiene as Analytics.triPinned).
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("x"))
+        .localCheckpoint()
+      acfPinned.put(d, hourly).foreach(freeCheckpoint)
+      val grid = hourly.groupBy(col("event_type"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val dense = grid.join(hourly, Seq("event_type", "h"), "left")
+        .na.fill(0L, Seq("x"))
+      val st = dense.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("x")).cast(dec).as("sx"))
+      val w = W.partitionBy(col("event_type")).orderBy(col("h"))
+      val devs = dense.join(broadcast(st), Seq("event_type"))
+        .withColumn("dev", col("n") * col("x").cast(dec) - col("sx"))
+      val lagged = lags.foldLeft(devs) { (df, k) =>
+        df.withColumn(s"d$k", lag(col("dev"), k).over(w))
+      }
+      val aggCols = Seq(sum(col("dev") * col("dev")).as("den")) ++
+        lags.map(k => sum(col("dev") * col(s"d$k")).as(s"num$k"))
+      val aggd = lagged.groupBy(col("event_type"))
+        .agg(max(col("n")).cast("long").as("n_hours"), aggCols: _*)
+      val stackExpr = lags
+        .map(k => s"${k}L, CASE WHEN den = 0 THEN CAST(NULL AS DOUBLE) " +
+          s"ELSE round(CAST(num$k AS DOUBLE) / CAST(den AS DOUBLE) " +
+          "+ 5e-10, 6) END")
+        .mkString(s"stack(${lags.size}, ", ", ", ") AS (lag, r)")
+      aggd.selectExpr("event_type", "n_hours", stackExpr)
+        .select(col("event_type"), col("lag"), col("n_hours"), col("r"))
+        .orderBy(col("event_type"), col("lag"))
+    },
+
+    // Hour-of-day diurnal profile per event type — the seasonal-index
+    // sibling of q_ts_acf for the 24 h cycle: each (type, hour-of-day)
+    // bucket's mean event value relative to its type's overall mean.
+    // The ratio-of-products trick keeps it float-free until the last
+    // divide: idx = (S_g·n)/(g·S) with all four factors exact BIGINT
+    // cents/counts (identical on both engines), so the one double
+    // division ε-rounds deterministically. One partial-agg scan + a
+    // 5-row broadcast — no window, no second shuffle.
+    "q_ts_diurnal" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), hour(col("ts")).as("hod"),
+          round(col("value") * 100).cast("long").as("c"))
+      val st = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+      ev.groupBy(col("event_type"), col("hod"))
+        .agg(count(lit(1)).as("g"), sum(col("c")).as("sg"))
+        .join(broadcast(st), Seq("event_type"))
+        .select(col("event_type"), col("hod"), col("g").as("n_events"),
+          (col("sg") / 100.0).cast("double").as("sum_value"),
+          eround((col("sg") * col("n")).cast("double")
+            / (col("g") * col("sc")).cast("double"), 6).as("v_index"))
+        .orderBy(col("event_type"), col("hod"))
     }
   )
 
@@ -489,6 +581,57 @@ object Events {
          |    AS DOUBLE) / count(*) + 5e-10, 4) AS mae
          | FROM hourly JOIN pred USING (event_type, h)
          | GROUP BY event_type ORDER BY event_type"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Mirrors the dense grid, the n-scaled integer deviations, and the
+    // lag products; internal state HUGEINT (output columns stay
+    // BIGINT/DOUBLE so the schema audit passes).
+    "q_ts_acf" -> {
+      val lags = 1 to 6
+      val lagCols = lags.map(k => s"lag(dev, $k) OVER w AS d$k").mkString(", ")
+      val numCols = lags.map(k => s"sum(dev * d$k) AS num$k").mkString(", ")
+      val branches = lags.map(k =>
+        s"""SELECT event_type, CAST($k AS BIGINT) AS "lag", n_hours,
+           | CASE WHEN den = 0 THEN NULL
+           |  ELSE round(CAST(num$k AS DOUBLE) / CAST(den AS DOUBLE)
+           |   + 5e-10, 6) END AS r FROM ag""".stripMargin)
+        .mkString(" UNION ALL ")
+      s"""WITH hourly AS (SELECT event_type,
+         |   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         |   CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+         | bounds AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+         |  FROM hourly GROUP BY 1),
+         | grid AS (SELECT event_type,
+         |   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+         |  FROM bounds),
+         | dense AS (SELECT g.event_type, g.h, COALESCE(hl.x, 0) AS x
+         |  FROM grid g LEFT JOIN hourly hl
+         |   ON g.event_type = hl.event_type AND g.h = hl.h),
+         | st AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         |   CAST(sum(x) AS HUGEINT) AS sx FROM dense GROUP BY 1),
+         | devs AS (SELECT d.event_type, d.h, st.n,
+         |   st.n * d.x - st.sx AS dev FROM dense d JOIN st USING (event_type)),
+         | lagd AS (SELECT event_type, n, dev, $lagCols FROM devs
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+         | ag AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n_hours,
+         |   sum(dev * dev) AS den, $numCols FROM lagd GROUP BY 1)
+         | SELECT * FROM ($branches) ORDER BY event_type, "lag""""
+        .stripMargin.replaceAll("\n", " ")
+    },
+
+    "q_ts_diurnal" ->
+      """WITH e AS (SELECT event_type,
+        |   hour(CAST(ts AS TIMESTAMP)) AS hod,
+        |   CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        | st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(c) AS BIGINT) AS sc FROM e GROUP BY 1),
+        | g AS (SELECT event_type, hod, CAST(count(*) AS BIGINT) AS ng,
+        |   CAST(sum(c) AS BIGINT) AS sg FROM e GROUP BY 1, 2)
+        | SELECT g.event_type, g.hod, g.ng AS n_events,
+        |  g.sg / 100.0 AS sum_value,
+        |  round(CAST(g.sg * st.n AS DOUBLE) / CAST(g.ng * st.sc AS DOUBLE)
+        |    + 5e-10, 6) AS v_index
+        | FROM g JOIN st USING (event_type) ORDER BY event_type, hod"""
         .stripMargin.replaceAll("\n", " ")
   )
 }

@@ -294,6 +294,46 @@ object Windows {
         .agg(max(col("len")).as("longest_streak"),
           count(lit(1)).as("n_streaks"))
         .orderBy(col("user_id"))
+    },
+
+    // Rolling OLS trend slope over the trailing 24 events per type — the
+    // local-trend detector run beside the rolling mean/median smoothers:
+    // slope of cents-value y against the within-partition row index x.
+    // EXACT until the last divide: x is the integral row_number, y exact
+    // cents, so the frame sums (Σx, Σy, Σxy, Σx²) and the classic
+    //   slope = (mΣxy − ΣxΣy) / (mΣx² − (Σx)²)
+    // numerator/denominator are all BIGINT (headroom: i·c needs i ~ 1e12
+    // rows/type to pass 2⁶³ at these magnitudes — widen to DECIMAL(38,0)
+    // past that); both engines then divide the identical integers once.
+    // The denominator is the constant m²(m²−1)/12 of a full frame (x is
+    // consecutive), nonzero for m = 24; burn-in rows (m < 24) are
+    // dropped. One type-partitioned window, O(1) state per frame.
+    "q_win_slope" -> { (s, d) =>
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("tus"), col("event_id"))
+      val f = w.rowsBetween(-23, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("c", round(col("value") * 100).cast("long"))
+        .withColumn("tus", expr("unix_micros(ts)"))
+        .withColumn("i", row_number().over(w).cast("long"))
+        // all five frame aggregates in ONE projection so CollapseWindow
+        // fuses them into a single Window node (chained withColumns
+        // produced four passes over the sorted partition)
+        .select(col("event_type"), col("event_id"), col("ts"),
+          col("value"), col("c"), col("i"),
+          count(lit(1)).over(f).as("m"),
+          sum(col("i")).over(f).as("sx"),
+          sum(col("c")).over(f).as("sy"),
+          sum(col("i") * col("c")).over(f).as("sxy"),
+          sum(col("i") * col("i")).over(f).as("sxx"))
+        .filter(col("m") === 24)
+        .select(col("event_type"), col("event_id"), col("ts"),
+          col("value"),
+          eround((col("m") * col("sxy") - col("sx") * col("sy"))
+            .cast("double")
+            / (col("m") * col("sxx") - col("sx") * col("sx"))
+              .cast("double") / 100.0, 6).as("slope"))
+        .orderBy(col("event_type"), col("event_id"))
     }
   )
 
@@ -483,6 +523,29 @@ object Windows {
         | SELECT user_id, max(len) AS longest_streak,
         |  count(*) AS n_streaks
         | FROM runs GROUP BY user_id ORDER BY user_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Mirrors the integer frame sums and the single final division.
+    "q_win_slope" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |   CAST(ts AS TIMESTAMP) AS ts, value,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS tus,
+        |   CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        | i AS (SELECT *, CAST(row_number() OVER
+        |   (PARTITION BY event_type ORDER BY tus, event_id) AS BIGINT)
+        |   AS i FROM e),
+        | f AS (SELECT event_type, event_id, ts, value,
+        |   count(*) OVER w AS m, sum(i) OVER w AS sx,
+        |   sum(c) OVER w AS sy, CAST(sum(i * c) OVER w AS BIGINT) AS sxy,
+        |   CAST(sum(i * i) OVER w AS BIGINT) AS sxx
+        |  FROM i WINDOW w AS (PARTITION BY event_type
+        |    ORDER BY tus, event_id ROWS BETWEEN 23 PRECEDING
+        |    AND CURRENT ROW))
+        | SELECT event_type, event_id, ts, value,
+        |  round(CAST(m * sxy - sx * sy AS DOUBLE)
+        |    / CAST(m * sxx - sx * sx AS DOUBLE) / 100.0 + 5e-10, 6)
+        |   AS slope
+        | FROM f WHERE m = 24 ORDER BY event_type, event_id"""
         .stripMargin.replaceAll("\n", " ")
   )
 }

@@ -2057,4 +2057,111 @@ class EngineLawsSpec extends SparkSuite {
     }
     assert(rows(0).getLong(1) === kept.length)
   }
+
+  test("q_ts_acf is Cauchy-Schwarz-bounded and replays one lag") {
+    val rows = SparkEntry.queries("q_ts_acf")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9,
+        s"|r| > 1 at ${r.mkString(",")}")
+    }
+    // replay event_type = 'click', lag 1 from the raw events
+    val hourly = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+    val hours = hourly.keys.min to hourly.keys.max by 3600000L
+    val xs = hours.map(h => hourly.getOrElse(h, 0L)).toArray
+    val n = xs.length.toLong
+    val S = xs.sum
+    val dev = xs.map(x => (BigInt(n) * x - S))
+    val den = dev.map(d => d * d).sum
+    val num = dev.drop(1).zip(dev.dropRight(1)).map { case (a, b) => a * b }
+      .sum
+    val expect = math.floor(
+      (num.toDouble / den.toDouble + 5e-10) * 1e6 + 0.5) / 1e6
+    val got = rows.find(r =>
+      r.getString(0) == "click" && r.getLong(1) == 1L).get
+    assert(got.getLong(2) === n)
+    assert(got.getDouble(3) === expect)
+  }
+
+  test("q_win_slope replays a frame and is zero on constant series") {
+    val rows = SparkEntry.queries("q_win_slope")(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .orderBy(col("event_id")).collect()
+    assert(rows.nonEmpty)
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .withColumn("tus", expr("unix_micros(ts)"))
+      .select(col("event_id"), col("tus"), col("value"))
+      .collect()
+      .sortBy(r => (r.getLong(1), r.getLong(0)))
+      .map(r => (r.getLong(0), math.round(r.getDouble(2) * 100)))
+    assert(rows.length === math.max(0, ev.length - 23))
+    // replay the very first full frame (rows 0..23)
+    val frame = ev.take(24).zipWithIndex
+      .map { case ((_, c), i) => ((i + 1).toLong, c) }
+    val m = 24L
+    val sx = frame.map(_._1).sum
+    val sy = frame.map(_._2).sum
+    val sxy = frame.map { case (i, c) => i * c }.sum
+    val sxx = frame.map { case (i, _) => i * i }.sum
+    val expect = math.floor(((m * sxy - sx * sy).toDouble
+      / (m * sxx - sx * sx).toDouble / 100.0 + 5e-10) * 1e6 + 0.5) / 1e6
+    assert(rows.head.getLong(1) === ev(23)._1)
+    assert(rows.head.getDouble(4) === expect)
+    // constant series law: slope of y = const is exactly 0
+    import spark.implicits._
+    val const = (1 to 60).map(i => (i.toLong, 5.0)).toDF("id", "v")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+    val f = w.rowsBetween(-23, 0)
+    val slopes = const
+      .withColumn("c", round(col("v") * 100).cast("long"))
+      .withColumn("i", row_number().over(w).cast("long"))
+      .withColumn("m", count(lit(1)).over(f))
+      .withColumn("num", col("m") * sum(col("i") * col("c")).over(f)
+        - sum(col("i")).over(f) * sum(col("c")).over(f))
+      .filter(col("m") === 24).select("num").collect()
+    assert(slopes.forall(_.getLong(0) === 0L))
+  }
+
+  test("q_shape_seasonality index is revenue-weighted to one") {
+    val rows = SparkEntry.queries("q_shape_seasonality")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 7)
+    assert(rows.map(_.getInt(0)).forall(d => d >= 1 && d <= 7))
+    // Σ g·idx = n exactly (before rounding): weighted index mean is 1
+    val n = rows.map(_.getLong(1)).sum
+    val weighted = rows.map(r => r.getLong(1) * r.getDouble(3)).sum
+    assert(math.abs(weighted - n) < n * 1e-5)
+    // replay Monday from raw orders
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderdate"), col("o_totalprice")).collect()
+      .map(r => (r.get(0) match {
+        case t: java.sql.Timestamp => t.toInstant
+          .atZone(java.time.ZoneOffset.UTC).getDayOfWeek.getValue
+        case l: java.time.LocalDateTime => l.getDayOfWeek.getValue
+      },
+        math.round(r.getDouble(1) * 100)))
+    val sTot = o.map(_._2).sum
+    val mon = o.filter(_._1 == 1)
+    val got = rows.find(_.getInt(0) == 1).get
+    assert(got.getLong(1) === mon.length.toLong)
+    val expect = math.floor(((BigInt(mon.map(_._2).sum) * o.length).toDouble
+      / (BigInt(mon.length) * sTot).toDouble + 5e-10) * 1e6 + 0.5) / 1e6
+    assert(got.getDouble(3) === expect)
+  }
+
+  test("q_ts_diurnal index is count-weighted to one per type") {
+    val rows = SparkEntry.queries("q_ts_diurnal")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val n = rs.map(_.getLong(2)).sum
+      val weighted = rs.map(r => r.getLong(2) * r.getDouble(4)).sum
+      assert(math.abs(weighted - n) < n * 1e-4 + 1e-6)
+      assert(rs.map(_.getInt(1)).forall(h => h >= 0 && h <= 23))
+    }
+  }
 }
