@@ -177,7 +177,10 @@ object Bench {
       // round-6 batch 27: dense-grid ACF (checkpointed hourly series +
       // lag windows), fused-frame rolling OLS slope, and the two
       // ratio-of-products seasonal profiles (fact-scale partial aggs)
-      "q_ts_acf", "q_win_slope", "q_ts_diurnal", "q_shape_seasonality")
+      "q_ts_acf", "q_win_slope", "q_ts_diurnal", "q_shape_seasonality",
+      // round-6 batch 28: the structural-graph family over the shared
+      // checkpointed support-edge list (fact-scale pair generation)
+      "q_graph_degree", "q_graph_khop", "q_graph_cluster_coeff")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

@@ -55,6 +55,29 @@ object Analytics {
       .select(col(a), explode(col("parts")).as(b))
       .filter(col(b) > col(a))
 
+  /** The co-purchase support graph shared by the structural-graph family
+    * (degree / k-hop / clustering coefficient; q_graph_triangles and
+    * q_graph_jaccard spell it inline): parts co-occurring in ≥2 orders,
+    * as an ordered (u < v) undirected edge list — one basket shuffle +
+    * one pair-count partial agg, checkpointed with the triPinned hygiene
+    * so each query scans lineitem exactly once.
+    */
+  private def supportEdges(s: SparkSession, d: String, slot: String)
+      : DataFrame = {
+    val baskets = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    val und = orderedPairs(baskets, "u", "v")
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .select(col("u"), col("v"))
+      .localCheckpoint()
+    triPinned.put(slot + ":" + d, und).foreach(freeCheckpoint)
+    und
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Q3 shape: revenue of undelivered orders for one market segment.
     "q_shape_q3" -> { (s, d) =>
@@ -1027,8 +1050,91 @@ object Analytics {
             / (col("n_orders") * col("sc")).cast("double"), 6)
             .as("rev_index"))
         .orderBy(col("iso_dow"))
+    },
+
+    // Degree distribution of the co-purchase graph — the first structural
+    // profile run on any large graph (power-law check, hub detection):
+    // per-node degree over the support-≥2 edge set, histogrammed. Degrees
+    // come from one unionAll + partial-agg count (never an adjacency
+    // materialization); the histogram is a second tiny aggregate. Linear
+    // in edges at any scale.
+    "q_graph_degree" -> { (s, d) =>
+      val und = supportEdges(s, d, "deg")
+      und.select(col("u").as("n")).unionAll(und.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+        .groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("deg"))
+    },
+
+    // 2-hop neighborhood reach per seed node — the BFS-frontier building
+    // block (friend-of-friend / related-items expansion): for each seed
+    // (part_key < 10 present in the graph), the distinct nodes within 1
+    // and within ≤2 hops, self excluded. Two frontier equi-joins over the
+    // bidirectional edge list — the standard scale spelling (frontier
+    // size × avg degree work per hop, edge list shuffled on src once);
+    // distinct-per-seed partial-aggregates before its exchange.
+    "q_graph_khop" -> { (s, d) =>
+      val und = supportEdges(s, d, "khop")
+      val bidir = und.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+      val hop1 = bidir.filter(col("src") < 10)
+        .select(col("src").as("seed"), col("dst").as("n1"))
+      val hop2 = hop1.join(bidir, col("n1") === col("src"))
+        .select(col("seed"), col("dst").as("n2"))
+      val reach = hop1.select(col("seed"), col("n1").as("n"))
+        .unionAll(hop2.select(col("seed"), col("n2").as("n")))
+        .filter(col("n") =!= col("seed"))
+      hop1.groupBy(col("seed"))
+        .agg(countDistinct(col("n1")).as("n_1hop"))
+        .join(reach.groupBy(col("seed"))
+          .agg(countDistinct(col("n")).as("n_reach2")), Seq("seed"))
+        .orderBy(col("seed"))
+    },
+
+    // Local clustering coefficient — the per-node cohesion score behind
+    // community detection and spam-graph heuristics: lcc(v) =
+    // 2·t(v)/(d(v)·(d(v)−1)) for d ≥ 2, where t(v) counts triangles at v.
+    // Triangles enumerate ONCE as ordered (a<b<c) wedges closed by an
+    // edge probe (the q_graph_triangles join shape), then each triangle
+    // credits its three corners via explode — no per-node adjacency
+    // intersection. The ratio is one ε-rounded division of exact
+    // integers. Sorted-merge/hash joins over the checkpointed edge list;
+    // nothing quadratic in degree beyond the wedge set itself.
+    "q_graph_cluster_coeff" -> { (s, d) =>
+      val und = supportEdges(s, d, "lcc")
+      val deg = und.select(col("u").as("n"))
+        .unionAll(und.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      val e1 = und.select(col("u").as("a"), col("v").as("b"))
+      val e2 = und.select(col("u").as("b2"), col("v").as("c"))
+      val e3 = und.select(col("u").as("a3"), col("v").as("c3"))
+      val tris = e1
+        .join(e2, col("b") === col("b2"))
+        .join(e3, col("a") === col("a3") && col("c") === col("c3"))
+        .select(col("a"), col("b"), col("c"))
+      val triN = tris.select(explode(array(col("a"), col("b"), col("c")))
+          .as("n"))
+        .groupBy(col("n")).agg(count(lit(1)).as("tri"))
+      deg.filter(col("deg") >= 2)
+        .join(triN, Seq("n"), "left")
+        .na.fill(0L, Seq("tri"))
+        .select(col("n"), col("deg"), col("tri"),
+          eround(lit(2L) * col("tri")
+            / (col("deg") * (col("deg") - 1)).cast("double"), 6).as("lcc"))
+        .orderBy(col("n"))
     }
   )
+
+  /** Oracle twin of [[supportEdges]]: the distinct (order, part) pairs
+    * self-join into ordered co-purchase pairs, kept at support ≥ 2.
+    */
+  private val oEdges: String =
+    """WITH pp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      | e AS (SELECT a.l_partkey AS u, b.l_partkey AS v FROM pp a
+      |  JOIN pp b ON a.l_orderkey = b.l_orderkey
+      |   AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING count(*) >= 2)"""
+      .stripMargin.replaceAll("\n", " ")
 
   val oracle: Map[String, String] = Map(
     "q_shape_q3" ->
@@ -1618,6 +1724,50 @@ object Analytics {
         |  round(CAST(sg * n AS DOUBLE) / CAST(n_orders * sc AS DOUBLE)
         |    + 5e-10, 6) AS rev_index
         | FROM g CROSS JOIN tot ORDER BY iso_dow"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_graph_degree" ->
+      s"""$oEdges,
+         | deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM
+         |  (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+         |  GROUP BY n)
+         | SELECT deg, count(*) AS n_nodes FROM deg
+         | GROUP BY deg ORDER BY deg"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_graph_khop" ->
+      s"""$oEdges,
+         | bidir AS (SELECT u AS src, v AS dst FROM e
+         |  UNION ALL SELECT v, u FROM e),
+         | h1 AS (SELECT src AS seed, dst AS n1 FROM bidir WHERE src < 10),
+         | h2 AS (SELECT h1.seed, b.dst AS n2 FROM h1
+         |  JOIN bidir b ON h1.n1 = b.src),
+         | reach AS (SELECT seed, n1 AS n FROM h1
+         |  UNION ALL SELECT seed, n2 FROM h2),
+         | r1 AS (SELECT seed, count(DISTINCT n1) AS n_1hop FROM h1
+         |  GROUP BY seed),
+         | r2 AS (SELECT seed, count(DISTINCT n) AS n_reach2 FROM reach
+         |  WHERE n <> seed GROUP BY seed)
+         | SELECT seed, n_1hop, n_reach2 FROM r1 JOIN r2 USING (seed)
+         | ORDER BY seed"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_graph_cluster_coeff" ->
+      s"""$oEdges,
+         | deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM
+         |  (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+         |  GROUP BY n),
+         | tris AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+         |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+         |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         | t AS (SELECT n, CAST(count(*) AS BIGINT) AS tri FROM
+         |  (SELECT a AS n FROM tris UNION ALL SELECT b FROM tris
+         |   UNION ALL SELECT c FROM tris) GROUP BY n)
+         | SELECT deg.n, deg.deg, COALESCE(t.tri, 0) AS tri,
+         |  round(2 * COALESCE(t.tri, 0)
+         |    / CAST(deg.deg * (deg.deg - 1) AS DOUBLE) + 5e-10, 6) AS lcc
+         | FROM deg LEFT JOIN t USING (n) WHERE deg.deg >= 2
+         | ORDER BY n"""
         .stripMargin.replaceAll("\n", " ")
   )
 }

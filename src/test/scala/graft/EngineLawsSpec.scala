@@ -2154,6 +2154,50 @@ class EngineLawsSpec extends SparkSuite {
     assert(got.getDouble(3) === expect)
   }
 
+  test("graph degree/lcc histograms are consistent with the triangle census") {
+    val tri = SparkEntry.queries("q_graph_triangles")(spark, sf).collect()(0)
+    val (nNodes, nEdges, nTris) =
+      (tri.getLong(0), tri.getLong(1), tri.getLong(2))
+    val degRows = SparkEntry.queries("q_graph_degree")(spark, sf).collect()
+    // handshake lemma + node conservation
+    assert(degRows.map(r => r.getLong(0) * r.getLong(1)).sum === 2 * nEdges)
+    assert(degRows.map(_.getLong(1)).sum === nNodes)
+    // each triangle credits exactly its three corners (corners have deg>=2)
+    val lcc = SparkEntry.queries("q_graph_cluster_coeff")(spark, sf)
+      .collect()
+    assert(lcc.map(_.getLong(2)).sum === 3 * nTris)
+    lcc.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0 + 1e-9)
+      assert(r.getLong(1) >= 2)
+    }
+  }
+
+  test("q_graph_khop replays BFS over the support graph") {
+    val rows = SparkEntry.queries("q_graph_khop")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val pp = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val pairSupport = pp.groupBy(_._1).values.flatMap { basket =>
+      val parts = basket.map(_._2).distinct.sorted
+      for (i <- parts.indices; j <- i + 1 until parts.length)
+        yield (parts(i), parts(j))
+    }.groupBy(identity).view.mapValues(_.size)
+    val edges = pairSupport.filter(_._2 >= 2).keys.toSeq
+    val adj = (edges ++ edges.map(e => (e._2, e._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val seeds = adj.keySet.filter(_ < 10)
+    assert(rows.map(_.getLong(0)).toSet === seeds)
+    rows.foreach { r =>
+      val seed = r.getLong(0)
+      val h1 = adj(seed)
+      val reach2 = (h1 ++ h1.flatMap(adj)) - seed
+      assert(r.getLong(1) === h1.size.toLong)
+      assert(r.getLong(2) === reach2.size.toLong)
+      assert(r.getLong(2) >= r.getLong(1))
+    }
+  }
+
   test("q_ts_diurnal index is count-weighted to one per type") {
     val rows = SparkEntry.queries("q_ts_diurnal")(spark, sf).collect()
     assert(rows.nonEmpty)
