@@ -180,7 +180,12 @@ object Bench {
       "q_ts_acf", "q_win_slope", "q_ts_diurnal", "q_shape_seasonality",
       // round-6 batch 28: the structural-graph family over the shared
       // checkpointed support-edge list (fact-scale pair generation)
-      "q_graph_degree", "q_graph_khop", "q_graph_cluster_coeff")
+      "q_graph_degree", "q_graph_khop", "q_graph_cluster_coeff",
+      // round-6 batch 29: corpus-window balanced sampling, prefix-cluster
+      // survivorship, priority trim windows, and the single-scan moment
+      // matrix (all shuffle or window fact-scale input)
+      "q_sample_balanced", "q_dedup_survivorship", "q_agg_trimmed_mean",
+      "q_agg_corr_matrix")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

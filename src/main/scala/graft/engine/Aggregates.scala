@@ -428,6 +428,83 @@ object Aggregates {
         .orderBy(col("type_a"), col("type_b"))
     },
 
+    // Two-sided 10% trimmed mean of order value per priority — the
+    // robust-location profiler between plain mean (outlier-fragile) and
+    // median (throws away magnitude): drop the bottom and top ⌊n/10⌋
+    // rows by (cents, key) rank and average the rest in exact cents.
+    // One priority-partitioned window (rank + partition count on one
+    // exchange), then a partial agg; the kept-band sum is BIGINT exact
+    // and divides once. Trim indices are pure integer arithmetic —
+    // ⌊n/10⌋ on both engines — so the kept set is identical by
+    // construction, never a float-boundary choice.
+    "q_agg_trimmed_mean" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy(col("o_orderpriority"))
+        .orderBy(col("c"), col("o_orderkey"))
+      val ranked = Tables.orders(s, d)
+        .select(col("o_orderpriority"),
+          round(col("o_totalprice") * 100).cast("long").as("c"),
+          col("o_orderkey"))
+        .select(col("o_orderpriority"), col("c"),
+          row_number().over(w).cast("long").as("rn"),
+          count(lit(1)).over(W.partitionBy(col("o_orderpriority")))
+            .as("nn"))
+      val k = floor(col("nn") / lit(10)).cast("long")
+      ranked.filter(col("rn") > k && col("rn") <= col("nn") - k)
+        .groupBy(col("o_orderpriority"))
+        .agg(max(col("nn")).as("n_total"),
+          count(lit(1)).as("n_kept"),
+          eround(sum(col("c")).cast("double") / 100.0 / count(lit(1)), 4)
+            .as("trimmed_mean"))
+        .orderBy(col("o_orderpriority"))
+    },
+
+    // Pairwise Pearson correlation matrix over the four lineitem
+    // measures — the numeric-profiling step before feature selection /
+    // multicollinearity checks. ONE partial-agg scan computes every
+    // first/second/cross moment as exact integers (DECIMAL(38,0) state —
+    // Σp² passes 2⁶³ at bench scale), then the 6 upper-triangle pairs
+    // explode from a single row; corr = (nΣxy−ΣxΣy)/(√dx·√dy) divides
+    // identically-derived exact integers, and IEEE sqrt is correctly
+    // rounded, so the doubles match bit-for-bit before the ε-round.
+    // The corpus is never shuffled — the exchange carries one row.
+    "q_agg_corr_matrix" -> { (s, d) =>
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      val vars = Seq("q", "p", "dc", "tx")
+      val names = Map("q" -> "quantity", "p" -> "extendedprice",
+        "dc" -> "discount", "tx" -> "tax")
+      val v = Tables.lineitem(s, d).select(
+        col("l_quantity").cast("long").as("q"),
+        round(col("l_extendedprice") * 100).cast("long").as("p"),
+        round(col("l_discount") * 100).cast("long").as("dc"),
+        round(col("l_tax") * 100).cast("long").as("tx"))
+      val sums = vars.map(x => sum(col(x).cast(dec38)).as(s"s_$x")) ++
+        (for (i <- vars.indices; j <- i until vars.length) yield {
+          val (x, y) = (vars(i), vars(j))
+          sum(col(x).cast(dec19) * col(y).cast(dec19)).as(s"s_${x}_$y")
+        })
+      val m = v.agg(count(lit(1)).cast(dec38).as("n"), sums: _*)
+        .withColumn("n_rows", col("n").cast("long"))
+      def dvar(x: String) =
+        (col("n") * col(s"s_${x}_$x") - col(s"s_$x") * col(s"s_$x"))
+          .cast("double")
+      def corr(x: String, y: String) =
+        eround((col("n") * col(s"s_${x}_$y")
+          - col(s"s_$x") * col(s"s_$y")).cast("double")
+          / sqrt(dvar(x)) / sqrt(dvar(y)), 6)
+      val pairs = for (i <- vars.indices; j <- i + 1 until vars.length)
+        yield {
+          val (x, y) = (vars(i), vars(j))
+          struct(lit(names(x)).as("var_x"), lit(names(y)).as("var_y"),
+            corr(x, y).as("corr"))
+        }
+      m.select(col("n_rows"), explode(array(pairs: _*)).as("r"))
+        .select(col("r.var_x").as("var_x"), col("r.var_y").as("var_y"),
+          col("n_rows"), col("r.corr").as("corr"))
+        .orderBy(col("var_x"), col("var_y"))
+    },
+
     // Robust spread profiling: median absolute deviation per event type,
     // plus the |x − med| > 3·1.4826·MAD robust outlier rule — the MAD
     // sibling of q_ts_anomaly's 3σ test (σ-free, so a single wild value
@@ -1111,6 +1188,55 @@ object Aggregates {
         | round((sum(round(l_extendedprice * l_quantity * 100)) / 100.0)
         |   / (sum(round(l_quantity * 100)) / 100.0), 4) AS wavg_price
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_agg_trimmed_mean" ->
+      """WITH o AS (SELECT o_orderpriority,
+        |   CAST(round(o_totalprice * 100) AS BIGINT) AS c, o_orderkey
+        |  FROM orders),
+        | r AS (SELECT o_orderpriority, c,
+        |   CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |     ORDER BY c, o_orderkey) AS BIGINT) AS rn,
+        |   CAST(count(*) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+        |    AS nn FROM o)
+        | SELECT o_orderpriority, CAST(max(nn) AS BIGINT) AS n_total,
+        |  count(*) AS n_kept,
+        |  round(CAST(sum(c) AS DOUBLE) / 100.0 / count(*) + 5e-10, 4)
+        |   AS trimmed_mean
+        | FROM r WHERE rn > nn // 10 AND rn <= nn - nn // 10
+        | GROUP BY 1 ORDER BY 1"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Mirrors the exact-integer moment matrix and the /√dx/√dy division
+    // order; internal state HUGEINT, outputs BIGINT/DOUBLE.
+    "q_agg_corr_matrix" -> {
+      val vars = Seq("q", "p", "dc", "tx")
+      val names = Map("q" -> "quantity", "p" -> "extendedprice",
+        "dc" -> "discount", "tx" -> "tax")
+      val moments = vars.map(x => s"CAST(sum($x) AS HUGEINT) AS s_$x") ++
+        (for (i <- vars.indices; j <- i until vars.length) yield {
+          val (x, y) = (vars(i), vars(j))
+          s"sum(CAST($x AS HUGEINT) * CAST($y AS HUGEINT)) AS s_${x}_$y"
+        })
+      val branches = (for (i <- vars.indices; j <- i + 1 until vars.length)
+        yield {
+          val (x, y) = (vars(i), vars(j))
+          s"""SELECT '${names(x)}' AS var_x, '${names(y)}' AS var_y,
+             | n_rows,
+             | round(CAST(n * s_${x}_$y - s_$x * s_$y AS DOUBLE)
+             |  / sqrt(CAST(n * s_${x}_$x - s_$x * s_$x AS DOUBLE))
+             |  / sqrt(CAST(n * s_${y}_$y - s_$y * s_$y AS DOUBLE))
+             |  + 5e-10, 6) AS corr FROM m""".stripMargin
+        }).mkString(" UNION ALL ")
+      s"""WITH v AS (SELECT CAST(l_quantity AS BIGINT) AS q,
+         |  CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+         |  CAST(round(l_discount * 100) AS BIGINT) AS dc,
+         |  CAST(round(l_tax * 100) AS BIGINT) AS tx FROM lineitem),
+         | m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+         |  CAST(count(*) AS BIGINT) AS n_rows, ${moments.mkString(", ")}
+         |  FROM v)
+         | SELECT * FROM ($branches) ORDER BY var_x, var_y"""
         .stripMargin.replaceAll("\n", " ")
+    }
   ) ++ groupingOracle
 }

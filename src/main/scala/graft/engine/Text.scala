@@ -1078,6 +1078,57 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // Class-balanced downsampling — the label-skew correction applied to
+    // classifier training sets (and to per-language corpus balancing):
+    // every language keeps exactly cap = min class count rows, selected
+    // by the deterministic salted-md5 rank (shard-stable, no RNG state).
+    // One lang-partitioned window; the cap is a 5-row aggregate
+    // broadcast as a scalar — at any scale the plan is one shuffle on
+    // the class key. The 'bal' salt decorrelates from other md5 coins.
+    "q_sample_balanced" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang"))
+        .orderBy(md5(concat(lit("bal"), col("doc_id").cast("string"))),
+          col("doc_id"))
+      val cap = Tables.documents(s, d)
+        .groupBy(col("lang")).agg(count(lit(1)).as("c"))
+        .agg(min(col("c")).as("cap"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("rn", row_number().over(w))
+        .crossJoin(broadcast(cap))
+        .filter(col("rn") <= col("cap"))
+        .select(col("lang"), col("rn"), col("doc_id"))
+        .orderBy(col("lang"), col("rn"))
+    },
+
+    // Canonical-record election over duplicate clusters — the MDM
+    // "survivorship" step after dedup finds its groups: clusters keyed
+    // by the 100-char prefix (the template/mirror first pass of
+    // q_text_dedup_prefix — the fixture carries no full-text exact
+    // twins, so the election is over genuinely-differing members),
+    // survivor = LONGEST member (most complete record), doc_id
+    // tiebreak, with the cluster's metadata merged (copy count,
+    // distinct languages, sorted distinct sources). One fixed-width-key
+    // hash groupBy + a survivor argmax via min(struct(−len, id)) riding
+    // the same exchange — linear at any scale.
+    "q_dedup_survivorship" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(substring(col("text"), 1, 100).as("pfx"), col("doc_id"),
+          col("lang"), col("source"), length(col("text")).as("len"))
+        .groupBy(col("pfx"))
+        .agg(min(struct((-col("len")).as("nl"), col("doc_id").as("id")))
+            .as("sv"),
+          count(lit(1)).as("n_copies"),
+          countDistinct(col("lang")).as("n_langs"),
+          max(col("len")).as("max_len"),
+          sort_array(collect_set(col("source"))).as("sources"))
+        .filter(col("n_copies") >= 2)
+        .select(col("sv.id").as("survivor_id"), col("n_copies"),
+          col("n_langs"), col("max_len"), col("sources"))
+        .orderBy(col("survivor_id"))
+    },
+
     "q_sample_hash_group" -> { (s, d) =>
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("lang"))
@@ -2335,6 +2386,35 @@ object Text {
         |    '[a-z0-9.]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
         |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
         | FROM raw ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_sample_balanced" ->
+      """WITH cap AS (SELECT min(c) AS cap FROM
+        |  (SELECT count(*) AS c FROM documents GROUP BY lang)),
+        | r AS (SELECT doc_id, lang, row_number() OVER
+        |   (PARTITION BY lang
+        |    ORDER BY md5('bal' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        | SELECT lang, rn, doc_id FROM r CROSS JOIN cap
+        | WHERE rn <= cap ORDER BY lang, rn"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Mirrors the longest-member election via a rank window (the Spark
+    // side's min(struct(−len, id)) argmin — same (len DESC, id) order).
+    "q_dedup_survivorship" ->
+      """WITH c AS (SELECT substring(text, 1, 100) AS pfx, doc_id, lang,
+        |   source, length(text) AS len FROM documents),
+        | g AS (SELECT pfx, count(*) AS n_copies,
+        |   count(DISTINCT lang) AS n_langs,
+        |   CAST(max(len) AS BIGINT) AS max_len,
+        |   list_sort(list(DISTINCT source)) AS sources
+        |  FROM c GROUP BY pfx HAVING count(*) >= 2),
+        | sv AS (SELECT pfx, doc_id, row_number() OVER (PARTITION BY pfx
+        |   ORDER BY len DESC, doc_id) AS rn FROM c)
+        | SELECT sv.doc_id AS survivor_id, n_copies, n_langs, max_len,
+        |  sources
+        | FROM g JOIN sv ON g.pfx = sv.pfx AND sv.rn = 1
+        | ORDER BY survivor_id"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_sample_reservoir" ->

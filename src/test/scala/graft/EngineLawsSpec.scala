@@ -2198,6 +2198,100 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("q_dedup_survivorship replays the longest-member election") {
+    val rows = SparkEntry.queries("q_dedup_survivorship")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3)))
+    val clusters = docs.groupBy(_._2.take(100)).values
+      .filter(_.length >= 2).toSeq
+    assert(rows.length === clusters.size)
+    val expect = clusters.map { c =>
+      val maxLen = c.map(_._2.length).max
+      (c.filter(_._2.length == maxLen).map(_._1).min, c.length.toLong,
+        c.map(_._3).distinct.length.toLong, maxLen,
+        c.map(_._4).distinct.sorted)
+    }.sortBy(_._1)
+    rows.zip(expect).foreach { case (r, (sid, n, nl, ml, srcs)) =>
+      assert(r.getLong(0) === sid)
+      assert(r.getLong(1) === n)
+      assert(r.getLong(2) === nl)
+      assert(r.getInt(3) === ml)
+      assert(r.getSeq[String](4) === srcs.toSeq)
+    }
+  }
+
+  test("q_sample_balanced keeps exactly the min class count per class") {
+    val rows = SparkEntry.queries("q_sample_balanced")(spark, sf).collect()
+    val byLang = Tables.documents(spark, sf)
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cap = byLang.values.min
+    val got = rows.groupBy(_.getString(0))
+    assert(got.keySet === byLang.keySet)
+    got.foreach { case (_, rs) => assert(rs.length.toLong === cap) }
+    // deterministic membership: replay one class's bottom-cap hash ranks
+    def rk(id: Long): String = java.security.MessageDigest
+      .getInstance("MD5").digest(("bal" + id).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val enIds = Tables.documents(spark, sf)
+      .filter(col("lang") === "en").select(col("doc_id"))
+      .collect().map(_.getLong(0))
+    val expect = enIds.sortBy(id => (rk(id), id)).take(cap.toInt).toSet
+    assert(got("en").map(_.getLong(2)).toSet === expect)
+  }
+
+  test("q_agg_trimmed_mean replays the trim band per priority") {
+    val rows = SparkEntry.queries("q_agg_trimmed_mean")(spark, sf)
+      .collect()
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"), col("o_totalprice"),
+        col("o_orderkey")).collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100),
+        r.getLong(2)))
+    rows.foreach { r =>
+      val grp = o.filter(_._1 == r.getString(0))
+        .sortBy(t => (t._2, t._3)).map(_._2)
+      val k = grp.length / 10
+      val kept = grp.slice(k, grp.length - k)
+      assert(r.getLong(1) === grp.length.toLong)
+      assert(r.getLong(2) === kept.length.toLong)
+      val expect = math.floor((kept.sum.toDouble / 100.0 / kept.length
+        + 5e-10) * 1e4 + 0.5) / 1e4
+      assert(r.getDouble(3) === expect)
+      // the trimmed mean is bracketed by the kept band's extremes
+      assert(r.getDouble(3) >= kept.head / 100.0 - 1e-4)
+      assert(r.getDouble(3) <= kept.last / 100.0 + 1e-4)
+    }
+  }
+
+  test("q_agg_corr_matrix is bounded and replays one pair") {
+    val rows = SparkEntry.queries("q_agg_corr_matrix")(spark, sf)
+      .collect()
+    assert(rows.length === 6)
+    rows.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_quantity"), col("l_extendedprice")).collect()
+      .map(r => (BigInt(r.getDouble(0).toLong),
+        BigInt(math.round(r.getDouble(1) * 100))))
+    val n = BigInt(li.length)
+    val (sq, sp) = (li.map(_._1).sum, li.map(_._2).sum)
+    val sqp = li.map { case (a, b) => a * b }.sum
+    val sqq = li.map { case (a, _) => a * a }.sum
+    val spp = li.map { case (_, b) => b * b }.sum
+    val expect = math.floor(((n * sqp - sq * sp).toDouble
+      / math.sqrt((n * sqq - sq * sq).toDouble)
+      / math.sqrt((n * spp - sp * sp).toDouble) + 5e-10) * 1e6 + 0.5) / 1e6
+    val got = rows.find(r => r.getString(0) == "quantity"
+      && r.getString(1) == "extendedprice").get
+    assert(got.getLong(2) === li.length.toLong)
+    assert(got.getDouble(3) === expect)
+  }
+
   test("q_ts_diurnal index is count-weighted to one per type") {
     val rows = SparkEntry.queries("q_ts_diurnal")(spark, sf).collect()
     assert(rows.nonEmpty)
