@@ -185,7 +185,11 @@ object Bench {
       // survivorship, priority trim windows, and the single-scan moment
       // matrix (all shuffle or window fact-scale input)
       "q_sample_balanced", "q_dedup_survivorship", "q_agg_trimmed_mean",
-      "q_agg_corr_matrix")
+      "q_agg_corr_matrix",
+      // round-6 batch 30: corpus summary card, conversion-latency funnel,
+      // and the shingle-support novelty scan (fact-scale shuffles)
+      "q_pipeline_dataset_card", "q_shape_funnel_time",
+      "q_text_ngram_novelty")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

@@ -1052,6 +1052,38 @@ object Analytics {
         .orderBy(col("iso_dow"))
     },
 
+    // Time-to-convert funnel — the cohort-latency companion to
+    // q_shape_funnel (which measures IF users convert; this measures HOW
+    // FAST): per first-signup month, signup count, converted count
+    // (first purchase at/after the first signup), conversion rate, and
+    // the median hours-to-convert. Latencies are exact BIGINT micros
+    // diffs; the median interpolates them ((a+b)/2 exact) and only the
+    // display division to hours is float, ε-rounded. Two user-keyed
+    // partial aggs + one left join on the user aggregate — the event
+    // stream is shuffled once per side, never windowed globally.
+    "q_shape_funnel_time" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .withColumn("tus", expr("unix_micros(ts)"))
+      val su = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(col("tus")).as("t0"))
+        .withColumn("m",
+          date_trunc("month", timestamp_micros(col("t0"))))
+      val conv = su
+        .join(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("tus")), Seq("user_id"))
+        .filter(col("tus") >= col("t0"))
+        .groupBy(col("user_id"))
+        .agg(min(col("tus") - col("t0")).as("dus"))
+      su.join(conv, Seq("user_id"), "left")
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("n_signups"),
+          count(col("dus")).as("n_converted"),
+          eround(count(col("dus")).cast("double") / count(lit(1)), 4)
+            .as("conv_rate"),
+          eround(median(col("dus")) / lit(3.6e9), 4).as("med_hours"))
+        .orderBy(col("m"))
+    },
+
     // Degree distribution of the co-purchase graph — the first structural
     // profile run on any large graph (power-law check, hub detection):
     // per-node degree over the support-≥2 edge set, histogrammed. Degrees
@@ -1724,6 +1756,26 @@ object Analytics {
         |  round(CAST(sg * n AS DOUBLE) / CAST(n_orders * sc AS DOUBLE)
         |    + 5e-10, 6) AS rev_index
         | FROM g CROSS JOIN tot ORDER BY iso_dow"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_shape_funnel_time" ->
+      """WITH ev AS (SELECT user_id, event_type,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+        | su AS (SELECT user_id, min(tus) AS t0 FROM ev
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        | sm AS (SELECT user_id, t0,
+        |   CAST(date_trunc('month', make_timestamp(t0)) AS TIMESTAMP)
+        |    AS m FROM su),
+        | conv AS (SELECT e.user_id, min(e.tus - s.t0) AS dus
+        |  FROM ev e JOIN su s USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.tus >= s.t0 GROUP BY 1)
+        | SELECT m, count(*) AS n_signups, count(dus) AS n_converted,
+        |  round(CAST(count(dus) AS DOUBLE) / count(*) + 5e-10, 4)
+        |   AS conv_rate,
+        |  round(CAST(median(dus) AS DOUBLE) / 3600000000.0 + 5e-10, 4)
+        |   AS med_hours
+        | FROM sm LEFT JOIN conv USING (user_id)
+        | GROUP BY m ORDER BY m"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_graph_degree" ->

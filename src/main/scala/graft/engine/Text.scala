@@ -1129,6 +1129,49 @@ object Text {
         .orderBy(col("survivor_id"))
     },
 
+    // Dataset card — the per-(lang, source) summary report shipped with a
+    // training corpus (HF dataset-card / Datasheets style): doc and exact
+    // token counts, median doc length, distinct-template count (100-char
+    // prefix, the dedup_prefix key) and its uniqueness ratio. ONE
+    // partial-agg scan; every statistic rides the same (lang, source)
+    // exchange. The median interpolates exact integers ((a+b)/2 — the
+    // q_agg_mad parity argument), so the whole card is engine-exact.
+    "q_pipeline_dataset_card" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("tok"),
+          substring(col("text"), 1, 100).as("pfx"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("tok")).as("n_tokens"),
+          eround(median(col("tok")), 1).as("p50_tokens"),
+          countDistinct(col("pfx")).as("n_templates"),
+          eround(countDistinct(col("pfx")).cast("double")
+            / count(lit(1)), 4).as("uniq_ratio"))
+        .orderBy(col("lang"), col("source"))
+    },
+
+    // Per-document n-gram novelty — the "how much of this doc exists
+    // nowhere else" curation signal (the inverse of duplication: prefer
+    // high-novelty docs when budgeting tokens): fraction of a doc's
+    // DISTINCT 3-shingles appearing in no other document. The exploded
+    // shingle stream is distinct-per-doc, so corpus support is a plain
+    // count; one shingle-keyed shuffle + a shuffled-hash join back, the
+    // dedup_span cost shape. Linear in corpus shingles.
+    "q_text_ngram_novelty" -> { (s, d) =>
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(array_distinct(shingles(toks(col("text"))))).as("g"))
+      val counts = sh.groupBy(col("g")).agg(count(lit(1)).as("nd"))
+      sh.join(counts, Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          count(when(col("nd") === 1, 1)).as("n_unique"),
+          eround(count(when(col("nd") === 1, 1)).cast("double")
+            / count(lit(1)), 4).as("novelty"))
+        .orderBy(col("doc_id"))
+    },
+
     "q_sample_hash_group" -> { (s, d) =>
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("lang"))
@@ -2386,6 +2429,31 @@ object Text {
         |    '[a-z0-9.]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
         |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
         | FROM raw ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_pipeline_dataset_card" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  round(CAST(median(len(string_split(text, ' '))) AS DOUBLE)
+        |    + 5e-10, 1) AS p50_tokens,
+        |  count(DISTINCT substring(text, 1, 100)) AS n_templates,
+        |  round(CAST(count(DISTINCT substring(text, 1, 100)) AS DOUBLE)
+        |    / count(*) + 5e-10, 4) AS uniq_ratio
+        | FROM documents GROUP BY 1, 2 ORDER BY 1, 2"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_text_ngram_novelty" ->
+      s"""WITH sh AS (SELECT doc_id,
+         |  unnest(list_distinct(list_transform(
+         |   generate_series(1, greatest(len($oToks) - 2, 1)),
+         |   i -> array_to_string($oToks[i:i+2], ' ')))) AS g
+         |  FROM documents),
+         | c AS (SELECT g, count(*) AS nd FROM sh GROUP BY g)
+         | SELECT doc_id, count(*) AS n_shingles,
+         |  count(CASE WHEN nd = 1 THEN 1 END) AS n_unique,
+         |  round(CAST(count(CASE WHEN nd = 1 THEN 1 END) AS DOUBLE)
+         |    / count(*) + 5e-10, 4) AS novelty
+         | FROM sh JOIN c USING (g) GROUP BY doc_id ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_sample_balanced" ->

@@ -2292,6 +2292,83 @@ class EngineLawsSpec extends SparkSuite {
     assert(got.getDouble(3) === expect)
   }
 
+  test("q_pipeline_dataset_card replays one cell and conserves docs") {
+    val rows = SparkEntry.queries("q_pipeline_dataset_card")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows.map(_.getLong(2)).sum === docs.length.toLong)
+    val (lg, src) = (rows.head.getString(0), rows.head.getString(1))
+    val cell = docs.filter(t => t._1 == lg && t._2 == src)
+    val toksN = cell.map(_._3.split(" ", -1).length.toLong).sorted
+    assert(rows.head.getLong(3) === toksN.sum)
+    val med = if (toksN.length % 2 == 1) toksN(toksN.length / 2).toDouble
+      else (toksN(toksN.length / 2 - 1) + toksN(toksN.length / 2)) / 2.0
+    assert(rows.head.getDouble(4) ===
+      math.floor((med + 5e-10) * 10 + 0.5) / 10)
+    assert(rows.head.getLong(5) ===
+      cell.map(_._3.take(100)).distinct.length.toLong)
+    rows.foreach(r => assert(r.getDouble(6) > 0 && r.getDouble(6) <= 1.0))
+  }
+
+  test("q_shape_funnel_time replays one cohort month") {
+    val rows = SparkEntry.queries("q_shape_funnel_time")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      if (!r.isNullAt(4)) assert(r.getDouble(4) >= 0.0)
+    }
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("tus")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val su = ev.filter(_._2 == "signup").groupBy(_._1).view
+      .mapValues(_.map(_._3).min).toMap
+    val purch = ev.filter(_._2 == "purchase").groupBy(_._1).view
+      .mapValues(_.map(_._3)).toMap
+    def monthOf(us: Long): String = java.time.Instant
+      .ofEpochSecond(us / 1000000L).atZone(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM"))
+    val total = su.size.toLong
+    assert(rows.map(_.getLong(1)).sum === total)
+    val converted = su.count { case (u, t0) =>
+      purch.getOrElse(u, Array.empty[Long]).exists(_ >= t0)
+    }
+    assert(rows.map(_.getLong(2)).sum === converted.toLong)
+    // replay the first month's signup count
+    val firstMonth = su.values.map(monthOf).min
+    val nFirst = su.values.count(t0 => monthOf(t0) == firstMonth)
+    assert(rows.head.getLong(1) === nFirst.toLong)
+  }
+
+  test("q_text_ngram_novelty is bounded and replays one document") {
+    val rows = SparkEntry.queries("q_text_ngram_novelty")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def sh(t: String): Set[String] = {
+      val w = t.toLowerCase.split(" ", -1)
+      val n = math.max(w.length - 2, 1)
+      (1 to n).map(i => w.slice(i - 1, i + 2).mkString(" ")).toSet
+    }
+    val all = docs.map { case (id, t) => (id, sh(t)) }
+    val support = all.flatMap(_._2.toSeq).groupBy(identity).view
+      .mapValues(_.length).toMap
+    val (id0, g0) = all.head
+    val uniq = g0.count(g => support(g) == 1)
+    val got = rows.find(_.getLong(0) == id0).get
+    assert(got.getLong(1) === g0.size.toLong)
+    assert(got.getLong(2) === uniq.toLong)
+  }
+
   test("q_ts_diurnal index is count-weighted to one per type") {
     val rows = SparkEntry.queries("q_ts_diurnal")(spark, sf).collect()
     assert(rows.nonEmpty)
