@@ -189,7 +189,10 @@ object Bench {
       // round-6 batch 30: corpus summary card, conversion-latency funnel,
       // and the shingle-support novelty scan (fact-scale shuffles)
       "q_pipeline_dataset_card", "q_shape_funnel_time",
-      "q_text_ngram_novelty")
+      "q_text_ngram_novelty",
+      // round-6 batch 31: retrieval-eval scan (corpus x probes) and the
+      // vocab-head Zipf regression (corpus token explode)
+      "q_sim_eval_ndcg", "q_text_zipf_fit")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

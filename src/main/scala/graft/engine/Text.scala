@@ -1129,6 +1129,48 @@ object Text {
         .orderBy(col("survivor_id"))
     },
 
+    // Zipf-law fit over the term-frequency head — the corpus-health
+    // profiler (a natural corpus has slope ≈ −1 on log-log rank/freq;
+    // template spam and boilerplate bend it): least-squares slope +
+    // intercept of ln(freq) vs ln(rank) over the top-500 terms (freq ≥ 5,
+    // (freq desc, term) rank — head-bounded, so the one unpartitioned
+    // rank window is over ≤500 rows by construction). Parity recipe:
+    // each ln ε-rounds to exact integer NANO-lns (round(ln·1e9) BIGINT —
+    // both engines round the same double), every regression moment is
+    // then an exact DECIMAL(38,0)/HUGEINT sum, and the two final
+    // divisions are the only floats. One vocab aggregate + a 500-row
+    // frame; the corpus is scanned once.
+    "q_text_zipf_fit" -> { (s, d) =>
+      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val head = Tables.documents(s, d)
+        .select(explode(toks(col("text"))).as("t"))
+        .groupBy(col("t")).agg(count(lit(1)).as("freq"))
+        .filter(col("freq") >= 5)
+        .orderBy(desc("freq"), asc("t")).limit(500)
+      val xy = head
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(desc("freq"), asc("t"))))
+        .select(
+          round(log(col("rank")) * 1e9).cast("long").as("x"),
+          round(log(col("freq")) * 1e9).cast("long").as("y"))
+      val m = xy.agg(count(lit(1)).cast(dec38).as("n"),
+        sum(col("x").cast(dec38)).as("sx"),
+        sum(col("y").cast(dec38)).as("sy"),
+        sum(col("x").cast(dec19) * col("y").cast(dec19)).as("sxy"),
+        sum(col("x").cast(dec19) * col("x").cast(dec19)).as("sxx"))
+      val slope = eround((col("n") * col("sxy") - col("sx") * col("sy"))
+        .cast("double")
+        / (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 6)
+      m.withColumn("slope", slope)
+        .withColumn("n_terms", col("n").cast("long"))
+        .select(col("n_terms"), col("slope"),
+          eround((col("sy").cast("double") - col("slope")
+            * col("sx").cast("double")) / col("n_terms") / 1e9, 6)
+            .as("intercept"))
+    },
+
     // Dataset card — the per-(lang, source) summary report shipped with a
     // training corpus (HF dataset-card / Datasheets style): doc and exact
     // token counts, median doc length, distinct-template count (100-char
@@ -2429,6 +2471,33 @@ object Text {
         |    '[a-z0-9.]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
         |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
         | FROM raw ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Mirrors the nano-ln integer moments and the rounded-slope-reuse
+    // intercept; internal state HUGEINT.
+    "q_text_zipf_fit" ->
+      s"""WITH tf AS (SELECT t, count(*) AS freq FROM
+         |  (SELECT unnest($oToks) AS t FROM documents)
+         |  GROUP BY t HAVING count(*) >= 5),
+         | head AS (SELECT t, freq FROM tf ORDER BY freq DESC, t LIMIT 500),
+         | xy AS (SELECT
+         |   CAST(round(ln(CAST(row_number() OVER (ORDER BY freq DESC, t)
+         |     AS DOUBLE)) * 1e9) AS BIGINT) AS x,
+         |   CAST(round(ln(CAST(freq AS DOUBLE)) * 1e9) AS BIGINT) AS y
+         |  FROM head),
+         | m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+         |   CAST(count(*) AS BIGINT) AS n_terms,
+         |   CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+         |   sum(CAST(x AS HUGEINT) * y) AS sxy,
+         |   sum(CAST(x AS HUGEINT) * x) AS sxx FROM xy),
+         | sl AS (SELECT n_terms, sx, sy,
+         |   round(CAST(n * sxy - sx * sy AS DOUBLE)
+         |     / CAST(n * sxx - sx * sx AS DOUBLE) + 5e-10, 6) AS slope
+         |  FROM m)
+         | SELECT n_terms, slope,
+         |  round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+         |    / n_terms / 1e9 + 5e-10, 6) AS intercept
+         | FROM sl"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_pipeline_dataset_card" ->

@@ -194,6 +194,56 @@ object Vectors {
         .orderBy(col("probe_id"), col("rnk"))
     },
 
+    // Retrieval-quality evaluation (MRR + nDCG@10) of exact cosine
+    // search against label relevance — the eval harness every ANN
+    // variant in this file is ultimately judged by, expressed as a
+    // query: per probe, rank all candidates by the q_sim_topk recipe
+    // (rounded cosine, vec_id tiebreak), mark label matches relevant,
+    // score 1/first-hit-rank and DCG/IDCG. Every log2 position weight
+    // ε-rounds to DECIMAL(18,9) BEFORE summation (the PMI/libm-ulp
+    // recipe) so DCG/IDCG are exact order-free sums; IDCG takes
+    // min(corpus relevant, 10) ideal positions via a per-probe
+    // sequence. Probe set broadcasts; one bounded top-k window.
+    "q_sim_eval_ndcg" -> { (s, d) =>
+      val dec = org.apache.spark.sql.types.DecimalType(18, 9)
+      val emb = Tables.embeddings(s, d).withColumn("v", vd(col("embedding")))
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"),
+          col("label").as("plabel"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id")).orderBy(desc("cos_r"), asc("vec_id"))
+      val pw = eround(lit(1.0) / log2(col("rnk") + 1), 9).cast(dec)
+      val scored = emb.select(col("vec_id"), col("v"), col("label"))
+        .crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("cos_r", eround(cosine(col("pv"), col("v")), 6))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .withColumn("rel", (col("label") === col("plabel")).cast("int"))
+        .groupBy(col("probe_id"), col("plabel"))
+        .agg(sum(when(col("rel") === 1, pw)).as("dcg"),
+          sum(col("rel")).as("n_rel_top10"),
+          min(when(col("rel") === 1, col("rnk"))).as("first_rel"))
+      val idcg = probes
+        .join(broadcast(emb.groupBy(col("label")).agg(count(lit(1))
+          .as("lc"))), col("plabel") === col("label"))
+        .select(col("probe_id"), (col("lc") - 1).as("nr"))
+        .filter(col("nr") >= 1)
+        .select(col("probe_id"),
+          explode(sequence(lit(1), least(col("nr"), lit(10)))).as("i"))
+        .groupBy(col("probe_id"))
+        .agg(sum(eround(lit(1.0) / log2(col("i") + 1), 9).cast(dec))
+          .as("idcg"))
+      scored.join(idcg, Seq("probe_id"), "left")
+        .select(col("probe_id"), col("plabel").as("label"),
+          col("n_rel_top10"),
+          coalesce(eround(lit(1.0) / col("first_rel"), 6), lit(0.0))
+            .as("mrr"),
+          coalesce(eround(col("dcg").cast("double")
+            / col("idcg").cast("double"), 6), lit(0.0)).as("ndcg"))
+        .orderBy(col("probe_id"))
+    },
+
     // Matryoshka-representation ANN (MRL-style prefix truncation): coarse
     // rank on the FIRST 16 dimensions only (4× cheaper dot products and
     // 4× smaller scan footprint — with MRL-trained embeddings the prefix
@@ -865,6 +915,44 @@ object Vectors {
          |  FROM s)
          | SELECT probe_id, rnk, vec_id, cos_r FROM r WHERE rnk <= 5
          | ORDER BY probe_id, rnk"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Mirrors the ε-rounded DECIMAL(18,9) position weights and the
+    // min(corpus-relevant, 10) ideal ranking.
+    "q_sim_eval_ndcg" ->
+      s"""WITH e AS (SELECT vec_id, $oVd AS v, label FROM embeddings),
+         | p AS (SELECT vec_id AS probe_id, v AS pv, label AS plabel
+         |  FROM e WHERE vec_id < 10),
+         | s AS (SELECT p.probe_id, p.plabel, e.vec_id, e.label,
+         |   round(list_dot_product(p.pv, e.v)
+         |     / (sqrt(list_dot_product(p.pv, p.pv))
+         |        * sqrt(list_dot_product(e.v, e.v))) + 5e-10, 6) AS cos_r
+         |  FROM e, p WHERE e.vec_id <> p.probe_id),
+         | r AS (SELECT probe_id, plabel, vec_id, label, row_number() OVER
+         |   (PARTITION BY probe_id ORDER BY cos_r DESC, vec_id ASC) AS rnk
+         |  FROM s),
+         | t AS (SELECT *, CAST(round(1.0 / log2(rnk + 1) + 5e-10, 9)
+         |   AS DECIMAL(18,9)) AS pw FROM r WHERE rnk <= 10),
+         | sc AS (SELECT probe_id, plabel,
+         |   sum(CASE WHEN label = plabel THEN pw END) AS dcg,
+         |   CAST(count(CASE WHEN label = plabel THEN 1 END) AS BIGINT)
+         |    AS n_rel_top10,
+         |   min(CASE WHEN label = plabel THEN rnk END) AS first_rel
+         |  FROM t GROUP BY 1, 2),
+         | nr AS (SELECT p.probe_id, count(*) AS nr FROM p
+         |  JOIN e ON e.label = p.plabel AND e.vec_id <> p.probe_id
+         |  GROUP BY 1),
+         | pos AS (SELECT unnest(generate_series(1, 10)) AS i),
+         | ideal AS (SELECT probe_id,
+         |   sum(CAST(round(1.0 / log2(i + 1) + 5e-10, 9)
+         |     AS DECIMAL(18,9))) AS idcg
+         |  FROM nr JOIN pos ON pos.i <= least(nr.nr, 10) GROUP BY 1)
+         | SELECT sc.probe_id, sc.plabel AS label, sc.n_rel_top10,
+         |  COALESCE(round(1.0 / sc.first_rel + 5e-10, 6), 0.0) AS mrr,
+         |  COALESCE(round(CAST(sc.dcg AS DOUBLE)
+         |    / CAST(ideal.idcg AS DOUBLE) + 5e-10, 6), 0.0) AS ndcg
+         | FROM sc LEFT JOIN ideal USING (probe_id)
+         | ORDER BY sc.probe_id"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_dedup_embedding" ->

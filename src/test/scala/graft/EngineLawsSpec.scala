@@ -2369,6 +2369,73 @@ class EngineLawsSpec extends SparkSuite {
     assert(got.getLong(2) === uniq.toLong)
   }
 
+  test("q_sim_eval_ndcg replays the scoring for every probe") {
+    val rows = SparkEntry.queries("q_sim_eval_ndcg")(spark, sf).collect()
+    assert(rows.length === 10)
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"), col("label")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getInt(2)))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { dot += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r6(x: Double) = math.floor((x + 5e-10) * 1e6 + 0.5) / 1e6
+    def r9(x: Double) = math.floor((x + 5e-10) * 1e9 + 0.5) / 1e9
+    rows.foreach { r =>
+      val pid = r.getLong(0)
+      val (_, pv, plabel) = emb.find(_._1 == pid).get
+      val ranked = emb.filter(_._1 != pid)
+        .map { case (id, v, l) => (id, l, r6(cos(pv, v))) }
+        .sortBy { case (id, _, c) => (-c, id) }.take(10)
+      assert(r.getInt(1) === plabel)
+      val rels = ranked.map(_._2 == plabel)
+      assert(r.getLong(2) === rels.count(identity).toLong)
+      val firstRel = rels.indexOf(true)
+      val mrr = if (firstRel < 0) 0.0 else r6(1.0 / (firstRel + 1))
+      assert(r.getDouble(3) === mrr)
+      val dcg = rels.zipWithIndex.collect { case (true, i) =>
+        BigDecimal(r9(1.0 / (math.log(i + 2) / math.log(2)))) }.sum
+      val nRel = emb.count(e => e._1 != pid && e._3 == plabel)
+      val idcg = (1 to math.min(nRel, 10)).map(i =>
+        BigDecimal(r9(1.0 / (math.log(i + 1) / math.log(2))))).sum
+      val ndcg = if (dcg == 0) 0.0 else r6((dcg / idcg).toDouble)
+      assert(math.abs(r.getDouble(4) - ndcg) < 2e-6,
+        s"probe $pid ndcg ${r.getDouble(4)} vs $ndcg")
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q_text_zipf_fit slope is negative and replays the regression") {
+    val rows = SparkEntry.queries("q_text_zipf_fit")(spark, sf).collect()
+    assert(rows.length === 1)
+    val r = rows.head
+    assert(r.getDouble(1) < 0.0)
+    val freqs = Tables.documents(spark, sf)
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).toLowerCase.split(" ", -1))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .filter(_._2 >= 5)
+      .sortBy { case (t, f) => (-f, t) }.take(500)
+    assert(r.getLong(0) === freqs.length.toLong)
+    val xy = freqs.zipWithIndex.map { case ((_, f), i) =>
+      (BigInt(math.round(math.log(i + 1.0) * 1e9)),
+        BigInt(math.round(math.log(f.toDouble) * 1e9)))
+    }
+    val n = BigInt(xy.length)
+    val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+    val sxy = xy.map { case (a, b) => a * b }.sum
+    val sxx = xy.map { case (a, _) => a * a }.sum
+    val slope = math.floor(((n * sxy - sx * sy).toDouble
+      / (n * sxx - sx * sx).toDouble + 5e-10) * 1e6 + 0.5) / 1e6
+    assert(r.getDouble(1) === slope)
+    val inter = math.floor(((sy.toDouble - slope * sx.toDouble)
+      / xy.length / 1e9 + 5e-10) * 1e6 + 0.5) / 1e6
+    assert(r.getDouble(2) === inter)
+  }
+
   test("q_ts_diurnal index is count-weighted to one per type") {
     val rows = SparkEntry.queries("q_ts_diurnal")(spark, sf).collect()
     assert(rows.nonEmpty)
