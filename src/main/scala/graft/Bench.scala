@@ -192,7 +192,10 @@ object Bench {
       "q_text_ngram_novelty",
       // round-6 batch 31: retrieval-eval scan (corpus x probes) and the
       // vocab-head Zipf regression (corpus token explode)
-      "q_sim_eval_ndcg", "q_text_zipf_fit")
+      "q_sim_eval_ndcg", "q_text_zipf_fit",
+      // round-6 batch 32: lateness running-max window + the staged
+      // windowFunnel joins (both shuffle events on their keys)
+      "q_stream_lateness", "q_shape_window_funnel")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

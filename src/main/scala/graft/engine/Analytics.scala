@@ -1052,6 +1052,52 @@ object Analytics {
         .orderBy(col("iso_dow"))
     },
 
+    // windowFunnel — the sequence-within-window matcher (ClickHouse's
+    // windowFunnel / Amplitude funnels): per view→click→purchase chain,
+    // how deep does the user get within 24 h of the chain's START?
+    // Greedy earliest-next semantics (advance each chain with the
+    // EARLIEST qualifying next step — earliest-next never hurts
+    // reachability, so depth equals the max achievable): stage k→k+1 is
+    // a user-keyed equi-join + time-range filter with a min(struct)
+    // argmin per chain, i.e. one bounded aggregate per stage, never a
+    // per-user array materialization. All timestamps exact BIGINT
+    // micros. Output: per user, chain starts, chains reaching each
+    // depth, and the max depth.
+    "q_shape_window_funnel" -> { (s, d) =>
+      val win = 86400000000L
+      val ev = Tables.events(s, d)
+        .withColumn("tus", expr("unix_micros(ts)"))
+        .select(col("user_id"), col("event_type"), col("tus"),
+          col("event_id"))
+      def step(t: String) = ev.filter(col("event_type") === t)
+      val v = step("view").select(col("user_id"), col("tus").as("t1"),
+        col("event_id").as("id1"))
+      val s2 = v
+        .join(step("click").select(col("user_id"), col("tus").as("tc"),
+          col("event_id").as("idc")), Seq("user_id"))
+        .filter(col("tc") >= col("t1") && col("tc") <= col("t1") + win)
+        .groupBy(col("user_id"), col("t1"), col("id1"))
+        .agg(min(struct(col("tc"), col("idc"))).as("nx"))
+        .select(col("user_id"), col("t1"), col("id1"),
+          col("nx.tc").as("t2"))
+      val s3 = s2
+        .join(step("purchase").select(col("user_id"), col("tus").as("tp")),
+          Seq("user_id"))
+        .filter(col("tp") >= col("t2") && col("tp") <= col("t1") + win)
+        .select(col("user_id"), col("t1"), col("id1")).distinct()
+      v.groupBy(col("user_id")).agg(count(lit(1)).as("n_starts"))
+        .join(s2.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_reached2")), Seq("user_id"), "left")
+        .join(s3.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_completed")), Seq("user_id"), "left")
+        .na.fill(0L, Seq("n_reached2", "n_completed"))
+        .select(col("user_id"), col("n_starts"), col("n_reached2"),
+          col("n_completed"),
+          when(col("n_completed") > 0, 3)
+            .when(col("n_reached2") > 0, 2).otherwise(1).as("depth"))
+        .orderBy(col("user_id"))
+    },
+
     // Time-to-convert funnel — the cohort-latency companion to
     // q_shape_funnel (which measures IF users convert; this measures HOW
     // FAST): per first-signup month, signup count, converted count
@@ -1756,6 +1802,38 @@ object Analytics {
         |  round(CAST(sg * n AS DOUBLE) / CAST(n_orders * sc AS DOUBLE)
         |    + 5e-10, 6) AS rev_index
         | FROM g CROSS JOIN tot ORDER BY iso_dow"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Mirrors the greedy earliest-next argmin as a rank window.
+    "q_shape_window_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, event_id,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+        | v AS (SELECT user_id, tus AS t1, event_id AS id1 FROM ev
+        |  WHERE event_type = 'view'),
+        | c2 AS (SELECT v.user_id, v.t1, v.id1, c.tus AS tc,
+        |   c.event_id AS idc,
+        |   row_number() OVER (PARTITION BY v.user_id, v.t1, v.id1
+        |     ORDER BY c.tus, c.event_id) AS rn
+        |  FROM v JOIN ev c ON c.user_id = v.user_id
+        |  WHERE c.event_type = 'click' AND c.tus >= v.t1
+        |   AND c.tus <= v.t1 + 86400000000),
+        | s2 AS (SELECT user_id, t1, id1, tc AS t2 FROM c2 WHERE rn = 1),
+        | s3 AS (SELECT DISTINCT s2.user_id, s2.t1, s2.id1
+        |  FROM s2 JOIN ev p ON p.user_id = s2.user_id
+        |  WHERE p.event_type = 'purchase' AND p.tus >= s2.t2
+        |   AND p.tus <= s2.t1 + 86400000000),
+        | d1 AS (SELECT user_id, count(*) AS n_starts FROM v GROUP BY 1),
+        | d2 AS (SELECT user_id, count(*) AS n_reached2 FROM s2
+        |  GROUP BY 1),
+        | d3 AS (SELECT user_id, count(*) AS n_completed FROM s3
+        |  GROUP BY 1)
+        | SELECT d1.user_id, n_starts,
+        |  COALESCE(n_reached2, 0) AS n_reached2,
+        |  COALESCE(n_completed, 0) AS n_completed,
+        |  CASE WHEN COALESCE(n_completed, 0) > 0 THEN 3
+        |   WHEN COALESCE(n_reached2, 0) > 0 THEN 2 ELSE 1 END AS depth
+        | FROM d1 LEFT JOIN d2 USING (user_id)
+        | LEFT JOIN d3 USING (user_id) ORDER BY d1.user_id"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_shape_funnel_time" ->

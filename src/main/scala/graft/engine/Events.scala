@@ -309,6 +309,33 @@ object Events {
         .orderBy(col("event_type"))
     },
 
+    // Event-time lateness profile — the out-of-orderness measurement run
+    // BEFORE sizing a streaming watermark (SURVEY §2.9's batch-checkable
+    // contract): with event_id as arrival order, an event's lateness is
+    // how far the already-seen event-time high-water mark is ahead of
+    // its own timestamp. Per type: late share at the 30-min candidate
+    // watermark, worst lateness, and the dropped-row count a 30-min
+    // watermark would cost. One type-partitioned running-max window in
+    // exact BIGINT micros — single shuffle, O(1) frame state.
+    "q_stream_lateness" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy(col("event_type")).orderBy(col("event_id"))
+        .rowsBetween(W.unboundedPreceding, -1)
+      Tables.events(s, d)
+        .withColumn("tus", expr("unix_micros(ts)"))
+        .withColumn("hwm", max(col("tus")).over(w))
+        .withColumn("late_us",
+          greatest(coalesce(col("hwm") - col("tus"), lit(0L)), lit(0L)))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(when(col("late_us") > 1800000000L, 1)).as("n_late_30m"),
+          eround(count(when(col("late_us") > 1800000000L, 1))
+            .cast("double") / count(lit(1)), 4).as("late_share"),
+          eround(max(col("late_us")).cast("double") / 3.6e9, 4)
+            .as("max_late_hours"))
+        .orderBy(col("event_type"))
+    },
+
     // Sample autocorrelation of the hourly arrival-count series at lags
     // 1..6 per event type — the periodicity probe run before picking a
     // seasonal-naive lag (see q_ts_backtest). The series is the DENSE
@@ -581,6 +608,22 @@ object Events {
          |    AS DOUBLE) / count(*) + 5e-10, 4) AS mae
          | FROM hourly JOIN pred USING (event_type, h)
          | GROUP BY event_type ORDER BY event_type"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_stream_lateness" ->
+      """WITH e AS (SELECT event_type, event_id,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS tus FROM events),
+        | l AS (SELECT event_type,
+        |   greatest(COALESCE(max(tus) OVER (PARTITION BY event_type
+        |     ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |     1 PRECEDING) - tus, 0), 0) AS late_us FROM e)
+        | SELECT event_type, count(*) AS n,
+        |  count(CASE WHEN late_us > 1800000000 THEN 1 END) AS n_late_30m,
+        |  round(CAST(count(CASE WHEN late_us > 1800000000 THEN 1 END)
+        |    AS DOUBLE) / count(*) + 5e-10, 4) AS late_share,
+        |  round(CAST(max(late_us) AS DOUBLE) / 3600000000.0 + 5e-10, 4)
+        |   AS max_late_hours
+        | FROM l GROUP BY event_type ORDER BY event_type"""
         .stripMargin.replaceAll("\n", " "),
 
     // Mirrors the dense grid, the n-scaled integer deviations, and the

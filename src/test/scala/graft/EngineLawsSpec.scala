@@ -2436,6 +2436,68 @@ class EngineLawsSpec extends SparkSuite {
     assert(r.getDouble(2) === inter)
   }
 
+  test("q_stream_lateness replays the arrival-order high-water mark") {
+    val rows = SparkEntry.queries("q_stream_lateness")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .select(col("event_id"), expr("unix_micros(ts)")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    var hwm = Long.MinValue
+    var nLate = 0L; var maxLate = 0L
+    ev.foreach { case (_, t) =>
+      val late = if (hwm == Long.MinValue) 0L else math.max(hwm - t, 0L)
+      if (late > 1800000000L) nLate += 1
+      maxLate = math.max(maxLate, late)
+      hwm = math.max(hwm, t)
+    }
+    val got = rows.find(_.getString(0) == "click").get
+    assert(got.getLong(1) === ev.length.toLong)
+    assert(got.getLong(2) === nLate)
+    assert(got.getDouble(4) === math.floor((maxLate / 3.6e9 + 5e-10)
+      * 1e4 + 0.5) / 1e4)
+  }
+
+  test("q_shape_window_funnel replays greedy earliest-next chains") {
+    val rows = SparkEntry.queries("q_shape_window_funnel")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2))
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getInt(4) >= 1 && r.getInt(4) <= 3)
+    }
+    val win = 86400000000L
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("tus"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val byUser = ev.groupBy(_._1)
+    rows.foreach { r =>
+      val u = r.getLong(0)
+      val e = byUser(u)
+      val views = e.filter(_._2 == "view").map(t => (t._3, t._4))
+      assert(r.getLong(1) === views.length.toLong)
+      val clicks = e.filter(_._2 == "click").map(t => (t._3, t._4)).sorted
+      val purch = e.filter(_._2 == "purchase").map(_._3)
+      var n2 = 0L; var n3 = 0L
+      views.foreach { case (t1, _) =>
+        clicks.find { case (tc, _) => tc >= t1 && tc <= t1 + win } match {
+          case Some((t2, _)) =>
+            n2 += 1
+            if (purch.exists(tp => tp >= t2 && tp <= t1 + win)) n3 += 1
+          case None => ()
+        }
+      }
+      assert(r.getLong(2) === n2, s"user $u reached2")
+      assert(r.getLong(3) === n3, s"user $u completed")
+    }
+  }
+
   test("q_ts_diurnal index is count-weighted to one per type") {
     val rows = SparkEntry.queries("q_ts_diurnal")(spark, sf).collect()
     assert(rows.nonEmpty)
