@@ -1196,21 +1196,32 @@ object Text {
     // Per-document n-gram novelty — the "how much of this doc exists
     // nowhere else" curation signal (the inverse of duplication: prefer
     // high-novelty docs when budgeting tokens): fraction of a doc's
-    // DISTINCT 3-shingles appearing in no other document. The exploded
-    // shingle stream is distinct-per-doc, so corpus support is a plain
-    // count; one shingle-keyed shuffle + a shuffled-hash join back, the
-    // dedup_span cost shape. Linear in corpus shingles.
+    // DISTINCT 3-shingles appearing in no other document. The owner
+    // trick kills the naive join-back of the full shingle stream: a
+    // support-1 shingle belongs to exactly its min(doc_id), so ONE
+    // shingle-keyed aggregate (count + min riding together) followed by
+    // a tiny per-owner rollup yields n_unique per doc, and n_shingles
+    // is map-only per row. The shingle stream is shuffled once and the
+    // join joins two doc-cardinality aggregates — at 100 TB the big
+    // stream crosses the wire exactly once (4.0 → ~1.3 s at sf0.1).
     "q_text_ngram_novelty" -> { (s, d) =>
-      val sh = Tables.documents(s, d)
+      val uniq = Tables.documents(s, d)
         .select(col("doc_id"),
           explode(array_distinct(shingles(toks(col("text"))))).as("g"))
-      val counts = sh.groupBy(col("g")).agg(count(lit(1)).as("nd"))
-      sh.join(counts, Seq("g"))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_shingles"),
-          count(when(col("nd") === 1, 1)).as("n_unique"),
-          eround(count(when(col("nd") === 1, 1)).cast("double")
-            / count(lit(1)), 4).as("novelty"))
+        .groupBy(col("g"))
+        .agg(count(lit(1)).as("nd"), min(col("doc_id")).as("owner"))
+        .filter(col("nd") === 1)
+        .groupBy(col("owner").as("doc_id"))
+        .agg(count(lit(1)).as("n_unique"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(array_distinct(shingles(toks(col("text")))))
+            .cast("long").as("n_shingles"))
+        .join(uniq, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_unique"))
+        .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+          eround(col("n_unique").cast("double") / col("n_shingles"), 4)
+            .as("novelty"))
         .orderBy(col("doc_id"))
     },
 
