@@ -195,7 +195,10 @@ object Bench {
       "q_sim_eval_ndcg", "q_text_zipf_fit",
       // round-6 batch 32: lateness running-max window + the staged
       // windowFunnel joins (both shuffle events on their keys)
-      "q_stream_lateness", "q_shape_window_funnel")
+      "q_stream_lateness", "q_shape_window_funnel",
+      // round-6 batch 33: the IVF-PQ pipeline (coarse route + residual
+      // encode + per-list ADC + rerank over the embedding corpus)
+      "q_vec_ivfpq")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

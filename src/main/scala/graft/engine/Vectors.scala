@@ -800,6 +800,102 @@ object Vectors {
     // the production-scale path keeps cluster width constant by scaling
     // k with corpus size (k = n/64 here) and assigning via the
     // broadcast-centroid map-side argmin exactly as q_vec_kmeans does.
+    // IVF-PQ (Jégou et al.) — the production-standard billion-scale ANN
+    // architecture, composing this file's two halves: an 8-list coarse
+    // quantizer (pinned seed centroids — production IVF trains its
+    // coarse book offline) routes every vector to a list; PQ runs on
+    // the RESIDUAL q − centroid (16 codes × 4 subspaces, one Lloyd
+    // iteration on the vec_id < 256 sample); probes scan only their
+    // nprobe = 3 closest lists with per-list residual ADC tables, then
+    // the ADC top-200 shortlist reranks exactly. ORACLE-EXACT like
+    // q_vec_pq: integer micros end to end, truncating-division centroid
+    // updates, (dist, id) tiebreaks — no epsilon anywhere. Scale shape:
+    // coarse book (8 rows), PQ codebook (64 rows) and the probes'
+    // ADC tables broadcast; the corpus is touched for coarse-assign +
+    // encode and again only for the shortlisted rerank decodes; the
+    // candidate join filters on list_id FIRST, so each probe reads
+    // ~2/8ths of the code table — the IVF pruning that makes PQ scan
+    // sub-linear.
+    "q_vec_ivfpq" -> { (s, d) =>
+      GraftFunctions.register(s)
+      val qs = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr("int_micros(embedding)").as("q"))
+      val coarse = qs.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("l_id"), col("q").as("lv"))
+      val asgC = qs.crossJoin(broadcast(coarse))
+        .withColumn("cd", expr("int_sqdist(q, lv)"))
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("cd"), col("l_id"))).as("m"))
+        .select(col("vec_id"), col("m.l_id").as("list_id"))
+      val res = qs.join(asgC, "vec_id")
+        .join(broadcast(coarse), col("list_id") === col("l_id"))
+        .select(col("vec_id"), col("list_id"),
+          expr("zip_with(q, lv, (a, b) -> a - b)").as("r"))
+      val subs = res.withColumn("sd", expr("size(r) DIV 4"))
+        .select(col("vec_id"), col("list_id"),
+          explode(sequence(lit(0), lit(3))).as("sub_id"),
+          expr("slice(r, sub_id * sd + 1, sd)").as("sv"))
+      val sample = subs.filter(col("vec_id") < 256)
+      def assign(over: DataFrame, cb: DataFrame): DataFrame =
+        over.join(broadcast(cb), Seq("sub_id"))
+          .withColumn("dist", expr("int_sqdist(sv, cv)"))
+          .groupBy(col("vec_id"), col("sub_id"))
+          .agg(min(struct(col("dist"), col("c_id"))).as("m"))
+          .select(col("vec_id"), col("sub_id"), col("m.c_id").as("code"))
+      def update(asg: DataFrame): DataFrame =
+        asg.join(sample, Seq("vec_id", "sub_id"))
+          .select(col("sub_id"), col("code"), posexplode(col("sv")))
+          .groupBy(col("sub_id"), col("code"), col("pos"))
+          .agg(expr("sum(col) DIV count(1)").as("cx"))
+          .groupBy(col("sub_id"), col("code"))
+          .agg(transform(array_sort(collect_list(struct(col("pos"),
+            col("cx")))), t => t.getField("cx")).as("cv"))
+          .select(col("sub_id"), col("code").as("c_id"), col("cv"))
+      val seed = sample.filter(col("vec_id") < 16)
+        .select(col("sub_id"), col("vec_id").as("c_id"), col("sv").as("cv"))
+      val cb = update(assign(sample, seed)).localCheckpoint()
+      ccPinned.put(s"ivfpq:$d", cb).foreach(freeCheckpoint)
+      val enc = assign(subs, cb).join(asgC, "vec_id")
+      val probes = qs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("q").as("pq"))
+      val wl = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id")).orderBy(asc("cd"), asc("l_id"))
+      val plists = probes.crossJoin(broadcast(coarse))
+        .withColumn("cd", expr("int_sqdist(pq, lv)"))
+        .withColumn("rl", row_number().over(wl))
+        .filter(col("rl") <= 3)
+        .select(col("probe_id"), col("l_id").as("list_id"),
+          expr("zip_with(pq, lv, (a, b) -> a - b)").as("pr"))
+      val dt = plists.withColumn("sd", expr("size(pr) DIV 4"))
+        .select(col("probe_id"), col("list_id"),
+          explode(sequence(lit(0), lit(3))).as("sub_id"),
+          expr("slice(pr, sub_id * sd + 1, sd)").as("psv"))
+        .join(broadcast(cb), Seq("sub_id"))
+        .withColumn("pd", expr("int_sqdist(psv, cv)"))
+        .select(col("probe_id"), col("list_id"), col("sub_id"),
+          col("c_id").as("code"), col("pd"))
+      val wAdc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id")).orderBy(asc("ad2"), asc("vec_id"))
+      val shortlist = enc
+        .join(broadcast(dt), Seq("list_id", "sub_id", "code"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .groupBy(col("probe_id"), col("vec_id"))
+        .agg(sum(col("pd")).as("ad2"))
+        .withColumn("rs", row_number().over(wAdc))
+        .filter(col("rs") <= 200)
+        .select(col("probe_id"), col("vec_id"), col("ad2"))
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id")).orderBy(asc("d2"), asc("vec_id"))
+      qs.join(broadcast(shortlist), "vec_id")
+        .join(broadcast(probes), Seq("probe_id"))
+        .withColumn("d2", expr("int_sqdist(q, pq)"))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= 5)
+        .select(col("probe_id"), col("rnk"), col("vec_id"), col("d2"),
+          col("ad2"))
+        .orderBy(col("probe_id"), col("rnk"))
+    },
+
     "q_dedup_semantic" -> { (s, d) =>
       GraftFunctions.register(s)
       val base = Tables.embeddings(s, d).filter(col("vec_id") < 300)
@@ -1223,6 +1319,88 @@ object Vectors {
          |   vec_id, ad2, row_number() OVER
          |   (PARTITION BY probe_id ORDER BY ad2, vec_id) AS rs FROM ad)
          |  WHERE rs <= 200),
+         | q AS (SELECT vec_id, list_transform(embedding,
+         |   x -> CAST(round(x * 1e6) AS BIGINT)) AS qv FROM embeddings),
+         | rr AS (SELECT sl.probe_id, sl.vec_id, sl.ad2,
+         |   list_reduce(list_transform(list_zip(cq.qv, pq.qv),
+         |     z -> (z[1]-z[2])*(z[1]-z[2])), (a, b) -> a + b) AS d2
+         |  FROM sl JOIN q cq ON sl.vec_id = cq.vec_id
+         |  JOIN q pq ON sl.probe_id = pq.vec_id),
+         | top AS (SELECT probe_id, vec_id, CAST(d2 AS BIGINT) AS d2, ad2,
+         |   row_number() OVER
+         |   (PARTITION BY probe_id ORDER BY d2, vec_id) AS rnk FROM rr)
+         | SELECT probe_id, rnk, vec_id, d2, ad2 FROM top
+         | WHERE rnk <= 5 ORDER BY probe_id, rnk"""
+        .stripMargin.replaceAll("\n", " ")
+    },
+
+    // Unrolled integer-exact IVF-PQ replay: coarse assign → residuals →
+    // one PQ Lloyd iteration on the sample → encode → nprobe-2 per-list
+    // residual ADC → exact rerank. Same (dist, id) tiebreaks and
+    // truncating centroid division as the Spark side.
+    "q_vec_ivfpq" -> {
+      def asg(i: Int, cb: String, over: String) =
+        s"""a$i AS (SELECT e.vec_id, e.sub_id, c.c_id,
+           |   sum((e.x - c.c) * (e.x - c.c)) AS dist
+           |  FROM $over e JOIN $cb c
+           |   ON e.sub_id = c.sub_id AND e.dim = c.dim
+           |  GROUP BY e.vec_id, e.sub_id, c.c_id),
+           | b$i AS (SELECT vec_id, sub_id, c_id, row_number() OVER
+           |   (PARTITION BY vec_id, sub_id ORDER BY dist, c_id) AS rn
+           |  FROM a$i),
+           | g$i AS (SELECT vec_id, sub_id, c_id FROM b$i WHERE rn = 1)"""
+          .stripMargin
+      s"""WITH e AS (SELECT vec_id,
+         |   CAST((i - 1) // (len(embedding) // 4) AS BIGINT) AS sub_id,
+         |   i AS dim, CAST(round(embedding[i] * 1e6) AS BIGINT) AS x
+         |  FROM embeddings,
+         |  LATERAL unnest(generate_series(1, len(embedding))) u(i)),
+         | cc AS (SELECT vec_id AS l_id, dim, x AS c FROM e
+         |  WHERE vec_id < 8),
+         | ca AS (SELECT e.vec_id, cc.l_id,
+         |   sum((e.x - cc.c) * (e.x - cc.c)) AS cd
+         |  FROM e JOIN cc ON e.dim = cc.dim GROUP BY e.vec_id, cc.l_id),
+         | cr AS (SELECT vec_id, l_id, row_number() OVER
+         |   (PARTITION BY vec_id ORDER BY cd, l_id) AS rn FROM ca),
+         | gl AS (SELECT vec_id, l_id AS list_id FROM cr WHERE rn = 1),
+         | r AS (SELECT e.vec_id, gl.list_id, e.sub_id, e.dim,
+         |   e.x - cc.c AS x
+         |  FROM e JOIN gl ON e.vec_id = gl.vec_id
+         |  JOIN cc ON cc.l_id = gl.list_id AND cc.dim = e.dim),
+         | rs AS (SELECT * FROM r WHERE vec_id < 256),
+         | cb0 AS (SELECT sub_id, vec_id AS c_id, dim, x AS c FROM r
+         |  WHERE vec_id < 16),
+         | ${asg(1, "cb0", "rs")},
+         | cb1 AS (SELECT g.sub_id, g.c_id, e.dim,
+         |   CAST(sum(e.x) AS BIGINT) // count(*) AS c
+         |  FROM rs e JOIN g1 g
+         |   ON e.vec_id = g.vec_id AND e.sub_id = g.sub_id
+         |  GROUP BY g.sub_id, g.c_id, e.dim),
+         | ${asg(2, "cb1", "r")},
+         | pl AS (SELECT vec_id AS probe_id, l_id AS list_id FROM
+         |  (SELECT vec_id, l_id, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY cd, l_id) AS rn FROM ca
+         |   WHERE vec_id < 10) WHERE rn <= 3),
+         | prb AS (SELECT pl.probe_id, pl.list_id, e.sub_id, e.dim,
+         |   e.x - cc.c AS x
+         |  FROM pl JOIN e ON e.vec_id = pl.probe_id
+         |  JOIN cc ON cc.l_id = pl.list_id AND cc.dim = e.dim),
+         | dt AS (SELECT p.probe_id, p.list_id, p.sub_id, c.c_id AS code,
+         |   sum((p.x - c.c) * (p.x - c.c)) AS pd
+         |  FROM prb p JOIN cb1 c
+         |   ON p.sub_id = c.sub_id AND p.dim = c.dim
+         |  GROUP BY p.probe_id, p.list_id, p.sub_id, c.c_id),
+         | ad AS (SELECT dt.probe_id, g2.vec_id,
+         |   CAST(sum(dt.pd) AS BIGINT) AS ad2
+         |  FROM g2 JOIN gl ON g2.vec_id = gl.vec_id
+         |  JOIN dt ON dt.list_id = gl.list_id AND dt.sub_id = g2.sub_id
+         |   AND dt.code = g2.c_id
+         |  WHERE g2.vec_id <> dt.probe_id
+         |  GROUP BY dt.probe_id, g2.vec_id),
+         | sl AS (SELECT probe_id, vec_id, ad2 FROM (SELECT probe_id,
+         |   vec_id, ad2, row_number() OVER
+         |   (PARTITION BY probe_id ORDER BY ad2, vec_id) AS rsl FROM ad)
+         |  WHERE rsl <= 200),
          | q AS (SELECT vec_id, list_transform(embedding,
          |   x -> CAST(round(x * 1e6) AS BIGINT)) AS qv FROM embeddings),
          | rr AS (SELECT sl.probe_id, sl.vec_id, sl.ad2,

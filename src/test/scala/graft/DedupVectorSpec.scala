@@ -180,6 +180,40 @@ class DedupVectorSpec extends SparkSuite {
     pred.foreach(r => assert(labels.contains(r.getInt(1))))
   }
 
+  test("ivfpq recall vs exact L2 top-5 >= 0.85; scores exact") {
+    val exact = exactL2Top5(sf)
+    val got = SparkEntry.queries("q_vec_ivfpq")(spark, sf).collect()
+    assert(got.length === 50)
+    val hits = got.count(r => exact.contains((r.getLong(0), r.getLong(2))))
+    val recall = hits.toDouble / exact.size
+    info(f"ivfpq recall vs exact top-5: $recall%.2f ($hits/${exact.size})")
+    // measured 0.90 at nprobe 3/8 lists + ADC top-200 — the residual-PQ
+    // noise plus list pruning costs ~0.1 on structureless fixtures
+    assert(recall >= 0.85, f"ivfpq recall $recall%.2f below 0.85 gate")
+    got.foreach(r => assert(r.getLong(3) >= 0L && r.getLong(4) >= 0L))
+    // within each probe, the exact reranked distances are nondecreasing
+    got.groupBy(_.getLong(0)).values.foreach { rs =>
+      val d2 = rs.sortBy(_.getInt(1)).map(_.getLong(3))
+      assert(d2.zip(d2.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("ivfpq recall at sf0.1 (bench scale)") {
+    val sfB = "/root/testdata/sf0.1"
+    assume(new java.io.File(sfB).isDirectory)
+    val exact = exactL2Top5(sfB)
+    val got = SparkEntry.queries("q_vec_ivfpq")(spark, sfB)
+      .select("probe_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val recall = got.count(exact.contains).toDouble / exact.size
+    info(f"ivfpq recall vs exact top-5 at sf0.1: $recall%.2f")
+    // measured 0.80 scanning 3/8ths of the corpus through 16x-compressed
+    // codes; the floor leaves headroom for fixture noise
+    assert(recall >= 0.7,
+      f"sf0.1 ivfpq recall $recall%.2f below the floor — raise nprobe " +
+        "or the shortlist width")
+  }
+
   test("multimodal resize halves both decoded dimensions") {
     val rows = SparkEntry.queries("q_multimodal_resize")(spark, sf)
     assert(rows.filter(col("rw") =!= col("w") / 2
