@@ -68,6 +68,33 @@ object Ingest {
       s.read.schema(schema).json(out).orderBy(col("c_custkey"))
     },
 
+    // Opaque-binary ingest via the binaryFile source — the entry point of
+    // every multimodal pipeline (SURVEY §2.10: media arrive as files, not
+    // rows): materialize per-document .bin payloads (executor-side
+    // foreachPartition — on a cluster this is the shared-FS write a real
+    // media landing zone would do), then scan them back as (path, length,
+    // content) and fingerprint each blob. The oracle never sees the
+    // files: it recomputes name/byte-length/md5 from the source table,
+    // so the round trip through the binary source is what's checked.
+    "q_scan_binaryfile" -> { (s, d) =>
+      val out = tmp("binfiles", d)
+      new java.io.File(out).mkdirs()
+      Tables.documents(s, d).filter(col("doc_id") < 8)
+        .select(col("doc_id"), col("text"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            val f = new java.io.File(out, s"doc_${r.getLong(0)}.bin")
+            val w = new java.io.FileOutputStream(f)
+            try w.write(r.getString(1).getBytes("UTF-8")) finally w.close()
+          }
+        }
+      s.read.format("binaryFile").option("pathGlobFilter", "*.bin")
+        .load(out)
+        .select(regexp_extract(col("path"), "([^/]+)$", 1).as("fname"),
+          col("length"), md5(col("content")).as("digest"))
+        .orderBy(col("fname"))
+    },
+
     // EP3-XML-shaped ingest: parse XML strings into typed structs with
     // from_xml (built-in since Spark 4.0), then flatten creators.
     // XML micro-fixture is generated from the customer table (reference
@@ -440,6 +467,14 @@ object Ingest {
     "q_scan_orc" ->
       """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         | FROM supplier ORDER BY s_suppkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // md5 of a UTF-8 string equals md5 of the file bytes the builder
+    // wrote, so the fingerprint checks the whole blob round trip.
+    "q_scan_binaryfile" ->
+      """SELECT 'doc_' || CAST(doc_id AS VARCHAR) || '.bin' AS fname,
+        |  octet_length(encode(text)) AS length, md5(text) AS digest
+        | FROM documents WHERE doc_id < 8 ORDER BY fname"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_scan_csv_corrupt" ->

@@ -2498,6 +2498,23 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("q_scan_binaryfile round-trips bytes through the binary source") {
+    val rows = SparkEntry.queries("q_scan_binaryfile")(spark, sf).collect()
+    val docs = Tables.documents(spark, sf).filter(col("doc_id") < 8)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(rows.length === docs.length)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    docs.sortBy(t => s"doc_${t._1}.bin").zip(rows).foreach {
+      case ((id, text), r) =>
+        assert(r.getString(0) === s"doc_$id.bin")
+        val bytes = text.getBytes("UTF-8")
+        assert(r.getLong(1) === bytes.length.toLong)
+        assert(r.getString(2) ===
+          md.digest(bytes).map("%02x".format(_)).mkString)
+    }
+  }
+
   test("q_ts_diurnal index is count-weighted to one per type") {
     val rows = SparkEntry.queries("q_ts_diurnal")(spark, sf).collect()
     assert(rows.nonEmpty)
