@@ -198,7 +198,11 @@ object Bench {
       "q_stream_lateness", "q_shape_window_funnel",
       // round-6 batch 33: the IVF-PQ pipeline (coarse route + residual
       // encode + per-list ADC + rerank over the embedding corpus)
-      "q_vec_ivfpq")
+      "q_vec_ivfpq",
+      // round-6 batch 34: growth-ledger windows, contribution-share
+      // window, and the banded curriculum shuffle (corpus windows)
+      "q_shape_growth_accounting", "q_win_ratio_to_report",
+      "q_pipeline_curriculum")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

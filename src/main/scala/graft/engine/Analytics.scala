@@ -1052,6 +1052,51 @@ object Analytics {
         .orderBy(col("iso_dow"))
     },
 
+    // Growth accounting (the new/retained/resurrected/churned weekly
+    // user ledger — the canonical startup-metrics decomposition beside
+    // q_shape_new_vs_returning's daily split): per user-week, one lag
+    // window classifies activity (first week = new; previous week
+    // active = retained; gap = resurrected), and a lead window dates
+    // each churn at the week AFTER the last activity of a gap. All
+    // week arithmetic is exact 7-day timestamp steps; conservation
+    // (active = new + retained + resurrected, churned(w) =
+    // active(w−7d) − retained(w)) is law-pinned. One user_id shuffle
+    // for both windows + a tiny per-week aggregate.
+    "q_shape_growth_accounting" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val wk = expr("INTERVAL 7 DAYS")
+      val uw = Tables.events(s, d)
+        .select(col("user_id"), date_trunc("week", col("ts")).as("w"))
+        .distinct()
+      val wWin = W.partitionBy(col("user_id")).orderBy(col("w"))
+      val cls = uw
+        .withColumn("prev", lag(col("w"), 1).over(wWin))
+        .withColumn("cat",
+          when(col("prev").isNull, "new")
+            .when(col("prev") === col("w") - wk, "retained")
+            .otherwise("resurrected"))
+      val active = cls.groupBy(col("w"))
+        .agg(count(lit(1)).as("n_active"),
+          count(when(col("cat") === "new", 1)).as("n_new"),
+          count(when(col("cat") === "retained", 1)).as("n_retained"),
+          count(when(col("cat") === "resurrected", 1))
+            .as("n_resurrected"))
+      val maxW = uw.agg(max(col("w")).as("max_w"))
+      val churn = uw
+        .withColumn("nxt", lead(col("w"), 1).over(wWin))
+        .crossJoin(broadcast(maxW))
+        .filter((col("nxt").isNull && col("w") < col("max_w"))
+          || col("nxt") > col("w") + wk)
+        .select((col("w") + wk).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n_churned"))
+      // FULL join: a week can be churn-only (everyone left, nobody
+      // active) and still belongs in the ledger
+      active.join(churn, Seq("w"), "full")
+        .na.fill(0L, Seq("n_active", "n_new", "n_retained",
+          "n_resurrected", "n_churned"))
+        .orderBy(col("w"))
+    },
+
     // windowFunnel — the sequence-within-window matcher (ClickHouse's
     // windowFunnel / Amplitude funnels): per view→click→purchase chain,
     // how deep does the user get within 24 h of the chain's START?
@@ -1802,6 +1847,40 @@ object Analytics {
         |  round(CAST(sg * n AS DOUBLE) / CAST(n_orders * sc AS DOUBLE)
         |    + 5e-10, 6) AS rev_index
         | FROM g CROSS JOIN tot ORDER BY iso_dow"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Mirrors the lag/lead classification; DuckDB's week-grain
+    // date_trunc returns DATE, so every week value casts back to
+    // TIMESTAMP before arithmetic and output.
+    "q_shape_growth_accounting" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |   CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+        |    AS w FROM events),
+        | cls AS (SELECT user_id, w,
+        |   lag(w, 1) OVER (PARTITION BY user_id ORDER BY w) AS prev,
+        |   lead(w, 1) OVER (PARTITION BY user_id ORDER BY w) AS nxt
+        |  FROM uw),
+        | act AS (SELECT w, count(*) AS n_active,
+        |   count(CASE WHEN prev IS NULL THEN 1 END) AS n_new,
+        |   count(CASE WHEN prev = w - INTERVAL 7 DAY THEN 1 END)
+        |    AS n_retained,
+        |   count(CASE WHEN prev IS NOT NULL
+        |     AND prev <> w - INTERVAL 7 DAY THEN 1 END) AS n_resurrected
+        |  FROM cls GROUP BY w),
+        | mx AS (SELECT max(w) AS max_w FROM uw),
+        | chn AS (SELECT w + INTERVAL 7 DAY AS w, count(*) AS n_churned
+        |  FROM cls CROSS JOIN mx
+        |  WHERE (nxt IS NULL AND w < max_w)
+        |   OR nxt > w + INTERVAL 7 DAY
+        |  GROUP BY 1)
+        | SELECT COALESCE(act.w, chn.w) AS w,
+        |  COALESCE(n_active, 0) AS n_active,
+        |  COALESCE(n_new, 0) AS n_new,
+        |  COALESCE(n_retained, 0) AS n_retained,
+        |  COALESCE(n_resurrected, 0) AS n_resurrected,
+        |  COALESCE(n_churned, 0) AS n_churned
+        | FROM act FULL JOIN chn ON act.w = chn.w
+        | ORDER BY w"""
         .stripMargin.replaceAll("\n", " "),
 
     // Mirrors the greedy earliest-next argmin as a rank window.

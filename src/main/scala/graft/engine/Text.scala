@@ -1171,6 +1171,33 @@ object Text {
             .as("intercept"))
     },
 
+    // Curriculum ordering — the length-based curriculum schedule
+    // (short→long is the classic curriculum-learning ramp) with
+    // decorrelated within-band order: documents quartile into
+    // difficulty bands by token count (ntile over a unique
+    // (tok, doc_id) order — engine-independent), then shuffle INSIDE
+    // each band by the salted-md5 coin so a band is not id- or
+    // length-sorted when fed to training. Output is the full training
+    // order (band, position). Two windows riding one global ordering
+    // each — the ntile is population-relative by definition (the
+    // q_shape_rfm precedent: at 10⁹ docs swap in approximate band
+    // boundaries); the within-band shuffle windows are band-partitioned.
+    "q_pipeline_curriculum" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val wB = W.orderBy(col("tok"), col("doc_id"))
+      val wS = W.partitionBy(col("band"))
+        .orderBy(col("coin"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("tok"))
+        .withColumn("band", ntile(4).over(wB))
+        .withColumn("coin",
+          md5(concat(lit("cur"), col("doc_id").cast("string"))))
+        .withColumn("pos", row_number().over(wS))
+        .select(col("band"), col("pos"), col("doc_id"), col("tok"))
+        .orderBy(col("band"), col("pos"))
+    },
+
     // Dataset card — the per-(lang, source) summary report shipped with a
     // training corpus (HF dataset-card / Datasheets style): doc and exact
     // token counts, median doc length, distinct-template count (100-char
@@ -2509,6 +2536,17 @@ object Text {
          |  round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
          |    / n_terms / 1e9 + 5e-10, 6) AS intercept
          | FROM sl"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_pipeline_curriculum" ->
+      s"""WITH t AS (SELECT doc_id,
+         |   CAST(len($oToks) AS BIGINT) AS tok FROM documents),
+         | b AS (SELECT doc_id, tok,
+         |   ntile(4) OVER (ORDER BY tok, doc_id) AS band,
+         |   md5('cur' || CAST(doc_id AS VARCHAR)) AS coin FROM t)
+         | SELECT band, row_number() OVER (PARTITION BY band
+         |   ORDER BY coin, doc_id) AS pos, doc_id, tok
+         | FROM b ORDER BY band, pos"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_pipeline_dataset_card" ->

@@ -296,6 +296,34 @@ object Windows {
         .orderBy(col("user_id"))
     },
 
+    // ratio_to_report + running share — the contribution analysis
+    // (Oracle's RATIO_TO_REPORT, pandas' groupby-transform divide):
+    // each order's share of its priority's total revenue and the
+    // running cumulative share down the ranked list, top-3 per
+    // priority. Shares divide exact long cents (row and RUNNING sums
+    // both integer — a cumulative sum of float shares would be
+    // order-sensitive; the integer spelling never is). One priority
+    // window; WindowGroupLimit bounds the rank at 3.
+    "q_win_ratio_to_report" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(desc("c"), asc("o_orderkey"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = Window.partitionBy(col("o_orderpriority"))
+      Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("c"))
+        .select(col("o_orderpriority"), col("o_orderkey"), col("c"),
+          row_number().over(w).as("rn"),
+          sum(col("c")).over(run).as("cum_c"),
+          sum(col("c")).over(tot).as("tot_c"))
+        .filter(col("rn") <= 3)
+        .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+          eround(col("c").cast("double") / col("tot_c"), 6).as("share"),
+          eround(col("cum_c").cast("double") / col("tot_c"), 6)
+            .as("cum_share"))
+        .orderBy(col("o_orderpriority"), col("rn"))
+    },
+
     // Rolling OLS trend slope over the trailing 24 events per type — the
     // local-trend detector run beside the rolling mean/median smoothers:
     // slope of cents-value y against the within-partition row index x.
@@ -523,6 +551,24 @@ object Windows {
         | SELECT user_id, max(len) AS longest_streak,
         |  count(*) AS n_streaks
         | FROM runs GROUP BY user_id ORDER BY user_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_win_ratio_to_report" ->
+      """WITH o AS (SELECT o_orderpriority, o_orderkey,
+        |   CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders),
+        | r AS (SELECT o_orderpriority, o_orderkey, c,
+        |   row_number() OVER w AS rn,
+        |   CAST(sum(c) OVER wr AS BIGINT) AS cum_c,
+        |   CAST(sum(c) OVER (PARTITION BY o_orderpriority) AS BIGINT)
+        |    AS tot_c
+        |  FROM o WINDOW w AS (PARTITION BY o_orderpriority
+        |    ORDER BY c DESC, o_orderkey),
+        |   wr AS (PARTITION BY o_orderpriority
+        |    ORDER BY c DESC, o_orderkey ROWS UNBOUNDED PRECEDING))
+        | SELECT o_orderpriority, rn, o_orderkey,
+        |  round(CAST(c AS DOUBLE) / tot_c + 5e-10, 6) AS share,
+        |  round(CAST(cum_c AS DOUBLE) / tot_c + 5e-10, 6) AS cum_share
+        | FROM r WHERE rn <= 3 ORDER BY o_orderpriority, rn"""
         .stripMargin.replaceAll("\n", " "),
 
     // Mirrors the integer frame sums and the single final division.

@@ -2515,6 +2515,67 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("q_shape_growth_accounting conserves users across the ledger") {
+    val rows = SparkEntry.queries("q_shape_growth_accounting")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // per week: active decomposes exactly
+    rows.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2) + r.getLong(3) + r.getLong(4))
+    }
+    // every user is new exactly once
+    val nUsers = Tables.events(spark, sf)
+      .select(col("user_id")).distinct().count()
+    assert(rows.map(_.getLong(2)).sum === nUsers)
+    // churn identity: churned(w) = active(w-7d) - retained(w)
+    val byW = rows.map(r => r.getTimestamp(0).getTime ->
+      (r.getLong(1), r.getLong(3), r.getLong(5))).toMap
+    val wk = 7L * 86400000L
+    byW.foreach { case (w, (_, retained, churned)) =>
+      byW.get(w - wk).foreach { case (prevActive, _, _) =>
+        assert(churned === prevActive - retained,
+          s"churn identity broken at $w")
+      }
+    }
+  }
+
+  test("q_win_ratio_to_report shares are ranked and cumulative") {
+    val rows = SparkEntry.queries("q_win_ratio_to_report")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).values.foreach { g =>
+      val byRn = g.sortBy(_.getInt(1))
+      assert(byRn.map(_.getInt(1)).toSeq === (1 to byRn.length))
+      // shares nonincreasing down the rank, cum_share nondecreasing
+      val sh = byRn.map(_.getDouble(3))
+      assert(sh.zip(sh.tail).forall { case (a, b) => a >= b - 1e-9 })
+      val cu = byRn.map(_.getDouble(4))
+      assert(cu.zip(cu.tail).forall { case (a, b) => a <= b + 1e-9 })
+      assert(math.abs(cu.head - sh.head) < 2e-6)
+      assert(cu.last <= 1.0 + 1e-9)
+    }
+  }
+
+  test("q_pipeline_curriculum bands are contiguous and fully shuffled") {
+    val rows = SparkEntry.queries("q_pipeline_curriculum")(spark, sf)
+      .collect()
+    val n = Tables.documents(spark, sf).count()
+    assert(rows.length.toLong === n)
+    val bands = rows.groupBy(_.getInt(0))
+    assert(bands.keySet === Set(1, 2, 3, 4))
+    // quartiles within one of each other; positions dense 1..size
+    val sizes = bands.view.mapValues(_.length).values.toSeq
+    assert(sizes.max - sizes.min <= 1)
+    bands.foreach { case (_, g) =>
+      assert(g.map(_.getInt(1)).sorted.toSeq === (1 to g.length))
+    }
+    // difficulty is banded: max tok of band k <= min tok of band k+1
+    (1 to 3).foreach { k =>
+      assert(bands(k).map(_.getLong(3)).max
+        <= bands(k + 1).map(_.getLong(3)).min)
+    }
+  }
+
   test("q_ts_diurnal index is count-weighted to one per type") {
     val rows = SparkEntry.queries("q_ts_diurnal")(spark, sf).collect()
     assert(rows.nonEmpty)
