@@ -202,7 +202,10 @@ object Bench {
       // round-6 batch 34: growth-ledger windows, contribution-share
       // window, and the banded curriculum shuffle (corpus windows)
       "q_shape_growth_accounting", "q_win_ratio_to_report",
-      "q_pipeline_curriculum")
+      "q_pipeline_curriculum",
+      // round-6 batch 35: pairwise series cross-correlation (grid joins)
+      // and the double token-stream aggregate behind burstiness
+      "q_ts_cross_corr", "q_text_burstiness")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

@@ -390,6 +390,61 @@ object Events {
         .orderBy(col("event_type"), col("lag"))
     },
 
+    // Cross-correlation between every event-type pair's hourly count
+    // series at lags −3..+3 — the lead-lag discovery probe (do errors
+    // precede purchase dips? which signal leads?): r_k = corr(x_t,
+    // y_{t+k}) over the hours where both dense series exist. Same
+    // exact-integer recipe as q_ts_acf/q_agg_corr_matrix: per (pair,
+    // lag) every moment is an exact DECIMAL(38,0) sum over the joined
+    // grid, the denominators go through IEEE-exact sqrt, one ε-rounded
+    // division. The lag shift is an equi-join on the shifted hour (the
+    // y side explodes its 7 shifts once) — no window over the raw
+    // stream; series are hour-cardinality, tiny next to the corpus.
+    "q_ts_cross_corr" -> { (s, d) =>
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("x"))
+        .localCheckpoint()
+      acfPinned.put("xc:" + d, hourly).foreach(freeCheckpoint)
+      val dense = hourly.groupBy(col("event_type"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+        .join(hourly, Seq("event_type", "h"), "left")
+        .na.fill(0L, Seq("x"))
+      val xs = dense.select(col("event_type").as("type_a"), col("h"),
+        col("x").cast(dec).as("xa"))
+      val ys = dense
+        .select(col("event_type").as("type_b"), col("h"),
+          col("x").cast(dec).as("xb"),
+          explode(expr("sequence(-3, 3)")).as("lag"))
+        .select(col("type_b"), col("xb"), col("lag"),
+          (col("h") - expr("make_interval(0, 0, 0, 0, lag, 0, 0)"))
+            .as("h"))
+      xs.join(ys, Seq("h"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"), col("lag"))
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("xa")).as("sx"), sum(col("xb")).as("sy"),
+          sum(col("xa") * col("xb")).as("sxy"),
+          sum(col("xa") * col("xa")).as("sxx"),
+          sum(col("xb") * col("xb")).as("syy"))
+        .select(col("type_a"), col("type_b"), col("lag"),
+          col("n").cast("long").as("n_hours"),
+          when((col("n") * col("sxx") - col("sx") * col("sx")) === 0
+            || (col("n") * col("syy") - col("sy") * col("sy")) === 0,
+            lit(null).cast("double"))
+            .otherwise(eround(
+              (col("n") * col("sxy") - col("sx") * col("sy"))
+                .cast("double")
+                / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                  .cast("double"))
+                / sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                  .cast("double")), 6)).as("r"))
+        .orderBy(col("type_a"), col("type_b"), col("lag"))
+    },
+
     // Hour-of-day diurnal profile per event type — the seasonal-index
     // sibling of q_ts_acf for the 24 h cycle: each (type, hour-of-day)
     // bucket's mean event value relative to its type's overall mean.
@@ -661,6 +716,43 @@ object Events {
          | SELECT * FROM ($branches) ORDER BY event_type, "lag""""
         .stripMargin.replaceAll("\n", " ")
     },
+
+    // Mirrors the dense grids, the shifted-hour equi-join, and the
+    // /√dx/√dy division order; state HUGEINT.
+    "q_ts_cross_corr" ->
+      """WITH hourly AS (SELECT event_type,
+        |   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |   CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        | bounds AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+        |  FROM hourly GROUP BY 1),
+        | grid AS (SELECT event_type,
+        |   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM bounds),
+        | dense AS (SELECT g.event_type, g.h, COALESCE(hl.x, 0) AS x
+        |  FROM grid g LEFT JOIN hourly hl
+        |   ON g.event_type = hl.event_type AND g.h = hl.h),
+        | xs AS (SELECT event_type AS type_a, h, CAST(x AS HUGEINT) AS xa
+        |  FROM dense),
+        | ys AS (SELECT event_type AS type_b, CAST(x AS HUGEINT) AS xb,
+        |   k."lag", h - to_hours(k."lag") AS h
+        |  FROM dense, (SELECT unnest(generate_series(-3, 3)) AS "lag") k),
+        | j AS (SELECT type_a, type_b, "lag", xa, xb
+        |  FROM xs JOIN ys USING (h) WHERE type_a < type_b),
+        | m AS (SELECT type_a, type_b, "lag",
+        |   CAST(count(*) AS HUGEINT) AS n,
+        |   CAST(count(*) AS BIGINT) AS n_hours,
+        |   sum(xa) AS sx, sum(xb) AS sy, sum(xa * xb) AS sxy,
+        |   sum(xa * xa) AS sxx, sum(xb * xb) AS syy
+        |  FROM j GROUP BY 1, 2, 3)
+        | SELECT type_a, type_b, "lag", n_hours,
+        |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+        |   THEN NULL
+        |   ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |    / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) + 5e-10, 6) END
+        |   AS r
+        | FROM m ORDER BY type_a, type_b, "lag""""
+        .stripMargin.replaceAll("\n", " "),
 
     "q_ts_diurnal" ->
       """WITH e AS (SELECT event_type,

@@ -1129,6 +1129,35 @@ object Text {
         .orderBy(col("survivor_id"))
     },
 
+    // Term burstiness (variance-to-mean ratio over per-document counts,
+    // zeros included) — the topicality signal (Church/Katz burstiness):
+    // function words spread evenly (VMR ≈ 1 under Poisson), topical
+    // terms clump into few documents (VMR ≫ 1). The zero-docs never
+    // materialize: with per-doc counts c_d, total C and corpus size N,
+    //   VMR = (N·Σc² − C²) / (N·C)
+    // — every factor an exact BIGINT (Σc² passes 2⁶³ only past ~1e9
+    // occurrences of one term in one doc-set; widen to DECIMAL(38,0)
+    // then), one ε-rounded division. Two partial-agg shuffles of the
+    // token stream ((term, doc) then term), support gate C ≥ 20,
+    // top-20 by (vmr desc, term). Bounded top-k, never a full sort.
+    "q_text_burstiness" -> { (s, d) =>
+      val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("t"))
+        .groupBy(col("t"), col("doc_id")).agg(count(lit(1)).as("c"))
+        .groupBy(col("t"))
+        .agg(sum(col("c")).as("ct"), sum(col("c") * col("c")).as("cq"),
+          count(lit(1)).as("n_docs_with"))
+        .filter(col("ct") >= 20)
+        .crossJoin(broadcast(nDocs))
+        .select(col("t").as("term"), col("ct").as("c_total"),
+          col("n_docs_with"),
+          eround((col("nd") * col("cq") - col("ct") * col("ct"))
+            .cast("double") / (col("nd") * col("ct")).cast("double"), 6)
+            .as("vmr"))
+        .orderBy(desc("vmr"), asc("term")).limit(20)
+    },
+
     // Zipf-law fit over the term-frequency head — the corpus-health
     // profiler (a natural corpus has slope ≈ −1 on log-log rank/freq;
     // template spam and boilerplate bend it): least-squares slope +
@@ -2509,6 +2538,23 @@ object Text {
         |    '[a-z0-9.]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
         |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
         | FROM raw ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_text_burstiness" ->
+      s"""WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS nd
+         |  FROM documents),
+         | td AS (SELECT t, doc_id, CAST(count(*) AS BIGINT) AS c FROM
+         |  (SELECT doc_id, unnest($oToks) AS t FROM documents)
+         |  GROUP BY t, doc_id),
+         | m AS (SELECT t, CAST(sum(c) AS BIGINT) AS ct,
+         |   CAST(sum(c * c) AS BIGINT) AS cq,
+         |   count(*) AS n_docs_with
+         |  FROM td GROUP BY t HAVING CAST(sum(c) AS BIGINT) >= 20)
+         | SELECT t AS term, ct AS c_total, n_docs_with,
+         |  round(CAST(nd * cq - ct * ct AS DOUBLE)
+         |    / CAST(nd * ct AS DOUBLE) + 5e-10, 6) AS vmr
+         | FROM m CROSS JOIN nd
+         | ORDER BY vmr DESC, term LIMIT 20"""
         .stripMargin.replaceAll("\n", " "),
 
     // Mirrors the nano-ln integer moments and the rounded-slope-reuse

@@ -2576,6 +2576,63 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("q_ts_cross_corr is bounded, lag-0 symmetric, and replays one") {
+    val rows = SparkEntry.queries("q_ts_cross_corr")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.filter(!_.isNullAt(4)).foreach(r =>
+      assert(math.abs(r.getDouble(4)) <= 1.0 + 1e-9))
+    // replay one pair at lag 0 from the raw events
+    val types = rows.map(r => (r.getString(0), r.getString(1))).distinct
+    val (ta, tb) = types.head
+    def series(t: String): Map[Long, Long] = {
+      val m = Tables.events(spark, sf).filter(col("event_type") === t)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("x")).collect()
+        .map(r => r.getTimestamp(0).getTime -> r.getLong(1)).toMap
+      (m.keys.min to m.keys.max by 3600000L)
+        .map(h => h -> m.getOrElse(h, 0L)).toMap
+    }
+    val sa = series(ta); val sb = series(tb)
+    val common = sa.keySet.intersect(sb.keySet).toSeq.sorted
+    val xs = common.map(sa); val ys = common.map(sb)
+    val n = BigInt(common.length)
+    val (sx, sy) = (BigInt(xs.sum), BigInt(ys.sum))
+    val sxy = xs.zip(ys).map { case (a, b) => BigInt(a) * b }.sum
+    val sxx = xs.map(a => BigInt(a) * a).sum
+    val syy = ys.map(b => BigInt(b) * b).sum
+    val expect = math.floor(((n * sxy - sx * sy).toDouble
+      / math.sqrt((n * sxx - sx * sx).toDouble)
+      / math.sqrt((n * syy - sy * sy).toDouble) + 5e-10) * 1e6 + 0.5) / 1e6
+    val got = rows.find(r => r.getString(0) == ta && r.getString(1) == tb
+      && r.getInt(2) == 0).get
+    assert(got.getLong(3) === common.length.toLong)
+    assert(got.getDouble(4) === expect)
+  }
+
+  test("q_text_burstiness replays the VMR and respects the gate") {
+    val rows = SparkEntry.queries("q_text_burstiness")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r => assert(r.getLong(1) >= 20L)
+      assert(r.getDouble(3) >= 0.0) }
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val nd = BigInt(docs.length)
+    val counts = docs.flatMap { case (id, t) =>
+      t.toLowerCase.split(" ", -1).map(w => (w, id))
+    }.groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.groupBy(_._1._1)
+    val top = rows.head
+    val cs = counts(top.getString(0)).map(_._2)
+    val ct = BigInt(cs.sum); val cq = cs.map(c => BigInt(c) * c).sum
+    assert(top.getLong(1) === cs.sum)
+    assert(top.getLong(2) === cs.length.toLong)
+    val expect = math.floor(((nd * cq - ct * ct).toDouble
+      / (nd * ct).toDouble + 5e-10) * 1e6 + 0.5) / 1e6
+    assert(top.getDouble(3) === expect)
+  }
+
   test("q_ts_diurnal index is count-weighted to one per type") {
     val rows = SparkEntry.queries("q_ts_diurnal")(spark, sf).collect()
     assert(rows.nonEmpty)
