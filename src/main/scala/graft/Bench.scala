@@ -205,7 +205,9 @@ object Bench {
       "q_pipeline_curriculum",
       // round-6 batch 35: pairwise series cross-correlation (grid joins)
       // and the double token-stream aggregate behind burstiness
-      "q_ts_cross_corr", "q_text_burstiness")
+      "q_ts_cross_corr", "q_text_burstiness",
+      // round-6 batch 36: running-weight median window over lineitem
+      "q_agg_median_weighted")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

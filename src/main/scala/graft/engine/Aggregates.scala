@@ -428,6 +428,40 @@ object Aggregates {
         .orderBy(col("type_a"), col("type_b"))
     },
 
+    // Weighted (lower) median — quantity-weighted median line price per
+    // return flag: the "typical traded price" statistic where each line
+    // counts by its volume. EXACT threshold-crossing spelling, no
+    // interpolation: order by (cents, unique key), running weight cw,
+    // total tw, the weighted median is the FIRST row where 2·cw ≥ tw —
+    // all integer comparisons, and since cw is monotone in the sort
+    // order the crossing row is the min (c, key) tuple among
+    // qualifiers, so one min(struct) picks it per group. One
+    // flag-partitioned window + a tiny argmin agg.
+    "q_agg_median_weighted" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val ord = W.partitionBy(col("l_returnflag"))
+        .orderBy(col("c"), col("l_orderkey"), col("l_linenumber"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_orderkey"),
+          col("l_linenumber"),
+          round(col("l_extendedprice") * 100).cast("long").as("c"),
+          col("l_quantity").cast("long").as("q"))
+        .select(col("l_returnflag"), col("l_orderkey"),
+          col("l_linenumber"), col("c"), col("q"),
+          sum(col("q")).over(ord.rowsBetween(W.unboundedPreceding,
+            W.currentRow)).as("cw"),
+          sum(col("q")).over(W.partitionBy(col("l_returnflag")))
+            .as("tw"))
+      li.filter(col("cw") * 2 >= col("tw"))
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("tw")).as("total_qty"),
+          min(struct(col("c"), col("l_orderkey"), col("l_linenumber")))
+            .as("m"))
+        .select(col("l_returnflag"), col("total_qty"),
+          (col("m.c") / 100.0).cast("double").as("w_median"))
+        .orderBy(col("l_returnflag"))
+    },
+
     // Two-sided 10% trimmed mean of order value per priority — the
     // robust-location profiler between plain mean (outlier-fragile) and
     // median (throws away magnitude): drop the bottom and top ⌊n/10⌋
@@ -1188,6 +1222,29 @@ object Aggregates {
         | round((sum(round(l_extendedprice * l_quantity * 100)) / 100.0)
         |   / (sum(round(l_quantity * 100)) / 100.0), 4) AS wavg_price
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Mirrors the integer threshold crossing; the min(struct) argmin
+    // spells as a rank window.
+    "q_agg_median_weighted" ->
+      """WITH li AS (SELECT l_returnflag, l_orderkey, l_linenumber,
+        |   CAST(round(l_extendedprice * 100) AS BIGINT) AS c,
+        |   CAST(l_quantity AS BIGINT) AS q FROM lineitem),
+        | r AS (SELECT l_returnflag, l_orderkey, l_linenumber, c,
+        |   CAST(sum(q) OVER wr AS BIGINT) AS cw,
+        |   CAST(sum(q) OVER (PARTITION BY l_returnflag) AS BIGINT)
+        |    AS tw
+        |  FROM li WINDOW wr AS (PARTITION BY l_returnflag
+        |    ORDER BY c, l_orderkey, l_linenumber
+        |    ROWS UNBOUNDED PRECEDING)),
+        | x AS (SELECT l_returnflag, tw, c, row_number() OVER
+        |   (PARTITION BY l_returnflag
+        |    ORDER BY c, l_orderkey, l_linenumber) AS rn
+        |  FROM r WHERE cw * 2 >= tw)
+        | SELECT l_returnflag, CAST(max(tw) AS BIGINT) AS total_qty,
+        |  CAST(max(CASE WHEN rn = 1 THEN c END) / 100.0 AS DOUBLE)
+        |   AS w_median
+        | FROM x GROUP BY l_returnflag ORDER BY l_returnflag"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_agg_trimmed_mean" ->

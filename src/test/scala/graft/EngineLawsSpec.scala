@@ -2633,6 +2633,30 @@ class EngineLawsSpec extends SparkSuite {
     assert(top.getDouble(3) === expect)
   }
 
+  test("q_agg_median_weighted replays the threshold crossing") {
+    val rows = SparkEntry.queries("q_agg_median_weighted")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"), col("l_orderkey"),
+        col("l_linenumber"), col("l_extendedprice"), col("l_quantity"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2),
+        math.round(r.getDouble(3) * 100), r.getDouble(4).toLong))
+    rows.foreach { r =>
+      val grp = li.filter(_._1 == r.getString(0))
+        .sortBy(t => (t._4, t._2, t._3))
+      val tw = grp.map(_._5).sum
+      assert(r.getLong(1) === tw)
+      var cw = 0L
+      val crossing = grp.find { t => cw += t._5; 2 * cw >= tw }.get
+      assert(r.getDouble(2) === crossing._4 / 100.0)
+      // at least half the weight sits at or below the weighted median
+      val below = grp.filter(_._4 <= crossing._4).map(_._5).sum
+      assert(2 * below >= tw)
+    }
+  }
+
   test("q_ts_diurnal index is count-weighted to one per type") {
     val rows = SparkEntry.queries("q_ts_diurnal")(spark, sf).collect()
     assert(rows.nonEmpty)
