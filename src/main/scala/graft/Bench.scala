@@ -207,7 +207,10 @@ object Bench {
       // and the double token-stream aggregate behind burstiness
       "q_ts_cross_corr", "q_text_burstiness",
       // round-6 batch 36: running-weight median window over lineitem
-      "q_agg_median_weighted")
+      "q_agg_median_weighted",
+      // round-6 batch 37: dual-ranking recall join + the sessionized
+      // abandonment windows
+      "q_sim_eval_recall", "q_shape_cart_abandonment")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

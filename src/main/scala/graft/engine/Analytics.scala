@@ -1052,6 +1052,43 @@ object Analytics {
         .orderBy(col("iso_dow"))
     },
 
+    // Cart/browse abandonment rate per day — the funnel-leak KPI beside
+    // q_shape_window_funnel: of the 30-min-gap sessions that BROWSE
+    // (click or view), how many end without a purchase? Sessionization
+    // is the q_shape_paths lag+cumsum recipe (one user_id shuffle);
+    // per-session flags reduce on the same exchange, and the daily
+    // rollup is tiny. The rate divides exact integers, ε-rounded.
+    "q_shape_cart_abandonment" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val wU = W.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val sess = Tables.events(s, d)
+        .withColumn("tus", expr("unix_micros(ts)"))
+        .withColumn("new_s",
+          when(lag(col("tus"), 1).over(wU).isNull
+            || col("tus") - lag(col("tus"), 1).over(wU) > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("sid", sum(col("new_s")).over(
+          wU.rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(to_date(min(col("ts"))).as("day"),
+          max(when(col("event_type").isin("click", "view"), 1)
+            .otherwise(0)).as("browsed"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0))
+            .as("purchased"))
+      sess.groupBy(col("day"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("browsed")).as("n_browse"),
+          count(when(col("browsed") === 1 && col("purchased") === 0, 1))
+            .as("n_abandoned"))
+        .filter(col("n_browse") > 0)
+        .select(col("day"), col("n_sessions"), col("n_browse"),
+          col("n_abandoned"),
+          eround(col("n_abandoned").cast("double") / col("n_browse"), 4)
+            .as("abandon_rate"))
+        .orderBy(col("day"))
+    },
+
     // Growth accounting (the new/retained/resurrected/churned weekly
     // user ledger — the canonical startup-metrics decomposition beside
     // q_shape_new_vs_returning's daily split): per user-week, one lag
@@ -1847,6 +1884,35 @@ object Analytics {
         |  round(CAST(sg * n AS DOUBLE) / CAST(n_orders * sc AS DOUBLE)
         |    + 5e-10, 6) AS rev_index
         | FROM g CROSS JOIN tot ORDER BY iso_dow"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // The q_shape_paths sessionization with per-session flag reduction.
+    "q_shape_cart_abandonment" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |   event_type FROM events),
+        | m AS (SELECT user_id, event_id, ts, event_type,
+        |   CASE WHEN lag(ts) OVER w IS NULL
+        |     OR date_diff('us', lag(ts) OVER w, ts) > 1800000000
+        |    THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        | g AS (SELECT user_id, ts, event_type,
+        |   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |     ROWS UNBOUNDED PRECEDING) AS sid FROM m),
+        | sess AS (SELECT user_id, sid, CAST(min(ts) AS DATE) AS day,
+        |   max(CASE WHEN event_type IN ('click', 'view') THEN 1 ELSE 0
+        |    END) AS browsed,
+        |   max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS purchased
+        |  FROM g GROUP BY user_id, sid)
+        | SELECT day, count(*) AS n_sessions,
+        |  CAST(sum(browsed) AS BIGINT) AS n_browse,
+        |  count(CASE WHEN browsed = 1 AND purchased = 0 THEN 1 END)
+        |   AS n_abandoned,
+        |  round(CAST(count(CASE WHEN browsed = 1 AND purchased = 0
+        |     THEN 1 END) AS DOUBLE)
+        |    / CAST(sum(browsed) AS BIGINT) + 5e-10, 4) AS abandon_rate
+        | FROM sess GROUP BY day HAVING CAST(sum(browsed) AS BIGINT) > 0
+        | ORDER BY day"""
         .stripMargin.replaceAll("\n", " "),
 
     // Mirrors the lag/lead classification; DuckDB's week-grain

@@ -194,6 +194,62 @@ object Vectors {
         .orderBy(col("probe_id"), col("rnk"))
     },
 
+    // Recall@k evaluation of the Hamming ANN against exact ground
+    // truth — the second leg of the eval harness (q_sim_eval_ndcg
+    // judges label relevance; this judges the APPROXIMATION itself):
+    // per probe, how much of the exact integer-L2 top-5 does the 1-bit
+    // signature ranking surface at cut-offs 5 and 20? Both rankings
+    // are integer-deterministic (the q_sim_topk_hamming packing and
+    // the int_sqdist ground truth), so the recall table is fully
+    // oracle-replayable — the rare eval whose numbers hash-match. One
+    // broadcast probe pass per ranking + a 5-row-per-probe join.
+    "q_sim_eval_recall" -> { (s, d) =>
+      GraftFunctions.register(s)
+      def half(off: Int) = expr(
+        s"""aggregate(sequence(0, 31), 0L, (acc, i) ->
+           | acc + CASE WHEN element_at(embedding, i + ${off + 1}) > 0
+           |  THEN shiftleft(1L, i) ELSE 0L END)""".stripMargin)
+      val sigs = Tables.embeddings(s, d)
+        .select(col("vec_id"), half(0).as("lo"), half(32).as("hi"))
+      val probesS = sigs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"),
+          col("lo").as("plo"), col("hi").as("phi"))
+      val wH = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id")).orderBy(asc("hamming"), asc("vec_id"))
+      val ham = sigs.crossJoin(broadcast(probesS))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("hamming",
+          (bit_count(col("lo").bitwiseXOR(col("plo")))
+            + bit_count(col("hi").bitwiseXOR(col("phi")))).cast("long"))
+        .withColumn("rh", row_number().over(wH))
+        .filter(col("rh") <= 20)
+        .select(col("probe_id"), col("vec_id"), col("rh"))
+      val qs = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr("int_micros(embedding)").as("q"))
+      val probesE = qs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("q").as("pq"))
+      val wE = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id")).orderBy(asc("d2"), asc("vec_id"))
+      val exact = qs.crossJoin(broadcast(probesE))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("d2", expr("int_sqdist(q, pq)"))
+        .withColumn("re", row_number().over(wE))
+        .filter(col("re") <= 5)
+        .select(col("probe_id"), col("vec_id"))
+      exact.join(ham, Seq("probe_id", "vec_id"), "left")
+        .groupBy(col("probe_id"))
+        .agg(count(lit(1)).as("n_exact"),
+          count(when(col("rh") <= 5, 1)).as("hits_at_5"),
+          count(col("rh")).as("hits_at_20"))
+        .select(col("probe_id"), col("n_exact"), col("hits_at_5"),
+          col("hits_at_20"),
+          eround(col("hits_at_5").cast("double") / col("n_exact"), 4)
+            .as("recall_at_5"),
+          eround(col("hits_at_20").cast("double") / col("n_exact"), 4)
+            .as("recall_at_20"))
+        .orderBy(col("probe_id"))
+    },
+
     // Retrieval-quality evaluation (MRR + nDCG@10) of exact cosine
     // search against label relevance — the eval harness every ANN
     // variant in this file is ultimately judged by, expressed as a
@@ -974,6 +1030,50 @@ object Vectors {
         |    ORDER BY hamming, vec_id) AS rnk FROM d)
         | SELECT probe_id, rnk, vec_id, hamming FROM r
         | WHERE rnk <= 5 ORDER BY probe_id, rnk"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Both rankings mirror their parents (the hamming packing and the
+    // integer-L2 micros distance), joined at the exact top-5.
+    "q_sim_eval_recall" ->
+      """WITH s AS (SELECT vec_id,
+        |   CAST(list_sum(list_transform(range(0, 32), i ->
+        |     CASE WHEN embedding[i + 1] > 0
+        |      THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS lo,
+        |   CAST(list_sum(list_transform(range(0, 32), i ->
+        |     CASE WHEN embedding[i + 33] > 0
+        |      THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS hi
+        |  FROM embeddings),
+        | p AS (SELECT vec_id AS probe_id, lo AS plo, hi AS phi
+        |  FROM s WHERE vec_id < 10),
+        | hd AS (SELECT p.probe_id, s.vec_id,
+        |   bit_count(xor(s.lo, p.plo)) + bit_count(xor(s.hi, p.phi))
+        |    AS hamming
+        |  FROM s CROSS JOIN p WHERE s.vec_id <> p.probe_id),
+        | hr AS (SELECT probe_id, vec_id, row_number() OVER
+        |   (PARTITION BY probe_id ORDER BY hamming, vec_id) AS rh
+        |  FROM hd),
+        | ham AS (SELECT probe_id, vec_id, rh FROM hr WHERE rh <= 20),
+        | q AS (SELECT vec_id, list_transform(embedding,
+        |   x -> CAST(round(x * 1e6) AS BIGINT)) AS qv FROM embeddings),
+        | pe AS (SELECT vec_id AS probe_id, qv AS pv FROM q
+        |  WHERE vec_id < 10),
+        | ed AS (SELECT pe.probe_id, q.vec_id,
+        |   list_reduce(list_transform(list_zip(q.qv, pe.pv),
+        |     z -> (z[1]-z[2])*(z[1]-z[2])), (a, b) -> a + b) AS d2
+        |  FROM q CROSS JOIN pe WHERE q.vec_id <> pe.probe_id),
+        | er AS (SELECT probe_id, vec_id, row_number() OVER
+        |   (PARTITION BY probe_id ORDER BY d2, vec_id) AS re FROM ed),
+        | ex AS (SELECT probe_id, vec_id FROM er WHERE re <= 5)
+        | SELECT ex.probe_id, count(*) AS n_exact,
+        |  count(CASE WHEN ham.rh <= 5 THEN 1 END) AS hits_at_5,
+        |  count(ham.rh) AS hits_at_20,
+        |  round(CAST(count(CASE WHEN ham.rh <= 5 THEN 1 END) AS DOUBLE)
+        |    / count(*) + 5e-10, 4) AS recall_at_5,
+        |  round(CAST(count(ham.rh) AS DOUBLE) / count(*) + 5e-10, 4)
+        |   AS recall_at_20
+        | FROM ex LEFT JOIN ham
+        |  ON ex.probe_id = ham.probe_id AND ex.vec_id = ham.vec_id
+        | GROUP BY ex.probe_id ORDER BY ex.probe_id"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_sim_join_rewrite" ->

@@ -2657,6 +2657,81 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("q_sim_eval_recall replays both rankings per probe") {
+    val rows = SparkEntry.queries("q_sim_eval_recall")(spark, sf)
+      .collect()
+    assert(rows.length === 10)
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def sig(v: Array[Float]): (Long, Long) = {
+      var lo = 0L; var hi = 0L
+      for (i <- 0 until 32) if (v(i) > 0) lo |= (1L << i)
+      for (i <- 0 until 32) if (v(i + 32) > 0) hi |= (1L << i)
+      (lo, hi)
+    }
+    def d2(a: Array[Float], b: Array[Float]): BigInt =
+      a.indices.map { i =>
+        val d = BigInt(math.round(a(i) * 1e6)) - math.round(b(i) * 1e6)
+        d * d
+      }.sum
+    rows.foreach { r =>
+      val pid = r.getLong(0)
+      assert(r.getLong(2) <= r.getLong(3) && r.getLong(3) <= 5L)
+      assert(r.getDouble(5) >= r.getDouble(4) - 1e-9)
+      val pv = emb.find(_._1 == pid).get._2
+      val (plo, phi) = sig(pv)
+      val ham = emb.filter(_._1 != pid).map { case (id, v) =>
+        val (lo, hi) = sig(v)
+        (id, java.lang.Long.bitCount(lo ^ plo)
+          + java.lang.Long.bitCount(hi ^ phi))
+      }.sortBy { case (id, h) => (h, id) }
+      val exact = emb.filter(_._1 != pid)
+        .map { case (id, v) => (id, d2(pv, v)) }
+        .sortBy { case (id, dd) => (dd, id) }.take(5).map(_._1).toSet
+      val h5 = ham.take(5).map(_._1).count(exact)
+      val h20 = ham.take(20).map(_._1).count(exact)
+      assert(r.getLong(2) === h5.toLong, s"probe $pid hits@5")
+      assert(r.getLong(3) === h20.toLong, s"probe $pid hits@20")
+    }
+  }
+
+  test("q_shape_cart_abandonment replays the sessionized flags") {
+    val rows = SparkEntry.queries("q_shape_cart_abandonment")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2) && r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+    }
+    // full replay: sessionize in Scala and compare totals
+    val ev = Tables.events(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("tus"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val sessions = ev.groupBy(_._1).values.flatMap { es =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      val buf = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer(sorted.head))
+      sorted.sliding(2).foreach { pair =>
+        if (pair.length == 2) {
+          val (a, b) = (pair(0), pair(1))
+          if (b._3 - a._3 > 1800000000L)
+            buf += scala.collection.mutable.ArrayBuffer(b)
+          else buf.last += b
+        }
+      }
+      buf
+    }.toSeq
+    val browse = sessions.count(_.exists(e =>
+      e._4 == "click" || e._4 == "view"))
+    val abandoned = sessions.count(s =>
+      s.exists(e => e._4 == "click" || e._4 == "view")
+        && !s.exists(_._4 == "purchase"))
+    assert(rows.map(_.getLong(2)).sum === browse.toLong)
+    assert(rows.map(_.getLong(3)).sum === abandoned.toLong)
+  }
+
   test("q_ts_diurnal index is count-weighted to one per type") {
     val rows = SparkEntry.queries("q_ts_diurnal")(spark, sf).collect()
     assert(rows.nonEmpty)
