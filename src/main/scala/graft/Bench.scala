@@ -210,7 +210,10 @@ object Bench {
       "q_agg_median_weighted",
       // round-6 batch 37: dual-ranking recall join + the sessionized
       // abandonment windows
-      "q_sim_eval_recall", "q_shape_cart_abandonment")
+      "q_sim_eval_recall", "q_shape_cart_abandonment",
+      // round-6 batch 38: brand-moment join + the per-row deflate UDF
+      // (map-only but CPU-bound per row, the html_extract rule)
+      "q_shape_elasticity", "q_text_compressibility")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

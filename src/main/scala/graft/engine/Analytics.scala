@@ -1052,6 +1052,40 @@ object Analytics {
         .orderBy(col("iso_dow"))
     },
 
+    // Discount elasticity per brand — promotion effectiveness: the OLS
+    // slope (and Pearson r) of line quantity against discount basis
+    // points across a brand's lines. Same exact-integer moment recipe
+    // as q_agg_corr_matrix (both variables are small ints, every moment
+    // BIGINT at any realistic scale — widen to DECIMAL(38,0) past ~1e12
+    // rows/brand); flat-discount brands (zero variance) yield null, not
+    // NaN. One lineitem⋈part join (part broadcasts) + one partial agg.
+    "q_shape_elasticity" -> { (s, d) =>
+      val li = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          round(col("l_discount") * 100).cast("long").as("x"),
+          col("l_quantity").cast("long").as("y"))
+      val m = li.groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      val dx = m("n") * col("sxx") - col("sx") * col("sx")
+      val dy = m("n") * col("syy") - col("sy") * col("sy")
+      val num = m("n") * col("sxy") - col("sx") * col("sy")
+      m.select(col("p_brand"), col("n"),
+        when(dx === 0, lit(null).cast("double"))
+          .otherwise(eround(num.cast("double") / dx.cast("double"), 6))
+          .as("slope"),
+        when(dx === 0 || dy === 0, lit(null).cast("double"))
+          .otherwise(eround(num.cast("double")
+            / sqrt(dx.cast("double")) / sqrt(dy.cast("double")), 6))
+          .as("r"))
+        .orderBy(col("p_brand"))
+    },
+
     // Cart/browse abandonment rate per day — the funnel-leak KPI beside
     // q_shape_window_funnel: of the 30-min-gap sessions that BROWSE
     // (click or view), how many end without a purchase? Sessionization
@@ -1884,6 +1918,31 @@ object Analytics {
         |  round(CAST(sg * n AS DOUBLE) / CAST(n_orders * sc AS DOUBLE)
         |    + 5e-10, 6) AS rev_index
         | FROM g CROSS JOIN tot ORDER BY iso_dow"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_shape_elasticity" ->
+      """WITH li AS (SELECT p_brand,
+        |   CAST(round(l_discount * 100) AS BIGINT) AS x,
+        |   CAST(l_quantity AS BIGINT) AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        | m AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |   CAST(sum(x * y) AS BIGINT) AS sxy,
+        |   CAST(sum(x * x) AS BIGINT) AS sxx,
+        |   CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM li GROUP BY p_brand)
+        | SELECT p_brand, n,
+        |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+        |   ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |     / CAST(n * sxx - sx * sx AS DOUBLE) + 5e-10, 6) END
+        |   AS slope,
+        |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+        |   THEN NULL
+        |   ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |     / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |     / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) + 5e-10, 6) END
+        |   AS r
+        | FROM m ORDER BY p_brand"""
         .stripMargin.replaceAll("\n", " "),
 
     // The q_shape_paths sessionization with per-session flag reduction.

@@ -109,6 +109,21 @@ object Text {
 
   private def toks(c: Column): Column = split(lower(c), " ")
 
+  /** Deterministic zlib-deflated size (JDK Deflater, level 6, one-shot)
+    * for the compressibility quality signal; exposed so the spec can
+    * replay it byte-for-byte.
+    */
+  def deflatedSize(s: String): Int = {
+    val bytes = s.getBytes("UTF-8")
+    val d = new java.util.zip.Deflater(6)
+    d.setInput(bytes); d.finish()
+    val buf = new Array[Byte](bytes.length + 64)
+    var total = 0
+    while (!d.finished()) total += d.deflate(buf)
+    d.end()
+    total
+  }
+
   /** The shared BPE training walk (Sennrich 2016, 3 merges over the
     * alpha-word vocabulary in double-sentinel encoding): returns the three
     * 1-row best-pair frames (a, b, cnt) and the post-merge vocabulary
@@ -1127,6 +1142,24 @@ object Text {
         .select(col("sv.id").as("survivor_id"), col("n_copies"),
           col("n_langs"), col("max_len"), col("sources"))
         .orderBy(col("survivor_id"))
+    },
+
+    // Compressibility-ratio quality signal (the Gopher/Dolma "too
+    // compressible = templated/repetitive" curation filter): per doc,
+    // zlib-deflated size over raw UTF-8 size. No SQL twin exists on
+    // either engine, so this is one of the documented no-oracle
+    // operators (laws replay the deflate byte-for-byte and pin the
+    // repetition ordering); the UDF is the sanctioned surface for
+    // byte-level work with no Catalyst expression (q_udf_scalar
+    // precedent), map-only and partition-parallel at any scale.
+    "q_text_compressibility" -> { (s, d) =>
+      val ud = udf((t: String) => deflatedSize(t))
+      Tables.documents(s, d)
+        .select(col("doc_id"), octet_length(col("text")).as("raw_len"),
+          ud(col("text")).as("comp_len"))
+        .withColumn("ratio",
+          eround(col("comp_len").cast("double") / col("raw_len"), 4))
+        .orderBy(col("doc_id"))
     },
 
     // Term burstiness (variance-to-mean ratio over per-document counts,

@@ -2732,6 +2732,57 @@ class EngineLawsSpec extends SparkSuite {
     assert(rows.map(_.getLong(3)).sum === abandoned.toLong)
   }
 
+  test("q_shape_elasticity is bounded and replays one brand") {
+    val rows = SparkEntry.queries("q_shape_elasticity")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.filter(!_.isNullAt(3)).foreach(r =>
+      assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-9))
+    val li = Tables.lineitem(spark, sf)
+      .join(Tables.part(spark, sf).select(col("p_partkey"),
+        col("p_brand")), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"), col("l_discount"), col("l_quantity"))
+      .collect()
+      .map(r => (r.getString(0), math.round(r.getDouble(1) * 100),
+        r.getDouble(2).toLong))
+    val brand = rows.head.getString(0)
+    val g = li.filter(_._1 == brand)
+    val n = BigInt(g.length)
+    val sx = BigInt(g.map(_._2).sum); val sy = BigInt(g.map(_._3).sum)
+    val sxy = g.map(t => BigInt(t._2) * t._3).sum
+    val sxx = g.map(t => BigInt(t._2) * t._2).sum
+    assert(rows.head.getLong(1) === g.length.toLong)
+    if (n * sxx - sx * sx != 0) {
+      val slope = math.floor(((n * sxy - sx * sy).toDouble
+        / (n * sxx - sx * sx).toDouble + 5e-10) * 1e6 + 0.5) / 1e6
+      assert(rows.head.getDouble(2) === slope)
+    }
+  }
+
+  test("q_text_compressibility replays deflate and orders by repetition") {
+    val rows = SparkEntry.queries("q_text_compressibility")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(3) > 0.0 && r.getDouble(3) <= 1.2)
+      assert(r.getInt(2) > 0)
+    }
+    // byte-for-byte replay of one document
+    val (id0, text0) = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).limit(1).collect()
+      .map(r => (r.getLong(0), r.getString(1))).head
+    val got = rows.find(_.getLong(0) == id0).get
+    assert(got.getInt(1) === text0.getBytes("UTF-8").length)
+    assert(got.getInt(2) === graft.engine.Text.deflatedSize(text0))
+    // highly repetitive text compresses far better than varied text
+    val rep = "spark " * 200
+    val varied = (1 to 200).map(i => s"w${i * 7919}").mkString(" ")
+    val rRep = graft.engine.Text.deflatedSize(rep).toDouble / rep.length
+    val rVar =
+      graft.engine.Text.deflatedSize(varied).toDouble / varied.length
+    assert(rRep < rVar / 3)
+  }
+
   test("q_ts_diurnal index is count-weighted to one per type") {
     val rows = SparkEntry.queries("q_ts_diurnal")(spark, sf).collect()
     assert(rows.nonEmpty)
