@@ -213,7 +213,9 @@ object Bench {
       "q_sim_eval_recall", "q_shape_cart_abandonment",
       // round-6 batch 38: brand-moment join + the per-row deflate UDF
       // (map-only but CPU-bound per row, the html_extract rule)
-      "q_shape_elasticity", "q_text_compressibility")
+      "q_shape_elasticity", "q_text_compressibility",
+      // round-6 batch 39: dense-grid islands + the triple blocking aggs
+      "q_ts_outage_detect", "q_dedup_blocking_keys")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

@@ -445,6 +445,42 @@ object Events {
         .orderBy(col("type_a"), col("type_b"), col("lag"))
     },
 
+    // Outage detection — maximal zero-activity runs on the dense hourly
+    // grid per event type (the ops-monitoring twin of the ACF grid: a
+    // telemetry stream that goes silent for hours IS the signal): the
+    // gaps-and-islands anchor (hour − rank·1h is constant within a
+    // consecutive run) groups zero hours into intervals ≥ 3 h, reported
+    // with start/end/duration. Reuses the checkpointed hourly series —
+    // events scanned once; the islands window runs over zero-hours
+    // only, a subset of the tiny grid.
+    "q_ts_outage_detect" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("x"))
+        .localCheckpoint()
+      acfPinned.put("out:" + d, hourly).foreach(freeCheckpoint)
+      val zeros = hourly.groupBy(col("event_type"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+        .join(hourly, Seq("event_type", "h"), "left")
+        .filter(col("x").isNull)
+      val w = W.partitionBy(col("event_type")).orderBy(col("h"))
+      zeros
+        .withColumn("rn", row_number().over(w))
+        .withColumn("anchor",
+          expr("h - make_interval(0, 0, 0, 0, rn, 0, 0)"))
+        .groupBy(col("event_type"), col("anchor"))
+        .agg(min(col("h")).as("outage_start"),
+          max(col("h")).as("outage_end"),
+          count(lit(1)).as("n_hours"))
+        .filter(col("n_hours") >= 3)
+        .select(col("event_type"), col("outage_start"),
+          col("outage_end"), col("n_hours"))
+        .orderBy(col("event_type"), col("outage_start"))
+    },
+
     // Hour-of-day diurnal profile per event type — the seasonal-index
     // sibling of q_ts_acf for the 24 h cycle: each (type, hour-of-day)
     // bucket's mean event value relative to its type's overall mean.
@@ -752,6 +788,31 @@ object Events {
         |    / sqrt(CAST(n * syy - sy * sy AS DOUBLE)) + 5e-10, 6) END
         |   AS r
         | FROM m ORDER BY type_a, type_b, "lag""""
+        .stripMargin.replaceAll("\n", " "),
+
+    // The islands anchor over the zero-hours of the same dense grid.
+    "q_ts_outage_detect" ->
+      """WITH hourly AS (SELECT event_type,
+        |   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |   CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        | bounds AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+        |  FROM hourly GROUP BY 1),
+        | grid AS (SELECT event_type,
+        |   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM bounds),
+        | zeros AS (SELECT g.event_type, g.h FROM grid g
+        |  LEFT JOIN hourly hl
+        |   ON g.event_type = hl.event_type AND g.h = hl.h
+        |  WHERE hl.x IS NULL),
+        | a AS (SELECT event_type, h,
+        |   h - to_hours(row_number() OVER (PARTITION BY event_type
+        |     ORDER BY h)) AS anchor FROM zeros),
+        | runs AS (SELECT event_type, anchor, min(h) AS outage_start,
+        |   max(h) AS outage_end, count(*) AS n_hours
+        |  FROM a GROUP BY event_type, anchor)
+        | SELECT event_type, outage_start, outage_end, n_hours
+        | FROM runs WHERE n_hours >= 3
+        | ORDER BY event_type, outage_start"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_ts_diurnal" ->

@@ -1144,6 +1144,41 @@ object Text {
         .orderBy(col("survivor_id"))
     },
 
+    // Blocking-key audit — the dedup-engineering meta-operator: before
+    // running a pairwise near-dup pass you pick a blocking strategy,
+    // and its quality IS the candidate-pair count (Σ g·(g−1)/2 over
+    // block sizes — all-pairs work avoided vs recall risked). Three
+    // standard strategies audited side by side (20-char prefix, token-
+    // count bucket, first token) with block counts, widest block,
+    // candidate pairs, and the reduction ratio vs the N(N−1)/2
+    // all-pairs baseline. Each strategy is one fixed-width-key partial
+    // agg; the pair arithmetic is exact integers (g·(g−1) is even, the
+    // halving is exact integer division).
+    "q_dedup_blocking_keys" -> { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val nDocs = docs.agg(count(lit(1)).as("nd"))
+      def strat(name: String, key: Column): DataFrame =
+        docs.select(key.as("k"))
+          .groupBy(col("k")).agg(count(lit(1)).as("g"))
+          .agg(count(lit(1)).as("n_blocks"),
+            max(col("g")).as("max_block"),
+            sum(expr("(g * (g - 1)) DIV 2")).as("n_pairs"))
+          .select(lit(name).as("strategy"), col("n_blocks"),
+            col("max_block"), col("n_pairs"))
+      strat("prefix20", substring(col("text"), 1, 20))
+        .unionAll(strat("len_bucket",
+          expr("size(split(text, ' ')) DIV 8")))
+        .unionAll(strat("first_token",
+          substring_index(col("text"), " ", 1)))
+        .crossJoin(broadcast(nDocs))
+        .select(col("strategy"), col("n_blocks"), col("max_block"),
+          col("n_pairs"),
+          eround(col("n_pairs").cast("double")
+            / expr("(nd * (nd - 1)) DIV 2").cast("double"), 6)
+            .as("pair_ratio"))
+        .orderBy(col("strategy"))
+    },
+
     // Compressibility-ratio quality signal (the Gopher/Dolma "too
     // compressible = templated/repetitive" curation filter): per doc,
     // zlib-deflated size over raw UTF-8 size. No SQL twin exists on
@@ -2571,6 +2606,37 @@ object Text {
         |    '[a-z0-9.]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
         |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
         | FROM raw ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_dedup_blocking_keys" ->
+      """WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS nd
+        |  FROM documents),
+        | p1 AS (SELECT substring(text, 1, 20) AS k FROM documents),
+        | p2 AS (SELECT len(string_split(text, ' ')) // 8 AS k
+        |  FROM documents),
+        | p3 AS (SELECT string_split(text, ' ')[1] AS k FROM documents),
+        | s1 AS (SELECT 'prefix20' AS strategy,
+        |   count(*) AS n_blocks, CAST(max(g) AS BIGINT) AS max_block,
+        |   CAST(sum((g * (g - 1)) // 2) AS BIGINT) AS n_pairs
+        |  FROM (SELECT k, CAST(count(*) AS BIGINT) AS g FROM p1
+        |   GROUP BY k)),
+        | s2 AS (SELECT 'len_bucket' AS strategy,
+        |   count(*) AS n_blocks, CAST(max(g) AS BIGINT) AS max_block,
+        |   CAST(sum((g * (g - 1)) // 2) AS BIGINT) AS n_pairs
+        |  FROM (SELECT k, CAST(count(*) AS BIGINT) AS g FROM p2
+        |   GROUP BY k)),
+        | s3 AS (SELECT 'first_token' AS strategy,
+        |   count(*) AS n_blocks, CAST(max(g) AS BIGINT) AS max_block,
+        |   CAST(sum((g * (g - 1)) // 2) AS BIGINT) AS n_pairs
+        |  FROM (SELECT k, CAST(count(*) AS BIGINT) AS g FROM p3
+        |   GROUP BY k)),
+        | u AS (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |  UNION ALL SELECT * FROM s3)
+        | SELECT strategy, n_blocks, max_block, n_pairs,
+        |  round(CAST(n_pairs AS DOUBLE)
+        |    / CAST((nd * (nd - 1)) // 2 AS DOUBLE) + 5e-10, 6)
+        |   AS pair_ratio
+        | FROM u CROSS JOIN nd ORDER BY strategy"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_text_burstiness" ->

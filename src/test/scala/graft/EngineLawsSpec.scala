@@ -2783,6 +2783,61 @@ class EngineLawsSpec extends SparkSuite {
     assert(rRep < rVar / 3)
   }
 
+  test("q_ts_outage_detect replays the zero runs per type") {
+    val rows = SparkEntry.queries("q_ts_outage_detect")(spark, sf)
+      .collect()
+    rows.foreach { r =>
+      val hrs = (r.getTimestamp(2).getTime - r.getTimestamp(1).getTime) /
+        3600000L + 1
+      assert(r.getLong(3) === hrs && hrs >= 3)
+    }
+    // full replay for one type present in the output (or verify absence)
+    val hourly = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime))
+    val types = hourly.map(_._1).distinct
+    types.foreach { t =>
+      val hs = hourly.filter(_._1 == t).map(_._2).toSet
+      val grid = hs.min to hs.max by 3600000L
+      var run = 0L
+      val runs = scala.collection.mutable.ArrayBuffer.empty[Long]
+      grid.foreach { h =>
+        if (!hs.contains(h)) run += 1
+        else { if (run >= 3) runs += run; run = 0 }
+      }
+      if (run >= 3) runs += run
+      val got = rows.filter(_.getString(0) == t).map(_.getLong(3))
+      assert(got.sorted.toSeq === runs.sorted.toSeq, s"type $t runs")
+    }
+  }
+
+  test("q_dedup_blocking_keys replays all three strategies") {
+    val rows = SparkEntry.queries("q_dedup_blocking_keys")(spark, sf)
+      .collect()
+    assert(rows.length === 3)
+    val docs = Tables.documents(spark, sf)
+      .select(col("text")).collect().map(_.getString(0))
+    val n = BigInt(docs.length)
+    def stats(key: String => Any): (Long, Long, Long) = {
+      val gs = docs.groupBy(key).values.map(_.length.toLong)
+      (gs.size.toLong, gs.max, gs.map(g => g * (g - 1) / 2).sum)
+    }
+    val expect = Map(
+      "prefix20" -> stats(_.take(20)),
+      "len_bucket" -> stats(_.split(" ", -1).length / 8),
+      "first_token" -> stats(_.split(" ", -1).head))
+    rows.foreach { r =>
+      val (nb, mb, np) = expect(r.getString(0))
+      assert(r.getLong(1) === nb)
+      assert(r.getLong(2) === mb)
+      assert(r.getLong(3) === np)
+      val ratio = math.floor((np.toDouble
+        / ((n * (n - 1)) / 2).toDouble + 5e-10) * 1e6 + 0.5) / 1e6
+      assert(r.getDouble(4) === ratio)
+    }
+  }
+
   test("q_ts_diurnal index is count-weighted to one per type") {
     val rows = SparkEntry.queries("q_ts_diurnal")(spark, sf).collect()
     assert(rows.nonEmpty)
