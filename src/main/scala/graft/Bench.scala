@@ -215,7 +215,10 @@ object Bench {
       // (map-only but CPU-bound per row, the html_extract rule)
       "q_shape_elasticity", "q_text_compressibility",
       // round-6 batch 39: dense-grid islands + the triple blocking aggs
-      "q_ts_outage_detect", "q_dedup_blocking_keys")
+      "q_ts_outage_detect", "q_dedup_blocking_keys",
+      // round-6 batch 40: the per-shard greedy pack fold (repartition +
+      // in-partition sort over the corpus)
+      "q_pipeline_pack_greedy")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

@@ -1597,6 +1597,44 @@ object Text {
     // equals the flat cumulative sum the oracle computes. The bin explode
     // adds one row per spanned boundary — ~n_tokens/512 extra rows
     // corpus-wide, negligible.
+    // Boundary-respecting greedy sequence packing — the OTHER standard
+    // packing mode beside q_pipeline_pack (which spans documents):
+    // when training forbids cross-document attention, docs pack
+    // first-fit into 512-token bins that never split a document
+    // (oversized docs truncate to one full bin). The greedy fold is
+    // non-associative (bin boundaries depend on every prior fill), so
+    // like q_shape_inventory this is the documented mapPartitions case:
+    // repartition(source) + in-partition sort gives each shard its own
+    // sequential pack — exactly production behavior (packing runs per
+    // shard, never globally) — with O(1) state and per-BIN output. The
+    // oracle replays the walk as a recursive CTE.
+    "q_pipeline_pack_greedy" -> { (s, d) =>
+      import s.implicits._
+      val ordered = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"),
+          least(size(split(col("text"), " ")).cast("long"), lit(512L))
+            .as("tok"))
+        .repartition(col("source"))
+        .sortWithinPartitions(col("source"), col("doc_id"))
+        .select(col("source"), col("tok"))
+      ordered.as[(String, Long)].mapPartitions { it =>
+        val res =
+          scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+        var cur: String = null; var bin = 1L; var fill = 0L; var nd = 0L
+        def flush(): Unit =
+          if (cur != null && nd > 0) res += ((cur, bin, nd, fill))
+        it.foreach { case (src, tok) =>
+          if (src != cur) { flush(); cur = src; bin = 1L; fill = 0L
+            nd = 0L }
+          else if (fill + tok > 512L) { flush(); bin += 1; fill = 0L
+            nd = 0L }
+          fill += tok; nd += 1
+        }
+        flush(); res.iterator
+      }.toDF("source", "bin_id", "n_docs", "fill_tokens")
+        .orderBy(col("source"), col("bin_id"))
+    },
+
     "q_pipeline_pack" -> { (s, d) =>
       val wnd = org.apache.spark.sql.expressions.Window
       val B = 512L
@@ -2606,6 +2644,33 @@ object Text {
         |    '[a-z0-9.]+@[a-z0-9.]+[a-z]', '<EMAIL>', 'g'),
         |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS scrubbed
         | FROM raw ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Recursive-CTE replay of the per-source greedy walk (the
+    // q_shape_inventory oracle pattern); max(fill) per bin is the final
+    // fill because fill is monotone within a bin.
+    "q_pipeline_pack_greedy" ->
+      s"""WITH RECURSIVE t AS (SELECT source, doc_id,
+         |   LEAST(CAST(len($oToks) AS BIGINT), 512) AS tok,
+         |   row_number() OVER (PARTITION BY source ORDER BY doc_id)
+         |    AS rn FROM documents),
+         | walk AS (
+         |  SELECT source, rn, CAST(1 AS BIGINT) AS bin_id, tok AS fill,
+         |   CAST(1 AS BIGINT) AS nd
+         |  FROM t WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.source, t.rn,
+         |   CASE WHEN w.fill + t.tok > 512 THEN w.bin_id + 1
+         |    ELSE w.bin_id END,
+         |   CASE WHEN w.fill + t.tok > 512 THEN t.tok
+         |    ELSE w.fill + t.tok END,
+         |   CASE WHEN w.fill + t.tok > 512 THEN CAST(1 AS BIGINT)
+         |    ELSE w.nd + 1 END
+         |  FROM walk w JOIN t ON t.source = w.source
+         |   AND t.rn = w.rn + 1)
+         | SELECT source, bin_id, CAST(max(nd) AS BIGINT) AS n_docs,
+         |  CAST(max(fill) AS BIGINT) AS fill_tokens
+         | FROM walk GROUP BY source, bin_id ORDER BY source, bin_id"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_dedup_blocking_keys" ->

@@ -2838,6 +2838,33 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("q_pipeline_pack_greedy replays the per-source first-fit walk") {
+    val rows = SparkEntry.queries("q_pipeline_pack_greedy")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(3) <= 512L && r.getLong(2) >= 1L))
+    val docs = Tables.documents(spark, sf)
+      .select(col("source"), col("doc_id"), col("text")).collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        math.min(r.getString(2).split(" ", -1).length.toLong, 512L)))
+    assert(rows.map(_.getLong(2)).sum === docs.length.toLong)
+    docs.groupBy(_._1).foreach { case (src, ds) =>
+      val toks = ds.sortBy(_._2).map(_._3)
+      val bins = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      var fill = 0L; var nd = 0L
+      toks.foreach { t =>
+        if (nd > 0 && fill + t > 512L) { bins += ((nd, fill)); fill = 0L
+          nd = 0L }
+        fill += t; nd += 1
+      }
+      if (nd > 0) bins += ((nd, fill))
+      val got = rows.filter(_.getString(0) == src).sortBy(_.getLong(1))
+      assert(got.map(_.getLong(1)).toSeq === (1L to bins.length))
+      assert(got.map(r => (r.getLong(2), r.getLong(3))).toSeq ===
+        bins.toSeq, s"source $src")
+    }
+  }
+
   test("q_ts_diurnal index is count-weighted to one per type") {
     val rows = SparkEntry.queries("q_ts_diurnal")(spark, sf).collect()
     assert(rows.nonEmpty)
