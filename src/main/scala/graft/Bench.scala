@@ -109,7 +109,7 @@ object Bench {
       // round-6 batch 6: 16-lag window chain over events + the
       // shard-partitioned corpus shuffle sort
       "q_ts_ewma", "q_pipeline_shuffle",
-      // round-6: corpus vocab aggregation + 3 learned BPE merges
+      // round-6: corpus vocab aggregation + 16 learned BPE merges
       "q_text_bpe_train",
       // round-6 batch 7: the remaining partsupp-free TPC-H shapes —
       // scan-side global agg (q6), 7-table market share (q8), late-
@@ -218,7 +218,12 @@ object Bench {
       "q_ts_outage_detect", "q_dedup_blocking_keys",
       // round-6 batch 40: the per-shard greedy pack fold (repartition +
       // in-partition sort over the corpus)
-      "q_pipeline_pack_greedy")
+      "q_pipeline_pack_greedy",
+      // round-7: batch replays of the streaming builders — event-stream
+      // distinct (shuffle on event_id), the digest explode + broadcast
+      // probe + per-doc aggregate, and the time-bounded equi+range join
+      "q_stream_dedup_replay", "q_stream_decontaminate",
+      "q_stream_join_replay")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid
@@ -259,41 +264,65 @@ object Bench {
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
     }
-    // (name, median, min, gcMs, peakExecMem, storageBytesAfter,
-    //  perRepSec, perRepGcMs, warmSec)
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // Per-query untimed warm rep at the TARGET SF before the timed
-      // loop: the sf0.001 session warm pass compiles codegen classes but
-      // doesn't push the per-query hot loops through tiered JIT (C2 needs
-      // data-scale invocation counts), so without this the first timed
-      // reps of a late-in-the-run query can measure compilation/deopt
-      // recovery instead of data-proportional work (the r5 driver run
-      // showed q_ts_resample reps decaying 0.748→0.144 s — classic
-      // warm-down the 5-rep median doesn't hide). The warm rep's wall
-      // time is kept as telemetry (warm_sec) so first-run cost stays
-      // visible instead of silently discarded.
+    val ordered = selected.toSeq.sortBy(_._1)
+    // Per-query untimed warm rep at the TARGET SF before the timed
+    // passes: the sf0.001 session warm pass compiles codegen classes but
+    // doesn't push the per-query hot loops through tiered JIT (C2 needs
+    // data-scale invocation counts), so without this the first timed
+    // reps of a query can measure compilation/deopt recovery instead of
+    // data-proportional work (the r5 driver run showed q_ts_resample
+    // reps decaying 0.748→0.144 s — classic warm-down the median doesn't
+    // hide). The warm rep's wall time is kept as telemetry (warm_sec)
+    // so first-run cost stays visible instead of silently discarded.
+    val warmSecs = ordered.map { case (name, fn) =>
       val w0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val warmSec = (System.nanoTime() - w0) / 1e9
+      name -> (System.nanoTime() - w0) / 1e9
+    }.toMap
+    // ROUND-ROBIN passes (the r6 lesson): three driver rounds in a row
+    // showed host-contention windows marching through the run and
+    // inflating whichever queries happened to execute inside them 8-13x
+    // (alphabetically clustered, per-rep GC flat — not a plan property).
+    // With N consecutive reps per query, a contention window lands ALL
+    // of one query's reps inside it and the median is polluted; with
+    // rep-major interleaving (pass 1 over every query, then pass 2, ...)
+    // the same window dilates many queries by one rep each, which the
+    // per-query median rejects. min-of-reps is reported alongside as the
+    // contention-immune floor.
+    val repSec = collection.mutable.Map.empty[String, Vector[Double]]
+    val repGc = collection.mutable.Map.empty[String, Vector[Long]]
+    val taskGc = collection.mutable.Map.empty[String, Long]
+    val peakMem = collection.mutable.Map.empty[String, Long]
+    val storageAfter = collection.mutable.Map.empty[String, Long]
+    for (r <- 1 to reps; (name, fn) <- ordered) {
       listener.reset()
-      val perRep = (1 to reps).map { _ =>
-        val gc0 = jvmGcMs()
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        ((System.nanoTime() - t0) / 1e9, jvmGcMs() - gc0)
-      }
-      val times = perRep.map(_._1).sorted
+      val gc0 = jvmGcMs()
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val sec = (System.nanoTime() - t0) / 1e9
+      repSec(name) = repSec.getOrElse(name, Vector.empty) :+ sec
+      repGc(name) = repGc.getOrElse(name, Vector.empty) :+ (jvmGcMs() - gc0)
+      taskGc(name) = taskGc.getOrElse(name, 0L) + listener.gcMs.sum()
+      peakMem(name) =
+        math.max(peakMem.getOrElse(name, 0L), listener.peakExecMem.get())
+      // Storage gauge after the query's rep in the final pass: a query
+      // that leaks cached/checkpointed blocks shows up as a monotone
+      // climb across the bench run.
+      if (r == reps)
+        storageAfter(name) =
+          try spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
+          catch { case _: Throwable => -1L }
+    }
+    // (name, median, min, gcMs, peakExecMem, storageBytesAfter,
+    //  perRepSec, perRepGcMs, warmSec)
+    val results = ordered.map { case (name, _) =>
+      val times = repSec(name).sorted
       val median =
         if (reps % 2 == 1) times(reps / 2)
         else (times(reps / 2 - 1) + times(reps / 2)) / 2.0
-      // Storage gauge AFTER the reps: a query that leaks cached/checkpointed
-      // blocks shows up as a monotone climb across the bench run.
-      val storage =
-        try spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
-        catch { case _: Throwable => -1L }
-      (name, median, times.head, listener.gcMs.sum(),
-        listener.peakExecMem.get(), storage, perRep.map(_._1),
-        perRep.map(_._2), warmSec)
+      (name, median, times.head, taskGc(name), peakMem(name),
+        storageAfter.getOrElse(name, -1L), repSec(name), repGc(name),
+        warmSecs(name))
     }
     val qs = results.map { case (k, med, _, _, _, _, _, _, _) =>
       "\"" + k + "\":" + med }.mkString("{", ",", "}")
@@ -315,6 +344,7 @@ object Bench {
       s""""$k":{"gc_ms":$gc,"peak_exec_mem":$pk,"storage_bytes_after":$st,"unstable":$unstable,"warm_sec":${f3(ws)},"rep_sec":$repsS,"rep_gc_ms":$repsG}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val totalMin = results.map(_._3).sum
     val nq = results.size
     // The driver captures only the LAST ~2000 chars of stdout; a line with 46
     // per-query medians is ~2.4 KB and gets its head truncated away. So the
@@ -323,7 +353,7 @@ object Bench {
     val compact =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":{"all_$nq":$total},"reps":$reps,"sf":"$sfDir"}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"queries_min":$mins,"telemetry":$telem,"reps":$reps,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$mins,"telemetry":$telem,"reps":$reps,"rep_order":"round_robin","sf":"$sfDir"}"""
     // Full detail to the file sink. Default is cwd-relative so the path works
     // wherever the repo is checked out; SPARK_GRAFT_BENCH_OUT overrides.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",

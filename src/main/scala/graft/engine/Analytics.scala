@@ -21,12 +21,7 @@ object Analytics {
   /** Unpersist the blocks behind a localCheckpoint'd frame (same helper as
     * Vectors.freeCheckpoint — see the rationale there).
     */
-  private def freeCheckpoint(df: DataFrame): Unit =
-    try df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(false)
-      case _ => ()
-    } catch { case _: Throwable => () }
+  private def freeCheckpoint(df: DataFrame): Unit = Checkpoints.free(df)
 
   /** Latest pinned edge-set checkpoint per fixture dir (q_graph_triangles):
     * the returned DataFrame reads the blocks lazily after the builder

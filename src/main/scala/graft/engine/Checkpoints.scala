@@ -1,0 +1,41 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+
+/** Shared localCheckpoint hygiene for the iterative operators (connected
+  * components, Lloyd iterations, BPE merges, the hourly-series frames) —
+  * factored here so Analytics / Events / Text / Vectors share one copy.
+  */
+object Checkpoints {
+
+  /** Unpersist the materialized blocks behind a localCheckpoint'd frame.
+    * A local checkpoint's plan is a LogicalRDD leaf wrapping the persisted
+    * RDD directly, so unpersisting that RDD frees the executor storage the
+    * checkpoint pinned. Safe to call on frames from a stopped session.
+    */
+  def free(df: DataFrame): Unit =
+    try df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+      case _ => ()
+    } catch { case _: Throwable => () }
+
+  /** Pinned localCheckpoint frames, keyed per variant+fixture: the FINAL
+    * frame of an invocation must stay pinned — the returned DataFrame
+    * reads its blocks lazily, after the builder returns. Each invocation
+    * frees the previous invocation's frame under the same slot, capping
+    * steady-state checkpoint storage at one small frame per slot no
+    * matter how many times a query runs (the bench runs each 6+ times in
+    * one session).
+    */
+  private val pinnedFrames =
+    new scala.collection.concurrent.TrieMap[String, DataFrame]()
+
+  /** Pin `df` under `slot`, freeing whatever was pinned there before.
+    * Returns `df` for chaining.
+    */
+  def pin(slot: String, df: DataFrame): DataFrame = {
+    pinnedFrames.put(slot, df).foreach(free)
+    df
+  }
+}

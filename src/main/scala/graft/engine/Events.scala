@@ -18,12 +18,8 @@ import org.apache.spark.sql.functions._
 object Events {
   import Fx._
 
-  private def freeCheckpoint(df: DataFrame): Unit =
-    try df.queryExecution.analyzed.foreach {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(false)
-      case _ => ()
-    } catch { case _: Throwable => () }
+  /** Shared localCheckpoint hygiene (see [[Checkpoints.free]]). */
+  private def freeCheckpoint(df: DataFrame): Unit = Checkpoints.free(df)
 
   /** Latest pinned hourly-series checkpoint per fixture dir (q_ts_acf):
     * same hygiene as Analytics.triPinned — the current invocation's
@@ -32,7 +28,129 @@ object Events {
   private val acfPinned =
     new scala.collection.concurrent.TrieMap[String, DataFrame]()
 
+  /** Checkpointed per-(event_type, hour) count series — shared by
+    * q_ts_acf / q_ts_cross_corr / q_ts_outage_detect (factored per the
+    * r6 advice, mirroring Analytics.supportEdges): the hourly aggregate
+    * is tiny (types × hours) but referenced several times downstream,
+    * so it is localCheckpoint'd once per invocation — the fact-scale
+    * events table is scanned exactly once — and pinned per
+    * (slot, fixture) with the usual replace-previous hygiene.
+    */
+  private def hourlySeries(s: SparkSession, d: String, slot: String)
+      : DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+      .localCheckpoint()
+    acfPinned.put(slot + ":" + d, hourly).foreach(freeCheckpoint)
+    hourly
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TRUE STREAMING RUN of Streaming.dedupWithinWatermark under the
+    // oracle gate (r6 verdict item 7; Spark REJECTS the operator on
+    // batch frames, so a batch replay is impossible — instead the query
+    // executes an actual Structured Streaming job at build time, the
+    // q_scan_binaryfile eager-side-effect precedent): the re-delivered
+    // event stream (every 10th event re-enters as a byte-identical
+    // copy, the at-least-once duplication this operator absorbs) lands
+    // in a parquet staging dir, a readStream file source feeds the
+    // SAME builder StreamingSpec exercises, and the deduped stream
+    // writes through a parquet sink. Trigger.Once processes everything
+    // in ONE micro-batch, so the watermark never drops rows mid-run
+    // and the surviving set is value-deterministic (duplicates are
+    // identical copies). Nothing funnels through the driver — both
+    // sides of the stream are distributed file IO.
+    "q_stream_dedup_replay" -> { (s, d) =>
+      val slug = d.replaceAll("[^A-Za-z0-9_]", "_")
+      val base =
+        s"${System.getProperty("java.io.tmpdir")}/graft_stream/$slug"
+      val ev = Tables.events(s, d)
+        .select(col("ts"), col("user_id").as("userId"),
+          col("event_type").as("eventType"), col("value"),
+          col("event_id").as("eventId"))
+      val redelivered = ev.filter(pmod(col("eventId"), lit(10)) === 0)
+      ev.unionAll(redelivered).write.mode("overwrite")
+        .parquet(s"$base/dedup_in")
+      // Fresh run per invocation: a surviving checkpoint would treat the
+      // re-written input as new files and APPEND a second copy of every
+      // row to the sink; clear both sink and checkpoint first.
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory)
+          Option(p.listFiles()).getOrElse(Array.empty).foreach(rm)
+        p.delete(); ()
+      }
+      rm(new java.io.File(s"$base/dedup_out"))
+      rm(new java.io.File(s"$base/dedup_ckpt"))
+      val in = s.readStream
+        .schema(s.read.parquet(s"$base/dedup_in").schema)
+        .parquet(s"$base/dedup_in")
+      val q = Streaming.dedupWithinWatermark(in)
+        .writeStream.format("parquet")
+        .option("path", s"$base/dedup_out")
+        .option("checkpointLocation", s"$base/dedup_ckpt")
+        .outputMode("append")
+        // Trigger.Once (deprecated in favor of AvailableNow) is chosen
+        // DELIBERATELY: AvailableNow may split the files across several
+        // micro-batches, and with a 10-minute watermark a later batch
+        // could legitimately drop rows that sorted behind the advanced
+        // watermark — nondeterministic output under file-order changes.
+        // Once processes everything in a single micro-batch, which is
+        // the deterministic replay of an at-least-once backlog.
+        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+        .start()
+      try q.awaitTermination() finally if (q.isActive) q.stop()
+      val out = s.read.parquet(s"$base/dedup_out")
+        .select(col("eventId").as("event_id"), col("ts"),
+          col("userId").as("user_id"),
+          col("eventType").as("event_type"), col("value"))
+        .orderBy(col("event_id"))
+      out
+    },
+
+    // BATCH REPLAY of Streaming.streamingDecontaminate (r6 verdict item
+    // 7): the stream-static decontamination pipeline has no watermark or
+    // stateful operator — per micro-batch it is a map + broadcast join +
+    // per-doc aggregate — so the builder runs UNCHANGED on batch frames
+    // and the driver oracle-checks the streaming code path. Eval set =
+    // the doc_id % 10 = 7 digests (the q_text_contaminate split);
+    // output is the raw (n_spans, n_hits) the update-mode sink would
+    // hold per surviving document.
+    "q_stream_decontaminate" -> { (s, d) =>
+      val n = 8
+      val docs = Tables.documents(s, d)
+      val evalDg = docs.filter(pmod(col("doc_id"), lit(10)) === 7)
+        .withColumn("t", split(lower(col("text")), " "))
+        .filter(size(col("t")) >= n)
+        .select(col("t"),
+          explode(sequence(lit(1), size(col("t")) - (n - 1))).as("i"))
+        .select(conv(substring(
+          md5(concat_ws(" ", slice(col("t"), col("i"), lit(n)))), 1, 15),
+          16, 10).cast("long").as("dg"))
+      Streaming.streamingDecontaminate(
+        docs.filter(pmod(col("doc_id"), lit(10)) =!= 7), evalDg)
+        .orderBy(col("doc_id"))
+    },
+
+    // BATCH REPLAY of Streaming.streamStreamJoin (r6 verdict item 7):
+    // watermarks are no-ops on batch frames and the time-bounded
+    // equi+range join is value-deterministic, so the scale-critical
+    // property the builder encodes — BOTH sides watermarked plus a
+    // bounded event-time range so each side buffers only its horizon of
+    // state — gets a hash-checked oracle row through the same code
+    // path MemoryStream exercises. Clicks probe purchases by the same
+    // user within the following 30 minutes (the attribution shape).
+    "q_stream_join_replay" -> { (s, d) =>
+      def side(t: String) = Tables.events(s, d)
+        .filter(col("event_type") === t)
+        .select(col("ts"), col("user_id").as("userId"),
+          col("event_id").as("eventId"))
+      Streaming.streamStreamJoin(side("click"), side("purchase"))
+        .select(col("l_user").as("user_id"), col("l_id").as("click_id"),
+          col("r_id").as("purchase_id"), col("l_ts"), col("r_ts"))
+        .orderBy(col("click_id"), col("purchase_id"))
+    },
+
     "q_stream_tumbling" -> { (s, d) =>
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -351,16 +469,9 @@ object Events {
       val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       val W = org.apache.spark.sql.expressions.Window
       val lags = 1 to 6
-      // The hourly series is referenced three times below (grid bounds,
-      // the dense left-join, series totals); without materialization each
-      // reference re-scans the fact-scale events table. The aggregate is
-      // tiny (types × hours), so checkpoint it once — events is scanned
-      // exactly once per invocation (same hygiene as Analytics.triPinned).
-      val hourly = Tables.events(s, d)
-        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-        .agg(count(lit(1)).as("x"))
-        .localCheckpoint()
-      acfPinned.put(d, hourly).foreach(freeCheckpoint)
+      // Hourly series referenced three times below (grid bounds, the
+      // dense left-join, series totals) — shared checkpointed helper.
+      val hourly = hourlySeries(s, d, "acf")
       val grid = hourly.groupBy(col("event_type"))
         .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
         .select(col("event_type"),
@@ -402,11 +513,7 @@ object Events {
     // stream; series are hour-cardinality, tiny next to the corpus.
     "q_ts_cross_corr" -> { (s, d) =>
       val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-      val hourly = Tables.events(s, d)
-        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-        .agg(count(lit(1)).as("x"))
-        .localCheckpoint()
-      acfPinned.put("xc:" + d, hourly).foreach(freeCheckpoint)
+      val hourly = hourlySeries(s, d, "xc")
       val dense = hourly.groupBy(col("event_type"))
         .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
         .select(col("event_type"),
@@ -455,11 +562,7 @@ object Events {
     // only, a subset of the tiny grid.
     "q_ts_outage_detect" -> { (s, d) =>
       val W = org.apache.spark.sql.expressions.Window
-      val hourly = Tables.events(s, d)
-        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-        .agg(count(lit(1)).as("x"))
-        .localCheckpoint()
-      acfPinned.put("out:" + d, hourly).foreach(freeCheckpoint)
+      val hourly = hourlySeries(s, d, "out")
       val zeros = hourly.groupBy(col("event_type"))
         .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
         .select(col("event_type"),
@@ -507,6 +610,46 @@ object Events {
   )
 
   val oracle: Map[String, String] = Map(
+    // Duplicates are byte-identical copies, so SELECT DISTINCT over the
+    // re-delivered union replays whichever-survivor dedup exactly.
+    "q_stream_dedup_replay" ->
+      """WITH s AS (SELECT * FROM events UNION ALL
+        |   SELECT * FROM events WHERE event_id % 10 = 0)
+        | SELECT DISTINCT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |  event_type, value
+        | FROM s ORDER BY event_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // The q_text_contaminate digest replay minus the derived columns —
+    // the streaming builder emits only the raw span/hit counts.
+    "q_stream_decontaminate" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk
+        |   FROM documents),
+        | sh AS (SELECT doc_id, ('0x' ||
+        |   substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15))::BIGINT
+        |   AS dg
+        |  FROM t, LATERAL unnest(generate_series(1, len(tk) - 7)) u(i)
+        |  WHERE len(tk) >= 8),
+        | ev AS (SELECT DISTINCT dg FROM sh WHERE doc_id % 10 = 7)
+        | SELECT sh.doc_id, count(*) AS n_spans, count(ev.dg) AS n_hits
+        | FROM sh LEFT JOIN ev ON sh.dg = ev.dg
+        | WHERE sh.doc_id % 10 <> 7
+        | GROUP BY sh.doc_id ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // The range comparison runs on microsecond-cast timestamps on both
+    // sides (Spark's ts is nanos DIV 1000) so boundary pairs agree.
+    "q_stream_join_replay" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |   user_id, event_type FROM events)
+        | SELECT l.user_id, l.event_id AS click_id,
+        |  r.event_id AS purchase_id, l.ts AS l_ts, r.ts AS r_ts
+        | FROM e l JOIN e r ON l.user_id = r.user_id
+        |  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
+        | WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+        | ORDER BY click_id, purchase_id"""
+        .stripMargin.replaceAll("\n", " "),
+
     // Spark's window() is epoch-aligned, same as date_trunc/time_bucket.
     "q_stream_tumbling" ->
       s"""SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS w_start,

@@ -78,7 +78,14 @@ object Ingest {
     // so the round trip through the binary source is what's checked.
     "q_scan_binaryfile" -> { (s, d) =>
       val out = tmp("binfiles", d)
-      new java.io.File(out).mkdirs()
+      val dir = new java.io.File(out)
+      dir.mkdirs()
+      // Clear stale payloads first (r6 advice): a *.bin left by an
+      // earlier run or a different fixture generation would match the
+      // pathGlobFilter and silently corrupt the scan — the read-back
+      // must see exactly the 8 files THIS invocation writes.
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".bin")).foreach(_.delete())
       Tables.documents(s, d).filter(col("doc_id") < 8)
         .select(col("doc_id"), col("text"))
         .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>

@@ -124,15 +124,32 @@ object Text {
     total
   }
 
-  /** The shared BPE training walk (Sennrich 2016, 3 merges over the
-    * alpha-word vocabulary in double-sentinel encoding): returns the three
-    * 1-row best-pair frames (a, b, cnt) and the post-merge vocabulary
+  /** The number of BPE merges the shared walk learns. 16 (up from the
+    * r6 demo depth of 3) proves the per-iteration cost curve: each merge
+    * is one pair-count aggregate over the tiny word table + a 1-row
+    * broadcast, so iteration cost is flat in merge count and NEVER
+    * rescans the corpus.
+    */
+  val BpeMerges = 16
+
+  /** The shared BPE training walk (Sennrich 2016, [[BpeMerges]] merges
+    * over the alpha-word vocabulary in double-sentinel encoding): returns
+    * the merge table (rank, a, b, cnt) and the post-merge vocabulary
     * (w, repr, freq). Used by q_text_bpe_train (reports the merges) and
     * q_pipeline_tokenizer_apply (joins token occurrences to the merged
     * vocab's symbol counts).
+    *
+    * Lineage is truncated per iteration (the iterative-CC rule): the
+    * word table and the merge accumulator each feed the next iteration
+    * twice, so without a localCheckpoint the logical plan doubles per
+    * merge (2^16 analyzer blow-up at this depth — with 3 merges the r6
+    * spelling got away without it). Both frames are tiny (vocabulary
+    * rows, not corpus rows); superseded iterations' blocks are freed as
+    * soon as the next materializes, and the final frames stay pinned per
+    * fixture until the next invocation replaces them.
     */
   private def bpeWalk(s: SparkSession, d: String)
-      : (Seq[DataFrame], DataFrame) = {
+      : (DataFrame, DataFrame) = {
     val vocab = Tables.documents(s, d)
       .select(explode(toks(col("text"))).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
@@ -149,20 +166,34 @@ object Text {
             " k -> struct(syms[k-1] AS a, syms[k] AS b))")).as("p"))
         .groupBy(col("p.a").as("a"), col("p.b").as("b"))
         .agg(sum(col("freq")).as("cnt"))
-    var words = vocab
-    var merges = Seq.empty[DataFrame]
-    for (_ <- 1 to 3) {
+    // One eager checkpoint per iteration (the word table — referenced
+    // twice by the next level), coalesced to one partition because the
+    // frame is vocabulary-sized. The merge accumulator is a LINEAR
+    // union chain over the live word checkpoints, so it checkpoints
+    // ONCE at the end; only then are the superseded word frames freed
+    // (freeing them earlier would orphan the accumulator's lineage).
+    var words = vocab.coalesce(1).localCheckpoint()
+    val superseded = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var merges: DataFrame = null
+    for (i <- 1 to BpeMerges) {
       val best = pairCounts(words)
         .orderBy(desc("cnt"), asc("a"), asc("b")).limit(1)
-      merges :+= best
-      words = words.crossJoin(broadcast(
+        .select(lit(i).as("rank"), col("a"), col("b"), col("cnt"))
+      merges = if (merges == null) best else merges.unionByName(best)
+      val w2 = words.crossJoin(broadcast(
           best.select(col("a").as("ba"), col("b").as("bb"))))
         .withColumn("repr", expr(
           "replace(repr, '~' || ba || '~~' || bb || '~'," +
             " '~' || ba || bb || '~')"))
         .select(col("w"), col("repr"), col("freq"))
+        .coalesce(1).localCheckpoint()
+      superseded += words
+      words = w2
     }
-    (merges, words)
+    val mergesCk = merges.coalesce(1).localCheckpoint()
+    superseded.foreach(Checkpoints.free)
+    (Checkpoints.pin(s"bpeM:$d", mergesCk),
+      Checkpoints.pin(s"bpeW:$d", words))
   }
   private val StopWords = Seq("the", "a")
 
@@ -1137,7 +1168,8 @@ object Text {
           count(lit(1)).as("n_copies"),
           countDistinct(col("lang")).as("n_langs"),
           max(col("len")).as("max_len"),
-          sort_array(collect_set(col("source"))).as("sources"))
+          array_join(sort_array(collect_set(col("source"))), ";")
+            .as("sources"))
         .filter(col("n_copies") >= 2)
         .select(col("sv.id").as("survivor_id"), col("n_copies"),
           col("n_langs"), col("max_len"), col("sources"))
@@ -1187,8 +1219,15 @@ object Text {
     // repetition ordering); the UDF is the sanctioned surface for
     // byte-level work with no Catalyst expression (q_udf_scalar
     // precedent), map-only and partition-parallel at any scale.
+    // CAVEAT (why no-oracle is also the honest label): deflate output
+    // depends on the JDK-bundled zlib at level 6 — a JDK upgrade that
+    // changes zlib's match heuristics would shift comp_len, and only
+    // the same-JVM law test would notice; that drift is EXPECTED, not a
+    // bug. Null text maps to null comp_len (a null doc has no bytes to
+    // measure) instead of NPE-ing the task.
     "q_text_compressibility" -> { (s, d) =>
-      val ud = udf((t: String) => deflatedSize(t))
+      val ud = udf((t: String) =>
+        if (t == null) None else Some(deflatedSize(t)))
       Tables.documents(s, d)
         .select(col("doc_id"), octet_length(col("text")).as("raw_len"),
           ud(col("text")).as("comp_len"))
@@ -1603,36 +1642,45 @@ object Text {
     // first-fit into 512-token bins that never split a document
     // (oversized docs truncate to one full bin). The greedy fold is
     // non-associative (bin boundaries depend on every prior fill), so
-    // like q_shape_inventory this is the documented mapPartitions case:
-    // repartition(source) + in-partition sort gives each shard its own
-    // sequential pack — exactly production behavior (packing runs per
-    // shard, never globally) — with O(1) state and per-BIN output. The
-    // oracle replays the walk as a recursive CTE.
+    // like q_shape_inventory this is the documented mapPartitions case.
+    // The fold key is the SUB-SHARD (source, doc_id DIV 1000), not the
+    // raw source: a web corpus is Zipf over domains, so a per-source
+    // fold would make one dominant domain a single unbounded sequential
+    // task at 100 TB. Sub-sharding bounds every sequential walk at
+    // ~100 docs (the q_pipeline_shard / q_sample_weighted pattern) and
+    // bins number per sub-shard — production packers shard exactly this
+    // way because each shard's stream is packed independently anyway.
+    // repartition(source, sub_shard) + in-partition sort gives each
+    // sub-shard its own sequential pack with O(1) state and per-BIN
+    // output. The oracle replays the walk as a recursive CTE per
+    // (source, sub_shard).
     "q_pipeline_pack_greedy" -> { (s, d) =>
       import s.implicits._
       val ordered = Tables.documents(s, d)
-        .select(col("source"), col("doc_id"),
+        .select(col("source"), expr("doc_id DIV 100").as("sub_shard"),
+          col("doc_id"),
           least(size(split(col("text"), " ")).cast("long"), lit(512L))
             .as("tok"))
-        .repartition(col("source"))
-        .sortWithinPartitions(col("source"), col("doc_id"))
-        .select(col("source"), col("tok"))
-      ordered.as[(String, Long)].mapPartitions { it =>
-        val res =
-          scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
-        var cur: String = null; var bin = 1L; var fill = 0L; var nd = 0L
+        .repartition(col("source"), col("sub_shard"))
+        .sortWithinPartitions(col("source"), col("sub_shard"), col("doc_id"))
+        .select(col("source"), col("sub_shard"), col("tok"))
+      ordered.as[(String, Long, Long)].mapPartitions { it =>
+        val res = scala.collection.mutable.ArrayBuffer
+          .empty[(String, Long, Long, Long, Long)]
+        var curSrc: String = null; var curSh = 0L
+        var bin = 1L; var fill = 0L; var nd = 0L
         def flush(): Unit =
-          if (cur != null && nd > 0) res += ((cur, bin, nd, fill))
-        it.foreach { case (src, tok) =>
-          if (src != cur) { flush(); cur = src; bin = 1L; fill = 0L
-            nd = 0L }
+          if (curSrc != null && nd > 0) res += ((curSrc, curSh, bin, nd, fill))
+        it.foreach { case (src, sh, tok) =>
+          if (src != curSrc || sh != curSh) { flush(); curSrc = src
+            curSh = sh; bin = 1L; fill = 0L; nd = 0L }
           else if (fill + tok > 512L) { flush(); bin += 1; fill = 0L
             nd = 0L }
           fill += tok; nd += 1
         }
         flush(); res.iterator
-      }.toDF("source", "bin_id", "n_docs", "fill_tokens")
-        .orderBy(col("source"), col("bin_id"))
+      }.toDF("source", "sub_shard", "bin_id", "n_docs", "fill_tokens")
+        .orderBy(col("source"), col("sub_shard"), col("bin_id"))
     },
 
     "q_pipeline_pack" -> { (s, d) =>
@@ -1734,14 +1782,13 @@ object Text {
     // many merges are learned.
     "q_text_bpe_train" -> { (s, d) =>
       val (merges, _) = bpeWalk(s, d)
-      merges.zipWithIndex.map { case (best, i) =>
-        best.select(lit(i + 1).as("rank"), col("a").as("pair_a"),
-          col("b").as("pair_b"), concat(col("a"), col("b")).as("merged"),
-          col("cnt"))
-      }.reduce(_ unionByName _).orderBy(col("rank"))
+      merges.select(col("rank"), col("a").as("pair_a"),
+        col("b").as("pair_b"), concat(col("a"), col("b")).as("merged"),
+        col("cnt"))
+        .orderBy(col("rank"))
     },
 
-    // BPE TRAIN → APPLY round trip: run the 3 learned merges over the
+    // BPE TRAIN → APPLY round trip: run the 16 learned merges over the
     // whole corpus and report the per-language compression (chars per
     // BPE symbol). The merged VOCAB (one row per distinct word) is where
     // replaces happen — token occurrences never re-run the merge, they
@@ -2323,9 +2370,9 @@ object Text {
            |  FROM s$i WHERE len(syms) >= 2),
            | p$i AS (SELECT syms[k-1] AS a, syms[k] AS b,
            |   CAST(sum(freq) AS BIGINT) AS cnt FROM r$i GROUP BY a, b),
-           | b$i AS (SELECT a, b, cnt FROM p$i
+           | b$i AS MATERIALIZED (SELECT a, b, cnt FROM p$i
            |  ORDER BY cnt DESC, a, b LIMIT 1),
-           | w$i AS (SELECT
+           | w$i AS MATERIALIZED (SELECT
            |   replace(repr, '~' || a || '~~' || b || '~',
            |     '~' || a || b || '~') AS repr, freq FROM w${i - 1}, b$i)"""
       s"""WITH v AS (SELECT w, count(*) AS freq FROM
@@ -2333,11 +2380,11 @@ object Text {
          |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w),
          | w0 AS (SELECT regexp_replace(w, '(.)', '~\\1~', 'g') AS repr,
          |   freq FROM v),
-         | ${(1 to 3).map(iter).mkString(", ")}
-         | SELECT 1 AS rank, a AS pair_a, b AS pair_b, a || b AS merged,
-         |   cnt FROM b1
-         | UNION ALL SELECT 2, a, b, a || b, cnt FROM b2
-         | UNION ALL SELECT 3, a, b, a || b, cnt FROM b3
+         | ${(1 to BpeMerges).map(iter).mkString(", ")}
+         | ${(1 to BpeMerges).map(i =>
+             s"SELECT $i AS rank, a AS pair_a, b AS pair_b, " +
+               s"a || b AS merged, cnt FROM b$i")
+             .mkString(" UNION ALL ")}
          | ORDER BY rank"""
         .stripMargin.replaceAll("\n", " ")
     },
@@ -2353,9 +2400,9 @@ object Text {
            |  FROM s$i WHERE len(syms) >= 2),
            | p$i AS (SELECT syms[k-1] AS a, syms[k] AS b,
            |   CAST(sum(freq) AS BIGINT) AS cnt FROM r$i GROUP BY a, b),
-           | b$i AS (SELECT a, b, cnt FROM p$i
+           | b$i AS MATERIALIZED (SELECT a, b, cnt FROM p$i
            |  ORDER BY cnt DESC, a, b LIMIT 1),
-           | w$i AS (SELECT w,
+           | w$i AS MATERIALIZED (SELECT w,
            |   replace(repr, '~' || a || '~~' || b || '~',
            |     '~' || a || b || '~') AS repr, freq FROM w${i - 1}, b$i)"""
       s"""WITH v AS (SELECT w, count(*) AS freq FROM
@@ -2363,9 +2410,10 @@ object Text {
          |  WHERE regexp_matches(w, '^[a-z]+$$') GROUP BY w),
          | w0 AS (SELECT w, regexp_replace(w, '(.)', '~\\1~', 'g') AS repr,
          |   freq FROM v),
-         | ${(1 to 3).map(iter).mkString(", ")},
+         | ${(1 to BpeMerges).map(iter).mkString(", ")},
          | vs AS (SELECT w,
-         |   len(string_split(trim(repr, '~'), '~~')) AS n_sym FROM w3),
+         |   len(string_split(trim(repr, '~'), '~~')) AS n_sym
+         |  FROM w$BpeMerges),
          | tok AS (SELECT lang, unnest($oToks) AS w FROM documents),
          | g AS (SELECT lang, count(*) AS n_words,
          |   CAST(sum(CAST(length(t.w) AS BIGINT)) AS BIGINT) AS n_chars,
@@ -2646,20 +2694,20 @@ object Text {
         | FROM raw ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
 
-    // Recursive-CTE replay of the per-source greedy walk (the
-    // q_shape_inventory oracle pattern); max(fill) per bin is the final
-    // fill because fill is monotone within a bin.
+    // Recursive-CTE replay of the per-(source, sub_shard) greedy walk
+    // (the q_shape_inventory oracle pattern); max(fill) per bin is the
+    // final fill because fill is monotone within a bin.
     "q_pipeline_pack_greedy" ->
-      s"""WITH RECURSIVE t AS (SELECT source, doc_id,
-         |   LEAST(CAST(len($oToks) AS BIGINT), 512) AS tok,
-         |   row_number() OVER (PARTITION BY source ORDER BY doc_id)
-         |    AS rn FROM documents),
+      s"""WITH RECURSIVE t AS (SELECT source, doc_id // 100 AS sub_shard,
+         |   doc_id, LEAST(CAST(len($oToks) AS BIGINT), 512) AS tok,
+         |   row_number() OVER (PARTITION BY source, doc_id // 100
+         |    ORDER BY doc_id) AS rn FROM documents),
          | walk AS (
-         |  SELECT source, rn, CAST(1 AS BIGINT) AS bin_id, tok AS fill,
-         |   CAST(1 AS BIGINT) AS nd
+         |  SELECT source, sub_shard, rn, CAST(1 AS BIGINT) AS bin_id,
+         |   tok AS fill, CAST(1 AS BIGINT) AS nd
          |  FROM t WHERE rn = 1
          |  UNION ALL
-         |  SELECT t.source, t.rn,
+         |  SELECT t.source, t.sub_shard, t.rn,
          |   CASE WHEN w.fill + t.tok > 512 THEN w.bin_id + 1
          |    ELSE w.bin_id END,
          |   CASE WHEN w.fill + t.tok > 512 THEN t.tok
@@ -2667,10 +2715,12 @@ object Text {
          |   CASE WHEN w.fill + t.tok > 512 THEN CAST(1 AS BIGINT)
          |    ELSE w.nd + 1 END
          |  FROM walk w JOIN t ON t.source = w.source
-         |   AND t.rn = w.rn + 1)
-         | SELECT source, bin_id, CAST(max(nd) AS BIGINT) AS n_docs,
+         |   AND t.sub_shard = w.sub_shard AND t.rn = w.rn + 1)
+         | SELECT source, CAST(sub_shard AS BIGINT) AS sub_shard, bin_id,
+         |  CAST(max(nd) AS BIGINT) AS n_docs,
          |  CAST(max(fill) AS BIGINT) AS fill_tokens
-         | FROM walk GROUP BY source, bin_id ORDER BY source, bin_id"""
+         | FROM walk GROUP BY source, sub_shard, bin_id
+         | ORDER BY source, sub_shard, bin_id"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_dedup_blocking_keys" ->
@@ -2803,7 +2853,8 @@ object Text {
         | g AS (SELECT pfx, count(*) AS n_copies,
         |   count(DISTINCT lang) AS n_langs,
         |   CAST(max(len) AS BIGINT) AS max_len,
-        |   list_sort(list(DISTINCT source)) AS sources
+        |   array_to_string(list_sort(list(DISTINCT source)), ';')
+        |     AS sources
         |  FROM c GROUP BY pfx HAVING count(*) >= 2),
         | sv AS (SELECT pfx, doc_id, row_number() OVER (PARTITION BY pfx
         |   ORDER BY len DESC, doc_id) AS rn FROM c)

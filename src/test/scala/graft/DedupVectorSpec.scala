@@ -207,11 +207,14 @@ class DedupVectorSpec extends SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1)))
     val recall = got.count(exact.contains).toDouble / exact.size
     info(f"ivfpq recall vs exact top-5 at sf0.1: $recall%.2f")
-    // measured 0.80 scanning 3/8ths of the corpus through 16x-compressed
-    // codes; the floor leaves headroom for fixture noise
-    assert(recall >= 0.7,
-      f"sf0.1 ivfpq recall $recall%.2f below the floor — raise nprobe " +
-        "or the shortlist width")
+    // the r6 verdict bar: ANN variants must hold recall@5 >= 0.9 at
+    // bench scale. Measured 0.92 at nprobe 5/8 + ADC top-600 (the
+    // nprobe=4 ceiling was 0.94 with true neighbors stranded in
+    // unprobed lists; 5 lists cover every exact top-5 neighbor at this
+    // fixture, so the remaining loss is pure PQ shortlist noise).
+    assert(recall >= 0.9,
+      f"sf0.1 ivfpq recall $recall%.2f below the 0.9 bar — raise " +
+        "nprobe or the shortlist width")
   }
 
   test("multimodal resize halves both decoded dimensions") {

@@ -909,7 +909,9 @@ class EngineLawsSpec extends SparkSuite {
 
   test("bpe training replays the greedy merge walk in pure Scala") {
     val rows = SparkEntry.queries("q_text_bpe_train")(spark, sf).collect()
-    assert(rows.length === 3)
+    assert(rows.length === graft.engine.Text.BpeMerges)
+    assert(rows.map(_.getInt(0)).toSeq ===
+      (1 to graft.engine.Text.BpeMerges))
     // independent replay: straight-line BPE over the same vocab
     var vocab = Tables.documents(spark, sf)
       .select(explode(split(lower(col("text")), " ")).as("w"))
@@ -2221,7 +2223,9 @@ class EngineLawsSpec extends SparkSuite {
       assert(r.getLong(1) === n)
       assert(r.getLong(2) === nl)
       assert(r.getInt(3) === ml)
-      assert(r.getSeq[String](4) === srcs.toSeq)
+      // serialized (";"-joined) so the driver comparator can hash it —
+      // the q_agg_collect convention (raw arrays are unhashable there)
+      assert(r.getString(4) === srcs.mkString(";"))
     }
   }
 
@@ -2838,17 +2842,17 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
-  test("q_pipeline_pack_greedy replays the per-source first-fit walk") {
+  test("q_pipeline_pack_greedy replays the per-sub-shard first-fit walk") {
     val rows = SparkEntry.queries("q_pipeline_pack_greedy")(spark, sf)
       .collect()
     assert(rows.nonEmpty)
-    rows.foreach(r => assert(r.getLong(3) <= 512L && r.getLong(2) >= 1L))
+    rows.foreach(r => assert(r.getLong(4) <= 512L && r.getLong(3) >= 1L))
     val docs = Tables.documents(spark, sf)
       .select(col("source"), col("doc_id"), col("text")).collect()
       .map(r => (r.getString(0), r.getLong(1),
         math.min(r.getString(2).split(" ", -1).length.toLong, 512L)))
-    assert(rows.map(_.getLong(2)).sum === docs.length.toLong)
-    docs.groupBy(_._1).foreach { case (src, ds) =>
+    assert(rows.map(_.getLong(3)).sum === docs.length.toLong)
+    docs.groupBy(d => (d._1, d._2 / 100L)).foreach { case ((src, sh), ds) =>
       val toks = ds.sortBy(_._2).map(_._3)
       val bins = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
       var fill = 0L; var nd = 0L
@@ -2858,11 +2862,36 @@ class EngineLawsSpec extends SparkSuite {
         fill += t; nd += 1
       }
       if (nd > 0) bins += ((nd, fill))
-      val got = rows.filter(_.getString(0) == src).sortBy(_.getLong(1))
-      assert(got.map(_.getLong(1)).toSeq === (1L to bins.length))
-      assert(got.map(r => (r.getLong(2), r.getLong(3))).toSeq ===
-        bins.toSeq, s"source $src")
+      val got = rows
+        .filter(r => r.getString(0) == src && r.getLong(1) == sh)
+        .sortBy(_.getLong(2))
+      assert(got.map(_.getLong(2)).toSeq === (1L to bins.length))
+      assert(got.map(r => (r.getLong(3), r.getLong(4))).toSeq ===
+        bins.toSeq, s"source $src sub_shard $sh")
     }
+  }
+
+  test("q_pipeline_pack_greedy bounds a dominant source via sub-shards") {
+    // The 100 TB defect the sub-shard key fixes: one Zipf-dominant
+    // domain must NOT become a single sequential fold. With the
+    // (source, doc_id DIV 100) key, every sequential walk is bounded
+    // at 100 docs regardless of domain skew. The fixture's dominant
+    // source at this SF spans multiple sub-shards; assert the packing
+    // split it and that each sub-shard numbered its bins from 1.
+    val rows = SparkEntry.queries("q_pipeline_pack_greedy")(spark, sf)
+      .collect()
+    val bySrc = rows.groupBy(_.getString(0))
+    val docsPerShard = rows.groupBy(r => (r.getString(0), r.getLong(1)))
+      .map { case (k, rs) => k -> rs.map(_.getLong(3)).sum }
+    docsPerShard.values.foreach(n => assert(n <= 100L))
+    // every (source, sub_shard) group starts its bin numbering at 1
+    rows.groupBy(r => (r.getString(0), r.getLong(1))).foreach {
+      case (k, rs) =>
+        assert(rs.map(_.getLong(2)).min === 1L, s"group $k")
+    }
+    // fixture doc_ids span well past 100, so at least one source
+    // must appear in >1 sub-shard (the skew-split actually engages)
+    assert(bySrc.values.exists(_.map(_.getLong(1)).distinct.length > 1))
   }
 
   test("q_ts_diurnal index is count-weighted to one per type") {

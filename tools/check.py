@@ -91,11 +91,24 @@ def type_class(t):
 def audit_schemas(exp_types, got_types):
     """Return a failure message if the oracle result schema would hash-
     diverge from the Spark result schema at the driver, else None.
-    Catches the r4 HUGEINT bug class even on zero-row results."""
+    Catches the r4 HUGEINT bug class even on zero-row results, and the
+    r6 list-column class (driver's pandas sort_values dies on unhashable
+    numpy arrays — q_dedup_survivorship): any list/struct/map-typed
+    output column on EITHER side must be serialized (array_join /
+    array_to_string) before it leaves the query."""
     for c, t in exp_types.items():
         if type_class(t) == "hugeint":
             return (f"oracle column {c} is {t} — cast it to BIGINT/DOUBLE "
                     "in the oracle SQL (driver hashes HUGEINT differently)")
+    for side, types in (("oracle", exp_types), ("spark", got_types)):
+        for c, t in types.items():
+            tu = t.upper()
+            if (tu.endswith("[]") or tu.startswith("STRUCT")
+                    or tu.startswith("MAP") or tu.startswith("LIST")
+                    or tu.startswith("ARRAY")):
+                return (f"{side} column {c} is {t} — the driver comparator "
+                        "cannot sort/hash nested types; serialize it "
+                        "(array_join on Spark, array_to_string in DuckDB)")
     for c, t in exp_types.items():
         if c in got_types:
             ec, gc = type_class(t), type_class(got_types[c])
@@ -180,7 +193,17 @@ def selftest():
     # decimal-vs-float divergence must fail even with zero value rows
     assert audit_schemas({"x": "DECIMAL(18,2)"}, {"x": "DOUBLE"}) is not None
     assert audit_schemas({"x": "DOUBLE"}, {"x": "DOUBLE"}) is None
-    print("selftest ok: HUGEINT + type-class audits reject the r4 bug class")
+    # r6 class: list-typed output columns break the driver comparator
+    lbad = sql_types(con, "SELECT list(v) AS xs FROM t")
+    lgood = sql_types(con, "SELECT array_to_string(list(v), ';') AS xs FROM t")
+    assert audit_schemas(lbad, {"xs": "VARCHAR"}) is not None, \
+        "audit failed to reject a LIST oracle column"
+    assert audit_schemas({"xs": "VARCHAR"}, {"xs": "BIGINT[]"}) is not None, \
+        "audit failed to reject a list-typed spark column"
+    assert audit_schemas(lgood, {"xs": "VARCHAR"}) is None, \
+        "audit wrongly rejected an array_to_string column"
+    print("selftest ok: HUGEINT + type-class + list-column audits reject "
+          "the r4 and r6 bug classes")
 
 if __name__ == "__main__":
     if len(sys.argv) == 2 and sys.argv[1] == "--selftest":
