@@ -223,7 +223,11 @@ object Bench {
       // distinct (shuffle on event_id), the digest explode + broadcast
       // probe + per-doc aggregate, and the time-bounded equi+range join
       "q_stream_dedup_replay", "q_stream_decontaminate",
-      "q_stream_join_replay")
+      "q_stream_join_replay",
+      // round-7: dynamic-partition restatement sink and the
+      // unigram+bigram feature-hash classifier (corpus explode + agg);
+      // q_scan_json_corrupt is excluded by rule (b) — dimension-scale
+      "q_sink_partition_overwrite", "q_pipeline_quality_classify")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid
@@ -279,22 +283,31 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - w0) / 1e9
     }.toMap
-    // ROUND-ROBIN passes (the r6 lesson): three driver rounds in a row
+    // INTERLEAVED VISITS (the r6 lesson): three driver rounds in a row
     // showed host-contention windows marching through the run and
     // inflating whichever queries happened to execute inside them 8-13x
     // (alphabetically clustered, per-rep GC flat — not a plan property).
     // With N consecutive reps per query, a contention window lands ALL
-    // of one query's reps inside it and the median is polluted; with
-    // rep-major interleaving (pass 1 over every query, then pass 2, ...)
-    // the same window dilates many queries by one rep each, which the
-    // per-query median rejects. min-of-reps is reported alongside as the
-    // contention-immune floor.
+    // of one query's reps inside it and the median is polluted. Full
+    // rep-major interleaving fixes that but costs ~1.4x on sub-second
+    // queries (measured: 185 other queries between two reps evict the
+    // JIT/code-cache warmth the back-to-back spelling enjoyed, while
+    // CPU-bound codec queries stayed flat at 0.92-0.99x — the inflation
+    // is locality loss, not data work). Compromise: reps group into 3
+    // visits (2+2+1 for reps=5) interleaved across the headline — each
+    // visit's second rep runs warm, and a contention window can pollute
+    // at most one visit (2 of 5 reps), which the median still rejects.
+    // min-of-reps is reported alongside as the contention-immune floor.
     val repSec = collection.mutable.Map.empty[String, Vector[Double]]
     val repGc = collection.mutable.Map.empty[String, Vector[Long]]
     val taskGc = collection.mutable.Map.empty[String, Long]
     val peakMem = collection.mutable.Map.empty[String, Long]
     val storageAfter = collection.mutable.Map.empty[String, Long]
-    for (r <- 1 to reps; (name, fn) <- ordered) {
+    val nVisits = math.min(3, reps)
+    val visitSizes = (0 until nVisits)
+      .map(v => reps / nVisits + (if (v < reps % nVisits) 1 else 0))
+    for (v <- 0 until nVisits; (name, fn) <- ordered;
+         k <- 1 to visitSizes(v)) {
       listener.reset()
       val gc0 = jvmGcMs()
       val t0 = System.nanoTime()
@@ -305,10 +318,10 @@ object Bench {
       taskGc(name) = taskGc.getOrElse(name, 0L) + listener.gcMs.sum()
       peakMem(name) =
         math.max(peakMem.getOrElse(name, 0L), listener.peakExecMem.get())
-      // Storage gauge after the query's rep in the final pass: a query
+      // Storage gauge after the query's rep in the final visit: a query
       // that leaks cached/checkpointed blocks shows up as a monotone
       // climb across the bench run.
-      if (r == reps)
+      if (v == nVisits - 1 && k == visitSizes(v))
         storageAfter(name) =
           try spark.sparkContext.getRDDStorageInfo.map(_.memSize).sum
           catch { case _: Throwable => -1L }
@@ -353,7 +366,7 @@ object Bench {
     val compact =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":{"all_$nq":$total},"reps":$reps,"sf":"$sfDir"}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$mins,"telemetry":$telem,"reps":$reps,"rep_order":"round_robin","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$mins,"telemetry":$telem,"reps":$reps,"rep_order":"interleaved_visits_2_2_1","sf":"$sfDir"}"""
     // Full detail to the file sink. Default is cwd-relative so the path works
     // wherever the repo is checked out; SPARK_GRAFT_BENCH_OUT overrides.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",

@@ -242,6 +242,70 @@ object Ingest {
         .orderBy(col("l_returnflag"))
     },
 
+    // Malformed-record quarantine — the PERMISSIVE JSONL ingest path
+    // (the ingestion reality at 100 TB: a fraction of every web-scale
+    // JSONL batch arrives truncated mid-object by upstream transfer):
+    // every 7th record is truncated, from_json in PERMISSIVE mode
+    // routes the broken payload to the _corrupt_record side channel,
+    // and typed fields surface ONLY for clean rows — partial-parse
+    // recovery (spark.sql.json.enablePartialResults) is deliberately
+    // masked behind the quarantine flag so engine-specific
+    // partial-recovery semantics never leak into results. Map-only at
+    // any scale; the payload is integers + clean strings so both
+    // engines serialize it identically.
+    "q_scan_json_corrupt" -> { (s, d) =>
+      val raw = Tables.customer(s, d).filter(col("c_custkey") < 200)
+        .withColumn("line", concat(lit("{\"k\":"), col("c_custkey"),
+          lit(",\"n\":\""), col("c_name"), lit("\",\"nk\":"),
+          col("c_nationkey"), lit("}")))
+        .withColumn("line",
+          when(pmod(col("c_custkey"), lit(7)) === 3,
+            expr("substring(line, 1, length(line) - 5)"))
+            .otherwise(col("line")))
+      val schema = StructType(Seq(
+        StructField("k", LongType), StructField("n", StringType),
+        StructField("nk", IntegerType),
+        StructField("_corrupt_record", StringType)))
+      raw.select(col("c_custkey"),
+          from_json(col("line"), schema,
+            Map("mode" -> "PERMISSIVE",
+              "columnNameOfCorruptRecord" -> "_corrupt_record")).as("j"))
+        .withColumn("quarantined", col("j._corrupt_record").isNotNull)
+        .select(col("c_custkey"),
+          when(!col("quarantined"), col("j.k")).as("k"),
+          when(!col("quarantined"), col("j.n")).as("n"),
+          when(!col("quarantined"), col("j.nk")).as("nk"),
+          col("quarantined"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // Dynamic partition overwrite — the incremental-write pattern for
+    // partitioned 100 TB tables: a restatement batch overwrites ONLY
+    // the partitions present in the incoming data (static overwrite
+    // truncates the whole table first — a catastrophic correctness bug
+    // at scale). Full load lands every month; the restatement rewrites
+    // the 1996 months keeping urgent/high orders only; the read-back
+    // proves sibling years kept their full contents while each restated
+    // month holds exactly its subset. A 1996 month with NO qualifying
+    // orders is absent from the batch and therefore keeps its ORIGINAL
+    // rows — the oracle replays that per-partition presence rule.
+    "q_sink_partition_overwrite" -> { (s, d) =>
+      val out = tmp("orders_dynpart", d)
+      val orders = Tables.orders(s, d)
+        .withColumn("om", date_format(col("o_orderdate"), "yyyy-MM"))
+      orders.write.mode("overwrite").partitionBy("om").parquet(out)
+      orders.filter(col("om").startsWith("1996")
+          && col("o_orderpriority") < "3")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("om").parquet(out)
+      s.read.parquet(out)
+        .groupBy(col("om"))
+        .agg(count(lit(1)).as("n_orders"),
+          Fx.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy(col("om"))
+    },
+
     // Bucketed sink: pre-shuffled-at-rest layout. A later aggregation on
     // the bucket column reads the buckets as its partitioning and skips
     // the exchange entirely (asserted in PlanSpec) — the co-located-join /
@@ -469,6 +533,47 @@ object Ingest {
       s"""SELECT l_returnflag, count(*) AS n,
          | ${Fx.oSum("l_extendedprice")} AS sum_price
          | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // json_valid mirrors PERMISSIVE's corrupt-record routing; fields are
+    // extracted only for valid lines, matching the masked Spark output.
+    "q_scan_json_corrupt" ->
+      """WITH raw AS (SELECT c_custkey,
+        |   '{"k":' || c_custkey || ',"n":"' || c_name || '","nk":'
+        |     || c_nationkey || '}' AS line
+        |  FROM customer WHERE c_custkey < 200),
+        | cor AS (SELECT c_custkey, CASE WHEN c_custkey % 7 = 3
+        |   THEN substring(line, 1, length(line) - 5) ELSE line END
+        |   AS line FROM raw)
+        | SELECT c_custkey,
+        |  CASE WHEN json_valid(line)
+        |   THEN CAST(json_extract_string(line, '$.k') AS BIGINT) END AS k,
+        |  CASE WHEN json_valid(line)
+        |   THEN json_extract_string(line, '$.n') END AS n,
+        |  CASE WHEN json_valid(line)
+        |   THEN CAST(json_extract_string(line, '$.nk') AS INTEGER) END
+        |   AS nk,
+        |  NOT json_valid(line) AS quarantined
+        | FROM cor ORDER BY c_custkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Per-partition presence rule: a 1996 month appears in the
+    // restatement batch only if it has a qualifying order; absent
+    // months keep their original rows under dynamic overwrite.
+    "q_sink_partition_overwrite" ->
+      s"""WITH o AS (SELECT strftime(o_orderdate, '%Y-%m') AS om,
+         |   o_totalprice, o_orderpriority FROM orders),
+         | restated AS (SELECT DISTINCT om FROM o
+         |  WHERE om LIKE '1996%' AND o_orderpriority < '3'),
+         | fin AS (SELECT om, o_totalprice FROM o
+         |  WHERE om NOT IN (SELECT om FROM restated)
+         |  UNION ALL
+         |  SELECT om, o_totalprice FROM o
+         |  WHERE om IN (SELECT om FROM restated)
+         |   AND o_orderpriority < '3')
+         | SELECT om, count(*) AS n_orders,
+         |  ${Fx.oSum("o_totalprice")} AS sum_price
+         | FROM fin GROUP BY om ORDER BY om"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_scan_orc" ->

@@ -1318,6 +1318,35 @@ object Text {
     // each — the ntile is population-relative by definition (the
     // q_shape_rfm precedent: at 10⁹ docs swap in approximate band
     // boundaries); the within-band shuffle windows are band-partitioned.
+    // Quality-classifier APPLY — the CCNet/fastText-style linear gate a
+    // curation pipeline runs after the heuristic filters: unigram AND
+    // adjacent-bigram features hash into 64 bins, an integer weight per
+    // bin (a deterministic stand-in for trained parameters — the model
+    // is an ARTIFACT applied map-side, never a join at scale) scores
+    // each document as the sum of its features' weights, and the sign
+    // thresholds keep/drop. Exact integer arithmetic end to end so the
+    // oracle replays it; one per-doc aggregate after a map-only feature
+    // explode — the classifier itself never shuffles, which is why this
+    // family (not the heuristics) is what production gates run at
+    // 100 TB.
+    "q_pipeline_quality_classify" -> { (s, d) =>
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), toks(col("text")).as("tk"))
+      val uni = t.select(col("doc_id"), explode(col("tk")).as("f"))
+      val bi = t.filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(tk) - 1)," +
+            " i -> concat(tk[i-1], '_', tk[i]))")).as("f"))
+      uni.unionAll(bi)
+        .withColumn("bin",
+          conv(substring(md5(col("f")), 1, 4), 16, 10).cast("long") % 64)
+        .withColumn("wt", (col("bin") * 31 + 7) % 97 - 48)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_features"), sum(col("wt")).as("score"))
+        .withColumn("kept", col("score") >= 0)
+        .orderBy(col("doc_id"))
+    },
+
     "q_pipeline_curriculum" -> { (s, d) =>
       val W = org.apache.spark.sql.expressions.Window
       val wB = W.orderBy(col("tok"), col("doc_id"))
@@ -2796,6 +2825,24 @@ object Text {
          |  round((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
          |    / n_terms / 1e9 + 5e-10, 6) AS intercept
          | FROM sl"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same 64-bin md5 feature hashing and integer weight formula; the
+    // HUGEINT weight sum casts to BIGINT for the comparator.
+    "q_pipeline_quality_classify" ->
+      s"""WITH t AS (SELECT doc_id, $oToks AS tk FROM documents),
+         | uni AS (SELECT doc_id, unnest(tk) AS f FROM t),
+         | bi AS (SELECT doc_id, tk[i] || '_' || tk[i+1] AS f
+         |  FROM t, LATERAL unnest(generate_series(1, len(tk) - 1)) u(i)
+         |  WHERE len(tk) >= 2),
+         | feats AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+         | sc AS (SELECT doc_id,
+         |   ('0x' || substr(md5(f), 1, 4))::BIGINT % 64 AS bin
+         |  FROM feats)
+         | SELECT doc_id, count(*) AS n_features,
+         |  CAST(sum((bin * 31 + 7) % 97 - 48) AS BIGINT) AS score,
+         |  CAST(sum((bin * 31 + 7) % 97 - 48) AS BIGINT) >= 0 AS kept
+         | FROM sc GROUP BY doc_id ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_pipeline_curriculum" ->

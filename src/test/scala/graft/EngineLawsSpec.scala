@@ -2904,4 +2904,72 @@ class EngineLawsSpec extends SparkSuite {
       assert(rs.map(_.getInt(1)).forall(h => h >= 0 && h <= 23))
     }
   }
+
+  test("q_scan_json_corrupt quarantines exactly the truncated records") {
+    val rows = SparkEntry.queries("q_scan_json_corrupt")(spark, sf)
+      .collect()
+    val src = Tables.customer(spark, sf).filter(col("c_custkey") < 200)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(rows.length === src.size)
+    assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)))
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val bad = id % 7 == 3
+      assert(r.getBoolean(4) === bad, s"quarantine flag for $id")
+      if (bad) {
+        assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3),
+          s"quarantined $id must mask all typed fields")
+      } else {
+        assert(r.getLong(1) === id)
+        assert(r.getString(2) === src(id)._1)
+        assert(r.getInt(3) === src(id)._2)
+      }
+    }
+  }
+
+  test("q_sink_partition_overwrite touches only the restated partitions") {
+    val rows = SparkEntry.queries("q_sink_partition_overwrite")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = Tables.orders(spark, sf)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("om"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("o_orderpriority") < "3", 1)).as("nr"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.keySet === base.keySet)
+    base.foreach { case (om, (full, restated)) =>
+      if (om.startsWith("1996") && restated > 0)
+        assert(rows(om) === restated, s"restated month $om")
+      else
+        assert(rows(om) === full, s"untouched month $om")
+    }
+    // the restatement must actually engage at this SF
+    assert(base.exists { case (om, (f, r)) =>
+      om.startsWith("1996") && r > 0 && r < f })
+  }
+
+  test("q_pipeline_quality_classify replays the hashed linear score") {
+    val rows = SparkEntry.queries("q_pipeline_quality_classify")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    def bin(f: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 4), 16) % 64
+    }
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase
+        .split(" ", -1).toSeq).toMap
+    rows.take(25).foreach { r =>
+      val tk = docs(r.getLong(0))
+      val feats = tk ++ tk.zip(tk.drop(1)).map { case (a, b) => s"${a}_$b" }
+      val score = feats.map(f => (bin(f) * 31 + 7) % 97 - 48).sum
+      assert(r.getLong(1) === feats.length.toLong)
+      assert(r.getLong(2) === score)
+      assert(r.getBoolean(3) === (score >= 0))
+    }
+  }
 }
