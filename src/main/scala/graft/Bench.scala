@@ -227,7 +227,10 @@ object Bench {
       // round-7: dynamic-partition restatement sink and the
       // unigram+bigram feature-hash classifier (corpus explode + agg);
       // q_scan_json_corrupt is excluded by rule (b) — dimension-scale
-      "q_sink_partition_overwrite", "q_pipeline_quality_classify")
+      "q_sink_partition_overwrite", "q_pipeline_quality_classify",
+      // round-7: the custom AsOfJoinExec physical operator (exchange +
+      // sort per side + single merge pass) vs the composed q_join_asof
+      "q_join_asof_exec")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

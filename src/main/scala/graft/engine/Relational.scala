@@ -176,6 +176,31 @@ object Relational {
     // exactly ts visible to that event (at-or-before) and resolves
     // same-date ties to the max o_orderkey, matching the oracle's
     // deduplicated ASOF LEFT JOIN.
+    // The custom-physical-operator spelling of the as-of join (SURVEY
+    // §4.3 — the engine's one whole-operator SparkStrategy+SparkPlan):
+    // same semantics as q_join_asof (latest order at or before each
+    // event, per user), but the graft_asof-marked LEFT join plans as
+    // AsOfJoinExec — one hash exchange per side + in-partition
+    // (key, time) sorts (both inserted by EnsureRequirements, exactly
+    // as for sort-merge join) + a single O(1)-state merge pass per
+    // co-partitioned pair — instead of the union + keyed-window
+    // composition. The marker is an explicit semantic opt-in (an
+    // optimizer must never silently turn all-pairs into latest-match);
+    // PlanSpec pins the physical operator, the law test pins
+    // value-equality with the composed spelling, and the oracle is the
+    // same DuckDB ASOF LEFT JOIN as q_join_asof.
+    "q_join_asof_exec" -> { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts").as("t"))
+      val o = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("r_user"),
+          col("o_orderdate").as("rt"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      e.join(o, expr("graft_asof(user_id = r_user AND rt <= t)"), "left")
+        .select(col("event_id"), col("user_id"), col("o_orderkey"))
+        .orderBy(col("event_id"))
+    },
+
     "q_join_asof" -> { (s, d) =>
       val e = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("ts").as("t"),
@@ -735,6 +760,17 @@ object Relational {
         .stripMargin.replaceAll("\n", " "),
 
     "q_join_asof" ->
+      """SELECT e.event_id, e.user_id, o.o_orderkey
+        | FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
+        | ASOF LEFT JOIN (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+        |   FROM orders GROUP BY 1, 2) o
+        | ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        | ORDER BY e.event_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // identical semantics to q_join_asof — the Spark side differs only
+    // in the physical operator (AsOfJoinExec vs union+window)
+    "q_join_asof_exec" ->
       """SELECT e.event_id, e.user_id, o.o_orderkey
         | FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events) e
         | ASOF LEFT JOIN (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey

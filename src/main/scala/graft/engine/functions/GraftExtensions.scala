@@ -97,5 +97,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // marker-flagged brute-force similarity joins into LSH bucket
     // equi-joins; plans without the graft_approx marker are untouched
     ext.injectOptimizerRule(_ => SimilarityJoinRewrite)
+    // the one custom physical operator (SURVEY §4.3): graft_asof-marked
+    // LEFT joins plan as AsOfJoinExec — co-partitioned (key, time)
+    // sorted merge with O(1) state instead of the union+window
+    // composition; unmarked joins are untouched
+    ext.injectFunction((
+      FunctionIdentifier("graft_asof"),
+      new ExpressionInfo(classOf[graft.plans.AsOfMark].getName,
+        "graft_asof"),
+      (exprs: Seq[Expression]) => graft.plans.AsOfMark(exprs.head)))
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

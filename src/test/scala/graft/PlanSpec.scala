@@ -197,4 +197,16 @@ class PlanSpec extends SparkSuite {
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("*("), s"no codegen stage markers in:\n$p")
   }
+
+  test("asof marker plans the custom AsOfJoinExec merge operator") {
+    val p = plan("q_join_asof_exec")
+    assert(p.contains("AsOfJoin"),
+      "graft_asof-marked join must plan as AsOfJoinExec")
+    assert(!p.contains("BroadcastNestedLoopJoin")
+      && !p.contains("CartesianProduct"),
+      "the marker must never fall back to an all-pairs join silently")
+    // EnsureRequirements inserts the co-partitioning exchanges + the
+    // per-side (key, time) sorts the operator declares
+    assert(p.contains("Exchange") && p.contains("Sort"))
+  }
 }
