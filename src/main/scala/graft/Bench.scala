@@ -369,7 +369,7 @@ object Bench {
     val compact =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":{"all_$nq":$total},"reps":$reps,"sf":"$sfDir"}"""
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$mins,"telemetry":$telem,"reps":$reps,"rep_order":"interleaved_visits_2_2_1","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$mins,"telemetry":$telem,"reps":$reps,"rep_order":"interleaved_visits_${visitSizes.mkString("_")}","sf":"$sfDir"}"""
     // Full detail to the file sink. Default is cwd-relative so the path works
     // wherever the repo is checked out; SPARK_GRAFT_BENCH_OUT overrides.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",

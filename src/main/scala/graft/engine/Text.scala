@@ -156,6 +156,15 @@ object Text {
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
       .select(col("w"), regexp_replace(col("w"), "(.)", "~$1~").as("repr"),
         col("freq"))
+    bpeWalkFrom(vocab, d)
+  }
+
+  /** The merge loop over a pre-built (w, repr, freq) vocabulary —
+    * split out so the exhaustion guard is law-testable on a sparse
+    * fixture without a parquet directory.
+    */
+  private[graft] def bpeWalkFrom(vocab: DataFrame, slot: String)
+      : (DataFrame, DataFrame) = {
     def pairCounts(words: DataFrame): DataFrame =
       words
         .withColumn("syms",
@@ -175,25 +184,46 @@ object Text {
     var words = vocab.coalesce(1).localCheckpoint()
     val superseded = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var merges: DataFrame = null
-    for (i <- 1 to BpeMerges) {
+    var i = 1
+    var exhausted = false
+    while (i <= BpeMerges && !exhausted) {
+      // checkpointed once: referenced by the merge accumulator AND the
+      // crossJoin below, and the emptiness probe must not recompute it
       val best = pairCounts(words)
         .orderBy(desc("cnt"), asc("a"), asc("b")).limit(1)
         .select(lit(i).as("rank"), col("a"), col("b"), col("cnt"))
-      merges = if (merges == null) best else merges.unionByName(best)
-      val w2 = words.crossJoin(broadcast(
-          best.select(col("a").as("ba"), col("b").as("bb"))))
-        .withColumn("repr", expr(
-          "replace(repr, '~' || ba || '~~' || bb || '~'," +
-            " '~' || ba || bb || '~')"))
-        .select(col("w"), col("repr"), col("freq"))
         .coalesce(1).localCheckpoint()
-      superseded += words
-      words = w2
+      if (best.isEmpty) {
+        // no mergeable pair left (sparse fixture): stop, keeping the last
+        // non-empty words checkpoint as the final vocabulary — iterating
+        // on would crossJoin a 0-row frame and silently wipe the vocab
+        Checkpoints.free(best)
+        exhausted = true
+      } else {
+        merges = if (merges == null) best else merges.unionByName(best)
+        superseded += best
+        val w2 = words.crossJoin(broadcast(
+            best.select(col("a").as("ba"), col("b").as("bb"))))
+          .withColumn("repr", expr(
+            "replace(repr, '~' || ba || '~~' || bb || '~'," +
+              " '~' || ba || bb || '~')"))
+          .select(col("w"), col("repr"), col("freq"))
+          .coalesce(1).localCheckpoint()
+        superseded += words
+        words = w2
+      }
+      i += 1
+    }
+    if (merges == null) {
+      // degenerate vocab (every word a single symbol): 0 merges learned
+      merges = vocab.sparkSession.range(0)
+        .select(col("id").cast("int").as("rank"),
+          lit("").as("a"), lit("").as("b"), col("id").as("cnt"))
     }
     val mergesCk = merges.coalesce(1).localCheckpoint()
     superseded.foreach(Checkpoints.free)
-    (Checkpoints.pin(s"bpeM:$d", mergesCk),
-      Checkpoints.pin(s"bpeW:$d", words))
+    (Checkpoints.pin(s"bpeM:$slot", mergesCk),
+      Checkpoints.pin(s"bpeW:$slot", words))
   }
   private val StopWords = Seq("the", "a")
 

@@ -166,14 +166,20 @@ case class AsOfJoinExec(
             if (c < 0) {
               advanceRight() // right key behind every future left key too
             } else if (c == 0 && timeOrd.compare(rNextTime, t) <= 0) {
-              held = rNext.copy(); heldKey = rNextKey
+              // re-evaluate the key from the COPIED row: rNextKey may point
+              // into the iterator's reusable row buffer (UTF8String/binary/
+              // decimal), which the next advanceRight() overwrites
+              held = rNext.copy(); heldKey = rk.eval(held)
               advanceRight()
             } else {
               advancing = false
             }
           }
         }
-        if (held != null && k != null && keyOrd.compare(heldKey, k) == 0) {
+        // t == null never matches: rightTime <= NULL is never true (ASOF
+        // contract), even when a held row exists for the same key
+        if (held != null && k != null && t != null &&
+            keyOrd.compare(heldKey, k) == 0) {
           project(joiner(l, held))
         } else {
           project(joiner(l, nullRight))

@@ -3003,4 +3003,54 @@ class EngineLawsSpec extends SparkSuite {
       .select(col("o_orderkey")).collect()
     assert(shifted.nonEmpty && shifted.forall(_.isNullAt(0)))
   }
+
+  test("asof exec: string keys survive row-buffer reuse; null time never matches") {
+    // string keys force the heldKey copy path (a UTF8String evaluated from
+    // the lookahead row points into a reusable buffer — it must be
+    // re-evaluated from the copied held row, not aliased); the expected
+    // values are computed independently in Scala
+    import spark.implicits._
+    val keys = ('a' to 'j').map(c => s"k$c$c")
+    val right = keys.flatMap(k =>
+      (1L to 5L).map(rt => (k, rt * 10, k.hashCode.toLong + rt)))
+      .toDF("rk", "rt", "v")
+    val left = keys.flatMap(k =>
+      (0L to 6L).map(t => (k, Some(t * 10 - 5): Option[Long]))) ++
+      keys.map(k => (k, None: Option[Long])) // null probe time: no match
+    val got = left.toDF("k", "t")
+      .join(right, expr("graft_asof(k = rk AND rt <= t)"), "left")
+      .select(col("k"), col("t"), col("v")).collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2))).toSet
+    assert(got.size === left.size) // exactly one match (or null) per probe
+    got.foreach { case (k, t, v) =>
+      val expected =
+        if (t == null) null
+        else {
+          val best = (1L to 5L).map(_ * 10)
+            .filter(_ <= t.asInstanceOf[Long]).lastOption
+          best.map(rt => Long.box(k.hashCode.toLong + rt / 10)).orNull
+        }
+      assert(v === expected, s"key=$k t=$t")
+    }
+  }
+
+  test("bpe walk stops when mergeable pairs exhaust, keeping the vocab") {
+    // one two-symbol word: iteration 1 merges (a,b); iteration 2 finds no
+    // pair and must BREAK, not crossJoin an empty frame over the vocab
+    import spark.implicits._
+    val vocab = Seq(("ab", "~a~~b~", 5L)).toDF("w", "repr", "freq")
+    val (merges, words) = graft.engine.Text.bpeWalkFrom(vocab, "law:sparse")
+    val m = merges.collect()
+    assert(m.length === 1)
+    assert((m(0).getInt(0), m(0).getString(1), m(0).getString(2),
+      m(0).getLong(3)) === ((1, "a", "b", 5L)))
+    val w = words.collect()
+    assert(w.length === 1 && w(0).getString(1) === "~ab~")
+    // fully degenerate vocab: zero merges, vocabulary untouched
+    val v2 = Seq(("x", "~x~", 3L)).toDF("w", "repr", "freq")
+    val (m2, w2) = graft.engine.Text.bpeWalkFrom(v2, "law:degenerate")
+    assert(m2.count() === 0L)
+    assert(w2.collect().map(_.getString(1)).toSeq === Seq("~x~"))
+  }
 }
