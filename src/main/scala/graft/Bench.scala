@@ -230,7 +230,18 @@ object Bench {
       "q_sink_partition_overwrite", "q_pipeline_quality_classify",
       // round-7: the custom AsOfJoinExec physical operator (exchange +
       // sort per side + single merge pass) vs the composed q_join_asof
-      "q_join_asof_exec")
+      "q_join_asof_exec",
+      // round-8: the TPC-H completions (fact-join chains: Q2 min-cost
+      // decorrelation, Q9 profit chain, Q11 scalar-share, Q20 semi)
+      "q_shape_q2", "q_shape_q9", "q_shape_q11", "q_shape_q20",
+      // round-8: DAU/WAU/MAU pair-set explode, the integer seasonal
+      // decomposition window, and the gzip JSONL corpus round trip
+      "q_shape_active_users", "q_ts_decompose", "q_sink_jsonl",
+      // round-8: the three-stage dedup funnel (exact → fingerprint →
+      // rare-shingle containment blocking join), the 16-perm minhash
+      // accuracy ledger, and the 3-round label-propagation supersteps
+      "q_pipeline_dedup_cascade", "q_dedup_minhash_est",
+      "q_graph_label_prop")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

@@ -1311,6 +1311,168 @@ object Analytics {
           eround(lit(2L) * col("tri")
             / (col("deg") * (col("deg") - 1)).cast("double"), 6).as("lcc"))
         .orderBy(col("n"))
+    },
+
+    // Synchronous min-label propagation, exactly 3 rounds, over the
+    // co-purchase support graph — the bounded-round community pass a
+    // production graph pipeline runs when full convergence (the
+    // q_dedup_groups iterate-to-fixpoint CC) is not worth the extra
+    // supersteps: l0(v) = v; l_{k+1}(v) = min(l_k(v), min over in-
+    // neighbors). Three unrolled join+agg rounds (no driver loop state,
+    // no checkpoint needed at this depth), each one edge-shuffle — the
+    // Pregel superstep shape. Output is the community-size histogram.
+    "q_graph_label_prop" -> { (s, d) =>
+      val und = supportEdges(s, d, "lprop")
+      val bidir = und.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+      var labels = bidir.select(col("src").as("n")).distinct()
+        .select(col("n"), col("n").as("lbl"))
+      for (_ <- 1 to 3) {
+        val nbrMin = bidir.join(labels, col("src") === col("n"))
+          .groupBy(col("dst")).agg(min(col("lbl")).as("nl"))
+        labels = labels.join(nbrMin, col("n") === col("dst"), "left")
+          .select(col("n"),
+            least(col("lbl"), coalesce(col("nl"), col("lbl"))).as("lbl"))
+      }
+      labels.groupBy(col("lbl"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("n")).as("min_node"))
+        .orderBy(col("lbl"))
+    },
+
+    // TPC-H Q2 shape (min-cost supplier): fixtures carry no partsupp, so
+    // the supply-cost relation derives from lineitem — cost(part, supp) =
+    // min extendedprice ever charged (decimal-exact MIN, order-free). The
+    // part filter (size/type — selective) broadcasts INTO the lineitem
+    // scan so the big aggregate only covers qualifying parts; EUROPE
+    // suppliers broadcast the same way (dimension-sized at any SF). The
+    // correlated per-part min decorrelates into a groupBy + equality
+    // join back on (part, cost) — decimal equality is exact, so no
+    // float-boundary divergence is possible.
+    "q_shape_q2" -> { (s, d) =>
+      val euro = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)
+          .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(euro), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("n_name"))
+      val pq = Tables.part(s, d)
+        .filter(col("p_size") <= 15 && col("p_type") === "ECONOMY")
+        .select(col("p_partkey"), col("p_name"))
+      val cost = Tables.lineitem(s, d)
+        .join(broadcast(pq.select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(supp.select(col("s_suppkey").as("sk"))),
+          col("l_suppkey") === col("sk"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(col("l_extendedprice").cast("decimal(18,2)")).as("cost"))
+      val best = cost.groupBy(col("l_partkey").as("bp"))
+        .agg(min(col("cost")).as("best"))
+      cost
+        .join(best, col("l_partkey") === col("bp")
+          && col("cost") === col("best"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(pq), col("l_partkey") === col("p_partkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("p_partkey"), col("p_name"),
+          col("cost").cast("double").as("cost"))
+        .orderBy(desc("s_acctbal"), asc("n_name"), asc("s_name"),
+          asc("p_partkey"))
+        .limit(100)
+    },
+
+    // TPC-H Q9 shape (product-type profit by nation and year): profit =
+    // revenue − cost, with unit cost standing in as p_retailprice (no
+    // partsupp in fixtures). part filters on name-contains then SHUFFLES
+    // onto lineitem (part scales with the fact side — the q14 rule);
+    // orders joins on the orderkey chain; the supplier→nation map
+    // broadcasts (q7 pattern). The per-row amount is exact at 4dp
+    // (2dp×2dp − 2dp×integral qty), so dsum(…, 4) hash-matches.
+    "q_shape_q9" -> { (s, d) =>
+      val sn = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name"))
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d).filter(col("p_name").contains("widget"))
+            .select(col("p_partkey"), col("p_retailprice")),
+          col("l_partkey") === col("p_partkey"))
+        .join(Tables.orders(s, d)
+            .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sn), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          - col("p_retailprice") * col("l_quantity"), 4).as("profit"))
+        .orderBy(asc("nation"), desc("o_year"))
+    },
+
+    // TPC-H Q11 shape (important stock): per-part shipped value from one
+    // region's suppliers, kept where the part exceeds 2× the MEAN part
+    // value — Q11's threshold fraction scales with SF, and the mean form
+    // is the scale-free spelling (a fixed share filters everything once
+    // part count grows). The test multiplies through — value×n > 2×total
+    // — so BOTH sides stay exact decimals/integers (the q17
+    // integralization trick); the 1-row (total, n) broadcasts back (q22
+    // scalar pattern). One fact shuffle (partkey agg); suppliers broadcast.
+    "q_shape_q11" -> { (s, d) =>
+      val sn = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d)
+            .filter(col("r_name") === "AFRICA")),
+            col("n_regionkey") === col("r_regionkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey").as("sk"))
+      val vals = Tables.lineitem(s, d)
+        .join(broadcast(sn), col("l_suppkey") === col("sk"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .as("value_d"))
+      val tot = vals.agg(sum(col("value_d")).as("total_d"),
+        count(lit(1)).as("np"))
+      vals.crossJoin(broadcast(tot))
+        .filter(col("value_d") * col("np") > col("total_d") * lit(2))
+        .select(col("l_partkey"), col("value_d").cast("double").as("value"))
+        .orderBy(desc("value"), asc("l_partkey"))
+    },
+
+    // TPC-H Q20 shape (excess-stock suppliers): ASIA suppliers holding,
+    // for some 'small…' part, more 1995 stock than half what they shipped
+    // of it in 1996 (availqty stands in as the 1995 shipped total — no
+    // partsupp). The comparison integralizes (2·stock > shipped, both
+    // exact decimals); the qualifying (part, supp) set reduces to a
+    // distinct supplier list that SEMI-joins the supplier dim — the
+    // probe side never carries payload. Part name filter broadcasts into
+    // both year slices, which share one (part, supp) aggregate scan.
+    "q_shape_q20" -> { (s, d) =>
+      val asia = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+          .join(broadcast(Tables.region(s, d)
+            .filter(col("r_name") === "ASIA")),
+            col("n_regionkey") === col("r_regionkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+      val smallP = Tables.part(s, d)
+        .filter(col("p_name").startsWith("small"))
+        .select(col("p_partkey"))
+      val li = Tables.lineitem(s, d)
+        .join(broadcast(smallP), col("l_partkey") === col("p_partkey"))
+        .filter(year(col("l_shipdate")).isin(1995, 1996))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(
+          sum(when(year(col("l_shipdate")) === 1995,
+            col("l_quantity").cast("decimal(18,2)"))).as("stock_q"),
+          sum(when(year(col("l_shipdate")) === 1996,
+            col("l_quantity").cast("decimal(18,2)"))).as("ship_q"))
+        .filter(col("stock_q").isNotNull && col("ship_q").isNotNull
+          && col("stock_q") * lit(2) > col("ship_q"))
+        .select(col("l_suppkey")).distinct()
+      asia.join(li, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_name"), col("s_acctbal"))
+        .orderBy(asc("s_name"))
     }
   )
 
@@ -2097,6 +2259,103 @@ object Analytics {
          |    / CAST(deg.deg * (deg.deg - 1) AS DOUBLE) + 5e-10, 6) AS lcc
          | FROM deg LEFT JOIN t USING (n) WHERE deg.deg >= 2
          | ORDER BY n"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_graph_label_prop" -> {
+      def round(k: Int) =
+        s"""l$k AS (SELECT l.n,
+           |  least(l.lbl, coalesce(m.nl, l.lbl)) AS lbl
+           | FROM l${k - 1} l LEFT JOIN
+           |  (SELECT b.dst, min(l.lbl) AS nl FROM bidir b
+           |   JOIN l${k - 1} l ON b.src = l.n GROUP BY 1) m
+           |  ON l.n = m.dst)""".stripMargin.replaceAll("\n", " ")
+      s"""$oEdges,
+         | bidir AS (SELECT u AS src, v AS dst FROM e
+         |  UNION ALL SELECT v, u FROM e),
+         | l0 AS (SELECT DISTINCT src AS n, src AS lbl FROM bidir),
+         | ${round(1)}, ${round(2)}, ${round(3)}
+         | SELECT lbl, CAST(count(*) AS BIGINT) AS n_nodes,
+         |  min(n) AS min_node
+         | FROM l3 GROUP BY lbl ORDER BY lbl"""
+        .stripMargin.replaceAll("\n", " ")
+    },
+
+    "q_shape_q2" ->
+      """WITH supp AS (SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        | pq AS (SELECT p_partkey, p_name FROM part
+        |  WHERE p_size <= 15 AND p_type = 'ECONOMY'),
+        | cost AS (SELECT l_partkey, l_suppkey,
+        |   min(CAST(l_extendedprice AS DECIMAL(18,2))) AS cost
+        |  FROM lineitem
+        |  JOIN pq ON l_partkey = p_partkey
+        |  JOIN supp ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        | best AS (SELECT l_partkey AS bp, min(cost) AS best
+        |  FROM cost GROUP BY 1)
+        | SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+        |  CAST(cost AS DOUBLE) AS cost
+        | FROM cost
+        | JOIN best ON l_partkey = bp AND cost = best
+        | JOIN supp ON l_suppkey = s_suppkey
+        | JOIN pq ON l_partkey = p_partkey
+        | ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        | LIMIT 100"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_shape_q9" ->
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+         | ${oSum("l_extendedprice * (1 - l_discount)" +
+             " - p_retailprice * l_quantity", 4)} AS profit
+         | FROM lineitem
+         | JOIN part ON l_partkey = p_partkey
+         | JOIN orders ON l_orderkey = o_orderkey
+         | JOIN supplier ON l_suppkey = s_suppkey
+         | JOIN nation ON s_nationkey = n_nationkey
+         | WHERE p_name LIKE '%widget%'
+         | GROUP BY 1, 2
+         | ORDER BY 1 ASC, 2 DESC"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_shape_q11" ->
+      """WITH sn AS (SELECT s_suppkey FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'AFRICA'),
+        | vals AS (SELECT l_partkey,
+        |   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS value_d
+        |  FROM lineitem JOIN sn ON l_suppkey = s_suppkey
+        |  GROUP BY 1),
+        | tot AS (SELECT sum(value_d) AS total_d, count(*) AS np FROM vals)
+        | SELECT l_partkey, CAST(value_d AS DOUBLE) AS value
+        | FROM vals CROSS JOIN tot
+        | WHERE value_d * np > total_d * 2
+        | ORDER BY value DESC, l_partkey ASC"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_shape_q20" ->
+      """WITH asia AS (SELECT s_suppkey, s_name, s_acctbal
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'ASIA'),
+        | ps AS (SELECT l_partkey, l_suppkey,
+        |   sum(CASE WHEN year(l_shipdate) = 1995
+        |     THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS stock_q,
+        |   sum(CASE WHEN year(l_shipdate) = 1996
+        |     THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS ship_q
+        |  FROM lineitem
+        |  JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'small%'
+        |   AND year(l_shipdate) IN (1995, 1996)
+        |  GROUP BY 1, 2),
+        | ok AS (SELECT DISTINCT l_suppkey FROM ps
+        |  WHERE stock_q IS NOT NULL AND ship_q IS NOT NULL
+        |   AND stock_q * 2 > ship_q)
+        | SELECT s_name, s_acctbal FROM asia
+        | WHERE s_suppkey IN (SELECT l_suppkey FROM ok)
+        | ORDER BY s_name ASC"""
         .stripMargin.replaceAll("\n", " ")
   )
 }

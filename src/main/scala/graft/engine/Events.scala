@@ -606,6 +606,78 @@ object Events {
           eround((col("sg") * col("n")).cast("double")
             / (col("g") * col("sc")).cast("double"), 6).as("v_index"))
         .orderBy(col("event_type"), col("hod"))
+    },
+
+    // DAU/WAU/MAU active-user rollup + stickiness (DAU/MAU) — the
+    // product-analytics daily health board. The base frame is the
+    // DISTINCT (user, active-day) pair set — bounded by users × days,
+    // NOT by event volume, so the explode fan-out below is over the
+    // small frame. Trailing windows come from a day-grid explode (each
+    // active day contributes to the 7/30 windows ENDING on it), then one
+    // distinct + count per window-end day; at extreme user cardinality
+    // the sketch path is the q_agg_hll_union per-day HLL merge — this is
+    // the exact spelling. Stickiness divides two exact longs once.
+    "q_shape_active_users" -> { (s, d) =>
+      val ud = Tables.events(s, d)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val days = ud.select(col("day")).distinct()
+      def trailing(n: Int, name: String) = ud
+        .select(col("user_id"), explode(
+          sequence(col("day"), date_add(col("day"), n - 1))).as("day"))
+        .distinct()
+        .join(days, Seq("day"), "left_semi")
+        .groupBy(col("day")).agg(count(lit(1)).as(name))
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      dau
+        .join(trailing(7, "wau"), Seq("day"))
+        .join(trailing(30, "mau"), Seq("day"))
+        .select(col("day"), col("dau"), col("wau"), col("mau"),
+          eround(col("dau").cast("double") / col("mau").cast("double"), 6)
+            .as("stickiness"))
+        .orderBy(col("day"))
+    },
+
+    // Classical seasonal decomposition (trend + seasonal + residual) of
+    // the hourly value series — the additive moving-average method:
+    // trend = centered 25-hour moving average over the gap-filled hour
+    // grid, seasonal = per-hour-of-day mean of the detrended series,
+    // residual = the rest. EVERYTHING stays exact-integer until one
+    // final constant division per output column: the series is integer
+    // cents, the trend numerator a 25-row integer sum (full windows
+    // only), the detrended value scaled by 25 (d = 25·c − trend_sum,
+    // exact), the seasonal a once-divided integer mean, and the residual
+    // numerator d·n_hod − seasonal_sum — so no float summation order
+    // exists anywhere and both engines hash identically. One window over
+    // one hour-ordered exchange + one tiny hour-of-day aggregate.
+    "q_ts_decompose" -> { (s, d) =>
+      val hourly = Tables.events(s, d)
+        .select(date_trunc("hour", col("ts")).as("h"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy(col("h")).agg(sum(col("c")).as("c"))
+      val grid = hourly.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"),
+          expr("INTERVAL 1 HOUR"))).as("h"))
+        .join(hourly, Seq("h"), "left")
+        .na.fill(0L, Seq("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("h")).rowsBetween(-12, 12)
+      val trended = grid
+        .withColumn("tsum", sum(col("c")).over(w))
+        .withColumn("tn", count(lit(1)).over(w))
+        .filter(col("tn") === 25) // full centered windows only
+        .withColumn("d", col("c") * 25 - col("tsum")) // detrended ×2500
+        .withColumn("hod", hour(col("h")))
+      val seasonal = trended.groupBy(col("hod"))
+        .agg(sum(col("d")).as("ssum"), count(lit(1)).as("sn"))
+      trended.join(broadcast(seasonal), Seq("hod"))
+        .select(col("h"),
+          (col("c") / 100.0).as("value"),
+          (col("tsum") / 2500.0).as("trend"),
+          (col("ssum").cast("double") / (col("sn") * 2500).cast("double"))
+            .as("seasonal"),
+          ((col("d") * col("sn") - col("ssum")).cast("double")
+            / (col("sn") * 2500).cast("double")).as("residual"))
+        .orderBy(col("h"))
     }
   )
 
@@ -971,6 +1043,51 @@ object Events {
         |  round(CAST(g.sg * st.n AS DOUBLE) / CAST(g.ng * st.sc AS DOUBLE)
         |    + 5e-10, 6) AS v_index
         | FROM g JOIN st USING (event_type) ORDER BY event_type, hod"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // trailing windows as a BETWEEN range join (equivalent to the engine's
+    // day-grid explode: each active day lands in the 7/30 windows ending
+    // on it)
+    "q_shape_active_users" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |   CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day FROM events),
+        | days AS (SELECT DISTINCT day FROM ud),
+        | dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau
+        |  FROM ud GROUP BY 1),
+        | wau AS (SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT)
+        |   AS wau FROM days d
+        |  JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day GROUP BY 1),
+        | mau AS (SELECT d.day, CAST(count(DISTINCT u.user_id) AS BIGINT)
+        |   AS mau FROM days d
+        |  JOIN ud u ON u.day BETWEEN d.day - 29 AND d.day GROUP BY 1)
+        | SELECT day, dau, wau, mau,
+        |  round(CAST(dau AS DOUBLE) / CAST(mau AS DOUBLE) + 5e-10, 6)
+        |   AS stickiness
+        | FROM dau JOIN wau USING (day) JOIN mau USING (day)
+        | ORDER BY day"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_ts_decompose" ->
+      """WITH hourly AS (SELECT
+        |   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        | grid AS (SELECT g.h, coalesce(c, 0) AS c FROM
+        |   (SELECT unnest(generate_series(min(h), max(h),
+        |      INTERVAL 1 HOUR)) AS h FROM hourly) g
+        |  LEFT JOIN hourly USING (h)),
+        | tr AS (SELECT h, c, sum(c) OVER w AS tsum, count(*) OVER w AS tn
+        |  FROM grid WINDOW w AS (ORDER BY h
+        |   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        | det AS (SELECT h, c, tsum, c * 25 - tsum AS d, hour(h) AS hod
+        |  FROM tr WHERE tn = 25),
+        | seas AS (SELECT hod, sum(d) AS ssum, count(*) AS sn
+        |  FROM det GROUP BY 1)
+        | SELECT h, c / 100.0 AS value, tsum / 2500.0 AS trend,
+        |  CAST(ssum AS DOUBLE) / CAST(sn * 2500 AS DOUBLE) AS seasonal,
+        |  CAST(d * sn - ssum AS DOUBLE) / CAST(sn * 2500 AS DOUBLE)
+        |   AS residual
+        | FROM det JOIN seas USING (hod) ORDER BY h"""
         .stripMargin.replaceAll("\n", " ")
   )
 }

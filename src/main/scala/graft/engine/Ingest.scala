@@ -242,6 +242,33 @@ object Ingest {
         .orderBy(col("l_returnflag"))
     },
 
+    // JSONL export round trip — the interchange format training corpora
+    // actually ship in (one JSON object per line, gzip-splittable at the
+    // file level): the documents table writes as compressed JSONL with an
+    // explicit read-back schema (schema inference over 100 TB of JSONL is
+    // a full extra pass — never infer in production), and the read-back
+    // aggregates per-language doc counts, exact character mass, and the
+    // doc_id sum as a fidelity checksum. A lossy escape/encoding round
+    // trip would shift sum_chars; the oracle computes the same rollup
+    // straight from parquet, so parity proves the JSONL path is lossless.
+    // Map-only write, one small aggregate on read-back.
+    "q_sink_jsonl" -> { (s, d) =>
+      val out = tmp("docs_jsonl", d)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+        .write.mode("overwrite").option("compression", "gzip").json(out)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("source", StringType), StructField("text", StringType)))
+      s.read.schema(schema).json(out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_chars"),
+          sum(col("doc_id")).as("id_sum"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang"))
+    },
+
     // Malformed-record quarantine — the PERMISSIVE JSONL ingest path
     // (the ingestion reality at 100 TB: a fraction of every web-scale
     // JSONL batch arrives truncated mid-object by upstream transfer):
@@ -533,6 +560,16 @@ object Ingest {
       s"""SELECT l_returnflag, count(*) AS n,
          | ${Fx.oSum("l_extendedprice")} AS sum_price
          | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // replays the read-back rollup straight from parquet: hash parity
+    // proves the JSONL write/read round trip was lossless
+    "q_sink_jsonl" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        | CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        | FROM documents GROUP BY lang ORDER BY lang"""
         .stripMargin.replaceAll("\n", " "),
 
     // json_valid mirrors PERMISSIVE's corrupt-record routing; fields are

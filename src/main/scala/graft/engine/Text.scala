@@ -1916,6 +1916,125 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // The full production dedup CASCADE as one funnel — the pipeline a
+    // training-data curation run actually executes, cheapest stage
+    // first so each later stage sees a smaller corpus: (1) exact (hash
+    // the raw text), (2) fingerprint (sorted-distinct token multiset —
+    // catches token-order shuffles and whitespace twins), (3) near-dup
+    // containment on RARE 3-gram digests (document frequency ≤ 8 — the
+    // hot-shingle drop every suffix/shingle deduper applies, and ALSO
+    // what bounds the blocking join: bucket size ≤ df cap, so candidate
+    // pairs are LINEAR in corpus size, never quadratic; a doc needs ≥ 5
+    // rare digests to be droppable). Drop rule integralized (10·common
+    // ≥ 8·own — exact integers). Output is the per-stage funnel card.
+    "q_pipeline_dedup_cascade" -> { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val s1 = docs.groupBy(col("text"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      val d1 = docs.join(s1.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      val s2 = d1
+        .withColumn("fp", md5(concat_ws(" ",
+          array_sort(array_distinct(toks(col("text")))))))
+        .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
+      val d2 = docs.join(s2.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      // exploded 3-gram digests (codegen'd — the q_text_containment rule)
+      val e = d2
+        .withColumn("t", toks(col("text")))
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(1), greatest(size(col("t")) - 2, lit(1))))
+            .as("i"))
+        .select(col("doc_id"), conv(substring(
+          md5(concat_ws(" ", slice(col("t"), col("i"), lit(3)))), 1, 15),
+          16, 10).cast("long").as("g"))
+        .distinct()
+      val rare = e.join(
+        e.groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 8), Seq("g"))
+        .select(col("doc_id"), col("g"))
+      val nB = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_b"))
+      val drops = rare.select(col("doc_id").as("id_a"), col("g"))
+        .join(rare.select(col("doc_id").as("id_b"), col("g")), Seq("g"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(nB.select(col("doc_id").as("id_b"), col("n_b")), Seq("id_b"))
+        .filter(col("n_b") >= 5
+          && col("n_common") * 10 >= col("n_b") * 8)
+        .select(col("id_b").as("doc_id")).distinct()
+      val s3 = d2.join(drops, Seq("doc_id"), "left_anti")
+      val counts = docs.agg(count(lit(1)).as("c0"))
+        .crossJoin(s1.agg(count(lit(1)).as("c1")))
+        .crossJoin(s2.agg(count(lit(1)).as("c2")))
+        .crossJoin(s3.agg(count(lit(1)).as("c3")))
+      counts.select(explode(array(
+          struct(lit(1).as("stage"), lit("exact").as("method"),
+            col("c0").as("n_in"), col("c1").as("n_out")),
+          struct(lit(2).as("stage"), lit("fingerprint").as("method"),
+            col("c1").as("n_in"), col("c2").as("n_out")),
+          struct(lit(3).as("stage"), lit("containment").as("method"),
+            col("c2").as("n_in"), col("c3").as("n_out")))).as("r"))
+        .select(col("r.stage").as("stage"), col("r.method").as("method"),
+          col("r.n_in").as("n_in"), col("r.n_out").as("n_out"),
+          (col("r.n_in") - col("r.n_out")).as("n_dropped"))
+        .orderBy(col("stage"))
+    },
+
+    // MinHash Jaccard ESTIMATION vs the exact value, oracle-checked —
+    // the accuracy ledger for the sketch the near-dedup family (LSH
+    // banding, q_dedup_near) is built on: 16 deterministic md5
+    // "permutations" hash every 3-gram digest, the per-permutation min
+    // is the signature, and matching coordinates / 16 estimates the
+    // Jaccard. Signatures are O(16) per document (the broadcastable
+    // sketch); the pair set here is a bounded 60-doc slice so the exact
+    // side is computable — at scale candidate pairs come from LSH
+    // banding and THIS comparison is the verification stage. All hashes
+    // are integer-exact, so the estimate itself hash-matches DuckDB.
+    "q_dedup_minhash_est" -> { (s, d) =>
+      val sh = Tables.documents(s, d).filter(col("doc_id") < 60)
+        .withColumn("t", toks(col("text")))
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(1), greatest(size(col("t")) - 2, lit(1))))
+            .as("i"))
+        .select(col("doc_id"), conv(substring(
+          md5(concat_ws(" ", slice(col("t"), col("i"), lit(3)))), 1, 15),
+          16, 10).cast("long").as("g"))
+        .distinct()
+      val sigs = sh
+        .select(col("doc_id"),
+          explode(sequence(lit(0), lit(15))).as("p"), col("g"))
+        .withColumn("h", conv(substring(md5(concat(
+          col("p").cast("string"), lit(":"), col("g").cast("string"))),
+          1, 15), 16, 10).cast("long"))
+        .groupBy(col("doc_id"), col("p")).agg(min(col("h")).as("sig"))
+      val m = sigs.select(col("doc_id").as("id_a"), col("p"),
+          col("sig").as("sa"))
+        .join(sigs.select(col("doc_id").as("id_b"), col("p"),
+          col("sig").as("sb")), Seq("p"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(sum(when(col("sa") === col("sb"), 1L).otherwise(0L)).as("m"))
+      val nsz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsz"))
+      val inter = sh.select(col("doc_id").as("id_a"), col("g"))
+        .join(sh.select(col("doc_id").as("id_b"), col("g")), Seq("g"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(nsz.select(col("doc_id").as("id_a"), col("nsz").as("na")),
+          Seq("id_a"))
+        .join(nsz.select(col("doc_id").as("id_b"), col("nsz").as("nb")),
+          Seq("id_b"))
+        .join(m, Seq("id_a", "id_b"), "left")
+        .select(col("id_a"), col("id_b"),
+          coalesce(col("m"), lit(0L)).as("n_match"),
+          eround(coalesce(col("m"), lit(0L)) / lit(16.0), 6)
+            .as("est_jaccard"),
+          eround(col("inter").cast("double")
+            / (col("na") + col("nb") - col("inter")).cast("double"), 6)
+            .as("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    },
+
     // n-gram (3-shingle) Jaccard similarity on a bounded pair set — the
     // exact-verification half of near-dedup, oracle-checkable.
     "q_dedup_ngram_jaccard" -> { (s, d) =>
@@ -3107,6 +3226,87 @@ object Text {
          |   ORDER BY cont_probe DESC, doc_id) AS rank FROM scored)
          | SELECT id_p, rank, doc_id, n_common, cont_probe, cont_doc
          | FROM ranked WHERE rank <= 3 ORDER BY id_p, rank"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_dedup_minhash_est" ->
+      s"""WITH d AS (SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(len($oToks) - 2, 1)),
+         |    i -> ('0x' || substr(md5(array_to_string($oToks[i:i+2], ' ')),
+         |      1, 15))::BIGINT)) AS sh
+         |  FROM documents WHERE doc_id < 60),
+         | e AS (SELECT doc_id, unnest(sh) AS g FROM d),
+         | perms AS (SELECT unnest(range(16)) AS p),
+         | sigs AS (SELECT doc_id, p,
+         |   min(('0x' || substr(md5(CAST(p AS VARCHAR) || ':' ||
+         |     CAST(g AS VARCHAR)), 1, 15))::BIGINT) AS sig
+         |  FROM e CROSS JOIN perms GROUP BY 1, 2),
+         | m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |   CAST(sum(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END)
+         |     AS BIGINT) AS m
+         |  FROM sigs a JOIN sigs b
+         |   ON a.p = b.p AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         | ns AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS nsz FROM d),
+         | inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |   CAST(count(*) AS BIGINT) AS inter
+         |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         | SELECT id_a, id_b,
+         |  coalesce(m.m, CAST(0 AS BIGINT)) AS n_match,
+         |  round(coalesce(m.m, CAST(0 AS BIGINT)) / 16.0 + 5e-10, 6)
+         |   AS est_jaccard,
+         |  round(CAST(inter AS DOUBLE)
+         |    / CAST(na.nsz + nb.nsz - inter AS DOUBLE) + 5e-10, 6)
+         |   AS jaccard
+         | FROM inter
+         | JOIN ns na ON id_a = na.doc_id
+         | JOIN ns nb ON id_b = nb.doc_id
+         | LEFT JOIN m USING (id_a, id_b)
+         | ORDER BY id_a, id_b"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // replays the three-stage funnel; the rare-digest (df <= 8) filter
+    // is part of the SPEC (hot-shingle drop), so the oracle applies it
+    // identically before the containment pair join
+    "q_pipeline_dedup_cascade" ->
+      s"""WITH docs AS (SELECT doc_id, text FROM documents),
+         | s1 AS (SELECT min(doc_id) AS doc_id FROM docs GROUP BY text),
+         | d1 AS (SELECT d.doc_id, d.text FROM docs d
+         |  JOIN s1 USING (doc_id)),
+         | s2 AS (SELECT min(doc_id) AS doc_id FROM
+         |  (SELECT doc_id, md5(array_to_string(
+         |     list_sort(list_distinct($oToks)), ' ')) AS fp FROM d1)
+         |  GROUP BY fp),
+         | d2 AS (SELECT d.doc_id, d.text FROM docs d
+         |  JOIN s2 USING (doc_id)),
+         | e AS (SELECT DISTINCT doc_id, g FROM
+         |  (SELECT doc_id, unnest(list_transform(
+         |    generate_series(1, greatest(len($oToks) - 2, 1)),
+         |    i -> ('0x' || substr(md5(array_to_string($oToks[i:i+2], ' ')),
+         |      1, 15))::BIGINT)) AS g FROM d2)),
+         | df AS (SELECT g, count(*) AS df FROM e GROUP BY 1),
+         | re AS (SELECT doc_id, g FROM e JOIN df USING (g)
+         |  WHERE df.df <= 8),
+         | nb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_b
+         |  FROM re GROUP BY 1),
+         | pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |   CAST(count(*) AS BIGINT) AS n_common
+         |  FROM re a JOIN re b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         | drops AS (SELECT DISTINCT id_b FROM pairs
+         |  JOIN nb ON id_b = nb.doc_id
+         |  WHERE n_b >= 5 AND n_common * 10 >= n_b * 8),
+         | s3 AS (SELECT doc_id FROM d2
+         |  WHERE doc_id NOT IN (SELECT id_b FROM drops)),
+         | c AS (SELECT (SELECT count(*) FROM docs) AS c0,
+         |   (SELECT count(*) FROM s1) AS c1,
+         |   (SELECT count(*) FROM s2) AS c2,
+         |   (SELECT count(*) FROM s3) AS c3)
+         | SELECT * FROM (
+         |  SELECT 1 AS stage, 'exact' AS method, c0 AS n_in, c1 AS n_out,
+         |   c0 - c1 AS n_dropped FROM c
+         |  UNION ALL SELECT 2, 'fingerprint', c1, c2, c1 - c2 FROM c
+         |  UNION ALL SELECT 3, 'containment', c2, c3, c2 - c3 FROM c)
+         | ORDER BY stage"""
         .stripMargin.replaceAll("\n", " ")
   )
 }
