@@ -241,7 +241,11 @@ object Bench {
       // rare-shingle containment blocking join), the 16-perm minhash
       // accuracy ledger, and the 3-round label-propagation supersteps
       "q_pipeline_dedup_cascade", "q_dedup_minhash_est",
-      "q_graph_label_prop")
+      "q_graph_label_prop",
+      // round-8: text-line corpus round trip and the stemmer cascade
+      // (corpus explode + word agg); epoch_plan is metadata-scale by
+      // design and excluded by rule (b)
+      "q_scan_text", "q_text_stem")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

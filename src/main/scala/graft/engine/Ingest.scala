@@ -242,6 +242,24 @@ object Ingest {
         .orderBy(col("l_returnflag"))
     },
 
+    // Plain-text line source round trip — the WET/one-doc-per-line
+    // ingest shape (CommonCrawl-extracted text, log lines): documents
+    // write as raw text, read back through the line source (each line =
+    // one row, no schema, no parse cost — the cheapest scan there is),
+    // and the length profile must survive exactly; an empty document
+    // round-trips as an empty line, not a dropped row. Completes the
+    // §2.1 source matrix (parquet/csv/json/jsonl/orc/xml/binary/text).
+    "q_scan_text" -> { (s, d) =>
+      val out = tmp("docs_text", d)
+      Tables.documents(s, d).select(col("text"))
+        .write.mode("overwrite").text(out)
+      s.read.text(out)
+        .agg(count(lit(1)).as("n_lines"),
+          sum(length(col("value"))).as("sum_chars"),
+          min(length(col("value")).cast("long")).as("min_len"),
+          max(length(col("value")).cast("long")).as("max_len"))
+    },
+
     // JSONL export round trip — the interchange format training corpora
     // actually ship in (one JSON object per line, gzip-splittable at the
     // file level): the documents table writes as compressed JSONL with an
@@ -560,6 +578,14 @@ object Ingest {
       s"""SELECT l_returnflag, count(*) AS n,
          | ${Fx.oSum("l_extendedprice")} AS sum_price
          | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_scan_text" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        | CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        | CAST(min(length(text)) AS BIGINT) AS min_len,
+        | CAST(max(length(text)) AS BIGINT) AS max_len
+        | FROM documents"""
         .stripMargin.replaceAll("\n", " "),
 
     // replays the read-back rollup straight from parquet: hash parity

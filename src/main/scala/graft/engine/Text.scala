@@ -1979,6 +1979,61 @@ object Text {
         .orderBy(col("stage"))
     },
 
+    // Epoch schedule plan — the deterministic dataloader order a
+    // training run needs to RESUME mid-epoch: per epoch, shards
+    // reshuffle under a seeded md5 order key (different permutation per
+    // epoch, bit-identical across restarts) and round-robin onto 4
+    // workers. The planned frame is SHARD METADATA (one row per file-
+    // level shard, ~corpus/shard_size rows — 100k at 100 TB with 1 GB
+    // shards), never documents, so the per-epoch ordering window runs
+    // over a metadata-scale frame; the fixture shard is 50 docs.
+    "q_pipeline_epoch_plan" -> { (s, d) =>
+      val shards = Tables.documents(s, d)
+        .select(expr("doc_id DIV 50").as("shard")).distinct()
+      val wE = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("epoch")).orderBy(col("k"), col("shard"))
+      shards
+        .select(col("shard"),
+          explode(sequence(lit(1), lit(3))).as("epoch"))
+        .withColumn("k", md5(concat(col("epoch").cast("string"),
+          lit(":"), col("shard").cast("string"))))
+        .withColumn("position", row_number().over(wE))
+        .select(col("epoch"), col("position"), col("shard"),
+          pmod(col("position") - 1, lit(4)).as("worker"))
+        .orderBy(col("epoch"), col("position"))
+    },
+
+    // Suffix stemmer (the Porter step-1-style rule cascade) — the
+    // vocabulary-collapsing normalization between tokenization and
+    // counting in classic IR pipelines: FIRST matching rule wins
+    // (sses→ss, ies→i, keep ss, drop plural s, drop ing/ed on long
+    // stems), applied map-side per token, then the stemmed vocabulary
+    // aggregates (stem, distinct surface forms, frequency). Anchored
+    // literal-suffix regexes evaluate identically under Java regex and
+    // RE2, so the oracle replays the cascade verbatim. One word-level
+    // aggregate after a codegen'd explode — no joins, no state.
+    "q_text_stem" -> { (s, d) =>
+      val w = col("w")
+      val stem =
+        when(w.rlike("sses$"), regexp_replace(w, "sses$", "ss"))
+          .when(w.rlike("ies$"), regexp_replace(w, "ies$", "i"))
+          .when(w.rlike("ss$"), w)
+          .when(w.rlike("s$"), regexp_replace(w, "s$", ""))
+          .when(w.rlike("ing$") && length(w) > 5,
+            regexp_replace(w, "ing$", ""))
+          .when(w.rlike("ed$") && length(w) > 4,
+            regexp_replace(w, "ed$", ""))
+          .otherwise(w)
+      Tables.documents(s, d)
+        .select(explode(toks(col("text"))).as("w"))
+        .filter(w.rlike("^[a-z]+$"))
+        .select(stem.as("stem"), w)
+        .groupBy(col("stem"))
+        .agg(countDistinct(w).as("n_forms"), count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), asc("stem"))
+        .limit(20)
+    },
+
     // MinHash Jaccard ESTIMATION vs the exact value, oracle-checked —
     // the accuracy ledger for the sketch the near-dedup family (LSH
     // banding, q_dedup_near) is built on: 16 deterministic md5
@@ -3226,6 +3281,41 @@ object Text {
          |   ORDER BY cont_probe DESC, doc_id) AS rank FROM scored)
          | SELECT id_p, rank, doc_id, n_common, cont_probe, cont_doc
          | FROM ranked WHERE rank <= 3 ORDER BY id_p, rank"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_pipeline_epoch_plan" ->
+      """WITH sh AS (SELECT DISTINCT doc_id // 50 AS shard
+        |  FROM documents),
+        | ep AS (SELECT epoch, shard,
+        |   md5(CAST(epoch AS VARCHAR) || ':' || CAST(shard AS VARCHAR))
+        |    AS k
+        |  FROM sh CROSS JOIN (SELECT unnest(range(1, 4)) AS epoch)),
+        | pos AS (SELECT epoch, shard, row_number() OVER
+        |   (PARTITION BY epoch ORDER BY k, shard) AS position FROM ep)
+        | SELECT epoch, position, shard, (position - 1) % 4 AS worker
+        | FROM pos ORDER BY epoch, position"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_text_stem" ->
+      s"""WITH w AS (SELECT unnest($oToks) AS w FROM documents),
+         | f AS (SELECT w FROM w WHERE regexp_matches(w, '^[a-z]+$$')),
+         | st AS (SELECT w, CASE
+         |   WHEN regexp_matches(w, 'sses$$')
+         |    THEN regexp_replace(w, 'sses$$', 'ss')
+         |   WHEN regexp_matches(w, 'ies$$')
+         |    THEN regexp_replace(w, 'ies$$', 'i')
+         |   WHEN regexp_matches(w, 'ss$$') THEN w
+         |   WHEN regexp_matches(w, 's$$')
+         |    THEN regexp_replace(w, 's$$', '')
+         |   WHEN regexp_matches(w, 'ing$$') AND length(w) > 5
+         |    THEN regexp_replace(w, 'ing$$', '')
+         |   WHEN regexp_matches(w, 'ed$$') AND length(w) > 4
+         |    THEN regexp_replace(w, 'ed$$', '')
+         |   ELSE w END AS stem FROM f)
+         | SELECT stem, CAST(count(DISTINCT w) AS BIGINT) AS n_forms,
+         |  CAST(count(*) AS BIGINT) AS freq
+         | FROM st GROUP BY stem
+         | ORDER BY freq DESC, stem ASC LIMIT 20"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_dedup_minhash_est" ->

@@ -3035,6 +3035,41 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("dedup cascade funnel: stages chain and only shrink") {
+    val rows = SparkEntry.queries("q_pipeline_dedup_cascade")(spark, sf)
+      .collect().sortBy(_.getInt(0))
+    assert(rows.map(_.getInt(0)).toSeq === Seq(1, 2, 3))
+    assert(rows.map(_.getString(1)).toSeq ===
+      Seq("exact", "fingerprint", "containment"))
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(2), s"stage ${r.getInt(0)} grew")
+      assert(r.getLong(4) === r.getLong(2) - r.getLong(3))
+    }
+    // chaining: stage k's output is stage k+1's input
+    assert(rows(0).getLong(3) === rows(1).getLong(2))
+    assert(rows(1).getLong(3) === rows(2).getLong(2))
+    // stage 1 input is the raw corpus
+    val n = graft.engine.Tables.documents(spark, sf).count()
+    assert(rows(0).getLong(2) === n)
+  }
+
+  test("minhash estimate tracks exact jaccard (16 perms, bounded error)") {
+    val rows = SparkEntry.queries("q_dedup_minhash_est")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    var absErr = 0.0
+    rows.foreach { r =>
+      val m = r.getLong(2); val est = r.getDouble(3); val j = r.getDouble(4)
+      assert(m >= 0 && m <= 16)
+      assert(est >= 0.0 && est <= 1.0 && j > 0.0 && j <= 1.0)
+      absErr += math.abs(est - j)
+    }
+    // per-pair std err at 16 perms is ~0.125; the MEAN abs error over
+    // the pair slice must stay well inside it
+    assert(absErr / rows.length <= 0.25,
+      f"mean |est-exact| ${absErr / rows.length}%.3f exceeds 0.25")
+  }
+
   test("bpe walk stops when mergeable pairs exhaust, keeping the vocab") {
     // one two-symbol word: iteration 1 merges (a,b); iteration 2 finds no
     // pair and must BREAK, not crossJoin an empty frame over the vocab
