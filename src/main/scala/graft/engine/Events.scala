@@ -61,6 +61,29 @@ object Events {
     // and the surviving set is value-deterministic (duplicates are
     // identical copies). Nothing funnels through the driver — both
     // sides of the stream are distributed file IO.
+    // BATCH REPLAY of Streaming.runningMax — the typed arbitrary-state
+    // operator (KeyValueGroupedDataset.mapGroupsWithState) under the
+    // oracle gate: on a batch Dataset the single "micro-batch" is the
+    // whole input, each key's iterator folds through the same state
+    // function the MemoryStream tests drive incrementally, and the
+    // emitted row is the final state — for the running-max function
+    // that is value-identical to max(value) per user, which is what
+    // the oracle checks (float MAX is order-free, so no rounding is
+    // needed). Scale: mapGroupsWithState shuffles once on the key and
+    // streams each group's iterator with O(1) state per key.
+    "q_stream_state_replay" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("ts"), col("user_id").as("userId"),
+          col("event_type").as("eventType"), col("value"),
+          col("event_id").as("eventId"))
+        .as[Ev]
+      Streaming.runningMax(ev).toDF()
+        .select(col("userId").as("user_id"),
+          col("total").as("max_value"))
+        .orderBy(col("user_id"))
+    },
+
     "q_stream_dedup_replay" -> { (s, d) =>
       val slug = d.replaceAll("[^A-Za-z0-9_]", "_")
       val base =
@@ -684,6 +707,11 @@ object Events {
   val oracle: Map[String, String] = Map(
     // Duplicates are byte-identical copies, so SELECT DISTINCT over the
     // re-delivered union replays whichever-survivor dedup exactly.
+    "q_stream_state_replay" ->
+      """SELECT user_id, max(value) AS max_value FROM events
+        | GROUP BY user_id ORDER BY user_id"""
+        .stripMargin.replaceAll("\n", " "),
+
     "q_stream_dedup_replay" ->
       """WITH s AS (SELECT * FROM events UNION ALL
         |   SELECT * FROM events WHERE event_id % 10 = 0)

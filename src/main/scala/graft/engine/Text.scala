@@ -1936,7 +1936,14 @@ object Text {
         .withColumn("fp", md5(concat_ws(" ",
           array_sort(array_distinct(toks(col("text")))))))
         .groupBy(col("fp")).agg(min(col("doc_id")).as("doc_id"))
-      val d2 = docs.join(s2.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      // the stage-2 survivor frame feeds FOUR downstream branches (the
+      // digest explode, the anti join, and two counts); production
+      // materializes each stage's output between stages, and the
+      // checkpoint does exactly that here — without it every branch
+      // re-runs stages 1-2
+      val d2 = Checkpoints.pin(s"cascade_d2:$d",
+        docs.join(s2.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .localCheckpoint())
       // exploded 3-gram digests (codegen'd — the q_text_containment rule)
       val e = d2
         .withColumn("t", toks(col("text")))
