@@ -245,7 +245,10 @@ object Bench {
       // round-8: text-line corpus round trip and the stemmer cascade
       // (corpus explode + word agg); epoch_plan is metadata-scale by
       // design and excluded by rule (b)
-      "q_scan_text", "q_text_stem")
+      "q_scan_text", "q_text_stem",
+      // round-8: string-key AsOfJoinExec (UTF8String key copies along
+      // the merge) and the typed mapGroupsWithState batch replay
+      "q_join_asof_exec_str", "q_stream_state_replay")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

@@ -201,6 +201,26 @@ object Relational {
         .orderBy(col("event_id"))
     },
 
+    // String-key spelling of the custom as-of operator: the key arrives
+    // as a synthesized 'u<id>' code, so the merge's held-key promotion
+    // runs the UTF8String copy path (a key evaluated from the right
+    // iterator's reusable row buffer MUST be re-evaluated from the
+    // copied held row — the exact defect class the r8 fix closed) under
+    // the driver's hash gate, not just the law test. Same plan shape as
+    // q_join_asof_exec: one exchange + sort per side, single merge pass.
+    "q_join_asof_exec_str" -> { (s, d) =>
+      val e = Tables.events(s, d)
+        .select(col("event_id"),
+          concat(lit("u"), col("user_id")).as("uk"), col("ts").as("t"))
+      val o = Tables.orders(s, d)
+        .groupBy(concat(lit("u"), col("o_custkey")).as("r_uk"),
+          col("o_orderdate").as("rt"))
+        .agg(max(col("o_orderkey")).as("o_orderkey"))
+      e.join(o, expr("graft_asof(uk = r_uk AND rt <= t)"), "left")
+        .select(col("event_id"), col("uk"), col("o_orderkey"))
+        .orderBy(col("event_id"))
+    },
+
     "q_join_asof" -> { (s, d) =>
       val e = Tables.events(s, d)
         .select(col("event_id"), col("user_id"), col("ts").as("t"),
@@ -776,6 +796,17 @@ object Relational {
         | ASOF LEFT JOIN (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
         |   FROM orders GROUP BY 1, 2) o
         | ON e.user_id = o.o_custkey AND o.o_orderdate <= e.ts
+        | ORDER BY e.event_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_join_asof_exec_str" ->
+      """SELECT e.event_id, e.uk, o.o_orderkey
+        | FROM (SELECT event_id, 'u' || CAST(user_id AS VARCHAR) AS uk,
+        |   CAST(ts AS TIMESTAMP) AS ts FROM events) e
+        | ASOF LEFT JOIN (SELECT 'u' || CAST(o_custkey AS VARCHAR) AS r_uk,
+        |   o_orderdate, max(o_orderkey) AS o_orderkey
+        |   FROM orders GROUP BY 1, 2) o
+        | ON e.uk = o.r_uk AND o.o_orderdate <= e.ts
         | ORDER BY e.event_id"""
         .stripMargin.replaceAll("\n", " "),
 
