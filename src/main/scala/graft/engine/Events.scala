@@ -59,8 +59,6 @@ object Events {
     // writes through a parquet sink. Trigger.Once processes everything
     // in ONE micro-batch, so the watermark never drops rows mid-run
     // and the surviving set is value-deterministic (duplicates are
-    // identical copies). Nothing funnels through the driver — both
-    // sides of the stream are distributed file IO.
     // BATCH REPLAY of Streaming.runningMax — the typed arbitrary-state
     // operator (KeyValueGroupedDataset.mapGroupsWithState) under the
     // oracle gate: on a batch Dataset the single "micro-batch" is the
@@ -84,6 +82,20 @@ object Events {
         .orderBy(col("user_id"))
     },
 
+    // TRUE STREAMING RUN of Streaming.dedupWithinWatermark under the
+    // oracle gate (r6 verdict item 7; Spark REJECTS the operator on
+    // batch frames, so a batch replay is impossible — instead the query
+    // executes an actual Structured Streaming job at build time, the
+    // q_scan_binaryfile eager-side-effect precedent): the re-delivered
+    // event stream (every 10th event re-enters as a byte-identical
+    // copy, the at-least-once duplication this operator absorbs) lands
+    // in a parquet staging dir, a readStream file source feeds the
+    // SAME builder StreamingSpec exercises, and the deduped stream
+    // writes through a parquet sink. Trigger.Once processes everything
+    // in ONE micro-batch, so the watermark never drops rows mid-run
+    // and the surviving set is value-deterministic (duplicates are
+    // identical copies). Nothing funnels through the driver — both
+    // sides of the stream are distributed file IO.
     "q_stream_dedup_replay" -> { (s, d) =>
       val slug = d.replaceAll("[^A-Za-z0-9_]", "_")
       val base =

@@ -251,7 +251,14 @@ object Ingest {
     // §2.1 source matrix (parquet/csv/json/jsonl/orc/xml/binary/text).
     "q_scan_text" -> { (s, d) =>
       val out = tmp("docs_text", d)
-      Tables.documents(s, d).select(col("text"))
+      // pin the one-doc-per-line invariant against fixture drift: a
+      // newline inside text would split one doc into two physical lines
+      // (and a NULL would crash the text writer), so newlines map 1:1 to
+      // spaces (length-preserving — the oracle's length(text) still
+      // matches) and NULL becomes the empty line
+      Tables.documents(s, d)
+        .select(coalesce(translate(col("text"), "\n", " "), lit(""))
+          .as("text"))
         .write.mode("overwrite").text(out)
       s.read.text(out)
         .agg(count(lit(1)).as("n_lines"),
@@ -580,11 +587,13 @@ object Ingest {
          | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
         .stripMargin.replaceAll("\n", " "),
 
+    // coalesce mirrors the engine's NULL->empty-line write; the newline
+    // substitution is length-preserving so lengths need no mirroring
     "q_scan_text" ->
       """SELECT CAST(count(*) AS BIGINT) AS n_lines,
-        | CAST(sum(length(text)) AS BIGINT) AS sum_chars,
-        | CAST(min(length(text)) AS BIGINT) AS min_len,
-        | CAST(max(length(text)) AS BIGINT) AS max_len
+        | CAST(sum(length(coalesce(text, ''))) AS BIGINT) AS sum_chars,
+        | CAST(min(length(coalesce(text, ''))) AS BIGINT) AS min_len,
+        | CAST(max(length(coalesce(text, ''))) AS BIGINT) AS max_len
         | FROM documents"""
         .stripMargin.replaceAll("\n", " "),
 

@@ -242,6 +242,25 @@ object Text {
     transform(sequence(lit(1), greatest(size(t) - 2, lit(1))),
       i => array_join(slice(t, i, lit(3)), " "))
 
+  /** Distinct word-`n`-gram digests per document, EXPLODED — one
+    * (doc_id, g) row per distinct shingle, with the 60-bit md5 digest
+    * computed on exploded index rows so it stays inside WholeStageCodegen
+    * (HOF lambdas evaluate interpreted — the q_text_containment rule).
+    * Shared by the cascade's containment stage and the minhash ledger;
+    * the DuckDB twin is the `('0x' || substr(md5(...), 1, 15))::BIGINT`
+    * list form — change BOTH in lockstep.
+    */
+  private def shingleDigests(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .withColumn("t", toks(col("text")))
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(1), greatest(size(col("t")) - (n - 1), lit(1))))
+          .as("i"))
+      .select(col("doc_id"), conv(substring(
+        md5(concat_ws(" ", slice(col("t"), col("i"), lit(n)))), 1, 15),
+        16, 10).cast("long").as("g"))
+      .distinct()
+
   /** Near-dup corpus: fixture documents plus deterministic planted
     * near-duplicates (first token dropped, doc_id + 1,000,000) generated
     * FROM the fixture — guarantees recall targets are testable at any SF.
@@ -1944,16 +1963,7 @@ object Text {
       val d2 = Checkpoints.pin(s"cascade_d2:$d",
         docs.join(s2.select(col("doc_id")), Seq("doc_id"), "left_semi")
           .localCheckpoint())
-      // exploded 3-gram digests (codegen'd — the q_text_containment rule)
-      val e = d2
-        .withColumn("t", toks(col("text")))
-        .select(col("doc_id"), col("t"),
-          explode(sequence(lit(1), greatest(size(col("t")) - 2, lit(1))))
-            .as("i"))
-        .select(col("doc_id"), conv(substring(
-          md5(concat_ws(" ", slice(col("t"), col("i"), lit(3)))), 1, 15),
-          16, 10).cast("long").as("g"))
-        .distinct()
+      val e = shingleDigests(d2, 3)
       val rare = e.join(
         e.groupBy(col("g")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= 8), Seq("g"))
@@ -2052,15 +2062,8 @@ object Text {
     // banding and THIS comparison is the verification stage. All hashes
     // are integer-exact, so the estimate itself hash-matches DuckDB.
     "q_dedup_minhash_est" -> { (s, d) =>
-      val sh = Tables.documents(s, d).filter(col("doc_id") < 60)
-        .withColumn("t", toks(col("text")))
-        .select(col("doc_id"), col("t"),
-          explode(sequence(lit(1), greatest(size(col("t")) - 2, lit(1))))
-            .as("i"))
-        .select(col("doc_id"), conv(substring(
-          md5(concat_ws(" ", slice(col("t"), col("i"), lit(3)))), 1, 15),
-          16, 10).cast("long").as("g"))
-        .distinct()
+      val sh = shingleDigests(
+        Tables.documents(s, d).filter(col("doc_id") < 60), 3)
       val sigs = sh
         .select(col("doc_id"),
           explode(sequence(lit(0), lit(15))).as("p"), col("g"))
