@@ -248,7 +248,10 @@ object Bench {
       "q_scan_text", "q_text_stem",
       // round-8: string-key AsOfJoinExec (UTF8String key copies along
       // the merge) and the typed mapGroupsWithState batch replay
-      "q_join_asof_exec_str", "q_stream_state_replay")
+      "q_join_asof_exec_str", "q_stream_state_replay",
+      // round-8: the running-distinct window workaround (set state per
+      // frame); q_sink_csv_quoted is dimension-scale, excluded by (b)
+      "q_win_distinct_running")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

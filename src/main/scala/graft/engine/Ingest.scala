@@ -524,6 +524,39 @@ object Ingest {
         .select(col("c_nationkey"), col("names"),
           size(split(col("names"), ";")).as("n_names"))
         .orderBy(col("c_nationkey"))
+    },
+
+    // CSV quoting/escaping round trip — the classic interchange trap:
+    // values carrying the delimiter, the quote character, AND an
+    // embedded newline must survive write+read byte-exactly. The write
+    // quotes and doubles embedded quotes per RFC 4180; the read-back
+    // needs multiLine=true (a quoted newline spans physical lines, so
+    // per-line splitting — the default, which lets a 100 TB CSV read
+    // parallelize — CANNOT parse it; that loss of splittability is WHY
+    // pipelines ban embedded newlines, and this query is the conformance
+    // check for when they appear anyway). Checksum = exact length mass +
+    // newline count of the reconstructed values; the oracle computes the
+    // same from the source expressions, so hash parity proves lossless
+    // quoting.
+    "q_sink_csv_quoted" -> { (s, d) =>
+      val out = tmp("csv_quoted", d)
+      Tables.customer(s, d).filter(col("c_custkey") < 100)
+        .select(col("c_custkey"),
+          concat(lit("a,b\"q\"\n"), col("c_name")).as("tricky"))
+        // escape = quote selects RFC 4180 quote-DOUBLING ("" inside a
+        // quoted field) over Spark's default backslash escaping, so the
+        // file is what standards-conforming CSV consumers expect
+        .write.mode("overwrite").option("header", "true")
+        .option("escape", "\"").csv(out)
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("tricky", StringType)))
+      s.read.schema(schema).option("header", "true")
+        .option("escape", "\"").option("multiLine", "true").csv(out)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("c_custkey")).as("key_sum"),
+          sum(length(col("tricky"))).as("len_sum"),
+          sum(size(split(col("tricky"), "\n")) - 1).as("n_newlines"))
     }
   )
 
@@ -694,6 +727,16 @@ object Ingest {
         | string_agg(c_name, ';' ORDER BY c_name) AS names,
         | count(*) AS n_names
         | FROM customer GROUP BY c_nationkey ORDER BY c_nationkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // replays the checksum from the source expression: each tricky value
+    // is 'a,b"q"\n' (7 chars) + the name, exactly one newline per row
+    "q_sink_csv_quoted" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+        | CAST(sum(7 + length(c_name)) AS BIGINT) AS len_sum,
+        | CAST(count(*) AS BIGINT) AS n_newlines
+        | FROM customer WHERE c_custkey < 100"""
         .stripMargin.replaceAll("\n", " ")
   )
 }

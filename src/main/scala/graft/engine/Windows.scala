@@ -362,10 +362,38 @@ object Windows {
             / (col("m") * col("sxx") - col("sx") * col("sx"))
               .cast("double") / 100.0, 6).as("slope"))
         .orderBy(col("event_type"), col("event_id"))
+    },
+
+    // Running DISTINCT count over a window — Spark has no native
+    // count(DISTINCT) window aggregate, so the engine spelling is the
+    // standard workaround: collect_set over the running frame, then
+    // size(). The set is bounded by the attribute's cardinality (5
+    // priorities here — state stays O(|domain|) per frame, which is the
+    // ONLY regime where this spelling is scale-safe; for unbounded
+    // domains the answer is the q_agg_hll_union sketch per frame). The
+    // oracle uses DuckDB's native count(DISTINCT ...) OVER.
+    "q_win_distinct_running" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d).filter(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          size(collect_set(col("o_orderpriority")).over(w))
+            .as("n_distinct_prio"))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
     }
   )
 
   val oracle: Map[String, String] = Map(
+    "q_win_distinct_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | CAST(count(DISTINCT o_orderpriority) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+        |  AS n_distinct_prio
+        | FROM orders WHERE o_custkey < 200
+        | ORDER BY o_custkey, o_orderdate, o_orderkey"""
+        .stripMargin.replaceAll("\n", " "),
     "q_win_rank" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
         | row_number() OVER wu AS rn,
