@@ -82,6 +82,50 @@ object Events {
         .orderBy(col("user_id"))
     },
 
+    // BATCH REPLAY of Streaming.runningCountMax — transformWithState
+    // (the Spark 4 arbitrary-state API v2, typed ValueState handles)
+    // under the oracle gate, completing the stateful-API matrix
+    // (mapGroupsWithState → q_stream_state_replay, flatMapGroupsWith-
+    // State → StreamingSpec, transformWithState → here): the processor
+    // emits ORDER-FREE state (count + max, no float summation), so the
+    // batch fold equals count(*)/max(value) per user exactly.
+    "q_stream_tws_replay" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("ts"), col("user_id").as("userId"),
+          col("event_type").as("eventType"), col("value"),
+          col("event_id").as("eventId"))
+        .as[Ev]
+      // transformWithState loads a state store even on batch, and only
+      // the RocksDB provider hosts its value-state column families; the
+      // conf is scoped to this builder — the eager localCheckpoint
+      // executes the fold under it, then the session conf is restored
+      // so the other streaming replays keep their default provider
+      // batch TransformWithStateExec still resolves the driver-side
+      // StateStoreCoordinator RPC endpoint, which only a STREAMING query
+      // normally instantiates (StreamingQueryManager.stateStoreCoordinator
+      // is lazy) — touch it so the batch fold doesn't die with
+      // RpcEndpointNotFoundException in a session that never streamed;
+      // reflection because the accessor is private[sql]
+      s.streams.getClass.getMethod("stateStoreCoordinator")
+        .invoke(s.streams)
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state" +
+        ".RocksDBStateStoreProvider")
+      val folded =
+        try Checkpoints.pin(s"tws:$d",
+          Streaming.runningCountMax(ev).toDF().localCheckpoint())
+        finally prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      folded
+        .select(col("userId").as("user_id"), col("n").as("n_events"),
+          col("mx").as("max_value"))
+        .orderBy(col("user_id"))
+    },
+
     // TRUE STREAMING RUN of Streaming.dedupWithinWatermark under the
     // oracle gate (r6 verdict item 7; Spark REJECTS the operator on
     // batch frames, so a batch replay is impossible — instead the query
@@ -721,6 +765,12 @@ object Events {
     // re-delivered union replays whichever-survivor dedup exactly.
     "q_stream_state_replay" ->
       """SELECT user_id, max(value) AS max_value FROM events
+        | GROUP BY user_id ORDER BY user_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_stream_tws_replay" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        | max(value) AS max_value FROM events
         | GROUP BY user_id ORDER BY user_id"""
         .stripMargin.replaceAll("\n", " "),
 

@@ -14,6 +14,8 @@ case class UserCount(userId: Long, running: Long)
 
 case class UserSum(userId: Long, total: Double)
 
+case class UserCountMax(userId: Long, n: Long, mx: Double)
+
 /** §2.9 true Structured Streaming builders (SURVEY.md). The harness-facing
   * batch equivalents live in Events.scala; these builders add the
   * streaming-only semantics — watermarks, late-data drop, stateful dedup,
@@ -132,6 +134,39 @@ object Streaming {
     events
       .groupByKey(_.userId)
       .transformWithState(new RunningSumProcessor,
+        TimeMode.None(), OutputMode.Update)
+  }
+
+  /** transformWithState processor whose emissions are ORDER-FREE (count
+    * and max — no float summation), so the batch replay is oracle-
+    * checkable: on a batch Dataset each key's full iterator folds once
+    * and the emitted row is the final state.
+    */
+  class CountMaxProcessor
+      extends StatefulProcessor[Long, Ev, UserCountMax] {
+    @transient private var cnt: ValueState[Long] = _
+    @transient private var mx: ValueState[Double] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      cnt = getHandle.getValueState[Long]("cnt",
+        Encoders.scalaLong, TTLConfig.NONE)
+      mx = getHandle.getValueState[Double]("mx",
+        Encoders.scalaDouble, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[UserCountMax] = {
+      var c = Option(cnt.get()).getOrElse(0L)
+      var m = Option(mx.get()).getOrElse(Double.NegativeInfinity)
+      rows.foreach { r => c += 1; if (r.value > m) m = r.value }
+      cnt.update(c); mx.update(m)
+      Iterator(UserCountMax(key, c, m))
+    }
+  }
+
+  def runningCountMax(events: Dataset[Ev]): Dataset[UserCountMax] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.userId)
+      .transformWithState(new CountMaxProcessor,
         TimeMode.None(), OutputMode.Update)
   }
 
