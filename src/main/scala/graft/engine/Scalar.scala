@@ -33,6 +33,30 @@ object Scalar {
       .foldLeft(c) { case (acc, (e, r)) => regexp_replace(acc, e, r) }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // DataFrameNaFunctions surface (na.fill / na.replace / na.drop) —
+    // the null-repair toolkit every ingest layer leans on: nulls are
+    // PLANTED deterministically (key arithmetic), filled with sentinels,
+    // one value renamed via na.replace, and the na.drop("any") survivor
+    // count rides along as a broadcast scalar. Map-side repairs + one
+    // small aggregate; the oracle replays them as CASE/COALESCE.
+    "q_fn_na" -> { (s, d) =>
+      val base = Tables.customer(s, d).select(col("c_custkey"),
+        when(pmod(col("c_custkey"), lit(7)) === 3,
+          lit(null).cast("string"))
+          .otherwise(col("c_mktsegment")).as("seg"),
+        when(pmod(col("c_custkey"), lit(11)) === 5,
+          lit(null).cast("double"))
+          .otherwise(col("c_acctbal")).as("bal"))
+      val dropped = base.na.drop("any", Seq("seg", "bal"))
+        .agg(count(lit(1)).as("n_complete"))
+      base.na.fill(Map("seg" -> "UNKNOWN", "bal" -> 0.0))
+        .na.replace("seg", Map("MACHINERY" -> "MACHINES"))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"), Fx.dsum(col("bal")).as("bal_sum"))
+        .crossJoin(broadcast(dropped))
+        .orderBy(col("seg"))
+    },
+
     "q_fn_string" -> { (s, d) =>
       Tables.customer(s, d).select(
         col("c_custkey"),
@@ -450,6 +474,27 @@ object Scalar {
   )
 
   val oracle: Map[String, String] = Map(
+    // the planted nulls, fill, replace, and drop-count all replay as
+    // CASE/COALESCE/FILTER over the same key arithmetic
+    "q_fn_na" ->
+      s"""WITH base AS (SELECT c_custkey,
+         |   CASE WHEN c_custkey % 7 = 3 THEN NULL
+         |    ELSE c_mktsegment END AS seg,
+         |   CASE WHEN c_custkey % 11 = 5 THEN NULL
+         |    ELSE c_acctbal END AS bal
+         |  FROM customer),
+         | dropped AS (SELECT CAST(count(*) AS BIGINT) AS n_complete
+         |  FROM base WHERE seg IS NOT NULL AND bal IS NOT NULL),
+         | filled AS (SELECT
+         |   CASE WHEN coalesce(seg, 'UNKNOWN') = 'MACHINERY'
+         |    THEN 'MACHINES' ELSE coalesce(seg, 'UNKNOWN') END AS seg,
+         |   coalesce(bal, 0.0) AS bal FROM base)
+         | SELECT seg, CAST(count(*) AS BIGINT) AS n,
+         |  ${Fx.oSum("bal")} AS bal_sum, n_complete
+         | FROM filled CROSS JOIN dropped
+         | GROUP BY seg, n_complete ORDER BY seg"""
+        .stripMargin.replaceAll("\n", " "),
+
     "q_fn_string" ->
       """SELECT c_custkey,
         | concat_ws('-', c_mktsegment, c_name) AS joined,

@@ -1996,6 +1996,34 @@ object Text {
         .orderBy(col("stage"))
     },
 
+    // Observation API (CollectMetrics) — counters piggybacked on a pass:
+    // production pipelines need corpus-level metrics (doc count, char
+    // mass, language split) WITHOUT paying a second scan, so the metrics
+    // observe() on the input and materialize as a side effect of the
+    // SAME job that computes the real output (here the per-source
+    // rollup; in production the observed action is the sink write).
+    // The foreach(()=>()) action is metric plumbing only — nothing
+    // funnels rows to the driver; obs.get returns the aggregated
+    // counters the listener captured, which then annotate the rollup as
+    // literals. All metrics are exact integers.
+    "q_pipeline_observe" -> { (s, d) =>
+      val obs = org.apache.spark.sql.Observation()
+      val docs = Tables.documents(s, d).observe(obs,
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("sum_chars"),
+        count(when(col("lang") === "en", 1)).as("n_en"))
+      val bySource = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"))
+      bySource.foreach(_ => ()) // the observed pass (stand-in sink)
+      val m = obs.get
+      bySource
+        .select(col("source"), col("n"),
+          lit(m("n_docs").asInstanceOf[Long]).as("n_docs"),
+          lit(m("sum_chars").asInstanceOf[Long]).as("sum_chars"),
+          lit(m("n_en").asInstanceOf[Long]).as("n_en"))
+        .orderBy(col("source"))
+    },
+
     // Epoch schedule plan — the deterministic dataloader order a
     // training run needs to RESUME mid-epoch: per epoch, shards
     // reshuffle under a seeded md5 order key (different permutation per
@@ -3291,6 +3319,19 @@ object Text {
          |   ORDER BY cont_probe DESC, doc_id) AS rank FROM scored)
          | SELECT id_p, rank, doc_id, n_common, cont_probe, cont_doc
          | FROM ranked WHERE rank <= 3 ORDER BY id_p, rank"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_pipeline_observe" ->
+      """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |  CAST(count(CASE WHEN lang = 'en' THEN 1 END) AS BIGINT)
+        |   AS n_en
+        | FROM documents)
+        | SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  m.n_docs, m.sum_chars, m.n_en
+        | FROM documents CROSS JOIN m
+        | GROUP BY source, m.n_docs, m.sum_chars, m.n_en
+        | ORDER BY source"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_pipeline_epoch_plan" ->
