@@ -251,7 +251,10 @@ object Bench {
       "q_join_asof_exec_str", "q_stream_state_replay",
       // round-8: the running-distinct window workaround (set state per
       // frame); q_sink_csv_quoted is dimension-scale, excluded by (b)
-      "q_win_distinct_running")
+      "q_win_distinct_running",
+      // round-8: the transformWithState batch fold (RocksDB-backed
+      // stores per partition) and the observed corpus pass
+      "q_stream_tws_replay", "q_pipeline_observe")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid
