@@ -254,7 +254,10 @@ object Bench {
       "q_win_distinct_running",
       // round-8: the transformWithState batch fold (RocksDB-backed
       // stores per partition) and the observed corpus pass
-      "q_stream_tws_replay", "q_pipeline_observe")
+      "q_stream_tws_replay", "q_pipeline_observe",
+      // round-8: the flatMapGroupsWithState batch fold, the correlated
+      // aggregate decorrelation, and the stat.crosstab contingency pass
+      "q_stream_fmgs_replay", "q_subq_correlated_agg", "q_agg_crosstab")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

@@ -614,6 +614,23 @@ object Aggregates {
         .orderBy(col("o_orderpriority"))
     },
 
+    // DataFrameStatFunctions surface: contingency table over the
+    // joined fact (market segment × order status). stat.crosstab is a
+    // small-result API by contract — the output is bounded by the two
+    // attribute domains (5×3 here), NOT by fact volume; the count pass
+    // itself is an ordinary partial-aggregated groupBy over the join,
+    // so the 100 TB side behaves like q_pivot. Status domain {F,O,P}
+    // is closed at every SF (the q_pivot precedent). customer scales
+    // with the fact (not a fixed dim), so AQE picks the join strategy.
+    "q_agg_crosstab" -> { (s, d) =>
+      val joined = Tables.orders(s, d)
+        .join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+      joined.stat.crosstab("c_mktsegment", "o_orderstatus")
+        .orderBy(col("c_mktsegment_o_orderstatus"))
+    },
+
     // Inverse reshape: wide status counts back to (priority, status, n).
     "q_unpivot" -> { (s, d) =>
       Tables.orders(s, d)
@@ -1194,6 +1211,15 @@ object Aggregates {
     "q_ds_typed_groups" ->
       """SELECT o_orderstatus, count(*) AS n, max(o_orderkey) AS max_key
         | FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_agg_crosstab" ->
+      """SELECT c_mktsegment AS c_mktsegment_o_orderstatus,
+        | count(*) FILTER (WHERE o_orderstatus = 'F') AS F,
+        | count(*) FILTER (WHERE o_orderstatus = 'O') AS O,
+        | count(*) FILTER (WHERE o_orderstatus = 'P') AS P
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        | GROUP BY c_mktsegment ORDER BY c_mktsegment"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_pivot" ->

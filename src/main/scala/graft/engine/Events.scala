@@ -126,6 +126,27 @@ object Events {
         .orderBy(col("user_id"))
     },
 
+    // BATCH REPLAY of Streaming.runningCounts — flatMapGroupsWithState
+    // (update mode, the multi-row-emit arbitrary-state API) under the
+    // oracle gate, closing the last stateful-API row that lived only in
+    // StreamingSpec: on a batch Dataset each key's single iterator IS
+    // the whole stream, the state fold adds evs.size once, and the one
+    // emitted row carries the final running count — value-identical to
+    // count(*) per user (integer addition is order-free). Scale: one
+    // key shuffle, O(1) state per key, group iterators stream.
+    "q_stream_fmgs_replay" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+        .select(col("ts"), col("user_id").as("userId"),
+          col("event_type").as("eventType"), col("value"),
+          col("event_id").as("eventId"))
+        .as[Ev]
+      Streaming.runningCounts(ev).toDF()
+        .select(col("userId").as("user_id"),
+          col("running").as("n_events"))
+        .orderBy(col("user_id"))
+    },
+
     // TRUE STREAMING RUN of Streaming.dedupWithinWatermark under the
     // oracle gate (r6 verdict item 7; Spark REJECTS the operator on
     // batch frames, so a batch replay is impossible — instead the query
@@ -771,6 +792,11 @@ object Events {
     "q_stream_tws_replay" ->
       """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
         | max(value) AS max_value FROM events
+        | GROUP BY user_id ORDER BY user_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_stream_fmgs_replay" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events FROM events
         | GROUP BY user_id ORDER BY user_id"""
         .stripMargin.replaceAll("\n", " "),
 

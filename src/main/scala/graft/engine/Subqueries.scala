@@ -92,6 +92,23 @@ object Subqueries {
            | ORDER BY o_orderkey""".stripMargin)
     },
 
+    // Correlated scalar AGGREGATE subquery in the WHERE clause: each
+    // customer's most recent order(s). Catalyst decorrelates into a
+    // per-custkey max aggregate joined back on the key (exactly the
+    // groupBy+join a hand-written latest-row query would build), so the
+    // sugar costs one extra key-partitioned aggregate, never a
+    // per-row re-scan. max(date) is exact — no float boundary — and
+    // date ties legitimately return both orders, deterministically.
+    "q_subq_correlated_agg" -> { (s, d) =>
+      val g = views(s, d)
+      s.sql(
+        s"""SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+           | FROM orders_$g o
+           | WHERE o_orderdate = (SELECT max(o2.o_orderdate)
+           |    FROM orders_$g o2 WHERE o2.o_custkey = o.o_custkey)
+           | ORDER BY o_orderkey""".stripMargin)
+    },
+
     // LATERAL correlated subquery: each priority bucket's three most
     // recent orders — the SQL spelling of top-k-per-group. Spark plans a
     // LateralJoin; the DataFrame twin is q_topk_per_group's window.
@@ -139,6 +156,13 @@ object Subqueries {
       """SELECT o_orderkey, o_totalprice
         | FROM orders
         | WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) * 0.8
+        | ORDER BY o_orderkey""".stripMargin.replaceAll("\n", " "),
+
+    "q_subq_correlated_agg" ->
+      """SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice
+        | FROM orders o
+        | WHERE o_orderdate = (SELECT max(o2.o_orderdate)
+        |    FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
         | ORDER BY o_orderkey""".stripMargin.replaceAll("\n", " "),
 
     "q_subq_lateral" ->
