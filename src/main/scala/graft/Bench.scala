@@ -257,7 +257,9 @@ object Bench {
       "q_stream_tws_replay", "q_pipeline_observe",
       // round-8: the flatMapGroupsWithState batch fold, the correlated
       // aggregate decorrelation, and the stat.crosstab contingency pass
-      "q_stream_fmgs_replay", "q_subq_correlated_agg", "q_agg_crosstab")
+      "q_stream_fmgs_replay", "q_subq_correlated_agg", "q_agg_crosstab",
+      // round-8: the k-fold split coin pass and the per-user A/B fold
+      "q_pipeline_kfold", "q_shape_ab_test")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

@@ -1087,6 +1087,44 @@ object Analytics {
     // is the q_shape_paths lag+cumsum recipe (one user_id shuffle);
     // per-session flags reduce on the same exchange, and the daily
     // rollup is tiny. The rate divides exact integers, ε-rounded.
+    // A/B experiment readout — the two-proportion z-test a growth team
+    // runs on every feature flag: variant = user_id parity (the
+    // deterministic stand-in for the assignment hash), conversion =
+    // strictly more purchases than errors (a deterministic interior-
+    // probability outcome at every SF — a constant threshold could
+    // degenerate to all-true/all-false on a small fixture and zero the
+    // pooled variance). Per-user reduction first (bounded by USERS, not
+    // events — one key-partitioned aggregate over the fact), then a
+    // 2-row variant aggregate folds to ONE scalar row; z is IEEE-
+    // deterministic scalar math on four exact longs, epsilon-rounded
+    // once at the surface. The pooled rate sits strictly inside (0,1)
+    // by construction, so the variance term can never divide by zero.
+    "q_shape_ab_test" -> { (s, d) =>
+      val pu = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("np"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("ne"))
+        .select(pmod(col("user_id"), lit(2)).as("variant"),
+          when(col("np") > col("ne"), 1L).otherwise(0L).as("conv"))
+      val one = pu.agg(
+        sum(when(col("variant") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 0, col("conv"))).as("c_a"),
+        sum(when(col("variant") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === 1, col("conv"))).as("c_b"))
+      val pa = col("c_a").cast("double") / col("n_a")
+      val pb = col("c_b").cast("double") / col("n_b")
+      val pp = (col("c_a") + col("c_b")).cast("double") /
+        (col("n_a") + col("n_b"))
+      one.select(col("n_a"), col("c_a"), col("n_b"), col("c_b"),
+        eround(pa, 6).as("rate_a"), eround(pb, 6).as("rate_b"),
+        eround((pa - pb) /
+          sqrt(pp * (lit(1.0) - pp) *
+            (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6)
+          .as("z"))
+    },
+
     "q_shape_cart_abandonment" -> { (s, d) =>
       val W = org.apache.spark.sql.expressions.Window
       val wU = W.partitionBy(col("user_id"))
@@ -2103,6 +2141,30 @@ object Analytics {
         .stripMargin.replaceAll("\n", " "),
 
     // The q_shape_paths sessionization with per-session flag reduction.
+    "q_shape_ab_test" ->
+      """WITH pu AS (SELECT user_id,
+        |   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np,
+        |   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS ne
+        |  FROM events GROUP BY user_id),
+        | v AS (SELECT user_id % 2 AS variant,
+        |   CASE WHEN np > ne THEN 1 ELSE 0 END AS conv FROM pu),
+        | o AS (SELECT
+        |   CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS n_a,
+        |   CAST(sum(CASE WHEN variant = 0 THEN conv END) AS BIGINT) AS c_a,
+        |   CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS n_b,
+        |   CAST(sum(CASE WHEN variant = 1 THEN conv END) AS BIGINT) AS c_b
+        |  FROM v)
+        | SELECT n_a, c_a, n_b, c_b,
+        |  round(CAST(c_a AS DOUBLE) / n_a + 5e-10, 6) AS rate_a,
+        |  round(CAST(c_b AS DOUBLE) / n_b + 5e-10, 6) AS rate_b,
+        |  round((CAST(c_a AS DOUBLE) / n_a - CAST(c_b AS DOUBLE) / n_b)
+        |   / sqrt((CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+        |    * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
+        |    * (1.0 / n_a + 1.0 / n_b)) + 5e-10, 6) AS z
+        | FROM o""".stripMargin.replaceAll("\n", " "),
+
     "q_shape_cart_abandonment" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
         |   event_type FROM events),

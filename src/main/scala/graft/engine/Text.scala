@@ -1466,6 +1466,27 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // Deterministic k-fold split plan (k=5) + per-fold balance audit —
+    // the train/validation partitioning a data pipeline pins BEFORE
+    // training so every re-run (and every worker) agrees on membership
+    // without a stored assignment table: fold = md5(doc_id) mod k (the
+    // engine's seedless-coin convention — shard-stable, restart-stable),
+    // audited per (fold, lang) with doc counts, char mass, and source
+    // spread so imbalance is visible before a fold ships. Map-side coin
+    // + one partial-aggregated groupBy; nothing scales beyond the
+    // (k × languages) result.
+    "q_pipeline_kfold" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("fold",
+          pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+            16, 10).cast("long"), lit(5)))
+        .groupBy(col("fold"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("fold"), col("lang"))
+    },
+
     "q_sample_hash_group" -> { (s, d) =>
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("lang"))
@@ -3159,6 +3180,14 @@ object Text {
         | FROM documents
         | ORDER BY md5('rsv' || CAST(doc_id AS VARCHAR)), doc_id
         | LIMIT 100) ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_pipeline_kfold" ->
+      """SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |  % 5 AS fold, lang,
+        | count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        | count(DISTINCT source) AS n_sources
+        | FROM documents GROUP BY 1, 2 ORDER BY fold, lang"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_sample_hash_group" ->
