@@ -259,7 +259,10 @@ object Bench {
       // aggregate decorrelation, and the stat.crosstab contingency pass
       "q_stream_fmgs_replay", "q_subq_correlated_agg", "q_agg_crosstab",
       // round-8: the k-fold split coin pass and the per-user A/B fold
-      "q_pipeline_kfold", "q_shape_ab_test")
+      "q_pipeline_kfold", "q_shape_ab_test",
+      // round-8: the cosine radius query and the MRL truncation curve
+      // (both ride the broadcast-probe corpus scan)
+      "q_sim_range_search", "q_vec_mrl_curve")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

@@ -185,6 +185,76 @@ object Vectors {
         .orderBy(col("probe_id"), col("rnk"))
     },
 
+    // RANGE similarity search (radius query): every corpus vector whose
+    // rounded cosine to a probe meets the threshold — the retrieval
+    // shape for "everything semantically close to this blocklist
+    // entry", where top-k's fixed cut-off is wrong because the match
+    // count is the answer. Probes broadcast against one corpus scan
+    // (no window at all — a pure filter, cheaper than top-k); at scale
+    // the same predicate rides the LSH bucket join (q_sim_pairs_lsh)
+    // instead of the full scan. Rounded score + id ordering keeps both
+    // engines identical.
+    "q_sim_range_search" -> { (s, d) =>
+      GraftFunctions.register(s)
+      val emb = Tables.embeddings(s, d).withColumn("v", vd(col("embedding")))
+      val probes = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("v").as("pv"))
+      emb.select(col("vec_id"), col("v"))
+        .crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("cos_r", eround(cosine(col("pv"), col("v")), 6))
+        .filter(col("cos_r") >= 0.3)
+        .select(col("probe_id"), col("vec_id"), col("cos_r"))
+        .orderBy(col("probe_id"), col("vec_id"))
+    },
+
+    // Matryoshka dimension-quality CURVE — the eval a team runs before
+    // truncating embeddings for cheap retrieval (MRL: how much of the
+    // full-dimension exact top-5 does a k-prefix ranking keep, for k in
+    // {8,16,32}?): both rankings are integer-micros L2 (int_sqdist on
+    // the prefix slice vs the full vector), so every cell of the curve
+    // is exact and the whole eval hash-matches the oracle — the
+    // q_sim_eval_recall discipline applied to the truncation axis.
+    // Probes broadcast; the dim axis is a 3-way explode over the
+    // bounded probe×corpus pair frame; one window per (probe, dim).
+    "q_vec_mrl_curve" -> { (s, d) =>
+      GraftFunctions.register(s)
+      val qs = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr("int_micros(embedding)").as("q"))
+      val probes = qs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("q").as("pq"))
+      val pairs = qs.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+      val wF = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id")).orderBy(asc("d2"), asc("vec_id"))
+      val exact = pairs.withColumn("d2", expr("int_sqdist(q, pq)"))
+        .withColumn("re", row_number().over(wF))
+        .filter(col("re") <= 5)
+        .select(col("probe_id"), col("vec_id"))
+      val wP = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id"), col("dim"))
+        .orderBy(asc("d2"), asc("vec_id"))
+      val approx = pairs
+        .withColumn("dim", explode(array(lit(8), lit(16), lit(32))))
+        .withColumn("d2", expr(
+          "int_sqdist(slice(q, 1, dim), slice(pq, 1, dim))"))
+        .withColumn("rp", row_number().over(wP))
+        .filter(col("rp") <= 5)
+        .select(col("probe_id"), col("dim"), col("vec_id"))
+      // LEFT join (not semi) so a (probe, dim) whose prefix ranking
+      // shares NOTHING with the exact top-5 still emits a hits=0 row —
+      // the curve must show the failure point, not drop it.
+      exact.crossJoin(broadcast(s.range(1)
+          .select(explode(array(lit(8), lit(16), lit(32))).as("dim"))))
+        .join(approx.withColumn("hit", lit(1)),
+          Seq("probe_id", "dim", "vec_id"), "left")
+        .groupBy(col("probe_id"), col("dim"))
+        .agg(count(col("hit")).as("hits"))
+        .select(col("probe_id"), col("dim"), col("hits"),
+          eround(col("hits").cast("double") / 5.0, 4).as("recall_at_5"))
+        .orderBy(col("probe_id"), col("dim"))
+    },
+
     // Recall@k evaluation of the Hamming ANN against exact ground
     // truth — the second leg of the eval harness (q_sim_eval_ndcg
     // judges label relevance; this judges the APPROXIMATION itself):
@@ -1048,6 +1118,51 @@ object Vectors {
 
     // Both rankings mirror their parents (the hamming packing and the
     // integer-L2 micros distance), joined at the exact top-5.
+    "q_sim_range_search" ->
+      s"""WITH e AS (SELECT vec_id, $oVd AS v FROM embeddings),
+         | p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+         | s AS (SELECT p.probe_id, e.vec_id,
+         |   round(list_dot_product(p.pv, e.v)
+         |     / (sqrt(list_dot_product(p.pv, p.pv))
+         |        * sqrt(list_dot_product(e.v, e.v))) + 5e-10, 6) AS cos_r
+         |  FROM e, p WHERE e.vec_id <> p.probe_id)
+         | SELECT probe_id, vec_id, cos_r FROM s WHERE cos_r >= 0.3
+         | ORDER BY probe_id, vec_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_vec_mrl_curve" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding,
+        |   x -> CAST(round(x * 1e6) AS BIGINT)) AS qv FROM embeddings),
+        | pe AS (SELECT vec_id AS probe_id, qv AS pv FROM q
+        |  WHERE vec_id < 10),
+        | pr AS (SELECT q.vec_id, pe.probe_id, q.qv, pe.pv
+        |  FROM q CROSS JOIN pe WHERE q.vec_id <> pe.probe_id),
+        | ed AS (SELECT probe_id, vec_id,
+        |   list_reduce(list_transform(list_zip(qv, pv),
+        |     z -> (z[1]-z[2])*(z[1]-z[2])), (a, b) -> a + b) AS d2
+        |  FROM pr),
+        | er AS (SELECT probe_id, vec_id, row_number() OVER
+        |   (PARTITION BY probe_id ORDER BY d2, vec_id) AS re FROM ed),
+        | ex AS (SELECT probe_id, vec_id FROM er WHERE re <= 5),
+        | dims AS (SELECT unnest([8, 16, 32]) AS dim),
+        | ad AS (SELECT probe_id, vec_id, dim,
+        |   list_reduce(list_transform(
+        |     list_zip(list_slice(qv, 1, dim), list_slice(pv, 1, dim)),
+        |     z -> (z[1]-z[2])*(z[1]-z[2])), (a, b) -> a + b) AS d2
+        |  FROM pr CROSS JOIN dims),
+        | ar AS (SELECT probe_id, dim, vec_id, row_number() OVER
+        |   (PARTITION BY probe_id, dim ORDER BY d2, vec_id) AS rp FROM ad),
+        | ap AS (SELECT probe_id, dim, vec_id, 1 AS hit FROM ar
+        |  WHERE rp <= 5)
+        | SELECT ex.probe_id, dims.dim, count(ap.hit) AS hits,
+        |  round(CAST(count(ap.hit) AS DOUBLE) / 5.0 + 5e-10, 4)
+        |   AS recall_at_5
+        | FROM ex CROSS JOIN dims LEFT JOIN ap
+        |  ON ex.probe_id = ap.probe_id AND dims.dim = ap.dim
+        |   AND ex.vec_id = ap.vec_id
+        | GROUP BY ex.probe_id, dims.dim ORDER BY ex.probe_id, dims.dim"""
+        .stripMargin.replaceAll("\n", " "),
+
     "q_sim_eval_recall" ->
       """WITH s AS (SELECT vec_id,
         |   CAST(list_sum(list_transform(range(0, 32), i ->

@@ -3070,6 +3070,33 @@ class EngineLawsSpec extends SparkSuite {
       f"mean |est-exact| ${absErr / rows.length}%.3f exceeds 0.25")
   }
 
+  test("mrl curve: full grid, bounded hits, 32-prefix beats 8-prefix") {
+    val rows = SparkEntry.queries("q_vec_mrl_curve")(spark, sf).collect()
+    // 10 probes × 3 dims, even where a prefix ranking scores 0 hits
+    assert(rows.length === 30)
+    rows.foreach { r =>
+      val h = r.getLong(2)
+      assert(h >= 0L && h <= 5L, s"hits $h out of [0,5]")
+      assert(math.abs(r.getDouble(3) - h / 5.0) < 1e-9)
+    }
+    def mean(dim: Int): Double =
+      rows.filter(_.getInt(1) == dim).map(_.getLong(2)).sum / 50.0
+    // longer prefixes keep at least as much of the exact top-5 on
+    // average (per-probe curves may wobble; the 16-dim point does at
+    // some fixture scales, so only the endpoints are law)
+    assert(mean(32) >= mean(8),
+      s"mean recall not improved: dim8=${mean(8)} dim32=${mean(32)}")
+  }
+
+  test("range search: every returned pair meets the cosine threshold") {
+    val rows = SparkEntry.queries("q_sim_range_search")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.3, s"pair below threshold: $r")
+      assert(r.getLong(0) != r.getLong(1), "self-pair leaked")
+    }
+  }
+
   test("bpe walk stops when mergeable pairs exhaust, keeping the vocab") {
     // one two-symbol word: iteration 1 merges (a,b); iteration 2 finds no
     // pair and must BREAK, not crossJoin an empty frame over the vocab
