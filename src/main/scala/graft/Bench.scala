@@ -262,7 +262,10 @@ object Bench {
       "q_pipeline_kfold", "q_shape_ab_test",
       // round-8: the cosine radius query and the MRL truncation curve
       // (both ride the broadcast-probe corpus scan)
-      "q_sim_range_search", "q_vec_mrl_curve")
+      "q_sim_range_search", "q_vec_mrl_curve",
+      // round-8: the span-corruption schedule (token explode + islands)
+      // and the pairwise-median robust trend over the hour axis
+      "q_pipeline_span_mask", "q_ts_theil_sen")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

@@ -565,6 +565,43 @@ object Events {
     // d² sums pass 2⁶³ once n·x nears 1e9·1e3). |r_k| ≤ 1 by
     // Cauchy–Schwarz; a constant series (den 0) yields null, not NaN.
     // One grid join + one type-partitioned lag window + one partial agg.
+    // Theil–Sen robust trend — the median-of-pairwise-slopes estimator
+    // that shrugs off the outage spikes OLS (q_win_slope) bends toward:
+    // per event type, slope = median over all hour-pairs of
+    // (yj−yi)/(xj−xi), intercept = median of (yi − m·xi) using the
+    // ROUNDED slope so both engines derive the identical residuals.
+    // Pair count is O(T²) in the TIME-AXIS length (≤720 hours here —
+    // bounded by calendar span, never by event volume; the raw fact
+    // collapses through one hash aggregate first). Slope division is
+    // IEEE-deterministic; medians interpolate identical multisets;
+    // one epsilon-round per surfaced stat.
+    "q_ts_theil_sen" -> { (s, d) =>
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("x", expr("unix_micros(h) DIV 3600000000"))
+      val a = hourly.select(col("event_type"), col("x").as("xi"),
+        col("y").as("yi"))
+      val b = hourly.select(col("event_type").as("et2"), col("x").as("xj"),
+        col("y").as("yj"))
+      val slopes = a.join(b,
+          col("event_type") === col("et2") && col("xi") < col("xj"))
+        .withColumn("slope", (col("yj") - col("yi")).cast("double")
+          / (col("xj") - col("xi")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          eround(expr("percentile(slope, 0.5)"), 6).as("m"))
+      val fit = hourly.join(broadcast(slopes), Seq("event_type"))
+        .withColumn("b0", col("y").cast("double") - col("m") * col("x"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_points"),
+          eround(expr("percentile(b0, 0.5)"), 6).as("intercept"))
+      slopes.join(fit, Seq("event_type"))
+        .select(col("event_type"), col("n_points"), col("n_pairs"),
+          col("m").as("slope"), col("intercept"))
+        .orderBy(col("event_type"))
+    },
+
     "q_ts_acf" -> { (s, d) =>
       val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       val W = org.apache.spark.sql.expressions.Window
@@ -1047,6 +1084,28 @@ object Events {
         |   AS max_late_hours
         | FROM l GROUP BY event_type ORDER BY event_type"""
         .stripMargin.replaceAll("\n", " "),
+
+    "q_ts_theil_sen" ->
+      """WITH hrs AS (SELECT event_type, date_trunc('hour',
+        |   CAST(ts AS TIMESTAMP)) AS h, count(*) AS y
+        |  FROM events GROUP BY 1, 2),
+        | pts AS (SELECT event_type,
+        |   epoch(h)::BIGINT // 3600 AS x, y FROM hrs),
+        | pr AS (SELECT a.event_type,
+        |   CAST(b.y - a.y AS DOUBLE) / (b.x - a.x) AS slope
+        |  FROM pts a JOIN pts b ON a.event_type = b.event_type
+        |   AND a.x < b.x),
+        | sl AS (SELECT event_type, count(*) AS n_pairs,
+        |   round(quantile_cont(slope, 0.5) + 5e-10, 6) AS m
+        |  FROM pr GROUP BY event_type),
+        | ft AS (SELECT p.event_type, count(*) AS n_points,
+        |   round(quantile_cont(CAST(p.y AS DOUBLE) - sl.m * p.x, 0.5)
+        |    + 5e-10, 6) AS intercept
+        |  FROM pts p JOIN sl ON p.event_type = sl.event_type
+        |  GROUP BY p.event_type)
+        | SELECT sl.event_type, n_points, n_pairs, m AS slope, intercept
+        | FROM sl JOIN ft ON sl.event_type = ft.event_type
+        | ORDER BY sl.event_type""".stripMargin.replaceAll("\n", " "),
 
     // Mirrors the dense grid, the n-scaled integer deviations, and the
     // lag products; internal state HUGEINT (output columns stay

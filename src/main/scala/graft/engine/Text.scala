@@ -1466,6 +1466,44 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // T5-style span-corruption PLAN — the mask schedule a denoising
+    // pretraining run derives per document (15% of tokens, contiguous
+    // masked runs become sentinel spans): the mask coin is seedless
+    // md5 over (doc_id, position) so every worker and every restart
+    // derives the identical schedule with no stored mask table; spans
+    // come out of the gaps-islands trick over masked positions. Per
+    // doc: token/masked/span counts, longest span, mask ratio. One
+    // token explode + one doc-partitioned window over MASKED rows only
+    // (~15% of tokens) + two per-doc aggregates — linear, no joins
+    // beyond the per-doc span rollup.
+    "q_pipeline_span_mask" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val tk = Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+        .withColumn("i", col("pos") + 1)
+        .withColumn("m",
+          (pmod(conv(substring(md5(concat_ws(":", col("doc_id"),
+            col("i"))), 1, 8), 16, 10).cast("long"), lit(100)) < 15)
+            .cast("long"))
+      val spans = tk.filter(col("m") === 1)
+        .withColumn("isl", col("i") - row_number().over(
+          W.partitionBy(col("doc_id")).orderBy(col("i"))))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg(count(lit(1)).as("span_len"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_spans"), max(col("span_len")).as("max_span"))
+      tk.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("m")).as("n_masked"))
+        .join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"), col("n_masked"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("max_span"), lit(0L)).as("max_span"),
+          eround(col("n_masked").cast("double") / col("n_tokens"), 4)
+            .as("mask_ratio"))
+        .orderBy(col("doc_id"))
+    },
+
     // Deterministic k-fold split plan (k=5) + per-fold balance audit —
     // the train/validation partitioning a data pipeline pins BEFORE
     // training so every re-run (and every worker) agrees on membership
@@ -3181,6 +3219,30 @@ object Text {
         | ORDER BY md5('rsv' || CAST(doc_id AS VARCHAR)), doc_id
         | LIMIT 100) ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
+
+    "q_pipeline_span_mask" ->
+      s"""WITH t AS (SELECT doc_id, $oToks AS tk FROM documents),
+         | tok AS (SELECT doc_id, i,
+         |   CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+         |     || CAST(i AS VARCHAR)), 1, 8))::BIGINT % 100 < 15
+         |    THEN 1 ELSE 0 END AS m
+         |  FROM t, LATERAL unnest(generate_series(1, len(tk))) u(i)),
+         | mk AS (SELECT doc_id, i, i - row_number() OVER
+         |   (PARTITION BY doc_id ORDER BY i) AS isl FROM tok WHERE m = 1),
+         | sp AS (SELECT doc_id, isl, count(*) AS span_len
+         |  FROM mk GROUP BY doc_id, isl),
+         | sd AS (SELECT doc_id, count(*) AS n_spans,
+         |   CAST(max(span_len) AS BIGINT) AS max_span FROM sp
+         |  GROUP BY doc_id),
+         | pd AS (SELECT doc_id, count(*) AS n_tokens,
+         |   CAST(sum(m) AS BIGINT) AS n_masked FROM tok GROUP BY doc_id)
+         | SELECT pd.doc_id, n_tokens, n_masked,
+         |  COALESCE(n_spans, 0) AS n_spans,
+         |  COALESCE(max_span, 0) AS max_span,
+         |  round(CAST(n_masked AS DOUBLE) / n_tokens + 5e-10, 4)
+         |   AS mask_ratio
+         | FROM pd LEFT JOIN sd ON pd.doc_id = sd.doc_id
+         | ORDER BY pd.doc_id""".stripMargin.replaceAll("\n", " "),
 
     "q_pipeline_kfold" ->
       """SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT

@@ -3097,6 +3097,42 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("span mask: schedule consistent and near the 15% corruption rate") {
+    val rows = SparkEntry.queries("q_pipeline_span_mask")(spark, sf)
+      .collect()
+    assert(rows.length === 500)
+    var tok = 0L; var msk = 0L
+    rows.foreach { r =>
+      val (nt, nm, ns, mx) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(nm <= nt && ns <= nm && mx <= nm,
+        s"inconsistent counts: $r")
+      assert((ns == 0) == (nm == 0), s"spans/masked disagree: $r")
+      tok += nt; msk += nm
+    }
+    val rate = msk.toDouble / tok
+    assert(rate > 0.12 && rate < 0.18,
+      f"corpus mask rate $rate%.4f strays from 0.15")
+  }
+
+  test("theil-sen: slope robust to a planted outlier, OLS is not") {
+    // y = 2x exactly except one wild spike AT THE ENDPOINT (a centered
+    // outlier only shifts the OLS intercept): the pairwise-median slope
+    // must stay 2.0 while the OLS slope is dragged off it
+    import spark.implicits._
+    val pts = (0 to 20).map(x =>
+      (x.toLong, if (x == 20) 1000.0 else 2.0 * x)).toDF("x", "y")
+    val a = pts.select(col("x").as("xi"), col("y").as("yi"))
+    val b = pts.select(col("x").as("xj"), col("y").as("yj"))
+    val m = a.join(b, col("xi") < col("xj"))
+      .select(((col("yj") - col("yi")) / (col("xj") - col("xi")))
+        .as("s"))
+      .agg(expr("percentile(s, 0.5)")).as[Double].head()
+    assert(math.abs(m - 2.0) < 1e-9, s"theil-sen slope $m")
+    val ols = pts.agg(expr("regr_slope(y, x)")).as[Double].head()
+    assert(math.abs(ols - 2.0) > 0.5, s"outlier failed to move OLS: $ols")
+  }
+
   test("bpe walk stops when mergeable pairs exhaust, keeping the vocab") {
     // one two-symbol word: iteration 1 merges (a,b); iteration 2 finds no
     // pair and must BREAK, not crossJoin an empty frame over the vocab
