@@ -265,7 +265,10 @@ object Bench {
       "q_sim_range_search", "q_vec_mrl_curve",
       // round-8: the span-corruption schedule (token explode + islands)
       // and the pairwise-median robust trend over the hour axis
-      "q_pipeline_span_mask", "q_ts_theil_sen")
+      "q_pipeline_span_mask", "q_ts_theil_sen",
+      // round-8: the seasonal-naive backtest grid and the LSH band
+      // sweep (3 configs over the 16-perm signature frame)
+      "q_ts_forecast_snaive", "q_sim_lsh_tuning")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

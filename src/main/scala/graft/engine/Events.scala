@@ -565,6 +565,43 @@ object Events {
     // d² sums pass 2⁶³ once n·x nears 1e9·1e3). |r_k| ≤ 1 by
     // Cauchy–Schwarz; a constant series (den 0) yields null, not NaN.
     // One grid join + one type-partitioned lag window + one partial agg.
+    // Seasonal-naive forecast BACKTEST — the capacity-planning baseline
+    // every fancier model must beat: ŷ(t) = y(t−168h) (same hour last
+    // week) evaluated against the persistence baseline ŷ(t) = y(t−1h)
+    // over the gap-filled hourly grid. Absolute errors are exact
+    // integer sums (counts in, counts out — MAE divides once at the
+    // surface), so the ledger hash-matches. Cost: one fact hash-agg,
+    // a calendar-bounded grid explode, one per-type window carrying
+    // both lags on the SAME exchange.
+    "q_ts_forecast_snaive" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("y"))
+      val grid = hourly.groupBy(col("event_type"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val dense = grid.join(hourly, Seq("event_type", "h"), "left")
+        .na.fill(0L, Seq("y"))
+      val w = W.partitionBy(col("event_type")).orderBy(col("h"))
+      dense
+        .withColumn("y168", lag(col("y"), 168).over(w))
+        .withColumn("y1", lag(col("y"), 1).over(w))
+        .filter(col("y168").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_eval"),
+          sum(abs(col("y") - col("y168"))).as("ae_snaive"),
+          sum(abs(col("y") - col("y1"))).as("ae_persist"))
+        .select(col("event_type"), col("n_eval"), col("ae_snaive"),
+          col("ae_persist"),
+          eround(col("ae_snaive").cast("double") / col("n_eval"), 4)
+            .as("mae_snaive"),
+          eround(col("ae_persist").cast("double") / col("n_eval"), 4)
+            .as("mae_persist"))
+        .orderBy(col("event_type"))
+    },
+
     // Theil–Sen robust trend — the median-of-pairwise-slopes estimator
     // that shrugs off the outage spikes OLS (q_win_slope) bends toward:
     // per event type, slope = median over all hour-pairs of
@@ -1083,6 +1120,32 @@ object Events {
         |  round(CAST(max(late_us) AS DOUBLE) / 3600000000.0 + 5e-10, 4)
         |   AS max_late_hours
         | FROM l GROUP BY event_type ORDER BY event_type"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_ts_forecast_snaive" ->
+      """WITH hourly AS (SELECT event_type,
+        |   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |   CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+        | bounds AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+        |  FROM hourly GROUP BY 1),
+        | grid AS (SELECT event_type,
+        |   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM bounds),
+        | dense AS (SELECT g.event_type, g.h, COALESCE(hl.y, 0) AS y
+        |  FROM grid g LEFT JOIN hourly hl
+        |   ON g.event_type = hl.event_type AND g.h = hl.h),
+        | lagd AS (SELECT event_type, y, lag(y, 168) OVER w AS y168,
+        |   lag(y, 1) OVER w AS y1 FROM dense
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY h))
+        | SELECT event_type, count(*) AS n_eval,
+        |  CAST(sum(abs(y - y168)) AS BIGINT) AS ae_snaive,
+        |  CAST(sum(abs(y - y1)) AS BIGINT) AS ae_persist,
+        |  round(CAST(sum(abs(y - y168)) AS DOUBLE) / count(*) + 5e-10, 4)
+        |   AS mae_snaive,
+        |  round(CAST(sum(abs(y - y1)) AS DOUBLE) / count(*) + 5e-10, 4)
+        |   AS mae_persist
+        | FROM lagd WHERE y168 IS NOT NULL
+        | GROUP BY event_type ORDER BY event_type"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_ts_theil_sen" ->

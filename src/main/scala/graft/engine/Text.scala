@@ -2187,6 +2187,79 @@ object Text {
         .orderBy(col("id_a"), col("id_b"))
     },
 
+    // LSH band-TUNING curve — the (bands, rows) sweep run before fixing
+    // an LSH dedup config (the S-curve knob: more rows per band →
+    // fewer, higher-precision candidates): over the SAME 16-perm
+    // signatures as q_dedup_minhash_est, three configs (16×1, 8×2,
+    // 4×4) band the signature, bucket-join candidates per config, and
+    // score each against the exact-Jaccard ≥ 0.5 ground truth —
+    // candidates, hits, recall, precision per config, all exact so the
+    // whole sweep hash-matches. Band keys are ordered listagg digests
+    // (WITHIN GROUP — order is part of the key); a LEFT join from the
+    // config axis keeps a zero-candidate config visible. Corpus = the
+    // bounded near-dup slice WITH its planted duplicates (the fixture
+    // alone has no ≥0.5 pair at some SFs — the ground-truth set must
+    // be non-empty for recall to divide); at scale the chosen config's
+    // banding IS the production blocking join.
+    "q_sim_lsh_tuning" -> { (s, d) =>
+      val sh = shingleDigests(
+        nearDupCorpus(s, d).filter(
+          col("doc_id") < 60 || col("doc_id") >= 1000000L), 3)
+      val sigs = sh
+        .select(col("doc_id"),
+          explode(sequence(lit(0), lit(15))).as("p"), col("g"))
+        .withColumn("h", conv(substring(md5(concat(
+          col("p").cast("string"), lit(":"), col("g").cast("string"))),
+          1, 15), 16, 10).cast("long"))
+        .groupBy(col("doc_id"), col("p")).agg(min(col("h")).as("sig"))
+      val nsz = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("nsz"))
+      val high = sh.select(col("doc_id").as("id_a"), col("g"))
+        .join(sh.select(col("doc_id").as("id_b"), col("g")), Seq("g"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(nsz.select(col("doc_id").as("id_a"), col("nsz").as("na")),
+          Seq("id_a"))
+        .join(nsz.select(col("doc_id").as("id_b"), col("nsz").as("nb")),
+          Seq("id_b"))
+        .filter(eround(col("inter").cast("double")
+          / (col("na") + col("nb") - col("inter")).cast("double"), 6)
+          >= 0.5)
+        .select(col("id_a"), col("id_b"), lit(1).as("hi"))
+      val cfg = s.range(1).select(explode(array(
+          struct(lit(16).as("b"), lit(1).as("r")),
+          struct(lit(8).as("b"), lit(2).as("r")),
+          struct(lit(4).as("b"), lit(4).as("r")))).as("c"))
+        .select(col("c.b").as("b"), col("c.r").as("r"))
+      val banded = sigs.crossJoin(broadcast(cfg))
+        .withColumn("band", expr("p DIV r"))
+        .groupBy(col("b"), col("r"), col("doc_id"), col("band"))
+        .agg(expr("listagg(CAST(sig AS STRING), ',') " +
+          "WITHIN GROUP (ORDER BY p)").as("bkey"))
+      val cand = banded.select(col("b"), col("r"), col("band"),
+          col("bkey"), col("doc_id").as("id_a"))
+        .join(banded.select(col("b"), col("r"), col("band"), col("bkey"),
+          col("doc_id").as("id_b")), Seq("b", "r", "band", "bkey"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("b"), col("r"), col("id_a"), col("id_b"))
+        .distinct()
+      val perCfg = cand.join(high, Seq("id_a", "id_b"), "left")
+        .groupBy(col("b"), col("r"))
+        .agg(count(lit(1)).as("n_cand"), count(col("hi")).as("hits"))
+      val nHigh = high.agg(count(lit(1)).as("n_high"))
+      cfg.join(perCfg, Seq("b", "r"), "left")
+        .na.fill(0L, Seq("n_cand", "hits"))
+        .crossJoin(nHigh)
+        .select(col("b"), col("r"), col("n_cand"), col("hits"),
+          col("n_high"),
+          eround(col("hits").cast("double") / col("n_high"), 4)
+            .as("recall"),
+          when(col("n_cand") > 0,
+            eround(col("hits").cast("double") / col("n_cand"), 4))
+            .as("precision"))
+        .orderBy(col("r"))
+    },
+
     // n-gram (3-shingle) Jaccard similarity on a bounded pair set — the
     // exact-verification half of near-dedup, oracle-checkable.
     "q_dedup_ngram_jaccard" -> { (s, d) =>
@@ -2418,6 +2491,8 @@ object Text {
   )
 
   private val oToks = "string_split(lower(text), ' ')"
+  /** oToks over an aliased/derived `text` column (CTE-safe twin). */
+  private val oToks2 = "string_split(lower(corpus.text), ' ')"
   private val oStop = "['the', 'a']"
 
   val oracle: Map[String, String] = Map(
@@ -3458,6 +3533,59 @@ object Text {
          |  CAST(count(*) AS BIGINT) AS freq
          | FROM st GROUP BY stem
          | ORDER BY freq DESC, stem ASC LIMIT 20"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_sim_lsh_tuning" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+         |   WHERE doc_id < 60
+         |  UNION ALL SELECT doc_id + 1000000,
+         |    array_to_string(($oToks)[2:], ' ')
+         |   FROM documents WHERE doc_id < 20),
+         | d AS (SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(len($oToks2) - 2, 1)),
+         |    i -> ('0x' || substr(md5(array_to_string($oToks2[i:i+2], ' ')),
+         |      1, 15))::BIGINT)) AS sh
+         |  FROM corpus),
+         | e AS (SELECT doc_id, unnest(sh) AS g FROM d),
+         | perms AS (SELECT unnest(range(16)) AS p),
+         | sigs AS (SELECT doc_id, p,
+         |   min(('0x' || substr(md5(CAST(p AS VARCHAR) || ':' ||
+         |     CAST(g AS VARCHAR)), 1, 15))::BIGINT) AS sig
+         |  FROM e CROSS JOIN perms GROUP BY 1, 2),
+         | ns AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS nsz FROM d),
+         | high AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, 1 AS hi
+         |  FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id,
+         |   ns na, ns nb
+         |  WHERE na.doc_id = a.doc_id AND nb.doc_id = b.doc_id
+         |  GROUP BY 1, 2, na.nsz, nb.nsz
+         |  HAVING round(CAST(count(*) AS DOUBLE)
+         |    / CAST(na.nsz + nb.nsz - count(*) AS DOUBLE) + 5e-10, 6)
+         |   >= 0.5),
+         | cfgs AS (SELECT * FROM (VALUES (16, 1), (8, 2), (4, 4))
+         |   c(b, r)),
+         | banded AS (SELECT c.b, c.r, s.doc_id, s.p // c.r AS band,
+         |   string_agg(CAST(s.sig AS VARCHAR), ',' ORDER BY s.p) AS bkey
+         |  FROM sigs s CROSS JOIN cfgs c GROUP BY 1, 2, 3, 4),
+         | cand AS (SELECT DISTINCT a.b, a.r, a.doc_id AS id_a,
+         |   b2.doc_id AS id_b
+         |  FROM banded a JOIN banded b2 ON a.b = b2.b AND a.r = b2.r
+         |   AND a.band = b2.band AND a.bkey = b2.bkey
+         |   AND a.doc_id < b2.doc_id),
+         | pc AS (SELECT c.b, c.r, count(*) AS n_cand,
+         |   CAST(count(h.hi) AS BIGINT) AS hits
+         |  FROM cand c LEFT JOIN high h
+         |   ON c.id_a = h.id_a AND c.id_b = h.id_b GROUP BY 1, 2),
+         | nh AS (SELECT count(*) AS n_high FROM high)
+         | SELECT cf.b, cf.r,
+         |  COALESCE(n_cand, CAST(0 AS BIGINT)) AS n_cand,
+         |  COALESCE(hits, CAST(0 AS BIGINT)) AS hits, n_high,
+         |  round(CAST(COALESCE(hits, CAST(0 AS BIGINT)) AS DOUBLE)
+         |    / n_high + 5e-10, 4) AS recall,
+         |  CASE WHEN COALESCE(n_cand, CAST(0 AS BIGINT)) > 0
+         |   THEN round(CAST(hits AS DOUBLE) / n_cand + 5e-10, 4)
+         |  END AS precision
+         | FROM cfgs cf LEFT JOIN pc ON cf.b = pc.b AND cf.r = pc.r
+         | CROSS JOIN nh ORDER BY cf.r"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_dedup_minhash_est" ->

@@ -3133,6 +3133,34 @@ class EngineLawsSpec extends SparkSuite {
     assert(math.abs(ols - 2.0) > 0.5, s"outlier failed to move OLS: $ols")
   }
 
+  test("lsh tuning: candidates shrink as rows-per-band grow, dups held") {
+    val rows = SparkEntry.queries("q_sim_lsh_tuning")(spark, sf)
+      .collect().sortBy(_.getInt(1))
+    assert(rows.map(r => (r.getInt(0), r.getInt(1))).toSeq ===
+      Seq((16, 1), (8, 2), (4, 4)))
+    // S-curve: more rows per band can only tighten the candidate set
+    assert(rows(0).getLong(2) >= rows(1).getLong(2))
+    assert(rows(1).getLong(2) >= rows(2).getLong(2))
+    rows.foreach { r =>
+      assert(r.getLong(4) >= 20L, "planted dup ground truth missing")
+      assert(r.getLong(3) <= r.getLong(2), "more hits than candidates")
+    }
+    // near-identical planted pairs collide in every config at 16 perms
+    assert(rows(0).getDouble(5) === 1.0, "b=16 r=1 must reach recall 1")
+  }
+
+  test("snaive backtest: both baselines cover the same eval window") {
+    val rows = SparkEntry.queries("q_ts_forecast_snaive")(spark, sf)
+      .collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0, s"empty eval window: $r")
+      assert(r.getLong(2) >= 0 && r.getLong(3) >= 0)
+      assert(math.abs(r.getDouble(4) -
+        r.getLong(2).toDouble / r.getLong(1)) < 1e-3)
+    }
+  }
+
   test("bpe walk stops when mergeable pairs exhaust, keeping the vocab") {
     // one two-symbol word: iteration 1 merges (a,b); iteration 2 finds no
     // pair and must BREAK, not crossJoin an empty frame over the vocab
