@@ -268,7 +268,11 @@ object Bench {
       "q_pipeline_span_mask", "q_ts_theil_sen",
       // round-8: the seasonal-naive backtest grid and the LSH band
       // sweep (3 configs over the 16-perm signature frame)
-      "q_ts_forecast_snaive", "q_sim_lsh_tuning")
+      "q_ts_forecast_snaive", "q_sim_lsh_tuning",
+      // round-8: the two-micro-batch watermark-advance session run
+      // (real streaming state + eviction); q_fn_tz is a map-only
+      // dimension-scale pass, excluded by rule (b)
+      "q_stream_session_replay")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

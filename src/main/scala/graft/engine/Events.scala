@@ -208,6 +208,65 @@ object Events {
       out
     },
 
+    // TRUE STREAMING RUN of Streaming.sessionCounts under the oracle
+    // gate — the watermark-ADVANCE protocol the single-batch replays
+    // can't exercise: session windows in append mode emit only when the
+    // watermark passes the session end, and the watermark only moves
+    // BETWEEN micro-batches, so a Trigger.Once run of the real events
+    // builds state and emits nothing. The query therefore runs TWO
+    // deterministic micro-batches against one checkpoint: batch 1 =
+    // the real events (watermark still at 0 → pure state build);
+    // batch 2 = one far-future sentinel row (user −1) that triggers a
+    // batch whose input watermark = batch-1 max event time − 10 min,
+    // closing and emitting every real session that ended before it.
+    // Both the watermark (ms-floored max − delay) and the close
+    // predicate (session_end < watermark) are exact integer arithmetic
+    // the oracle replays; sessions inside the final 10-minute horizon
+    // stay open and are EXCLUDED on both sides — precisely the
+    // steady-state semantics of the streaming operator.
+    "q_stream_session_replay" -> { (s, d) =>
+      val slug = d.replaceAll("[^A-Za-z0-9_]", "_")
+      val base =
+        s"${System.getProperty("java.io.tmpdir")}/graft_stream/$slug"
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory)
+          Option(p.listFiles()).getOrElse(Array.empty).foreach(rm)
+        p.delete(); ()
+      }
+      rm(new java.io.File(s"$base/sess_in"))
+      rm(new java.io.File(s"$base/sess_out"))
+      rm(new java.io.File(s"$base/sess_ckpt"))
+      val ev = Tables.events(s, d)
+        .select(col("ts"), col("user_id").as("userId"),
+          col("event_type").as("eventType"), col("value"),
+          col("event_id").as("eventId"))
+      ev.write.mode("overwrite").parquet(s"$base/sess_in")
+      val schema = s.read.parquet(s"$base/sess_in").schema
+      def runOnce(): Unit = {
+        val in = s.readStream.schema(schema).parquet(s"$base/sess_in")
+        val q = Streaming.sessionCounts(in)
+          .writeStream.format("parquet")
+          .option("path", s"$base/sess_out")
+          .option("checkpointLocation", s"$base/sess_ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+          .start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+      }
+      runOnce()
+      s.range(1).select(
+          lit("2030-01-01 00:00:00").cast("timestamp").as("ts"),
+          lit(-1L).as("userId"), lit("sentinel").as("eventType"),
+          lit(0.0).as("value"), lit(-1L).as("eventId"))
+        .write.mode("append").parquet(s"$base/sess_in")
+      runOnce()
+      s.read.parquet(s"$base/sess_out")
+        .filter(col("userId") >= 0)
+        .select(col("userId").as("user_id"), col("s_start"),
+          col("s_end"), col("n"))
+        .orderBy(col("user_id"), col("s_start"))
+    },
+
     // BATCH REPLAY of Streaming.streamingDecontaminate (r6 verdict item
     // 7): the stream-static decontamination pipeline has no watermark or
     // stateful operator — per micro-batch it is a map + broadcast join +
@@ -935,6 +994,32 @@ object Events {
     // Gaps-and-islands replica of session_window semantics: an event at
     // EXACTLY prev + gap still merges (verified empirically, StreamingSpec);
     // a new session needs a gap strictly greater than 30min.
+    // The two-micro-batch protocol's emitted set = batch sessionization
+    // filtered by the batch-1 watermark (ms-floored max event time −
+    // 10 min); the one session still inside the horizon stays open on
+    // both sides.
+    "q_stream_session_replay" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        | m AS (SELECT user_id, ts,
+        |   CASE WHEN lag(ts) OVER w IS NULL
+        |     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |    THEN 1 ELSE 0 END AS new_s
+        |   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        | g AS (SELECT user_id, ts,
+        |   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |     ROWS UNBOUNDED PRECEDING) AS sid
+        |   FROM m),
+        | sess AS (SELECT user_id, min(ts) AS s_start,
+        |   max(ts) + INTERVAL 30 MINUTE AS s_end, count(*) AS n
+        |  FROM g GROUP BY user_id, sid),
+        | wm AS (SELECT (epoch_us(max(ts)) // 1000 - 600000) AS wm_ms
+        |  FROM e)
+        | SELECT user_id, s_start, s_end, n FROM sess, wm
+        | WHERE epoch_us(s_end) < wm_ms * 1000
+        | ORDER BY user_id, s_start"""
+        .stripMargin.replaceAll("\n", " "),
+
     "q_stream_session" ->
       s"""WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
          | m AS (SELECT user_id, ts, value,

@@ -92,6 +92,29 @@ object Scalar {
     // Partial-date normalization (EPrints `YYYY`|`YYYY-MM`|`YYYY-MM-DD`,
     // SURVEY §1.2): format o_orderdate at 3 precisions cycling by key,
     // then parse back with a try_to_date coalesce chain.
+    // Timezone surface (convert_timezone / to_utc_timestamp round
+    // trip) — the wall-clock shifts a global event pipeline applies at
+    // the reporting edge. The fixture spans January 2024 only, so the
+    // target zones resolve to FIXED offsets (+05:30 Kolkata, −05:00
+    // New York in winter) and the oracle replays them as interval
+    // arithmetic; the round-trip equality column guards the conversion
+    // against asymmetry (and the law pins it all-true, documenting the
+    // no-DST-boundary bound of this fixture). Map-only at any scale.
+    "q_fn_tz" -> { (s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_id") < 500)
+        .withColumn("ist",
+          convert_timezone(lit("UTC"), lit("Asia/Kolkata"), col("ts")))
+        .withColumn("ny",
+          convert_timezone(lit("UTC"), lit("America/New_York"), col("ts")))
+        .select(col("event_id"), col("ts"), col("ist"), col("ny"),
+          hour(col("ist")).as("hour_ist"),
+          to_date(col("ny")).as("day_ny"),
+          (convert_timezone(lit("Asia/Kolkata"), lit("UTC"), col("ist"))
+            === col("ts")).as("roundtrip"))
+        .orderBy(col("event_id"))
+    },
+
     "q_fn_date" -> { (s, d) =>
       Tables.orders(s, d)
         .filter(col("o_orderkey") < 2000)
@@ -522,6 +545,20 @@ object Scalar {
         | regexp_replace(c_name, '0+', '0', 'g') AS squeezed,
         | regexp_matches(c_name, '\d{9}$') AS ends_9digits
         | FROM customer ORDER BY c_custkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // January-2024 fixture ⇒ fixed winter offsets; the engine side
+    // resolves them through the tz database, the oracle replays them
+    // as interval arithmetic (the round-trip column guards symmetry).
+    "q_fn_tz" ->
+      """SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+        | CAST(ts AS TIMESTAMP) + INTERVAL 330 MINUTE AS ist,
+        | CAST(ts AS TIMESTAMP) - INTERVAL 300 MINUTE AS ny,
+        | hour(CAST(ts AS TIMESTAMP) + INTERVAL 330 MINUTE) AS hour_ist,
+        | CAST(CAST(ts AS TIMESTAMP) - INTERVAL 300 MINUTE AS DATE)
+        |  AS day_ny,
+        | true AS roundtrip
+        | FROM events WHERE event_id < 500 ORDER BY event_id"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_fn_date" ->

@@ -3161,6 +3161,28 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("streaming session replay emits the closed subset of batch sessions") {
+    val emitted = SparkEntry.queries("q_stream_session_replay")(spark, sf)
+      .select("user_id", "s_start", "s_end", "n").collect()
+      .map(_.toString).toSet
+    val batch = SparkEntry.queries("q_stream_session")(spark, sf)
+      .select("user_id", "s_start", "s_end", "n").collect()
+      .map(_.toString).toSet
+    assert(emitted.subsetOf(batch),
+      s"streamed sessions not in batch set: ${emitted.diff(batch).take(3)}")
+    // only the open tail (sessions inside the 10-min watermark horizon)
+    // may be withheld
+    val open = batch.diff(emitted)
+    assert(open.nonEmpty && open.size <= 20,
+      s"unexpected open-session count: ${open.size}")
+  }
+
+  test("tz round trip holds on the winter-offset fixture") {
+    val rows = SparkEntry.queries("q_fn_tz")(spark, sf).collect()
+    assert(rows.length === 500)
+    assert(rows.forall(_.getBoolean(6)), "convert_timezone not symmetric")
+  }
+
   test("bpe walk stops when mergeable pairs exhaust, keeping the vocab") {
     // one two-symbol word: iteration 1 merges (a,b); iteration 2 finds no
     // pair and must BREAK, not crossJoin an empty frame over the vocab
