@@ -272,7 +272,10 @@ object Bench {
       // round-8: the two-micro-batch watermark-advance session run
       // (real streaming state + eviction); q_fn_tz is a map-only
       // dimension-scale pass, excluded by rule (b)
-      "q_stream_session_replay")
+      "q_stream_session_replay",
+      // round-8: the histogram-cut budget selection and the bloom
+      // membership audit (digest explode + broadcast bit join)
+      "q_pipeline_token_budget", "q_dedup_bloom_fpr")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

@@ -1102,6 +1102,108 @@ object Text {
     // 3-row heap regardless of corpus size.
     // Weighted (probability-proportional-to-size) SYSTEMATIC sampling:
     // walk the corpus in key order accumulating integer token-count
+    // Bloom-filter FPR ledger — the accuracy audit for THE at-scale
+    // membership primitive (a 100 TB dedup keeps seen-digest Bloom
+    // filters, not digest sets, on the hot path): members = first-half
+    // corpus digests, filter = 4096 bits × 3 md5-derived positions,
+    // probes = digests NOT in the member set (anti-joined so "false
+    // positive" is exact). The filter is UNDERSIZED on purpose (4096
+    // bits for ~2.5k members at sf0.1 → fill ≈ 0.84) so the measured
+    // FPR is statistically visible against the expectation instead of
+    // a sea of zeros; production sizes m for the target FPR, the
+    // ledger math is identical. A probe passes iff all 3 positions
+    // are set; measured FPR sits next to the (fill_ratio)³ expectation
+    // — spelled as repeated multiplication, not pow(), so both engines
+    // produce the identical IEEE product. The filter itself is the
+    // ≤4096-row set-bit frame (broadcastable anywhere); everything
+    // else is explode + join + count, linear in corpus size.
+    "q_dedup_bloom_fpr" -> { (s, d) =>
+      val dg = Tables.documents(s, d)
+        .select(col("doc_id"), conv(substring(md5(col("text")), 1, 15),
+          16, 10).cast("long").as("dg"))
+      val members = dg.filter(pmod(col("doc_id"), lit(10)) < 5)
+        .select(col("dg")).distinct()
+      val probes = dg.filter(pmod(col("doc_id"), lit(10)) >= 5)
+        .select(col("dg")).distinct()
+        .join(members, Seq("dg"), "left_anti")
+      def positions(df: DataFrame): DataFrame = df
+        .withColumn("j", explode(sequence(lit(0), lit(2))))
+        .withColumn("p", pmod(conv(substring(md5(concat_ws(":",
+          col("j"), col("dg"))), 1, 8), 16, 10).cast("long"), lit(4096)))
+      val setbits = positions(members).select(col("p")).distinct()
+      val probeHits = positions(probes)
+        .join(broadcast(setbits.withColumn("hit", lit(1))), Seq("p"),
+          "left")
+        .groupBy(col("dg")).agg(count(col("hit")).as("k_hit"))
+      val fill = col("bits_set").cast("double") / 4096.0
+      probeHits.agg(count(lit(1)).as("n_probes"),
+          sum(when(col("k_hit") === 3, 1L).otherwise(0L)).as("n_fp"))
+        .crossJoin(members.agg(count(lit(1)).as("n_members")))
+        .crossJoin(setbits.agg(count(lit(1)).as("bits_set")))
+        .select(col("n_members"), col("bits_set"), col("n_probes"),
+          col("n_fp"),
+          eround(col("n_fp").cast("double") / col("n_probes"), 6)
+            .as("fpr_measured"),
+          eround(fill * fill * fill, 6).as("fpr_expected"))
+    },
+
+    // Token-BUDGET data selection — "fill 10% of the corpus token mass
+    // with the highest-quality documents": the histogram-CUT pattern,
+    // the scale-right spelling of top-by-score-until-budget (a global
+    // score-ordered window would be a single-partition scan; instead
+    // the integer quality score buckets into a bounded 0..10000 grid,
+    // the cut bucket falls out of a desc cumsum over the GRID axis —
+    // ≤10001 rows regardless of data — and only the one boundary
+    // bucket needs an intra-bucket cumsum, by doc_id, over its own
+    // occupancy). Quality = type-token ratio ×10⁴ DIV — all-integer,
+    // so bucket edges can't float-drift; budget = total tokens DIV 10.
+    // Output = per-language selection rollup + the cut bucket.
+    "q_pipeline_token_budget" -> { (s, d) =>
+      val wnd = org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), toks(col("text")).as("t"))
+        .select(col("doc_id"), col("lang"),
+          size(col("t")).cast("long").as("w"),
+          size(array_distinct(col("t"))).cast("long").as("u"))
+        .withColumn("q", expr("u * 10000L DIV w"))
+      val tb = docs.groupBy(col("q")).agg(sum(col("w")).as("tw"))
+        // desc-exclusive cumsum over the bounded score grid (≤10001
+        // rows — the only unpartitioned window, grid-bounded)
+        .withColumn("above", coalesce(sum(col("tw")).over(
+          wnd.orderBy(desc("q")).rowsBetween(wnd.unboundedPreceding, -1)),
+          lit(0L)))
+        .withColumn("budget", (sum(col("tw")).over(wnd.rowsBetween(
+          wnd.unboundedPreceding, wnd.unboundedFollowing)))
+          .cast("long"))
+        // floored at 1 so a degenerate (<10-token) corpus still selects
+        .withColumn("budget", expr("greatest(budget DIV 10, 1L)"))
+      val cut = tb.filter(col("above") < col("budget"))
+        .agg(min(col("q")).as("qcut"))
+      val cutRow = tb.join(broadcast(cut), col("q") === col("qcut"))
+        .select(col("qcut"), col("above").as("cut_above"),
+          col("budget"))
+      // full buckets strictly above the cut ride a pure filter; ONLY
+      // the boundary bucket pays an intra-bucket cumsum (by doc_id,
+      // over its own occupancy) to fill the remaining budget
+      val above = docs.crossJoin(broadcast(cutRow))
+        .filter(col("q") > col("qcut"))
+      val boundary = docs.crossJoin(broadcast(cutRow))
+        .filter(col("q") === col("qcut"))
+        .withColumn("intra", sum(col("w")).over(
+          wnd.partitionBy(col("q")).orderBy(col("doc_id"))
+            .rowsBetween(wnd.unboundedPreceding, 0)))
+        .filter(col("cut_above") + col("intra") <= col("budget"))
+        .drop("intra")
+      val sel = above.unionByName(boundary)
+      sel.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sel"), sum(col("w")).as("tok_sel"),
+          min(col("q")).as("min_q"))
+        .crossJoin(broadcast(cutRow.select(col("qcut"), col("budget"))))
+        .select(col("lang"), col("n_sel"), col("tok_sel"), col("min_q"),
+          col("qcut"), col("budget"))
+        .orderBy(col("lang"))
+    },
+
     // weights and keep every document whose cumulative weight crosses a
     // multiple of step = total/100 — long documents are proportionally
     // more likely to cross a boundary, giving ~100 docs sampled ∝ size
@@ -3318,6 +3420,69 @@ object Text {
          |   AS mask_ratio
          | FROM pd LEFT JOIN sd ON pd.doc_id = sd.doc_id
          | ORDER BY pd.doc_id""".stripMargin.replaceAll("\n", " "),
+
+    "q_dedup_bloom_fpr" ->
+      """WITH dg AS (SELECT doc_id,
+        |   ('0x' || substr(md5(text), 1, 15))::BIGINT AS dg
+        |  FROM documents),
+        | mem AS (SELECT DISTINCT dg FROM dg WHERE doc_id % 10 < 5),
+        | prb AS (SELECT DISTINCT dg FROM dg WHERE doc_id % 10 >= 5
+        |   AND dg NOT IN (SELECT dg FROM mem)),
+        | ks AS (SELECT unnest([0, 1, 2]) AS j),
+        | setbits AS (SELECT DISTINCT
+        |   ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+        |     CAST(dg AS VARCHAR)), 1, 8))::BIGINT % 4096 AS p
+        |  FROM mem CROSS JOIN ks),
+        | pp AS (SELECT dg,
+        |   ('0x' || substr(md5(CAST(j AS VARCHAR) || ':' ||
+        |     CAST(dg AS VARCHAR)), 1, 8))::BIGINT % 4096 AS p
+        |  FROM prb CROSS JOIN ks),
+        | ph AS (SELECT pp.dg, count(sb.p) AS k_hit FROM pp
+        |  LEFT JOIN setbits sb ON pp.p = sb.p GROUP BY pp.dg),
+        | st AS (SELECT count(*) AS n_probes,
+        |   CAST(sum(CASE WHEN k_hit = 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_fp FROM ph),
+        | ms AS (SELECT count(*) AS n_members FROM mem),
+        | bs AS (SELECT count(*) AS bits_set FROM setbits)
+        | SELECT n_members, bits_set, n_probes, n_fp,
+        |  round(CAST(n_fp AS DOUBLE) / n_probes + 5e-10, 6)
+        |   AS fpr_measured,
+        |  round((CAST(bits_set AS DOUBLE) / 4096.0)
+        |    * (CAST(bits_set AS DOUBLE) / 4096.0)
+        |    * (CAST(bits_set AS DOUBLE) / 4096.0) + 5e-10, 6)
+        |   AS fpr_expected
+        | FROM st, ms, bs""".stripMargin.replaceAll("\n", " "),
+
+    "q_pipeline_token_budget" ->
+      s"""WITH docs AS (SELECT doc_id, lang,
+         |   CAST(len($oToks) AS BIGINT) AS w,
+         |   CAST(len(list_distinct($oToks)) AS BIGINT) AS u
+         |  FROM documents),
+         | dq AS (SELECT doc_id, lang, w, (u * 10000) // w AS q FROM docs),
+         | tb AS (SELECT q, CAST(sum(w) AS BIGINT) AS tw FROM dq
+         |  GROUP BY q),
+         | cm AS (SELECT q, tw,
+         |   CAST(COALESCE(sum(tw) OVER (ORDER BY q DESC
+         |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |    AS BIGINT) AS above,
+         |   greatest(CAST(sum(tw) OVER () AS BIGINT) // 10, 1)
+         |    AS budget
+         |  FROM tb),
+         | cut AS (SELECT min(q) AS qcut FROM cm WHERE above < budget),
+         | cr AS (SELECT qcut, above AS cut_above, budget FROM cm, cut
+         |  WHERE q = qcut),
+         | abv AS (SELECT lang, w, q FROM dq, cr WHERE q > qcut),
+         | bnd AS (SELECT lang, w, q FROM (
+         |   SELECT lang, w, q, cut_above + sum(w) OVER (PARTITION BY q
+         |     ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |     CURRENT ROW) AS fill, budget
+         |   FROM dq, cr WHERE q = qcut) WHERE fill <= budget),
+         | sel AS (SELECT * FROM abv UNION ALL SELECT * FROM bnd)
+         | SELECT lang, count(*) AS n_sel,
+         |  CAST(sum(w) AS BIGINT) AS tok_sel, min(q) AS min_q,
+         |  cr.qcut, cr.budget
+         | FROM sel, cr GROUP BY lang, cr.qcut, cr.budget
+         | ORDER BY lang""".stripMargin.replaceAll("\n", " "),
 
     "q_pipeline_kfold" ->
       """SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT

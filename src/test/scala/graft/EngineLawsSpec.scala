@@ -3183,6 +3183,32 @@ class EngineLawsSpec extends SparkSuite {
     assert(rows.forall(_.getBoolean(6)), "convert_timezone not symmetric")
   }
 
+  test("bloom fpr ledger: measured false-positive rate tracks (fill)^3") {
+    val r = SparkEntry.queries("q_dedup_bloom_fpr")(spark, sf).head()
+    val (members, bits, probes, fp) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(members > 0 && probes > 0)
+    assert(bits <= math.min(4096L, members * 3), s"impossible bit count")
+    assert(fp <= probes)
+    // binomial error at n probes is ~sqrt(p/n); 0.1 is generous at any SF
+    assert(math.abs(r.getDouble(4) - r.getDouble(5)) <= 0.1,
+      s"measured ${r.getDouble(4)} vs expected ${r.getDouble(5)}")
+  }
+
+  test("token budget: selection fills the budget without overshooting") {
+    val rows = SparkEntry.queries("q_pipeline_token_budget")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val budget = rows.head.getLong(5)
+    val tokSel = rows.map(_.getLong(2)).sum
+    assert(tokSel <= budget, s"selection $tokSel overshoots $budget")
+    // the boundary bucket fills until the next doc would not fit, so
+    // the gap is smaller than any plausible document
+    assert(budget - tokSel < 1000, s"budget underfilled: $tokSel/$budget")
+    rows.foreach(r => assert(r.getLong(3) >= r.getLong(4),
+      "selected doc below the cut bucket"))
+  }
+
   test("bpe walk stops when mergeable pairs exhaust, keeping the vocab") {
     // one two-symbol word: iteration 1 merges (a,b); iteration 2 finds no
     // pair and must BREAK, not crossJoin an empty frame over the vocab
