@@ -275,7 +275,9 @@ object Bench {
       "q_stream_session_replay",
       // round-8: the histogram-cut budget selection and the bloom
       // membership audit (digest explode + broadcast bit join)
-      "q_pipeline_token_budget", "q_dedup_bloom_fpr")
+      "q_pipeline_token_budget", "q_dedup_bloom_fpr",
+      // round-8: the held-out bigram-LM eval (train-count joins)
+      "q_text_perplexity_eval")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

@@ -400,6 +400,51 @@ object Text {
     // per-doc mean sums those exact decimals (order-independent). Corpus
     // counts come from window partitions over the bigram stream (no
     // self-joins); V is a 1-row broadcast.
+    // HELD-OUT bigram-LM evaluation — the train/test split discipline
+    // the in-sample scorers (q_text_lm_score / q_text_lm_bigram) don't
+    // exercise: fold 0 of the kfold coin is held out, bigram and
+    // unigram counts train on the other four folds ONLY (no leakage —
+    // a held-out bigram unseen in training coalesces to 0 and add-one
+    // smoothing prices it at 1/(c1+V)), and each held-out document's
+    // mean surprisal is its model fit. Same parity recipe as the LM
+    // family: one identical double probability expression, per-bigram
+    // surprisal ε-rounds to DECIMAL(18,6), per-doc mean sums exact
+    // decimals. Train counts are token-key aggregates the test stream
+    // left-joins — two key shuffles, no windows over the corpus.
+    "q_text_perplexity_eval" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val tk = Tables.documents(s, d)
+        .withColumn("held",
+          pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+            16, 10).cast("long"), lit(5)) === 0)
+        .select(col("doc_id"), col("held"),
+          posexplode(toks(col("text"))).as(Seq("pos", "tok")))
+      val wd = W.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val bi = tk.withColumn("w2", lead(col("tok"), 1).over(wd))
+        .filter(col("w2").isNotNull)
+        .select(col("doc_id"), col("held"), col("tok").as("w1"),
+          col("w2"))
+      val train = bi.filter(!col("held"))
+      val c12 = train.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))
+      val c1 = train.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val v = tk.filter(!col("held"))
+        .select(countDistinct(col("tok")).as("v"))
+      bi.filter(col("held"))
+        .join(c12, Seq("w1", "w2"), "left")
+        .join(c1, Seq("w1"), "left")
+        .crossJoin(broadcast(v))
+        .withColumn("surprisal",
+          eround(-log((coalesce(col("c12"), lit(0L)) + lit(1.0))
+            / (coalesce(col("c1"), lit(0L)) + col("v"))), 6)
+            .cast("decimal(18,6)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          (sum(col("surprisal")).cast("double") / count(lit(1)))
+            .cast("double").as("mean_surprisal"))
+        .orderBy(col("doc_id"))
+    },
+
     "q_text_lm_bigram" -> { (s, d) =>
       val tk = Tables.documents(s, d)
         .select(col("doc_id"),
@@ -2968,6 +3013,33 @@ object Text {
          |  CAST(sum(CAST(round(-ln(cnt / n_total) + 5e-10, 6)
          |    AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS mean_surprisal
          | FROM c GROUP BY doc_id ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_text_perplexity_eval" ->
+      s"""WITH a AS (SELECT doc_id,
+         |   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+         |    % 5 = 0 AS held, $oToks AS arr FROM documents),
+         | t AS (SELECT doc_id, held, unnest(arr) AS tok,
+         |   generate_subscripts(arr, 1) AS pos FROM a),
+         | b AS (SELECT doc_id, held, tok AS w1,
+         |   lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+         |  FROM t),
+         | bg AS (SELECT doc_id, held, w1, w2 FROM b WHERE w2 IS NOT NULL),
+         | c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg
+         |  WHERE NOT held GROUP BY w1, w2),
+         | c1 AS (SELECT w1, count(*) AS c1 FROM bg
+         |  WHERE NOT held GROUP BY w1),
+         | vv AS (SELECT count(DISTINCT tok) AS v FROM t WHERE NOT held),
+         | sc AS (SELECT bg.doc_id,
+         |   round(-ln((COALESCE(c12.c12, 0) + 1.0)
+         |     / (COALESCE(c1.c1, 0) + v)) + 5e-10, 6) AS surprisal
+         |  FROM bg LEFT JOIN c12 ON bg.w1 = c12.w1 AND bg.w2 = c12.w2
+         |  LEFT JOIN c1 ON bg.w1 = c1.w1
+         |  CROSS JOIN vv WHERE bg.held)
+         | SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(CAST(surprisal AS DECIMAL(18,6))) AS DOUBLE)
+         |   / count(*) AS mean_surprisal
+         | FROM sc GROUP BY doc_id ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_text_lm_bigram" ->

@@ -3209,6 +3209,23 @@ class EngineLawsSpec extends SparkSuite {
       "selected doc below the cut bucket"))
   }
 
+  test("perplexity eval: held-out fold only, surprisal positive-finite") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_text_perplexity_eval")(spark, sf)
+      .collect()
+    val held = graft.engine.Tables.documents(spark, sf)
+      .filter(pmod(conv(substring(md5(col("doc_id").cast("string")),
+        1, 8), 16, 10).cast("long"), lit(5)) === 0)
+      .count()
+    // every held-out doc with ≥2 tokens scores; none from train folds
+    assert(rows.length <= held && rows.length > held / 2,
+      s"${rows.length} scored vs $held held out")
+    rows.foreach { r =>
+      val m = r.getDouble(2)
+      assert(m > 0 && java.lang.Double.isFinite(m), s"bad surprisal: $r")
+    }
+  }
+
   test("bpe walk stops when mergeable pairs exhaust, keeping the vocab") {
     // one two-symbol word: iteration 1 merges (a,b); iteration 2 finds no
     // pair and must BREAK, not crossJoin an empty frame over the vocab
