@@ -277,7 +277,10 @@ object Bench {
       // membership audit (digest explode + broadcast bit join)
       "q_pipeline_token_budget", "q_dedup_bloom_fpr",
       // round-8: the held-out bigram-LM eval (train-count joins)
-      "q_text_perplexity_eval")
+      "q_text_perplexity_eval",
+      // round-8: the SFT loss-mask plan (turn-axis explode) and the
+      // cents-exact cohort LTV ledger
+      "q_pipeline_chat_template", "q_shape_ltv_curve")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

@@ -1087,6 +1087,43 @@ object Analytics {
     // is the q_shape_paths lag+cumsum recipe (one user_id shuffle);
     // per-session flags reduce on the same exchange, and the daily
     // rollup is tiny. The rate divides exact integers, ε-rounded.
+    // Cohort LTV CURVE — cumulative purchase value per signup-week
+    // cohort, normalized per user: the revenue companion to
+    // q_shape_cohort's retention grid (which counts activity; this
+    // accumulates value). Cohort = first active week; revenue rides in
+    // exact CENTS (round(value·100) longs) through the per-(cohort,
+    // week-index) aggregate and the cumulative window, dividing once
+    // at the surface — no float summation anywhere. The cumulative
+    // window runs over the WEEK-INDEX axis per cohort (≤5 rows at this
+    // fixture, calendar-bounded always); cohort sizes broadcast back.
+    "q_shape_ltv_curve" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+      val firstw = ev.groupBy(col("user_id"))
+        .agg(date_trunc("week", min(col("ts"))).as("cw"))
+      val sizes = firstw.groupBy(col("cw"))
+        .agg(count(lit(1)).as("cohort_n"))
+      val rev = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), date_trunc("week", col("ts")).as("w"),
+          col("value"))
+        .join(firstw, Seq("user_id"))
+        .withColumn("k",
+          expr("datediff(to_date(w), to_date(cw)) DIV 7"))
+        .groupBy(col("cw"), col("k"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("cents"))
+      rev
+        .withColumn("cum_cents", sum(col("cents")).over(
+          W.partitionBy(col("cw")).orderBy(col("k"))
+            .rowsBetween(W.unboundedPreceding, 0)))
+        .join(broadcast(sizes), Seq("cw"))
+        .select(to_date(col("cw")).as("cw"), col("k"), col("cohort_n"),
+          (col("cents") / 100.0).as("rev_week"),
+          (col("cum_cents") / 100.0).as("cum_rev"),
+          eround(col("cum_cents").cast("double") / 100.0
+            / col("cohort_n"), 4).as("ltv_per_user"))
+        .orderBy(col("cw"), col("k"))
+    },
+
     // A/B experiment readout — the two-proportion z-test a growth team
     // runs on every feature flag: variant = user_id parity (the
     // deterministic stand-in for the assignment hash), conversion =
@@ -2141,6 +2178,32 @@ object Analytics {
         .stripMargin.replaceAll("\n", " "),
 
     // The q_shape_paths sessionization with per-session flag reduction.
+    "q_shape_ltv_curve" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |   event_type, value FROM events),
+        | fw AS (SELECT user_id, date_trunc('week', min(ts)) AS cw
+        |  FROM ev GROUP BY user_id),
+        | sz AS (SELECT cw, count(*) AS cohort_n FROM fw GROUP BY cw),
+        | rv AS (SELECT fw.cw,
+        |   CAST((CAST(date_trunc('week', ev.ts) AS DATE)
+        |     - CAST(fw.cw AS DATE)) // 7 AS BIGINT) AS k,
+        |   CAST(sum(CAST(round(ev.value * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |  FROM ev JOIN fw ON ev.user_id = fw.user_id
+        |  WHERE ev.event_type = 'purchase'
+        |  GROUP BY 1, 2),
+        | cm AS (SELECT cw, k, cents,
+        |   CAST(sum(cents) OVER (PARTITION BY cw ORDER BY k
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+        |  FROM rv)
+        | SELECT CAST(cm.cw AS DATE) AS cw, cm.k, sz.cohort_n,
+        |  cm.cents / 100.0 AS rev_week,
+        |  cm.cum_cents / 100.0 AS cum_rev,
+        |  round(CAST(cm.cum_cents AS DOUBLE) / 100.0 / sz.cohort_n
+        |    + 5e-10, 4) AS ltv_per_user
+        | FROM cm JOIN sz ON cm.cw = sz.cw
+        | ORDER BY cm.cw, cm.k""".stripMargin.replaceAll("\n", " "),
+
     "q_shape_ab_test" ->
       """WITH pu AS (SELECT user_id,
         |   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS np,

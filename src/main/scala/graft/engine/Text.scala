@@ -1147,6 +1147,33 @@ object Text {
     // 3-row heap regardless of corpus size.
     // Weighted (probability-proportional-to-size) SYSTEMATIC sampling:
     // walk the corpus in key order accumulating integer token-count
+    // Chat-TEMPLATE loss-mask plan — the SFT analog of the span-
+    // corruption schedule: each document renders as alternating
+    // user/assistant turns (40-token chunks, role = chunk parity),
+    // every turn carries 4 control tokens, and the loss mask trains on
+    // assistant CONTENT plus the assistant end-of-turn token only —
+    // the per-doc trainable fraction is what an SFT run budgets by.
+    // Pure integer arithmetic over an exploded turn axis (linear,
+    // map-side — sequence per doc, no joins, one per-doc aggregate).
+    "q_pipeline_chat_template" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(toks(col("text"))).cast("long").as("n"))
+        .filter(col("n") > 0)
+        .withColumn("n_turns", expr("(n + 39) DIV 40"))
+        .withColumn("i", explode(expr("sequence(0L, n_turns - 1)")))
+        .withColumn("t_len", least(lit(40L), col("n") - col("i") * 40))
+        .groupBy(col("doc_id"), col("n"), col("n_turns"))
+        .agg(sum(when(pmod(col("i"), lit(2)) === 1,
+          col("t_len") + 1).otherwise(0L)).as("n_trainable"))
+        .select(col("doc_id"), col("n_turns"),
+          (col("n") + col("n_turns") * 4).as("n_tok_total"),
+          col("n_trainable"),
+          eround(col("n_trainable").cast("double")
+            / (col("n") + col("n_turns") * 4), 4).as("frac_trainable"))
+        .orderBy(col("doc_id"))
+    },
+
     // Bloom-filter FPR ledger — the accuracy audit for THE at-scale
     // membership primitive (a 100 TB dedup keeps seen-digest Bloom
     // filters, not digest sets, on the hot path): members = first-half
@@ -3492,6 +3519,25 @@ object Text {
          |   AS mask_ratio
          | FROM pd LEFT JOIN sd ON pd.doc_id = sd.doc_id
          | ORDER BY pd.doc_id""".stripMargin.replaceAll("\n", " "),
+
+    "q_pipeline_chat_template" ->
+      s"""WITH docs AS (SELECT doc_id,
+         |   CAST(len($oToks) AS BIGINT) AS n FROM documents
+         |  WHERE len($oToks) > 0),
+         | t AS (SELECT doc_id, n, (n + 39) // 40 AS n_turns,
+         |   unnest(generate_series(0, (n + 39) // 40 - 1)) AS i
+         |  FROM docs),
+         | tt AS (SELECT doc_id, n, n_turns, i,
+         |   least(40, n - i * 40) AS t_len FROM t),
+         | agg AS (SELECT doc_id, n, n_turns,
+         |   CAST(sum(CASE WHEN i % 2 = 1 THEN t_len + 1 ELSE 0 END)
+         |     AS BIGINT) AS n_trainable
+         |  FROM tt GROUP BY doc_id, n, n_turns)
+         | SELECT doc_id, n_turns, n + n_turns * 4 AS n_tok_total,
+         |  n_trainable,
+         |  round(CAST(n_trainable AS DOUBLE) / (n + n_turns * 4)
+         |    + 5e-10, 4) AS frac_trainable
+         | FROM agg ORDER BY doc_id""".stripMargin.replaceAll("\n", " "),
 
     "q_dedup_bloom_fpr" ->
       """WITH dg AS (SELECT doc_id,

@@ -3226,6 +3226,39 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("chat template: mask arithmetic consistent with the turn layout") {
+    val rows = SparkEntry.queries("q_pipeline_chat_template")(spark, sf)
+      .collect()
+    assert(rows.length === 500)
+    rows.foreach { r =>
+      val (turns, total, train) =
+        (r.getLong(1), r.getLong(2), r.getLong(3))
+      val content = total - turns * 4
+      // assistant turns are the odd half; their content + one end
+      // token each can never exceed content + assistant-turn count
+      assert(train <= content / 2 + 40 + turns / 2, s"mask too big: $r")
+      assert(turns >= 1 && content >= 1)
+      // every doc with >40 tokens has at least one assistant turn
+      if (content > 40) assert(train > 0, s"no trainable tokens: $r")
+    }
+  }
+
+  test("ltv curve: cumulative revenue is non-decreasing within cohort") {
+    val rows = SparkEntry.queries("q_shape_ltv_curve")(spark, sf)
+      .collect().groupBy(_.get(0).toString)
+    rows.values.foreach { cohort =>
+      val sorted = cohort.sortBy(_.getLong(1))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getDouble(4) >= a.getDouble(4), "cum_rev decreased")
+        case _ =>
+      }
+      sorted.foreach(r =>
+        assert(math.abs(r.getDouble(5) -
+          r.getDouble(4) / r.getLong(2)) < 1e-3))
+    }
+  }
+
   test("bpe walk stops when mergeable pairs exhaust, keeping the vocab") {
     // one two-symbol word: iteration 1 merges (a,b); iteration 2 finds no
     // pair and must BREAK, not crossJoin an empty frame over the vocab
