@@ -280,7 +280,10 @@ object Bench {
       "q_text_perplexity_eval",
       // round-8: the SFT loss-mask plan (turn-axis explode) and the
       // cents-exact cohort LTV ledger
-      "q_pipeline_chat_template", "q_shape_ltv_curve")
+      "q_pipeline_chat_template", "q_shape_ltv_curve",
+      // round-8: the glob-pruned partition scan (layout-level prune +
+      // write) and the padding-efficiency ledger
+      "q_scan_glob", "q_pipeline_pad_waste")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

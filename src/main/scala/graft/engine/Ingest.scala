@@ -202,6 +202,24 @@ object Ingest {
         .orderBy(col("o_orderkey"))
     },
 
+    // File-DISCOVERY conformance: directory-glob path pruning over a
+    // hive-partitioned layout — the "read only these partitions" idiom
+    // a 100 TB table leans on when the pruning predicate is about the
+    // LAYOUT, not a column (here: every lang=e* directory). basePath
+    // keeps partition-column recovery while the glob excludes the
+    // other directories from the file index entirely — those files are
+    // never listed, let alone read (cheaper than a post-scan filter,
+    // which q_scan_partition_prune already covers on the column route)
+    "q_scan_glob" -> { (s, d) =>
+      val out = tmp("docs_by_lang", d)
+      Tables.documents(s, d).write.mode("overwrite")
+        .partitionBy("lang").parquet(out)
+      s.read.option("basePath", out).parquet(s"$out/lang=e*")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+        .orderBy(col("lang"))
+    },
+
     // ORC round-trip (columnar alternative to parquet; built into Spark):
     // write the table as ORC, read it back, prove scan+sink equivalence.
     "q_scan_orc" -> { (s, d) =>
@@ -703,6 +721,13 @@ object Ingest {
       s"""SELECT o_orderstatus, count(*) AS n,
          | ${Fx.oSum("o_totalprice")} AS total
          | FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_scan_glob" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS chars
+        | FROM documents WHERE lang LIKE 'e%'
+        | GROUP BY lang ORDER BY lang"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_scan_partition_prune" ->

@@ -1147,6 +1147,34 @@ object Text {
     // 3-row heap regardless of corpus size.
     // Weighted (probability-proportional-to-size) SYSTEMATIC sampling:
     // walk the corpus in key order accumulating integer token-count
+    // PADDING-waste audit for length-bucketed batching — the dataloader
+    // efficiency ledger (padding every sequence to its bucket cap, 8
+    // sequences per batch, the final partial batch padded with empty
+    // slots): per bucket, real vs padded token mass and the resulting
+    // efficiency — the number a team watches when choosing bucket
+    // edges. Caps are a CASE ladder over powers of two (integer-exact;
+    // a log2/ceil spelling would float-drift at exact powers). Map +
+    // one bounded aggregate (≤9 bucket rows), linear at any scale.
+    "q_pipeline_pad_waste" -> { (s, d) =>
+      val n = col("n")
+      val cap = when(n <= 16, 16L).when(n <= 32, 32L)
+        .when(n <= 64, 64L).when(n <= 128, 128L).when(n <= 256, 256L)
+        .when(n <= 512, 512L).when(n <= 1024, 1024L)
+        .when(n <= 2048, 2048L).otherwise(4096L)
+      Tables.documents(s, d)
+        .select(size(toks(col("text"))).cast("long").as("n"))
+        .withColumn("cap", cap)
+        .groupBy(col("cap"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("tok_real"))
+        .withColumn("n_batches", expr("(n_docs + 7) DIV 8"))
+        .withColumn("tok_padded", col("n_batches") * 8 * col("cap"))
+        .select(col("cap"), col("n_docs"), col("n_batches"),
+          col("tok_real"), col("tok_padded"),
+          eround(col("tok_real").cast("double") / col("tok_padded"), 4)
+            .as("efficiency"))
+        .orderBy(col("cap"))
+    },
+
     // Chat-TEMPLATE loss-mask plan — the SFT analog of the span-
     // corruption schedule: each document renders as alternating
     // user/assistant turns (40-token chunks, role = chunk parity),
@@ -3519,6 +3547,23 @@ object Text {
          |   AS mask_ratio
          | FROM pd LEFT JOIN sd ON pd.doc_id = sd.doc_id
          | ORDER BY pd.doc_id""".stripMargin.replaceAll("\n", " "),
+
+    "q_pipeline_pad_waste" ->
+      s"""WITH docs AS (SELECT CAST(len($oToks) AS BIGINT) AS n
+         |  FROM documents),
+         | b AS (SELECT n, CAST(CASE WHEN n <= 16 THEN 16
+         |   WHEN n <= 32 THEN 32 WHEN n <= 64 THEN 64
+         |   WHEN n <= 128 THEN 128 WHEN n <= 256 THEN 256
+         |   WHEN n <= 512 THEN 512 WHEN n <= 1024 THEN 1024
+         |   WHEN n <= 2048 THEN 2048 ELSE 4096 END AS BIGINT) AS cap
+         |  FROM docs),
+         | g AS (SELECT cap, count(*) AS n_docs,
+         |   CAST(sum(n) AS BIGINT) AS tok_real FROM b GROUP BY cap)
+         | SELECT cap, n_docs, (n_docs + 7) // 8 AS n_batches, tok_real,
+         |  ((n_docs + 7) // 8) * 8 * cap AS tok_padded,
+         |  round(CAST(tok_real AS DOUBLE)
+         |    / (((n_docs + 7) // 8) * 8 * cap) + 5e-10, 4) AS efficiency
+         | FROM g ORDER BY cap""".stripMargin.replaceAll("\n", " "),
 
     "q_pipeline_chat_template" ->
       s"""WITH docs AS (SELECT doc_id,

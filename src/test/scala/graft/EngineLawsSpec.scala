@@ -3259,6 +3259,25 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("glob scan reads only the matched partition directories") {
+    val rows = SparkEntry.queries("q_scan_glob")(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet === Set("en", "es"),
+      "glob must surface exactly the lang=e* partitions")
+  }
+
+  test("pad waste: every doc in exactly one bucket, efficiency in (0,1]") {
+    val rows = SparkEntry.queries("q_pipeline_pad_waste")(spark, sf)
+      .collect()
+    assert(rows.map(_.getLong(1)).sum === 500L, "doc mass lost")
+    rows.foreach { r =>
+      assert(r.getLong(4) >= r.getLong(3), "padded below real")
+      val e = r.getDouble(5)
+      assert(e > 0.0 && e <= 1.0, s"efficiency out of range: $r")
+      // tokens can never exceed their bucket cap times the doc count
+      assert(r.getLong(3) <= r.getLong(0) * r.getLong(1))
+    }
+  }
+
   test("bpe walk stops when mergeable pairs exhaust, keeping the vocab") {
     // one two-symbol word: iteration 1 merges (a,b); iteration 2 finds no
     // pair and must BREAK, not crossJoin an empty frame over the vocab
