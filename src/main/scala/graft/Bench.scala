@@ -283,7 +283,10 @@ object Bench {
       "q_pipeline_chat_template", "q_shape_ltv_curve",
       // round-8: the glob-pruned partition scan (layout-level prune +
       // write) and the padding-efficiency ledger
-      "q_scan_glob", "q_pipeline_pad_waste")
+      "q_scan_glob", "q_pipeline_pad_waste",
+      // round-8: the ignore-nulls window trio and the JL projection
+      // eval; q_fn_collation is dimension-scale, excluded by rule (b)
+      "q_win_ignore_nulls", "q_vec_rand_proj")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

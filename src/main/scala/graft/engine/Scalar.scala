@@ -92,6 +92,28 @@ object Scalar {
     // Partial-date normalization (EPrints `YYYY`|`YYYY-MM`|`YYYY-MM-DD`,
     // SURVEY §1.2): format o_orderdate at 3 precisions cycling by key,
     // then parse back with a try_to_date coalesce chain.
+    // Collation surface (Spark 4 COLLATE) — case-insensitive equality,
+    // prefix, and containment under UNICODE_CI, the engine-level
+    // spelling of comparisons every migration otherwise scatters
+    // lower() calls over. The oracle replays with lower() twins (for
+    // the ASCII fixture domain the two are semantically identical);
+    // what the row pins is that the COLLATE path — a different
+    // comparator in codegen, not a rewrite to lower() — produces the
+    // same verdicts. Map-only.
+    "q_fn_collation" -> { (s, d) =>
+      val ci = collate(col("c_mktsegment"), "UNICODE_CI")
+      val nameCi = collate(col("c_name"), "UNICODE_CI")
+      Tables.customer(s, d)
+        .filter(col("c_custkey") < 1000)
+        .select(col("c_custkey"),
+          (ci === lit("building")).as("seg_is_building"),
+          startswith(nameCi, lit("CUSTOMER#")).as("name_prefix_ci"),
+          contains(nameCi, lit("#00000000")).as("name_contains_ci"),
+          (ci >= lit("furniture") && ci <= lit("machinery"))
+            .as("seg_in_range_ci"))
+        .orderBy(col("c_custkey"))
+    },
+
     // Timezone surface (convert_timezone / to_utc_timestamp round
     // trip) — the wall-clock shifts a global event pipeline applies at
     // the reporting edge. The fixture spans January 2024 only, so the
@@ -545,6 +567,20 @@ object Scalar {
         | regexp_replace(c_name, '0+', '0', 'g') AS squeezed,
         | regexp_matches(c_name, '\d{9}$') AS ends_9digits
         | FROM customer ORDER BY c_custkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // lower() twins — semantically identical to UNICODE_CI on the
+    // ASCII fixture domain; range compare lowers both bounds.
+    "q_fn_collation" ->
+      """SELECT c_custkey,
+        | lower(c_mktsegment) = 'building' AS seg_is_building,
+        | starts_with(lower(c_name), lower('CUSTOMER#'))
+        |  AS name_prefix_ci,
+        | contains(lower(c_name), lower('#00000000'))
+        |  AS name_contains_ci,
+        | lower(c_mktsegment) >= 'furniture'
+        |  AND lower(c_mktsegment) <= 'machinery' AS seg_in_range_ci
+        | FROM customer WHERE c_custkey < 1000 ORDER BY c_custkey"""
         .stripMargin.replaceAll("\n", " "),
 
     // January-2024 fixture ⇒ fixed winter offsets; the engine side

@@ -208,6 +208,62 @@ object Vectors {
         .orderBy(col("probe_id"), col("vec_id"))
     },
 
+    // RANDOM-PROJECTION recall eval (Johnson–Lindenstrauss with a ±1
+    // sign matrix) — the dimension-reduction alternative to Matryoshka
+    // truncation: 64 dims project to 16 through a seedless md5-derived
+    // sign matrix (every worker derives the identical matrix — no
+    // stored artifact), rankings by integer L2 in projected space
+    // score against the exact full-dim top-5. Signs ARE ±1 integers,
+    // the projection is an exact integer matmul, so the whole eval
+    // hash-matches — the q_vec_mrl_curve discipline on the projection
+    // axis. Matrix = 1024-row broadcast; projection = explode + join +
+    // (vec, out-dim) partial agg — linear in corpus size.
+    "q_vec_rand_proj" -> { (s, d) =>
+      GraftFunctions.register(s)
+      val qs = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr("int_micros(embedding)").as("q"))
+      val signs = s.range(16).select(col("id").as("j"))
+        .crossJoin(s.range(64).select(col("id").as("i")))
+        .withColumn("sgn", when(pmod(conv(substring(md5(concat_ws(":",
+          col("j"), col("i"))), 1, 8), 16, 10).cast("long"), lit(2))
+          === 0, 1L).otherwise(-1L))
+      val proj = qs
+        .select(col("vec_id"), posexplode(col("q")).as(Seq("pos", "x")))
+        .withColumn("i", col("pos").cast("long"))
+        .join(broadcast(signs), Seq("i"))
+        .groupBy(col("vec_id"), col("j"))
+        .agg(sum(col("sgn") * col("x")).as("r"))
+      val pproj = proj.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("j"),
+          col("r").as("pr"))
+      val wP = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id")).orderBy(asc("d2"), asc("vec_id"))
+      val approx = proj.join(broadcast(pproj), Seq("j"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .groupBy(col("probe_id"), col("vec_id"))
+        .agg(sum((col("r") - col("pr")) * (col("r") - col("pr")))
+          .as("d2"))
+        .withColumn("rp", row_number().over(wP))
+        .filter(col("rp") <= 5)
+        .select(col("probe_id"), col("vec_id"), lit(1).as("hit"))
+      val probes = qs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("q").as("pq"))
+      val wF = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("probe_id")).orderBy(asc("d2"), asc("vec_id"))
+      val exact = qs.crossJoin(broadcast(probes))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .withColumn("d2", expr("int_sqdist(q, pq)"))
+        .withColumn("re", row_number().over(wF))
+        .filter(col("re") <= 5)
+        .select(col("probe_id"), col("vec_id"))
+      exact.join(approx, Seq("probe_id", "vec_id"), "left")
+        .groupBy(col("probe_id"))
+        .agg(count(col("hit")).as("hits"))
+        .select(col("probe_id"), col("hits"),
+          eround(col("hits").cast("double") / 5.0, 4).as("recall_at_5"))
+        .orderBy(col("probe_id"))
+    },
+
     // Matryoshka dimension-quality CURVE — the eval a team runs before
     // truncating embeddings for cheap retrieval (MRL: how much of the
     // full-dimension exact top-5 does a k-prefix ranking keep, for k in
@@ -1128,6 +1184,44 @@ object Vectors {
          |  FROM e, p WHERE e.vec_id <> p.probe_id)
          | SELECT probe_id, vec_id, cos_r FROM s WHERE cos_r >= 0.3
          | ORDER BY probe_id, vec_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_vec_rand_proj" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding,
+        |   x -> CAST(round(x * 1e6) AS BIGINT)) AS qv FROM embeddings),
+        | sg AS (SELECT j, i, CASE WHEN ('0x' || substr(md5(
+        |    CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 8))
+        |    ::BIGINT % 2 = 0 THEN 1 ELSE -1 END AS sgn
+        |  FROM (SELECT unnest(range(16)) AS j),
+        |       (SELECT unnest(range(64)) AS i)),
+        | ex AS (SELECT vec_id, u.i AS i, qv[u.i + 1] AS x
+        |  FROM q, LATERAL (SELECT unnest(range(64)) AS i) u(i)),
+        | pj AS (SELECT vec_id, j, CAST(sum(sgn * x) AS BIGINT) AS r
+        |  FROM ex JOIN sg ON ex.i = sg.i GROUP BY vec_id, j),
+        | pp AS (SELECT vec_id AS probe_id, j, r AS pr FROM pj
+        |  WHERE vec_id < 10),
+        | ad AS (SELECT pp.probe_id, pj.vec_id,
+        |   CAST(sum((pj.r - pp.pr) * (pj.r - pp.pr)) AS BIGINT) AS d2
+        |  FROM pj JOIN pp ON pj.j = pp.j
+        |  WHERE pj.vec_id <> pp.probe_id GROUP BY 1, 2),
+        | ar AS (SELECT probe_id, vec_id, row_number() OVER
+        |   (PARTITION BY probe_id ORDER BY d2, vec_id) AS rp FROM ad),
+        | ap AS (SELECT probe_id, vec_id, 1 AS hit FROM ar WHERE rp <= 5),
+        | pe AS (SELECT vec_id AS probe_id, qv AS pv FROM q
+        |  WHERE vec_id < 10),
+        | ed AS (SELECT pe.probe_id, q.vec_id,
+        |   list_reduce(list_transform(list_zip(q.qv, pe.pv),
+        |     z -> (z[1]-z[2])*(z[1]-z[2])), (a, b) -> a + b) AS d2
+        |  FROM q CROSS JOIN pe WHERE q.vec_id <> pe.probe_id),
+        | er AS (SELECT probe_id, vec_id, row_number() OVER
+        |   (PARTITION BY probe_id ORDER BY d2, vec_id) AS re FROM ed),
+        | exa AS (SELECT probe_id, vec_id FROM er WHERE re <= 5)
+        | SELECT exa.probe_id, count(ap.hit) AS hits,
+        |  round(CAST(count(ap.hit) AS DOUBLE) / 5.0 + 5e-10, 4)
+        |   AS recall_at_5
+        | FROM exa LEFT JOIN ap ON exa.probe_id = ap.probe_id
+        |  AND exa.vec_id = ap.vec_id
+        | GROUP BY exa.probe_id ORDER BY exa.probe_id"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_vec_mrl_curve" ->

@@ -127,6 +127,28 @@ object Windows {
         .orderBy(col("event_id"))
     },
 
+    // IGNORE NULLS window variants over a sparse column — the gap-
+    // tolerant observation chain (forward-fill, first/second observed)
+    // a sensor/metrics pipeline runs where q_win_firstlast's plain
+    // first/last would surface the nulls themselves. Nulls are planted
+    // deterministically (event_id % 7); one user_id exchange carries
+    // all three frames. Ordering ties break on event_id so both
+    // engines walk identical sequences.
+    "q_win_ignore_nulls" -> { (s, d) =>
+      val wf = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("v", when(pmod(col("event_id"), lit(7)) === 0,
+          lit(null).cast("double")).otherwise(col("value")))
+        .select(col("event_id"), col("user_id"), col("ts"), col("v"),
+          last(col("v"), ignoreNulls = true).over(wf).as("ffill"),
+          first(col("v"), ignoreNulls = true).over(wf).as("first_obs"),
+          nth_value(col("v"), 2, ignoreNulls = true).over(wf)
+            .as("second_obs"))
+        .orderBy(col("event_id"))
+    },
+
     "q_win_firstlast" -> { (s, d) =>
       val w = Window.partitionBy(col("o_orderpriority"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -459,6 +481,19 @@ object Windows {
         |   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) + 5e-10, 6)
         |   AS roll_med
         | FROM events ORDER BY event_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_win_ignore_nulls" ->
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |   CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        |  FROM events)
+        | SELECT event_id, user_id, ts, v,
+        |  last_value(v IGNORE NULLS) OVER w AS ffill,
+        |  first_value(v IGNORE NULLS) OVER w AS first_obs,
+        |  nth_value(v, 2 IGNORE NULLS) OVER w AS second_obs
+        | FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        | ORDER BY event_id"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_win_firstlast" ->

@@ -3278,6 +3278,30 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("ignore-nulls windows: ffill only bridges planted nulls") {
+    val rows = SparkEntry.queries("q_win_ignore_nulls")(spark, sf)
+      .collect()
+    rows.foreach { r =>
+      val planted = r.getLong(0) % 7 == 0
+      if (!planted) {
+        // a non-null row's ffill is its own value
+        assert(r.getDouble(4) === r.getDouble(3), s"ffill drifted: $r")
+      } else {
+        assert(r.isNullAt(3), s"null not planted: $r")
+      }
+    }
+  }
+
+  test("rand-proj eval: structural bounds and honest recall reporting") {
+    val rows = SparkEntry.queries("q_vec_rand_proj")(spark, sf).collect()
+    assert(rows.length === 10)
+    rows.foreach { r =>
+      val h = r.getLong(1)
+      assert(h >= 0 && h <= 5)
+      assert(math.abs(r.getDouble(2) - h / 5.0) < 1e-9)
+    }
+  }
+
   test("bpe walk stops when mergeable pairs exhaust, keeping the vocab") {
     // one two-symbol word: iteration 1 merges (a,b); iteration 2 finds no
     // pair and must BREAK, not crossJoin an empty frame over the vocab
