@@ -286,7 +286,11 @@ object Bench {
       "q_scan_glob", "q_pipeline_pad_waste",
       // round-8: the ignore-nulls window trio and the JL projection
       // eval; q_fn_collation is dimension-scale, excluded by rule (b)
-      "q_win_ignore_nulls", "q_vec_rand_proj")
+      "q_win_ignore_nulls", "q_vec_rand_proj",
+      // round-8: the DPP partitioned-fact join (write + pruned read)
+      // and the tumbling watermark-advance run; q_join_null_safe is
+      // dimension-scale by construction, excluded by rule (b)
+      "q_join_dpp", "q_stream_tumbling_replay")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

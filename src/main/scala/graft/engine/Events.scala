@@ -208,6 +208,56 @@ object Events {
       out
     },
 
+    // TRUE STREAMING RUN of Streaming.tumblingCounts through the same
+    // two-micro-batch watermark-advance protocol as the session replay
+    // below — tumbling windows are the OTHER append-mode stateful
+    // window shape (fixed grid vs gap-merged), and their eviction
+    // predicate (window end < watermark) gets the identical exact
+    // replay: batch 1 builds window state, the sentinel batch closes
+    // and emits every window ending before batch-1's watermark. The
+    // final partial hour stays open on both sides.
+    "q_stream_tumbling_replay" -> { (s, d) =>
+      val slug = d.replaceAll("[^A-Za-z0-9_]", "_")
+      val base =
+        s"${System.getProperty("java.io.tmpdir")}/graft_stream/$slug"
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory)
+          Option(p.listFiles()).getOrElse(Array.empty).foreach(rm)
+        p.delete(); ()
+      }
+      rm(new java.io.File(s"$base/tumb_in"))
+      rm(new java.io.File(s"$base/tumb_out"))
+      rm(new java.io.File(s"$base/tumb_ckpt"))
+      val ev = Tables.events(s, d)
+        .select(col("ts"), col("user_id").as("userId"),
+          col("event_type").as("eventType"), col("value"),
+          col("event_id").as("eventId"))
+      ev.write.mode("overwrite").parquet(s"$base/tumb_in")
+      val schema = s.read.parquet(s"$base/tumb_in").schema
+      def runOnce(): Unit = {
+        val in = s.readStream.schema(schema).parquet(s"$base/tumb_in")
+        val q = Streaming.tumblingCounts(in)
+          .writeStream.format("parquet")
+          .option("path", s"$base/tumb_out")
+          .option("checkpointLocation", s"$base/tumb_ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+          .start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+      }
+      runOnce()
+      s.range(1).select(
+          lit("2030-01-01 00:00:00").cast("timestamp").as("ts"),
+          lit(-1L).as("userId"), lit("sentinel").as("eventType"),
+          lit(0.0).as("value"), lit(-1L).as("eventId"))
+        .write.mode("append").parquet(s"$base/tumb_in")
+      runOnce()
+      s.read.parquet(s"$base/tumb_out")
+        .filter(col("userId") >= 0)
+        .select(col("userId").as("user_id"), col("w_start"), col("n"))
+        .orderBy(col("user_id"), col("w_start"))
+    },
+
     // TRUE STREAMING RUN of Streaming.sessionCounts under the oracle
     // gate — the watermark-ADVANCE protocol the single-batch replays
     // can't exercise: session windows in append mode emit only when the
@@ -994,6 +1044,20 @@ object Events {
     // Gaps-and-islands replica of session_window semantics: an event at
     // EXACTLY prev + gap still merges (verified empirically, StreamingSpec);
     // a new session needs a gap strictly greater than 30min.
+    // Emitted set = the batch hourly grid filtered by the batch-1
+    // watermark; the final partial hour stays open on both sides.
+    "q_stream_tumbling_replay" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        | w AS (SELECT user_id, date_trunc('hour', ts) AS w_start,
+        |   count(*) AS n FROM e GROUP BY 1, 2),
+        | wm AS (SELECT (epoch_us(max(ts)) // 1000 - 600000) AS wm_ms
+        |  FROM e)
+        | SELECT user_id, w_start, n FROM w, wm
+        | WHERE epoch_us(w_start + INTERVAL 1 HOUR) < wm_ms * 1000
+        | ORDER BY user_id, w_start"""
+        .stripMargin.replaceAll("\n", " "),
+
     // The two-micro-batch protocol's emitted set = batch sessionization
     // filtered by the batch-1 watermark (ms-floored max event time −
     // 10 min); the one session still inside the horizon stays open on

@@ -28,6 +28,10 @@ object Ingest {
   private def tmp(name: String, d: String): String =
     s"${System.getProperty("java.io.tmpdir")}/graft_ingest/${slug(d)}/$name"
 
+  /** Staging dir for engine queries OUTSIDE this module that write
+    * fixture-derived files (e.g. the DPP demo's partitioned fact). */
+  def stage(name: String, d: String): String = tmp(name, d)
+
   def bucketedTable(d: String): String = s"graft_lineitem_bucketed_${slug(d)}"
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

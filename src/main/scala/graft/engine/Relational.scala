@@ -97,6 +97,51 @@ object Relational {
         .orderBy(col("o_orderpriority"))
     },
 
+    // NULL-SAFE equality join (<=>) — the join every CDC/merge pipeline
+    // needs when the business key is nullable: plain = drops null-key
+    // rows silently, <=> pairs them (null matches null). Nulls are
+    // planted on BOTH sides so the semantic difference is visible in
+    // the output, and the slices are bounded because null<=>null is a
+    // deliberate many-to-many (every null-key left row pairs with
+    // every null-key right row — at scale you'd route the null
+    // partition separately, exactly what this row documents). Output
+    // splits matches by null-ness so the oracle pins both populations.
+    "q_join_null_safe" -> { (s, d) =>
+      val a = Tables.orders(s, d).filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 11 === 0, lit(null).cast("long"))
+            .otherwise(col("o_custkey")).as("k"))
+      val b = Tables.customer(s, d).filter(col("c_custkey") < 100)
+        .select(when(col("c_custkey") % 13 === 0, lit(null).cast("long"))
+          .otherwise(col("c_custkey")).as("k2"), col("c_name"))
+      a.join(b, col("k") <=> col("k2"))
+        .select(col("o_orderkey"), col("k"), col("c_name"),
+          col("k").isNull.as("via_null"))
+        .orderBy(col("o_orderkey"), col("c_name"))
+    },
+
+    // Dynamic Partition Pruning demo — the runtime scale feature that
+    // makes partitioned-fact × filtered-dim joins cheap: the fact is
+    // written partitioned on the join key, the dim side carries a
+    // selective filter, and Spark injects a dynamicpruning subquery so
+    // only the surviving partitions of the fact are ever READ (the
+    // plan carries `dynamicpruningexpression` — PlanSpec pins it).
+    // The column route (q_scan_partition_prune) prunes on a literal;
+    // THIS prunes on values only known after the dim filter runs.
+    "q_join_dpp" -> { (s, d) =>
+      val out = Ingest.stage("orders_dpp", d)
+      Tables.orders(s, d).write.mode("overwrite")
+        .partitionBy("o_orderpriority").parquet(out)
+      val fact = s.read.parquet(out)
+      val dim = Tables.orders(s, d)
+        .select(col("o_orderpriority").as("p")).distinct()
+        .filter(col("p") < "3")
+      fact.join(dim, col("o_orderpriority") === col("p"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("rev"))
+        .orderBy(col("o_orderpriority"))
+    },
+
     "q_join_left" -> { (s, d) =>
       val big = Tables.orders(s, d).filter(col("o_totalprice") > 350000)
       Tables.customer(s, d)
@@ -716,6 +761,26 @@ object Relational {
          | JOIN nation ON c_nationkey = n_nationkey
          | JOIN region ON n_regionkey = r_regionkey
          | GROUP BY r_name ORDER BY r_name"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_join_null_safe" ->
+      """WITH a AS (SELECT o_orderkey,
+        |   CASE WHEN o_orderkey % 11 = 0 THEN NULL
+        |    ELSE o_custkey END AS k
+        |  FROM orders WHERE o_orderkey < 500),
+        | b AS (SELECT CASE WHEN c_custkey % 13 = 0 THEN NULL
+        |    ELSE c_custkey END AS k2, c_name
+        |  FROM customer WHERE c_custkey < 100)
+        | SELECT o_orderkey, k, c_name, k IS NULL AS via_null
+        | FROM a JOIN b ON k IS NOT DISTINCT FROM k2
+        | ORDER BY o_orderkey, c_name"""
+        .stripMargin.replaceAll("\n", " "),
+
+    "q_join_dpp" ->
+      s"""SELECT o_orderpriority, count(*) AS n,
+         | ${oSum("o_totalprice")} AS rev
+         | FROM orders WHERE o_orderpriority < '3'
+         | GROUP BY o_orderpriority ORDER BY o_orderpriority"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_join_inner_smj" ->

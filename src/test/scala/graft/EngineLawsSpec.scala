@@ -3302,6 +3302,42 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("null-safe join pairs null keys; plain equality drops them") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("q_join_null_safe")(spark, sf).collect()
+    val (viaNull, viaKey) = rows.partition(_.getBoolean(3))
+    assert(viaNull.nonEmpty, "null<=>null matches missing")
+    assert(viaKey.nonEmpty, "regular key matches missing")
+    viaNull.foreach(r => assert(r.isNullAt(1)))
+    // the null-match population is exactly |null-left| × |null-right|
+    val nl = graft.engine.Tables.orders(spark, sf)
+      .filter(col("o_orderkey") < 500 && col("o_orderkey") % 11 === 0)
+      .count()
+    val nr = graft.engine.Tables.customer(spark, sf)
+      .filter(col("c_custkey") < 100 && col("c_custkey") % 13 === 0)
+      .count()
+    assert(viaNull.length.toLong === nl * nr,
+      s"${viaNull.length} null pairs vs expected ${nl * nr}")
+  }
+
+  test("streaming tumbling replay: emitted grid is the closed prefix") {
+    val emitted = SparkEntry.queries("q_stream_tumbling_replay")(spark, sf)
+      .collect().map(_.toString).toSet
+    val batch = SparkEntry.queries("q_stream_tumbling")(spark, sf)
+    // q_stream_tumbling emits (w_start, event_type, n) — different keying,
+    // so recompute the user-keyed batch twin here
+    import org.apache.spark.sql.functions._
+    val twin = graft.engine.Tables.events(spark, sf)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("w_start"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("w_start"), col("n"))
+      .collect().map(_.toString).toSet
+    assert(emitted.subsetOf(twin), "streamed windows not in batch grid")
+    val open = twin.diff(emitted)
+    assert(open.nonEmpty && open.size <= 20,
+      s"unexpected open-window count: ${open.size}")
+  }
+
   test("bpe walk stops when mergeable pairs exhaust, keeping the vocab") {
     // one two-symbol word: iteration 1 merges (a,b); iteration 2 finds no
     // pair and must BREAK, not crossJoin an empty frame over the vocab

@@ -56,6 +56,12 @@ class PlanSpec extends SparkSuite {
       "total order should range-partition, not single-task sort")
   }
 
+  test("partitioned fact join carries a dynamic partition pruning filter") {
+    val p = plan("q_join_dpp").toLowerCase
+    assert(p.contains("dynamicpruning"),
+      "fact scan should carry a dynamicpruningexpression from the dim filter")
+  }
+
   test("similarity top-k broadcasts probes; corpus is never shuffled") {
     val p = plan("q_sim_topk")
     assert(p.contains("BroadcastNestedLoopJoin") ||
