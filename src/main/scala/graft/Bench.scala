@@ -290,7 +290,10 @@ object Bench {
       // round-8: the DPP partitioned-fact join (write + pruned read)
       // and the tumbling watermark-advance run; q_join_null_safe is
       // dimension-scale by construction, excluded by rule (b)
-      "q_join_dpp", "q_stream_tumbling_replay")
+      "q_join_dpp", "q_stream_tumbling_replay",
+      // round-8: the containment threshold sweep (one blocking join,
+      // three thresholds)
+      "q_dedup_threshold_curve")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

@@ -2207,6 +2207,49 @@ object Text {
     // pairs are LINEAR in corpus size, never quadratic; a doc needs ≥ 5
     // rare digests to be droppable). Drop rule integralized (10·common
     // ≥ 8·own — exact integers). Output is the per-stage funnel card.
+    // Dedup THRESHOLD curve — the drop-rate sweep run before fixing the
+    // cascade's containment threshold (too low deletes distinct docs,
+    // too high leaks near-dups; this query shows the survivor count at
+    // 60/80/95% so the decision is a table lookup, not a guess). Same
+    // df-capped rare-shingle blocking join as the cascade (candidate
+    // pairs LINEAR in corpus size), one pair frame reused by all three
+    // thresholds via an integralized predicate (n_common·100 ≥ n_b·τ);
+    // the planted near-dup corpus guarantees a non-degenerate curve at
+    // every SF. A τ with zero drops still shows (left join from the
+    // threshold axis).
+    "q_dedup_threshold_curve" -> { (s, d) =>
+      val corpus = nearDupCorpus(s, d)
+      val e = shingleDigests(corpus, 3)
+      val rare = e.join(
+        e.groupBy(col("g")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= 8), Seq("g"))
+        .select(col("doc_id"), col("g"))
+      val nB = rare.groupBy(col("doc_id")).agg(count(lit(1)).as("n_b"))
+      val pairs = rare.select(col("doc_id").as("id_a"), col("g"))
+        .join(rare.select(col("doc_id").as("id_b"), col("g")), Seq("g"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(nB.select(col("doc_id").as("id_b"), col("n_b")),
+          Seq("id_b"))
+        .filter(col("n_b") >= 5)
+      val taus = s.range(1).select(
+        explode(array(lit(60L), lit(80L), lit(95L))).as("tau"))
+      val drops = pairs.crossJoin(broadcast(taus))
+        .filter(col("n_common") * 100 >= col("n_b") * col("tau"))
+        .select(col("tau"), col("id_b")).distinct()
+        .groupBy(col("tau")).agg(count(lit(1)).as("n_dropped"))
+      taus.join(drops, Seq("tau"), "left")
+        .na.fill(0L, Seq("n_dropped"))
+        .crossJoin(broadcast(corpus.agg(count(lit(1)).as("n_docs"))))
+        .crossJoin(broadcast(
+          pairs.agg(count(lit(1)).as("n_candidates"))))
+        .select(col("tau"), col("n_docs"), col("n_candidates"),
+          col("n_dropped"),
+          (col("n_docs") - col("n_dropped")).as("n_survivors"))
+        .orderBy(col("tau"))
+    },
+
     "q_pipeline_dedup_cascade" -> { (s, d) =>
       val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       val s1 = docs.groupBy(col("text"))
@@ -3951,6 +3994,41 @@ object Text {
          | LEFT JOIN m USING (id_a, id_b)
          | ORDER BY id_a, id_b"""
         .stripMargin.replaceAll("\n", " "),
+
+    "q_dedup_threshold_curve" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000,
+         |    array_to_string(($oToks)[2:], ' ')
+         |   FROM documents WHERE doc_id < 20),
+         | dd AS (SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(len($oToks2) - 2, 1)),
+         |    i -> ('0x' || substr(md5(array_to_string($oToks2[i:i+2], ' ')),
+         |      1, 15))::BIGINT)) AS sh
+         |  FROM corpus),
+         | e AS (SELECT doc_id, unnest(sh) AS g FROM dd),
+         | rare AS (SELECT e.doc_id, e.g FROM e JOIN
+         |   (SELECT g FROM e GROUP BY g HAVING count(*) <= 8) r
+         |  ON e.g = r.g),
+         | nb AS (SELECT doc_id, count(*) AS n_b FROM rare
+         |  GROUP BY doc_id),
+         | pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |   count(*) AS n_common, CAST(min(nb.n_b) AS BIGINT) AS n_b
+         |  FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  JOIN nb ON nb.doc_id = b.doc_id
+         |  GROUP BY 1, 2 HAVING min(nb.n_b) >= 5),
+         | taus AS (SELECT CAST(unnest([60, 80, 95]) AS BIGINT) AS tau),
+         | drops AS (SELECT tau, count(*) AS n_dropped FROM
+         |   (SELECT DISTINCT t.tau, p.id_b FROM pairs p CROSS JOIN taus t
+         |    WHERE p.n_common * 100 >= p.n_b * t.tau)
+         |  GROUP BY tau),
+         | nd AS (SELECT count(*) AS n_docs FROM corpus),
+         | nc AS (SELECT count(*) AS n_candidates FROM pairs)
+         | SELECT t.tau, nd.n_docs, nc.n_candidates,
+         |  COALESCE(d.n_dropped, CAST(0 AS BIGINT)) AS n_dropped,
+         |  nd.n_docs - COALESCE(d.n_dropped, CAST(0 AS BIGINT))
+         |   AS n_survivors
+         | FROM taus t LEFT JOIN drops d ON t.tau = d.tau, nd, nc
+         | ORDER BY t.tau""".stripMargin.replaceAll("\n", " "),
 
     // replays the three-stage funnel; the rare-digest (df <= 8) filter
     // is part of the SPEC (hot-shingle drop), so the oracle applies it

@@ -3338,6 +3338,20 @@ class EngineLawsSpec extends SparkSuite {
       s"unexpected open-window count: ${open.size}")
   }
 
+  test("threshold curve: drops shrink as tau rises; planted dups caught") {
+    val rows = SparkEntry.queries("q_dedup_threshold_curve")(spark, sf)
+      .collect().sortBy(_.getLong(0))
+    assert(rows.map(_.getLong(0)).toSeq === Seq(60L, 80L, 95L))
+    // monotone: a stricter threshold can only drop fewer docs
+    assert(rows(0).getLong(3) >= rows(1).getLong(3))
+    assert(rows(1).getLong(3) >= rows(2).getLong(3))
+    rows.foreach { r =>
+      assert(r.getLong(4) === r.getLong(1) - r.getLong(3))
+      // the 20 planted near-identical docs must be caught at every tau
+      assert(r.getLong(3) >= 20L, s"planted dups leaked at tau=${r.get(0)}")
+    }
+  }
+
   test("bpe walk stops when mergeable pairs exhaust, keeping the vocab") {
     // one two-symbol word: iteration 1 merges (a,b); iteration 2 finds no
     // pair and must BREAK, not crossJoin an empty frame over the vocab
