@@ -293,7 +293,10 @@ object Bench {
       "q_join_dpp", "q_stream_tumbling_replay",
       // round-8: the containment threshold sweep (one blocking join,
       // three thresholds)
-      "q_dedup_threshold_curve")
+      "q_dedup_threshold_curve",
+      // round-8: the overlapping-window watermark run and the shard
+      // checksum manifest
+      "q_stream_sliding_replay", "q_pipeline_manifest")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

@@ -208,6 +208,57 @@ object Events {
       out
     },
 
+    // TRUE STREAMING RUN of Streaming.slidingCounts — the THIRD window
+    // shape under the watermark-advance protocol (tumbling = fixed
+    // grid, session = gap-merged, sliding = overlapping): each event
+    // lives in FOUR 1h/15min windows, and the protocol's single
+    // watermark advance closes exactly those windows whose own end
+    // precedes it — the overlap means the open tail holds up to four
+    // partially-open windows, not one. Oracle replays the 4-offset
+    // grid + the eviction predicate exactly.
+    "q_stream_sliding_replay" -> { (s, d) =>
+      val slug = d.replaceAll("[^A-Za-z0-9_]", "_")
+      val base =
+        s"${System.getProperty("java.io.tmpdir")}/graft_stream/$slug"
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory)
+          Option(p.listFiles()).getOrElse(Array.empty).foreach(rm)
+        p.delete(); ()
+      }
+      rm(new java.io.File(s"$base/slide_in"))
+      rm(new java.io.File(s"$base/slide_out"))
+      rm(new java.io.File(s"$base/slide_ckpt"))
+      val ev = Tables.events(s, d)
+        .select(col("ts"), col("user_id").as("userId"),
+          col("event_type").as("eventType"), col("value"),
+          col("event_id").as("eventId"))
+      ev.write.mode("overwrite").parquet(s"$base/slide_in")
+      val schema = s.read.parquet(s"$base/slide_in").schema
+      def runOnce(): Unit = {
+        val in = s.readStream.schema(schema).parquet(s"$base/slide_in")
+        val q = Streaming.slidingCounts(in)
+          .writeStream.format("parquet")
+          .option("path", s"$base/slide_out")
+          .option("checkpointLocation", s"$base/slide_ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+          .start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+      }
+      runOnce()
+      s.range(1).select(
+          lit("2030-01-01 00:00:00").cast("timestamp").as("ts"),
+          lit(-1L).as("userId"), lit("sentinel").as("eventType"),
+          lit(0.0).as("value"), lit(-1L).as("eventId"))
+        .write.mode("append").parquet(s"$base/slide_in")
+      runOnce()
+      // the sentinel's own four windows stay open (their ends are far
+      // beyond the batch-1 watermark), so no sentinel row can leak
+      s.read.parquet(s"$base/slide_out")
+        .select(col("w_start"), col("w_end"), col("n"))
+        .orderBy(col("w_start"))
+    },
+
     // TRUE STREAMING RUN of Streaming.tumblingCounts through the same
     // two-micro-batch watermark-advance protocol as the session replay
     // below — tumbling windows are the OTHER append-mode stateful
@@ -1044,6 +1095,21 @@ object Events {
     // Gaps-and-islands replica of session_window semantics: an event at
     // EXACTLY prev + gap still merges (verified empirically, StreamingSpec);
     // a new session needs a gap strictly greater than 30min.
+    // Emitted set = the 4-offset sliding grid filtered by the batch-1
+    // watermark; up to four overlapping tail windows stay open.
+    "q_stream_sliding_replay" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
+        | w AS (SELECT time_bucket(INTERVAL '15 minutes', ts)
+        |    - (o.k * INTERVAL '15 minutes') AS w_start, count(*) AS n
+        |  FROM e, (VALUES (0), (1), (2), (3)) o(k) GROUP BY 1),
+        | wm AS (SELECT (epoch_us(max(ts)) // 1000 - 600000) AS wm_ms
+        |  FROM e)
+        | SELECT w_start, w_start + INTERVAL 1 HOUR AS w_end, n
+        | FROM w, wm
+        | WHERE epoch_us(w_start + INTERVAL 1 HOUR) < wm_ms * 1000
+        | ORDER BY w_start"""
+        .stripMargin.replaceAll("\n", " "),
+
     // Emitted set = the batch hourly grid filtered by the batch-1
     // watermark; the final partial hour stays open on both sides.
     "q_stream_tumbling_replay" ->

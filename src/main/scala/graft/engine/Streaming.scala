@@ -28,6 +28,18 @@ case class UserCountMax(userId: Long, n: Long, mx: Double)
   */
 object Streaming {
 
+  /** Sliding 1h/15min counts with a 10-minute watermark; each event
+    * lands in four overlapping windows, each emitted once the watermark
+    * passes ITS end — so overlapping windows close at different batches.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"),
+        col("window.end").as("w_end"), col("n"))
+
   /** Tumbling 1h counts with a 10-minute watermark; append mode emits a
     * window only once the watermark passes its end, and drops events later
     * than the watermark.

@@ -1147,6 +1147,29 @@ object Text {
     // 3-row heap regardless of corpus size.
     // Weighted (probability-proportional-to-size) SYSTEMATIC sampling:
     // walk the corpus in key order accumulating integer token-count
+    // Shard integrity MANIFEST — the checksum card shipped beside every
+    // corpus delivery so the receiving side can verify each shard
+    // without re-reading source data: per 100-doc shard, counts, char
+    // mass, the id range, and an order-free content checksum (sum of
+    // per-doc text digests mod 1e9+7 — addition commutes, so the
+    // checksum is partition-order independent and still flips on any
+    // single-byte change). One map + one shard-key aggregate, linear;
+    // the modulus keeps the running sum inside a long at any shard
+    // size a real manifest would use.
+    "q_pipeline_manifest" -> { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("shard", expr("doc_id DIV 100"))
+        .withColumn("dg", pmod(conv(substring(md5(col("text")), 1, 15),
+          16, 10).cast("long"), lit(1000000007L)))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars"),
+          sum(col("dg")).as("checksum"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))
+        .orderBy(col("shard"))
+    },
+
     // PADDING-waste audit for length-bucketed batching — the dataloader
     // efficiency ledger (padding every sequence to its bucket cap, 8
     // sequences per batch, the final partial batch padded with empty
@@ -3590,6 +3613,15 @@ object Text {
          |   AS mask_ratio
          | FROM pd LEFT JOIN sd ON pd.doc_id = sd.doc_id
          | ORDER BY pd.doc_id""".stripMargin.replaceAll("\n", " "),
+
+    "q_pipeline_manifest" ->
+      """SELECT doc_id // 100 AS shard, count(*) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        | CAST(sum(('0x' || substr(md5(text), 1, 15))::BIGINT
+        |   % 1000000007) AS BIGINT) AS checksum,
+        | min(doc_id) AS min_id, max(doc_id) AS max_id
+        | FROM documents GROUP BY 1 ORDER BY shard"""
+        .stripMargin.replaceAll("\n", " "),
 
     "q_pipeline_pad_waste" ->
       s"""WITH docs AS (SELECT CAST(len($oToks) AS BIGINT) AS n

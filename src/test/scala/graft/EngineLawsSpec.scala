@@ -3352,6 +3352,32 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("sliding replay: overlap conservation — each event in 4 windows") {
+    val rows = SparkEntry.queries("q_stream_sliding_replay")(spark, sf)
+      .collect()
+    val total = graft.engine.Tables.events(spark, sf).count()
+    val emitted = rows.map(_.getLong(2)).sum
+    // every event lands in exactly 4 overlapping windows; only the
+    // open tail (≤4 windows near max ts, ≤4 near the epoch-aligned
+    // head of each offset) is withheld, so the emitted event mass is
+    // slightly under 4× and never over
+    assert(emitted <= 4 * total, s"$emitted > 4×$total")
+    assert(emitted > 3 * total, s"too much withheld: $emitted vs $total")
+  }
+
+  test("manifest: shard cards partition the corpus exactly") {
+    val rows = SparkEntry.queries("q_pipeline_manifest")(spark, sf)
+      .collect()
+    assert(rows.map(_.getLong(1)).sum === 500L)
+    rows.foreach { r =>
+      val (shard, lo, hi) = (r.getLong(0), r.getLong(4), r.getLong(5))
+      assert(lo >= shard * 100 && hi < (shard + 1) * 100,
+        s"id range escapes shard: $r")
+      assert(r.getLong(3) >= 0 && r.getLong(3) < 1000000007L * 100,
+        "checksum out of modular range")
+    }
+  }
+
   test("bpe walk stops when mergeable pairs exhaust, keeping the vocab") {
     // one two-symbol word: iteration 1 merges (a,b); iteration 2 finds no
     // pair and must BREAK, not crossJoin an empty frame over the vocab
