@@ -16,6 +16,45 @@ class StreamingSpec extends SparkSuite {
   private var tableSeq = 0
   private def freshTable(): String = { tableSeq += 1; s"stream_out_$tableSeq" }
 
+  test("sliding windows close individually as the watermark crosses them") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val tbl = freshTable()
+    val q = Streaming.slidingCounts(ms.toDF())
+      .writeStream.format("memory").queryName(tbl)
+      .outputMode("append").start()
+    try {
+      // one event at 10:05 lives in four 1h windows starting 09:15,
+      // 09:30, 09:45, 10:00
+      ms.addData(Ev(ts("2024-01-01 10:05:00"), 1, "a", 1.0, 1))
+      q.processAllAvailable()
+      assert(spark.table(tbl).count() === 0)
+      // watermark -> 10:35: [09:15,10:15) and [09:30,10:30) close, the
+      // other two of the SAME event stay open — overlapping windows
+      // emit at different batches
+      ms.addData(Ev(ts("2024-01-01 10:45:00"), 1, "a", 1.0, 2))
+      q.processAllAvailable()
+      val afterFirst = spark.table(tbl)
+        .select(col("w_start").cast("string")).as[String].collect().toSet
+      assert(afterFirst ===
+        Set("2024-01-01 09:15:00", "2024-01-01 09:30:00"))
+      // watermark -> 11:50 closes every window ending before it: the
+      // first event's remaining three, the second event's four — with
+      // [10:00, 11:00) holding BOTH events
+      ms.addData(Ev(ts("2024-01-01 12:00:00"), 1, "a", 1.0, 3))
+      q.processAllAvailable()
+      val rows = spark.table(tbl)
+        .select(col("w_start").cast("string"), col("n"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(rows === Set(
+        ("2024-01-01 09:15:00", 1L), ("2024-01-01 09:30:00", 1L),
+        ("2024-01-01 09:45:00", 1L), ("2024-01-01 10:00:00", 2L),
+        ("2024-01-01 10:15:00", 1L), ("2024-01-01 10:30:00", 1L),
+        ("2024-01-01 10:45:00", 1L)))
+    } finally q.stop()
+  }
+
   test("append-mode tumbling window emits on watermark and drops late data") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
