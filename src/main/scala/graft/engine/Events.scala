@@ -47,18 +47,6 @@ object Events {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // TRUE STREAMING RUN of Streaming.dedupWithinWatermark under the
-    // oracle gate (r6 verdict item 7; Spark REJECTS the operator on
-    // batch frames, so a batch replay is impossible — instead the query
-    // executes an actual Structured Streaming job at build time, the
-    // q_scan_binaryfile eager-side-effect precedent): the re-delivered
-    // event stream (every 10th event re-enters as a byte-identical
-    // copy, the at-least-once duplication this operator absorbs) lands
-    // in a parquet staging dir, a readStream file source feeds the
-    // SAME builder StreamingSpec exercises, and the deduped stream
-    // writes through a parquet sink. Trigger.Once processes everything
-    // in ONE micro-batch, so the watermark never drops rows mid-run
-    // and the surviving set is value-deterministic (duplicates are
     // BATCH REPLAY of Streaming.runningMax — the typed arbitrary-state
     // operator (KeyValueGroupedDataset.mapGroupsWithState) under the
     // oracle gate: on a batch Dataset the single "micro-batch" is the
@@ -90,36 +78,40 @@ object Events {
     // emits ORDER-FREE state (count + max, no float summation), so the
     // batch fold equals count(*)/max(value) per user exactly.
     "q_stream_tws_replay" -> { (s, d) =>
-      import s.implicits._
-      val ev = Tables.events(s, d)
+      // transformWithState loads a state store even on batch, and only
+      // the RocksDB provider hosts its value-state column families.
+      // The provider conf therefore lives on a CHILD session
+      // (newSession shares the SparkContext, catalog, and injected
+      // extensions but owns an independent SQLConf), so the other
+      // streaming replays — and anything else running on the shared
+      // session concurrently — never observe the RocksDB setting; the
+      // eager localCheckpoint executes the whole fold under the child
+      // conf and the returned frame is plain checkpointed blocks.
+      val s2 = s.newSession()
+      import s2.implicits._
+      val ev = Tables.events(s2, d)
         .select(col("ts"), col("user_id").as("userId"),
           col("event_type").as("eventType"), col("value"),
           col("event_id").as("eventId"))
         .as[Ev]
-      // transformWithState loads a state store even on batch, and only
-      // the RocksDB provider hosts its value-state column families; the
-      // conf is scoped to this builder — the eager localCheckpoint
-      // executes the fold under it, then the session conf is restored
-      // so the other streaming replays keep their default provider
-      // batch TransformWithStateExec still resolves the driver-side
-      // StateStoreCoordinator RPC endpoint, which only a STREAMING query
-      // normally instantiates (StreamingQueryManager.stateStoreCoordinator
-      // is lazy) — touch it so the batch fold doesn't die with
-      // RpcEndpointNotFoundException in a session that never streamed;
-      // reflection because the accessor is private[sql]
-      s.streams.getClass.getMethod("stateStoreCoordinator")
+      // Batch TransformWithStateExec still resolves the driver-side
+      // StateStoreCoordinator RPC endpoint, which only a STREAMING
+      // query normally instantiates (StreamingQueryManager.
+      // stateStoreCoordinator is lazy) — touch it so the batch fold
+      // doesn't die with RpcEndpointNotFoundException in a session that
+      // never streamed. Reflection because the accessor is
+      // private[sql]; GUARDED so a future Spark that renames the
+      // accessor (or eagerly registers the endpoint, making the touch
+      // unnecessary) degrades to attempting the fold rather than
+      // throwing NoSuchMethodException here.
+      try s.streams.getClass.getMethod("stateStoreCoordinator")
         .invoke(s.streams)
-      val key = "spark.sql.streaming.stateStore.providerClass"
-      val prev = s.conf.getOption(key)
-      s.conf.set(key, "org.apache.spark.sql.execution.streaming.state" +
-        ".RocksDBStateStoreProvider")
-      val folded =
-        try Checkpoints.pin(s"tws:$d",
-          Streaming.runningCountMax(ev).toDF().localCheckpoint())
-        finally prev match {
-          case Some(v) => s.conf.set(key, v)
-          case None => s.conf.unset(key)
-        }
+      catch { case scala.util.control.NonFatal(_) => () }
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state" +
+          ".RocksDBStateStoreProvider")
+      val folded = Checkpoints.pin(s"tws:$d",
+        Streaming.runningCountMax(ev).toDF().localCheckpoint())
       folded
         .select(col("userId").as("user_id"), col("n").as("n_events"),
           col("mx").as("max_value"))
@@ -304,6 +296,95 @@ object Events {
         .write.mode("append").parquet(s"$base/tumb_in")
       runOnce()
       s.read.parquet(s"$base/tumb_out")
+        .filter(col("userId") >= 0)
+        .select(col("userId").as("user_id"), col("w_start"), col("n"))
+        .orderBy(col("user_id"), col("w_start"))
+    },
+
+    // LATE-DATA DROPPING under the oracle gate — the one watermark
+    // behavior the advance protocol above can't show (it only builds
+    // and EVICTS state; no row ever arrives behind the watermark).
+    // Spark's stateful operators carry TWO watermark values per batch
+    // (the SPARK-40925 contract): late-input filtering uses the
+    // PREVIOUS batch's watermark, eviction the current one — so a late
+    // row is dropped only when an EARLIER batch could already have
+    // finalized its window, and a re-delivery arriving in the same
+    // trigger that advances the watermark is still accepted (verified
+    // empirically: a same-batch re-delivery doubles every window).
+    // Hence three Trigger.Once batches on one checkpoint:
+    //   batch 1: real events → pure state build (watermark 0).
+    //   batch 2: a far-future sentinel (user −1) → eviction watermark
+    //     W1 = ms-floored batch-1 max event time − 10 min emits every
+    //     hour ending before W1 at its ORIGINAL count; the global
+    //     watermark then advances to W2 = 2030-01-01 − 10 min.
+    //   batch 3: the late re-delivery — every real event with
+    //     ts < W1 re-enters. Late filtering now uses W1, and judges
+    //     lateness PER WINDOW, not per row (the documented aggregation
+    //     contract: late rows keep aggregating while their window's
+    //     end is ahead of the watermark): re-deliveries into hours
+    //     that closed under W1 are DROPPED; re-deliveries into the
+    //     hour STRADDLING W1 — late rows, still-open window — are
+    //     ACCEPTED and double that hour's sub-W1 population. Eviction
+    //     (watermark W2) then closes every remaining real window.
+    // The sink therefore holds: closed-before-W1 hours at ORIGINAL
+    // counts (the drop, observable because an un-dropped re-delivery
+    // would re-create evicted state and append a duplicate window row),
+    // the straddling hour with its accepted late copies, tail hours
+    // unchanged. The oracle replays W1 and the per-window accept
+    // predicate in exact integer-ms arithmetic. The late re-delivery is
+    // built distributed — W1 rides a 1-row broadcast scalar, never a
+    // driver-side collect.
+    "q_stream_tumbling_late" -> { (s, d) =>
+      val slug = d.replaceAll("[^A-Za-z0-9_]", "_")
+      val base =
+        s"${System.getProperty("java.io.tmpdir")}/graft_stream/$slug"
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory)
+          Option(p.listFiles()).getOrElse(Array.empty).foreach(rm)
+        p.delete(); ()
+      }
+      rm(new java.io.File(s"$base/late_in"))
+      rm(new java.io.File(s"$base/late_out"))
+      rm(new java.io.File(s"$base/late_ckpt"))
+      val ev = Tables.events(s, d)
+        .select(col("ts"), col("user_id").as("userId"),
+          col("event_type").as("eventType"), col("value"),
+          col("event_id").as("eventId"))
+      ev.write.mode("overwrite").parquet(s"$base/late_in")
+      val schema = s.read.parquet(s"$base/late_in").schema
+      def runOnce(): Unit = {
+        val in = s.readStream.schema(schema).parquet(s"$base/late_in")
+        val q = Streaming.tumblingCounts(in)
+          .writeStream.format("parquet")
+          .option("path", s"$base/late_out")
+          .option("checkpointLocation", s"$base/late_ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+          .start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+      }
+      runOnce()
+      // batch 2 = the watermark-advancing sentinel alone (a same-batch
+      // re-delivery would be judged by batch 1's zero watermark and
+      // sail through — the SPARK-40925 two-watermark contract above)
+      s.range(1).select(
+          lit("2030-01-01 00:00:00").cast("timestamp").as("ts"),
+          lit(-1L).as("userId"), lit("sentinel").as("eventType"),
+          lit(0.0).as("value"), lit(-1L).as("eventId"))
+        .write.mode("append").parquet(s"$base/late_in")
+      runOnce()
+      // batch 3 = the late re-delivery (ts strictly behind W1); W1 as
+      // a broadcast 1-row scalar keeps the build distributed
+      val wm = ev.agg(
+        (expr("unix_micros(max(ts)) DIV 1000") - lit(600000L))
+          .as("wm_ms"))
+      ev.crossJoin(broadcast(wm))
+        .filter(expr("unix_micros(ts) DIV 1000") < col("wm_ms"))
+        .select(col("ts"), col("userId"), col("eventType"), col("value"),
+          col("eventId"))
+        .write.mode("append").parquet(s"$base/late_in")
+      runOnce()
+      s.read.parquet(s"$base/late_out")
         .filter(col("userId") >= 0)
         .select(col("userId").as("user_id"), col("w_start"), col("n"))
         .orderBy(col("user_id"), col("w_start"))
@@ -1121,6 +1202,30 @@ object Events {
         |  FROM e)
         | SELECT user_id, w_start, n FROM w, wm
         | WHERE epoch_us(w_start + INTERVAL 1 HOUR) < wm_ms * 1000
+        | ORDER BY user_id, w_start"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // The three-batch late protocol: final emitted set = the full
+    // hourly grid over original events PLUS the late re-delivery's
+    // ACCEPTED subset — rows behind W1 whose hour still ends at or
+    // ahead of W1 (Spark's per-window lateness contract); everything
+    // re-delivered into an hour that closed under W1 was dropped, so
+    // those hours keep their original counts and appear exactly once.
+    "q_stream_tumbling_late" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        | wm AS (SELECT (epoch_us(max(ts)) // 1000 - 600000) AS wm_ms
+        |  FROM e),
+        | inp AS (
+        |  SELECT user_id, ts FROM e
+        |  UNION ALL
+        |  SELECT user_id, ts FROM e, wm
+        |  WHERE epoch_us(ts) // 1000 < wm_ms
+        |   AND epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR)
+        |     >= wm_ms * 1000)
+        | SELECT user_id, date_trunc('hour', ts) AS w_start,
+        |  count(*) AS n
+        | FROM inp GROUP BY 1, 2
         | ORDER BY user_id, w_start"""
         .stripMargin.replaceAll("\n", " "),
 

@@ -34,6 +34,20 @@ object Ingest {
 
   def bucketedTable(d: String): String = s"graft_lineitem_bucketed_${slug(d)}"
 
+  /** One-doc-per-line text-sink guard (q_scan_text): maps BOTH
+    * line-break bytes to spaces — Hadoop's LineRecordReader splits on
+    * `\n`, bare `\r`, AND `\r\n`, so translating `\n` alone would let a
+    * carriage-return document break the write/read line parity — and
+    * turns NULL into the empty line (the text writer rejects nulls).
+    * Length-preserving by construction (`\r\n` becomes TWO spaces), so
+    * char-mass checksums survive the round trip. Factored so the
+    * IngestSpec law can plant CR documents through the exact production
+    * spelling.
+    */
+  private[graft] def textLineGuard(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    coalesce(translate(text, "\n\r", "  "), lit(""))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_scan_parquet" -> { (s, d) =>
       Tables.lineitem(s, d).agg(count(lit(1)).as("n"))
@@ -273,14 +287,13 @@ object Ingest {
     // §2.1 source matrix (parquet/csv/json/jsonl/orc/xml/binary/text).
     "q_scan_text" -> { (s, d) =>
       val out = tmp("docs_text", d)
-      // pin the one-doc-per-line invariant against fixture drift: a
-      // newline inside text would split one doc into two physical lines
-      // (and a NULL would crash the text writer), so newlines map 1:1 to
-      // spaces (length-preserving — the oracle's length(text) still
-      // matches) and NULL becomes the empty line
+      // pin the one-doc-per-line invariant against fixture drift: a line
+      // break inside text would split one doc into two physical lines
+      // (and a NULL would crash the text writer) — textLineGuard maps
+      // both \n and \r to spaces (length-preserving, so the oracle's
+      // length(text) still matches) and NULL becomes the empty line
       Tables.documents(s, d)
-        .select(coalesce(translate(col("text"), "\n", " "), lit(""))
-          .as("text"))
+        .select(textLineGuard(col("text")).as("text"))
         .write.mode("overwrite").text(out)
       s.read.text(out)
         .agg(count(lit(1)).as("n_lines"),

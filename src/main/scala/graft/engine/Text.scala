@@ -2329,19 +2329,24 @@ object Text {
     // observe() on the input and materialize as a side effect of the
     // SAME job that computes the real output (here the per-source
     // rollup; in production the observed action is the sink write).
-    // The foreach(()=>()) action is metric plumbing only — nothing
-    // funnels rows to the driver; obs.get returns the aggregated
-    // counters the listener captured, which then annotate the rollup as
-    // literals. All metrics are exact integers.
+    // The observed action is an eager localCheckpoint of the rollup —
+    // the stand-in sink — so the returned frame reads the checkpointed
+    // blocks and the documents source is scanned exactly ONCE (a bare
+    // foreach action would observe correctly but leave the returned
+    // plan to re-scan the source when the driver materializes it);
+    // obs.get returns the aggregated counters the listener captured,
+    // which then annotate the rollup as literals. All metrics are
+    // exact integers.
     "q_pipeline_observe" -> { (s, d) =>
       val obs = org.apache.spark.sql.Observation()
       val docs = Tables.documents(s, d).observe(obs,
         count(lit(1)).as("n_docs"),
         sum(length(col("text"))).as("sum_chars"),
         count(when(col("lang") === "en", 1)).as("n_en"))
-      val bySource = docs.groupBy(col("source"))
-        .agg(count(lit(1)).as("n"))
-      bySource.foreach(_ => ()) // the observed pass (stand-in sink)
+      val bySource = Checkpoints.pin(s"observe:$d",
+        docs.groupBy(col("source"))
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint()) // the observed pass (stand-in sink)
       val m = obs.get
       bySource
         .select(col("source"), col("n"),

@@ -392,8 +392,9 @@ object Windows {
     // size(). The set is bounded by the attribute's cardinality (5
     // priorities here — state stays O(|domain|) per frame, which is the
     // ONLY regime where this spelling is scale-safe; for unbounded
-    // domains the answer is the q_agg_hll_union sketch per frame). The
-    // oracle uses DuckDB's native count(DISTINCT ...) OVER.
+    // domains the answer is the per-frame HLL sketch registered as
+    // q_win_distinct_running_hll below. The oracle uses DuckDB's
+    // native count(DISTINCT ...) OVER.
     "q_win_distinct_running" -> { (s, d) =>
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_orderdate"), col("o_orderkey"))
@@ -403,10 +404,47 @@ object Windows {
           size(collect_set(col("o_orderpriority")).over(w))
             .as("n_distinct_prio"))
         .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    },
+
+    // The SKETCH spelling of running distinct — the 100 TB path for
+    // UNBOUNDED attribute domains, where collect_set's O(distinct)
+    // per-frame state is a scale-killer: hll_sketch_agg (DataSketches
+    // HLL) over the same running frame keeps per-frame state at the
+    // sketch's fixed size (~2^lgK registers) regardless of domain
+    // cardinality, and the frame only GROWS (unbounded preceding →
+    // current row), so the window processor updates the sketch
+    // incrementally — no retraction needed, one pass per partition.
+    // At this fixture's cardinality (5 priorities) the sketch is in
+    // exact (coupon-list) mode, so the estimate equals the true count
+    // and the row shares q_win_distinct_running's count(DISTINCT) OVER
+    // oracle verbatim; the EngineLaws test additionally pins estimate ==
+    // exact-spelling equality row-for-row, which is the accuracy ledger
+    // the q_agg_bitmap_distinct / q_agg_hll_union twin pair established.
+    "q_win_distinct_running_hll" -> { (s, d) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d).filter(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          hll_sketch_estimate(
+            hll_sketch_agg(col("o_orderpriority")).over(w))
+            .cast("int").as("n_distinct_prio"))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
     }
   )
 
   val oracle: Map[String, String] = Map(
+    // the sketch spelling is exact at this fixture's 5-value domain
+    // (coupon-list mode), so it shares the exact row's oracle verbatim
+    "q_win_distinct_running_hll" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | CAST(count(DISTINCT o_orderpriority) OVER (
+        |   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+        |  AS n_distinct_prio
+        | FROM orders WHERE o_custkey < 200
+        | ORDER BY o_custkey, o_orderdate, o_orderkey"""
+        .stripMargin.replaceAll("\n", " "),
     "q_win_distinct_running" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         | CAST(count(DISTINCT o_orderpriority) OVER (

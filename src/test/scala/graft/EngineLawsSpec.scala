@@ -3378,6 +3378,21 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("running-distinct HLL sketch spelling equals the exact spelling") {
+    // the accuracy ledger for the unbounded-domain scale path: at this
+    // fixture's 5-value priority domain the sketch runs in exact
+    // (coupon-list) mode, so every running estimate must equal the
+    // collect_set spelling row-for-row — and both spellings must agree
+    // on ordering, so compare as aligned sequences, not sets
+    val exact = SparkEntry.queries("q_win_distinct_running")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    val hll = SparkEntry.queries("q_win_distinct_running_hll")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3)))
+    assert(hll.length === exact.length && hll.nonEmpty)
+    assert(hll.toSeq === exact.toSeq,
+      "per-frame HLL estimate must be exact at bounded cardinality")
+  }
+
   test("bpe walk stops when mergeable pairs exhaust, keeping the vocab") {
     // one two-symbol word: iteration 1 merges (a,b); iteration 2 finds no
     // pair and must BREAK, not crossJoin an empty frame over the vocab

@@ -83,6 +83,29 @@ class IngestSpec extends SparkSuite {
     }
   }
 
+  test("text-sink line guard survives \\r, \\r\\n, \\n, and NULL documents") {
+    import spark.implicits._
+    // the r8/r9 latent-bug class: Hadoop's LineRecordReader splits on
+    // bare \r and \r\n as well as \n — a guard that only translates \n
+    // would read these 5 docs back as MORE than 5 lines
+    val docs = Seq(
+      "plain document",
+      "unix\nbreak",
+      "mac\rbreak",
+      "dos\r\nbreak",
+      null.asInstanceOf[String],
+      "").toDF("text")
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_test_crlf"
+    docs.select(engine.Ingest.textLineGuard($"text").as("text"))
+      .write.mode("overwrite").text(out)
+    val back = spark.read.text(out)
+    assert(back.count() === 6L, "one physical line per document")
+    val mass = back.agg(sum(length($"value"))).head.getLong(0)
+    val expect = docs
+      .agg(sum(length(coalesce($"text", lit(""))))).head.getLong(0)
+    assert(mass === expect, "guard must be length-preserving")
+  }
+
   test("incremental dedup: arrival order wins, planted copies drop") {
     val rows = SparkEntry.queries("q_shape_incr_dedup")(spark, sf).collect()
     val ids = rows.map(_.getLong(0)).toSet
