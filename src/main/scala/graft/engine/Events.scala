@@ -449,6 +449,79 @@ object Events {
         .orderBy(col("user_id"), col("s_start"))
     },
 
+    // LATE-DATA DROPPING for SESSION windows — the gap-merged half of
+    // the late matrix (q_stream_tumbling_late is the fixed-grid half),
+    // whose semantics differ in BOTH directions: a late row is judged
+    // by its OWN provisional interval [ts, ts+30min) (dropped only when
+    // that interval's end is already behind W1, i.e. ts < W1 − gap),
+    // and an ACCEPTED late row doesn't just increment a counter — it
+    // re-enters session-merge, fusing with whatever open-session state
+    // survived eviction (interval-overlap connected components are
+    // order-independent, so the merged result equals re-sessionizing
+    // the surviving rows ∪ accepted copies — which is exactly how the
+    // oracle replays it). Protocol = the tumbling_late three batches:
+    // real events → build; sentinel (user −1) → W1 eviction emits every
+    // session ending before W1, watermark advances to W2; late
+    // re-delivery of every sub-W1 row → sub-(W1−gap) copies DROP
+    // (un-dropped they would re-create evicted sessions and append
+    // duplicate rows), the [W1−gap, W1) tail merges into the open
+    // sessions, and W2 eviction closes everything real. The sink is
+    // closed-under-W1 sessions at original counts ∪ the re-merged tail
+    // sessions — all exact integer-ms arithmetic.
+    "q_stream_session_late" -> { (s, d) =>
+      val slug = d.replaceAll("[^A-Za-z0-9_]", "_")
+      val base =
+        s"${System.getProperty("java.io.tmpdir")}/graft_stream/$slug"
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory)
+          Option(p.listFiles()).getOrElse(Array.empty).foreach(rm)
+        p.delete(); ()
+      }
+      rm(new java.io.File(s"$base/slate_in"))
+      rm(new java.io.File(s"$base/slate_out"))
+      rm(new java.io.File(s"$base/slate_ckpt"))
+      val ev = Tables.events(s, d)
+        .select(col("ts"), col("user_id").as("userId"),
+          col("event_type").as("eventType"), col("value"),
+          col("event_id").as("eventId"))
+      ev.write.mode("overwrite").parquet(s"$base/slate_in")
+      val schema = s.read.parquet(s"$base/slate_in").schema
+      def runOnce(): Unit = {
+        val in = s.readStream.schema(schema).parquet(s"$base/slate_in")
+        val q = Streaming.sessionCounts(in)
+          .writeStream.format("parquet")
+          .option("path", s"$base/slate_out")
+          .option("checkpointLocation", s"$base/slate_ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+          .start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+      }
+      runOnce()
+      s.range(1).select(
+          lit("2030-01-01 00:00:00").cast("timestamp").as("ts"),
+          lit(-1L).as("userId"), lit("sentinel").as("eventType"),
+          lit(0.0).as("value"), lit(-1L).as("eventId"))
+        .write.mode("append").parquet(s"$base/slate_in")
+      runOnce()
+      // batch 3 = the late re-delivery (ts strictly behind W1; the
+      // drop/merge split happens inside the streaming operator)
+      val wm = ev.agg(
+        (expr("unix_micros(max(ts)) DIV 1000") - lit(600000L))
+          .as("wm_ms"))
+      ev.crossJoin(broadcast(wm))
+        .filter(expr("unix_micros(ts) DIV 1000") < col("wm_ms"))
+        .select(col("ts"), col("userId"), col("eventType"), col("value"),
+          col("eventId"))
+        .write.mode("append").parquet(s"$base/slate_in")
+      runOnce()
+      s.read.parquet(s"$base/slate_out")
+        .filter(col("userId") >= 0)
+        .select(col("userId").as("user_id"), col("s_start"),
+          col("s_end"), col("n"))
+        .orderBy(col("user_id"), col("s_start"), col("s_end"), col("n"))
+    },
+
     // BATCH REPLAY of Streaming.streamingDecontaminate (r6 verdict item
     // 7): the stream-static decontamination pipeline has no watermark or
     // stateful operator — per micro-batch it is a map + broadcast join +
@@ -1227,6 +1300,46 @@ object Events {
         |  count(*) AS n
         | FROM inp GROUP BY 1, 2
         | ORDER BY user_id, w_start"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Session late protocol: lateness is judged on the row's
+    // PROVISIONAL interval [ts, ts+30min) (the session_window value at
+    // input), so a copy is accepted iff ts + 30min clears W1. The
+    // interval argument collapses the replay: a session that closed
+    // under W1 has last_ts < W1 − 30min, so ALL its copies drop and no
+    // session is ever re-created; every accepted copy (ts in
+    // [W1−30min, W1)) duplicates a row of a still-OPEN session, so the
+    // re-merge leaves every session range unchanged and only raises the
+    // open sessions' counts by their accepted-copy population. Final
+    // sink = every session (closed emitted under W1, open under W2)
+    // with n + accepted copies.
+    "q_stream_session_late" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events),
+        | wm AS (SELECT (epoch_us(max(ts)) // 1000 - 600000) AS wm_ms
+        |  FROM e),
+        | m AS (SELECT user_id, ts,
+        |   CASE WHEN lag(ts) OVER w IS NULL
+        |     OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |    THEN 1 ELSE 0 END AS new_s
+        |   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        | g AS (SELECT user_id, ts,
+        |   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |     ROWS UNBOUNDED PRECEDING) AS sid
+        |   FROM m),
+        | sess AS (SELECT user_id, sid, min(ts) AS s_start,
+        |   max(ts) + INTERVAL 30 MINUTE AS s_end, count(*) AS n
+        |  FROM g GROUP BY user_id, sid),
+        | extra AS (SELECT user_id, sid, count(*) AS x
+        |  FROM g, wm
+        |  WHERE epoch_us(ts) // 1000 < wm_ms
+        |   AND epoch_us(ts + INTERVAL 30 MINUTE) >= wm_ms * 1000
+        |  GROUP BY user_id, sid)
+        | SELECT s.user_id, s.s_start, s.s_end,
+        |  s.n + coalesce(x.x, 0) AS n
+        | FROM sess s LEFT JOIN extra x
+        |  ON s.user_id = x.user_id AND s.sid = x.sid
+        | ORDER BY s.user_id, s.s_start"""
         .stripMargin.replaceAll("\n", " "),
 
     // The two-micro-batch protocol's emitted set = batch sessionization

@@ -948,6 +948,12 @@ object Vectors {
           col("c_id").as("code"), col("pd"))
       val wAdc = org.apache.spark.sql.expressions.Window
         .partitionBy(col("probe_id")).orderBy(asc("ad2"), asc("vec_id"))
+      // The ADC shortlist (probes x 200 rows) checkpoints too: it is the
+      // candidate set handed to the rerank — generated once, then decoded
+      // — and the cut keeps the rerank query's AQE stages from carrying
+      // the whole encode+ADC lineage in every task binary (this one cut
+      // was measured to clear ALL ~1.1 MiB large-task-binary warnings
+      // for this query; values unchanged).
       val shortlist = enc.join(broadcast(dt), Seq("sub_id", "code"))
         .filter(col("vec_id") =!= col("probe_id"))
         .groupBy(col("probe_id"), col("vec_id"))
@@ -955,6 +961,8 @@ object Vectors {
         .withColumn("rs", row_number().over(wAdc))
         .filter(col("rs") <= 200)
         .select(col("probe_id"), col("vec_id"), col("ad2"))
+        .localCheckpoint()
+      ccPinned.put(s"pq_sl:$d", shortlist).foreach(freeCheckpoint)
       // exact rerank: decode only the shortlisted originals
       val wTop = org.apache.spark.sql.expressions.Window
         .partitionBy(col("probe_id")).orderBy(asc("d2"), asc("vec_id"))
@@ -1072,6 +1080,9 @@ object Vectors {
           col("c_id").as("code"), col("pd"))
       val wAdc = org.apache.spark.sql.expressions.Window
         .partitionBy(col("probe_id")).orderBy(asc("ad2"), asc("vec_id"))
+      // shortlist ckpt = the q_vec_pq rule: cut the rerank query's
+      // lineage at the candidate-set artifact so its AQE stages don't
+      // carry the routing+encode+ADC plan in every task binary
       val shortlist = enc
         .join(broadcast(dt), Seq("list_id", "sub_id", "code"))
         .filter(col("vec_id") =!= col("probe_id"))
@@ -1080,6 +1091,8 @@ object Vectors {
         .withColumn("rs", row_number().over(wAdc))
         .filter(col("rs") <= 600)
         .select(col("probe_id"), col("vec_id"), col("ad2"))
+        .localCheckpoint()
+      ccPinned.put(s"ivfpq_sl:$d", shortlist).foreach(freeCheckpoint)
       val wTop = org.apache.spark.sql.expressions.Window
         .partitionBy(col("probe_id")).orderBy(asc("d2"), asc("vec_id"))
       qs.join(broadcast(shortlist), "vec_id")
