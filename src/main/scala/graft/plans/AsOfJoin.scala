@@ -170,8 +170,8 @@ case class AsOfJoinExec(
               // into the iterator's reusable row buffer (UTF8String/binary/
               // decimal), which the next advanceRight() overwrites.
               // The key-type matrix is law-pinned in EngineLawsSpec:
-              // Long (oracle rows), UTF8String, Decimal, and binary
-              // each replay the expected match set independently
+              // Long (oracle rows), UTF8String, Decimal, binary, and
+              // struct each replay the expected match set independently
               held = rNext.copy(); heldKey = rk.eval(held)
               advanceRight()
             } else {

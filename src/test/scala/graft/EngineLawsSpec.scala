@@ -3091,6 +3091,33 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("asof exec: struct keys pin the held-key copy semantics") {
+    // StructType keys — the compound-business-key spelling (e.g.
+    // (tenant, entity)): the evaluated InternalRow of the lookahead
+    // buffer is itself buffer-backed, so the copy rule applies one
+    // level deeper; the interpreted struct ordering compares field by
+    // field. Same independent replay as the decimal/binary laws.
+    import spark.implicits._
+    val keys = (1 to 8).map(i => (i / 3, s"e$i"))
+    val right = keys.zipWithIndex.flatMap { case (k, ki) =>
+      (1L to 5L).map(m => (k, m * 10, ki * 100L + m)) }
+      .toDF("rk", "rt", "v")
+    val left = keys.flatMap(k =>
+      (0L to 6L).map(j => (k, j * 10 - 5))).toDF("k", "t")
+    val got = left
+      .join(right, expr("graft_asof(k = rk AND rt <= t)"), "left")
+      .select(col("k._1"), col("k._2"), col("t"), col("v")).collect()
+      .map(r => ((r.getInt(0), r.getString(1)), r.getLong(2),
+        if (r.isNullAt(3)) null else r.getLong(3))).toSet
+    assert(got.size === keys.size * 7) // one row (match or null) per probe
+    val kIdx = keys.zipWithIndex.toMap
+    got.foreach { case (k, t, v) =>
+      val expected = (1L to 5L).filter(_ * 10 <= t).lastOption
+        .map(m => Long.box(kIdx(k) * 100L + m)).orNull
+      assert(v === expected, s"key=$k t=$t")
+    }
+  }
+
   test("dedup cascade funnel: stages chain and only shrink") {
     val rows = SparkEntry.queries("q_pipeline_dedup_cascade")(spark, sf)
       .collect().sortBy(_.getInt(0))
