@@ -302,7 +302,7 @@ object Bench {
       // and the three-batch late-data drop protocols (real streaming
       // state + two-watermark filter; fixed-grid and gap-merged)
       "q_win_distinct_running_hll", "q_stream_tumbling_late",
-      "q_stream_session_late")
+      "q_stream_session_late", "q_stream_sliding_late")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

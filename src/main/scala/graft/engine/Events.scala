@@ -251,6 +251,71 @@ object Events {
         .orderBy(col("w_start"))
     },
 
+    // LATE-DATA DROPPING for SLIDING windows — the third shape of the
+    // late matrix (tumbling = one window per row, session = gap-merge;
+    // sliding = each row lives in FOUR windows and lateness is judged
+    // PER (row, window) pair after the grid expansion): a re-delivered
+    // row's four window entries split independently — entries whose
+    // window closed under W1 DROP, entries whose window end clears W1
+    // are ACCEPTED, so one late row can simultaneously be dropped from
+    // its three older windows and counted in its newest one. Same
+    // three-batch protocol as q_stream_tumbling_late (the SPARK-40925
+    // two-watermark contract forces the re-delivery one batch behind
+    // the sentinel); the sentinels' own windows stay open forever, so
+    // no sentinel row can leak. Oracle = the 4-offset grid over the
+    // original events plus the accepted (copy, window) contributions,
+    // exact integer-ms arithmetic; an un-dropped entry would re-create
+    // evicted window state and append a duplicate window row.
+    "q_stream_sliding_late" -> { (s, d) =>
+      val slug = d.replaceAll("[^A-Za-z0-9_]", "_")
+      val base =
+        s"${System.getProperty("java.io.tmpdir")}/graft_stream/$slug"
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory)
+          Option(p.listFiles()).getOrElse(Array.empty).foreach(rm)
+        p.delete(); ()
+      }
+      rm(new java.io.File(s"$base/sllate_in"))
+      rm(new java.io.File(s"$base/sllate_out"))
+      rm(new java.io.File(s"$base/sllate_ckpt"))
+      val ev = Tables.events(s, d)
+        .select(col("ts"), col("user_id").as("userId"),
+          col("event_type").as("eventType"), col("value"),
+          col("event_id").as("eventId"))
+      ev.write.mode("overwrite").parquet(s"$base/sllate_in")
+      val schema = s.read.parquet(s"$base/sllate_in").schema
+      def runOnce(): Unit = {
+        val in = s.readStream.schema(schema).parquet(s"$base/sllate_in")
+        val q = Streaming.slidingCounts(in)
+          .writeStream.format("parquet")
+          .option("path", s"$base/sllate_out")
+          .option("checkpointLocation", s"$base/sllate_ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+          .start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+      }
+      runOnce()
+      s.range(1).select(
+          lit("2030-01-01 00:00:00").cast("timestamp").as("ts"),
+          lit(-1L).as("userId"), lit("sentinel").as("eventType"),
+          lit(0.0).as("value"), lit(-1L).as("eventId"))
+        .write.mode("append").parquet(s"$base/sllate_in")
+      runOnce()
+      val wm = ev.agg(
+        (expr("unix_micros(max(ts)) DIV 1000") - lit(600000L))
+          .as("wm_ms"))
+      ev.crossJoin(broadcast(wm))
+        .filter(expr("unix_micros(ts) DIV 1000") < col("wm_ms"))
+        .select(col("ts"), col("userId"), col("eventType"), col("value"),
+          col("eventId"))
+        .write.mode("append").parquet(s"$base/sllate_in")
+      runOnce()
+      s.read.parquet(s"$base/sllate_out")
+        .select(col("w_start"), col("w_end"), col("n"))
+        .orderBy(col("w_start"))
+    },
+
     // TRUE STREAMING RUN of Streaming.tumblingCounts through the same
     // two-micro-batch watermark-advance protocol as the session replay
     // below — tumbling windows are the OTHER append-mode stateful
@@ -1300,6 +1365,31 @@ object Events {
         |  count(*) AS n
         | FROM inp GROUP BY 1, 2
         | ORDER BY user_id, w_start"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Sliding late protocol: the final emitted set = the 4-offset grid
+    // over the original events PLUS each re-delivered copy's ACCEPTED
+    // window entries — the (copy, window) pairs whose window end clears
+    // W1; entries into W1-closed windows were dropped, so those windows
+    // keep original counts and appear exactly once.
+    "q_stream_sliding_late" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts FROM events),
+        | wm AS (SELECT (epoch_us(max(ts)) // 1000 - 600000) AS wm_ms
+        |  FROM e),
+        | grid AS (SELECT
+        |   time_bucket(INTERVAL '15 minutes', ts)
+        |     - (o.k * INTERVAL '15 minutes') AS w_start, ts
+        |  FROM e, (VALUES (0), (1), (2), (3)) o(k)),
+        | inp AS (
+        |  SELECT w_start FROM grid
+        |  UNION ALL
+        |  SELECT w_start FROM grid, wm
+        |  WHERE epoch_us(ts) // 1000 < wm_ms
+        |   AND epoch_us(w_start + INTERVAL 1 HOUR) >= wm_ms * 1000)
+        | SELECT w_start, w_start + INTERVAL 1 HOUR AS w_end,
+        |  count(*) AS n
+        | FROM inp GROUP BY 1, 2
+        | ORDER BY w_start"""
         .stripMargin.replaceAll("\n", " "),
 
     // Session late protocol: lateness is judged on the row's
