@@ -302,7 +302,10 @@ object Bench {
       // and the three-batch late-data drop protocols (real streaming
       // state + two-watermark filter; fixed-grid and gap-merged)
       "q_win_distinct_running_hll", "q_stream_tumbling_late",
-      "q_stream_session_late", "q_stream_sliding_late")
+      "q_stream_session_late", "q_stream_sliding_late",
+      // round-10: the outer stream-stream join run (two real streaming
+      // sides + watermark-gated null emission)
+      "q_stream_join_outer_replay")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid
@@ -452,20 +455,27 @@ object Bench {
     // flagged query on an unchanged plan means a contention window ate
     // ALL reps (it self-clears next run); on a changed plan it is a
     // real regression to chase. Regex pull of "queries_min" keeps the
-    // library dependency-free.
+    // library dependency-free. The prior file must have been measured
+    // at the SAME sf dir — a dev smoke run at sf0.001 left in place
+    // would otherwise flag every fact-scale query ~5x (observed r10);
+    // on sf mismatch the comparison is skipped entirely.
     val prevMins: Map[String, Double] =
       try {
         val src = scala.io.Source.fromFile(outPath)
         val txt = try src.mkString finally src.close()
-        // whitespace-tolerant so a hand- or tool-rewritten prior file
-        // (pretty-printed JSON) still parses
-        """"queries_min"\s*:\s*\{""".r.findFirstMatchIn(txt) match {
-          case None => Map.empty[String, Double]
-          case Some(m) =>
-            val body = txt.substring(m.end, txt.indexOf('}', m.end))
-            """"([^"]+)"\s*:\s*([-+0-9.eE]+)""".r.findAllMatchIn(body)
-              .map(g => g.group(1) -> g.group(2).toDouble).toMap
-        }
+        val prevSf = """"sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt)
+          .map(_.group(1))
+        if (!prevSf.contains(sfDir)) Map.empty[String, Double]
+        else
+          // whitespace-tolerant so a hand- or tool-rewritten prior file
+          // (pretty-printed JSON) still parses
+          """"queries_min"\s*:\s*\{""".r.findFirstMatchIn(txt) match {
+            case None => Map.empty[String, Double]
+            case Some(m) =>
+              val body = txt.substring(m.end, txt.indexOf('}', m.end))
+              """"([^"]+)"\s*:\s*([-+0-9.eE]+)""".r.findAllMatchIn(body)
+                .map(g => g.group(1) -> g.group(2).toDouble).toMap
+          }
       } catch { case _: Throwable => Map.empty }
     val regressed = results.flatMap { case (k, _, mn, _, _, _, _, _, _) =>
       prevMins.get(k).filter(p => p > 0 && mn > 1.5 * p).map(p =>

@@ -630,6 +630,65 @@ object Events {
         .orderBy(col("click_id"), col("purchase_id"))
     },
 
+    // TRUE STREAMING stream-stream LEFT OUTER join under the oracle
+    // gate — the semantic the inner replay can't show: a click with no
+    // purchase inside its 30-minute horizon NULL-emits only once the
+    // watermark PROVES no future purchase can pair with it (wm past
+    // l_ts + 30 min), while matches emit as they join. Two Trigger.Once
+    // batches per side on one checkpoint: batch 1 = the real clicks and
+    // purchases (all matches emit, watermark still 0 → no null rows);
+    // batch 2 = one far-future sentinel per side (users −1/−2, no
+    // cross-match) advancing the GLOBAL watermark to W1 =
+    // min(max click ts, max purchase ts) − 10 min (multi-watermark
+    // min policy), which evicts-and-null-emits every unmatched click
+    // whose horizon closed under W1; unmatched clicks still inside the
+    // horizon stay open and are EXCLUDED on both sides. Oracle =
+    // the inner join's matched pairs UNION the horizon-closed
+    // NOT-EXISTS clicks with NULL purchase columns, exact integer-ms.
+    "q_stream_join_outer_replay" -> { (s, d) =>
+      val slug = d.replaceAll("[^A-Za-z0-9_]", "_")
+      val base =
+        s"${System.getProperty("java.io.tmpdir")}/graft_stream/$slug"
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory)
+          Option(p.listFiles()).getOrElse(Array.empty).foreach(rm)
+        p.delete(); ()
+      }
+      Seq("sjo_l", "sjo_r", "sjo_out", "sjo_ckpt")
+        .foreach(n => rm(new java.io.File(s"$base/$n")))
+      def side(t: String) = Tables.events(s, d)
+        .filter(col("event_type") === t)
+        .select(col("ts"), col("user_id").as("userId"),
+          col("event_id").as("eventId"))
+      side("click").write.mode("overwrite").parquet(s"$base/sjo_l")
+      side("purchase").write.mode("overwrite").parquet(s"$base/sjo_r")
+      val schema = s.read.parquet(s"$base/sjo_l").schema
+      def runOnce(): Unit = {
+        val l = s.readStream.schema(schema).parquet(s"$base/sjo_l")
+        val r = s.readStream.schema(schema).parquet(s"$base/sjo_r")
+        val q = Streaming.streamStreamJoinOuter(l, r)
+          .writeStream.format("parquet")
+          .option("path", s"$base/sjo_out")
+          .option("checkpointLocation", s"$base/sjo_ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+          .start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+      }
+      runOnce()
+      def sentinel(uid: Long) = s.range(1).select(
+        lit("2030-01-01 00:00:00").cast("timestamp").as("ts"),
+        lit(uid).as("userId"), lit(uid).as("eventId"))
+      sentinel(-1L).write.mode("append").parquet(s"$base/sjo_l")
+      sentinel(-2L).write.mode("append").parquet(s"$base/sjo_r")
+      runOnce()
+      s.read.parquet(s"$base/sjo_out")
+        .filter(col("l_user") >= 0)
+        .select(col("l_user").as("user_id"), col("l_id").as("click_id"),
+          col("r_id").as("purchase_id"), col("l_ts"), col("r_ts"))
+        .orderBy(col("click_id"), col("purchase_id"))
+    },
+
     "q_stream_tumbling" -> { (s, d) =>
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -1289,6 +1348,40 @@ object Events {
         |  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE
         | WHERE l.event_type = 'click' AND r.event_type = 'purchase'
         | ORDER BY click_id, purchase_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Outer replay: matched pairs exactly as the inner oracle, plus the
+    // NULL-match arm — unmatched clicks whose 30-minute horizon closed
+    // under W1 = min(max click ts, max purchase ts) − 10 min (the
+    // multi-watermark min policy); unmatched clicks still inside the
+    // horizon are withheld on both sides. NULLS FIRST mirrors Spark's
+    // asc null ordering.
+    "q_stream_join_outer_replay" ->
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |   user_id, event_type FROM events),
+        | c AS (SELECT user_id, ts, event_id FROM e
+        |  WHERE event_type = 'click'),
+        | p AS (SELECT user_id, ts, event_id FROM e
+        |  WHERE event_type = 'purchase'),
+        | wm AS (SELECT least(
+        |   (SELECT epoch_us(max(ts)) // 1000 FROM c),
+        |   (SELECT epoch_us(max(ts)) // 1000 FROM p)) - 600000
+        |  AS wm_ms),
+        | matched AS (SELECT c.user_id, c.event_id AS click_id,
+        |   p.event_id AS purchase_id, c.ts AS l_ts, p.ts AS r_ts
+        |  FROM c JOIN p ON c.user_id = p.user_id
+        |   AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE),
+        | unmatched AS (SELECT c.user_id, c.event_id AS click_id,
+        |   CAST(NULL AS BIGINT) AS purchase_id, c.ts AS l_ts,
+        |   CAST(NULL AS TIMESTAMP) AS r_ts
+        |  FROM c, wm
+        |  WHERE NOT EXISTS (SELECT 1 FROM p
+        |    WHERE p.user_id = c.user_id
+        |     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+        |   AND epoch_us(c.ts + INTERVAL 30 MINUTE) < wm_ms * 1000)
+        | SELECT * FROM
+        |  (SELECT * FROM matched UNION ALL SELECT * FROM unmatched)
+        | ORDER BY click_id, purchase_id NULLS FIRST"""
         .stripMargin.replaceAll("\n", " "),
 
     // Spark's window() is epoch-aligned, same as date_trunc/time_bucket.

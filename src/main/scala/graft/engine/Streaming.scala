@@ -84,6 +84,30 @@ object Streaming {
       && col("r_ts") <= col("l_ts") + expr("INTERVAL 30 MINUTES"))
   }
 
+  /** Stream-stream LEFT OUTER join, same keys/time bound as
+    * [[streamStreamJoin]]: matches emit as they join, but a left row's
+    * NULL-match can only emit once the watermark proves no future right
+    * row can pair with it (watermark past l_ts + 30 min, the join
+    * horizon) — the semantic that distinguishes outer from inner on
+    * streams, exercised under the oracle gate by
+    * q_stream_join_outer_replay's watermark-advance protocol. Both
+    * sides watermarked + the bounded time range keeps per-side state at
+    * its horizon, exactly as the inner spelling.
+    */
+  def streamStreamJoinOuter(left: DataFrame, right: DataFrame)
+      : DataFrame = {
+    val l = left.withWatermark("ts", "10 minutes")
+      .select(col("userId").as("l_user"), col("ts").as("l_ts"),
+        col("eventId").as("l_id"))
+    val r = right.withWatermark("ts", "10 minutes")
+      .select(col("userId").as("r_user"), col("ts").as("r_ts"),
+        col("eventId").as("r_id"))
+    l.join(r, col("l_user") === col("r_user")
+      && col("r_ts") >= col("l_ts")
+      && col("r_ts") <= col("l_ts") + expr("INTERVAL 30 MINUTES"),
+      "leftOuter")
+  }
+
   /** Stream-static join: enrich a stream against a broadcast dimension
     * table — no state store needed, the static side is re-read per
     * micro-batch and broadcast.
