@@ -236,6 +236,44 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("outer stream-stream join: null-match waits for the watermark") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val msL = MemoryStream[Ev]
+    val msR = MemoryStream[Ev]
+    val tbl = freshTable()
+    val q = Streaming.streamStreamJoinOuter(msL.toDF(), msR.toDF())
+      .writeStream.format("memory").queryName(tbl)
+      .outputMode("append").start()
+    try {
+      msL.addData(
+        Ev(ts("2024-01-01 10:00:00"), 1, "imp", 1.0, 10), // will match
+        Ev(ts("2024-01-01 10:00:00"), 2, "imp", 1.0, 11)) // never matches
+      msR.addData(Ev(ts("2024-01-01 10:20:00"), 1, "click", 1.0, 20))
+      q.processAllAvailable()
+      def rows() = spark.table(tbl)
+        .select(col("l_id"), col("r_id"))
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) null else Long.box(r.getLong(1)))).toSet
+      // before the watermark closes 11's horizon, only the match shows
+      assert(rows() === Set((10L, Long.box(20L))))
+      // a far-future row on BOTH sides (min watermark policy) moves the
+      // watermark past 10:30 + 10min, releasing the null-match for 11
+      msL.addData(Ev(ts("2024-01-01 12:00:00"), 9, "imp", 1.0, 90))
+      msR.addData(Ev(ts("2024-01-01 12:00:00"), 9, "imp", 1.0, 91))
+      q.processAllAvailable()
+      // an extra empty-ish batch lets the state eviction run under the
+      // advanced watermark (watermark moves BETWEEN batches)
+      msL.addData(Ev(ts("2024-01-01 12:00:01"), 9, "imp", 1.0, 92))
+      q.processAllAvailable()
+      assert(rows().contains((11L, null)),
+        "horizon-closed unmatched left row must null-emit")
+      assert(!rows().exists { case (l, r) => l == 10L && r == null },
+        "a matched left row must never null-emit")
+    } finally q.stop()
+  }
+
   test("stream-static join enriches events from a broadcast dimension") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
