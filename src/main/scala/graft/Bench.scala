@@ -304,8 +304,9 @@ object Bench {
       "q_win_distinct_running_hll", "q_stream_tumbling_late",
       "q_stream_session_late", "q_stream_sliding_late",
       // round-10: the outer stream-stream join run (two real streaming
-      // sides + watermark-gated null emission)
-      "q_stream_join_outer_replay")
+      // sides + watermark-gated null emission) and the foreachBatch
+      // idempotent-merge upsert sink (two real batches + target swap)
+      "q_stream_join_outer_replay", "q_stream_foreachbatch_upsert")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

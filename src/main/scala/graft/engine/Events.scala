@@ -689,6 +689,78 @@ object Events {
         .orderBy(col("click_id"), col("purchase_id"))
     },
 
+    // TRUE STREAMING foreachBatch UPSERT — the production streaming
+    // SINK pattern (promoted from its StreamingSpec-only row): when the
+    // target is a plain table (no transactional sink), exactly-once
+    // reduces to IDEMPOTENT MERGE — every per-key aggregate the sink
+    // maintains must be a semilattice join (here max over the
+    // lexicographic (ts, event_id, value) struct = "latest event wins",
+    // the classic last-write upsert), so re-processing a batch after a
+    // failure converges to the same target instead of double-counting
+    // (a count column would need batchId bookkeeping — documented, not
+    // maintained). Two Trigger.Once batches (even event_ids, then the
+    // odd delta) drive the SAME merge body a production foreachBatch
+    // ships: aggregate the batch, union with the current target,
+    // re-reduce, write to a staging dir, swap — the read of the old
+    // target materializes fully into staging BEFORE the swap, so a
+    // crash between write and swap leaves the old target intact.
+    // Oracle = per-user argmax over all events.
+    "q_stream_foreachbatch_upsert" -> { (s, d) =>
+      val slug = d.replaceAll("[^A-Za-z0-9_]", "_")
+      val base =
+        s"${System.getProperty("java.io.tmpdir")}/graft_stream/$slug"
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory)
+          Option(p.listFiles()).getOrElse(Array.empty).foreach(rm)
+        p.delete(); ()
+      }
+      Seq("fbu_in", "fbu_tgt", "fbu_tgt_next", "fbu_ckpt")
+        .foreach(n => rm(new java.io.File(s"$base/$n")))
+      val ev = Tables.events(s, d)
+        .select(col("ts"), col("user_id").as("userId"),
+          col("event_type").as("eventType"), col("value"),
+          col("event_id").as("eventId"))
+      ev.filter(pmod(col("eventId"), lit(2)) === 0)
+        .write.mode("overwrite").parquet(s"$base/fbu_in")
+      val schema = s.read.parquet(s"$base/fbu_in").schema
+      val tgt = s"$base/fbu_tgt"
+      def runOnce(): Unit = {
+        val in = s.readStream.schema(schema).parquet(s"$base/fbu_in")
+        val q = in.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[
+              org.apache.spark.sql.Row], _: Long) =>
+            val aggd = batch.groupBy(col("userId"))
+              .agg(max(struct(col("ts"), col("eventId"), col("value")))
+                .as("m"))
+            val merged =
+              if (new java.io.File(tgt).isDirectory)
+                batch.sparkSession.read.parquet(tgt)
+                  .unionByName(aggd)
+                  .groupBy(col("userId")).agg(max(col("m")).as("m"))
+              else aggd
+            merged.write.mode("overwrite").parquet(s"${tgt}_next")
+            rm(new java.io.File(tgt))
+            new java.io.File(s"${tgt}_next")
+              .renameTo(new java.io.File(tgt))
+            ()
+          }
+          .option("checkpointLocation", s"$base/fbu_ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+          .start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+      }
+      runOnce()
+      ev.filter(pmod(col("eventId"), lit(2)) === 1)
+        .write.mode("append").parquet(s"$base/fbu_in")
+      runOnce()
+      s.read.parquet(tgt)
+        .select(col("userId").as("user_id"),
+          col("m.ts").as("last_ts"),
+          col("m.eventId").as("last_event_id"),
+          col("m.value").as("last_value"))
+        .orderBy(col("user_id"))
+    },
+
     "q_stream_tumbling" -> { (s, d) =>
       Tables.events(s, d)
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -1382,6 +1454,19 @@ object Events {
         | SELECT * FROM
         |  (SELECT * FROM matched UNION ALL SELECT * FROM unmatched)
         | ORDER BY click_id, purchase_id NULLS FIRST"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // The upsert target after both batches = per-user latest event
+    // (lexicographic (ts, event_id, value) argmax); value passes
+    // through both engines untouched, so no rounding is needed.
+    "q_stream_foreachbatch_upsert" ->
+      """SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+        |  value AS last_value
+        | FROM (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |   value, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        | WHERE rn = 1 ORDER BY user_id"""
         .stripMargin.replaceAll("\n", " "),
 
     // Spark's window() is epoch-aligned, same as date_trunc/time_bucket.
