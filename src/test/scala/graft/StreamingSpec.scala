@@ -361,6 +361,56 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("observe() surfaces per-batch metrics on a streaming query") {
+    // the streaming half of the Observation API (q_pipeline_observe is
+    // the batch half): observed aggregates ride each micro-batch and
+    // surface through StreamingQueryProgress.observedMetrics — the
+    // counters a production pipeline alerts on without a second pass
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val tbl = freshTable()
+    val seen =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double)]()
+    val listener = new org.apache.spark.sql.streaming
+        .StreamingQueryListener {
+      override def onQueryStarted(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryTerminated(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+      override def onQueryProgress(e: org.apache.spark.sql.streaming
+          .StreamingQueryListener.QueryProgressEvent): Unit = {
+        val m = e.progress.observedMetrics.get("batch_stats")
+        if (m != null) seen.add((m.getLong(0), m.getDouble(1)))
+        ()
+      }
+    }
+    spark.streams.addListener(listener)
+    val q = ms.toDF()
+      .observe("batch_stats", count(lit(1)).as("n"),
+        sum(col("value")).as("sum_v"))
+      .writeStream.format("memory").queryName(tbl)
+      .outputMode("append").start()
+    try {
+      ms.addData(Ev(ts("2024-01-01 10:00:00"), 1, "a", 1.5, 1),
+        Ev(ts("2024-01-01 10:01:00"), 1, "a", 2.5, 2))
+      q.processAllAvailable()
+      ms.addData(Ev(ts("2024-01-01 10:02:00"), 2, "a", 4.0, 3))
+      q.processAllAvailable()
+      // listener delivery is async; processAllAvailable doesn't await it
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (seen.size < 2 && System.nanoTime() < deadline)
+        Thread.sleep(50)
+      import scala.jdk.CollectionConverters._
+      val metrics = seen.asScala.toVector
+      assert(metrics.contains((2L, 4.0)), s"batch 1 metrics: $metrics")
+      assert(metrics.contains((1L, 4.0)), s"batch 2 metrics: $metrics")
+    } finally {
+      q.stop()
+      spark.streams.removeListener(listener)
+    }
+  }
+
   test("mapGroupsWithState tracks a running per-user maximum") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
