@@ -601,6 +601,66 @@ object Relational {
         .orderBy(col("o_orderstatus"))
     },
 
+    // The RUNTIME answer to the same skew problem — AQE's
+    // OptimizeSkewedJoin, which is what a 100 TB deployment actually
+    // reaches for before hand-salting (no key replication, no salt
+    // column, no query rewrite; the planner splits oversized shuffle
+    // partitions at runtime from exact map-output sizes): a planted hot
+    // key (every 10th orderkey collapses to key 0 → ~10% of the fact in
+    // one shuffle partition vs a ~3% median at 32 partitions) joins a
+    // one-row-per-key dim through a plain sort-merge join. The skew
+    // thresholds are scoped to a CHILD session (the tws_replay rule) and
+    // lowered to fixture scale so the split genuinely fires — PlanSpec
+    // pins `skew=true` on the executed SMJ — and broadcast is disabled
+    // so the demo exercises the skewed-exchange path rather than
+    // degenerating to BHJ. Values are identical to the un-split join,
+    // which is exactly the point (and the oracle).
+    "q_join_skew_aqe" -> { (s, d) =>
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.adaptive.enabled", "true")
+      s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "1.0")
+      s2.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "1KB")
+      s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "1KB")
+      // coalescing composes with skew splitting in production; OFF here
+      // so the fixture-scale demo deterministically exercises the split
+      // (tiny even partitions would otherwise merge below the radar)
+      s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+        "false")
+      s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def hot(c: Column): Column =
+        when(pmod(c, lit(10)) === 0, lit(0L)).otherwise(c)
+      // AQE splits a skewed reduce partition by MAP-OUTPUT ranges, so
+      // the map stage must be wider than one task for a split to exist
+      // at all — the single-file fixture scan yields ONE map task (one
+      // unsplittable block), where a production 100 TB map stage is
+      // thousands of tasks wide. The round-robin repartition stands in
+      // for that natural width; it is fixture scaffolding, not part of
+      // the pattern.
+      val fact = Tables.lineitem(s2, d)
+        .repartition(16)
+        .select(hot(col("l_orderkey")).as("k"), col("l_quantity"))
+      // the dim stays a pure project+union — ONE row per key (the hot
+      // key gets a literal row) and, critically, no aggregate between
+      // the shuffle stage and the join: OptimizeSkewedJoin only splits
+      // when both SMJ children are plain sorted shuffle stages it can
+      // re-read in map-range slices
+      val dim = Tables.orders(s2, d)
+        .filter(pmod(col("o_orderkey"), lit(10)) =!= 0)
+        .select(col("o_orderkey").as("k"),
+          col("o_orderstatus").as("o_status"))
+        .unionByName(s2.range(1)
+          .select(lit(0L).as("k"), lit("H").as("o_status")))
+      fact.join(dim, Seq("k"))
+        .groupBy(col("o_status"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("l_quantity")).as("qty"))
+        .orderBy(col("o_status"))
+    },
+
     // Runtime-filter pattern (user-land twin of Spark's injected bloom
     // runtime filters): build a 64 KiB bloom over the SELECTIVE dim's join
     // keys in one aggregate and drop non-matching fact rows at the scan —
@@ -1044,6 +1104,22 @@ object Relational {
          | ${oSum("l_quantity")} AS qty
          | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          | GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // The AQE skew split never changes values — the oracle is the
+    // plain hot-key join.
+    "q_join_skew_aqe" ->
+      s"""WITH dim AS (SELECT o_orderkey AS k,
+         |   o_orderstatus AS o_status
+         |  FROM orders WHERE o_orderkey % 10 <> 0
+         |  UNION ALL SELECT 0, 'H'),
+         | fact AS (SELECT
+         |   CASE WHEN l_orderkey % 10 = 0 THEN 0 ELSE l_orderkey END
+         |    AS k, l_quantity FROM lineitem)
+         | SELECT o_status, count(*) AS n_items,
+         |  ${oSum("l_quantity")} AS qty
+         | FROM fact JOIN dim USING (k)
+         | GROUP BY o_status ORDER BY o_status"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_join_bloom_prune" ->

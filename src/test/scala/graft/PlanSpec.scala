@@ -204,6 +204,17 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("*("), s"no codegen stage markers in:\n$p")
   }
 
+  test("AQE splits the planted hot-key partition (skew=true in the SMJ)") {
+    // the runtime-skew demo must actually EXERCISE OptimizeSkewedJoin,
+    // not just configure it: after execution the finalized adaptive
+    // plan's sort-merge join carries the skew marker
+    val df = SparkEntry.queries("q_join_skew_aqe")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("skew=true"),
+      s"hot-key partition was not skew-split:\n$p")
+  }
+
   test("asof marker plans the custom AsOfJoinExec merge operator") {
     val p = plan("q_join_asof_exec")
     assert(p.contains("AsOfJoin"),
