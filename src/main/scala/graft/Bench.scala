@@ -308,8 +308,9 @@ object Bench {
       // idempotent-merge upsert sink (two real batches + target swap)
       "q_stream_join_outer_replay", "q_stream_foreachbatch_upsert",
       // round-10: the AQE skew-split join (runtime twin of the salted
-      // spelling; real skewed exchange + split under scoped conf)
-      "q_join_skew_aqe")
+      // spelling; real skewed exchange + split under scoped conf) and
+      // the nested-pruned scan (nested sink + rollup)
+      "q_join_skew_aqe", "q_scan_nested_prune")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

@@ -265,6 +265,33 @@ object Ingest {
         .orderBy(col("o_orderkey"))
     },
 
+    // NESTED schema pruning — the scan feature wide nested layouts live
+    // and die by at 100 TB: documents re-shaped as the event-log nesting
+    // every telemetry pipeline ships (small `meta` struct beside a fat
+    // `payload` struct holding the text), then a rollup touching ONLY
+    // meta leaves + one payload length. Catalyst's nested-schema pruning
+    // (on by default) pushes the STRUCT FIELD selection into the parquet
+    // ReadSchema, so the fat payload.body column is never decoded — at
+    // production scale the difference between scanning kilobytes and
+    // scanning the corpus. PlanSpec pins the pruned ReadSchema (body
+    // absent); the oracle replays the rollup from the flat table.
+    "q_scan_nested_prune" -> { (s, d) =>
+      val out = tmp("docs_nested", d)
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          struct(col("lang"), col("source")).as("meta"),
+          struct(col("text").as("body"),
+            length(col("text")).as("n_chars")).as("payload"))
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out)
+        .groupBy(col("meta.lang").as("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("meta.source")).as("n_sources"),
+          sum(col("payload.n_chars")).as("sum_chars"))
+        .orderBy(col("lang"))
+    },
+
     // Partitioned parquet sink + read-back; oracle checks the partition
     // counts against the source table.
     "q_sink_parquet" -> { (s, d) =>
@@ -757,6 +784,16 @@ object Ingest {
       """SELECT o_orderkey, o_totalprice,
         | CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority
         | FROM orders ORDER BY o_orderkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // replays the nested rollup from the flat table — hash parity
+    // proves the nested round trip lost nothing while PlanSpec proves
+    // the fat payload.body leaf was never read
+    "q_scan_nested_prune" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        | CAST(sum(length(text)) AS BIGINT) AS sum_chars
+        | FROM documents GROUP BY lang ORDER BY lang"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_sink_bucketed" ->

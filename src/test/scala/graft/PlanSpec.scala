@@ -204,6 +204,19 @@ class PlanSpec extends SparkSuite {
     assert(p.contains("*("), s"no codegen stage markers in:\n$p")
   }
 
+  test("nested schema pruning drops the fat payload leaf from the scan") {
+    // the rollup touches meta.lang / meta.source / payload.n_chars —
+    // the parquet ReadSchema must carry exactly those nested leaves and
+    // NOT payload.body (the fat text column), or the scan decodes the
+    // whole corpus to answer a metadata question
+    val p = plan("q_scan_nested_prune")
+    val read = p.linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail(s"no ReadSchema in:\n$p"))
+    assert(read.contains("n_chars"), s"pruned leaf missing: $read")
+    assert(!read.contains("body"),
+      s"fat payload leaf survived pruning: $read")
+  }
+
   test("AQE splits the planted hot-key partition (skew=true in the SMJ)") {
     // the runtime-skew demo must actually EXERCISE OptimizeSkewedJoin,
     // not just configure it: after execution the finalized adaptive
