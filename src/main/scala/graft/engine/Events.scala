@@ -46,6 +46,26 @@ object Events {
     hourly
   }
 
+  /** The q_stream_foreachbatch_upsert merge body, factored so the
+    * EngineLaws idempotency row can replay it outside the streaming
+    * harness: reduce the incoming batch to per-user latest (max over
+    * the lexicographic (ts, eventId, value) struct), union the current
+    * target, re-reduce. The per-key aggregate is a semilattice join
+    * (idempotent, commutative, associative), which is the whole
+    * exactly-once argument: re-merging an already-applied batch is a
+    * fixed point, so crash-replays converge instead of double-counting.
+    */
+  def upsertMerge(target: Option[DataFrame], batch: DataFrame)
+      : DataFrame = {
+    val aggd = batch.groupBy(col("userId"))
+      .agg(max(struct(col("ts"), col("eventId"), col("value"))).as("m"))
+    target match {
+      case Some(t) => t.unionByName(aggd)
+        .groupBy(col("userId")).agg(max(col("m")).as("m"))
+      case None => aggd
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // BATCH REPLAY of Streaming.runningMax — the typed arbitrary-state
     // operator (KeyValueGroupedDataset.mapGroupsWithState) under the
@@ -706,6 +726,7 @@ object Events {
     // crash between write and swap leaves the old target intact.
     // Oracle = per-user argmax over all events.
     "q_stream_foreachbatch_upsert" -> { (s, d) =>
+      import Events.upsertMerge
       val slug = d.replaceAll("[^A-Za-z0-9_]", "_")
       val base =
         s"${System.getProperty("java.io.tmpdir")}/graft_stream/$slug"
@@ -729,15 +750,11 @@ object Events {
         val q = in.writeStream
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[
               org.apache.spark.sql.Row], _: Long) =>
-            val aggd = batch.groupBy(col("userId"))
-              .agg(max(struct(col("ts"), col("eventId"), col("value")))
-                .as("m"))
-            val merged =
+            val cur =
               if (new java.io.File(tgt).isDirectory)
-                batch.sparkSession.read.parquet(tgt)
-                  .unionByName(aggd)
-                  .groupBy(col("userId")).agg(max(col("m")).as("m"))
-              else aggd
+                Some(batch.sparkSession.read.parquet(tgt))
+              else None
+            val merged = upsertMerge(cur, batch.toDF())
             merged.write.mode("overwrite").parquet(s"${tgt}_next")
             rm(new java.io.File(tgt))
             new java.io.File(s"${tgt}_next")

@@ -3476,6 +3476,38 @@ class EngineLawsSpec extends SparkSuite {
       "per-frame HLL estimate must be exact at bounded cardinality")
   }
 
+  test("foreachBatch upsert merge is a fixed point under batch replay") {
+    // the exactly-once argument for the plain-table sink: re-applying
+    // an already-merged batch must not change the target (semilattice
+    // join), so a crash between sink write and checkpoint commit that
+    // replays the batch converges instead of double-counting
+    import spark.implicits._
+    val mk = (rows: Seq[(java.sql.Timestamp, Long, Long, Double)]) =>
+      rows.toDF("ts", "userId", "eventId", "value")
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val b1 = mk(Seq((t("2024-01-01 10:00:00"), 1L, 1L, 5.0),
+      (t("2024-01-01 11:00:00"), 1L, 2L, 7.0),
+      (t("2024-01-01 10:30:00"), 2L, 3L, 9.0)))
+    val b2 = mk(Seq((t("2024-01-01 12:00:00"), 1L, 4L, 1.0)))
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("userId"), col("m.ts"), col("m.eventId"),
+        col("m.value")).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+          r.getDouble(3))).toSet
+    val once = graft.engine.Events.upsertMerge(None, b1)
+    val applied = graft.engine.Events.upsertMerge(Some(once), b2)
+    val replayed = graft.engine.Events.upsertMerge(Some(applied), b2)
+    assert(snap(applied) === Set(
+      (1L, t("2024-01-01 12:00:00"), 4L, 1.0),
+      (2L, t("2024-01-01 10:30:00"), 3L, 9.0)))
+    assert(snap(replayed) === snap(applied), "replay must be a no-op")
+    // and replaying the FIRST batch after the second is also a no-op
+    // (commutativity of the join — out-of-order redelivery converges)
+    val outOfOrder =
+      graft.engine.Events.upsertMerge(Some(applied), b1)
+    assert(snap(outOfOrder) === snap(applied))
+  }
+
   test("bpe walk stops when mergeable pairs exhaust, keeping the vocab") {
     // one two-symbol word: iteration 1 merges (a,b); iteration 2 finds no
     // pair and must BREAK, not crossJoin an empty frame over the vocab

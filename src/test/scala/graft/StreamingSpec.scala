@@ -361,6 +361,53 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("tumbling late data: dropped into closed windows, accepted into open") {
+    // the micro-level pin of the q_stream_tumbling_late protocol's two
+    // claims: (1) lateness filtering uses the PREVIOUS batch's
+    // watermark and is judged per WINDOW END; (2) a late row into an
+    // already-closed window is dropped (no duplicate window emission),
+    // while a late row into a still-open window keeps aggregating
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[Ev]
+    val tbl = freshTable()
+    val q = Streaming.tumblingCounts(ms.toDF())
+      .writeStream.format("memory").queryName(tbl)
+      .outputMode("append").start()
+    def rows() = spark.table(tbl)
+      .filter(col("userId") === 1)
+      .select(col("w_start").cast("string"), col("n")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toList.sorted
+    try {
+      // batch 1: two hours of state for user 1
+      ms.addData(Ev(ts("2024-01-01 10:10:00"), 1, "a", 1.0, 1),
+        Ev(ts("2024-01-01 11:10:00"), 1, "a", 1.0, 2))
+      q.processAllAvailable()
+      // batch 2: advance the watermark to 11:10 − 10min = 11:00 →
+      // the 10:00 hour closes and emits n=1; the 11:00 hour stays open
+      ms.addData(Ev(ts("2024-01-01 11:10:00"), 9, "wm", 1.0, 90))
+      q.processAllAvailable()
+      assert(rows() === List(("2024-01-01 10:00:00", 1L)),
+        s"closed hour must emit once: ${rows()}")
+      // batch 3: two late rows (both behind the 11:00 watermark) —
+      // one into the CLOSED 10:00 hour (drop), one into the OPEN
+      // 11:00 hour (accept)
+      ms.addData(Ev(ts("2024-01-01 10:20:00"), 1, "late", 1.0, 3),
+        Ev(ts("2024-01-01 11:05:00"), 1, "late", 1.0, 4))
+      q.processAllAvailable()
+      // batch 4+5: push the watermark far ahead so the 11:00 hour
+      // closes (watermark moves BETWEEN batches — two pushes)
+      ms.addData(Ev(ts("2024-01-01 15:00:00"), 9, "wm", 1.0, 91))
+      q.processAllAvailable()
+      ms.addData(Ev(ts("2024-01-01 15:00:01"), 9, "wm", 1.0, 92))
+      q.processAllAvailable()
+      assert(rows() === List(
+        ("2024-01-01 10:00:00", 1L),   // late copy DROPPED, emitted once
+        ("2024-01-01 11:00:00", 2L)),  // late copy ACCEPTED
+        s"late-drop/accept split violated: ${rows()}")
+    } finally q.stop()
+  }
+
   test("observe() surfaces per-batch metrics on a streaming query") {
     // the streaming half of the Observation API (q_pipeline_observe is
     // the batch half): observed aggregates ride each micro-batch and
