@@ -310,7 +310,10 @@ object Bench {
       // round-10: the AQE skew-split join (runtime twin of the salted
       // spelling; real skewed exchange + split under scoped conf) and
       // the nested-pruned scan (nested sink + rollup)
-      "q_join_skew_aqe", "q_scan_nested_prune")
+      "q_join_skew_aqe", "q_scan_nested_prune",
+      // round-10: the dedup late-filter protocol (state eviction +
+      // sub-watermark re-delivery)
+      "q_stream_dedup_late")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

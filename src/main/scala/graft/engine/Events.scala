@@ -220,6 +220,73 @@ object Events {
       out
     },
 
+    // LATE-DATA DROPPING for STATEFUL DEDUP — the fourth stateful shape
+    // of the late matrix (fixed grid / gap merge / overlap grid /
+    // dedup): dropDuplicatesWithinWatermark evicts a key's dedup state
+    // once the watermark passes its horizon, so an at-least-once
+    // redelivery arriving AFTER eviction can no longer be recognized by
+    // state — the operator stays correct only because the late filter
+    // drops sub-watermark input outright. This protocol pins exactly
+    // that: batch 1 = events plus every-10th byte-identical duplicates
+    // (absorbed by dedup state); batch 2 = far-future sentinel →
+    // watermark W1 evicts all real dedup state; batch 3 = a late
+    // re-delivery of EVERY sub-W1 event. If the late filter failed,
+    // the evicted state couldn't block them and every copy would
+    // append as "new" — duplicate rows, hash mismatch. Oracle = the
+    // distinct original events, untouched by either duplication wave.
+    "q_stream_dedup_late" -> { (s, d) =>
+      val slug = d.replaceAll("[^A-Za-z0-9_]", "_")
+      val base =
+        s"${System.getProperty("java.io.tmpdir")}/graft_stream/$slug"
+      def rm(p: java.io.File): Unit = {
+        if (p.isDirectory)
+          Option(p.listFiles()).getOrElse(Array.empty).foreach(rm)
+        p.delete(); ()
+      }
+      Seq("dlate_in", "dlate_out", "dlate_ckpt")
+        .foreach(n => rm(new java.io.File(s"$base/$n")))
+      val ev = Tables.events(s, d)
+        .select(col("ts"), col("user_id").as("userId"),
+          col("event_type").as("eventType"), col("value"),
+          col("event_id").as("eventId"))
+      ev.unionAll(ev.filter(pmod(col("eventId"), lit(10)) === 0))
+        .write.mode("overwrite").parquet(s"$base/dlate_in")
+      val schema = s.read.parquet(s"$base/dlate_in").schema
+      def runOnce(): Unit = {
+        val in = s.readStream.schema(schema).parquet(s"$base/dlate_in")
+        val q = Streaming.dedupWithinWatermark(in)
+          .writeStream.format("parquet")
+          .option("path", s"$base/dlate_out")
+          .option("checkpointLocation", s"$base/dlate_ckpt")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+          .start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+      }
+      runOnce()
+      s.range(1).select(
+          lit("2030-01-01 00:00:00").cast("timestamp").as("ts"),
+          lit(-1L).as("userId"), lit("sentinel").as("eventType"),
+          lit(0.0).as("value"), lit(-1L).as("eventId"))
+        .write.mode("append").parquet(s"$base/dlate_in")
+      runOnce()
+      val wm = ev.agg(
+        (expr("unix_micros(max(ts)) DIV 1000") - lit(600000L))
+          .as("wm_ms"))
+      ev.crossJoin(broadcast(wm))
+        .filter(expr("unix_micros(ts) DIV 1000") < col("wm_ms"))
+        .select(col("ts"), col("userId"), col("eventType"), col("value"),
+          col("eventId"))
+        .write.mode("append").parquet(s"$base/dlate_in")
+      runOnce()
+      s.read.parquet(s"$base/dlate_out")
+        .filter(col("userId") >= 0)
+        .select(col("eventId").as("event_id"), col("ts"),
+          col("userId").as("user_id"),
+          col("eventType").as("event_type"), col("value"))
+        .orderBy(col("event_id"))
+    },
+
     // TRUE STREAMING RUN of Streaming.slidingCounts — the THIRD window
     // shape under the watermark-advance protocol (tumbling = fixed
     // grid, session = gap-merged, sliding = overlapping): each event
@@ -1402,6 +1469,18 @@ object Events {
         .stripMargin.replaceAll("\n", " "),
 
     "q_stream_dedup_replay" ->
+      """WITH s AS (SELECT * FROM events UNION ALL
+        |   SELECT * FROM events WHERE event_id % 10 = 0)
+        | SELECT DISTINCT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |  event_type, value
+        | FROM s ORDER BY event_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // The late protocol changes nothing the sink can see — the evicted
+    // state can't block the re-delivery, so parity here proves the
+    // LATE FILTER dropped every sub-W1 copy before it could append as
+    // a "new" event.
+    "q_stream_dedup_late" ->
       """WITH s AS (SELECT * FROM events UNION ALL
         |   SELECT * FROM events WHERE event_id % 10 = 0)
         | SELECT DISTINCT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
