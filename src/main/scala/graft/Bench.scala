@@ -313,7 +313,17 @@ object Bench {
       "q_join_skew_aqe", "q_scan_nested_prune",
       // round-10: the dedup late-filter protocol (state eviction +
       // sub-watermark re-delivery)
-      "q_stream_dedup_late")
+      "q_stream_dedup_late",
+      // round-10 continuation: the statistical-test family over the
+      // events corpus (KS is the representative of the bounded-domain
+      // ECDF shape; ANOVA of the k-group moment shape; Spearman of the
+      // cell-agg + doubled-rank shape — Mann-Whitney and Cramér's V
+      // share those shapes and are covered by the same partial-agg
+      // scans), the spine anti-join sequence audit, the YoY/YTD
+      // finance trio, and the common-neighbor-exploded Adamic-Adar.
+      // q_subq_any_all is dimension-scale (supplier), excluded by (b).
+      "q_agg_ks_test", "q_agg_anova", "q_agg_spearman",
+      "q_validate_sequence", "q_shape_yoy_growth", "q_graph_adamic_adar")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

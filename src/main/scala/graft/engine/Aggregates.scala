@@ -428,6 +428,200 @@ object Aggregates {
         .orderBy(col("type_a"), col("type_b"))
     },
 
+    // Two-sample Kolmogorov–Smirnov D between the click and purchase
+    // value distributions — the distribution-drift gate a data pipeline
+    // runs between cohorts or snapshots. EXACT rational spelling: on
+    // integer cents, per-value counts per sample cumulate along the
+    // value axis and D = max |cum1·n2 − cum2·n1| / (n1·n2) — numerator
+    // and max are pure integers (order-free), only the final division is
+    // float. Scale shape: the ordered scan runs over the DISTINCT cents
+    // axis after a partial agg — frame size is fixed by the value domain
+    // (≤49k cents here), not the corpus, at any scale; the cum·n product
+    // widens to DECIMAL(38,0) past ~3e9 rows/side.
+    "q_agg_ks_test" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+      val pv = Checkpoints.pin("ks:" + d, ev.groupBy(col("c"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("a1"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("a2")).localCheckpoint())
+      // sample sizes fold from the bounded per-value frame — the corpus
+      // is scanned exactly once (the pinned checkpoint backs both uses)
+      val tot = pv.agg(sum(col("a1")).as("n1"), sum(col("a2")).as("n2"))
+      val w = W.orderBy(col("c"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      pv.withColumn("cum1", sum(col("a1")).over(w))
+        .withColumn("cum2", sum(col("a2")).over(w))
+        .crossJoin(broadcast(tot))
+        .groupBy(col("n1"), col("n2"))
+        .agg(max(abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+          .as("d_num"))
+        .select(col("n1"), col("n2"), col("d_num"),
+          eround(col("d_num").cast("double") / (col("n1") * col("n2")), 6)
+            .as("d_stat"))
+    },
+
+    // Mann–Whitney U (Wilcoxon rank-sum) between the same two samples —
+    // the nonparametric A/B test when values are skewed. Average-rank
+    // ties stay EXACT as doubled ranks: a tie group at value c spans
+    // ranks [cumAll−t+1, cumAll], so its 2·avg-rank = 2·cumAll − t + 1
+    // and 2R₁ = Σ a1·(2·cumAll − t + 1) is pure integer; U₁ derives as
+    // (2R₁ − n1(n1+1))/2 (exact half-grid double). z carries the full
+    // tie correction Σ(t³−t), every factor integer until the final
+    // sqrt. Same bounded-domain window shape as the KS row; t³ widens
+    // to DECIMAL(38,0) past ~2e6 rows per value.
+    "q_agg_mannwhitney" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+      val pv = Checkpoints.pin("mwu:" + d, ev.groupBy(col("c"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("a1"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("a2")).localCheckpoint())
+      // one corpus scan: totals fold from the pinned per-value frame
+      val tot = pv.agg(sum(col("a1")).as("n1"), sum(col("a2")).as("n2"))
+      val w = W.orderBy(col("c"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val t = col("a1") + col("a2")
+      val agg = pv
+        .withColumn("cumAll", sum(col("a1") + col("a2")).over(w))
+        .select(
+          (col("a1") * (lit(2) * col("cumAll") - t + 1)).as("contrib"),
+          (t * t * t - t).as("tie"))
+        .crossJoin(broadcast(tot))
+        .groupBy(col("n1"), col("n2"))
+        .agg(sum(col("contrib")).as("two_r1"), sum(col("tie")).as("ties"))
+      val nn = col("n1") + col("n2")
+      val u1 = (col("two_r1") - col("n1") * (col("n1") + 1)) / 2.0
+      val sigma = sqrt(col("n1") * col("n2") / 12.0 *
+        ((nn + 1) - col("ties") / (nn * (nn - 1)).cast("double")))
+      agg.select(col("n1"), col("n2"), u1.as("u1"),
+        (col("n1") * col("n2") - u1).as("u2"),
+        eround((u1 - col("n1") * col("n2") / 2.0) / sigma, 4).as("z_stat"))
+    },
+
+    // Spearman rank correlation between event value and hour-of-day —
+    // "do amounts trend by time of day" without assuming linearity.
+    // Average ranks stay exact as DOUBLED ranks built from each axis's
+    // marginal cumsum (2r(v) = 2·cumBefore + t + 1), joined back through
+    // broadcast rank maps; ρ is Pearson over the doubled ranks (the
+    // factor 2 cancels), every moment an exact integer (widen to
+    // DECIMAL(38,0) past ~1e6 rows — the q_shape_elasticity note).
+    // Scale shape: one (cents × hour) cell agg — both axes are bounded
+    // domains, so the windows and rank maps are fixed-size at any
+    // corpus scale; the only corpus-wide pass is the first partial agg.
+    "q_agg_spearman" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      // the cell frame backs three consumers (two rank maps + the join
+      // source) — pin one checkpoint so the corpus scans exactly once
+      val cell = Checkpoints.pin("spearman:" + d, Tables.events(s, d)
+        .select(round(col("value") * 100).cast("long").as("x"),
+          hour(col("ts")).cast("long").as("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("nc"))
+        .localCheckpoint())
+      def rankMap(axis: String, out: String): DataFrame = {
+        val w = W.orderBy(col(axis))
+          .rowsBetween(W.unboundedPreceding, W.currentRow)
+        cell.groupBy(col(axis)).agg(sum(col("nc")).as("t"))
+          .withColumn("cum", sum(col("t")).over(w))
+          .select(col(axis),
+            (lit(2) * (col("cum") - col("t")) + col("t") + 1).as(out))
+      }
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val j = cell
+        .join(broadcast(rankMap("x", "rx")), "x")
+        .join(broadcast(rankMap("y", "ry")), "y")
+      val m = j.agg(sum(col("nc")).as("n"),
+        sum((col("rx") * col("nc")).cast(dec38)).as("sx"),
+        sum((col("ry") * col("nc")).cast(dec38)).as("sy"),
+        sum((col("rx") * col("rx") * col("nc")).cast(dec38)).as("sxx"),
+        sum((col("ry") * col("ry") * col("nc")).cast(dec38)).as("syy"),
+        sum((col("rx") * col("ry") * col("nc")).cast(dec38)).as("sxy"))
+      def dbl(c: String): Column = col(c).cast("double")
+      m.select(col("n"),
+        eround((col("n") * dbl("sxy") - dbl("sx") * dbl("sy")) /
+          sqrt((col("n") * dbl("sxx") - dbl("sx") * dbl("sx")) *
+            (col("n") * dbl("syy") - dbl("sy") * dbl("sy"))), 6)
+          .as("rho_s"))
+    },
+
+    // Cramér's V — the [0,1]-normalized effect size of the chi²
+    // contingency walk (q_agg_chi2's twin; same exact decimal cell sum),
+    // the number that stays comparable across table shapes and corpus
+    // sizes where raw chi² grows with n. V = sqrt(chi² / (n·min(r−1,
+    // c−1))) from the UN-rounded decimal chi² so both engines take the
+    // identical sqrt argument. Same one-scan partial-agg shape as chi2.
+    "q_agg_cramers_v" -> { (s, d) =>
+      val obs = Tables.events(s, d)
+        .select(col("event_type"), pmod(col("user_id"), lit(4)).as("cohort"))
+        .groupBy(col("event_type"), col("cohort"))
+        .agg(count(lit(1)).as("o"))
+      val rt = obs.groupBy(col("event_type")).agg(sum(col("o")).as("rt"))
+      val ct = obs.groupBy(col("cohort")).agg(sum(col("o")).as("ct"))
+      val n = obs.agg(sum(col("o")).as("n"))
+      obs.join(broadcast(rt), Seq("event_type"))
+        .join(broadcast(ct), Seq("cohort"))
+        .crossJoin(broadcast(n))
+        .withColumn("e", col("rt").cast("double") * col("ct") / col("n"))
+        .withColumn("cell",
+          eround((col("o") - col("e")) * (col("o") - col("e")) / col("e"),
+            9).cast("decimal(18,9)"))
+        .groupBy(col("n"))
+        .agg(countDistinct(col("event_type")).as("r"),
+          countDistinct(col("cohort")).as("c"),
+          sum(col("cell")).as("chi2d"))
+        .select(col("n").as("n_obs"), col("r"), col("c"),
+          eround(col("chi2d").cast("double"), 6).as("chi2"),
+          eround(sqrt(col("chi2d").cast("double") /
+            (col("n") * least(col("r") - 1, col("c") - 1))), 6)
+            .as("cramers_v"))
+    },
+
+    // One-way ANOVA F across all five event types — does value differ by
+    // type at all, the k-group gate run before pairwise t-tests. Per-type
+    // moments are exact integers (the q_agg_ttest recipe); each group's
+    // between/within term is the identical double expression ε-rounded
+    // to DECIMAL(28,6) so the k-term sums are exact and order-free (the
+    // chi² cell recipe — 28,6 because qc/10⁴ reaches ~5e8 at fixture
+    // scale and grows with n). One partial-agg scan to a k-row frame;
+    // the corpus is never shuffled.
+    "q_agg_anova" -> { (s, d) =>
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      val st = Tables.events(s, d)
+        .withColumn("c", round(col("value") * 100).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c").cast(dec38)).as("sc"),
+          sum(col("c").cast(dec19) * col("c").cast(dec19)).as("qc"))
+      val tot = st.agg(sum(col("n")).as("nn"), sum(col("sc")).as("ss"),
+        count(lit(1)).as("k"))
+      val grand = col("ss").cast("double") / col("nn") / 100.0
+      val meanI = col("sc").cast("double") / col("n") / 100.0
+      val termB = eround(col("n") * (meanI - grand) * (meanI - grand), 6)
+        .cast("decimal(28,6)")
+      val termW = eround((col("qc").cast("double")
+        - col("sc").cast("double") * col("sc").cast("double") / col("n"))
+        / 10000.0, 6).cast("decimal(28,6)")
+      st.crossJoin(broadcast(tot))
+        .select(col("k"), col("nn"), termB.as("tb"), termW.as("tw"))
+        .groupBy(col("k"), col("nn"))
+        .agg(sum(col("tb")).cast("double").as("ssb"),
+          sum(col("tw")).cast("double").as("ssw"))
+        .select(col("k"), col("nn").as("n"),
+          eround(col("ssb"), 4).as("ss_between"),
+          eround(col("ssw"), 4).as("ss_within"),
+          eround((col("ssb") / (col("k") - 1)) /
+            (col("ssw") / (col("nn") - col("k"))), 6).as("f_stat"))
+    },
+
     // Weighted (lower) median — quantity-weighted median line price per
     // return flag: the "typical traded price" statistic where each line
     // counts by its volume. EXACT threshold-crossing spelling, no
@@ -1134,6 +1328,153 @@ object Aggregates {
         |    + 5e-10, 4) AS df
         | FROM st a, st b WHERE a.event_type < b.event_type
         | ORDER BY type_a, type_b"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Integer ECDF-difference numerator, one float division at the end;
+    // every count CAST to BIGINT (sum/window-sum widen to HUGEINT).
+    "q_agg_ks_test" ->
+      """WITH ev AS (SELECT event_type,
+        |   CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        | pv AS (SELECT c,
+        |   CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS a1,
+        |   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS a2
+        |  FROM ev GROUP BY c),
+        | cm AS (SELECT c,
+        |   CAST(sum(a1) OVER (ORDER BY c) AS BIGINT) AS cum1,
+        |   CAST(sum(a2) OVER (ORDER BY c) AS BIGINT) AS cum2 FROM pv),
+        | tot AS (SELECT CAST(sum(a1) AS BIGINT) AS n1,
+        |   CAST(sum(a2) AS BIGINT) AS n2 FROM pv)
+        | SELECT n1, n2,
+        |  CAST(max(abs(cum1 * n2 - cum2 * n1)) AS BIGINT) AS d_num,
+        |  round(CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
+        |    / (n1 * n2) + 5e-10, 6) AS d_stat
+        | FROM cm, tot GROUP BY n1, n2"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Doubled-rank tie arithmetic stays integer through 2R1 and the tie
+    // correction; u1/u2 are exact half-grid doubles, z mirrors the Spark
+    // division order exactly.
+    "q_agg_mannwhitney" ->
+      """WITH ev AS (SELECT event_type,
+        |   CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        | pv AS (SELECT c,
+        |   CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS a1,
+        |   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS a2
+        |  FROM ev GROUP BY c),
+        | cm AS (SELECT a1, a2,
+        |   CAST(sum(a1 + a2) OVER (ORDER BY c) AS BIGINT) AS cumAll
+        |  FROM pv),
+        | tot AS (SELECT CAST(sum(a1) AS BIGINT) AS n1,
+        |   CAST(sum(a2) AS BIGINT) AS n2 FROM pv),
+        | ag AS (SELECT n1, n2,
+        |   CAST(sum(a1 * (2 * cumAll - (a1 + a2) + 1)) AS BIGINT)
+        |     AS two_r1,
+        |   CAST(sum((a1 + a2) * (a1 + a2) * (a1 + a2) - (a1 + a2))
+        |     AS BIGINT) AS ties
+        |  FROM cm, tot GROUP BY n1, n2)
+        | SELECT n1, n2,
+        |  (two_r1 - n1 * (n1 + 1)) / 2.0 AS u1,
+        |  n1 * n2 - (two_r1 - n1 * (n1 + 1)) / 2.0 AS u2,
+        |  round(((two_r1 - n1 * (n1 + 1)) / 2.0 - n1 * n2 / 2.0)
+        |    / sqrt(n1 * n2 / 12.0 * (((n1 + n2) + 1)
+        |      - ties / CAST((n1 + n2) * ((n1 + n2) - 1) AS DOUBLE)))
+        |    + 5e-10, 4) AS z_stat
+        | FROM ag"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Doubled marginal ranks (2r = 2·cumBefore + t + 1) joined back to
+    // the cell frame; Pearson over exact integer moments with the
+    // identical double tree.
+    "q_agg_spearman" ->
+      """WITH cell AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
+        |   CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS y,
+        |   CAST(count(*) AS BIGINT) AS nc
+        |  FROM events GROUP BY x, y),
+        | xm AS (SELECT x, 2 * (CAST(sum(t) OVER (ORDER BY x) AS BIGINT)
+        |    - t) + t + 1 AS rx
+        |  FROM (SELECT x, CAST(sum(nc) AS BIGINT) AS t FROM cell
+        |    GROUP BY x)),
+        | ym AS (SELECT y, 2 * (CAST(sum(t) OVER (ORDER BY y) AS BIGINT)
+        |    - t) + t + 1 AS ry
+        |  FROM (SELECT y, CAST(sum(nc) AS BIGINT) AS t FROM cell
+        |    GROUP BY y)),
+        | m AS (SELECT CAST(sum(nc) AS BIGINT) AS n,
+        |   CAST(sum(rx * nc) AS HUGEINT) AS sx,
+        |   CAST(sum(ry * nc) AS HUGEINT) AS sy,
+        |   CAST(sum(rx * rx * nc) AS HUGEINT) AS sxx,
+        |   CAST(sum(ry * ry * nc) AS HUGEINT) AS syy,
+        |   CAST(sum(rx * ry * nc) AS HUGEINT) AS sxy
+        |  FROM cell JOIN xm USING (x) JOIN ym USING (y))
+        | SELECT n,
+        |  round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+        |     * CAST(sy AS DOUBLE))
+        |   / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+        |      * CAST(sx AS DOUBLE))
+        |     * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+        |      * CAST(sy AS DOUBLE))) + 5e-10, 6) AS rho_s
+        | FROM m"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same contingency walk as q_agg_chi2; V takes the sqrt of the
+    // UN-rounded decimal cell sum so both engines share the argument.
+    "q_agg_cramers_v" ->
+      """WITH obs AS (SELECT event_type, user_id % 4 AS cohort,
+        |   CAST(count(*) AS BIGINT) AS o
+        |  FROM events GROUP BY event_type, cohort),
+        | rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+        |  FROM obs GROUP BY event_type),
+        | ct AS (SELECT cohort, CAST(sum(o) AS BIGINT) AS ct
+        |  FROM obs GROUP BY cohort),
+        | nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+        | cells AS (SELECT obs.event_type, obs.cohort, obs.o, nn.n,
+        |   CAST(rt.rt AS DOUBLE) * ct.ct / nn.n AS e
+        |  FROM obs JOIN rt USING (event_type) JOIN ct USING (cohort), nn),
+        | ag AS (SELECT n AS n_obs,
+        |   CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+        |   CAST(count(DISTINCT cohort) AS BIGINT) AS c,
+        |   sum(CAST(round((o - e) * (o - e) / e + 5e-10, 9)
+        |     AS DECIMAL(18,9))) AS chi2d
+        |  FROM cells GROUP BY n)
+        | SELECT n_obs, r, c,
+        |  round(CAST(chi2d AS DOUBLE) + 5e-10, 6) AS chi2,
+        |  round(sqrt(CAST(chi2d AS DOUBLE) / (n_obs * least(r - 1, c - 1)))
+        |    + 5e-10, 6) AS cramers_v
+        | FROM ag"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Per-group between/within terms ε-rounded to DECIMAL(28,6) before
+    // the exact k-term sum (the chi² cell recipe); F mirrors the Spark
+    // division order.
+    "q_agg_anova" ->
+      """WITH st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |   sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT))
+        |     AS sc,
+        |   sum(CAST(round(value * 100) AS BIGINT)
+        |     * CAST(round(value * 100) AS BIGINT)) AS qc
+        |  FROM events GROUP BY event_type),
+        | tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |   CAST(sum(sc) AS HUGEINT) AS ss,
+        |   CAST(count(*) AS BIGINT) AS k FROM st),
+        | terms AS (SELECT k, nn,
+        |   CAST(round(n * (CAST(sc AS DOUBLE) / n / 100.0
+        |      - CAST(ss AS DOUBLE) / nn / 100.0)
+        |     * (CAST(sc AS DOUBLE) / n / 100.0
+        |      - CAST(ss AS DOUBLE) / nn / 100.0) + 5e-10, 6)
+        |    AS DECIMAL(28,6)) AS tb,
+        |   CAST(round((CAST(qc AS DOUBLE) - CAST(sc AS DOUBLE)
+        |      * CAST(sc AS DOUBLE) / n) / 10000.0 + 5e-10, 6)
+        |    AS DECIMAL(28,6)) AS tw
+        |  FROM st, tot),
+        | ag AS (SELECT k, nn, CAST(sum(tb) AS DOUBLE) AS ssb,
+        |   CAST(sum(tw) AS DOUBLE) AS ssw
+        |  FROM terms GROUP BY k, nn)
+        | SELECT k, nn AS n,
+        |  round(ssb + 5e-10, 4) AS ss_between,
+        |  round(ssw + 5e-10, 4) AS ss_within,
+        |  round((ssb / (k - 1)) / (ssw / (nn - k)) + 5e-10, 6) AS f_stat
+        | FROM ag"""
         .stripMargin.replaceAll("\n", " "),
 
     // Mirrors the Spark construction 1:1 (same medians, same threshold

@@ -972,6 +972,71 @@ object Analytics {
         .limit(20)
     },
 
+    // Adamic–Adar link prediction over the same co-purchase graph —
+    // Jaccard's degree-weighted sibling: common neighbors count 1/ln(deg)
+    // so hub neighbors contribute less. Every common neighbor z of an
+    // edge (u,v) has deg(z) ≥ 2 by construction (z is adjacent to both),
+    // so ln(deg) never hits zero. Per-term 1/ln(deg) is ε-rounded to
+    // DECIMAL(18,9) before the per-pair sum (the JSD recipe — the sum
+    // is exact and order-free, immune to last-ulp ln() differences
+    // between engines). Scale shape: common neighbors explode from the
+    // map-side array_intersect (bounded by the support-pruned degree),
+    // then one broadcast degree join + one pair-keyed partial agg —
+    // no wedge-explosion shuffle.
+    "q_graph_adamic_adar" -> { (s, d) =>
+      val und = supportEdges(s, d, "aa")
+      val adjSet = und.select(col("u").as("n"), col("v").as("nb"))
+        .unionAll(und.select(col("v").as("n"), col("u").as("nb")))
+        .groupBy(col("n"))
+        .agg(sort_array(collect_set(col("nb"))).as("nbs"))
+      val deg = adjSet.select(col("n").as("z"),
+        size(col("nbs")).cast("long").as("dg"))
+      und
+        .join(adjSet.select(col("n").as("u"), col("nbs").as("nbs_u")), "u")
+        .join(adjSet.select(col("n").as("v"), col("nbs").as("nbs_v")), "v")
+        .select(col("u"), col("v"),
+          explode(array_intersect(col("nbs_u"), col("nbs_v"))).as("z"))
+        .join(broadcast(deg), "z")
+        .groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("common_nb"),
+          sum(eround(lit(1.0) / log(col("dg")), 9).cast("decimal(18,9)"))
+            .as("aad"))
+        .select(col("u"), col("v"), col("common_nb"),
+          eround(col("aad").cast("double"), 4).as("adamic_adar"))
+        .orderBy(desc("adamic_adar"), asc("u"), asc("v"))
+        .limit(20)
+    },
+
+    // Month-over-month is covered by q_shape_aov_trend; this is the
+    // YEAR-over-year half plus year-to-date — the finance reporting trio.
+    // Monthly revenue in exact long cents keyed by an INTEGER month
+    // ordinal (year·12 + month−1), YoY as a self-join on mk−12 (robust
+    // to missing months, unlike lag(12)), YTD as a year-partitioned
+    // running sum over the tiny post-agg frame. One orders scan + one
+    // 84-row self-join; the corpus shuffles once on the month key.
+    "q_shape_yoy_growth" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      // the monthly frame feeds both join sides — pin one checkpoint so
+      // the orders corpus scans exactly once
+      val m = Checkpoints.pin("yoy:" + d, Tables.orders(s, d)
+        .groupBy((year(col("o_orderdate")) * 12
+          + month(col("o_orderdate")) - 1).cast("long").as("mk"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sc"))
+        .localCheckpoint())
+      val prev = m.select((col("mk") + 12).as("mk"), col("sc").as("scp"))
+      val w = W.partitionBy(expr("mk DIV 12")).orderBy(col("mk"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      m.join(prev, Seq("mk"), "left")
+        .withColumn("ytd_c", sum(col("sc")).over(w))
+        .select(make_date(expr("mk DIV 12").cast("int"),
+            (pmod(col("mk"), lit(12)) + 1).cast("int"), lit(1)).as("month"),
+          col("n_orders"), (col("sc") / 100.0).as("revenue"),
+          (col("ytd_c") / 100.0).as("ytd_revenue"),
+          eround(col("sc").cast("double") / col("scp"), 6).as("yoy_ratio"))
+        .orderBy(col("month"))
+    },
+
     // Last-touch marketing attribution: each purchase's value goes to the
     // event type of the user's most recent PRECEDING non-purchase event
     // ('direct' when none exists). One user-partitioned window carries
@@ -2104,6 +2169,48 @@ object Analytics {
         |   AS jaccard
         | FROM cmn JOIN deg du ON u = du.n JOIN deg dv ON v = dv.n
         | ORDER BY jaccard DESC, u, v LIMIT 20"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // ln() (natural log — DuckDB's log() is base 10) per common neighbor,
+    // ε-rounded to DECIMAL(18,9) before the pair sum like the Spark side.
+    "q_graph_adamic_adar" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        | und AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+        |   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |   GROUP BY u, v HAVING count(*) >= 2),
+        | adj AS (SELECT u AS n, v AS nb FROM und
+        |   UNION ALL SELECT v AS n, u AS nb FROM und),
+        | deg AS (SELECT n, CAST(count(*) AS BIGINT) AS dg FROM adj
+        |   GROUP BY n),
+        | cmn AS (SELECT e.u, e.v, a.nb AS z
+        |   FROM und e JOIN adj a ON a.n = e.u
+        |    JOIN adj b ON b.n = e.v AND b.nb = a.nb)
+        | SELECT u, v, CAST(count(*) AS BIGINT) AS common_nb,
+        |  round(CAST(sum(CAST(round(1.0 / ln(dg) + 5e-10, 9)
+        |    AS DECIMAL(18,9))) AS DOUBLE) + 5e-10, 4) AS adamic_adar
+        | FROM cmn JOIN deg ON deg.n = cmn.z
+        | GROUP BY u, v ORDER BY adamic_adar DESC, u, v LIMIT 20"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Integer month-ordinal key; YoY join on mk−12; window sum widens to
+    // HUGEINT, cast back before the /100.0.
+    "q_shape_yoy_growth" ->
+      """WITH m AS (SELECT CAST(year(o_orderdate) * 12
+        |    + month(o_orderdate) - 1 AS BIGINT) AS mk,
+        |   CAST(count(*) AS BIGINT) AS n_orders,
+        |   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |     AS sc
+        |  FROM orders GROUP BY mk)
+        | SELECT make_date(CAST(m.mk // 12 AS INT),
+        |   CAST(m.mk % 12 + 1 AS INT), 1) AS month,
+        |  m.n_orders, m.sc / 100.0 AS revenue,
+        |  CAST(sum(m.sc) OVER (PARTITION BY m.mk // 12 ORDER BY m.mk
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS BIGINT) / 100.0 AS ytd_revenue,
+        |  round(CAST(m.sc AS DOUBLE) / p.sc + 5e-10, 6) AS yoy_ratio
+        | FROM m LEFT JOIN m p ON p.mk = m.mk - 12
+        | ORDER BY month"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_shape_attribution" ->

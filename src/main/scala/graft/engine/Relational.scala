@@ -472,6 +472,36 @@ object Relational {
         .orderBy(col("fk_edge"))
     },
 
+    // Dense-sequence gap audit: find every missing key in an
+    // expected-contiguous ID range (dropped batches, lost CDC offsets) —
+    // reported per 1000-key block with first/last missing. The fixture
+    // orderkey range is fully dense, so gaps are PLANTED by a
+    // deterministic keep-predicate the oracle replays; the detector must
+    // recover exactly that set. Scale spelling: NO global window — the
+    // expected spine generates per block (two nested bounded sequences,
+    // arrays ≤1000), missing keys fall out of a key-partitioned
+    // LEFT ANTI join, and the block rollup partial-aggregates. At 100 TB
+    // the spine comes from spark.range and the anti-join shuffles on the
+    // key like any fact join; nothing funnels through a single partition.
+    "q_validate_sequence" -> { (s, d) =>
+      val present = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"))
+        .filter(!pmod(col("k"), lit(101)).between(17, 19))
+      val mm = present.agg(min(col("k")).as("lo"), max(col("k")).as("hi"))
+      val blocks = mm.select(col("lo"), col("hi"),
+        explode(sequence(expr("lo DIV 1000"), expr("hi DIV 1000")))
+          .as("blk"))
+      val expected = blocks.select(col("blk"),
+        explode(sequence(greatest(col("blk") * 1000, col("lo")),
+          least(col("blk") * 1000 + 999, col("hi")))).as("k"))
+      expected.join(present, Seq("k"), "left_anti")
+        .groupBy(col("blk"))
+        .agg(count(lit(1)).as("n_missing"),
+          min(col("k")).as("first_missing"),
+          max(col("k")).as("last_missing"))
+        .orderBy(col("blk"))
+    },
+
     // SCD-2 effective dating: turn a keyed event history into
     // [valid_from, valid_to) ranges with a current-record flag — the
     // slowly-changing-dimension shape every migration load needs. One
@@ -994,6 +1024,25 @@ object Relational {
         | SELECT 'customer->nation', count(*)
         |  FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
         | ORDER BY fk_edge"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Replays the planted keep-predicate and the two-level block spine;
+    // range() is end-exclusive (hence the +1s the Spark sequence()
+    // spelling doesn't need).
+    "q_validate_sequence" ->
+      """WITH p AS (SELECT o_orderkey AS k FROM orders
+        |  WHERE NOT ((o_orderkey % 101) BETWEEN 17 AND 19)),
+        | mm AS (SELECT min(k) AS lo, max(k) AS hi FROM p),
+        | blocks AS (SELECT lo, hi,
+        |   unnest(range(lo // 1000, hi // 1000 + 1)) AS blk FROM mm),
+        | expected AS (SELECT blk,
+        |   unnest(range(greatest(blk * 1000, lo),
+        |     least(blk * 1000 + 999, hi) + 1)) AS k FROM blocks),
+        | miss AS (SELECT blk, k FROM expected
+        |  WHERE k NOT IN (SELECT k FROM p))
+        | SELECT blk, count(*) AS n_missing, min(k) AS first_missing,
+        |  max(k) AS last_missing
+        | FROM miss GROUP BY blk ORDER BY blk"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_shape_scd2" ->

@@ -122,6 +122,31 @@ object Subqueries {
            |    ORDER BY o_orderdate DESC, o_orderkey LIMIT 3) t
            | ORDER BY p.o_orderpriority, t.o_orderdate DESC,
            |  t.o_orderkey""".stripMargin)
+    },
+
+    // Quantified comparison (ALL) surface: suppliers strictly above /
+    // below EVERY account balance in the reference nations. Spark SQL has
+    // no `> ALL (subquery)` quantifier, so the engine spells the standard
+    // decorrelation — `> ALL S` ≡ `> max(S)` and `< ALL S` ≡ `< min(S)`
+    // for a non-empty null-free S (both hold here: s_acctbal is null-free
+    // and the reference set is non-empty at every fixture SF) — while the
+    // DuckDB oracle runs the true ALL quantifier, pinning the rewrite's
+    // equivalence. Each scalar subquery plans as a one-row broadcast;
+    // comparisons are raw parquet doubles (no arithmetic, no rounding).
+    "q_subq_any_all" -> { (s, d) =>
+      val g = views(s, d)
+      Tables.supplier(s, d).createOrReplaceTempView(s"supplier_$g")
+      s.sql(
+        s"""SELECT 'gt_all' AS rel, s_suppkey, s_name, s_acctbal
+           | FROM supplier_$g
+           | WHERE s_acctbal > (SELECT max(s_acctbal) FROM supplier_$g
+           |    WHERE s_nationkey % 5 = 0)
+           | UNION ALL
+           | SELECT 'lt_all' AS rel, s_suppkey, s_name, s_acctbal
+           | FROM supplier_$g
+           | WHERE s_acctbal < (SELECT min(s_acctbal) FROM supplier_$g
+           |    WHERE s_nationkey % 5 = 0)
+           | ORDER BY rel, s_suppkey""".stripMargin)
     }
   )
 
@@ -172,6 +197,22 @@ object Subqueries {
         |    WHERE o.o_orderpriority = p.o_orderpriority
         |    ORDER BY o_orderdate DESC, o_orderkey LIMIT 3) t
         | ORDER BY p.o_orderpriority, t.o_orderdate DESC, t.o_orderkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // The TRUE quantified spelling — pins the Spark-side max/min
+    // decorrelation equivalent (valid: reference set non-empty, no nulls).
+    "q_subq_any_all" ->
+      """SELECT * FROM (
+        | SELECT 'gt_all' AS rel, s_suppkey, s_name, s_acctbal
+        |  FROM supplier
+        |  WHERE s_acctbal > ALL (SELECT s_acctbal FROM supplier
+        |     WHERE s_nationkey % 5 = 0)
+        | UNION ALL
+        | SELECT 'lt_all' AS rel, s_suppkey, s_name, s_acctbal
+        |  FROM supplier
+        |  WHERE s_acctbal < ALL (SELECT s_acctbal FROM supplier
+        |     WHERE s_nationkey % 5 = 0))
+        | ORDER BY rel, s_suppkey"""
         .stripMargin.replaceAll("\n", " ")
   )
 }

@@ -3526,4 +3526,202 @@ class EngineLawsSpec extends SparkSuite {
     assert(m2.count() === 0L)
     assert(w2.collect().map(_.getString(1)).toSeq === Seq("~x~"))
   }
+
+  // ---- round-10 continuation: the statistical-test family ----
+
+  /** click/purchase cents samples collected once for the KS/MWU replays. */
+  private lazy val ksSamples: (Array[Long], Array[Long]) = {
+    val rows = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), round(col("value") * 100).cast("long"))
+      .collect()
+    (rows.filter(_.getString(0) == "click").map(_.getLong(1)),
+      rows.filter(_.getString(0) == "purchase").map(_.getLong(1)))
+  }
+
+  test("q_agg_ks_test equals the brute-force ECDF max") {
+    val Array(row) = SparkEntry.queries("q_agg_ks_test")(spark, sf).collect()
+    val (s1, s2) = ksSamples
+    val (n1, n2) = (s1.length.toLong, s2.length.toLong)
+    val dNum = (s1 ++ s2).distinct.map { v =>
+      math.abs(s1.count(_ <= v) * n2 - s2.count(_ <= v) * n1)
+    }.max
+    assert(row.getLong(0) === n1 && row.getLong(1) === n2)
+    assert(row.getLong(2) === dNum)
+    assert(row.getDouble(3) >= 0.0 && row.getDouble(3) <= 1.0)
+    assert(math.abs(row.getDouble(3) - dNum.toDouble / (n1 * n2)) < 1e-6)
+  }
+
+  test("q_agg_mannwhitney replays average ranks and U1+U2=n1*n2") {
+    val Array(row) =
+      SparkEntry.queries("q_agg_mannwhitney")(spark, sf).collect()
+    val (s1, s2) = ksSamples
+    val (n1, n2) = (s1.length.toLong, s2.length.toLong)
+    val all = (s1 ++ s2).sorted
+    // average rank per value: (first index + last index)/2 + 1, exact as
+    // the doubled-rank integer the query uses
+    val rank2 = all.distinct.map { v =>
+      val lo = all.indexWhere(_ == v) + 1L
+      val hi = all.lastIndexWhere(_ == v) + 1L
+      v -> (lo + hi)
+    }.toMap
+    val twoR1 = s1.map(rank2).sum
+    val u1 = (twoR1 - n1 * (n1 + 1)) / 2.0
+    assert(row.getLong(0) === n1 && row.getLong(1) === n2)
+    assert(row.getDouble(2) === u1)
+    assert(row.getDouble(2) + row.getDouble(3) === (n1 * n2).toDouble,
+      "U1 + U2 = n1*n2")
+    val nn = n1 + n2
+    val ties = all.groupBy(identity).values
+      .map(g => { val t = g.length.toLong; t * t * t - t }).sum
+    val sigma = math.sqrt(n1 * n2 / 12.0 *
+      ((nn + 1) - ties / (nn * (nn - 1)).toDouble))
+    assert(math.abs(row.getDouble(4) - (u1 - n1 * n2 / 2.0) / sigma) < 1e-3)
+  }
+
+  test("q_agg_spearman equals Pearson over average ranks") {
+    val Array(row) = SparkEntry.queries("q_agg_spearman")(spark, sf).collect()
+    val pts = Tables.events(spark, sf)
+      .select(round(col("value") * 100).cast("long"),
+        hour(col("ts")).cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def avgRanks(vs: Array[Long]): Map[Long, Double] = {
+      val sorted = vs.sorted
+      sorted.distinct.map { v =>
+        val lo = sorted.indexWhere(_ == v) + 1.0
+        val hi = sorted.lastIndexWhere(_ == v) + 1.0
+        v -> (lo + hi) / 2.0
+      }.toMap
+    }
+    val rx = avgRanks(pts.map(_._1)); val ry = avgRanks(pts.map(_._2))
+    val xs = pts.map(p => rx(p._1)); val ys = pts.map(p => ry(p._2))
+    val n = pts.length.toDouble
+    val (sx, sy) = (xs.sum, ys.sum)
+    val num = n * xs.zip(ys).map { case (a, b) => a * b }.sum - sx * sy
+    val den = math.sqrt((n * xs.map(a => a * a).sum - sx * sx) *
+      (n * ys.map(b => b * b).sum - sy * sy))
+    assert(row.getLong(0) === pts.length.toLong)
+    assert(row.getDouble(1) >= -1.0 && row.getDouble(1) <= 1.0)
+    assert(math.abs(row.getDouble(1) - num / den) < 1e-5)
+  }
+
+  test("q_agg_cramers_v is the chi2 twin normalized into [0,1]") {
+    val Array(v) = SparkEntry.queries("q_agg_cramers_v")(spark, sf).collect()
+    val Array(c) = SparkEntry.queries("q_agg_chi2")(spark, sf).collect()
+    assert(v.getDouble(3) === c.getDouble(2),
+      "same contingency walk, same chi2")
+    assert(v.getLong(1) === 5L && v.getLong(2) === 4L)
+    val expected = math.sqrt(v.getDouble(3) /
+      (v.getLong(0) * math.min(v.getLong(1) - 1, v.getLong(2) - 1)))
+    assert(math.abs(v.getDouble(4) - expected) < 1e-5)
+    assert(v.getDouble(4) >= 0.0 && v.getDouble(4) <= 1.0)
+  }
+
+  test("q_agg_anova partitions total sum of squares") {
+    val Array(row) = SparkEntry.queries("q_agg_anova")(spark, sf).collect()
+    val cs = Tables.events(spark, sf)
+      .select(col("event_type"), round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val n = cs.length.toLong
+    val grand = cs.map(_._2).sum.toDouble / n / 100.0
+    // total SS in dollars² via the same moment identity
+    val q = cs.map(c => BigInt(c._2) * BigInt(c._2)).sum
+    val s = cs.map(c => BigInt(c._2)).sum
+    val ssTot = (q.toDouble - s.toDouble * s.toDouble / n) / 10000.0
+    assert(row.getLong(0) === 5L && row.getLong(1) === n)
+    val (ssb, ssw, f) =
+      (row.getDouble(2), row.getDouble(3), row.getDouble(4))
+    assert(math.abs(ssb + ssw - ssTot) < 0.01,
+      "SSB + SSW = total SS (the ANOVA identity)")
+    assert(f > 0.0)
+    assert(math.abs(f - (ssb / 4) / (ssw / (n - 5))) < 1e-3)
+    assert(grand > 0.0)
+  }
+
+  test("q_validate_sequence recovers exactly the planted gap set") {
+    val out = SparkEntry.queries("q_validate_sequence")(spark, sf).collect()
+    val keys = Tables.orders(spark, sf)
+      .select(col("o_orderkey")).collect().map(_.getLong(0))
+    val present = keys.filter(k => !(k % 101 >= 17 && k % 101 <= 19)).toSet
+    val (lo, hi) = (present.min, present.max)
+    val missing = (lo to hi).filterNot(present)
+    val byBlock = missing.groupBy(_ / 1000)
+    assert(out.length === byBlock.size)
+    out.foreach { r =>
+      val blk = r.getLong(0)
+      val ms = byBlock(blk)
+      assert(r.getLong(1) === ms.length.toLong)
+      assert(r.getLong(2) === ms.min && r.getLong(3) === ms.max)
+    }
+    // every missing key is a planted one
+    assert(missing.forall(k => k % 101 >= 17 && k % 101 <= 19))
+  }
+
+  test("q_graph_adamic_adar replays the degree-weighted common-neighbor sum") {
+    val out = SparkEntry.queries("q_graph_adamic_adar")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val pairs = li.groupBy(_._1).values.flatMap { b =>
+      val ps = b.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSeq
+    val und = pairs.groupBy(identity).filter(_._2.size >= 2).keySet
+    val adj = (und.toSeq ++ und.toSeq.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    out.foreach { r =>
+      val (u, v) = (r.getLong(0), r.getLong(1))
+      val common = adj(u).intersect(adj(v))
+      assert(r.getLong(2) === common.size.toLong)
+      assert(common.forall(z => adj(z).size >= 2),
+        "every common neighbor has degree >= 2 (ln never zero)")
+      val aa = common.toSeq.map(z =>
+        BigDecimal(1.0 / math.log(adj(z).size) + 5e-10)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)).sum.toDouble
+      assert(math.abs(r.getDouble(3) - aa) < 1e-3)
+    }
+    // output is sorted by score descending
+    val scores = out.map(_.getDouble(3))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q_shape_yoy_growth conserves revenue and nulls first-year ratios") {
+    val out = SparkEntry.queries("q_shape_yoy_growth")(spark, sf).collect()
+    val totalCents = Tables.orders(spark, sf)
+      .select(round(col("o_totalprice") * 100).cast("long")).collect()
+      .map(_.getLong(0)).sum
+    val revSum = out.map(_.getDouble(2)).sum
+    assert(math.abs(revSum - totalCents / 100.0) < 0.01,
+      "monthly revenue partitions the order total")
+    val months = out.map(_.getDate(0))
+    val firstYear = months.map(_.toLocalDate.getYear).min
+    out.foreach { r =>
+      val y = r.getDate(0).toLocalDate.getYear
+      if (y == firstYear) assert(r.isNullAt(4),
+        s"first fixture year has no YoY base: ${r.getDate(0)}")
+    }
+    // December YTD equals the year's revenue sum
+    val byYear = out.groupBy(_.getDate(0).toLocalDate.getYear)
+    byYear.foreach { case (_, rows) =>
+      val last = rows.maxBy(_.getDate(0).toLocalDate.getMonthValue)
+      assert(math.abs(last.getDouble(3)
+        - rows.map(_.getDouble(2)).sum) < 0.01)
+    }
+  }
+
+  test("q_subq_any_all matches the true quantified-ALL semantics") {
+    val out = SparkEntry.queries("q_subq_any_all")(spark, sf).collect()
+    val sup = Tables.supplier(spark, sf)
+      .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val ref = sup.filter(_._2 % 5 == 0).map(_._3)
+    assert(ref.nonEmpty, "ALL ≡ max/min precondition: non-empty ref set")
+    val gtAll = sup.filter(s => ref.forall(s._3 > _)).map(_._1).toSet
+    val ltAll = sup.filter(s => ref.forall(s._3 < _)).map(_._1).toSet
+    assert(out.filter(_.getString(0) == "gt_all")
+      .map(_.getLong(1)).toSet === gtAll)
+    assert(out.filter(_.getString(0) == "lt_all")
+      .map(_.getLong(1)).toSet === ltAll)
+  }
 }
