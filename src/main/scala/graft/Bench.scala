@@ -323,7 +323,18 @@ object Bench {
       // finance trio, and the common-neighbor-exploded Adamic-Adar.
       // q_subq_any_all is dimension-scale (supplier), excluded by (b).
       "q_agg_ks_test", "q_agg_anova", "q_agg_spearman",
-      "q_validate_sequence", "q_shape_yoy_growth", "q_graph_adamic_adar")
+      "q_validate_sequence", "q_shape_yoy_growth", "q_graph_adamic_adar",
+      // second wave: the Poisson-bootstrap explode shape (64x map-side
+      // expansion collapsing to a 64-group shuffle), the two-phase
+      // posting-list build, and the stacked-window winnowing kernel.
+      // PSI/Benford share the bounded-domain partial-agg shape already
+      // repped by q_agg_ks_test; fellegi is dimension-scale; fixed-width
+      // is sink-bound like q_scan_text — excluded by (b).
+      "q_agg_bootstrap_ci", "q_text_inverted_index", "q_text_winnow",
+      // third wave: the KM double-window bounded-axis shape and the
+      // collect-and-fold Holt kernel (dp_count/fellegi/fixed_width share
+      // shapes already timed — excluded by (b)).
+      "q_shape_survival", "q_ts_holt")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

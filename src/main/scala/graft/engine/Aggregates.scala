@@ -622,6 +622,253 @@ object Aggregates {
             (col("ssw") / (col("nn") - col("k"))), 6).as("f_stat"))
     },
 
+    // Population Stability Index between the even- and odd-event_id
+    // cohorts of the value distribution — THE production drift gate run
+    // between a model's training snapshot and live traffic (PSI < 0.1
+    // stable, > 0.25 action). Five fixed $20-wide bins on integer cents
+    // (top bin open-ended) keep every bin populated on both sides at all
+    // fixture SFs — fixed bins, not quantiles, because the expected-side
+    // edges must be FROZEN for the comparison to mean anything. Per-bin
+    // term (pa−pe)·ln(pa/pe) is ε-rounded to DECIMAL(18,9) before the
+    // exact 5-term sum (order-free, immune to last-ulp ln differences).
+    // Scale shape: one corpus scan to a 5-row pinned frame; everything
+    // after is constant-size arithmetic.
+    "q_profile_psi" -> { (s, d) =>
+      val bins = Checkpoints.pin("psi:" + d, Tables.events(s, d)
+        .select(
+          least(floor(round(col("value") * 100) / 2000).cast("long"),
+            lit(4L)).as("bin"),
+          (pmod(col("event_id"), lit(2)) === 0).as("is_e"))
+        .groupBy(col("bin"))
+        .agg(sum(when(col("is_e"), 1L).otherwise(0L)).as("n_e"),
+          sum(when(!col("is_e"), 1L).otherwise(0L)).as("n_a"))
+        .localCheckpoint())
+      // cohort totals fold from the pinned 5-row frame — one corpus scan
+      val tot = bins.agg(sum(col("n_e")).as("te"), sum(col("n_a")).as("ta"))
+      val pe = col("n_e").cast("double") / col("te")
+      val pa = col("n_a").cast("double") / col("ta")
+      val withTerm = bins.crossJoin(broadcast(tot))
+        .withColumn("t",
+          eround((pa - pe) * log(pa / pe), 9).cast("decimal(18,9)"))
+      val psi = withTerm.agg(sum(col("t")).as("psid"))
+      withTerm.crossJoin(broadcast(psi))
+        .select(col("bin"), col("n_e"), col("n_a"),
+          eround(pe, 6).as("p_expected"), eround(pa, 6).as("p_actual"),
+          col("t").as("psi_term"),
+          eround(col("psid").cast("double"), 6).as("psi"))
+        .orderBy(col("bin"))
+    },
+
+    // Benford first-digit audit over order totals — the forensic
+    // screen for fabricated amounts: observed first-significant-digit
+    // shares vs Benford's log10(1+1/d), with the chi² distance and the
+    // mean absolute deviation (Nigrini's MAD) as the verdict numbers.
+    // The fixture's near-uniform prices FAIL the law loudly — the audit
+    // detecting synthetic data is the demo working. First digit comes
+    // from the cents string (exact; never float log10 which misbins at
+    // powers of ten). Per-digit chi²/MAD cells ε-round to DECIMAL(18,9)
+    // before the exact 9-term sums. One corpus scan to a pinned 9-row
+    // frame; constant-size arithmetic after.
+    "q_agg_benford" -> { (s, d) =>
+      val obs = Checkpoints.pin("benford:" + d, Tables.orders(s, d)
+        .select(substring(round(col("o_totalprice") * 100).cast("long")
+          .cast("string"), 1, 1).cast("long").as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+        .localCheckpoint())
+      val tot = obs.agg(sum(col("n")).as("nn"))
+      val pExp = log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0))
+      val pObs = col("n").cast("double") / col("nn")
+      val wb = obs.crossJoin(broadcast(tot))
+        .withColumn("chi_cell", eround(
+          (col("n") - col("nn") * pExp) * (col("n") - col("nn") * pExp) /
+            (col("nn") * pExp), 9).cast("decimal(18,9)"))
+        .withColumn("mad_cell",
+          eround(abs(pObs - pExp), 9).cast("decimal(18,9)"))
+      val sums = wb.agg(sum(col("chi_cell")).as("chi2d"),
+        sum(col("mad_cell")).as("madd"))
+      wb.crossJoin(broadcast(sums))
+        .select(col("digit"), col("n"),
+          eround(pObs, 6).as("p_obs"), eround(pExp, 6).as("p_benford"),
+          eround(col("chi2d").cast("double"), 4).as("chi2"),
+          eround(col("madd").cast("double") / 9.0, 6).as("mad"))
+        .orderBy(col("digit"))
+    },
+
+    // Exact AUC-ROC of "value separates purchases from clicks" — the
+    // ranking-quality metric every scoring model ships with, computed
+    // via its Mann–Whitney identity AUC = U₊/(n₊·n₋) on the SAME
+    // doubled-rank integer machinery as q_agg_mannwhitney: per-cents
+    // counts (bounded domain), one cumsum, 2R₊ = Σ a₊(2·cumAll − t + 1)
+    // pure integer, so the tie-corrected numerator 2R₊ − n₊(n₊+1) is
+    // exact and AUC is ONE float division (Gini = 2·AUC − 1 rides the
+    // same integers). One corpus scan, one bounded exchange — an exact
+    // sort-free AUC at any scale.
+    "q_agg_auc" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val pv = Checkpoints.pin("auc:" + d, Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy(col("c"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("ap"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("an")).localCheckpoint())
+      val tot = pv.agg(sum(col("ap")).as("np"), sum(col("an")).as("nn"))
+      val w = W.orderBy(col("c"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val t = col("ap") + col("an")
+      pv.withColumn("cumAll", sum(t).over(w))
+        .select((col("ap") * (lit(2) * col("cumAll") - t + 1))
+          .as("contrib"))
+        .crossJoin(broadcast(tot))
+        .groupBy(col("np"), col("nn"))
+        .agg(sum(col("contrib")).as("two_rp"))
+        .select(col("np").as("n_pos"), col("nn").as("n_neg"),
+          (col("two_rp") - col("np") * (col("np") + 1)).as("u_num"),
+          eround((col("two_rp") - col("np") * (col("np") + 1))
+            .cast("double") / (lit(2) * col("np") * col("nn")), 6)
+            .as("auc"),
+          eround((col("two_rp") - col("np") * (col("np") + 1))
+            .cast("double") / (col("np") * col("nn")) - 1, 6).as("gini"))
+    },
+
+    // Wilson 95% score interval for the per-cohort conversion rate
+    // (purchases over purchases+clicks) — the proportion CI that stays
+    // valid at small n and never leaves [0,1], i.e. what an experiment
+    // dashboard should show instead of the Wald interval. Counts are
+    // exact integers off one partial-agg scan; the closed-form center ±
+    // half-width is the identical double tree on both engines (z = 1.96
+    // literal), ε-rounded for display.
+    "q_agg_wilson_ci" -> { (s, d) =>
+      val z = 1.96
+      val ag = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(pmod(col("user_id"), lit(4)).as("cohort"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("s"),
+          count(lit(1)).as("n"))
+      val p = col("s").cast("double") / col("n")
+      val denom = lit(1.0) + lit(z * z) / col("n")
+      val center = (p + lit(z * z) / (lit(2) * col("n"))) / denom
+      // 4.0 first so n² accumulates in double (long n² overflows ~1.5e9)
+      val half = lit(z) * sqrt(p * (lit(1.0) - p) / col("n")
+        + lit(z * z) / (lit(4.0) * col("n") * col("n"))) / denom
+      ag.select(col("cohort"), col("n"), col("s"),
+          eround(p, 6).as("p_hat"),
+          eround(center - half, 6).as("ci_lo"),
+          eround(center + half, 6).as("ci_hi"))
+        .orderBy(col("cohort"))
+    },
+
+    // Exact percentile GRID the way it stays exact at 100 TB: the
+    // sort-based percentile() in q_agg_percentile is the right call at
+    // dimension scale but needs the full value multiset per group; this
+    // spelling partial-aggregates to per-cents counts (bounded by the
+    // VALUE DOMAIN, ≤49k rows at any corpus size), cumulates once along
+    // the axis, and reads all seven percentiles off the same cumsum with
+    // PURE INTEGER threshold tests — cum·100 ≥ p·n is ceil(p·n/100)
+    // without ever touching a float (lower-percentile convention). One
+    // corpus scan, one bounded exchange, zero sort of raw rows.
+    "q_agg_percentile_grid" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val pv = Checkpoints.pin("pctgrid:" + d, Tables.events(s, d)
+        .select(round(col("value") * 100).cast("long").as("c"))
+        .groupBy(col("c")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint())
+      val tot = pv.agg(sum(col("cnt")).as("n"))
+      val w = W.orderBy(col("c"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      pv.withColumn("cum", sum(col("cnt")).over(w))
+        .crossJoin(broadcast(tot))
+        .select(col("c"), col("cum"), col("n"),
+          explode(lit(Array(1L, 5L, 25L, 50L, 75L, 95L, 99L))).as("p"))
+        .filter(col("cum") * 100 >= col("p") * col("n"))
+        .groupBy(col("p"), col("n"))
+        .agg(min(col("c")).as("pc"))
+        .select(col("p"), col("n"),
+          (col("pc") / 100.0).as("value"))
+        .orderBy(col("p"))
+    },
+
+    // Herfindahl–Hirschman concentration of revenue across customers per
+    // market segment — the antitrust/market-structure number beside the
+    // Pareto and Gini rows: HHI = Σᵢ shareᵢ² = Σ cᵢ² / T² on exact
+    // integer cents (per-customer cents cᵢ sum exactly; the square sum
+    // widens to DECIMAL(38,0)), with 1/HHI as the "effective number of
+    // customers". Two partial aggs (customer grain → segment grain) on
+    // one orders scan + a broadcast dimension join; no window, no sort
+    // of raw rows.
+    "q_agg_hhi" -> { (s, d) =>
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      val perCust = Tables.orders(s, d)
+        .join(broadcast(Tables.customer(s, d)
+          .select(col("c_custkey").as("o_custkey"),
+            col("c_mktsegment").as("segment"))), "o_custkey")
+        .groupBy(col("segment"), col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("ci"))
+      perCust.groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(col("ci").cast(dec38)).as("t"),
+          sum(col("ci").cast(dec19) * col("ci").cast(dec19)).as("q"))
+        .select(col("segment"), col("n_cust"),
+          (col("t").cast("double") / 100.0).as("revenue"),
+          eround(col("q").cast("double")
+            / (col("t").cast("double") * col("t").cast("double")), 9)
+            .as("hhi"),
+          eround(col("t").cast("double") * col("t").cast("double")
+            / col("q").cast("double"), 4).as("effective_n"))
+        .orderBy(col("segment"))
+    },
+
+    // Poisson bootstrap 95% CI for the mean purchase value — the
+    // resampling spelling that actually scales: classic bootstrap
+    // resamples the corpus B times (B full shuffles); Poisson bootstrap
+    // gives every row an independent Poisson(1) multiplicity per
+    // replicate, making the whole thing ONE map-side pass — each row
+    // explodes to B=64 (row, replicate) terms that partial-aggregate to
+    // 64 groups before the only shuffle. Multiplicities are DETERMINISTIC
+    // md5 coins (52-bit uniform from the hex prefix, inverted through the
+    // Poisson(1) CDF as literal double thresholds — identical constants,
+    // identical comparisons on both engines), so the oracle replays every
+    // weight exactly. CI = order statistics 2 and 63 of the 64 sorted
+    // replicate means (≈95%, the tails each drop one replicate).
+    "q_agg_bootstrap_ci" -> { (s, d) =>
+      val B = 64
+      // P(Pois(1) <= k) for k = 0..7; weight = first k with u < cdf(k)
+      val cdf = Seq(0.36787944117144233, 0.7357588823428847,
+        0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
+        0.9994058151824183, 0.999916758850712, 0.9999897508033253)
+      val pc = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"),
+          round(col("value") * 100).cast("long").as("c"))
+      val u = conv(substring(md5(concat_ws(":",
+        col("event_id"), col("b"))), 1, 13), 16, 10)
+        .cast("long").cast("double") / lit(4503599627370496.0) // 2^52
+      val wgt = cdf.zipWithIndex.foldRight(lit(8L): Column) {
+        case ((p, k), acc) => when(col("u") < p, lit(k.toLong)).otherwise(acc)
+      }
+      val means = pc
+        .select(col("event_id"), col("c"),
+          explode(sequence(lit(0), lit(B - 1))).as("b"))
+        .withColumn("u", u).withColumn("w", wgt)
+        .groupBy(col("b"))
+        .agg(sum(col("c") * col("w")).as("num"), sum(col("w")).as("den"))
+        .select((col("num").cast("double") / col("den") / 100.0).as("m"))
+      val point = pc.agg(count(lit(1)).as("n"),
+        (sum(col("c")).cast("double") / count(lit(1)) / 100.0).as("mean"))
+      val ci = means.agg(sort_array(collect_list(col("m"))).as("ms"))
+        .select(element_at(col("ms"), 2).as("ci_lo"),
+          element_at(col("ms"), 63).as("ci_hi"))
+      point.crossJoin(broadcast(ci))
+        .select(col("n"), lit(B.toLong).as("n_replicates"),
+          eround(col("mean"), 6).as("mean"),
+          eround(col("ci_lo"), 6).as("ci_lo"),
+          eround(col("ci_hi"), 6).as("ci_hi"))
+    },
+
     // Weighted (lower) median — quantity-weighted median line price per
     // return flag: the "typical traded price" statistic where each line
     // counts by its volume. EXACT threshold-crossing spelling, no
@@ -1475,6 +1722,189 @@ object Aggregates {
         |  round(ssw + 5e-10, 4) AS ss_within,
         |  round((ssb / (k - 1)) / (ssw / (nn - k)) + 5e-10, 6) AS f_stat
         | FROM ag"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // The Mann–Whitney doubled-rank integers verbatim; AUC and Gini are
+    // single divisions of the exact u_num.
+    "q_agg_auc" ->
+      """WITH ev AS (SELECT event_type,
+        |   CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        | pv AS (SELECT c,
+        |   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+        |     AS ap,
+        |   CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS an
+        |  FROM ev GROUP BY c),
+        | cm AS (SELECT ap, an,
+        |   CAST(sum(ap + an) OVER (ORDER BY c) AS BIGINT) AS cumAll
+        |  FROM pv),
+        | tot AS (SELECT CAST(sum(ap) AS BIGINT) AS np,
+        |   CAST(sum(an) AS BIGINT) AS nn FROM pv),
+        | ag AS (SELECT np, nn,
+        |   CAST(sum(ap * (2 * cumAll - (ap + an) + 1)) AS BIGINT)
+        |     AS two_rp
+        |  FROM cm, tot GROUP BY np, nn)
+        | SELECT np AS n_pos, nn AS n_neg,
+        |  two_rp - np * (np + 1) AS u_num,
+        |  round(CAST(two_rp - np * (np + 1) AS DOUBLE) / (2 * np * nn)
+        |    + 5e-10, 6) AS auc,
+        |  round(CAST(two_rp - np * (np + 1) AS DOUBLE) / (np * nn) - 1
+        |    + 5e-10, 6) AS gini
+        | FROM ag"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Identical closed-form Wilson tree (z = 1.96 literal; 4.0 first so
+    // n² stays in double); counts exact BIGINT.
+    "q_agg_wilson_ci" ->
+      """WITH ag AS (SELECT user_id % 4 AS cohort,
+        |   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+        |     AS s,
+        |   CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY cohort)
+        | SELECT cohort, n, s,
+        |  round(CAST(s AS DOUBLE) / n + 5e-10, 6) AS p_hat,
+        |  round((CAST(s AS DOUBLE) / n + (1.96 * 1.96) / (2 * n))
+        |     / (1.0 + (1.96 * 1.96) / n)
+        |   - 1.96 * sqrt(CAST(s AS DOUBLE) / n
+        |      * (1.0 - CAST(s AS DOUBLE) / n) / n
+        |      + (1.96 * 1.96) / (4.0 * n * n))
+        |     / (1.0 + (1.96 * 1.96) / n) + 5e-10, 6) AS ci_lo,
+        |  round((CAST(s AS DOUBLE) / n + (1.96 * 1.96) / (2 * n))
+        |     / (1.0 + (1.96 * 1.96) / n)
+        |   + 1.96 * sqrt(CAST(s AS DOUBLE) / n
+        |      * (1.0 - CAST(s AS DOUBLE) / n) / n
+        |      + (1.96 * 1.96) / (4.0 * n * n))
+        |     / (1.0 + (1.96 * 1.96) / n) + 5e-10, 6) AS ci_hi
+        | FROM ag ORDER BY cohort"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same bounded cumsum; every percentile threshold is the integer
+    // test cum·100 ≥ p·n (ceil without floats); BIGINT throughout.
+    "q_agg_percentile_grid" ->
+      """WITH pv AS (SELECT CAST(round(value * 100) AS BIGINT) AS c,
+        |   CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY c),
+        | cm AS (SELECT c,
+        |   CAST(sum(cnt) OVER (ORDER BY c) AS BIGINT) AS cum FROM pv),
+        | tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM pv),
+        | grid AS (SELECT CAST(unnest([1, 5, 25, 50, 75, 95, 99])
+        |   AS BIGINT) AS p)
+        | SELECT p, n, min(c) / 100.0 AS value
+        | FROM cm, tot, grid WHERE cum * 100 >= p * n
+        | GROUP BY p, n ORDER BY p"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Identical integer-moment walk (ci exact cents, q = Σci² widening
+    // to HUGEINT); the double tree for hhi/effective_n mirrors Spark.
+    "q_agg_hhi" ->
+      """WITH pc AS (SELECT c.c_mktsegment AS segment, o.o_custkey,
+        |   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+        |     AS BIGINT) AS ci
+        |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |  GROUP BY segment, o.o_custkey),
+        | m AS (SELECT segment, CAST(count(*) AS BIGINT) AS n_cust,
+        |   CAST(sum(ci) AS HUGEINT) AS t, sum(ci * ci) AS q
+        |  FROM pc GROUP BY segment)
+        | SELECT segment, n_cust,
+        |  CAST(t AS DOUBLE) / 100.0 AS revenue,
+        |  round(CAST(q AS DOUBLE)
+        |    / (CAST(t AS DOUBLE) * CAST(t AS DOUBLE)) + 5e-10, 9) AS hhi,
+        |  round(CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+        |    / CAST(q AS DOUBLE) + 5e-10, 4) AS effective_n
+        | FROM m ORDER BY segment"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same fixed bins, same ln() term ε-rounded to DECIMAL(18,9) before
+    // the exact 5-term sum; counts stay BIGINT throughout.
+    "q_profile_psi" ->
+      """WITH bins AS (SELECT
+        |   least(CAST(round(value * 100) AS BIGINT) // 2000, 4) AS bin,
+        |   CAST(count(*) FILTER (event_id % 2 = 0) AS BIGINT) AS n_e,
+        |   CAST(count(*) FILTER (event_id % 2 = 1) AS BIGINT) AS n_a
+        |  FROM events GROUP BY bin),
+        | tot AS (SELECT CAST(sum(n_e) AS BIGINT) AS te,
+        |   CAST(sum(n_a) AS BIGINT) AS ta FROM bins),
+        | terms AS (SELECT bin, n_e, n_a, te, ta,
+        |   CAST(round((CAST(n_a AS DOUBLE) / ta
+        |      - CAST(n_e AS DOUBLE) / te)
+        |     * ln((CAST(n_a AS DOUBLE) / ta)
+        |      / (CAST(n_e AS DOUBLE) / te)) + 5e-10, 9)
+        |    AS DECIMAL(18,9)) AS t
+        |  FROM bins, tot),
+        | ps AS (SELECT CAST(sum(t) AS DOUBLE) AS psid FROM terms)
+        | SELECT bin, n_e, n_a,
+        |  round(CAST(n_e AS DOUBLE) / te + 5e-10, 6) AS p_expected,
+        |  round(CAST(n_a AS DOUBLE) / ta + 5e-10, 6) AS p_actual,
+        |  t AS psi_term,
+        |  round(psid + 5e-10, 6) AS psi
+        | FROM terms, ps ORDER BY bin"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // First digit from the cents STRING (exact at powers of ten); per-
+    // digit chi²/MAD cells ε-rounded to DECIMAL(18,9) before the exact
+    // 9-term sums; ln(1+1/d)/ln(10) matches Spark's natural-log spelling
+    // (DuckDB's bare log() is base 10 — never use it here).
+    "q_agg_benford" ->
+      """WITH obs AS (SELECT
+        |   CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |     AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+        |   CAST(count(*) AS BIGINT) AS n
+        |  FROM orders GROUP BY digit),
+        | tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM obs),
+        | cells AS (SELECT digit, n, nn,
+        |   ln(1.0 + 1.0 / digit) / ln(10.0) AS p_exp,
+        |   CAST(round((n - nn * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+        |     * (n - nn * (ln(1.0 + 1.0 / digit) / ln(10.0)))
+        |     / (nn * (ln(1.0 + 1.0 / digit) / ln(10.0))) + 5e-10, 9)
+        |    AS DECIMAL(18,9)) AS chi_cell,
+        |   CAST(round(abs(CAST(n AS DOUBLE) / nn
+        |     - ln(1.0 + 1.0 / digit) / ln(10.0)) + 5e-10, 9)
+        |    AS DECIMAL(18,9)) AS mad_cell
+        |  FROM obs, tot),
+        | sums AS (SELECT CAST(sum(chi_cell) AS DOUBLE) AS chi2d,
+        |   CAST(sum(mad_cell) AS DOUBLE) AS madd FROM cells)
+        | SELECT digit, n,
+        |  round(CAST(n AS DOUBLE) / nn + 5e-10, 6) AS p_obs,
+        |  round(p_exp + 5e-10, 6) AS p_benford,
+        |  round(chi2d + 5e-10, 4) AS chi2,
+        |  round(madd / 9.0 + 5e-10, 6) AS mad
+        | FROM cells, sums ORDER BY digit"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Replays every md5 coin: 52-bit uniform from 13 hex chars, the same
+    // literal Poisson(1) CDF thresholds, integer num/den per replicate,
+    // identical division order; CI picks sorted-list elements 2 and 63.
+    "q_agg_bootstrap_ci" ->
+      """WITH pc AS (SELECT event_id,
+        |   CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE event_type = 'purchase'),
+        | rep AS (SELECT c,
+        |   CAST(('0x' || substr(md5(event_id || ':' || b), 1, 13))
+        |     AS BIGINT) / 4503599627370496.0 AS u, b
+        |  FROM pc, (SELECT unnest(range(0, 64)) AS b)),
+        | w AS (SELECT b, c,
+        |   CASE WHEN u < 0.36787944117144233 THEN 0
+        |    WHEN u < 0.7357588823428847 THEN 1
+        |    WHEN u < 0.9196986029286058 THEN 2
+        |    WHEN u < 0.9810118431238462 THEN 3
+        |    WHEN u < 0.9963401531726563 THEN 4
+        |    WHEN u < 0.9994058151824183 THEN 5
+        |    WHEN u < 0.999916758850712 THEN 6
+        |    WHEN u < 0.9999897508033253 THEN 7
+        |    ELSE 8 END AS w FROM rep),
+        | means AS (SELECT b,
+        |   CAST(sum(c * w) AS DOUBLE) / CAST(sum(w) AS BIGINT) / 100.0
+        |     AS m
+        |  FROM w GROUP BY b),
+        | ci AS (SELECT (list(m ORDER BY m))[2] AS ci_lo,
+        |   (list(m ORDER BY m))[63] AS ci_hi FROM means),
+        | pt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(c) AS DOUBLE) / count(*) / 100.0 AS mean FROM pc)
+        | SELECT n, CAST(64 AS BIGINT) AS n_replicates,
+        |  round(mean + 5e-10, 6) AS mean,
+        |  round(ci_lo + 5e-10, 6) AS ci_lo,
+        |  round(ci_hi + 5e-10, 6) AS ci_hi
+        | FROM pt, ci"""
         .stripMargin.replaceAll("\n", " "),
 
     // Mirrors the Spark construction 1:1 (same medians, same threshold

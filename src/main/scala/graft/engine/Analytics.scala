@@ -1037,6 +1037,67 @@ object Analytics {
         .orderBy(col("month"))
     },
 
+    // Kaplan–Meier repurchase survival curve — time-to-second-order with
+    // right censoring at the fixture horizon, the survival-analysis
+    // spelling of retention (q_shape_retention bins by month; KM handles
+    // censoring correctly, which naive bins cannot). Per-customer
+    // first/second order dates from ONE customer-partitioned window
+    // (rn ≤ 2, deterministic (date, orderkey) tiebreak); gap days bin to
+    // a CALENDAR-BOUNDED axis, so the at-risk and term windows run over
+    // a domain-sized frame at any corpus scale (the q_agg_ks_test
+    // shape). S(t) = Π(1 − d/n) spelled exp(Σ ln(1 − d/n)) with each
+    // ln-term ε-rounded to DECIMAL(18,9) before the EXACT running sum —
+    // the cumulative product becomes order-free decimal addition,
+    // immune to engine ln() ulp drift. A gap where every at-risk
+    // subject events (d = n) would make ln(0) = −∞: spelled as a −9999
+    // sentinel term, which exp() underflows to exactly 0.0 survival on
+    // both engines.
+    "q_shape_survival" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val rw = W.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val ranked = Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+        .withColumn("rn", row_number().over(rw))
+        .filter(col("rn") <= 2)
+      // censoring horizon = the last date in the WHOLE corpus (a later
+      // third order must still extend the horizon) — its own 1-column
+      // pushed scan, cheaper than materializing the ranked frame twice
+      val horizon = Tables.orders(s, d)
+        .agg(max(col("o_orderdate")).as("dmax"))
+      val subj = ranked.groupBy(col("o_custkey"))
+        .agg(min(col("o_orderdate")).as("d1"),
+          max(when(col("rn") === 2, col("o_orderdate"))).as("d2"))
+        .crossJoin(broadcast(horizon))
+        .select(
+          when(col("d2").isNotNull, datediff(col("d2"), col("d1")))
+            .otherwise(datediff(col("dmax"), col("d1"))).as("g"),
+          col("d2").isNotNull.as("event"))
+      val tbl = Checkpoints.pin("km:" + d, subj.groupBy(col("g"))
+        .agg(sum(when(col("event"), 1L).otherwise(0L)).as("d_g"),
+          sum(when(!col("event"), 1L).otherwise(0L)).as("c_g"))
+        .localCheckpoint())
+      val tot = tbl.agg(sum(col("d_g") + col("c_g")).as("n0"))
+      val before = W.orderBy(col("g"))
+        .rowsBetween(W.unboundedPreceding, -1)
+      val run = W.orderBy(col("g")).rowsBetween(W.unboundedPreceding, 0)
+      tbl.crossJoin(broadcast(tot))
+        .withColumn("at_risk", col("n0")
+          - coalesce(sum(col("d_g") + col("c_g")).over(before), lit(0L)))
+        .filter(col("d_g") > 0)
+        .withColumn("term",
+          when(col("d_g") === col("at_risk"),
+            lit(-9999).cast("decimal(18,9)"))
+            .otherwise(eround(log(lit(1.0)
+              - col("d_g").cast("double") / col("at_risk")), 9)
+              .cast("decimal(18,9)")))
+        .withColumn("cum", sum(col("term")).over(run))
+        .select(col("g").as("gap_days"), col("at_risk"),
+          col("d_g").as("n_events"),
+          eround(exp(col("cum").cast("double")), 6).as("survival"))
+        .orderBy(col("gap_days"))
+    },
+
     // Last-touch marketing attribution: each purchase's value goes to the
     // event type of the user's most recent PRECEDING non-purchase event
     // ('direct' when none exists). One user-partitioned window carries
@@ -2211,6 +2272,44 @@ object Analytics {
         |  round(CAST(m.sc AS DOUBLE) / p.sc + 5e-10, 6) AS yoy_ratio
         | FROM m LEFT JOIN m p ON p.mk = m.mk - 12
         | ORDER BY month"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same KM walk: deterministic (date, orderkey) ranking, global
+    // censor horizon, ε-rounded ln-terms summed as exact decimals, the
+    // d = n sentinel, exp at the end.
+    "q_shape_survival" ->
+      """WITH rk AS (SELECT o_custkey, o_orderdate,
+        |   row_number() OVER (PARTITION BY o_custkey
+        |     ORDER BY o_orderdate, o_orderkey) AS rn FROM orders),
+        | hz AS (SELECT max(o_orderdate) AS dmax FROM orders),
+        | fs AS (SELECT o_custkey, min(o_orderdate) AS d1,
+        |   max(CASE WHEN rn = 2 THEN o_orderdate END) AS d2
+        |  FROM rk WHERE rn <= 2 GROUP BY o_custkey),
+        | subj AS (SELECT
+        |   CASE WHEN d2 IS NOT NULL THEN date_diff('day', d1, d2)
+        |    ELSE date_diff('day', d1, dmax) END AS g,
+        |   d2 IS NOT NULL AS event
+        |  FROM fs, hz),
+        | tbl AS (SELECT g,
+        |   CAST(count(*) FILTER (event) AS BIGINT) AS d_g,
+        |   CAST(count(*) FILTER (NOT event) AS BIGINT) AS c_g
+        |  FROM subj GROUP BY g),
+        | tot AS (SELECT CAST(sum(d_g + c_g) AS BIGINT) AS n0 FROM tbl),
+        | ar AS (SELECT g, d_g, n0 - coalesce(
+        |   CAST(sum(d_g + c_g) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED
+        |     PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS at_risk
+        |  FROM tbl, tot),
+        | ev AS (SELECT g, at_risk, d_g,
+        |   CASE WHEN d_g = at_risk THEN CAST(-9999 AS DECIMAL(18,9))
+        |    ELSE CAST(round(ln(1.0 - CAST(d_g AS DOUBLE) / at_risk)
+        |      + 5e-10, 9) AS DECIMAL(18,9)) END AS term
+        |  FROM ar WHERE d_g > 0),
+        | cm AS (SELECT g, at_risk, d_g,
+        |   CAST(sum(term) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED
+        |     PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum FROM ev)
+        | SELECT g AS gap_days, at_risk, d_g AS n_events,
+        |  round(exp(cum) + 5e-10, 6) AS survival
+        | FROM cm ORDER BY gap_days"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_shape_attribution" ->

@@ -875,6 +875,46 @@ object Events {
         .orderBy(col("user_id"), col("s_start"))
     },
 
+    // Holt's linear-trend smoothing (double exponential, α = β = 1/2) —
+    // the level+trend forecaster beside the EWMA (level-only) and
+    // seasonal-naive rows: per-type daily cents fold through
+    // l' = y/2 + (l+b)/2, b' = (l'−l)/2 + b/2 with the textbook init
+    // (l₁ = y₁, b₁ = y₂ − y₁). The recursion is NON-ASSOCIATIVE, so it
+    // cannot be a distributed aggregate — but the per-type daily frame
+    // is bounded by the CALENDAR SPAN, not the corpus, so after the one
+    // daily partial agg the whole series collects into a single row and
+    // folds via the aggregate() HOF (the sanctioned bounded-fold
+    // pattern; the q_vec_mmr precedent). Parity is BIT-EXACT by IEEE
+    // determinism: the fold is pure +,−,/2 on doubles (no libm), and
+    // the oracle replays the identical op sequence as a recursive CTE.
+    "q_ts_holt" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+      daily.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("day"), col("c"))))
+          .as("sc"))
+        .select(col("event_type"),
+          expr("transform(sc, e -> CAST(e.c AS DOUBLE))").as("ys"))
+        .select(col("event_type"),
+          size(col("ys")).cast("long").as("n_days"),
+          expr("""aggregate(
+              slice(ys, 2, greatest(size(ys) - 1, 0)),
+              named_struct(
+                'l', element_at(ys, 1),
+                'b', element_at(ys, 2) - element_at(ys, 1)),
+              (acc, y) -> named_struct(
+                'l', y / 2 + (acc.l + acc.b) / 2,
+                'b', ((y / 2 + (acc.l + acc.b) / 2) - acc.l) / 2
+                  + acc.b / 2))""").as("st"))
+        .select(col("event_type"), col("n_days"),
+          eround(col("st.l") / 100.0, 6).as("level"),
+          eround(col("st.b") / 100.0, 6).as("trend"),
+          eround((col("st.l") + lit(7) * col("st.b")) / 100.0, 6)
+            .as("forecast_7d"))
+        .orderBy(col("event_type"))
+    },
+
     // Time-series resampling with forward fill — the gap-filling ETL
     // step sensors/metrics pipelines run before joins on aligned time
     // grids: per-user hourly sums on a DENSE hourly grid spanning each
@@ -1746,6 +1786,38 @@ object Events {
          |  max(ts) + INTERVAL 30 MINUTE AS s_end,
          |  count(*) AS n, ${oLsum("value")} AS sum_v
          | FROM g GROUP BY user_id, sid ORDER BY user_id, s_start"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // The identical +,−,/2 op sequence as a recursive CTE (state row
+    // (t, l, b) = state after day t; anchor l₁ = y₁, b₁ = y₂ − y₁) —
+    // bit-exact vs the Spark fold by IEEE determinism (no libm calls).
+    "q_ts_holt" ->
+      """WITH RECURSIVE daily AS (SELECT event_type,
+        |   CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY event_type, day),
+        | ser AS (SELECT event_type,
+        |   row_number() OVER (PARTITION BY event_type ORDER BY day) AS j,
+        |   CAST(c AS DOUBLE) AS y FROM daily),
+        | nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        |  FROM ser GROUP BY event_type),
+        | h AS (
+        |  SELECT s1.event_type, CAST(1 AS BIGINT) AS t, s1.y AS l,
+        |    s2.y - s1.y AS b
+        |   FROM ser s1 JOIN ser s2 ON s2.event_type = s1.event_type
+        |    AND s2.j = 2 WHERE s1.j = 1
+        |  UNION ALL
+        |  SELECT h.event_type, h.t + 1,
+        |    s.y / 2 + (h.l + h.b) / 2,
+        |    ((s.y / 2 + (h.l + h.b) / 2) - h.l) / 2 + h.b / 2
+        |   FROM h JOIN ser s ON s.event_type = h.event_type
+        |    AND s.j = h.t + 1)
+        | SELECT h.event_type, nd.n_days,
+        |  round(h.l / 100.0 + 5e-10, 6) AS level,
+        |  round(h.b / 100.0 + 5e-10, 6) AS trend,
+        |  round((h.l + 7 * h.b) / 100.0 + 5e-10, 6) AS forecast_7d
+        | FROM h JOIN nd USING (event_type) WHERE h.t = nd.n_days
+        | ORDER BY event_type"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_ts_resample" ->

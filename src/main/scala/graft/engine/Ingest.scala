@@ -329,6 +329,77 @@ object Ingest {
           max(length(col("value")).cast("long")).as("max_len"))
     },
 
+    // Multiline-CSV round trip — the ingest hazard, exercised honestly:
+    // every document gets a REAL embedded line break planted inside the
+    // field (so the writer must quote it and a naive line-split reader
+    // would shred every record), then reads back through multiLine=true
+    // and the per-language rollup must match the planted transform
+    // replayed straight off parquet. The scale note is the point of the
+    // row: multiLine CSV is NOT SPLITTABLE — the parser cannot start
+    // mid-file because a newline may be inside quotes, so each FILE is
+    // one task at any corpus size. This operator exists because vendors
+    // ship such files; the production answer it documents is
+    // convert-once to parquet (or JSONL, splittable at line level when
+    // writers escape newlines) and never scan multiline CSV twice.
+    "q_scan_csv_multiline" -> { (s, d) =>
+      val out = tmp("docs_multiline", d)
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat(substring(col("text"), 1, 20), lit("\n"),
+            substring(col("text"), 21, 1000000)).as("text"),
+          col("lang"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read.option("header", "true").option("multiLine", "true")
+        .schema("doc_id LONG, text STRING, lang STRING")
+        .csv(out)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_chars"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("lang"))
+    },
+
+    // Fixed-width flat-file round trip — the mainframe/legacy-export
+    // format (COBOL copybook layouts, bank settlement files) that still
+    // feeds real migration pipelines: orders serialize to 60-byte
+    // fixed-offset records (zero-padded keys and cents, yyyyMMdd date,
+    // space-padded priority), re-ingest through the schemaless text
+    // source, and parse by SUBSTRING OFFSETS — no delimiter, no quote
+    // handling, pure byte arithmetic, which is exactly why the format
+    // survives: a fixed-width scan is splittable at any record boundary
+    // and costs zero parse branches at 100 TB. The read-back rollup
+    // (counts, exact cents, date span per status) must match the same
+    // rollup straight off parquet — hash parity proves the layout is
+    // lossless including the cents and date round trips. Map-only write,
+    // map-only parse, one small aggregate.
+    "q_scan_fixed_width" -> { (s, d) =>
+      val out = tmp("orders_fixed", d)
+      Tables.orders(s, d).select(concat(
+          lpad(col("o_orderkey").cast("string"), 12, "0"),
+          lpad(col("o_custkey").cast("string"), 12, "0"),
+          rpad(col("o_orderstatus"), 1, " "),
+          lpad(round(col("o_totalprice") * 100).cast("long").cast("string"),
+            12, "0"),
+          date_format(col("o_orderdate"), "yyyyMMdd"),
+          rpad(col("o_orderpriority"), 15, " ")).as("value"))
+        .write.mode("overwrite").text(out)
+      s.read.text(out).select(
+          substring(col("value"), 1, 12).cast("long").as("okey"),
+          substring(col("value"), 13, 12).cast("long").as("ckey"),
+          substring(col("value"), 25, 1).as("status"),
+          substring(col("value"), 26, 12).cast("long").as("cents"),
+          to_date(substring(col("value"), 38, 8), "yyyyMMdd").as("odate"),
+          trim(substring(col("value"), 46, 15)).as("prio"))
+        .groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"),
+          countDistinct(col("ckey")).as("n_cust"),
+          countDistinct(col("prio")).as("n_prios"),
+          min(col("odate")).as("first_date"),
+          max(col("odate")).as("last_date"),
+          sum(col("okey")).as("key_checksum"))
+        .orderBy(col("status"))
+    },
+
     // JSONL export round trip — the interchange format training corpora
     // actually ship in (one JSON object per line, gzip-splittable at the
     // file level): the documents table writes as compressed JSONL with an
@@ -680,6 +751,31 @@ object Ingest {
       s"""SELECT l_returnflag, count(*) AS n,
          | ${Fx.oSum("l_extendedprice")} AS sum_price
          | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // replays the planted +1-newline transform off parquet: parity
+    // proves the quoted multiline round trip preserved every character
+    "q_scan_csv_multiline" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(length(text) + 1) AS BIGINT) AS sum_chars,
+        | CAST(sum(doc_id) AS BIGINT) AS id_sum
+        | FROM documents GROUP BY lang ORDER BY lang"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // replays the rollup straight from parquet — parity proves the
+    // fixed-width serialize/parse round trip lossless (cents, date,
+    // priority, both keys); sums stay BIGINT (never bare sum(BIGINT)
+    // which widens to HUGEINT)
+    "q_scan_fixed_width" ->
+      """SELECT o_orderstatus AS status, CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |   AS sum_cents,
+        | CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        | CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS n_prios,
+        | CAST(min(o_orderdate) AS DATE) AS first_date,
+        | CAST(max(o_orderdate) AS DATE) AS last_date,
+        | CAST(sum(o_orderkey) AS BIGINT) AS key_checksum
+        | FROM orders GROUP BY status ORDER BY status"""
         .stripMargin.replaceAll("\n", " "),
 
     // coalesce mirrors the engine's NULL->empty-line write; the newline

@@ -147,6 +147,40 @@ object Subqueries {
            | WHERE s_acctbal < (SELECT min(s_acctbal) FROM supplier_$g
            |    WHERE s_nationkey % 5 = 0)
            | ORDER BY rel, s_suppkey""".stripMargin)
+    },
+
+    // The NOT IN null trap — the three-valued-logic semantics every SQL
+    // migration gets burned by: a NULL in the subquery makes
+    // `x NOT IN (…)` UNKNOWN for every x (a planted NULL row guarantees
+    // the trap at every SF), so the count collapses to 0, while the
+    // null-filtered NOT IN and the NOT EXISTS anti-join agree on the
+    // true complement. All three spellings run side by side and the
+    // oracle must reproduce the identical triple — pinning that both
+    // engines implement the standard (and standardly surprising) 3VL.
+    // Scale: NOT EXISTS plans as a LeftAnti hash join on the key; the
+    // NOT IN variants build a null-aware anti join (Spark's
+    // NullAwareAntiJoin) — the demo also documents WHY production
+    // pipelines spell complements as anti-joins.
+    "q_subq_not_in" -> { (s, d) =>
+      val g = views(s, d)
+      Tables.customer(s, d).createOrReplaceTempView(s"customer_$g")
+      Tables.orders(s, d).createOrReplaceTempView(s"orders_$g")
+      s.sql(
+        s"""WITH ref AS (
+           |  SELECT o_custkey AS k FROM orders_$g
+           |   WHERE o_orderstatus = 'P'
+           |  UNION ALL SELECT CAST(NULL AS BIGINT)),
+           | a AS (SELECT count(*) AS n_not_in FROM customer_$g
+           |  WHERE c_custkey NOT IN (SELECT k FROM ref)),
+           | b AS (SELECT count(*) AS n_not_in_clean FROM customer_$g
+           |  WHERE c_custkey NOT IN
+           |   (SELECT k FROM ref WHERE k IS NOT NULL)),
+           | e AS (SELECT count(*) AS n_anti FROM customer_$g c
+           |  WHERE NOT EXISTS
+           |   (SELECT 1 FROM ref r WHERE r.k = c.c_custkey)),
+           | t AS (SELECT count(*) AS n_customers FROM customer_$g)
+           | SELECT n_not_in, n_not_in_clean, n_anti, n_customers
+           | FROM a, b, e, t""".stripMargin)
     }
   )
 
@@ -213,6 +247,27 @@ object Subqueries {
         |  WHERE s_acctbal < ALL (SELECT s_acctbal FROM supplier
         |     WHERE s_nationkey % 5 = 0))
         | ORDER BY rel, s_suppkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // The same planted-NULL trap triple — both engines must agree that
+    // NOT IN over a null-bearing set counts zero while the filtered
+    // NOT IN and NOT EXISTS agree on the true complement.
+    "q_subq_not_in" ->
+      """WITH ref AS (
+        |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'P'
+        |  UNION ALL SELECT CAST(NULL AS BIGINT)),
+        | a AS (SELECT CAST(count(*) AS BIGINT) AS n_not_in
+        |  FROM customer WHERE c_custkey NOT IN (SELECT k FROM ref)),
+        | b AS (SELECT CAST(count(*) AS BIGINT) AS n_not_in_clean
+        |  FROM customer WHERE c_custkey NOT IN
+        |   (SELECT k FROM ref WHERE k IS NOT NULL)),
+        | e AS (SELECT CAST(count(*) AS BIGINT) AS n_anti FROM customer c
+        |  WHERE NOT EXISTS
+        |   (SELECT 1 FROM ref r WHERE r.k = c.c_custkey)),
+        | t AS (SELECT CAST(count(*) AS BIGINT) AS n_customers
+        |  FROM customer)
+        | SELECT n_not_in, n_not_in_clean, n_anti, n_customers
+        | FROM a, b, e, t"""
         .stripMargin.replaceAll("\n", " ")
   )
 }

@@ -2771,6 +2771,186 @@ object Text {
             / size(array_union(col("sh_a"), col("sh_b"))), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.5)
         .orderBy(col("id_a"), col("id_b"))
+    },
+
+    // Inverted index build — the IR structure behind every retrieval
+    // corpus: token → document frequency, collection frequency, max
+    // per-doc tf, and the posting list (first 8 doc ids). The SCALE
+    // discipline is the two-phase spelling: the (token, doc) frame with
+    // per-doc tf aggregates FIRST, df/cf derive from that frame, and
+    // only tokens with 2 ≤ df ≤ 400 ever reach collect_list — a stopword
+    // posting list is UNBOUNDED at 100 TB and must be filtered before
+    // any list materializes, never truncated after (the band is wide
+    // because the fixture vocabulary is ~31 tokens; the DISCIPLINE is
+    // that the cap precedes the collect, whatever its value). One
+    // exploded-token
+    // shuffle + one token shuffle; the pinned (token, doc) frame backs
+    // both df derivation and the posting join (one corpus scan).
+    "q_text_inverted_index" -> { (s, d) =>
+      val td = Checkpoints.pin("invidx:" + d, Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        .groupBy(col("tok"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint())
+      val kept = td.groupBy(col("tok"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+        .filter(col("df").between(2, 400))
+      td.join(kept, "tok")
+        .groupBy(col("tok"), col("df"), col("cf"))
+        .agg(max(col("tf")).as("max_tf"),
+          array_join(slice(sort_array(collect_list(col("doc_id"))), 1, 8),
+            ",").as("postings"))
+        .orderBy(desc("df"), col("tok")).limit(100)
+    },
+
+    // Winnowing fingerprints (the MOSS local fingerprinting scheme):
+    // per document, 4-token-gram md5 hashes slide under a 5-gram window
+    // and each window selects its minimal hash (rightmost on ties); the
+    // DISTINCT selected (position, hash) pairs are the fingerprint set.
+    // Unlike plain MinHash this GUARANTEES every w-gram window of every
+    // document contributes a fingerprint (no missed match longer than
+    // w+k−1 tokens), at expected density 2/(w+1). Spelling: gram hashes
+    // on exploded index rows (codegen, the q_text_containment rule),
+    // then two stacked doc-partitioned windows — min(h) over the
+    // trailing frame, then rightmost argmin over the same frame — both
+    // computed over the FULL gram set before the full-window filter.
+    // Per-doc work is linear in tokens; one doc_id shuffle.
+    "q_text_winnow" -> { (s, d) =>
+      val k = 4; val w = 5
+      val W = org.apache.spark.sql.expressions.Window
+      val g = Tables.documents(s, d)
+        .withColumn("t", toks(col("text")))
+        .filter(size(col("t")) >= k + w - 1)
+        .select(col("doc_id"),
+          (size(col("t")) - (k - 1)).cast("long").as("n_grams"),
+          explode(sequence(lit(1), size(col("t")) - (k - 1))).as("i"),
+          col("t"))
+        .select(col("doc_id"), col("n_grams"), col("i"),
+          conv(substring(
+            md5(concat_ws(" ", slice(col("t"), col("i"), lit(k)))),
+            1, 15), 16, 10).cast("long").as("h"))
+      val frame = W.partitionBy(col("doc_id")).orderBy(col("i"))
+        .rowsBetween(-(w - 1), 0)
+      g.withColumn("m", min(col("h")).over(frame))
+        .withColumn("p",
+          max(when(col("h") === col("m"), col("i"))).over(frame))
+        .filter(col("i") >= w)
+        .select(col("doc_id"), col("n_grams"), col("p"), col("m"))
+        .distinct()
+        .groupBy(col("doc_id"), col("n_grams"))
+        .agg(count(lit(1)).as("n_fp"), min(col("m")).as("min_fp"))
+        .select(col("doc_id"), col("n_grams"), col("n_fp"),
+          eround(col("n_fp").cast("double") / (col("n_grams") - (w - 1)),
+            6).as("density"),
+          col("min_fp"))
+        .orderBy(col("doc_id"))
+    },
+
+    // Fellegi–Sunter record-linkage scoring — the probabilistic step
+    // after blocking (q_dedup_blocking_keys) finds candidates and before
+    // survivorship (q_dedup_survivorship) merges them: each field
+    // comparison contributes log2(m/u) on agreement and log2((1−m)/(1−u))
+    // on disagreement, and the pair score is the sum. Candidate pairs
+    // come from a (nation, $1000-balance-bucket) blocking join — never
+    // all-pairs; block width is bounded by the key's cardinality, the
+    // same bound every blocking strategy in q_dedup_blocking_keys rides.
+    // Field weights ε-round to DECIMAL(12,6) before the fixed 3-term sum
+    // (exact, immune to last-ulp ln differences between engines).
+    "q_dedup_fellegi" -> { (s, d) =>
+      val cust = Tables.customer(s, d).select(
+        col("c_custkey").as("id"), col("c_name").as("nm"),
+        col("c_nationkey").cast("long").as("nk"),
+        round(col("c_acctbal") * 100).cast("long").as("bal"),
+        col("c_mktsegment").as("seg"))
+        .withColumn("blk", concat_ws(":", col("nk"),
+          floor(col("bal").cast("double") / 100000).cast("long")))
+      val a = cust.select(col("blk"), col("id").as("id_a"),
+        col("nm").as("nm_a"), col("bal").as("bal_a"),
+        col("seg").as("seg_a"))
+      val b = cust.select(col("blk"), col("id").as("id_b"),
+        col("nm").as("nm_b"), col("bal").as("bal_b"),
+        col("seg").as("seg_b"))
+      def fw(agree: Column, m: Double, u0: Double): Column =
+        eround(when(agree, log(lit(m) / lit(u0)) / log(lit(2.0)))
+          .otherwise(log(lit(1.0 - m) / lit(1.0 - u0)) / log(lit(2.0))),
+          6).cast("decimal(12,6)")
+      val segA = col("seg_a") === col("seg_b")
+      val balA = abs(col("bal_a") - col("bal_b")) <= 5000
+      val nmA = expr("right(nm_a, 2)") === expr("right(nm_b, 2)")
+      a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          segA.cast("int").as("seg_agree"),
+          balA.cast("int").as("bal_agree"),
+          nmA.cast("int").as("name_agree"),
+          (fw(segA, 0.9, 0.2) + fw(balA, 0.8, 0.05)
+            + fw(nmA, 0.7, 0.01)).as("score"))
+        .orderBy(desc("score"), col("id_a"), col("id_b"))
+        .limit(20)
+    },
+
+    // Cohen's κ between two independent keep/drop raters — the filter-
+    // engineering question "do my gates agree beyond chance?" asked of
+    // the length gate (q_text_quality's passes_length_gate) and the
+    // blocklist gate (q_text_blocklist's keep), spelled inline so both
+    // raters ride ONE map-only pass. The 2×2 contingency is exact
+    // integers; κ = (po − pe)/(1 − pe) with po/pe the identical double
+    // tree on both engines. High raw agreement with modest κ is the
+    // classic imbalanced-rater lesson the law test asserts structurally
+    // (po ≥ both marginal-product terms). One corpus scan to a 4-row
+    // frame.
+    "q_text_rater_kappa" -> { (s, d) =>
+      val lex = array(lit("slow"), lit("dup"), lit("spam"))
+      val cells = Tables.documents(s, d)
+        .withColumn("t", toks(col("text")))
+        .select(
+          (size(col("t")).between(10, 500) && length(col("text")) >= 40)
+            .as("r1"),
+          (eround(size(filter(col("t"), x => array_contains(lex, x)))
+            .cast("double") / size(col("t")), 6) <= 0.05).as("r2"))
+        .groupBy(col("r1"), col("r2")).agg(count(lit(1)).as("n"))
+      val m = cells.agg(sum(col("n")).as("nn"),
+        sum(when(col("r1") === col("r2"), col("n")).otherwise(0L))
+          .as("agree"),
+        sum(when(col("r1"), col("n")).otherwise(0L)).as("a1"),
+        sum(when(col("r2"), col("n")).otherwise(0L)).as("a2"))
+      val po = col("agree").cast("double") / col("nn")
+      val pe = (col("a1").cast("double") / col("nn"))
+        .multiply(col("a2").cast("double") / col("nn"))
+        .plus((lit(1.0) - col("a1").cast("double") / col("nn"))
+          .multiply(lit(1.0) - col("a2").cast("double") / col("nn")))
+      m.select(col("nn").as("n_docs"), col("agree").as("n_agree"),
+        col("a1").as("n_keep_length"), col("a2").as("n_keep_blocklist"),
+        eround(po, 6).as("p_observed"), eround(pe, 6).as("p_expected"),
+        eround((po - pe) / (lit(1.0) - pe), 6).as("kappa"))
+    },
+
+    // Differentially-private count release — the dataset-card / stats-
+    // publication step when the corpus is sensitive: the per-(type,
+    // cohort) histogram releases with Laplace(1/ε) noise per cell, ε = 1,
+    // sensitivity 1 (each subject contributes to one cell → parallel
+    // composition, the whole 20-cell release costs ONE ε). Noise is a
+    // DETERMINISTIC md5 coin (the q_agg_bootstrap_ci recipe) inverted
+    // through the Laplace CDF — ±(1/ε)·ln(2u or 2(1−u)) — so the oracle
+    // replays every draw; a production release would swap the coin seed
+    // for a secret one, changing nothing structural. One partial-agg
+    // scan to the bounded cell frame; noise arithmetic is per-cell.
+    "q_pipeline_dp_count" -> { (s, d) =>
+      val eps = 1.0
+      val cells = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          pmod(col("user_id"), lit(4)).as("cohort"))
+        .agg(count(lit(1)).as("n_true"))
+      val u = conv(substring(md5(concat_ws(":", col("event_type"),
+        col("cohort"), lit("dp"))), 1, 13), 16, 10)
+        .cast("long").cast("double") / lit(4503599627370496.0) // 2^52
+      cells.withColumn("u", u)
+        .withColumn("noise",
+          when(col("u") < 0.5, log(col("u") * 2) / eps)
+            .otherwise(-log((lit(1.0) - col("u")) * 2) / eps))
+        .select(col("event_type"), col("cohort"), col("n_true"),
+          eround(col("n_true") + col("noise"), 4).as("n_noisy"),
+          lit(eps).as("epsilon"))
+        .orderBy(col("event_type"), col("cohort"))
     }
   )
 
@@ -4147,6 +4327,146 @@ object Text {
          |  UNION ALL SELECT 2, 'fingerprint', c1, c2, c1 - c2 FROM c
          |  UNION ALL SELECT 3, 'containment', c2, c3, c2 - c3 FROM c)
          | ORDER BY stage"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Two-phase twin: df-filter BEFORE any list builds; ordered-distinct
+    // posting slice joined by comma (the q_agg_collect array convention).
+    "q_text_inverted_index" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($oToks) AS tok
+         |  FROM documents),
+         | td AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf
+         |  FROM tk GROUP BY tok, doc_id),
+         | kept AS (SELECT tok, CAST(count(*) AS BIGINT) AS df,
+         |   CAST(sum(tf) AS BIGINT) AS cf
+         |  FROM td GROUP BY tok HAVING count(*) BETWEEN 2 AND 400)
+         | SELECT td.tok, df, cf, CAST(max(tf) AS BIGINT) AS max_tf,
+         |  array_to_string((list(td.doc_id ORDER BY td.doc_id))[1:8], ',')
+         |    AS postings
+         | FROM td JOIN kept ON td.tok = kept.tok
+         | GROUP BY td.tok, df, cf
+         | ORDER BY df DESC, td.tok LIMIT 100"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // The same two stacked trailing windows computed over the FULL gram
+    // set (the filter comes after both), then DISTINCT (pos, hash); the
+    // gram digest is the standard 60-bit md5 spelling.
+    "q_text_winnow" ->
+      s"""WITH tk AS (SELECT doc_id, $oToks AS t FROM documents),
+         | base AS (SELECT doc_id, CAST(len(t) - 3 AS BIGINT) AS n_grams,
+         |   unnest(range(1, len(t) - 2)) AS i, t
+         |  FROM tk WHERE len(t) >= 8),
+         | g AS (SELECT doc_id, n_grams, i,
+         |   ('0x' || substr(md5(array_to_string(t[i:i+3], ' ')), 1, 15))
+         |     ::BIGINT AS h
+         |  FROM base),
+         | w1 AS (SELECT doc_id, n_grams, i, h,
+         |   min(h) OVER (PARTITION BY doc_id ORDER BY i
+         |     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS m
+         |  FROM g),
+         | w2 AS (SELECT doc_id, n_grams, i, m,
+         |   max(CASE WHEN h = m THEN i END) OVER (PARTITION BY doc_id
+         |     ORDER BY i ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS p
+         |  FROM w1),
+         | fp AS (SELECT DISTINCT doc_id, n_grams, p, m FROM w2
+         |  WHERE i >= 5)
+         | SELECT doc_id, n_grams, CAST(count(*) AS BIGINT) AS n_fp,
+         |  round(CAST(count(*) AS DOUBLE) / (n_grams - 4) + 5e-10, 6)
+         |    AS density,
+         |  CAST(min(m) AS BIGINT) AS min_fp
+         | FROM fp GROUP BY doc_id, n_grams ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Identical blocking key, agreement predicates, and ε-rounded
+    // log2(m/u) field weights; the 3-term decimal sum is exact on both.
+    "q_dedup_fellegi" ->
+      """WITH cust AS (SELECT c_custkey AS id, c_name AS nm,
+        |   CAST(c_nationkey AS BIGINT) AS nk,
+        |   CAST(round(c_acctbal * 100) AS BIGINT) AS bal,
+        |   c_mktsegment AS seg FROM customer),
+        | blocked AS (SELECT *, nk || ':' ||
+        |   CAST(floor(CAST(bal AS DOUBLE) / 100000) AS BIGINT) AS blk
+        |  FROM cust),
+        | pairs AS (SELECT a.id AS id_a, b.id AS id_b,
+        |   a.seg = b.seg AS sa,
+        |   abs(a.bal - b.bal) <= 5000 AS ba,
+        |   right(a.nm, 2) = right(b.nm, 2) AS na
+        |  FROM blocked a JOIN blocked b
+        |   ON a.blk = b.blk AND a.id < b.id)
+        | SELECT id_a, id_b,
+        |  CAST(sa AS INT) AS seg_agree, CAST(ba AS INT) AS bal_agree,
+        |  CAST(na AS INT) AS name_agree,
+        |  (CASE WHEN sa
+        |    THEN CAST(round(ln(0.9 / 0.2) / ln(2.0) + 5e-10, 6)
+        |      AS DECIMAL(12,6))
+        |    ELSE CAST(round(ln(0.1 / 0.8) / ln(2.0) + 5e-10, 6)
+        |      AS DECIMAL(12,6)) END
+        |   + CASE WHEN ba
+        |    THEN CAST(round(ln(0.8 / 0.05) / ln(2.0) + 5e-10, 6)
+        |      AS DECIMAL(12,6))
+        |    ELSE CAST(round(ln(0.2 / 0.95) / ln(2.0) + 5e-10, 6)
+        |      AS DECIMAL(12,6)) END
+        |   + CASE WHEN na
+        |    THEN CAST(round(ln(0.7 / 0.01) / ln(2.0) + 5e-10, 6)
+        |      AS DECIMAL(12,6))
+        |    ELSE CAST(round(ln(0.3 / 0.99) / ln(2.0) + 5e-10, 6)
+        |      AS DECIMAL(12,6)) END) AS score
+        | FROM pairs
+        | ORDER BY score DESC, id_a, id_b LIMIT 20"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Both raters replayed inline; identical double tree for po/pe/κ
+    // (multiplications and the complement products in the same order).
+    "q_text_rater_kappa" ->
+      s"""WITH f AS (SELECT
+         |   len($oToks) BETWEEN 10 AND 500
+         |    AND length(text) >= 40 AS r1,
+         |   round(CAST(len(list_filter($oToks,
+         |      x -> x IN ('slow', 'dup', 'spam'))) AS DOUBLE)
+         |     / len($oToks) + 5e-10, 6) <= 0.05 AS r2
+         |  FROM documents),
+         | cells AS (SELECT r1, r2, CAST(count(*) AS BIGINT) AS n
+         |  FROM f GROUP BY r1, r2),
+         | m AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+         |   CAST(sum(CASE WHEN r1 = r2 THEN n ELSE 0 END) AS BIGINT)
+         |     AS agree,
+         |   CAST(sum(CASE WHEN r1 THEN n ELSE 0 END) AS BIGINT) AS a1,
+         |   CAST(sum(CASE WHEN r2 THEN n ELSE 0 END) AS BIGINT) AS a2
+         |  FROM cells)
+         | SELECT nn AS n_docs, agree AS n_agree,
+         |  a1 AS n_keep_length, a2 AS n_keep_blocklist,
+         |  round(CAST(agree AS DOUBLE) / nn + 5e-10, 6) AS p_observed,
+         |  round((CAST(a1 AS DOUBLE) / nn) * (CAST(a2 AS DOUBLE) / nn)
+         |    + (1.0 - CAST(a1 AS DOUBLE) / nn)
+         |      * (1.0 - CAST(a2 AS DOUBLE) / nn) + 5e-10, 6)
+         |    AS p_expected,
+         |  round((CAST(agree AS DOUBLE) / nn
+         |    - ((CAST(a1 AS DOUBLE) / nn) * (CAST(a2 AS DOUBLE) / nn)
+         |      + (1.0 - CAST(a1 AS DOUBLE) / nn)
+         |        * (1.0 - CAST(a2 AS DOUBLE) / nn)))
+         |   / (1.0 - ((CAST(a1 AS DOUBLE) / nn)
+         |        * (CAST(a2 AS DOUBLE) / nn)
+         |      + (1.0 - CAST(a1 AS DOUBLE) / nn)
+         |        * (1.0 - CAST(a2 AS DOUBLE) / nn))) + 5e-10, 6)
+         |    AS kappa
+         | FROM m"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Replays every Laplace draw from the same md5 coin and inverse-CDF
+    // branch; epsilon rides along as the release's budget label.
+    "q_pipeline_dp_count" ->
+      """WITH cells AS (SELECT event_type, user_id % 4 AS cohort,
+        |   CAST(count(*) AS BIGINT) AS n_true
+        |  FROM events GROUP BY event_type, cohort),
+        | coin AS (SELECT event_type, cohort, n_true,
+        |   CAST(('0x' || substr(md5(event_type || ':' || cohort
+        |     || ':' || 'dp'), 1, 13)) AS BIGINT)
+        |    / 4503599627370496.0 AS u
+        |  FROM cells)
+        | SELECT event_type, cohort, n_true,
+        |  round(n_true + (CASE WHEN u < 0.5 THEN ln(u * 2) / 1.0
+        |    ELSE -ln((1.0 - u) * 2) / 1.0 END) + 5e-10, 4) AS n_noisy,
+        |  CAST(1.0 AS DOUBLE) AS epsilon
+        | FROM coin ORDER BY event_type, cohort"""
         .stripMargin.replaceAll("\n", " ")
   )
 }

@@ -3724,4 +3724,476 @@ class EngineLawsSpec extends SparkSuite {
     assert(out.filter(_.getString(0) == "lt_all")
       .map(_.getLong(1)).toSet === ltAll)
   }
+
+  test("q_profile_psi replays bins; every term nonneg; shares sum to 1") {
+    val out = SparkEntry.queries("q_profile_psi")(spark, sf).collect()
+    val ev = Tables.events(spark, sf)
+      .select(col("event_id"), round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val bins = ev.groupBy(e => math.min(e._2 / 2000, 4L))
+    val (te, ta) = (ev.count(_._1 % 2 == 0).toLong,
+      ev.count(_._1 % 2 == 1).toLong)
+    assert(out.length === bins.size)
+    var psi = BigDecimal(0)
+    out.foreach { r =>
+      val es = bins(r.getLong(0))
+      assert(r.getLong(1) === es.count(_._1 % 2 == 0).toLong)
+      assert(r.getLong(2) === es.count(_._1 % 2 == 1).toLong)
+      val term = r.getDecimal(5)
+      assert(term.signum >= 0, "each PSI term (pa-pe)ln(pa/pe) >= 0")
+      psi += BigDecimal(term)
+    }
+    assert(math.abs(out.head.getDouble(6) - psi.toDouble) < 1e-6)
+    assert(math.abs(out.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    assert(math.abs(out.map(_.getDouble(4)).sum - 1.0) < 1e-4)
+    assert(te > 0 && ta > 0)
+  }
+
+  test("q_agg_benford covers digits 1-9 and replays chi2/MAD") {
+    val out = SparkEntry.queries("q_agg_benford")(spark, sf).collect()
+    assert(out.map(_.getLong(0)).toSeq === (1L to 9L))
+    val counts = Tables.orders(spark, sf)
+      .select(round(col("o_totalprice") * 100).cast("long")).collect()
+      .map(_.getLong(0).toString.head.asDigit.toLong)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nn = counts.values.sum
+    var chi2 = BigDecimal(0); var mad = BigDecimal(0)
+    (1 to 9).foreach { dgt =>
+      val n = counts(dgt.toLong)
+      val p = math.log(1.0 + 1.0 / dgt) / math.log(10.0)
+      def r9(x: Double) = BigDecimal(x + 5e-10)
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      chi2 += r9((n - nn * p) * (n - nn * p) / (nn * p))
+      mad += r9(math.abs(n.toDouble / nn - p))
+      assert(out(dgt - 1).getLong(1) === n)
+    }
+    assert(math.abs(out.head.getDouble(4) - chi2.toDouble) < 1e-3)
+    assert(math.abs(out.head.getDouble(5) - mad.toDouble / 9.0) < 1e-6)
+    // Benford expected shares themselves sum to 1
+    assert(math.abs(out.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+  }
+
+  test("q_agg_bootstrap_ci replays every md5 Poisson coin exactly") {
+    val Array(row) =
+      SparkEntry.queries("q_agg_bootstrap_ci")(spark, sf).collect()
+    val pc = Tables.events(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cdf = Seq(0.36787944117144233, 0.7357588823428847,
+      0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
+      0.9994058151824183, 0.999916758850712, 0.9999897508033253)
+    def weight(id: Long, b: Int): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id:$b".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13)
+      val u = java.lang.Long.parseLong(hex, 16).toDouble / 4503599627370496.0
+      cdf.indexWhere(u < _) match { case -1 => 8L; case k => k.toLong }
+    }
+    val means = (0 until 64).map { b =>
+      val (num, den) = pc.foldLeft((0L, 0L)) { case ((n0, d0), (id, c)) =>
+        val w = weight(id, b); (n0 + c * w, d0 + w)
+      }
+      num.toDouble / den / 100.0
+    }.sorted
+    def r6(x: Double) = math.rint((x + 5e-10) * 1e6) / 1e6
+    assert(row.getLong(0) === pc.length.toLong)
+    assert(row.getLong(1) === 64L)
+    assert(row.getDouble(2) ===
+      r6(pc.map(_._2).sum.toDouble / pc.length / 100.0))
+    assert(row.getDouble(3) === r6(means(1)), "ci_lo = order stat 2")
+    assert(row.getDouble(4) === r6(means(62)), "ci_hi = order stat 63")
+    assert(row.getDouble(3) < row.getDouble(4))
+  }
+
+  /** doc_id -> lowercase whitespace-split tokens, the toks() twin. */
+  private lazy val docTokens: Map[Long, Array[String]] =
+    Tables.documents(spark, sf).select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)
+        .toLowerCase.split(" ", -1)).toMap
+
+  test("q_text_inverted_index replays df/cf/postings; cap precedes lists") {
+    val out =
+      SparkEntry.queries("q_text_inverted_index")(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byTok = docTokens.toSeq
+      .flatMap { case (id, ts) => ts.map(t => (t, id)) }
+      .groupBy(_._1)
+    out.foreach { r =>
+      val tok = r.getString(0)
+      val occ = byTok(tok)
+      val docs = occ.map(_._2).distinct.sorted
+      assert(r.getLong(1) === docs.length.toLong, s"df of '$tok'")
+      assert(r.getLong(1) >= 2 && r.getLong(1) <= 400, "df inside the cap")
+      assert(r.getLong(2) === occ.length.toLong, s"cf of '$tok'")
+      assert(r.getLong(3) ===
+        occ.groupBy(_._2).values.map(_.length).max.toLong, "max tf")
+      assert(r.getString(4) === docs.take(8).mkString(","), "postings")
+    }
+    // output ranks by df descending with token tiebreak
+    val keys = out.map(r => (-r.getLong(1), r.getString(0))).toSeq
+    assert(keys === keys.sorted)
+  }
+
+  test("q_text_winnow replays fingerprints; every window is covered") {
+    val out = SparkEntry.queries("q_text_winnow")(spark, sf).collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(gram: String): Long = java.lang.Long.parseLong(
+      md.digest(gram.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15), 16)
+    val (k, w) = (4, 5)
+    out.foreach { r =>
+      val ts = docTokens(r.getLong(0))
+      val grams = (0 to ts.length - k)
+        .map(i => h60(ts.slice(i, i + k).mkString(" ")))
+      assert(r.getLong(1) === grams.length.toLong, "n_grams")
+      // winnow: per window of w grams, rightmost minimal hash
+      val fps = (w - 1 until grams.length).map { e =>
+        val win = grams.slice(e - w + 1, e + 1)
+        val m = win.min
+        (e - w + 1 + win.lastIndexOf(m) + 1, m) // 1-based position
+      }.distinct
+      assert(r.getLong(2) === fps.length.toLong, s"n_fp of ${r.getLong(0)}")
+      assert(r.getLong(4) === fps.map(_._2).min, "min_fp")
+      // the winnowing guarantee: every full window contains a selection
+      val sel = fps.map(_._1).toSet
+      (w to grams.length).foreach { e =>
+        assert((e - w + 1 to e).exists(sel), s"window ending $e covered")
+      }
+      val density = r.getDouble(3)
+      assert(density > 0.0 && density <= 1.0)
+    }
+    assert(out.length ===
+      docTokens.count(_._2.length >= k + w - 1), "one row per long doc")
+  }
+
+  test("q_dedup_fellegi replays blocked pair scores in descending order") {
+    val out = SparkEntry.queries("q_dedup_fellegi")(spark, sf).collect()
+    assert(out.length === 20)
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_name"),
+        col("c_nationkey").cast("long"),
+        round(col("c_acctbal") * 100).cast("long"), col("c_mktsegment"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toMap
+    def r6(x: Double) = BigDecimal(x + 5e-10)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def fw(agree: Boolean, m: Double, u: Double) =
+      if (agree) r6(math.log(m / u) / math.log(2.0))
+      else r6(math.log((1 - m) / (1 - u)) / math.log(2.0))
+    out.foreach { r =>
+      val (na, nb) = (cust(r.getLong(0)), cust(r.getLong(1)))
+      // same block: nation + $1000 balance bucket
+      assert(na._2 === nb._2, "blocked on nation")
+      assert(math.floor(na._3.toDouble / 100000) ===
+        math.floor(nb._3.toDouble / 100000), "blocked on balance bucket")
+      val segA = na._4 == nb._4
+      val balA = math.abs(na._3 - nb._3) <= 5000
+      val nmA = na._1.takeRight(2) == nb._1.takeRight(2)
+      assert(r.getInt(2) === (if (segA) 1 else 0))
+      assert(r.getInt(3) === (if (balA) 1 else 0))
+      assert(r.getInt(4) === (if (nmA) 1 else 0))
+      val score = fw(segA, 0.9, 0.2) + fw(balA, 0.8, 0.05) +
+        fw(nmA, 0.7, 0.01)
+      assert(BigDecimal(r.getDecimal(5)) === score, "F-S score")
+    }
+    val scores = out.map(r => BigDecimal(r.getDecimal(5)))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q_scan_fixed_width round trip conserves every rollup column") {
+    val out = SparkEntry.queries("q_scan_fixed_width")(spark, sf).collect()
+    val ord = Tables.orders(spark, sf)
+      .select(col("o_orderstatus"), col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long"),
+        to_date(col("o_orderdate")), col("o_orderpriority"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDate(4), r.getString(5)))
+    val byStatus = ord.groupBy(_._1)
+    assert(out.length === byStatus.size)
+    out.foreach { r =>
+      val g = byStatus(r.getString(0))
+      assert(r.getLong(1) === g.length.toLong)
+      assert(r.getLong(2) === g.map(_._4).sum, "exact cents conserved")
+      assert(r.getLong(3) === g.map(_._3).distinct.length.toLong)
+      assert(r.getLong(4) === g.map(_._6).distinct.length.toLong)
+      assert(r.getDate(5).toLocalDate ===
+        g.map(_._5.toLocalDate).min(Ordering.by((d: java.time.LocalDate) =>
+          d.toEpochDay)))
+      assert(r.getDate(6).toLocalDate ===
+        g.map(_._5.toLocalDate).max(Ordering.by((d: java.time.LocalDate) =>
+          d.toEpochDay)))
+      assert(r.getLong(7) === g.map(_._2).sum, "key checksum")
+    }
+  }
+
+  test("q_ts_holt replays the level/trend fold bit-for-bit") {
+    val out = SparkEntry.queries("q_ts_holt")(spark, sf).collect()
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+      .collect().map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+    def r6(x: Double) = math.rint((x + 5e-10) * 1e6) / 1e6
+    out.foreach { r =>
+      val ys = daily.filter(_._1 == r.getString(0))
+        .sortBy(_._2.toLocalDate.toEpochDay).map(_._3.toDouble)
+      assert(ys.length >= 2, "fold init needs two observations")
+      assert(r.getLong(1) === ys.length.toLong)
+      var l = ys(0); var b = ys(1) - ys(0)
+      ys.drop(1).foreach { y =>
+        val l2 = y / 2 + (l + b) / 2
+        b = (l2 - l) / 2 + b / 2; l = l2
+      }
+      assert(r.getDouble(2) === r6(l / 100.0), "level")
+      assert(r.getDouble(3) === r6(b / 100.0), "trend")
+      assert(r.getDouble(4) === r6((l + 7 * b) / 100.0), "7-day forecast")
+    }
+    assert(out.length === daily.map(_._1).distinct.length)
+  }
+
+  test("q_shape_survival is a valid non-increasing KM curve") {
+    val out = SparkEntry.queries("q_shape_survival")(spark, sf).collect()
+    assert(out.nonEmpty)
+    // replay subjects: first/second order per customer, censor at horizon
+    val ord = Tables.orders(spark, sf)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("d"),
+        col("o_orderkey"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate.toEpochDay,
+        r.getLong(2)))
+    val dmax = ord.map(_._2).max
+    val subj = ord.groupBy(_._1).values.map { os =>
+      val sorted = os.toSeq.sortBy(o => (o._2, o._3))
+      val d1 = sorted.head._2
+      sorted.lift(1) match {
+        case Some(o2) => (o2._2 - d1, true)
+        case None => (dmax - d1, false)
+      }
+    }.toSeq
+    val byGap = subj.groupBy(_._1)
+    var atRisk = subj.size.toLong
+    var surv = BigDecimal(0)
+    var lastS = 1.0
+    out.foreach { r =>
+      val g = r.getInt(0).toLong
+      // at_risk = subjects whose gap >= g
+      assert(r.getLong(1) === subj.count(_._1 >= g).toLong, s"at-risk @$g")
+      val d = byGap(g).count(_._2).toLong
+      assert(r.getLong(2) === d, s"events @$g")
+      val s9 = if (d == r.getLong(1)) BigDecimal(-9999).setScale(9)
+        else BigDecimal(math.log(1.0 - d.toDouble / r.getLong(1)) + 5e-10)
+          .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+      surv += s9
+      val s = math.rint((math.exp(surv.toDouble) + 5e-10) * 1e6) / 1e6
+      assert(r.getDouble(3) === s, s"survival @$g")
+      assert(r.getDouble(3) <= lastS + 1e-9, "non-increasing")
+      lastS = r.getDouble(3)
+      atRisk = r.getLong(1)
+    }
+    assert(out.head.getDouble(3) <= 1.0 && out.last.getDouble(3) >= 0.0)
+  }
+
+  test("q_pipeline_dp_count replays every Laplace draw; budget is one ε") {
+    val out = SparkEntry.queries("q_pipeline_dp_count")(spark, sf).collect()
+    assert(out.length === 20, "5 types x 4 cohorts")
+    val truth = Tables.events(spark, sf)
+      .groupBy(col("event_type"), pmod(col("user_id"), lit(4)).as("k"))
+      .agg(count(lit(1))).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def r4(x: Double) = math.rint((x + 5e-10) * 1e4) / 1e4
+    out.foreach { r =>
+      val key = (r.getString(0), r.getLong(1))
+      val n = truth(key)
+      assert(r.getLong(2) === n)
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${key._1}:${key._2}:dp".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 13)
+      val u = java.lang.Long.parseLong(hex, 16).toDouble / 4503599627370496.0
+      val noise = if (u < 0.5) math.log(u * 2) else -math.log((1.0 - u) * 2)
+      assert(r.getDouble(3) === r4(n + noise), "noisy release replays")
+      assert(r.getDouble(4) === 1.0, "epsilon label")
+    }
+    // disjoint cells: every event lands in exactly one released cell
+    assert(truth.values.sum ===
+      Tables.events(spark, sf).count())
+  }
+
+  test("q_agg_percentile_grid equals sorted-order statistics exactly") {
+    val out =
+      SparkEntry.queries("q_agg_percentile_grid")(spark, sf).collect()
+    val cs = Tables.events(spark, sf)
+      .select(round(col("value") * 100).cast("long")).collect()
+      .map(_.getLong(0)).sorted
+    val n = cs.length.toLong
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 5L, 25L, 50L, 75L, 95L, 99L))
+    out.foreach { r =>
+      val p = r.getLong(0)
+      assert(r.getLong(1) === n)
+      // lower percentile: the ceil(p*n/100)-th order statistic
+      val k = ((p * n + 99) / 100).toInt
+      assert(r.getDouble(2) === cs(k - 1) / 100.0, s"p$p")
+    }
+    val vs = out.map(_.getDouble(2))
+    assert(vs.zip(vs.tail).forall { case (a, b) => a <= b }, "monotone")
+  }
+
+  test("q_agg_hhi sits in [1/n, 1] and conserves revenue") {
+    val out = SparkEntry.queries("q_agg_hhi")(spark, sf).collect()
+    val rows = Tables.orders(spark, sf)
+      .join(broadcast(Tables.customer(spark, sf)
+        .select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment").as("seg"))), "o_custkey")
+      .select(col("seg"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val bySeg = rows.groupBy(_._1)
+    assert(out.length === bySeg.size)
+    var totalRev = 0.0
+    out.foreach { r =>
+      val g = bySeg(r.getString(0))
+      val perCust = g.groupBy(_._2).values.map(_.map(_._3).sum).toSeq
+      assert(r.getLong(1) === perCust.size.toLong)
+      val t = perCust.map(BigInt(_)).sum
+      val q = perCust.map(c => BigInt(c) * BigInt(c)).sum
+      val hhi = q.toDouble / (t.toDouble * t.toDouble)
+      assert(math.abs(r.getDouble(3) - hhi) < 1e-9)
+      assert(r.getDouble(3) >= 1.0 / r.getLong(1) - 1e-12 &&
+        r.getDouble(3) <= 1.0, "HHI bounds")
+      assert(r.getDouble(4) <= r.getLong(1) + 1e-9,
+        "effective customers <= actual")
+      totalRev += r.getDouble(2)
+    }
+    val allCents = rows.map(r => BigInt(r._3)).sum
+    assert(math.abs(totalRev - allCents.toDouble / 100.0) < 0.01,
+      "segment revenues partition the total")
+  }
+
+  test("q_subq_not_in pins the three-valued-logic trap") {
+    val Array(row) = SparkEntry.queries("q_subq_not_in")(spark, sf).collect()
+    val custs = Tables.customer(spark, sf)
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    val pCusts = Tables.orders(spark, sf)
+      .filter(col("o_orderstatus") === "P")
+      .select(col("o_custkey")).collect().map(_.getLong(0)).toSet
+    val complement = custs.diff(pCusts).size.toLong
+    assert(row.getLong(0) === 0L,
+      "NOT IN over a null-bearing set is never true")
+    assert(row.getLong(1) === complement, "filtered NOT IN = complement")
+    assert(row.getLong(2) === complement, "NOT EXISTS = complement")
+    assert(row.getLong(3) === custs.size.toLong)
+    assert(complement < custs.size || pCusts.isEmpty)
+  }
+
+  test("q_scan_csv_multiline round-trips; a naive line reader shreds it") {
+    val out =
+      SparkEntry.queries("q_scan_csv_multiline")(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(col("lang"), length(col("text")).cast("long"),
+        col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byLang = docs.groupBy(_._1)
+    assert(out.length === byLang.size)
+    out.foreach { r =>
+      val g = byLang(r.getString(0))
+      assert(r.getLong(1) === g.length.toLong)
+      // every doc gained exactly the one planted newline
+      assert(r.getLong(2) === g.map(_._2).sum + g.length)
+      assert(r.getLong(3) === g.map(_._3).sum)
+    }
+    // the hazard the operator documents: the same files read as plain
+    // lines (no quote awareness) shred every record at its embedded
+    // newline — strictly more physical lines than logical records
+    val naive = spark.read.text(
+      graft.engine.Ingest.stage("docs_multiline", sf))
+    assert(naive.count() > docs.length.toLong,
+      "line-split read must see the planted breaks as extra lines")
+  }
+
+  test("q_agg_auc equals brute-force pairwise AUC; U+ + U- = n+n-") {
+    val Array(row) = SparkEntry.queries("q_agg_auc")(spark, sf).collect()
+    val (clicks, purchases) = ksSamples
+    val (np, nn) = (purchases.length.toLong, clicks.length.toLong)
+    assert(row.getLong(0) === np && row.getLong(1) === nn)
+    // brute force: wins + half-ties over all (pos, neg) pairs
+    var wins2 = 0L // doubled so ties stay integer
+    purchases.foreach(p => clicks.foreach { c =>
+      if (p > c) wins2 += 2 else if (p == c) wins2 += 1
+    })
+    assert(row.getLong(2) === wins2,
+      "tie-corrected U numerator (doubled) = rank identity")
+    def r6(x: Double) = math.rint((x + 5e-10) * 1e6) / 1e6
+    assert(row.getDouble(3) === r6(wins2.toDouble / (2 * np * nn)))
+    assert(row.getDouble(4) === r6(wins2.toDouble / (np * nn) - 1),
+      "Gini = 2*AUC - 1")
+    // complement law against the Mann-Whitney row (click-side U)
+    val Array(mwu) =
+      SparkEntry.queries("q_agg_mannwhitney")(spark, sf).collect()
+    assert(row.getLong(2) / 2.0 + mwu.getDouble(2) === (np * nn).toDouble,
+      "U+ + U- = n+ * n-")
+  }
+
+  test("q_agg_wilson_ci brackets p_hat inside [0,1] and replays exactly") {
+    val out = SparkEntry.queries("q_agg_wilson_ci")(spark, sf).collect()
+    assert(out.length === 4)
+    val rows = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(pmod(col("user_id"), lit(4)), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def r6(x: Double) = math.rint((x + 5e-10) * 1e6) / 1e6
+    val z = 1.96
+    out.foreach { r =>
+      val g = rows.filter(_._1 == r.getLong(0))
+      val n = g.length.toLong
+      val s0 = g.count(_._2 == "purchase").toLong
+      assert(r.getLong(1) === n && r.getLong(2) === s0)
+      val p = s0.toDouble / n
+      val denom = 1.0 + z * z / n
+      val center = (p + z * z / (2 * n)) / denom
+      val half = z * math.sqrt(p * (1.0 - p) / n +
+        z * z / (4.0 * n * n)) / denom
+      assert(r.getDouble(3) === r6(p))
+      assert(r.getDouble(4) === r6(center - half))
+      assert(r.getDouble(5) === r6(center + half))
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(5) <= 1.0,
+        "Wilson never leaves [0,1]")
+      assert(r.getDouble(4) <= r.getDouble(3) + 1e-9 &&
+        r.getDouble(3) <= r.getDouble(5) + 1e-9, "CI brackets p_hat")
+    }
+  }
+
+  test("q_text_rater_kappa replays both raters; κ = (po−pe)/(1−pe)") {
+    val Array(row) =
+      SparkEntry.queries("q_text_rater_kappa")(spark, sf).collect()
+    val lex = Set("slow", "dup", "spam")
+    val texts = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val flags = docTokens.toSeq.map { case (id, ts) =>
+      val r1 = ts.length >= 10 && ts.length <= 500 &&
+        texts(id).length >= 40
+      val hitRate = BigDecimal(
+        ts.count(lex).toDouble / ts.length + 5e-10)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (r1, hitRate <= 0.05)
+    }
+    val nn = flags.size.toLong
+    val agree = flags.count(f => f._1 == f._2).toLong
+    val a1 = flags.count(_._1).toLong
+    val a2 = flags.count(_._2).toLong
+    assert(row.getLong(0) === nn && row.getLong(1) === agree)
+    assert(row.getLong(2) === a1 && row.getLong(3) === a2)
+    val po = agree.toDouble / nn
+    val pe = (a1.toDouble / nn) * (a2.toDouble / nn) +
+      (1.0 - a1.toDouble / nn) * (1.0 - a2.toDouble / nn)
+    def r6(x: Double) = math.rint((x + 5e-10) * 1e6) / 1e6
+    assert(row.getDouble(4) === r6(po))
+    assert(row.getDouble(5) === r6(pe))
+    assert(row.getDouble(6) === r6((po - pe) / (1.0 - pe)))
+    assert(row.getDouble(6) <= 1.0 + 1e-9, "kappa bounded above by 1")
+    // chance-corrected: po must not be credited below its chance floor
+    assert(row.getDouble(4) >= 0.0 && row.getDouble(5) > 0.0)
+  }
 }

@@ -239,4 +239,57 @@ class PlanSpec extends SparkSuite {
     // per-side (key, time) sorts the operator declares
     assert(p.contains("Exchange") && p.contains("Sort"))
   }
+
+  test("Poisson bootstrap collapses the 64x explode before its exchange") {
+    // the scale claim: Generate feeds a PARTIAL HashAggregate on the
+    // replicate key, so the exploded rows never cross the network raw
+    val p = plan("q_agg_bootstrap_ci")
+    val lines = p.linesIterator.toSeq
+    val gen = lines.indexWhere(_.contains("Generate"))
+    assert(gen >= 0, s"no Generate in:\n$p")
+    // walking UP from Generate (children print below parents), the first
+    // aggregate above it must come before any Exchange above it
+    val above = lines.take(gen).reverse
+    val agg = above.indexWhere(_.contains("HashAggregate"))
+    val exch = above.indexWhere(_.contains("Exchange"))
+    assert(agg >= 0 && (exch < 0 || agg < exch),
+      s"explode output must partial-aggregate before shuffling:\n$p")
+  }
+
+  test("inverted index caps df before any posting list materializes") {
+    // the ObjectHashAggregate that builds collect_list must sit ABOVE
+    // the df-band Filter in the tree (filter applies first)
+    val p = plan("q_text_inverted_index")
+    val lines = p.linesIterator.toSeq
+    val collect = lines.indexWhere(_.contains("collect_list"))
+    val band = lines.indexWhere(l =>
+      l.contains("Filter") && l.contains("df"))
+    assert(collect >= 0, s"no collect_list in:\n$p")
+    assert(band > collect,
+      s"df cap must be a child of (below) the posting collect:\n$p")
+  }
+
+  test("winnowing runs both windows on one doc exchange, no re-sort") {
+    val p = plan("q_text_winnow")
+    val windows = p.linesIterator.count(_.contains("Window ["))
+    assert(windows === 2, s"expected the two stacked windows:\n$p")
+    val sorts = p.linesIterator.count(_.contains("Sort ["))
+    assert(sorts <= 2,
+      s"the second window must reuse the first's (doc_id, i) sort:\n$p")
+  }
+
+  test("percentile grid scans parquet once (pinned frame backs all uses)") {
+    val p = plan("q_agg_percentile_grid")
+    val scans = p.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans === 0,
+      s"all consumers must read the pinned checkpoint, got $scans scans")
+    assert(p.contains("Scan ExistingRDD"), s"pinned frame missing:\n$p")
+  }
+
+  test("NOT IN plans null-aware; NOT EXISTS plans LeftAnti — same query") {
+    val p = plan("q_subq_not_in")
+    assert(p.contains("LeftAnti"),
+      s"NOT EXISTS must plan as an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
 }
