@@ -733,6 +733,43 @@ object Aggregates {
             .cast("double") / (col("np") * col("nn")) - 1, 6).as("gini"))
     },
 
+    // Two-proportion power analysis — the experiment-design step before
+    // the A/B test: for each treatment cohort vs cohort 0, the sample
+    // size per arm required to detect the OBSERVED conversion delta at
+    // α = 0.05 (two-sided, z = 1.96) and power 0.8 (z = 0.8416), and
+    // whether the arms as collected are already powered. Closed form on
+    // exact integer counts; n_required stays a double (a near-zero
+    // delta legitimately explodes it — rounding to long would overflow
+    // where the honest answer is "astronomical"). One partial-agg scan;
+    // the control row rides a 1-row broadcast.
+    "q_agg_ab_power" -> { (s, d) =>
+      val (za, zb) = (1.96, 0.8416)
+      val ag = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(pmod(col("user_id"), lit(4)).as("cohort"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("s"),
+          count(lit(1)).as("n"))
+      val ctrl = ag.filter(col("cohort") === 0)
+        .select(col("s").as("s0"), col("n").as("n0"))
+      val p1 = col("s0").cast("double") / col("n0")
+      val p2 = col("s").cast("double") / col("n")
+      val pbar = (col("s0") + col("s")).cast("double") /
+        (col("n0") + col("n"))
+      val delta = p2 - p1
+      val nreq = (lit(za) * sqrt(lit(2.0) * pbar * (lit(1.0) - pbar))
+        + lit(zb) * sqrt(p1 * (lit(1.0) - p1) + p2 * (lit(1.0) - p2)))
+      ag.filter(col("cohort") =!= 0).crossJoin(broadcast(ctrl))
+        .select(col("cohort"), col("n0"), col("n"),
+          eround(p1, 6).as("p_control"),
+          eround(p2, 6).as("p_treat"),
+          eround(delta, 6).as("delta"),
+          eround(nreq * nreq / (delta * delta), 1).as("n_required"),
+          (col("n0") >= nreq * nreq / (delta * delta)
+            && col("n") >= nreq * nreq / (delta * delta)).as("powered"))
+        .orderBy(col("cohort"))
+    },
+
     // Wilson 95% score interval for the per-cohort conversion rate
     // (purchases over purchases+clicks) — the proportion CI that stays
     // valid at small n and never leaves [0,1], i.e. what an experiment
@@ -1751,6 +1788,35 @@ object Aggregates {
         |  round(CAST(two_rp - np * (np + 1) AS DOUBLE) / (np * nn) - 1
         |    + 5e-10, 6) AS gini
         | FROM ag"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Identical closed-form tree (z literals 1.96/0.8416); n_required
+    // deliberately stays a double.
+    "q_agg_ab_power" ->
+      """WITH ag AS (SELECT user_id % 4 AS cohort,
+        |   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT)
+        |     AS s,
+        |   CAST(count(*) AS BIGINT) AS n
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY cohort),
+        | ctrl AS (SELECT s AS s0, n AS n0 FROM ag WHERE cohort = 0),
+        | j AS (SELECT cohort, n0, n,
+        |   CAST(s0 AS DOUBLE) / n0 AS p1, CAST(s AS DOUBLE) / n AS p2,
+        |   CAST(s0 + s AS DOUBLE) / (n0 + n) AS pbar
+        |  FROM ag, ctrl WHERE cohort <> 0),
+        | k AS (SELECT cohort, n0, n, p1, p2,
+        |   (1.96 * sqrt(2.0 * pbar * (1.0 - pbar))
+        |    + 0.8416 * sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))) AS nr,
+        |   p2 - p1 AS delta
+        |  FROM j)
+        | SELECT cohort, n0, n,
+        |  round(p1 + 5e-10, 6) AS p_control,
+        |  round(p2 + 5e-10, 6) AS p_treat,
+        |  round(delta + 5e-10, 6) AS delta,
+        |  round(nr * nr / (delta * delta) + 5e-10, 1) AS n_required,
+        |  n0 >= nr * nr / (delta * delta)
+        |   AND n >= nr * nr / (delta * delta) AS powered
+        | FROM k ORDER BY cohort"""
         .stripMargin.replaceAll("\n", " "),
 
     // Identical closed-form Wilson tree (z = 1.96 literal; 4.0 first so

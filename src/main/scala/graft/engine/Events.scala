@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** §2.9 Event-time windows, batch-checkable subset (SURVEY.md).
@@ -915,6 +915,49 @@ object Events {
         .orderBy(col("event_type"))
     },
 
+    // SES smoothing-parameter FIT — hyperparameter selection as a
+    // query: five α candidates explode against each per-type daily
+    // series, every candidate folds its one-step-ahead SSE in the same
+    // bounded aggregate() pass (the lambda reads the row's α — one fold
+    // per candidate, all map-side after the daily agg), and a
+    // deterministic (sse, α) rank picks the winner per series. The
+    // recursion is the q_ts_holt shape: pure +,−,× on doubles, so the
+    // recursive-CTE oracle replays it bit-exactly; only the final
+    // rmse = sqrt(sse/(n−1))/100 takes a libm call (ε-rounded). Grid
+    // size × series length is (candidates × calendar span) — bounded at
+    // any corpus scale.
+    "q_ts_ses_fit" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+      val cand = daily.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("day"), col("c"))))
+          .as("sc"))
+        .select(col("event_type"),
+          expr("transform(sc, e -> CAST(e.c AS DOUBLE))").as("ys"))
+        .select(col("event_type"),
+          size(col("ys")).cast("long").as("n_days"), col("ys"),
+          explode(lit(Array(0.1, 0.3, 0.5, 0.7, 0.9))).as("a"))
+        .withColumn("st", expr(
+          """aggregate(
+            slice(ys, 2, greatest(size(ys) - 1, 0)),
+            named_struct('l', element_at(ys, 1),
+              'sse', CAST(0.0 AS DOUBLE)),
+            (acc, y) -> named_struct(
+              'l', a * y + (1.0 - a) * acc.l,
+              'sse', acc.sse + (y - acc.l) * (y - acc.l)))"""))
+      val w = W.partitionBy(col("event_type"))
+        .orderBy(col("st.sse"), col("a"))
+      cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("n_days"),
+          col("a").as("best_alpha"),
+          eround(sqrt(col("st.sse") / (col("n_days") - 1)) / 100.0, 4)
+            .as("rmse"))
+        .orderBy(col("event_type"))
+    },
+
     // Time-series resampling with forward fill — the gap-filling ETL
     // step sensors/metrics pipelines run before joins on aligned time
     // grids: per-user hourly sums on a DENSE hourly grid spanning each
@@ -1457,6 +1500,64 @@ object Events {
     // numerator d·n_hod − seasonal_sum — so no float summation order
     // exists anywhere and both engines hash identically. One window over
     // one hour-ordered exchange + one tiny hour-of-day aggregate.
+    // Trend/seasonal STRENGTH (Hyndman's F_T, F_S) of the hourly series
+    // — the one-number diagnostics that say whether q_ts_decompose's
+    // components MATTER: F_T = max(0, 1 − Var(R)/Var(deseasonalized)),
+    // F_S = max(0, 1 − Var(R)/Var(detrended)). Same construction as the
+    // decompose row (see there for the ×2500 integer scaling); each
+    // component series ε-rounds to DECIMAL(18,6) per row so the
+    // variance moments (Σx, Σx² as DECIMAL(38,12)) are EXACT and
+    // order-free — a raw double Σx² would be summation-order-dependent
+    // across engines. One bounded-grid frame, one moment aggregate.
+    "q_ts_strength" -> { (s, d) =>
+      val hourly = Tables.events(s, d)
+        .select(date_trunc("hour", col("ts")).as("h"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy(col("h")).agg(sum(col("c")).as("c"))
+      val grid = hourly.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(explode(sequence(col("h0"), col("h1"),
+          expr("INTERVAL 1 HOUR"))).as("h"))
+        .join(hourly, Seq("h"), "left")
+        .na.fill(0L, Seq("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("h")).rowsBetween(-12, 12)
+      val trended = grid
+        .withColumn("tsum", sum(col("c")).over(w))
+        .withColumn("tn", count(lit(1)).over(w))
+        .filter(col("tn") === 25)
+        .withColumn("d", col("c") * 25 - col("tsum"))
+        .withColumn("hod", hour(col("h")))
+      val seasonal = trended.groupBy(col("hod"))
+        .agg(sum(col("d")).as("ssum"), count(lit(1)).as("sn"))
+      val joined = trended.join(broadcast(seasonal), Seq("hod"))
+      val resid = (col("d") * col("sn") - col("ssum")).cast("double") /
+        (col("sn") * 2500).cast("double")
+      val deseason = col("c") / 100.0 -
+        col("ssum").cast("double") / (col("sn") * 2500).cast("double")
+      val detr = col("d") / 2500.0
+      def m6(c: Column) = eround(c, 6).cast("decimal(18,6)")
+      val mom = joined
+        .select(m6(resid).as("r"), m6(deseason).as("u"), m6(detr).as("v"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("r")).as("sr"),
+          sum((col("r") * col("r")).cast("decimal(38,12)")).as("qr"),
+          sum(col("u")).as("su"),
+          sum((col("u") * col("u")).cast("decimal(38,12)")).as("qu"),
+          sum(col("v")).as("sv"),
+          sum((col("v") * col("v")).cast("decimal(38,12)")).as("qv"))
+      def varOf(q: String, s0: String): Column =
+        (col(q).cast("double")
+          - col(s0).cast("double") * col(s0).cast("double") / col("n")) /
+          col("n")
+      mom.select(col("n").as("n_hours"),
+        eround(greatest(lit(0.0),
+          lit(1.0) - varOf("qr", "sr") / varOf("qu", "su")), 4)
+          .as("strength_trend"),
+        eround(greatest(lit(0.0),
+          lit(1.0) - varOf("qr", "sr") / varOf("qv", "sv")), 4)
+          .as("strength_seasonal"))
+    },
+
     "q_ts_decompose" -> { (s, d) =>
       val hourly = Tables.events(s, d)
         .select(date_trunc("hour", col("ts")).as("h"),
@@ -1786,6 +1887,40 @@ object Events {
          |  max(ts) + INTERVAL 30 MINUTE AS s_end,
          |  count(*) AS n, ${oLsum("value")} AS sum_v
          | FROM g GROUP BY user_id, sid ORDER BY user_id, s_start"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Per-(type, α) recursive CTE replaying the identical fold (sse
+    // accumulates against the PRE-update level, as in the Spark lambda);
+    // the winner rank mirrors the (sse, α) ordering.
+    "q_ts_ses_fit" ->
+      """WITH RECURSIVE daily AS (SELECT event_type,
+        |   CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY event_type, day),
+        | ser AS (SELECT event_type,
+        |   row_number() OVER (PARTITION BY event_type ORDER BY day) AS j,
+        |   CAST(c AS DOUBLE) AS y FROM daily),
+        | nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        |  FROM ser GROUP BY event_type),
+        | grid AS (SELECT CAST(unnest([0.1, 0.3, 0.5, 0.7, 0.9])
+        |   AS DOUBLE) AS a),
+        | h AS (
+        |  SELECT s1.event_type, g.a, CAST(1 AS BIGINT) AS t,
+        |    s1.y AS l, CAST(0.0 AS DOUBLE) AS sse
+        |   FROM ser s1, grid g WHERE s1.j = 1
+        |  UNION ALL
+        |  SELECT h.event_type, h.a, h.t + 1,
+        |    h.a * s.y + (1.0 - h.a) * h.l,
+        |    h.sse + (s.y - h.l) * (s.y - h.l)
+        |   FROM h JOIN ser s ON s.event_type = h.event_type
+        |    AND s.j = h.t + 1),
+        | fin AS (SELECT h.event_type, nd.n_days, h.a, h.sse,
+        |   row_number() OVER (PARTITION BY h.event_type
+        |     ORDER BY h.sse, h.a) AS rn
+        |  FROM h JOIN nd USING (event_type) WHERE h.t = nd.n_days)
+        | SELECT event_type, n_days, a AS best_alpha,
+        |  round(sqrt(sse / (n_days - 1)) / 100.0 + 5e-10, 4) AS rmse
+        | FROM fin WHERE rn = 1 ORDER BY event_type"""
         .stripMargin.replaceAll("\n", " "),
 
     // The identical +,−,/2 op sequence as a recursive CTE (state row
@@ -2172,6 +2307,60 @@ object Events {
         |   AS stickiness
         | FROM dau JOIN wau USING (day) JOIN mau USING (day)
         | ORDER BY day"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same construction as the decompose oracle; component rows
+    // ε-round to DECIMAL(18,6) before the exact Σx/Σx² moments.
+    "q_ts_strength" ->
+      """WITH hourly AS (SELECT
+        |   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        | grid AS (SELECT g.h, coalesce(c, 0) AS c FROM
+        |   (SELECT unnest(generate_series(min(h), max(h),
+        |      INTERVAL 1 HOUR)) AS h FROM hourly) g
+        |  LEFT JOIN hourly USING (h)),
+        | tr AS (SELECT h, c, sum(c) OVER w AS tsum, count(*) OVER w AS tn
+        |  FROM grid WINDOW w AS (ORDER BY h
+        |   ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+        | det AS (SELECT h, c, c * 25 - tsum AS d, hour(h) AS hod
+        |  FROM tr WHERE tn = 25),
+        | seas AS (SELECT hod, sum(d) AS ssum, count(*) AS sn
+        |  FROM det GROUP BY 1),
+        | cells AS (SELECT
+        |   CAST(round(CAST(d * sn - ssum AS DOUBLE)
+        |     / CAST(sn * 2500 AS DOUBLE) + 5e-10, 6) AS DECIMAL(18,6))
+        |    AS r,
+        |   CAST(round(c / 100.0 - CAST(ssum AS DOUBLE)
+        |     / CAST(sn * 2500 AS DOUBLE) + 5e-10, 6) AS DECIMAL(18,6))
+        |    AS u,
+        |   CAST(round(d / 2500.0 + 5e-10, 6) AS DECIMAL(18,6)) AS v
+        |  FROM det JOIN seas USING (hod)),
+        | m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |   sum(r) AS sr,
+        |   sum(CAST(CAST(r AS DECIMAL(19,6)) * r AS DECIMAL(38,12)))
+        |     AS qr,
+        |   sum(u) AS su,
+        |   sum(CAST(CAST(u AS DECIMAL(19,6)) * u AS DECIMAL(38,12)))
+        |     AS qu,
+        |   sum(v) AS sv,
+        |   sum(CAST(CAST(v AS DECIMAL(19,6)) * v AS DECIMAL(38,12)))
+        |     AS qv
+        |  FROM cells)
+        | SELECT n AS n_hours,
+        |  round(greatest(0.0, 1.0 -
+        |    ((CAST(qr AS DOUBLE) - CAST(sr AS DOUBLE)
+        |       * CAST(sr AS DOUBLE) / n) / n)
+        |    / ((CAST(qu AS DOUBLE) - CAST(su AS DOUBLE)
+        |       * CAST(su AS DOUBLE) / n) / n)) + 5e-10, 4)
+        |   AS strength_trend,
+        |  round(greatest(0.0, 1.0 -
+        |    ((CAST(qr AS DOUBLE) - CAST(sr AS DOUBLE)
+        |       * CAST(sr AS DOUBLE) / n) / n)
+        |    / ((CAST(qv AS DOUBLE) - CAST(sv AS DOUBLE)
+        |       * CAST(sv AS DOUBLE) / n) / n)) + 5e-10, 4)
+        |   AS strength_seasonal
+        | FROM m"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_ts_decompose" ->

@@ -4196,4 +4196,90 @@ class EngineLawsSpec extends SparkSuite {
     // chance-corrected: po must not be credited below its chance floor
     assert(row.getDouble(4) >= 0.0 && row.getDouble(5) > 0.0)
   }
+
+  test("q_ts_ses_fit picks the grid argmin of one-step-ahead SSE") {
+    val out = SparkEntry.queries("q_ts_ses_fit")(spark, sf).collect()
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+      .collect().map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+    val alphas = Seq(0.1, 0.3, 0.5, 0.7, 0.9)
+    def r4(x: Double) = math.rint((x + 5e-10) * 1e4) / 1e4
+    out.foreach { r =>
+      val ys = daily.filter(_._1 == r.getString(0))
+        .sortBy(_._2.toLocalDate.toEpochDay).map(_._3.toDouble)
+      assert(r.getLong(1) === ys.length.toLong)
+      val fits = alphas.map { a =>
+        var l = ys(0); var sse = 0.0
+        ys.drop(1).foreach { y =>
+          sse += (y - l) * (y - l); l = a * y + (1.0 - a) * l
+        }
+        (a, sse)
+      }
+      val (bestA, bestSse) = fits.minBy(f => (f._2, f._1))
+      assert(r.getDouble(2) === bestA, "grid argmin alpha")
+      assert(r.getDouble(3) ===
+        r4(math.sqrt(bestSse / (ys.length - 1)) / 100.0), "rmse")
+      fits.foreach { case (_, sse) => assert(bestSse <= sse + 1e-9) }
+    }
+    assert(out.length === daily.map(_._1).distinct.length)
+  }
+
+  test("q_agg_ab_power replays the two-proportion closed form") {
+    val out = SparkEntry.queries("q_agg_ab_power")(spark, sf).collect()
+    assert(out.length === 3, "three treatment cohorts vs control")
+    val rows = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(pmod(col("user_id"), lit(4)), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    def stats(k: Long) = {
+      val g = rows.filter(_._1 == k)
+      (g.count(_._2 == "purchase").toLong, g.length.toLong)
+    }
+    val (s0, n0) = stats(0)
+    def r(x: Double, sc: Int) = {
+      val f = math.pow(10, sc); math.rint((x + 5e-10) * f) / f
+    }
+    out.foreach { rw =>
+      val (s1, n1) = stats(rw.getLong(0))
+      assert(rw.getLong(1) === n0 && rw.getLong(2) === n1)
+      val p1 = s0.toDouble / n0; val p2 = s1.toDouble / n1
+      val pbar = (s0 + s1).toDouble / (n0 + n1)
+      val delta = p2 - p1
+      val nr = 1.96 * math.sqrt(2.0 * pbar * (1.0 - pbar)) +
+        0.8416 * math.sqrt(p1 * (1.0 - p1) + p2 * (1.0 - p2))
+      val req = nr * nr / (delta * delta)
+      assert(rw.getDouble(3) === r(p1, 6))
+      assert(rw.getDouble(4) === r(p2, 6))
+      assert(rw.getDouble(5) === r(delta, 6))
+      assert(rw.getDouble(6) === r(req, 1))
+      assert(rw.getBoolean(7) === (n0 >= req && n1 >= req))
+      assert(rw.getDouble(6) > 0.0)
+    }
+  }
+
+  test("q_ts_strength equals the decompose components' variance ratios") {
+    val Array(row) = SparkEntry.queries("q_ts_strength")(spark, sf).collect()
+    val dec = SparkEntry.queries("q_ts_decompose")(spark, sf).collect()
+      .map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))) // value, trend, seasonal, residual
+    assert(row.getLong(0) === dec.length.toLong)
+    def m6(x: Double) = BigDecimal(x + 5e-10)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val rs = dec.map(c => m6(c._4))
+    val us = dec.map(c => m6(c._1 - c._3))
+    val vs = dec.map(c => m6(c._1 - c._2))
+    def variance(xs: Seq[BigDecimal]): Double = {
+      val n = xs.length
+      val s0 = xs.sum.toDouble; val q = xs.map(x => x * x).sum.toDouble
+      (q - s0 * s0 / n) / n
+    }
+    val ft = math.max(0.0, 1.0 - variance(rs) / variance(us))
+    val fs = math.max(0.0, 1.0 - variance(rs) / variance(vs))
+    def r4(x: Double) = math.rint((x + 5e-10) * 1e4) / 1e4
+    assert(math.abs(row.getDouble(1) - r4(ft)) < 2e-4, "trend strength")
+    assert(math.abs(row.getDouble(2) - r4(fs)) < 2e-4, "seasonal strength")
+    assert(row.getDouble(1) >= 0.0 && row.getDouble(1) <= 1.0)
+    assert(row.getDouble(2) >= 0.0 && row.getDouble(2) <= 1.0)
+  }
 }
