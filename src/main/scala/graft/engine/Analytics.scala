@@ -1037,6 +1037,43 @@ object Analytics {
         .orderBy(col("month"))
     },
 
+    // Degree assortativity of the co-purchase graph — Newman's r: the
+    // Pearson correlation of endpoint degrees over all edge orientations.
+    // Positive r = hubs buy with hubs (assortative); negative = hub-and-
+    // spoke (the common retail shape). Every moment is an exact integer
+    // (degrees are counts; products widen to DECIMAL(38,0)) and the
+    // orientation-doubled point set makes Σx = Σy and Σx² = Σy² by
+    // construction, so r needs only three sums — documented symmetry,
+    // not an approximation. Rides the shared support-edge frame (one
+    // lineitem scan via the pinned checkpoint) + one broadcast degree
+    // join; the moment agg collapses to a single row.
+    "q_graph_assortativity" -> { (s, d) =>
+      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      val und = supportEdges(s, d, "assort")
+      val deg = und.select(col("u").as("node"))
+        .unionAll(und.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("dg"))
+      val pairs = und
+        .join(broadcast(deg.select(col("node").as("u"),
+          col("dg").as("du"))), "u")
+        .join(broadcast(deg.select(col("node").as("v"),
+          col("dg").as("dv"))), "v")
+      val pts = pairs.select(col("du").as("x"), col("dv").as("y"))
+        .unionAll(pairs.select(col("dv").as("x"), col("du").as("y")))
+      val m = pts.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"),
+        sum((col("x").cast(dec19) * col("x").cast(dec19))).as("sxx"),
+        sum((col("x").cast(dec19) * col("y").cast(dec19))).as("sxy"))
+      val nodes = deg.agg(count(lit(1)).as("n_nodes"))
+      m.crossJoin(broadcast(nodes))
+        .select(col("n_nodes"), (col("n") / 2).cast("long").as("n_edges"),
+          eround((col("n") * col("sxy").cast("double")
+            - col("sx").cast("double") * col("sx").cast("double"))
+            / (col("n") * col("sxx").cast("double")
+              - col("sx").cast("double") * col("sx").cast("double")), 6)
+            .as("assortativity"))
+    },
+
     // Kaplan–Meier repurchase survival curve — time-to-second-order with
     // right censoring at the fixture horizon, the survival-analysis
     // spelling of retention (q_shape_retention bins by month; KM handles
@@ -2230,6 +2267,38 @@ object Analytics {
         |   AS jaccard
         | FROM cmn JOIN deg du ON u = du.n JOIN deg dv ON v = dv.n
         | ORDER BY jaccard DESC, u, v LIMIT 20"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // The adamic-adar graph CTEs verbatim; moments over both edge
+    // orientations as exact integers (HUGEINT products), symmetry
+    // Σx = Σy used exactly as the Spark side documents.
+    "q_graph_assortativity" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        | und AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+        |   FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |   GROUP BY u, v HAVING count(*) >= 2),
+        | adj AS (SELECT u AS node FROM und
+        |   UNION ALL SELECT v AS node FROM und),
+        | deg AS (SELECT node, CAST(count(*) AS BIGINT) AS dg FROM adj
+        |   GROUP BY node),
+        | pairs AS (SELECT du.dg AS x, dv.dg AS y
+        |  FROM und JOIN deg du ON du.node = und.u
+        |   JOIN deg dv ON dv.node = und.v),
+        | pts AS (SELECT x, y FROM pairs
+        |   UNION ALL SELECT y AS x, x AS y FROM pairs),
+        | m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(x) AS BIGINT) AS sx,
+        |   CAST(sum(x * x) AS HUGEINT) AS sxx,
+        |   CAST(sum(x * y) AS HUGEINT) AS sxy FROM pts),
+        | nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+        | SELECT n_nodes, n // 2 AS n_edges,
+        |  round((n * CAST(sxy AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |   / (n * CAST(sxx AS DOUBLE)
+        |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) + 5e-10, 6)
+        |   AS assortativity
+        | FROM m, nn"""
         .stripMargin.replaceAll("\n", " "),
 
     // ln() (natural log — DuckDB's log() is base 10) per common neighbor,

@@ -2888,6 +2888,52 @@ object Text {
         .limit(20)
     },
 
+    // Heaps'-law fit V(n) = K·n^β over the vocabulary-growth curve —
+    // the corpus-scaling exponent that predicts how much NEW vocabulary
+    // another 10x of data buys (β ≈ 0.5 for natural text; the fixture's
+    // closed ~31-token vocabulary saturates, so β ≈ 0 — the fit
+    // DETECTING synthetic text is the demo working, the q_agg_benford
+    // pattern). Log-log linear regression on the q_text_vocab_growth
+    // checkpoints: each (ln n, ln V) point ε-rounds to DECIMAL(18,9) so
+    // the regression moments (products as DECIMAL(38,18)) are exact and
+    // order-free. The curve is corpus-bounded only through the
+    // measurement grid — the moments see ≤ #checkpoints rows.
+    "q_text_heaps_fit" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val tk = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+      val perDoc = tk.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"))
+      val firstSeen = tk.groupBy(col("w"))
+        .agg(min(col("doc_id")).as("first_doc"))
+        .groupBy(col("first_doc")).agg(count(lit(1)).as("n_new"))
+      val run = W.orderBy(col("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val pts = perDoc
+        .join(firstSeen, col("doc_id") === col("first_doc"), "left")
+        .select(col("doc_id"), col("n_tok"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"))
+        .withColumn("cum_tokens", sum(col("n_tok")).over(run))
+        .withColumn("vocab_size", sum(col("n_new")).over(run))
+        .filter(col("doc_id") % 50 === 0)
+        .select(
+          eround(log(col("cum_tokens")), 9).cast("decimal(18,9)").as("x"),
+          eround(log(col("vocab_size")), 9).cast("decimal(18,9)").as("y"))
+      val m = pts.agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum((col("x") * col("x")).cast("decimal(38,18)")).as("sxx"),
+        sum((col("x") * col("y")).cast("decimal(38,18)")).as("sxy"))
+      val beta = (col("n") * col("sxy").cast("double")
+        - col("sx").cast("double") * col("sy").cast("double")) /
+        (col("n") * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double"))
+      m.select(col("n").as("n_points"),
+        eround(beta, 6).as("heaps_beta"),
+        eround(exp((col("sy").cast("double")
+          - beta * col("sx").cast("double")) / col("n")), 4)
+          .as("heaps_k"))
+    },
+
     // Cohen's κ between two independent keep/drop raters — the filter-
     // engineering question "do my gates agree beyond chance?" asked of
     // the length gate (q_text_quality's passes_length_gate) and the
@@ -4412,6 +4458,53 @@ object Text {
         |      AS DECIMAL(12,6)) END) AS score
         | FROM pairs
         | ORDER BY score DESC, id_a, id_b LIMIT 20"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // The vocab-growth CTE verbatim, then ε-rounded log-log points and
+    // exact decimal regression moments (one operand widened to
+    // DECIMAL(19,9) before each product — the DuckDB 18-digit multiply
+    // bound); β and K mirror the Spark double tree including the β
+    // re-expansion inside K.
+    "q_text_heaps_fit" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($oToks) AS w FROM documents),
+         | pd AS (SELECT doc_id, count(*) AS n_tok FROM tk
+         |  GROUP BY doc_id),
+         | fs AS (SELECT first_doc, count(*) AS n_new FROM
+         |   (SELECT w, min(doc_id) AS first_doc FROM tk GROUP BY w)
+         |  GROUP BY first_doc),
+         | j AS (SELECT pd.doc_id, n_tok,
+         |   coalesce(n_new, 0) AS n_new
+         |  FROM pd LEFT JOIN fs ON pd.doc_id = fs.first_doc),
+         | c AS (SELECT doc_id,
+         |   CAST(sum(n_tok) OVER (ORDER BY doc_id
+         |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+         |   CAST(sum(n_new) OVER (ORDER BY doc_id
+         |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS vocab_size
+         |  FROM j),
+         | pts AS (SELECT
+         |   CAST(round(ln(cum_tokens) + 5e-10, 9) AS DECIMAL(18,9)) AS x,
+         |   CAST(round(ln(vocab_size) + 5e-10, 9) AS DECIMAL(18,9)) AS y
+         |  FROM c WHERE doc_id % 50 = 0),
+         | m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |   sum(x) AS sx, sum(y) AS sy,
+         |   sum(CAST(CAST(x AS DECIMAL(19,9)) * x AS DECIMAL(38,18)))
+         |     AS sxx,
+         |   sum(CAST(CAST(x AS DECIMAL(19,9)) * y AS DECIMAL(38,18)))
+         |     AS sxy
+         |  FROM pts)
+         | SELECT n AS n_points,
+         |  round((n * CAST(sxy AS DOUBLE)
+         |    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |   / (n * CAST(sxx AS DOUBLE)
+         |    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) + 5e-10, 6)
+         |   AS heaps_beta,
+         |  round(exp((CAST(sy AS DOUBLE)
+         |   - ((n * CAST(sxy AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         |     / (n * CAST(sxx AS DOUBLE)
+         |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+         |    * CAST(sx AS DOUBLE)) / n) + 5e-10, 4) AS heaps_k
+         | FROM m"""
         .stripMargin.replaceAll("\n", " "),
 
     // Both raters replayed inline; identical double tree for po/pe/κ

@@ -4282,4 +4282,63 @@ class EngineLawsSpec extends SparkSuite {
     assert(row.getDouble(1) >= 0.0 && row.getDouble(1) <= 1.0)
     assert(row.getDouble(2) >= 0.0 && row.getDouble(2) <= 1.0)
   }
+
+  test("q_graph_assortativity replays Newman's r over both orientations") {
+    val Array(row) =
+      SparkEntry.queries("q_graph_assortativity")(spark, sf).collect()
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).distinct
+    val pairs = li.groupBy(_._1).values.flatMap { b =>
+      val ps = b.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSeq
+    val und = pairs.groupBy(identity).filter(_._2.size >= 2).keySet.toSeq
+    val deg = (und.map(_._1) ++ und.map(_._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(row.getLong(0) === deg.size.toLong)
+    assert(row.getLong(1) === und.size.toLong)
+    val pts = und.flatMap(e =>
+      Seq((deg(e._1), deg(e._2)), (deg(e._2), deg(e._1))))
+    val n = pts.size.toLong
+    val sx = pts.map(_._1).sum
+    val sxx = pts.map(p => BigInt(p._1) * BigInt(p._1)).sum
+    val sxy = pts.map(p => BigInt(p._1) * BigInt(p._2)).sum
+    // orientation doubling: Σy = Σx, Σy² = Σx² exactly
+    assert(pts.map(_._2).sum === sx)
+    val r = (n * sxy.toDouble - sx.toDouble * sx.toDouble) /
+      (n * sxx.toDouble - sx.toDouble * sx.toDouble)
+    def r6(x: Double) = math.rint((x + 5e-10) * 1e6) / 1e6
+    assert(row.getDouble(2) === r6(r))
+    assert(row.getDouble(2) >= -1.0 - 1e-9 && row.getDouble(2) <= 1.0 + 1e-9)
+  }
+
+  test("q_text_heaps_fit regresses the vocab-growth curve in log-log") {
+    val Array(row) =
+      SparkEntry.queries("q_text_heaps_fit")(spark, sf).collect()
+    val curve =
+      SparkEntry.queries("q_text_vocab_growth")(spark, sf).collect()
+        .map(r => (r.getLong(1), r.getLong(2)))
+    def l9(v: Long) = BigDecimal(math.log(v.toDouble) + 5e-10)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val xs = curve.map(p => l9(p._1)); val ys = curve.map(p => l9(p._2))
+    val n = curve.length.toLong
+    assert(row.getLong(0) === n)
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxx = xs.map(x => x * x).sum; val sxy = xs.zip(ys).map {
+      case (a, b) => a * b
+    }.sum
+    val beta = (n * sxy.toDouble - sx.toDouble * sy.toDouble) /
+      (n * sxx.toDouble - sx.toDouble * sx.toDouble)
+    val k = math.exp((sy.toDouble - beta * sx.toDouble) / n)
+    def r(x: Double, sc: Int) = {
+      val f = math.pow(10, sc); math.rint((x + 5e-10) * f) / f
+    }
+    assert(row.getDouble(1) === r(beta, 6))
+    assert(row.getDouble(2) === r(k, 4))
+    // the fixture's closed vocabulary saturates: β far below natural
+    // text's ~0.5 — the fit flags synthetic data
+    assert(row.getDouble(1) >= 0.0 && row.getDouble(1) < 0.5)
+    assert(row.getDouble(2) > 0.0)
+  }
 }
