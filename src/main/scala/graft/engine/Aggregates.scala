@@ -1296,6 +1296,61 @@ object Aggregates {
     // the coefficient is a single identical double division. The rank
     // runs over the bounded one-row-per-customer aggregate — the
     // documented population-relative window class.
+    // Theil T and L inequality indices of revenue across customers —
+    // the decomposable members of the inequality suite beside Gini/HHI/
+    // Pareto (Theil splits additively into within/between-group terms,
+    // which Gini cannot). T = (1/n)Σ(cᵢ/μ)ln(cᵢ/μ), L = (1/n)Σ ln(μ/cᵢ);
+    // per-row cells ε-round to DECIMAL(18,9) so the sums are exact and
+    // order-free (the JSD recipe), the totals ride a 1-row broadcast.
+    // cᵢ > 0 by construction (order totals are positive), so ln is
+    // total. One scan → customer-grain agg → map-side cells → 1-row agg.
+    "q_agg_theil" -> { (s, d) =>
+      val rev = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+      val tot = rev.agg(count(lit(1)).as("n"), sum(col("c")).as("sx"))
+      val mu = col("sx").cast("double") / col("n")
+      val ratio = col("c") / mu
+      rev.crossJoin(broadcast(tot))
+        .select(col("n"), col("sx"),
+          eround(ratio * log(ratio), 9).cast("decimal(18,9)").as("ct"),
+          eround(-log(ratio), 9).cast("decimal(18,9)").as("cl"))
+        .groupBy(col("n"), col("sx"))
+        .agg(sum(col("ct")).as("st"), sum(col("cl")).as("sl"))
+        .select(col("n").as("n_customers"),
+          eround(mu / 100.0, 2).as("mean_revenue"),
+          eround(col("st").cast("double") / col("n"), 6).as("theil_t"),
+          eround(col("sl").cast("double") / col("n"), 6).as("theil_l"))
+    },
+
+    // Lorenz curve at the decile grid — the picture behind the Gini
+    // scalar: cumulative revenue share of the bottom k/10 of customers,
+    // ranked by the same deterministic (cents, custkey) total order the
+    // Gini row uses. Dimension-scale by construction (customer grain);
+    // at fact scale the rank would come off the bounded value-domain
+    // cumsum (the q_agg_percentile_grid trick) — documented here, not
+    // spelled, because the customer frame IS the bounded frame already.
+    "q_shape_lorenz" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val rev = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("c"))
+        .withColumn("decile",
+          ntile(10).over(W.orderBy(asc("c"), asc("o_custkey"))))
+      val dec = rev.groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("c")).as("sc"))
+      val tot = dec.agg(sum(col("sc")).as("t"))
+      val run = W.orderBy(col("decile"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      dec.crossJoin(broadcast(tot))
+        .withColumn("cum", sum(col("sc")).over(run))
+        .select(col("decile"), col("n_cust"),
+          (col("sc") / 100.0).as("revenue"),
+          eround(col("cum").cast("double") / col("t"), 6)
+            .as("cum_share"))
+        .orderBy(col("decile"))
+    },
+
     "q_agg_gini" -> { (s, d) =>
       val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       val W = org.apache.spark.sql.expressions.Window
@@ -1370,6 +1425,50 @@ object Aggregates {
         | SELECT o_orderstatus, count(*) AS n_categories,
         |  round(CAST(sum(h9) AS DOUBLE) + 5e-10, 6) AS entropy_nats
         | FROM h GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Identical ratio tree c/(sx/n); cells ε-rounded to DECIMAL(18,9)
+    // before the exact sums.
+    "q_agg_theil" ->
+      """WITH rev AS (SELECT o_custkey,
+        |   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |     AS c
+        |  FROM orders GROUP BY o_custkey),
+        | tot AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(c) AS BIGINT) AS sx FROM rev),
+        | cells AS (SELECT n, sx,
+        |   CAST(round((c / (CAST(sx AS DOUBLE) / n))
+        |     * ln(c / (CAST(sx AS DOUBLE) / n)) + 5e-10, 9)
+        |    AS DECIMAL(18,9)) AS ct,
+        |   CAST(round(-ln(c / (CAST(sx AS DOUBLE) / n)) + 5e-10, 9)
+        |    AS DECIMAL(18,9)) AS cl
+        |  FROM rev, tot)
+        | SELECT n AS n_customers,
+        |  round(CAST(sx AS DOUBLE) / n / 100.0 + 5e-10, 2)
+        |    AS mean_revenue,
+        |  round(CAST(sum(ct) AS DOUBLE) / n + 5e-10, 6) AS theil_t,
+        |  round(CAST(sum(cl) AS DOUBLE) / n + 5e-10, 6) AS theil_l
+        | FROM cells GROUP BY n, sx"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same deterministic (cents, custkey) ranking as the Gini oracle;
+    // ntile buckets agree (both engines front-load the remainder rows).
+    "q_shape_lorenz" ->
+      """WITH rev AS (SELECT o_custkey,
+        |   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |     AS c
+        |  FROM orders GROUP BY o_custkey),
+        | rk AS (SELECT c,
+        |   ntile(10) OVER (ORDER BY c, o_custkey) AS decile FROM rev),
+        | d AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_cust,
+        |   CAST(sum(c) AS BIGINT) AS sc FROM rk GROUP BY decile),
+        | tot AS (SELECT CAST(sum(sc) AS BIGINT) AS t FROM d),
+        | cm AS (SELECT decile, n_cust, sc,
+        |   CAST(sum(sc) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+        |    AS BIGINT) AS cum FROM d)
+        | SELECT decile, n_cust, sc / 100.0 AS revenue,
+        |  round(CAST(cum AS DOUBLE) / t + 5e-10, 6) AS cum_share
+        | FROM cm, tot ORDER BY decile"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_agg_gini" ->

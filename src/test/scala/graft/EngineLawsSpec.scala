@@ -4341,4 +4341,48 @@ class EngineLawsSpec extends SparkSuite {
     assert(row.getDouble(1) >= 0.0 && row.getDouble(1) < 0.5)
     assert(row.getDouble(2) > 0.0)
   }
+
+  /** per-customer exact revenue cents, the inequality-suite grain. */
+  private lazy val custCents: Array[Long] = Tables.orders(spark, sf)
+    .groupBy(col("o_custkey"))
+    .agg(sum(round(col("o_totalprice") * 100).cast("long")))
+    .collect().map(_.getLong(1))
+
+  test("q_agg_theil replays both indices; Jensen keeps them nonnegative") {
+    val Array(row) = SparkEntry.queries("q_agg_theil")(spark, sf).collect()
+    val n = custCents.length.toLong
+    val mu = custCents.map(BigInt(_)).sum.toDouble / n
+    def r9(x: Double) = BigDecimal(x + 5e-10)
+      .setScale(9, BigDecimal.RoundingMode.HALF_UP)
+    val t = custCents.map(c => r9(c / mu * math.log(c / mu))).sum
+    val l = custCents.map(c => r9(-math.log(c / mu))).sum
+    def r(x: Double, sc: Int) = {
+      val f = math.pow(10, sc); math.rint((x + 5e-10) * f) / f
+    }
+    assert(row.getLong(0) === n)
+    assert(row.getDouble(1) === r(mu / 100.0, 2))
+    assert(row.getDouble(2) === r(t.toDouble / n, 6), "Theil T")
+    assert(row.getDouble(3) === r(l.toDouble / n, 6), "Theil L")
+    assert(row.getDouble(2) >= -1e-6 && row.getDouble(3) >= -1e-6,
+      "both indices nonnegative (Jensen)")
+  }
+
+  test("q_shape_lorenz is monotone, below the diagonal, and ends at 1") {
+    val out = SparkEntry.queries("q_shape_lorenz")(spark, sf).collect()
+    assert(out.length === 10)
+    assert(out.map(_.getLong(1)).sum === custCents.length.toLong,
+      "deciles partition the customers")
+    val total = custCents.map(BigInt(_)).sum.toDouble
+    var prev = 0.0
+    out.foreach { r =>
+      val share = r.getDouble(3)
+      assert(share >= prev - 1e-9, "cumulative share is monotone")
+      // ascending rank order: bottom k/10 never exceeds k/10 of revenue
+      assert(share <= r.getInt(0) / 10.0 + 1e-6, "below the diagonal")
+      prev = share
+    }
+    assert(math.abs(out.last.getDouble(3) - 1.0) < 1e-6)
+    assert(math.abs(out.map(_.getDouble(2)).sum - total / 100.0) < 0.01,
+      "decile revenues partition the total")
+  }
 }
