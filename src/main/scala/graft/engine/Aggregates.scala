@@ -436,8 +436,12 @@ object Aggregates {
     // and max are pure integers (order-free), only the final division is
     // float. Scale shape: the ordered scan runs over the DISTINCT cents
     // axis after a partial agg — frame size is fixed by the value domain
-    // (≤49k cents here), not the corpus, at any scale; the cum·n product
-    // widens to DECIMAL(38,0) past ~3e9 rows/side.
+    // (≤49k cents here), not the corpus, at any scale. CAUTION past
+    // ~3e9 rows/side: cum1·n2 is long·long here (Spark wraps silently
+    // with ANSI off; DuckDB BIGINT·BIGINT errors at runtime) — nothing
+    // widens automatically, so at that scale the spelling must cast the
+    // operands to DECIMAL(38,0) BEFORE the product (same caveat for the
+    // Mann-Whitney/AUC doubled-rank products).
     "q_agg_ks_test" -> { (s, d) =>
       val W = org.apache.spark.sql.expressions.Window
       val ev = Tables.events(s, d)
@@ -629,15 +633,21 @@ object Aggregates {
     // (top bin open-ended) keep every bin populated on both sides at all
     // fixture SFs — fixed bins, not quantiles, because the expected-side
     // edges must be FROZEN for the comparison to mean anything. Per-bin
-    // term (pa−pe)·ln(pa/pe) is ε-rounded to DECIMAL(18,9) before the
-    // exact 5-term sum (order-free, immune to last-ulp ln differences).
-    // Scale shape: one corpus scan to a 5-row pinned frame; everything
-    // after is constant-size arithmetic.
+    // term (pa−pe)·ln(pa/pe) is ε-rounded to DECIMAL(18,6) before the
+    // exact 5-term sum — 6dp, not 9 (r10 lesson: 9dp with the 5e-10
+    // nudge leaves exactly half a last-digit step of margin, which a
+    // 1-ulp ln() difference between DuckDB builds can flip; 6dp is the
+    // margin the other passing ln-families ride). The bin key is the
+    // IDENTICAL IEEE spelling on both sides — double round, double
+    // division by 2000.0, floor — never an engine-native integer
+    // division whose truncate-vs-floor semantics have shifted across
+    // DuckDB versions. Scale shape: one corpus scan to a 5-row pinned
+    // frame; everything after is constant-size arithmetic.
     "q_profile_psi" -> { (s, d) =>
       val bins = Checkpoints.pin("psi:" + d, Tables.events(s, d)
         .select(
-          least(floor(round(col("value") * 100) / 2000).cast("long"),
-            lit(4L)).as("bin"),
+          least(floor(round(col("value") * 100) / lit(2000.0))
+            .cast("long"), lit(4L)).as("bin"),
           (pmod(col("event_id"), lit(2)) === 0).as("is_e"))
         .groupBy(col("bin"))
         .agg(sum(when(col("is_e"), 1L).otherwise(0L)).as("n_e"),
@@ -649,7 +659,7 @@ object Aggregates {
       val pa = col("n_a").cast("double") / col("ta")
       val withTerm = bins.crossJoin(broadcast(tot))
         .withColumn("t",
-          eround((pa - pe) * log(pa / pe), 9).cast("decimal(18,9)"))
+          eround((pa - pe) * log(pa / pe), 6).cast("decimal(18,6)"))
       val psi = withTerm.agg(sum(col("t")).as("psid"))
       withTerm.crossJoin(broadcast(psi))
         .select(col("bin"), col("n_e"), col("n_a"),
@@ -666,9 +676,14 @@ object Aggregates {
     // The fixture's near-uniform prices FAIL the law loudly — the audit
     // detecting synthetic data is the demo working. First digit comes
     // from the cents string (exact; never float log10 which misbins at
-    // powers of ten). Per-digit chi²/MAD cells ε-round to DECIMAL(18,9)
-    // before the exact 9-term sums. One corpus scan to a pinned 9-row
-    // frame; constant-size arithmetic after.
+    // powers of ten). The nine Benford probabilities log10(1+1/d) are
+    // COMPILE-TIME constants over the bounded digit domain — inlined as
+    // identical shortest-repr double literals on both sides (the r11
+    // constant-fold recipe), so the chi²/MAD cells are pure IEEE
+    // +,−,×,/ on integers and literals: ZERO runtime libm, which makes
+    // the 9dp ε-round genuinely deterministic rather than
+    // ulp-margin-dependent. One corpus scan to a pinned 9-row frame;
+    // constant-size arithmetic after.
     "q_agg_benford" -> { (s, d) =>
       val obs = Checkpoints.pin("benford:" + d, Tables.orders(s, d)
         .select(substring(round(col("o_totalprice") * 100).cast("long")
@@ -676,7 +691,9 @@ object Aggregates {
         .groupBy(col("digit")).agg(count(lit(1)).as("n"))
         .localCheckpoint())
       val tot = obs.agg(sum(col("n")).as("nn"))
-      val pExp = log(lit(1.0) + lit(1.0) / col("digit")) / log(lit(10.0))
+      val pExp = element_at(
+        array(Fx.benfordP.map(p => lit(p.toDouble)): _*),
+        col("digit").cast("int"))
       val pObs = col("n").cast("double") / col("nn")
       val wb = obs.crossJoin(broadcast(tot))
         .withColumn("chi_cell", eround(
@@ -1269,7 +1286,10 @@ object Aggregates {
     // data-profiling "how informative is this column per segment" signal.
     // Same surprisal recipe as the text-entropy family: p is an identical
     // integer-ratio double, each category's −p·ln(p) ε-rounds to
-    // DECIMAL(18,9), the per-group sum is exact. Two-level aggregate:
+    // DECIMAL(18,6) (6dp per the r11 ulp-margin hardening — ≤5 cells
+    // per group keeps the exact sum within ~3e-6 of unrounded, and the
+    // final output is 6dp anyway), the per-group sum is exact.
+    // Two-level aggregate:
     // (status, priority) counts, then a status-partition window for the
     // totals — both ride one status-compatible exchange.
     "q_agg_entropy_cat" -> { (s, d) =>
@@ -1282,7 +1302,7 @@ object Aggregates {
       val p = col("c").cast("double") / col("n")
       counts
         .select(col("o_orderstatus"),
-          eround(-p * log(p), 9).cast("decimal(18,9)").as("h9"))
+          eround(-p * log(p), 6).cast("decimal(18,6)").as("h9"))
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n_categories"),
           eround(sum(col("h9")).cast("double"), 6).as("entropy_nats"))
@@ -1300,8 +1320,13 @@ object Aggregates {
     // the decomposable members of the inequality suite beside Gini/HHI/
     // Pareto (Theil splits additively into within/between-group terms,
     // which Gini cannot). T = (1/n)Σ(cᵢ/μ)ln(cᵢ/μ), L = (1/n)Σ ln(μ/cᵢ);
-    // per-row cells ε-round to DECIMAL(18,9) so the sums are exact and
-    // order-free (the JSD recipe), the totals ride a 1-row broadcast.
+    // per-row cells ε-round to DECIMAL(18,6) — 6dp, not 9 (the r11
+    // hardening: at 9dp a 1-ulp ln() difference between DuckDB builds
+    // sits half a last-digit step from the flip boundary; 6dp buys
+    // 1000× the margin, and the /n average keeps the final 6dp outputs
+    // within one last digit of the unrounded value) — so the sums are
+    // exact and order-free (the JSD recipe); totals ride a 1-row
+    // broadcast.
     // cᵢ > 0 by construction (order totals are positive), so ln is
     // total. One scan → customer-grain agg → map-side cells → 1-row agg.
     "q_agg_theil" -> { (s, d) =>
@@ -1313,8 +1338,8 @@ object Aggregates {
       val ratio = col("c") / mu
       rev.crossJoin(broadcast(tot))
         .select(col("n"), col("sx"),
-          eround(ratio * log(ratio), 9).cast("decimal(18,9)").as("ct"),
-          eround(-log(ratio), 9).cast("decimal(18,9)").as("cl"))
+          eround(ratio * log(ratio), 6).cast("decimal(18,6)").as("ct"),
+          eround(-log(ratio), 6).cast("decimal(18,6)").as("cl"))
         .groupBy(col("n"), col("sx"))
         .agg(sum(col("ct")).as("st"), sum(col("cl")).as("sl"))
         .select(col("n").as("n_customers"),
@@ -1420,15 +1445,15 @@ object Aggregates {
         |  FROM c),
         | h AS (SELECT o_orderstatus,
         |   CAST(round(-(CAST(c AS DOUBLE) / n)
-        |     * ln(CAST(c AS DOUBLE) / n) + 5e-10, 9)
-        |    AS DECIMAL(18,9)) AS h9 FROM w)
+        |     * ln(CAST(c AS DOUBLE) / n) + 5e-10, 6)
+        |    AS DECIMAL(18,6)) AS h9 FROM w)
         | SELECT o_orderstatus, count(*) AS n_categories,
         |  round(CAST(sum(h9) AS DOUBLE) + 5e-10, 6) AS entropy_nats
         | FROM h GROUP BY o_orderstatus ORDER BY o_orderstatus"""
         .stripMargin.replaceAll("\n", " "),
 
-    // Identical ratio tree c/(sx/n); cells ε-rounded to DECIMAL(18,9)
-    // before the exact sums.
+    // Identical ratio tree c/(sx/n); cells ε-rounded to DECIMAL(18,6)
+    // (6dp ulp margin) before the exact sums.
     "q_agg_theil" ->
       """WITH rev AS (SELECT o_custkey,
         |   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
@@ -1438,10 +1463,10 @@ object Aggregates {
         |   CAST(sum(c) AS BIGINT) AS sx FROM rev),
         | cells AS (SELECT n, sx,
         |   CAST(round((c / (CAST(sx AS DOUBLE) / n))
-        |     * ln(c / (CAST(sx AS DOUBLE) / n)) + 5e-10, 9)
-        |    AS DECIMAL(18,9)) AS ct,
-        |   CAST(round(-ln(c / (CAST(sx AS DOUBLE) / n)) + 5e-10, 9)
-        |    AS DECIMAL(18,9)) AS cl
+        |     * ln(c / (CAST(sx AS DOUBLE) / n)) + 5e-10, 6)
+        |    AS DECIMAL(18,6)) AS ct,
+        |   CAST(round(-ln(c / (CAST(sx AS DOUBLE) / n)) + 5e-10, 6)
+        |    AS DECIMAL(18,6)) AS cl
         |  FROM rev, tot)
         | SELECT n AS n_customers,
         |  round(CAST(sx AS DOUBLE) / n / 100.0 + 5e-10, 2)
@@ -1979,11 +2004,14 @@ object Aggregates {
         | FROM m ORDER BY segment"""
         .stripMargin.replaceAll("\n", " "),
 
-    // Same fixed bins, same ln() term ε-rounded to DECIMAL(18,9) before
-    // the exact 5-term sum; counts stay BIGINT throughout.
+    // Same fixed bins (identical IEEE spelling: double round, /2000.0,
+    // floor — no engine-native // whose semantics drift across DuckDB
+    // versions), same ln() term ε-rounded at 6dp (not 9 — ulp margin)
+    // to DECIMAL(18,6) before the exact 5-term sum; counts stay BIGINT.
     "q_profile_psi" ->
       """WITH bins AS (SELECT
-        |   least(CAST(round(value * 100) AS BIGINT) // 2000, 4) AS bin,
+        |   least(CAST(floor(round(value * 100) / 2000.0) AS BIGINT), 4)
+        |     AS bin,
         |   CAST(count(*) FILTER (event_id % 2 = 0) AS BIGINT) AS n_e,
         |   CAST(count(*) FILTER (event_id % 2 = 1) AS BIGINT) AS n_a
         |  FROM events GROUP BY bin),
@@ -1993,8 +2021,8 @@ object Aggregates {
         |   CAST(round((CAST(n_a AS DOUBLE) / ta
         |      - CAST(n_e AS DOUBLE) / te)
         |     * ln((CAST(n_a AS DOUBLE) / ta)
-        |      / (CAST(n_e AS DOUBLE) / te)) + 5e-10, 9)
-        |    AS DECIMAL(18,9)) AS t
+        |      / (CAST(n_e AS DOUBLE) / te)) + 5e-10, 6)
+        |    AS DECIMAL(18,6)) AS t
         |  FROM bins, tot),
         | ps AS (SELECT CAST(sum(t) AS DOUBLE) AS psid FROM terms)
         | SELECT bin, n_e, n_a,
@@ -2005,27 +2033,29 @@ object Aggregates {
         | FROM terms, ps ORDER BY bin"""
         .stripMargin.replaceAll("\n", " "),
 
-    // First digit from the cents STRING (exact at powers of ten); per-
-    // digit chi²/MAD cells ε-rounded to DECIMAL(18,9) before the exact
-    // 9-term sums; ln(1+1/d)/ln(10) matches Spark's natural-log spelling
-    // (DuckDB's bare log() is base 10 — never use it here).
+    // First digit from the cents STRING (exact at powers of ten); the
+    // nine Benford probabilities are the SAME shortest-repr double
+    // literals as the Spark side (a VALUES CTE joined on digit — zero
+    // runtime libm, the r11 constant-fold recipe), so the chi²/MAD
+    // cells are pure IEEE arithmetic ε-rounded to DECIMAL(18,9) before
+    // the exact 9-term sums.
     "q_agg_benford" ->
-      """WITH obs AS (SELECT
+      s"""WITH obs AS (SELECT
         |   CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
         |     AS VARCHAR), 1, 1) AS BIGINT) AS digit,
         |   CAST(count(*) AS BIGINT) AS n
         |  FROM orders GROUP BY digit),
         | tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM obs),
-        | cells AS (SELECT digit, n, nn,
-        |   ln(1.0 + 1.0 / digit) / ln(10.0) AS p_exp,
-        |   CAST(round((n - nn * (ln(1.0 + 1.0 / digit) / ln(10.0)))
-        |     * (n - nn * (ln(1.0 + 1.0 / digit) / ln(10.0)))
-        |     / (nn * (ln(1.0 + 1.0 / digit) / ln(10.0))) + 5e-10, 9)
+        | bp(bd, p_exp) AS (VALUES ${Fx.benfordP.zipWithIndex
+          .map { case (p, i) => s"(${i + 1}, CAST($p AS DOUBLE))" }
+          .mkString(", ")}),
+        | cells AS (SELECT digit, n, nn, p_exp,
+        |   CAST(round((n - nn * p_exp) * (n - nn * p_exp)
+        |     / (nn * p_exp) + 5e-10, 9)
         |    AS DECIMAL(18,9)) AS chi_cell,
-        |   CAST(round(abs(CAST(n AS DOUBLE) / nn
-        |     - ln(1.0 + 1.0 / digit) / ln(10.0)) + 5e-10, 9)
+        |   CAST(round(abs(CAST(n AS DOUBLE) / nn - p_exp) + 5e-10, 9)
         |    AS DECIMAL(18,9)) AS mad_cell
-        |  FROM obs, tot),
+        |  FROM obs JOIN bp ON bp.bd = obs.digit, tot),
         | sums AS (SELECT CAST(sum(chi_cell) AS DOUBLE) AS chi2d,
         |   CAST(sum(mad_cell) AS DOUBLE) AS madd FROM cells)
         | SELECT digit, n,

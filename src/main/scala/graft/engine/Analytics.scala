@@ -977,9 +977,11 @@ object Analytics {
     // so hub neighbors contribute less. Every common neighbor z of an
     // edge (u,v) has deg(z) ≥ 2 by construction (z is adjacent to both),
     // so ln(deg) never hits zero. Per-term 1/ln(deg) is ε-rounded to
-    // DECIMAL(18,9) before the per-pair sum (the JSD recipe — the sum
-    // is exact and order-free, immune to last-ulp ln() differences
-    // between engines). Scale shape: common neighbors explode from the
+    // DECIMAL(18,6) before the per-pair sum (the JSD recipe — the sum
+    // is exact and order-free; 6dp rather than 9 per the r11 ulp-margin
+    // hardening, and the output rounds at 4dp so the per-pair sum of a
+    // handful of 6dp terms loses nothing visible).
+    // Scale shape: common neighbors explode from the
     // map-side array_intersect (bounded by the support-pruned degree),
     // then one broadcast degree join + one pair-keyed partial agg —
     // no wedge-explosion shuffle.
@@ -999,7 +1001,7 @@ object Analytics {
         .join(broadcast(deg), "z")
         .groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("common_nb"),
-          sum(eround(lit(1.0) / log(col("dg")), 9).cast("decimal(18,9)"))
+          sum(eround(lit(1.0) / log(col("dg")), 6).cast("decimal(18,6)"))
             .as("aad"))
         .select(col("u"), col("v"), col("common_nb"),
           eround(col("aad").cast("double"), 4).as("adamic_adar"))
@@ -1083,9 +1085,12 @@ object Analytics {
     // a CALENDAR-BOUNDED axis, so the at-risk and term windows run over
     // a domain-sized frame at any corpus scale (the q_agg_ks_test
     // shape). S(t) = Π(1 − d/n) spelled exp(Σ ln(1 − d/n)) with each
-    // ln-term ε-rounded to DECIMAL(18,9) before the EXACT running sum —
+    // ln-term ε-rounded to DECIMAL(18,6) before the EXACT running sum —
     // the cumulative product becomes order-free decimal addition,
-    // immune to engine ln() ulp drift. A gap where every at-risk
+    // immune to engine ln() ulp drift (6dp, not 9, per the r11
+    // hardening: the curve has at most calendar-domain terms, so the
+    // cum perturbation stays ~1e-5 — invisible at practical use — while
+    // the flip-boundary distance grows 1000×). A gap where every at-risk
     // subject events (d = n) would make ln(0) = −∞: spelled as a −9999
     // sentinel term, which exp() underflows to exactly 0.0 survival on
     // both engines.
@@ -1124,10 +1129,10 @@ object Analytics {
         .filter(col("d_g") > 0)
         .withColumn("term",
           when(col("d_g") === col("at_risk"),
-            lit(-9999).cast("decimal(18,9)"))
+            lit(-9999).cast("decimal(18,6)"))
             .otherwise(eround(log(lit(1.0)
-              - col("d_g").cast("double") / col("at_risk")), 9)
-              .cast("decimal(18,9)")))
+              - col("d_g").cast("double") / col("at_risk")), 6)
+              .cast("decimal(18,6)")))
         .withColumn("cum", sum(col("term")).over(run))
         .select(col("g").as("gap_days"), col("at_risk"),
           col("d_g").as("n_events"),
@@ -2317,8 +2322,8 @@ object Analytics {
         |   FROM und e JOIN adj a ON a.n = e.u
         |    JOIN adj b ON b.n = e.v AND b.nb = a.nb)
         | SELECT u, v, CAST(count(*) AS BIGINT) AS common_nb,
-        |  round(CAST(sum(CAST(round(1.0 / ln(dg) + 5e-10, 9)
-        |    AS DECIMAL(18,9))) AS DOUBLE) + 5e-10, 4) AS adamic_adar
+        |  round(CAST(sum(CAST(round(1.0 / ln(dg) + 5e-10, 6)
+        |    AS DECIMAL(18,6))) AS DOUBLE) + 5e-10, 4) AS adamic_adar
         | FROM cmn JOIN deg ON deg.n = cmn.z
         | GROUP BY u, v ORDER BY adamic_adar DESC, u, v LIMIT 20"""
         .stripMargin.replaceAll("\n", " "),
@@ -2369,9 +2374,9 @@ object Analytics {
         |     PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS at_risk
         |  FROM tbl, tot),
         | ev AS (SELECT g, at_risk, d_g,
-        |   CASE WHEN d_g = at_risk THEN CAST(-9999 AS DECIMAL(18,9))
+        |   CASE WHEN d_g = at_risk THEN CAST(-9999 AS DECIMAL(18,6))
         |    ELSE CAST(round(ln(1.0 - CAST(d_g AS DOUBLE) / at_risk)
-        |      + 5e-10, 9) AS DECIMAL(18,9)) END AS term
+        |      + 5e-10, 6) AS DECIMAL(18,6)) END AS term
         |  FROM ar WHERE d_g > 0),
         | cm AS (SELECT g, at_risk, d_g,
         |   CAST(sum(term) OVER (ORDER BY g ROWS BETWEEN UNBOUNDED

@@ -896,6 +896,11 @@ object Events {
           .as("sc"))
         .select(col("event_type"),
           expr("transform(sc, e -> CAST(e.c AS DOUBLE))").as("ys"))
+        // Holt init reads ys[2]; a 1-day series has none (the recursive-
+        // CTE oracle's j=2 anchor emits no row for it either) — filter
+        // the <2-day series out explicitly so both engines agree on row
+        // count even if an event_type ever spans exactly one day.
+        .filter(size(col("ys")) >= 2)
         .select(col("event_type"),
           size(col("ys")).cast("long").as("n_days"),
           expr("""aggregate(

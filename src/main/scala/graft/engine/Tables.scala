@@ -98,6 +98,44 @@ object Fx {
   /** Epsilon-round for deterministically-computed doubles. */
   def eround(c: Column, scale: Int): Column = round(c + lit(5e-10), scale)
 
+  /** DCG position weights eround(1/log2(i+1), 9) for i = 1..10,
+    * pre-rounded to 9dp literals so NEITHER engine computes log2 at
+    * runtime: positions 1 and 3 are exactly 1.0 and 0.5 — on the decimal
+    * grid, where a 1-ulp libm difference between builds flips the
+    * ε-round (the r10 q_dedup_fellegi lesson). Verified to reproduce
+    * the JVM's eround output bit-for-bit (1.0 + 5e-10 rounds UP to
+    * 1.000000001 at 9dp half-up — the nudge is part of the canon). */
+  val dcgWeights: Seq[String] = Seq(
+    "1.000000001", "0.630929754", "0.500000001", "0.430676559",
+    "0.386852808", "0.356207188", "0.333333334", "0.315464877",
+    "0.301029996", "0.289064827")
+
+  /** Oracle-side twin of [[dcgWeights]]: a CASE over the same literals
+    * (CASE, not a list literal — maximally stable across DuckDB
+    * versions). */
+  def oDcgW(pos: String): String =
+    dcgWeights.zipWithIndex.map { case (w, i) =>
+      s"WHEN ${i + 1} THEN CAST($w AS DECIMAL(18,9))"
+    }.mkString(s"CASE $pos ", " ", " END")
+
+  /** Benford probabilities log10(1+1/d), d = 1..9, as shortest-repr
+    * DOUBLE literals (both engines parse a decimal literal to the same
+    * nearest double, so downstream cells are pure IEEE arithmetic with
+    * zero runtime libm — same constant-fold rationale as
+    * [[dcgWeights]]). */
+  val benfordP: Seq[String] = Seq(
+    "0.30102999566398114", "0.17609125905568124", "0.1249387366082999",
+    "0.0969100130080564", "0.0791812460476248", "0.06694678963061322",
+    "0.057991946977686726", "0.051152522447381284",
+    "0.04575749056067514")
+
+  /** Oracle-side twin of [[benfordP]]: CASE over the same double
+    * literals. */
+  def oBenfordP(digit: String): String =
+    benfordP.zipWithIndex.map { case (p, i) =>
+      s"WHEN ${i + 1} THEN CAST($p AS DOUBLE)"
+    }.mkString(s"CASE $digit ", " ", " END")
+
   /** Oracle-side twins (DuckDB SQL fragments). */
   def oSum(x: String, scale: Int = 2): String =
     s"CAST(sum(CAST($x AS DECIMAL(18,$scale))) AS DOUBLE)"

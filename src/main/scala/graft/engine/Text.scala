@@ -2854,8 +2854,14 @@ object Text {
     // come from a (nation, $1000-balance-bucket) blocking join — never
     // all-pairs; block width is bounded by the key's cardinality, the
     // same bound every blocking strategy in q_dedup_blocking_keys rides.
-    // Field weights ε-round to DECIMAL(12,6) before the fixed 3-term sum
-    // (exact, immune to last-ulp ln differences between engines).
+    // The six field weights are COMPILE-TIME constants, so no engine
+    // computes a logarithm at all: log2(m/u) is pre-rounded once to
+    // DECIMAL(12,6) and the identical literals are inlined in both the
+    // Spark expression and the oracle SQL (r10 lesson: two of the six
+    // sit exactly on integers — log2(0.1/0.8) = −3, log2(0.8/0.05) = 4 —
+    // where a 1-ulp libm difference between DuckDB builds flips the
+    // ε-round; constant-folding removes the exposure entirely). The
+    // 3-term decimal sum is then exact on both sides.
     "q_dedup_fellegi" -> { (s, d) =>
       val cust = Tables.customer(s, d).select(
         col("c_custkey").as("id"), col("c_name").as("nm"),
@@ -2870,10 +2876,13 @@ object Text {
       val b = cust.select(col("blk"), col("id").as("id_b"),
         col("nm").as("nm_b"), col("bal").as("bal_b"),
         col("seg").as("seg_b"))
-      def fw(agree: Column, m: Double, u0: Double): Column =
-        eround(when(agree, log(lit(m) / lit(u0)) / log(lit(2.0)))
-          .otherwise(log(lit(1.0 - m) / lit(1.0 - u0)) / log(lit(2.0))),
-          6).cast("decimal(12,6)")
+      // log2(m/u) / log2((1−m)/(1−u)) pre-rounded to 6dp — literals, not
+      // libm: (0.9,0.2)→2.169925/−3.000000, (0.8,0.05)→4.000000/−2.247928,
+      // (0.7,0.01)→6.129283/−1.722466.
+      def fw(agree: Column, wa: String, wd: String): Column =
+        when(agree, lit(new java.math.BigDecimal(wa)))
+          .otherwise(lit(new java.math.BigDecimal(wd)))
+          .cast("decimal(12,6)")
       val segA = col("seg_a") === col("seg_b")
       val balA = abs(col("bal_a") - col("bal_b")) <= 5000
       val nmA = expr("right(nm_a, 2)") === expr("right(nm_b, 2)")
@@ -2882,8 +2891,9 @@ object Text {
           segA.cast("int").as("seg_agree"),
           balA.cast("int").as("bal_agree"),
           nmA.cast("int").as("name_agree"),
-          (fw(segA, 0.9, 0.2) + fw(balA, 0.8, 0.05)
-            + fw(nmA, 0.7, 0.01)).as("score"))
+          (fw(segA, "2.169925", "-3.000000")
+            + fw(balA, "4.000000", "-2.247928")
+            + fw(nmA, "6.129283", "-1.722466")).as("score"))
         .orderBy(desc("score"), col("id_a"), col("id_b"))
         .limit(20)
     },
@@ -4422,8 +4432,11 @@ object Text {
          | FROM fp GROUP BY doc_id, n_grams ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
 
-    // Identical blocking key, agreement predicates, and ε-rounded
-    // log2(m/u) field weights; the 3-term decimal sum is exact on both.
+    // Identical blocking key and agreement predicates; the six field
+    // weights are the SAME pre-rounded DECIMAL(12,6) literals as the
+    // Spark side (no ln() anywhere — constant-folded at author time so
+    // no libm build difference can flip a rounding boundary), and the
+    // 3-term decimal sum is exact on both.
     "q_dedup_fellegi" ->
       """WITH cust AS (SELECT c_custkey AS id, c_name AS nm,
         |   CAST(c_nationkey AS BIGINT) AS nk,
@@ -4442,20 +4455,14 @@ object Text {
         |  CAST(sa AS INT) AS seg_agree, CAST(ba AS INT) AS bal_agree,
         |  CAST(na AS INT) AS name_agree,
         |  (CASE WHEN sa
-        |    THEN CAST(round(ln(0.9 / 0.2) / ln(2.0) + 5e-10, 6)
-        |      AS DECIMAL(12,6))
-        |    ELSE CAST(round(ln(0.1 / 0.8) / ln(2.0) + 5e-10, 6)
-        |      AS DECIMAL(12,6)) END
+        |    THEN CAST(2.169925 AS DECIMAL(12,6))
+        |    ELSE CAST(-3.000000 AS DECIMAL(12,6)) END
         |   + CASE WHEN ba
-        |    THEN CAST(round(ln(0.8 / 0.05) / ln(2.0) + 5e-10, 6)
-        |      AS DECIMAL(12,6))
-        |    ELSE CAST(round(ln(0.2 / 0.95) / ln(2.0) + 5e-10, 6)
-        |      AS DECIMAL(12,6)) END
+        |    THEN CAST(4.000000 AS DECIMAL(12,6))
+        |    ELSE CAST(-2.247928 AS DECIMAL(12,6)) END
         |   + CASE WHEN na
-        |    THEN CAST(round(ln(0.7 / 0.01) / ln(2.0) + 5e-10, 6)
-        |      AS DECIMAL(12,6))
-        |    ELSE CAST(round(ln(0.3 / 0.99) / ln(2.0) + 5e-10, 6)
-        |      AS DECIMAL(12,6)) END) AS score
+        |    THEN CAST(6.129283 AS DECIMAL(12,6))
+        |    ELSE CAST(-1.722466 AS DECIMAL(12,6)) END) AS score
         | FROM pairs
         | ORDER BY score DESC, id_a, id_b LIMIT 20"""
         .stripMargin.replaceAll("\n", " "),

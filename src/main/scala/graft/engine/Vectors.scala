@@ -372,11 +372,16 @@ object Vectors {
     // variant in this file is ultimately judged by, expressed as a
     // query: per probe, rank all candidates by the q_sim_topk recipe
     // (rounded cosine, vec_id tiebreak), mark label matches relevant,
-    // score 1/first-hit-rank and DCG/IDCG. Every log2 position weight
-    // ε-rounds to DECIMAL(18,9) BEFORE summation (the PMI/libm-ulp
-    // recipe) so DCG/IDCG are exact order-free sums; IDCG takes
-    // min(corpus relevant, 10) ideal positions via a per-probe
-    // sequence. Probe set broadcasts; one bounded top-k window.
+    // score 1/first-hit-rank and DCG/IDCG. The ten 1/log2(pos+1)
+    // position weights are COMPILE-TIME constants over the bounded
+    // rank domain — pre-rounded DECIMAL(18,9) literals indexed by rank,
+    // never computed through libm at runtime (positions 1 and 3 yield
+    // exactly 1.0 and 0.5, the on-the-decimal-grid class where a 1-ulp
+    // log2 difference between engine builds flips the ε-round — the
+    // r10 q_dedup_fellegi failure mode). The literals reproduce
+    // eround(1/log2(i+1), 9) bit-for-bit, so DCG/IDCG stay exact
+    // order-free decimal sums; IDCG takes min(corpus relevant, 10)
+    // ideal positions. Probe set broadcasts; one bounded top-k window.
     "q_sim_eval_ndcg" -> { (s, d) =>
       val dec = org.apache.spark.sql.types.DecimalType(18, 9)
       val emb = Tables.embeddings(s, d).withColumn("v", vd(col("embedding")))
@@ -385,7 +390,9 @@ object Vectors {
           col("label").as("plabel"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("probe_id")).orderBy(desc("cos_r"), asc("vec_id"))
-      val pw = eround(lit(1.0) / log2(col("rnk") + 1), 9).cast(dec)
+      val warr = array(Fx.dcgWeights
+        .map(x => lit(new java.math.BigDecimal(x)).cast(dec)): _*)
+      val pw = element_at(warr, col("rnk").cast("int"))
       val scored = emb.select(col("vec_id"), col("v"), col("label"))
         .crossJoin(broadcast(probes))
         .filter(col("vec_id") =!= col("probe_id"))
@@ -405,8 +412,7 @@ object Vectors {
         .select(col("probe_id"),
           explode(sequence(lit(1), least(col("nr"), lit(10)))).as("i"))
         .groupBy(col("probe_id"))
-        .agg(sum(eround(lit(1.0) / log2(col("i") + 1), 9).cast(dec))
-          .as("idcg"))
+        .agg(sum(element_at(warr, col("i").cast("int"))).as("idcg"))
       scored.join(idcg, Seq("probe_id"), "left")
         .select(col("probe_id"), col("plabel").as("label"),
           col("n_rel_top10"),
@@ -496,47 +502,59 @@ object Vectors {
     // IVF-style approximate top-k (the 100 TB scale path for q_sim_topk):
     // 32 inverted lists learned with 2 Lloyd iterations (seeded from the
     // first 32 vectors for determinism), every vector assigned to its
-    // nearest centroid, probes search only their nprobe nearest lists.
-    // Centroid components are epsilon-rounded so the double mean (whose
-    // summation order is engine-internal) cannot flip borderline
-    // assignments between runs. No oracle (approximation is
-    // algorithm-defined); ScalaTest measures recall against the exact
-    // top-k at BOTH the fixture and the sf0.1 bench scale.
+    // max-cosine centroid, probes search only their nprobe nearest
+    // lists. ORACLE-EXACT since r11 (the q_vec_ivfpq recipe ported to
+    // plain IVF): centroid components are truncating integer-micros
+    // means (sum DIV count — exact, order-free), so the whole learn/
+    // route/search walk is deterministic and a DuckDB oracle replays it
+    // bit-for-bit; cosine assignments ride the scale-invariant cosine
+    // of the micros arrays (sequential fold = list_dot_product parity).
+    // ScalaTest additionally measures recall against the exact top-k at
+    // BOTH the fixture and the sf0.1 bench scale.
     "q_sim_topk_ivf" -> { (s, d) =>
       GraftFunctions.register(s)
       val emb = Tables.embeddings(s, d)
-        .select(col("vec_id"), vd(col("embedding")).as("v"))
-      // argmax via a partial-aggregating min(struct(-cos, c_id)) — exact
-      // same winner as the previous row_number window (negating the
-      // eround'd double is exact; tie-break c_id ASC identical) but the
-      // per-vector reduction combines MAP-SIDE instead of shuffling and
-      // sorting every (vector, centroid) pair; v rides back via a
-      // vec_id join against the scan
+        .select(col("vec_id"), vd(col("embedding")).as("v"),
+          expr("int_micros(embedding)").as("q"))
+      // argmax via a partial-aggregating min(struct(-cos_micros, c_id))
+      // — exact same winner as a row_number window but the per-vector
+      // reduction combines MAP-SIDE instead of shuffling and sorting
+      // every (vector, centroid) pair. The key is the 6dp cosine lifted
+      // to integer MICROS (round(c_cos·1e6) of the already-rounded
+      // double recovers the exact integer), so the argmax is pure
+      // integer ordering — no −0.0/0.0 double-comparison ambiguity to
+      // diverge from the oracle's ORDER BY.
       def assign(cents: DataFrame): DataFrame =
-        emb.crossJoin(broadcast(cents))
-          .withColumn("c_cos", eround(cosine(col("v"), col("cv")), 6))
+        emb.select(col("vec_id"), col("q")).crossJoin(broadcast(cents))
+          .withColumn("c_cos", eround(cosine(
+            expr("transform(q, x -> CAST(x AS DOUBLE))"),
+            expr("transform(cv, x -> CAST(x AS DOUBLE))")), 6))
+          .withColumn("ci", round(col("c_cos") * 1e6).cast("long"))
           .groupBy(col("vec_id"))
-          .agg(min(struct((-col("c_cos")).as("nc"),
+          .agg(min(struct((-col("ci")).as("nc"),
             col("c_id").as("cid"))).as("m"))
           .select(col("vec_id"), col("m.cid").as("cluster"))
-          .join(emb, "vec_id")
-          .select(col("vec_id"), col("v"), col("cluster"))
-      // element-wise mean per cluster: posexplode -> avg per (cluster,
-      // dim) -> reassemble the array in dim order
-      def mean(assigned: DataFrame): DataFrame =
-        assigned.select(col("cluster"),
-            posexplode(col("v")).as(Seq("pos", "x")))
+      // element-wise truncating integer mean per cluster: posexplode ->
+      // sum DIV count per (cluster, dim) -> reassemble in dim order.
+      // Exact integer arithmetic — no engine-order double summation —
+      // which is what makes the learned centroids oracle-replayable.
+      def mean(asg: DataFrame): DataFrame =
+        asg.join(emb.select(col("vec_id"), col("q")), "vec_id")
+          .select(col("cluster"),
+            posexplode(col("q")).as(Seq("pos", "x")))
           .groupBy(col("cluster"), col("pos"))
-          .agg(eround(avg(col("x")), 6).as("cx"))
+          .agg(expr("sum(x) DIV count(1)").as("cx"))
           .groupBy(col("cluster"))
           .agg(transform(
             array_sort(collect_list(struct(col("pos"), col("cx")))),
             t => t.getField("cx")).as("cv"))
           .select(col("cluster").as("c_id"), col("cv"))
       val seed = emb.filter(col("vec_id") < 32)
-        .select(col("vec_id").as("c_id"), col("v").as("cv"))
+        .select(col("vec_id").as("c_id"), col("q").as("cv"))
       val learned = (0 until 2).foldLeft(seed)((c, _) => mean(assign(c)))
       val assigned = assign(learned)
+        .join(emb.select(col("vec_id"), col("v")), "vec_id")
+        .select(col("vec_id"), col("v"), col("cluster"))
       // nprobe = 16 of 32 lists (~half the corpus per probe vs brute
       // force). The fixture embeddings are label-structureless (same-label
       // and cross-label mean cosine are both ~0), so recall at fixed scan
@@ -549,10 +567,13 @@ object Vectors {
       // the probe rows carry distinct clusters — no dedup needed.
       val wProbe = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id"))
-        .orderBy(desc("c_cos"), asc("c_id"))
+        .orderBy(desc("ci"), asc("c_id"))
       val probes = emb.filter(col("vec_id") < 10)
         .crossJoin(broadcast(learned))
-        .withColumn("c_cos", eround(cosine(col("v"), col("cv")), 6))
+        .withColumn("c_cos", eround(cosine(
+          expr("transform(q, x -> CAST(x AS DOUBLE))"),
+          expr("transform(cv, x -> CAST(x AS DOUBLE))")), 6))
+        .withColumn("ci", round(col("c_cos") * 1e6).cast("long"))
         .withColumn("pr", row_number().over(wProbe))
         .filter(col("pr") <= 16)
         .select(col("vec_id").as("probe_id"), col("v").as("pv"),
@@ -1363,8 +1384,8 @@ object Vectors {
          | r AS (SELECT probe_id, plabel, vec_id, label, row_number() OVER
          |   (PARTITION BY probe_id ORDER BY cos_r DESC, vec_id ASC) AS rnk
          |  FROM s),
-         | t AS (SELECT *, CAST(round(1.0 / log2(rnk + 1) + 5e-10, 9)
-         |   AS DECIMAL(18,9)) AS pw FROM r WHERE rnk <= 10),
+         | t AS (SELECT *, ${Fx.oDcgW("rnk")} AS pw
+         |  FROM r WHERE rnk <= 10),
          | sc AS (SELECT probe_id, plabel,
          |   sum(CASE WHEN label = plabel THEN pw END) AS dcg,
          |   CAST(count(CASE WHEN label = plabel THEN 1 END) AS BIGINT)
@@ -1376,8 +1397,7 @@ object Vectors {
          |  GROUP BY 1),
          | pos AS (SELECT unnest(generate_series(1, 10)) AS i),
          | ideal AS (SELECT probe_id,
-         |   sum(CAST(round(1.0 / log2(i + 1) + 5e-10, 9)
-         |     AS DECIMAL(18,9))) AS idcg
+         |   sum(${Fx.oDcgW("i")}) AS idcg
          |  FROM nr JOIN pos ON pos.i <= least(nr.nr, 10) GROUP BY 1)
          | SELECT sc.probe_id, sc.plabel AS label, sc.n_rel_top10,
          |  COALESCE(round(1.0 / sc.first_rel + 5e-10, 6), 0.0) AS mrr,
@@ -1666,6 +1686,70 @@ object Vectors {
          |   row_number() OVER
          |   (PARTITION BY probe_id ORDER BY d2, vec_id) AS rnk FROM rr)
          | SELECT probe_id, rnk, vec_id, d2, ad2 FROM top
+         | WHERE rnk <= 5 ORDER BY probe_id, rnk"""
+        .stripMargin.replaceAll("\n", " ")
+    },
+
+    // Unrolled integer-exact plain-IVF replay (the q_vec_ivfpq recipe):
+    // 2 Lloyd iterations from the vec_id<32 seed with truncating
+    // integer-micros centroid means, cosine routing on the micros
+    // arrays (dot products ≤ 2^53 — exact in doubles regardless of fold
+    // order), argmax as ORDER BY integer cosine-micros DESC with c_id
+    // tiebreak (the Spark side's min(struct(−ci, c_id)) winner), nprobe
+    // 16, float-double exact rerank identical to the q_sim_topk oracle.
+    "q_sim_topk_ivf" -> {
+      def cosM(a: String, b: String) =
+        s"""round(list_dot_product($a, $b)
+           | / (sqrt(list_dot_product($a, $a))
+           |    * sqrt(list_dot_product($b, $b))) + 5e-10, 6)"""
+          .stripMargin
+      def asg(i: Int, cb: String) =
+        s"""a$i AS (SELECT qd.vec_id, c.c_id, CAST(round(
+           |   ${cosM("qd.dq", "c.dv")} * 1e6) AS BIGINT) AS ci
+           |  FROM qd, (SELECT c_id,
+           |   list_transform(cv, x -> CAST(x AS DOUBLE)) AS dv
+           |   FROM $cb) c),
+           | g$i AS (SELECT vec_id, c_id AS cluster FROM (SELECT vec_id,
+           |   c_id, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY ci DESC, c_id) AS rn FROM a$i) WHERE rn = 1)"""
+          .stripMargin
+      def mean(i: Int, g: String) =
+        s"""m$i AS (SELECT g.cluster, el.dim,
+           |   CAST(sum(el.x) AS BIGINT) // count(*) AS cx
+           |  FROM $g g JOIN el ON el.vec_id = g.vec_id
+           |  GROUP BY g.cluster, el.dim),
+           | cb$i AS (SELECT cluster AS c_id, list(cx ORDER BY dim) AS cv
+           |  FROM m$i GROUP BY cluster)"""
+          .stripMargin
+      s"""WITH e AS (SELECT vec_id, $oVd AS v,
+         |   list_transform(embedding,
+         |     x -> CAST(round(x * 1e6) AS BIGINT)) AS q FROM embeddings),
+         | qd AS (SELECT vec_id,
+         |   list_transform(q, x -> CAST(x AS DOUBLE)) AS dq FROM e),
+         | el AS (SELECT vec_id, i AS dim,
+         |   CAST(round(embedding[i] * 1e6) AS BIGINT) AS x
+         |  FROM embeddings,
+         |  LATERAL unnest(generate_series(1, len(embedding))) u(i)),
+         | cb0 AS (SELECT vec_id AS c_id, q AS cv FROM e
+         |  WHERE vec_id < 32),
+         | ${asg(1, "cb0")}, ${mean(1, "g1")},
+         | ${asg(2, "cb1")}, ${mean(2, "g2")},
+         | ${asg(3, "cb2")},
+         | pl AS (SELECT vec_id AS probe_id, c_id AS cluster
+         |  FROM (SELECT vec_id, c_id, row_number() OVER
+         |    (PARTITION BY vec_id ORDER BY ci DESC, c_id) AS rn
+         |   FROM a3 WHERE vec_id < 10) WHERE rn <= 16),
+         | cand AS (SELECT pl.probe_id, g3.vec_id FROM pl
+         |  JOIN g3 ON g3.cluster = pl.cluster
+         |  WHERE g3.vec_id <> pl.probe_id),
+         | sc AS (SELECT cand.probe_id, cand.vec_id,
+         |   ${cosM("pe.v", "ce.v")} AS cos_r
+         |  FROM cand JOIN e pe ON pe.vec_id = cand.probe_id
+         |  JOIN e ce ON ce.vec_id = cand.vec_id),
+         | top AS (SELECT probe_id, vec_id, cos_r, row_number() OVER
+         |   (PARTITION BY probe_id ORDER BY cos_r DESC, vec_id) AS rnk
+         |  FROM sc)
+         | SELECT probe_id, rnk, vec_id, cos_r FROM top
          | WHERE rnk <= 5 ORDER BY probe_id, rnk"""
         .stripMargin.replaceAll("\n", " ")
     },
