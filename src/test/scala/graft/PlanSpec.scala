@@ -292,4 +292,30 @@ class PlanSpec extends SparkSuite {
       s"NOT EXISTS must plan as an anti join:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
+
+  test("distribution tests: window rides the pinned bounded-domain " +
+      "pre-aggregate, never the corpus") {
+    // KS / Mann-Whitney / AUC all cumulate along the integer-cents value
+    // axis: the corpus is scanned ONCE into a pinned per-cents frame at
+    // pin time, so the executed plan must show (a) zero parquet scans —
+    // every consumer reads the checkpoint — and (b) the ordered window
+    // consuming a Scan ExistingRDD subtree whose size is the value
+    // DOMAIN (≤49k cents), not the row count. That is the property that
+    // keeps these single-partition windows safe at 100 TB.
+    for (q <- Seq("q_agg_ks_test", "q_agg_mannwhitney", "q_agg_auc")) {
+      val p = plan(q)
+      assert(!p.contains("Scan parquet"),
+        s"$q: consumers must read the pinned frame, not re-scan:\n$p")
+      assert(p.contains("Scan ExistingRDD"),
+        s"$q: pinned bounded frame missing:\n$p")
+      val lines = p.linesIterator.toSeq
+      val win = lines.indexWhere(_.contains("Window"))
+      assert(win >= 0, s"$q: no window in:\n$p")
+      val rddBelow = lines.drop(win)
+        .exists(_.contains("Scan ExistingRDD"))
+      assert(rddBelow,
+        s"$q: window must consume the pinned aggregate subtree:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: no cartesian:\n$p")
+    }
+  }
 }
