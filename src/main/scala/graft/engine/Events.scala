@@ -194,24 +194,26 @@ object Events {
       }
       rm(new java.io.File(s"$base/dedup_out"))
       rm(new java.io.File(s"$base/dedup_ckpt"))
-      val in = s.readStream
-        .schema(s.read.parquet(s"$base/dedup_in").schema)
-        .parquet(s"$base/dedup_in")
-      val q = Streaming.dedupWithinWatermark(in)
-        .writeStream.format("parquet")
-        .option("path", s"$base/dedup_out")
-        .option("checkpointLocation", s"$base/dedup_ckpt")
-        .outputMode("append")
-        // Trigger.Once (deprecated in favor of AvailableNow) is chosen
-        // DELIBERATELY: AvailableNow may split the files across several
-        // micro-batches, and with a 10-minute watermark a later batch
-        // could legitimately drop rows that sorted behind the advanced
-        // watermark — nondeterministic output under file-order changes.
-        // Once processes everything in a single micro-batch, which is
-        // the deterministic replay of an at-least-once backlog.
-        .trigger(org.apache.spark.sql.streaming.Trigger.Once())
-        .start()
-      try q.awaitTermination() finally if (q.isActive) q.stop()
+      Streaming.withStatePartitions(s, 4) {
+        val in = s.readStream
+          .schema(s.read.parquet(s"$base/dedup_in").schema)
+          .parquet(s"$base/dedup_in")
+        val q = Streaming.dedupWithinWatermark(in)
+          .writeStream.format("parquet")
+          .option("path", s"$base/dedup_out")
+          .option("checkpointLocation", s"$base/dedup_ckpt")
+          .outputMode("append")
+          // Trigger.Once (deprecated in favor of AvailableNow) is chosen
+          // DELIBERATELY: AvailableNow may split the files across several
+          // micro-batches, and with a 10-minute watermark a later batch
+          // could legitimately drop rows that sorted behind the advanced
+          // watermark — nondeterministic output under file-order changes.
+          // Once processes everything in a single micro-batch, which is
+          // the deterministic replay of an at-least-once backlog.
+          .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+          .start()
+        try q.awaitTermination() finally if (q.isActive) q.stop()
+      }
       val out = s.read.parquet(s"$base/dedup_out")
         .select(col("eventId").as("event_id"), col("ts"),
           col("userId").as("user_id"),
@@ -250,9 +252,9 @@ object Events {
           col("event_type").as("eventType"), col("value"),
           col("event_id").as("eventId"))
       ev.unionAll(ev.filter(pmod(col("eventId"), lit(10)) === 0))
-        .write.mode("overwrite").parquet(s"$base/dlate_in")
+        .coalesce(4).write.mode("overwrite").parquet(s"$base/dlate_in")
       val schema = s.read.parquet(s"$base/dlate_in").schema
-      def runOnce(): Unit = {
+      def runOnce(): Unit = Streaming.withStatePartitions(s, 4) {
         val in = s.readStream.schema(schema).parquet(s"$base/dlate_in")
         val q = Streaming.dedupWithinWatermark(in)
           .writeStream.format("parquet")
@@ -277,7 +279,7 @@ object Events {
         .filter(expr("unix_micros(ts) DIV 1000") < col("wm_ms"))
         .select(col("ts"), col("userId"), col("eventType"), col("value"),
           col("eventId"))
-        .write.mode("append").parquet(s"$base/dlate_in")
+        .coalesce(4).write.mode("append").parquet(s"$base/dlate_in")
       runOnce()
       s.read.parquet(s"$base/dlate_out")
         .filter(col("userId") >= 0)
@@ -311,9 +313,9 @@ object Events {
         .select(col("ts"), col("user_id").as("userId"),
           col("event_type").as("eventType"), col("value"),
           col("event_id").as("eventId"))
-      ev.write.mode("overwrite").parquet(s"$base/slide_in")
+      ev.coalesce(4).write.mode("overwrite").parquet(s"$base/slide_in")
       val schema = s.read.parquet(s"$base/slide_in").schema
-      def runOnce(): Unit = {
+      def runOnce(): Unit = Streaming.withStatePartitions(s, 4) {
         val in = s.readStream.schema(schema).parquet(s"$base/slide_in")
         val q = Streaming.slidingCounts(in)
           .writeStream.format("parquet")
@@ -369,9 +371,9 @@ object Events {
         .select(col("ts"), col("user_id").as("userId"),
           col("event_type").as("eventType"), col("value"),
           col("event_id").as("eventId"))
-      ev.write.mode("overwrite").parquet(s"$base/sllate_in")
+      ev.coalesce(4).write.mode("overwrite").parquet(s"$base/sllate_in")
       val schema = s.read.parquet(s"$base/sllate_in").schema
-      def runOnce(): Unit = {
+      def runOnce(): Unit = Streaming.withStatePartitions(s, 4) {
         val in = s.readStream.schema(schema).parquet(s"$base/sllate_in")
         val q = Streaming.slidingCounts(in)
           .writeStream.format("parquet")
@@ -396,7 +398,7 @@ object Events {
         .filter(expr("unix_micros(ts) DIV 1000") < col("wm_ms"))
         .select(col("ts"), col("userId"), col("eventType"), col("value"),
           col("eventId"))
-        .write.mode("append").parquet(s"$base/sllate_in")
+        .coalesce(4).write.mode("append").parquet(s"$base/sllate_in")
       runOnce()
       s.read.parquet(s"$base/sllate_out")
         .select(col("w_start"), col("w_end"), col("n"))
@@ -427,9 +429,9 @@ object Events {
         .select(col("ts"), col("user_id").as("userId"),
           col("event_type").as("eventType"), col("value"),
           col("event_id").as("eventId"))
-      ev.write.mode("overwrite").parquet(s"$base/tumb_in")
+      ev.coalesce(4).write.mode("overwrite").parquet(s"$base/tumb_in")
       val schema = s.read.parquet(s"$base/tumb_in").schema
-      def runOnce(): Unit = {
+      def runOnce(): Unit = Streaming.withStatePartitions(s, 4) {
         val in = s.readStream.schema(schema).parquet(s"$base/tumb_in")
         val q = Streaming.tumblingCounts(in)
           .writeStream.format("parquet")
@@ -502,9 +504,9 @@ object Events {
         .select(col("ts"), col("user_id").as("userId"),
           col("event_type").as("eventType"), col("value"),
           col("event_id").as("eventId"))
-      ev.write.mode("overwrite").parquet(s"$base/late_in")
+      ev.coalesce(4).write.mode("overwrite").parquet(s"$base/late_in")
       val schema = s.read.parquet(s"$base/late_in").schema
-      def runOnce(): Unit = {
+      def runOnce(): Unit = Streaming.withStatePartitions(s, 4) {
         val in = s.readStream.schema(schema).parquet(s"$base/late_in")
         val q = Streaming.tumblingCounts(in)
           .writeStream.format("parquet")
@@ -534,7 +536,7 @@ object Events {
         .filter(expr("unix_micros(ts) DIV 1000") < col("wm_ms"))
         .select(col("ts"), col("userId"), col("eventType"), col("value"),
           col("eventId"))
-        .write.mode("append").parquet(s"$base/late_in")
+        .coalesce(4).write.mode("append").parquet(s"$base/late_in")
       runOnce()
       s.read.parquet(s"$base/late_out")
         .filter(col("userId") >= 0)
@@ -574,9 +576,9 @@ object Events {
         .select(col("ts"), col("user_id").as("userId"),
           col("event_type").as("eventType"), col("value"),
           col("event_id").as("eventId"))
-      ev.write.mode("overwrite").parquet(s"$base/sess_in")
+      ev.coalesce(4).write.mode("overwrite").parquet(s"$base/sess_in")
       val schema = s.read.parquet(s"$base/sess_in").schema
-      def runOnce(): Unit = {
+      def runOnce(): Unit = Streaming.withStatePartitions(s, 4) {
         val in = s.readStream.schema(schema).parquet(s"$base/sess_in")
         val q = Streaming.sessionCounts(in)
           .writeStream.format("parquet")
@@ -636,9 +638,9 @@ object Events {
         .select(col("ts"), col("user_id").as("userId"),
           col("event_type").as("eventType"), col("value"),
           col("event_id").as("eventId"))
-      ev.write.mode("overwrite").parquet(s"$base/slate_in")
+      ev.coalesce(4).write.mode("overwrite").parquet(s"$base/slate_in")
       val schema = s.read.parquet(s"$base/slate_in").schema
-      def runOnce(): Unit = {
+      def runOnce(): Unit = Streaming.withStatePartitions(s, 4) {
         val in = s.readStream.schema(schema).parquet(s"$base/slate_in")
         val q = Streaming.sessionCounts(in)
           .writeStream.format("parquet")
@@ -665,7 +667,7 @@ object Events {
         .filter(expr("unix_micros(ts) DIV 1000") < col("wm_ms"))
         .select(col("ts"), col("userId"), col("eventType"), col("value"),
           col("eventId"))
-        .write.mode("append").parquet(s"$base/slate_in")
+        .coalesce(4).write.mode("append").parquet(s"$base/slate_in")
       runOnce()
       s.read.parquet(s"$base/slate_out")
         .filter(col("userId") >= 0)
@@ -747,10 +749,10 @@ object Events {
         .filter(col("event_type") === t)
         .select(col("ts"), col("user_id").as("userId"),
           col("event_id").as("eventId"))
-      side("click").write.mode("overwrite").parquet(s"$base/sjo_l")
-      side("purchase").write.mode("overwrite").parquet(s"$base/sjo_r")
+      side("click").coalesce(4).write.mode("overwrite").parquet(s"$base/sjo_l")
+      side("purchase").coalesce(4).write.mode("overwrite").parquet(s"$base/sjo_r")
       val schema = s.read.parquet(s"$base/sjo_l").schema
-      def runOnce(): Unit = {
+      def runOnce(): Unit = Streaming.withStatePartitions(s, 4) {
         val l = s.readStream.schema(schema).parquet(s"$base/sjo_l")
         val r = s.readStream.schema(schema).parquet(s"$base/sjo_r")
         val q = Streaming.streamStreamJoinOuter(l, r)
@@ -809,10 +811,10 @@ object Events {
           col("event_type").as("eventType"), col("value"),
           col("event_id").as("eventId"))
       ev.filter(pmod(col("eventId"), lit(2)) === 0)
-        .write.mode("overwrite").parquet(s"$base/fbu_in")
+        .coalesce(4).write.mode("overwrite").parquet(s"$base/fbu_in")
       val schema = s.read.parquet(s"$base/fbu_in").schema
       val tgt = s"$base/fbu_tgt"
-      def runOnce(): Unit = {
+      def runOnce(): Unit = Streaming.withStatePartitions(s, 4) {
         val in = s.readStream.schema(schema).parquet(s"$base/fbu_in")
         val q = in.writeStream
           .foreachBatch { (batch: org.apache.spark.sql.Dataset[
@@ -835,7 +837,7 @@ object Events {
       }
       runOnce()
       ev.filter(pmod(col("eventId"), lit(2)) === 1)
-        .write.mode("append").parquet(s"$base/fbu_in")
+        .coalesce(4).write.mode("append").parquet(s"$base/fbu_in")
       runOnce()
       s.read.parquet(tgt)
         .select(col("userId").as("user_id"),

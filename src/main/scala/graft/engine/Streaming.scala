@@ -236,4 +236,25 @@ object Streaming {
           Iterator(UserCount(uid, c))
       }
   }
+
+  /** Run a streaming micro-batch body with the session's shuffle
+    * partitions temporarily shrunk to `n` (restored after). A FRESH
+    * checkpoint fixes its state-store partition count from this conf at
+    * first batch, and every stateful operator then pays one delta-file
+    * create+sync PER STATE PARTITION PER BATCH — with the replay
+    * fixtures' few thousand rows, 32 partitions × 3 batches is pure
+    * fixed filesystem overhead (~60% of the replay family's bench
+    * cost). Semantics are untouched: state is still hash-partitioned by
+    * key, just into fewer stores. Production sizing keys this conf to
+    * state cardinality, not corpus size — a 100 TB pipeline with
+    * millions of live keys would RAISE it; these protocol replays are
+    * the opposite regime.
+    */
+  def withStatePartitions[T](s: org.apache.spark.sql.SparkSession,
+      n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
 }
