@@ -428,6 +428,53 @@ object Aggregates {
         .orderBy(col("type_a"), col("type_b"))
     },
 
+    // Cohen's d pooled-SD effect size (with Hedges' g small-sample
+    // correction) between the click and purchase value distributions —
+    // the companion number every A/B readout ships beside the t-test:
+    // the t-stat says "is the difference real", d says "is it big
+    // enough to matter" (0.2 small / 0.5 medium / 0.8 large). Exact
+    // integer-cents moments (the q_agg_ttest DECIMAL machinery); the
+    // only libm is the single pooled-SD sqrt feeding three 6dp outputs
+    // (the r11 single-scalar audit class, flip exposure ~1e-9). One
+    // corpus scan to a 2-row frame; constant arithmetic after.
+    "q_agg_cohens_d" -> { (s, d) =>
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      val st = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .withColumn("c", round(col("value") * 100).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c").cast(dec38)).as("sc"),
+          sum(col("c").cast(dec19) * col("c").cast(dec19)).as("qc"))
+      val a = st.filter(col("event_type") === "click")
+        .select(col("n").as("n_click"), col("sc").as("sc_a"),
+          col("qc").as("qc_a"))
+      val b = st.filter(col("event_type") === "purchase")
+        .select(col("n").as("n_purchase"), col("sc").as("sc_b"),
+          col("qc").as("qc_b"))
+      def mean(sc: Column, n: Column): Column =
+        sc.cast("double") / n / 100.0
+      // (n-1)·s² in cents² — the exact-moment spelling shared with ttest
+      def ss(qc: Column, sc: Column, n: Column): Column =
+        qc.cast("double") - sc.cast("double") * sc.cast("double") / n
+      val sp = sqrt((ss(col("qc_a"), col("sc_a"), col("n_click"))
+        + ss(col("qc_b"), col("sc_b"), col("n_purchase")))
+        / (col("n_click") + col("n_purchase") - 2)) / 100.0
+      val dd = (mean(col("sc_a"), col("n_click"))
+        - mean(col("sc_b"), col("n_purchase"))) / sp
+      a.crossJoin(b).select(
+        col("n_click"), col("n_purchase"),
+        eround(mean(col("sc_a"), col("n_click")), 6).as("mean_click"),
+        eround(mean(col("sc_b"), col("n_purchase")), 6)
+          .as("mean_purchase"),
+        eround(sp, 6).as("pooled_sd"),
+        eround(dd, 6).as("cohens_d"),
+        eround(dd * (lit(1.0) - lit(3.0)
+          / (lit(4.0) * (col("n_click") + col("n_purchase")) - 9)), 6)
+          .as("hedges_g"))
+    },
+
     // Two-sample Kolmogorov–Smirnov D between the click and purchase
     // value distributions — the distribution-drift gate a data pipeline
     // runs between cohorts or snapshots. EXACT rational spelling: on
@@ -467,6 +514,63 @@ object Aggregates {
         .select(col("n1"), col("n2"), col("d_num"),
           eround(col("d_num").cast("double") / (col("n1") * col("n2")), 6)
             .as("d_stat"))
+    },
+
+    // Decision-stump split finder — the CART building block as a query:
+    // scan every cents threshold t (left = value ≤ t) separating
+    // purchases from clicks and pick the argmin weighted Gini impurity.
+    // Rides the exact KS machinery: one pinned per-cents (a1, a2)
+    // frame, one bounded-domain cumulative window, and every candidate
+    // threshold's four class counts are one window row. The scaled
+    // impurity n·Gw(t) = (nL − (aL²+bL²)/nL) + (nR − (aR²+bR²)/nR) is
+    // pure IEEE arithmetic on <2^53 integers — ZERO libm — and the
+    // argmin key lifts it to integer nanos (round ×1e9 of a <1e5
+    // value) with a threshold-ASC tiebreak, so winner selection is
+    // integer ordering on both engines. Scale: the candidate frame is
+    // the value DOMAIN (≤49k thresholds), corpus-independent.
+    "q_agg_split_gini" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+      val pv = Checkpoints.pin("split:" + d, ev.groupBy(col("c"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("a1"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("a2")).localCheckpoint())
+      val tot = pv.agg(sum(col("a1")).as("n1"), sum(col("a2")).as("n2"))
+      val w = W.orderBy(col("c"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      def sq(x: Column): Column = x * x
+      val gwExpr = (col("nl")
+        - (sq(col("al")) + sq(col("bl"))).cast("double") / col("nl")) +
+        (col("nr") - (sq(col("n1") - col("al"))
+          + sq(col("n2") - col("bl"))).cast("double") / col("nr"))
+      val cand = pv
+        .withColumn("al", sum(col("a1")).over(w))
+        .withColumn("bl", sum(col("a2")).over(w))
+        .crossJoin(broadcast(tot))
+        .withColumn("nl", col("al") + col("bl"))
+        .withColumn("nr", col("n1") + col("n2") - col("al") - col("bl"))
+        .filter(col("nr") > 0)
+        .withColumn("gw", gwExpr)
+      val best = cand.agg(min(struct(
+        round(col("gw") * 1e9).cast("long").as("gk"), col("c").as("t"),
+        col("gw").as("gw"), col("al").as("al"), col("bl").as("bl"),
+        col("nl").as("nl"), col("nr").as("nr"),
+        col("n1").as("n1"), col("n2").as("n2"))).as("m"))
+        .select(col("m.*"))
+      val nAll = col("n1") + col("n2")
+      val gp = nAll - (sq(col("n1")) + sq(col("n2")))
+        .cast("double") / nAll
+      best.select(col("t").as("threshold_cents"),
+        (col("t") / 100.0).as("threshold"),
+        col("nl").as("n_left"), col("nr").as("n_right"),
+        col("al").as("click_left"), col("bl").as("purchase_left"),
+        eround(col("gw") / nAll, 6).as("weighted_gini"),
+        eround(gp / nAll, 6).as("parent_gini"),
+        eround((gp - col("gw")) / nAll, 6).as("gain"))
     },
 
     // Mann–Whitney U (Wilcoxon rank-sum) between the same two samples —
@@ -554,6 +658,60 @@ object Aggregates {
           sqrt((col("n") * dbl("sxx") - dbl("sx") * dbl("sx")) *
             (col("n") * dbl("syy") - dbl("sy") * dbl("sy"))), 6)
           .as("rho_s"))
+    },
+
+    // Kendall's τ-b between value cents and hour-of-day — completing
+    // the correlation trio (Pearson q_agg_regr, Spearman
+    // q_agg_spearman): τ counts concordant vs discordant PAIRS, the
+    // robust choice under heavy ties. Never pairwise on rows OR cells:
+    // with the hour axis bounded at 24, concordance is a 2D DOMINANCE
+    // count — densify the (distinct-cents × 24) grid, cumulate counts
+    // over the cents axis per hour (cumx = #points strictly left), then
+    // a 24-row prefix/suffix over hours per cents value turns cumx into
+    // below-left / above-left pair counts; C = Σ nc·bl, D = Σ nc·br
+    // (each pair tallied once, at its greater-x member; x- or y-tied
+    // pairs fall in neither). All pure integers; tie terms t(t−1)/2
+    // close the τ-b denominator, spelled sqrt(n0−tx)·sqrt(n0−ty)
+    // because the product of the two ~n²/2 longs would overflow int64
+    // (each factor alone is exact in a double). Frame = distinct cents
+    // × 24 — the value DOMAIN, not the corpus (the q_agg_ks_test scale
+    // argument); past ~3e9 rows the nc·bl products need DECIMAL(38,0),
+    // the same caveat as KS.
+    "q_agg_kendall_tau" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val cell = Checkpoints.pin("kendall:" + d, Tables.events(s, d)
+        .select(round(col("value") * 100).cast("long").as("x"),
+          hour(col("ts")).cast("long").as("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("nc"))
+        .localCheckpoint())
+      val dense = cell.select(col("x")).distinct()
+        .select(col("x"), explode(sequence(lit(0L), lit(23L))).as("y"))
+        .join(cell, Seq("x", "y"), "left")
+        .select(col("x"), col("y"), coalesce(col("nc"), lit(0L)).as("nc"))
+      val wX = W.partitionBy(col("y")).orderBy(col("x"))
+        .rowsBetween(W.unboundedPreceding, -1)
+      val wLt = W.partitionBy(col("x")).orderBy(col("y"))
+        .rowsBetween(W.unboundedPreceding, -1)
+      val wGt = W.partitionBy(col("x")).orderBy(col("y"))
+        .rowsBetween(1, W.unboundedFollowing)
+      val dom = dense
+        .withColumn("cumx", coalesce(sum(col("nc")).over(wX), lit(0L)))
+        .withColumn("bl", coalesce(sum(col("cumx")).over(wLt), lit(0L)))
+        .withColumn("br", coalesce(sum(col("cumx")).over(wGt), lit(0L)))
+      val tot = dom.agg(sum(col("nc")).as("n"),
+        sum(col("nc") * col("bl")).as("concordant"),
+        sum(col("nc") * col("br")).as("discordant"))
+      val tx = cell.groupBy(col("x")).agg(sum(col("nc")).as("t"))
+        .agg(sum(expr("t * (t - 1) DIV 2")).as("tie_x"))
+      val ty = cell.groupBy(col("y")).agg(sum(col("nc")).as("t"))
+        .agg(sum(expr("t * (t - 1) DIV 2")).as("tie_y"))
+      val n0 = expr("n * (n - 1) DIV 2")
+      tot.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+        .select(col("n"), col("concordant"), col("discordant"),
+          col("tie_x"), col("tie_y"),
+          eround((col("concordant") - col("discordant")) /
+            (sqrt(n0 - col("tie_x")) * sqrt(n0 - col("tie_y"))), 6)
+            .as("tau_b"))
     },
 
     // Cramér's V — the [0,1]-normalized effect size of the chi²
@@ -1738,6 +1896,41 @@ object Aggregates {
         | ORDER BY type_a, type_b"""
         .stripMargin.replaceAll("\n", " "),
 
+    // Same exact integer moments as the ttest oracle; the single
+    // pooled-SD sqrt is the only libm, mirrored op-for-op.
+    "q_agg_cohens_d" ->
+      """WITH st AS (SELECT event_type, count(*) AS n,
+        |   sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT))
+        |     AS sc,
+        |   sum(CAST(round(value * 100) AS BIGINT)
+        |     * CAST(round(value * 100) AS BIGINT)) AS qc
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY event_type),
+        | a AS (SELECT n AS n_click, sc AS sc_a, qc AS qc_a FROM st
+        |  WHERE event_type = 'click'),
+        | b AS (SELECT n AS n_purchase, sc AS sc_b, qc AS qc_b FROM st
+        |  WHERE event_type = 'purchase'),
+        | m AS (SELECT n_click, n_purchase,
+        |   CAST(sc_a AS DOUBLE) / n_click / 100.0 AS mean_a,
+        |   CAST(sc_b AS DOUBLE) / n_purchase / 100.0 AS mean_b,
+        |   sqrt((
+        |     (CAST(qc_a AS DOUBLE) - CAST(sc_a AS DOUBLE)
+        |       * CAST(sc_a AS DOUBLE) / n_click)
+        |     + (CAST(qc_b AS DOUBLE) - CAST(sc_b AS DOUBLE)
+        |       * CAST(sc_b AS DOUBLE) / n_purchase))
+        |    / (n_click + n_purchase - 2)) / 100.0 AS sp
+        |  FROM a, b)
+        | SELECT n_click, n_purchase,
+        |  round(mean_a + 5e-10, 6) AS mean_click,
+        |  round(mean_b + 5e-10, 6) AS mean_purchase,
+        |  round(sp + 5e-10, 6) AS pooled_sd,
+        |  round((mean_a - mean_b) / sp + 5e-10, 6) AS cohens_d,
+        |  round((mean_a - mean_b) / sp
+        |    * (1.0 - 3.0 / (4.0 * (n_click + n_purchase) - 9))
+        |    + 5e-10, 6) AS hedges_g
+        | FROM m"""
+        .stripMargin.replaceAll("\n", " "),
+
     // Integer ECDF-difference numerator, one float division at the end;
     // every count CAST to BIGINT (sum/window-sum widen to HUGEINT).
     "q_agg_ks_test" ->
@@ -1758,6 +1951,43 @@ object Aggregates {
         |  round(CAST(max(abs(cum1 * n2 - cum2 * n1)) AS DOUBLE)
         |    / (n1 * n2) + 5e-10, 6) AS d_stat
         | FROM cm, tot GROUP BY n1, n2"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same per-cents cumulative frame as KS; gw is zero-libm IEEE
+    // arithmetic on integers, and the winner sorts by the identical
+    // integer-nanos key with the threshold tiebreak.
+    "q_agg_split_gini" ->
+      """WITH ev AS (SELECT event_type,
+        |   CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        | pv AS (SELECT c,
+        |   CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS a1,
+        |   CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS a2
+        |  FROM ev GROUP BY c),
+        | tot AS (SELECT CAST(sum(a1) AS BIGINT) AS n1,
+        |   CAST(sum(a2) AS BIGINT) AS n2 FROM pv),
+        | cum AS (SELECT c,
+        |   CAST(sum(a1) OVER (ORDER BY c) AS BIGINT) AS al,
+        |   CAST(sum(a2) OVER (ORDER BY c) AS BIGINT) AS bl FROM pv),
+        | cand AS (SELECT c, al, bl, n1, n2, al + bl AS nl,
+        |   n1 + n2 - al - bl AS nr
+        |  FROM cum, tot WHERE n1 + n2 - al - bl > 0),
+        | gg AS (SELECT c, al, bl, nl, nr, n1, n2,
+        |   (nl - CAST(al * al + bl * bl AS DOUBLE) / nl)
+        |   + (nr - CAST((n1 - al) * (n1 - al)
+        |      + (n2 - bl) * (n2 - bl) AS DOUBLE) / nr) AS gw
+        |  FROM cand),
+        | best AS (SELECT * FROM gg
+        |  ORDER BY CAST(round(gw * 1e9) AS BIGINT), c LIMIT 1)
+        | SELECT c AS threshold_cents, c / 100.0 AS threshold,
+        |  nl AS n_left, nr AS n_right,
+        |  al AS click_left, bl AS purchase_left,
+        |  round(gw / (n1 + n2) + 5e-10, 6) AS weighted_gini,
+        |  round((n1 + n2 - CAST(n1 * n1 + n2 * n2 AS DOUBLE)
+        |     / (n1 + n2)) / (n1 + n2) + 5e-10, 6) AS parent_gini,
+        |  round(((n1 + n2 - CAST(n1 * n1 + n2 * n2 AS DOUBLE)
+        |     / (n1 + n2)) - gw) / (n1 + n2) + 5e-10, 6) AS gain
+        | FROM best"""
         .stripMargin.replaceAll("\n", " "),
 
     // Doubled-rank tie arithmetic stays integer through 2R1 and the tie
@@ -1823,6 +2053,49 @@ object Aggregates {
         |     * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
         |      * CAST(sy AS DOUBLE))) + 5e-10, 6) AS rho_s
         | FROM m"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same dense (cents × 24) dominance walk: cumx per hour, 24-row
+    // prefix/suffix per cents value, integer C/D/tie terms, and the
+    // sqrt·sqrt denominator (the long product would overflow).
+    "q_agg_kendall_tau" ->
+      """WITH cell AS (SELECT CAST(round(value * 100) AS BIGINT) AS x,
+        |   CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS y,
+        |   CAST(count(*) AS BIGINT) AS nc
+        |  FROM events GROUP BY x, y),
+        | grid AS (SELECT xs.x, CAST(h.y AS BIGINT) AS y
+        |  FROM (SELECT DISTINCT x FROM cell) xs,
+        |   (SELECT unnest(generate_series(0, 23)) AS y) h),
+        | dense AS (SELECT g.x, g.y,
+        |   CAST(coalesce(cell.nc, 0) AS BIGINT) AS nc
+        |  FROM grid g LEFT JOIN cell ON cell.x = g.x AND cell.y = g.y),
+        | dom AS (SELECT x, y, nc,
+        |   CAST(coalesce(sum(nc) OVER (PARTITION BY y ORDER BY x
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS cumx
+        |  FROM dense),
+        | dom2 AS (SELECT x, y, nc,
+        |   CAST(coalesce(sum(cumx) OVER (PARTITION BY x ORDER BY y
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS BIGINT) AS bl,
+        |   CAST(coalesce(sum(cumx) OVER (PARTITION BY x ORDER BY y
+        |     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0)
+        |    AS BIGINT) AS br
+        |  FROM dom),
+        | tot AS (SELECT CAST(sum(nc) AS BIGINT) AS n,
+        |   CAST(sum(nc * bl) AS BIGINT) AS concordant,
+        |   CAST(sum(nc * br) AS BIGINT) AS discordant FROM dom2),
+        | tx AS (SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS tie_x
+        |  FROM (SELECT CAST(sum(nc) AS BIGINT) AS t FROM cell
+        |   GROUP BY x)),
+        | ty AS (SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS tie_y
+        |  FROM (SELECT CAST(sum(nc) AS BIGINT) AS t FROM cell
+        |   GROUP BY y))
+        | SELECT n, concordant, discordant, tie_x, tie_y,
+        |  round((concordant - discordant)
+        |    / (sqrt(n * (n - 1) // 2 - tie_x)
+        |       * sqrt(n * (n - 1) // 2 - tie_y)) + 5e-10, 6) AS tau_b
+        | FROM tot, tx, ty"""
         .stripMargin.replaceAll("\n", " "),
 
     // Same contingency walk as q_agg_chi2; V takes the sqrt of the

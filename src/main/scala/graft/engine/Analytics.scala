@@ -1523,6 +1523,52 @@ object Analytics {
         .orderBy(col("seed"))
     },
 
+    // Bounded-hop weighted single-source shortest path (Bellman–Ford,
+    // 4 relaxation rounds) over the co-purchase graph with integer edge
+    // weights w = 1000 DIV support — heavily co-purchased pairs are
+    // "close". Each round is one (frontier ⋈ edges) + a min-per-node
+    // fold against the PINNED edge checkpoint; 4 unrolled rounds keep
+    // the plan shallow without per-round checkpoints (the pagerank
+    // precedent — checkpoint cadence matters at log-n round counts,
+    // q_dedup_groups, not at a fixed 4). The hop bound makes the oracle
+    // an exact unrolled replay instead of a path-exploding recursive
+    // CTE. All arithmetic is integer (dist = sum of ≤4 bounded
+    // weights). Scale: per round one keyed shuffle on node — frontier ≤
+    // reachable set; at production scale the same loop runs to
+    // convergence with localCheckpoint added per round.
+    "q_graph_shortest_path" -> { (s, d) =>
+      val baskets = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      val und = orderedPairs(baskets, "u", "v")
+        .groupBy(col("u"), col("v"))
+        .agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+        .select(col("u"), col("v"), expr("1000 DIV support").as("w"))
+      val edges = und
+        .select(col("u").as("src"), col("v").as("dst"), col("w"))
+        .unionAll(und.select(col("v").as("src"), col("u").as("dst"),
+          col("w")))
+        .localCheckpoint()
+      triPinned.put("sssp:" + d, edges).foreach(freeCheckpoint)
+      val src = edges.agg(min(col("src")).as("s0"))
+      val d0 = src.select(col("s0").as("node"), lit(0L).as("dist"))
+      val d4 = (1 to 4).foldLeft(d0) { (dk, _) =>
+        // rename the frontier's columns before the self-lineage join so
+        // the analyzer never sees two candidate `w`/`dist` sources
+        val f = dk.select(col("node").as("f_node"),
+          col("dist").as("f_dist"))
+        f.join(edges, col("f_node") === col("src"))
+          .select(col("dst").as("node"),
+            (col("f_dist") + col("w")).as("dist"))
+          .unionAll(dk)
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      }
+      d4.select(col("node"), col("dist"))
+        .orderBy(col("dist"), col("node"))
+    },
+
     // Local clustering coefficient — the per-node cohesion score behind
     // community detection and spam-graph heuristics: lcc(v) =
     // 2·t(v)/(d(v)·(d(v)−1)) for d ≥ 2, where t(v) counts triangles at v.
@@ -2327,6 +2373,34 @@ object Analytics {
         | FROM cmn JOIN deg ON deg.n = cmn.z
         | GROUP BY u, v ORDER BY adamic_adar DESC, u, v LIMIT 20"""
         .stripMargin.replaceAll("\n", " "),
+
+    // Exact unrolled replay of the four Bellman–Ford rounds: same
+    // support graph, same 1000 // support integer weights, min-per-node
+    // after each (frontier ⋈ edges) expansion.
+    "q_graph_shortest_path" -> {
+      def round(i: Int, prev: String) =
+        s"""d$i AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+           |   SELECT node, dist FROM $prev
+           |   UNION ALL
+           |   SELECT ed.dst AS node, p.dist + ed.w AS dist
+           |   FROM $prev p JOIN ed ON ed.src = p.node)
+           |  GROUP BY node)""".stripMargin
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+         |  FROM lineitem),
+         | und AS (SELECT a.l_partkey AS u, b.l_partkey AS v,
+         |   1000 // count(*) AS w
+         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |   AND a.l_partkey < b.l_partkey
+         |  GROUP BY u, v HAVING count(*) >= 2),
+         | ed AS (SELECT u AS src, v AS dst, w FROM und
+         |  UNION ALL SELECT v AS src, u AS dst, w FROM und),
+         | d0 AS (SELECT min(src) AS node, CAST(0 AS BIGINT) AS dist
+         |  FROM ed),
+         | ${round(1, "d0")}, ${round(2, "d1")},
+         | ${round(3, "d2")}, ${round(4, "d3")}
+         | SELECT node, dist FROM d4 ORDER BY dist, node"""
+        .stripMargin.replaceAll("\n", " ")
+    },
 
     // Integer month-ordinal key; YoY join on mk−12; window sum widens to
     // HUGEINT, cast back before the /100.0.

@@ -1323,6 +1323,53 @@ object Events {
         .orderBy(col("event_type"))
     },
 
+    // Mann–Kendall trend test per event_type on the SAME hourly series
+    // Theil–Sen fits — the standard pairing: Theil–Sen gives the slope
+    // MAGNITUDE, MK gives its nonparametric SIGNIFICANCE (monotone
+    // trend vs noise, no normality assumption). S = Σ_{i<j}
+    // sign(y_j − y_i); tie-corrected variance Var = [n(n−1)(2n+5)
+    // − Σ t(t−1)(2t+5)]/18; z carries the ±1 continuity correction.
+    // The pair join runs on the CALENDAR-BOUNDED hourly aggregate —
+    // O(hours²) per type, corpus-independent — and every number is an
+    // exact integer until the /18.0 and the final z sqrt (both from
+    // <2^53 integers, IEEE-identical). The trend verdict CASE compares
+    // the ROUNDED z, so the 1.96 boundary is decided on identical 6dp
+    // values in both engines.
+    "q_ts_mann_kendall" -> { (s, d) =>
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("y"))
+      val a = hourly.select(col("event_type"), col("h").as("hi"),
+        col("y").as("yi"))
+      val b = hourly.select(col("event_type").as("et2"),
+        col("h").as("hj"), col("y").as("yj"))
+      val st = a.join(b,
+          col("event_type") === col("et2") && col("hi") < col("hj"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("yj") > col("yi"), 1L)
+          .when(col("yj") < col("yi"), -1L).otherwise(0L)).as("s_stat"))
+      val nn = hourly.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_points"))
+      val ties = hourly.groupBy(col("event_type"), col("y"))
+        .agg(count(lit(1)).as("t"))
+        .groupBy(col("event_type"))
+        .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tsum"))
+      val varS =
+        (expr("n_points * (n_points - 1) * (2 * n_points + 5)")
+          - col("tsum")).cast("double") / 18.0
+      val zr = eround(
+        when(col("s_stat") > 0, (col("s_stat") - 1) / sqrt(varS))
+          .when(col("s_stat") < 0, (col("s_stat") + 1) / sqrt(varS))
+          .otherwise(lit(0.0)), 6)
+      st.join(nn, "event_type").join(ties, "event_type")
+        .select(col("event_type"), col("n_points"), col("s_stat"),
+          eround(varS, 4).as("var_s"), zr.as("z"),
+          when(zr >= 1.96, "increasing")
+            .when(zr <= -1.96, "decreasing")
+            .otherwise("no trend").as("trend"))
+        .orderBy(col("event_type"))
+    },
+
     "q_ts_acf" -> { (s, d) =>
       val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       val W = org.apache.spark.sql.expressions.Window
@@ -2180,6 +2227,42 @@ object Events {
         | SELECT sl.event_type, n_points, n_pairs, m AS slope, intercept
         | FROM sl JOIN ft ON sl.event_type = ft.event_type
         | ORDER BY sl.event_type""".stripMargin.replaceAll("\n", " "),
+
+    // Same hourly frame as theil_sen; integer S/ties, /18.0 variance,
+    // continuity-corrected z, verdict CASE on the rounded z.
+    "q_ts_mann_kendall" ->
+      """WITH hrs AS (SELECT event_type, date_trunc('hour',
+        |   CAST(ts AS TIMESTAMP)) AS h, CAST(count(*) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        | pr AS (SELECT a.event_type, CAST(sum(CASE WHEN b.y > a.y THEN 1
+        |    WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM hrs a JOIN hrs b ON a.event_type = b.event_type
+        |   AND a.h < b.h
+        |  GROUP BY a.event_type),
+        | nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_points
+        |  FROM hrs GROUP BY event_type),
+        | tie AS (SELECT event_type,
+        |   CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tsum
+        |  FROM (SELECT event_type, y, CAST(count(*) AS BIGINT) AS t
+        |   FROM hrs GROUP BY event_type, y)
+        |  GROUP BY event_type),
+        | zz AS (SELECT pr.event_type, n_points, s_stat,
+        |   CAST(n_points * (n_points - 1) * (2 * n_points + 5) - tsum
+        |    AS DOUBLE) / 18.0 AS vs
+        |  FROM pr JOIN nn USING (event_type) JOIN tie
+        |   USING (event_type)),
+        | zr AS (SELECT event_type, n_points, s_stat,
+        |   round(vs + 5e-10, 4) AS var_s,
+        |   round(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(vs)
+        |     WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(vs)
+        |     ELSE 0.0 END + 5e-10, 6) AS z
+        |  FROM zz)
+        | SELECT event_type, n_points, s_stat, var_s, z,
+        |  CASE WHEN z >= 1.96 THEN 'increasing'
+        |   WHEN z <= -1.96 THEN 'decreasing'
+        |   ELSE 'no trend' END AS trend
+        | FROM zr ORDER BY event_type"""
+        .stripMargin.replaceAll("\n", " "),
 
     // Mirrors the dense grid, the n-scaled integer deviations, and the
     // lag products; internal state HUGEINT (output columns stay

@@ -246,6 +246,39 @@ object Multimodal {
     }
   }
 
+  /** G.711 µ-law companding — the telephony-standard 16-bit→8-bit
+    * logarithmic codec (public spec: ITU-T G.711; the canonical bit
+    * formulas, no lookup tables). Encode: clip to 32635, add the 0x84
+    * bias, take the segment (MSB position of x≫7, 0..7) and the 4-bit
+    * mantissa below it, complement. Decode: ((mantissa·8 + 0x84) ≪
+    * segment) − 0x84, signed. Pure deterministic integer math — the
+    * quantization error is an exact integer function of the sample, so
+    * the round-trip is fully SQL-oracle-replayable (unlike ADPCM's
+    * adaptive state, which needs the constant-signal special case).
+    */
+  object Ulaw {
+    private val Bias = 0x84
+    private val Clip = 32635
+
+    def encode(x0: Short): Byte = {
+      val neg = x0 < 0
+      val mag = math.min(if (neg) -x0.toInt else x0.toInt, Clip) + Bias
+      var seg = 0
+      while (seg < 7 && (mag >> (seg + 8)) != 0) seg += 1
+      val mant = (mag >> (seg + 3)) & 0x0f
+      val sign = if (neg) 0x80 else 0x00
+      (~(sign | (seg << 4) | mant) & 0xff).toByte
+    }
+
+    def decode(u0: Byte): Short = {
+      val u = ~u0 & 0xff
+      val seg = (u >> 4) & 0x07
+      val mant = u & 0x0f
+      val mag = (((mant << 3) + Bias) << seg) - Bias
+      (if ((u & 0x80) != 0) -mag else mag).toShort
+    }
+  }
+
   /** REAL compressed-audio codec: IMA ADPCM (DVI4), the standard 4:1
     * 16-bit→4-bit adaptive-delta compression (public spec: IMA Digital
     * Audio Focus Group, also RFC 3551 DVI4). Frame layout here is the
@@ -719,6 +752,48 @@ object Multimodal {
         .orderBy(col("doc_id"))
     },
 
+    // REAL telephony-codec path: PCM16 -> G.711 µ-law (8 bits/sample,
+    // 2:1) -> decode, over the same synthesized 64-sample signal as
+    // q_multimodal_wav. Unlike ADPCM's adaptive state, µ-law is
+    // STATELESS integer companding, so the per-sample quantization
+    // error is an exact integer function of the sample and the whole
+    // round-trip is SQL-oracle-replayable — max_abs_err and the count
+    // columns are pure integers; rms_err takes the one sqrt at 4dp.
+    "q_multimodal_mulaw" -> { (s, d) =>
+      val frame = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("n_samples", IntegerType),
+        StructField("bytes_pcm", IntegerType),
+        StructField("bytes_ulaw", IntegerType),
+        StructField("max_abs_err", IntegerType),
+        StructField("rms_err", DoubleType)))
+      frame.mapPartitions { rows =>
+        rows.map { r =>
+          val text = r.getString(1)
+          val samples = Array.tabulate(64)(i =>
+            (((text.charAt(i % text.length) & 0x7f) - 64) * 256).toShort)
+          val enc = samples.map(Ulaw.encode)
+          val back = enc.map(Ulaw.decode)
+          var maxErr = 0
+          var sumSq = 0.0
+          var i = 0
+          while (i < samples.length) {
+            val e = back(i) - samples(i)
+            if (math.abs(e) > maxErr) maxErr = math.abs(e)
+            sumSq += e.toDouble * e
+            i += 1
+          }
+          Row(r.getLong(0), samples.length, samples.length * 2,
+            enc.length, maxErr, math.sqrt(sumSq / samples.length))
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+        .select(col("doc_id"), col("n_samples"), col("bytes_pcm"),
+          col("bytes_ulaw"), col("max_abs_err"),
+          round(col("rms_err") + lit(5e-10), 4).as("rms_err"))
+        .orderBy(col("doc_id"))
+    },
+
     // REAL PNG path: the same synthesized 8x4 pixel plane as
     // q_multimodal_ppm, but round-tripped through the genuine PNG codec —
     // zlib deflate/inflate, CRC-verified chunk framing, and
@@ -913,6 +988,39 @@ object Multimodal {
         |  round(sqrt(avg(CAST(v AS DOUBLE) * v)) + 5e-10, 4) AS rms,
         |  CAST(max(abs(v)) AS INT) AS peak
         | FROM sm GROUP BY doc_id ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Full integer replay of the G.711 µ-law round-trip: bias, segment
+    // (CASE over the eight ranges), mantissa, midpoint reconstruction.
+    "q_multimodal_mulaw" ->
+      """WITH sm AS (
+        | SELECT doc_id,
+        |  (ascii(substring(text, (i % length(text)) + 1, 1)) % 128 - 64)
+        |    * 256 AS v
+        | FROM documents, LATERAL unnest(generate_series(0, 63)) u(i)),
+        | en AS (SELECT doc_id, v,
+        |  least(abs(v), 32635) + 132 AS mag,
+        |  CASE WHEN least(abs(v), 32635) + 132 < 256 THEN 0
+        |   WHEN least(abs(v), 32635) + 132 < 512 THEN 1
+        |   WHEN least(abs(v), 32635) + 132 < 1024 THEN 2
+        |   WHEN least(abs(v), 32635) + 132 < 2048 THEN 3
+        |   WHEN least(abs(v), 32635) + 132 < 4096 THEN 4
+        |   WHEN least(abs(v), 32635) + 132 < 8192 THEN 5
+        |   WHEN least(abs(v), 32635) + 132 < 16384 THEN 6
+        |   ELSE 7 END AS seg
+        | FROM sm),
+        | de AS (SELECT doc_id, v,
+        |  CASE WHEN v < 0 THEN -(((mag // (8 * (1 << seg))) % 16 * 8
+        |     + 132) * (1 << seg) - 132)
+        |   ELSE ((mag // (8 * (1 << seg))) % 16 * 8 + 132)
+        |     * (1 << seg) - 132 END AS rec
+        | FROM en)
+        | SELECT doc_id, 64 AS n_samples, 128 AS bytes_pcm,
+        |  64 AS bytes_ulaw,
+        |  CAST(max(abs(rec - v)) AS INT) AS max_abs_err,
+        |  round(sqrt(avg(CAST(rec - v AS DOUBLE) * (rec - v)))
+        |    + 5e-10, 4) AS rms_err
+        | FROM de GROUP BY doc_id ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
 
     // Each demuxed frame is a constant-value JPEG, so the decoded mean is

@@ -983,6 +983,63 @@ object Text {
         .limit(20)
     },
 
+    // Corpus-level BLEU-2 between adjacent document pairs (candidate
+    // doc_id p, reference p+1) — the generation-eval metric as a query,
+    // and a text-similarity signal alongside Jaccard/containment:
+    // clipped unigram/bigram precision (Σ min(count_cand, count_ref) —
+    // exact integers, the hash-bearing columns) with the brevity
+    // penalty and geometric mean. The two exp/ln sites are the only
+    // libm, ε-rounded at 6dp from integer-ratio arguments (the r11
+    // audit class). One explode per n-gram order, grouped per (pair,
+    // gram) — never cross-pair; pairs are adjacency-bounded so the join
+    // keys are (pair, gram) equi-keys at any corpus scale.
+    "q_text_bleu" -> { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 51)
+        .withColumn("t", toks(col("text")))
+        .withColumn("bg", slice(
+          transform(sequence(lit(1), greatest(size(col("t")) - 1, lit(1))),
+            i => concat_ws(" ", element_at(col("t"), i),
+              element_at(col("t"), i + 1))),
+          lit(1), greatest(size(col("t")) - 1, lit(0))))
+      def side(gc: String, isCand: Boolean, out: String): DataFrame = {
+        val f = if (isCand) docs.filter(col("doc_id") < 50)
+          else docs.filter(col("doc_id") >= 1)
+        val pid = if (isCand) col("doc_id") else col("doc_id") - 1
+        f.select(pid.as("p"), explode(col(gc)).as("g"))
+          .groupBy(col("p"), col("g")).agg(count(lit(1)).as(out))
+      }
+      def clipped(gc: String, out: String): DataFrame =
+        side(gc, isCand = true, "nc")
+          .join(side(gc, isCand = false, "nr"), Seq("p", "g"), "left")
+          .groupBy(col("p"))
+          .agg(sum(least(col("nc"), coalesce(col("nr"), lit(0L))))
+            .as(out))
+      val lens = docs.select(col("doc_id"),
+        size(col("t")).cast("long").as("len"))
+      val cl = lens.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("p"), col("len").as("c_len"))
+      val rl = lens.filter(col("doc_id") >= 1)
+        .select((col("doc_id") - 1).as("p"), col("len").as("r_len"))
+      val bp = when(col("c_len") >= col("r_len"), lit(1.0))
+        .otherwise(exp(lit(1.0) - col("r_len") / col("c_len")))
+      val bleu = when(col("m1") > 0 && col("m2") > 0,
+        bp * exp((log(col("m1") / col("c_len"))
+          + log(col("m2") / (col("c_len") - 1))) / 2))
+        .otherwise(lit(0.0))
+      clipped("t", "m1").join(clipped("bg", "m2"), Seq("p"))
+        .join(cl, Seq("p")).join(rl, Seq("p"))
+        .select(col("p").as("cand_id"), (col("p") + 1).as("ref_id"),
+          col("c_len"), col("r_len"), col("m1").as("clip1"),
+          col("m2").as("clip2"),
+          eround(col("m1") / col("c_len"), 6).as("p1"),
+          when(col("c_len") > 1,
+            eround(col("m2") / (col("c_len") - 1), 6))
+            .otherwise(lit(0.0)).as("p2"),
+          eround(bp, 6).as("brevity"),
+          eround(bleu, 6).as("bleu2"))
+        .orderBy(col("cand_id"))
+    },
+
     // Span-level (substring) duplicate detection — the word-8-gram
     // variant of suffix-style training-data dedup: a span is duplicated
     // if the same 8 consecutive tokens occur anywhere else in the corpus
@@ -3251,6 +3308,56 @@ object Text {
          |  WHERE len(tk) >= 2)
          | SELECT bigram, count(*) AS n FROM bg
          | GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 20"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same adjacent-pair clipped counts (exact integers); the two
+    // exp/ln sites mirror the Spark integer-ratio arguments at 6dp.
+    "q_text_bleu" ->
+      s"""WITH dd AS (SELECT doc_id, $oToks AS t FROM documents
+         |  WHERE doc_id < 51),
+         | lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS len
+         |  FROM dd),
+         | uni AS (SELECT doc_id, unnest(t) AS g FROM dd),
+         | big AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g FROM dd,
+         |  LATERAL unnest(generate_series(1, len(t) - 1)) u(i)
+         |  WHERE len(t) >= 2),
+         | cu AS (SELECT doc_id AS p, g, CAST(count(*) AS BIGINT) AS nc
+         |  FROM uni WHERE doc_id < 50 GROUP BY 1, 2),
+         | ru AS (SELECT doc_id - 1 AS p, g,
+         |   CAST(count(*) AS BIGINT) AS nr
+         |  FROM uni WHERE doc_id >= 1 GROUP BY 1, 2),
+         | m1 AS (SELECT p,
+         |   CAST(sum(least(nc, coalesce(nr, 0))) AS BIGINT) AS m1
+         |  FROM cu LEFT JOIN ru USING (p, g) GROUP BY p),
+         | cb AS (SELECT doc_id AS p, g, CAST(count(*) AS BIGINT) AS nc
+         |  FROM big WHERE doc_id < 50 GROUP BY 1, 2),
+         | rb AS (SELECT doc_id - 1 AS p, g,
+         |   CAST(count(*) AS BIGINT) AS nr
+         |  FROM big WHERE doc_id >= 1 GROUP BY 1, 2),
+         | m2 AS (SELECT p,
+         |   CAST(sum(least(nc, coalesce(nr, 0))) AS BIGINT) AS m2
+         |  FROM cb LEFT JOIN rb USING (p, g) GROUP BY p),
+         | cl AS (SELECT doc_id AS p, len AS c_len FROM lens
+         |  WHERE doc_id < 50),
+         | rl AS (SELECT doc_id - 1 AS p, len AS r_len FROM lens
+         |  WHERE doc_id >= 1),
+         | f AS (SELECT p, c_len, r_len, m1, m2,
+         |   CASE WHEN c_len >= r_len THEN CAST(1.0 AS DOUBLE)
+         |    ELSE exp(1.0 - r_len / c_len) END AS bp
+         |  FROM m1 JOIN m2 USING (p) JOIN cl USING (p)
+         |  JOIN rl USING (p))
+         | SELECT p AS cand_id, p + 1 AS ref_id, c_len, r_len,
+         |  m1 AS clip1, m2 AS clip2,
+         |  round(m1 / c_len + 5e-10, 6) AS p1,
+         |  CASE WHEN c_len > 1
+         |   THEN round(m2 / (c_len - 1) + 5e-10, 6)
+         |   ELSE CAST(0.0 AS DOUBLE) END AS p2,
+         |  round(bp + 5e-10, 6) AS brevity,
+         |  round(CASE WHEN m1 > 0 AND m2 > 0
+         |    THEN bp * exp((ln(m1 / c_len)
+         |      + ln(m2 / (c_len - 1))) / 2)
+         |    ELSE CAST(0.0 AS DOUBLE) END + 5e-10, 6) AS bleu2
+         | FROM f ORDER BY cand_id"""
         .stripMargin.replaceAll("\n", " "),
 
     // CAST the window cumulative sum: DuckDB widens windowed sum(BIGINT)

@@ -4385,4 +4385,180 @@ class EngineLawsSpec extends SparkSuite {
     assert(math.abs(out.map(_.getDouble(2)).sum - total / 100.0) < 0.01,
       "decile revenues partition the total")
   }
+
+  // ---- round-11 additions ----
+
+  /** The (cents, hour) observations the correlation rows ride. */
+  private lazy val centsHour: Array[(Long, Long)] =
+    Tables.events(spark, sf)
+      .select(round(col("value") * 100).cast("long"),
+        hour(col("ts")).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+
+  test("q_agg_kendall_tau matches the brute-force pair count") {
+    val row = SparkEntry.queries("q_agg_kendall_tau")(spark, sf)
+      .collect().head
+    val xs = centsHour
+    var c = 0L; var dd = 0L; var txy = 0L
+    for (i <- xs.indices; j <- (i + 1) until xs.length) {
+      val ((x1, y1), (x2, y2)) = (xs(i), xs(j))
+      if (x1 != x2 && y1 != y2) {
+        if ((x2 - x1) * (y2 - y1) > 0) c += 1 else dd += 1
+      } else if (x1 == x2 && y1 == y2) txy += 1
+    }
+    def tiePairs(key: ((Long, Long)) => Long): Long =
+      xs.groupBy(key).values.map(g =>
+        g.length.toLong * (g.length - 1) / 2).sum
+    val (tx, ty) = (tiePairs(_._1), tiePairs(_._2))
+    val n = xs.length.toLong
+    assert(row.getLong(0) === n)
+    assert(row.getLong(1) === c, "concordant")
+    assert(row.getLong(2) === dd, "discordant")
+    assert(row.getLong(3) === tx, "x ties")
+    assert(row.getLong(4) === ty, "y ties")
+    val n0 = n * (n - 1) / 2
+    assert(c + dd === n0 - tx - ty + txy, "pair partition identity")
+    assert(math.abs(row.getDouble(5)) <= 1.0 + 1e-9, "|tau| <= 1")
+  }
+
+  test("q_ts_mann_kendall S matches brute force; z sign follows S") {
+    val hourly = Tables.events(spark, sf)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("y"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2)))
+      .groupBy(_._1)
+    SparkEntry.queries("q_ts_mann_kendall")(spark, sf).collect()
+      .foreach { r =>
+        val series = hourly(r.getString(0)).sortBy(_._2).map(_._3)
+        var s = 0L
+        for (i <- series.indices; j <- (i + 1) until series.length)
+          s += java.lang.Long.signum(series(j) - series(i))
+        assert(r.getLong(1) === series.length.toLong, "n_points")
+        assert(r.getLong(2) === s, s"S for ${r.getString(0)}")
+        assert(r.getDouble(3) > 0, "tie-corrected variance positive")
+        val z = r.getDouble(4)
+        assert(s == 0 && z == 0.0 || s.sign.toDouble * z >= 0.0,
+          "z sign follows S")
+        val t = r.getString(5)
+        assert(if (z >= 1.96) t == "increasing"
+          else if (z <= -1.96) t == "decreasing" else t == "no trend")
+      }
+  }
+
+  test("q_agg_cohens_d recomputes from raw moments; |g| < |d|") {
+    val vals = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def m(t: String) = {
+      val v = vals.filter(_._1 == t).map(_._2)
+      (v.length.toLong, v.map(BigInt(_)).sum.toDouble,
+        v.map(x => BigInt(x) * BigInt(x)).sum.toDouble)
+    }
+    val ((n1, s1, q1), (n2, s2, q2)) = (m("click"), m("purchase"))
+    val sp = math.sqrt(((q1 - s1 * s1 / n1) + (q2 - s2 * s2 / n2)) /
+      (n1 + n2 - 2)) / 100.0
+    val dEff = (s1 / n1 / 100.0 - s2 / n2 / 100.0) / sp
+    val row = SparkEntry.queries("q_agg_cohens_d")(spark, sf)
+      .collect().head
+    def r6(x: Double) = math.rint((x + 5e-10) * 1e6) / 1e6
+    assert(row.getLong(0) === n1)
+    assert(row.getLong(1) === n2)
+    assert(math.abs(row.getDouble(5) - r6(dEff)) < 1e-9, "cohens_d")
+    assert(math.abs(row.getDouble(6)) < math.abs(row.getDouble(5)),
+      "Hedges' g shrinks toward zero")
+  }
+
+  test("q_agg_split_gini finds the brute-force best threshold and " +
+      "never exceeds the parent impurity") {
+    val vals = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byC = vals.groupBy(_._2).map { case (cts, g) =>
+      (cts, g.count(_._1 == "click").toLong,
+        g.count(_._1 == "purchase").toLong)
+    }.toArray.sortBy(_._1)
+    val (numTot1, numTot2) =
+      (byC.map(_._2).sum, byC.map(_._3).sum)
+    var (al, bl) = (0L, 0L)
+    val cands = byC.dropRight(1).map { case (cts, a1, a2) =>
+      al += a1; bl += a2
+      val (nl, nr) = (al + bl, numTot1 + numTot2 - al - bl)
+      val gw = (nl - (al.toDouble * al + bl.toDouble * bl) / nl) +
+        (nr - ((numTot1 - al).toDouble * (numTot1 - al)
+          + (numTot2 - bl).toDouble * (numTot2 - bl)) / nr)
+      (cts, gw)
+    }
+    val best = cands.minBy(c => (math.rint(c._2 * 1e9).toLong, c._1))
+    val row = SparkEntry.queries("q_agg_split_gini")(spark, sf)
+      .collect().head
+    assert(row.getLong(0) === best._1, "best threshold")
+    assert(row.getDouble(6) <= row.getDouble(7) + 1e-9,
+      "weighted gini never exceeds the parent's (concavity)")
+    assert(row.getDouble(8) >= -1e-9, "gain nonnegative")
+  }
+
+  test("q_graph_shortest_path matches a driver-side 4-hop Bellman-Ford") {
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val support = li.groupBy(_._1).values.flatMap { parts =>
+      val p = parts.map(_._2).distinct.sorted
+      for (i <- p.indices; j <- (i + 1) until p.length)
+        yield (p(i), p(j))
+    }.groupBy(identity).collect {
+      case (e, g) if g.size >= 2 => (e, 1000L / g.size)
+    }.toMap
+    val edges = support.toSeq.flatMap { case ((u, v), w) =>
+      Seq((u, v, w), (v, u, w)) }
+    val src = edges.map(_._1).min
+    var dist = Map(src -> 0L)
+    for (_ <- 1 to 4)
+      dist = (dist.toSeq ++ edges.flatMap { case (u, v, w) =>
+        dist.get(u).map(du => v -> (du + w)) })
+        .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val got = SparkEntry.queries("q_graph_shortest_path")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === dist)
+    assert(got(src) === 0L)
+  }
+
+  test("q_text_bleu respects the metric's bounds") {
+    val out = SparkEntry.queries("q_text_bleu")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (cLen, clip1, clip2) =
+        (r.getLong(2), r.getLong(4), r.getLong(5))
+      assert(clip1 <= cLen, "unigram clip bounded by candidate length")
+      assert(clip2 <= math.max(cLen - 1, 0L), "bigram clip bounded")
+      for (i <- 6 to 9) {
+        assert(r.getDouble(i) >= 0.0, s"col $i nonnegative")
+        assert(r.getDouble(i) <= 1.0 + 1e-9, s"col $i <= 1")
+      }
+      if (clip2 == 0) assert(r.getDouble(9) === 0.0,
+        "no bigram overlap => BLEU-2 is 0")
+    }
+  }
+
+  test("mu-law codec: exhaustive round-trip bound, sign, idempotence") {
+    import graft.engine.Multimodal.Ulaw
+    var x = -32768
+    while (x <= 32767) {
+      val xs = x.toShort
+      val u = Ulaw.encode(xs)
+      val back = Ulaw.decode(u)
+      val clamped = math.max(math.min(x, 32635), -32635)
+      assert(math.abs(back - clamped) <= 1024,
+        s"round-trip error at $x")
+      assert(back == 0 || (back > 0) == (clamped > 0), s"sign at $x")
+      // re-encoding a decoded midpoint returns the same code — except
+      // the negative-zero code 0x7F, whose decode (0) re-encodes to
+      // the positive-zero code 0xFF (G.711's two zeros)
+      if ((u & 0xff) != 0x7f)
+        assert(Ulaw.encode(back) === u, s"idempotence at $x")
+      x += 1
+    }
+  }
 }
