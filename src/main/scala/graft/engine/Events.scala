@@ -922,6 +922,58 @@ object Events {
         .orderBy(col("event_type"))
     },
 
+    // Holt–Winters ADDITIVE triple smoothing (α = β = γ = 1/2, period
+    // 7) — the seasonal completion of the exponential family (SES →
+    // Holt → HW): level, trend, AND a rotating 7-slot weekly seasonal
+    // state. Same parity recipe as q_ts_holt: the fold is pure +,−,/2
+    // on doubles (halving is exact scaling, zero libm), the init is
+    // one /7 division (IEEE-identical), and the seasonal slots ride an
+    // array the lambda rotates (head = s_{t−7}, the slot the update
+    // consumes) — so the recursive-CTE oracle replays every op
+    // bit-for-bit with LIST state. Per type the WHOLE series is one
+    // calendar-bounded row (the sanctioned bounded-fold pattern).
+    "q_ts_holt_winters" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+      daily.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("day"), col("c"))))
+          .as("sc"))
+        .select(col("event_type"),
+          expr("transform(sc, e -> CAST(e.c AS DOUBLE))").as("ys"))
+        .filter(size(col("ys")) >= 7)
+        .withColumn("l0", expr(
+          """(element_at(ys, 1) + element_at(ys, 2) + element_at(ys, 3)
+            | + element_at(ys, 4) + element_at(ys, 5)
+            | + element_at(ys, 6) + element_at(ys, 7)) / 7"""
+            .stripMargin))
+        .select(col("event_type"),
+          size(col("ys")).cast("long").as("n_days"),
+          expr("""aggregate(
+              slice(ys, 8, greatest(size(ys) - 7, 0)),
+              named_struct(
+                'l', l0,
+                'b', CAST(0.0 AS DOUBLE),
+                's', transform(slice(ys, 1, 7), v -> v - l0)),
+              (acc, y) -> named_struct(
+                'l', (y - element_at(acc.s, 1)) / 2
+                  + (acc.l + acc.b) / 2,
+                'b', (((y - element_at(acc.s, 1)) / 2
+                  + (acc.l + acc.b) / 2) - acc.l) / 2 + acc.b / 2,
+                's', concat(slice(acc.s, 2, 6), array(
+                  (y - ((y - element_at(acc.s, 1)) / 2
+                    + (acc.l + acc.b) / 2)) / 2
+                  + element_at(acc.s, 1) / 2))))""").as("st"))
+        .select(col("event_type"), col("n_days"),
+          eround(col("st.l") / 100.0, 6).as("level"),
+          eround(col("st.b") / 100.0, 6).as("trend"),
+          eround((col("st.l") + col("st.b")
+            + element_at(col("st.s"), 1)) / 100.0, 6).as("forecast_1d"),
+          eround((col("st.l") + lit(7) * col("st.b")
+            + element_at(col("st.s"), 7)) / 100.0, 6).as("forecast_7d"))
+        .orderBy(col("event_type"))
+    },
+
     // SES smoothing-parameter FIT — hyperparameter selection as a
     // query: five α candidates explode against each per-type daily
     // series, every candidate folds its one-step-ahead SSE in the same
@@ -1403,6 +1455,69 @@ object Events {
         .mkString(s"stack(${lags.size}, ", ", ", ") AS (lag, r)")
       aggd.selectExpr("event_type", "n_hours", stackExpr)
         .select(col("event_type"), col("lag"), col("n_hours"), col("r"))
+        .orderBy(col("event_type"), col("lag"))
+    },
+
+    // Partial autocorrelation (PACF, lags 1..5) via Durbin–Levinson on
+    // the SAME exact-integer ACF machinery — the AR-order diagnostic
+    // read beside q_ts_acf (ACF tails off / PACF cuts at p ⇒ AR(p)).
+    // Parity recipe: the ACF inputs r₁..r₅ ε-round at 6dp FIRST (the
+    // identical values the acf row emits), then the DL recursion is
+    // pure +,−,×,/ on those rounded doubles — no further libm — and
+    // every φ_{k,j} is generated from one shared recurrence (the SQL
+    // oracle is generated from the same index math, so the expression
+    // trees match op for op). Each φ_{k,k} ε-rounds at 6dp on output.
+    "q_ts_pacf" -> { (s, d) =>
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val W = org.apache.spark.sql.expressions.Window
+      val lags = 1 to 5
+      val hourly = hourlySeries(s, d, "pacf")
+      val grid = hourly.groupBy(col("event_type"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val dense = grid.join(hourly, Seq("event_type", "h"), "left")
+        .na.fill(0L, Seq("x"))
+      val st = dense.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("x")).cast(dec).as("sx"))
+      val w = W.partitionBy(col("event_type")).orderBy(col("h"))
+      val devs = dense.join(broadcast(st), Seq("event_type"))
+        .withColumn("dev", col("n") * col("x").cast(dec) - col("sx"))
+      val lagged = lags.foldLeft(devs) { (df, k) =>
+        df.withColumn(s"d$k", lag(col("dev"), k).over(w))
+      }
+      val aggCols = Seq(sum(col("dev") * col("dev")).as("den")) ++
+        lags.map(k => sum(col("dev") * col(s"d$k")).as(s"num$k"))
+      val aggd = lagged.groupBy(col("event_type"))
+        .agg(max(col("n")).cast("long").as("n_hours"), aggCols: _*)
+      val withR = lags.foldLeft(aggd) { (df, k) =>
+        df.withColumn(s"r$k",
+          eround(col(s"num$k").cast("double") / col("den").cast("double"),
+            6))
+      }
+      // Durbin–Levinson, generated: φ_{k,k} = (r_k − Σ_{j<k}
+      // φ_{k−1,j}·r_{k−j}) / (1 − Σ_{j<k} φ_{k−1,j}·r_j);
+      // φ_{k,j} = φ_{k−1,j} − φ_{k,k}·φ_{k−1,k−j}
+      val dl = (2 to 5).foldLeft(
+        withR.withColumn("p1_1", col("r1"))) { (df, k) =>
+        def dot(f: Int => Column): Column =
+          (1 until k).map(f).reduce(_ + _)
+        val wkk = df.withColumn(s"p${k}_$k",
+          (col(s"r$k") - dot(j => col(s"p${k - 1}_$j") * col(s"r${k - j}")))
+            / (lit(1.0) - dot(j => col(s"p${k - 1}_$j") * col(s"r$j"))))
+        (1 until k).foldLeft(wkk) { (d2, j) =>
+          d2.withColumn(s"p${k}_$j",
+            col(s"p${k - 1}_$j")
+              - col(s"p${k}_$k") * col(s"p${k - 1}_${k - j}"))
+        }
+      }
+      val stackExprP = lags
+        .map(k => s"${k}L, round(p${k}_$k + 5e-10, 6)")
+        .mkString(s"stack(${lags.size}, ", ", ", ") AS (lag, pacf)")
+      dl.selectExpr("event_type", "n_hours", stackExprP)
+        .select(col("event_type"), col("lag"), col("n_hours"),
+          col("pacf"))
         .orderBy(col("event_type"), col("lag"))
     },
 
@@ -2009,6 +2124,49 @@ object Events {
         | ORDER BY event_type"""
         .stripMargin.replaceAll("\n", " "),
 
+    // The q_ts_holt recursion with LIST seasonal state: same halving
+    // ops replayed exactly, s[2:7] || [s_new] rotation, /7 init.
+    "q_ts_holt_winters" ->
+      """WITH RECURSIVE daily AS (SELECT event_type,
+        |   CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY event_type, day),
+        | ser AS (SELECT event_type,
+        |   row_number() OVER (PARTITION BY event_type ORDER BY day) AS j,
+        |   CAST(c AS DOUBLE) AS y FROM daily),
+        | arr AS (SELECT event_type, list(y ORDER BY j) AS ys,
+        |   CAST(count(*) AS BIGINT) AS n_days
+        |  FROM ser GROUP BY event_type),
+        | ini AS (SELECT event_type, ys, n_days,
+        |   (ys[1] + ys[2] + ys[3] + ys[4] + ys[5] + ys[6] + ys[7]) / 7
+        |    AS l0
+        |  FROM arr WHERE n_days >= 7),
+        | ini2 AS (SELECT event_type, n_days, l0,
+        |   list_transform(ys[1:7], v -> v - l0) AS s0 FROM ini),
+        | h AS (
+        |  SELECT event_type, CAST(7 AS BIGINT) AS t, l0 AS l,
+        |    CAST(0.0 AS DOUBLE) AS b, s0 AS s
+        |   FROM ini2
+        |  UNION ALL
+        |  SELECT h.event_type, h.t + 1,
+        |    (sr.y - h.s[1]) / 2 + (h.l + h.b) / 2,
+        |    (((sr.y - h.s[1]) / 2 + (h.l + h.b) / 2) - h.l) / 2
+        |      + h.b / 2,
+        |    h.s[2:7] || [(sr.y - ((sr.y - h.s[1]) / 2
+        |      + (h.l + h.b) / 2)) / 2 + h.s[1] / 2]
+        |   FROM h JOIN ser sr ON sr.event_type = h.event_type
+        |    AND sr.j = h.t + 1)
+        | SELECT h.event_type, i.n_days,
+        |  round(h.l / 100.0 + 5e-10, 6) AS level,
+        |  round(h.b / 100.0 + 5e-10, 6) AS trend,
+        |  round((h.l + h.b + h.s[1]) / 100.0 + 5e-10, 6)
+        |    AS forecast_1d,
+        |  round((h.l + 7 * h.b + h.s[7]) / 100.0 + 5e-10, 6)
+        |    AS forecast_7d
+        | FROM h JOIN ini2 i USING (event_type) WHERE h.t = i.n_days
+        | ORDER BY event_type"""
+        .stripMargin.replaceAll("\n", " "),
+
     "q_ts_resample" ->
       s"""WITH hourly AS (SELECT user_id,
          |   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
@@ -2296,6 +2454,60 @@ object Events {
          |  WINDOW w AS (PARTITION BY event_type ORDER BY h)),
          | ag AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n_hours,
          |   sum(dev * dev) AS den, $numCols FROM lagd GROUP BY 1)
+         | SELECT * FROM ($branches) ORDER BY event_type, "lag""""
+        .stripMargin.replaceAll("\n", " ")
+    },
+
+    // Same dense-grid integer ACF moments; the rounded r's feed a
+    // Durbin–Levinson CTE chain generated from the same recurrence as
+    // the Spark side (term order and association identical).
+    "q_ts_pacf" -> {
+      val lags = 1 to 5
+      val lagCols = lags.map(k => s"lag(dev, $k) OVER w AS d$k")
+        .mkString(", ")
+      val numCols = lags.map(k => s"sum(dev * d$k) AS num$k")
+        .mkString(", ")
+      val rCols = lags.map(k =>
+        s"round(CAST(num$k AS DOUBLE) / CAST(den AS DOUBLE) + 5e-10, 6)"
+          + s" AS r$k").mkString(", ")
+      // unrolled DL: each step k adds p{k}_{k} then updates p{k}_{j}
+      val dlCtes = (2 to 5).map { k =>
+        def dot(f: Int => String) = (1 until k).map(f).mkString(" + ")
+        val kk = s"(r$k - (${dot(j => s"p${k - 1}_$j * r${k - j}")}))" +
+          s" / (1.0 - (${dot(j => s"p${k - 1}_$j * r$j")})) AS p${k}_$k"
+        val upd = (1 until k).map(j =>
+          s"p${k - 1}_$j - ((r$k - (${dot(i => s"p${k - 1}_$i * r${k - i}")}))"
+            + s" / (1.0 - (${dot(i => s"p${k - 1}_$i * r$i")})))"
+            + s" * p${k - 1}_${k - j} AS p${k}_$j").mkString(", ")
+        s"dl$k AS (SELECT *, $kk, $upd FROM dl${k - 1})"
+      }.mkString(", ")
+      val branches = lags.map(k =>
+        s"""SELECT event_type, CAST($k AS BIGINT) AS "lag", n_hours,
+           | round(p${k}_$k + 5e-10, 6) AS pacf FROM dl5"""
+          .stripMargin).mkString(" UNION ALL ")
+      s"""WITH hourly AS (SELECT event_type,
+         |   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         |   CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+         | bounds AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+         |  FROM hourly GROUP BY 1),
+         | grid AS (SELECT event_type,
+         |   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+         |  FROM bounds),
+         | dense AS (SELECT g.event_type, g.h, COALESCE(hl.x, 0) AS x
+         |  FROM grid g LEFT JOIN hourly hl
+         |   ON g.event_type = hl.event_type AND g.h = hl.h),
+         | st AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         |   CAST(sum(x) AS HUGEINT) AS sx FROM dense GROUP BY 1),
+         | devs AS (SELECT d.event_type, d.h, st.n,
+         |   st.n * d.x - st.sx AS dev
+         |  FROM dense d JOIN st USING (event_type)),
+         | lagd AS (SELECT event_type, n, dev, $lagCols FROM devs
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+         | ag AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n_hours,
+         |   sum(dev * dev) AS den, $numCols FROM lagd GROUP BY 1),
+         | dl1 AS (SELECT *, r1 AS p1_1 FROM
+         |  (SELECT event_type, n_hours, $rCols FROM ag) rr),
+         | $dlCtes
          | SELECT * FROM ($branches) ORDER BY event_type, "lag""""
         .stripMargin.replaceAll("\n", " ")
     },

@@ -364,6 +364,47 @@ object Text {
         .orderBy(col("doc_id"), col("term"))
     },
 
+    // BM25 ranking against the corpus's own top-3 content terms — the
+    // IR scoring function between TF-IDF and a full search engine, and
+    // the lexical half of hybrid retrieval (the dense half is
+    // q_sim_topk). Query terms are the 3 most frequent non-stopword
+    // tokens under a deterministic (count DESC, term ASC) rank; k1 =
+    // 1.2, b = 0.75 (the Robertson defaults). tf/df/len are exact
+    // integers and avgdl one identical double division; idf =
+    // ln(1 + (N − df + 0.5)/(df + 0.5)) is the only libm (one call per
+    // query term), and each per-term score cell ε-rounds to
+    // DECIMAL(18,6) so the per-doc sum is exact and order-free. Scale:
+    // one token explode + (doc, term)/term partial aggs; the 3-row
+    // query-term and df frames broadcast.
+    "q_text_bm25" -> { (s, d) =>
+      val terms = Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      val lens = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val stats = lens.agg(count(lit(1)).as("n_docs"),
+        sum(col("dl")).as("tot"))
+      val qterms = terms.filter(!col("term").isin(StopWords: _*))
+        .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("term")).limit(3)
+        .select(col("term"))
+      val tf = terms.join(broadcast(qterms), "term")
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df_ = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val avgdl = col("tot").cast("double") / col("n_docs")
+      val idf = log(lit(1.0)
+        + (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+      val w = col("tf") * 2.2 /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl")
+          / avgdl))
+      tf.join(broadcast(df_), "term").join(lens, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("cell", eround(idf * w, 6).cast("decimal(18,6)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_terms"),
+          sum(col("cell")).cast("double").as("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+        .limit(20)
+    },
+
     // Unigram language-model scoring (perplexity proxy) — the standard
     // LM-quality filter for training corpora: score each document by the
     // mean token surprisal -ln p(t) under the corpus unigram model.
@@ -1818,6 +1859,33 @@ object Text {
         .orderBy(col("lang"), col("rn"))
     },
 
+    // Systematic 1-in-10 sampling over a hashed order — the classic
+    // evenly-spaced design: rank units by md5(key) (deterministic
+    // shuffle, the repo's md5-coin idiom) and keep every 10th rank.
+    // Unlike Bernoulli sampling the sample size is EXACT (⌈n/10⌉) and
+    // strata land proportionally without per-stratum bookkeeping — the
+    // per-segment rate readout is the representativeness audit. The
+    // global rank runs over the customer DIMENSION (the documented
+    // population-window class); at fact scale the equivalent is the
+    // hash-mod filter (pmod(crc, k) = 0) with no window at all —
+    // documented, not spelled, because the exact-count property is the
+    // point here.
+    "q_sample_systematic" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(md5(col("c_custkey").cast("string")), col("c_custkey"))
+      Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_pop"),
+          sum(when(pmod(col("rn"), lit(10)) === 1, 1L).otherwise(0L))
+            .as("n_sample"))
+        .select(col("c_mktsegment").as("segment"), col("n_pop"),
+          col("n_sample"),
+          eround(col("n_sample") / col("n_pop"), 4).as("rate"))
+        .orderBy(col("segment"))
+    },
+
     // Winsorized length statistics: clip per-language token counts at the
     // p05/p95 percentiles and compare raw vs clipped means — the outlier
     // treatment applied before length-based quality filtering. Percentiles
@@ -3109,6 +3177,41 @@ object Text {
          | WHERE tf.doc_id < 10 ORDER BY doc_id, term"""
         .stripMargin.replaceAll("\n", " "),
 
+    // Same deterministic query-term pick and Robertson constants; 2.2
+    // and 1.2 CAST to DOUBLE (a bare DuckDB decimal literal would
+    // multiply exactly where Spark multiplies the nearest double);
+    // cells ε-round to DECIMAL(18,6) before the exact per-doc sum.
+    "q_text_bm25" ->
+      s"""WITH tm AS (SELECT doc_id, unnest($oToks) AS term
+         |  FROM documents),
+         | lens AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         |  FROM tm GROUP BY doc_id),
+         | st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |   CAST(sum(dl) AS BIGINT) AS tot FROM lens),
+         | qt AS (SELECT term FROM (SELECT term, count(*) AS cnt
+         |   FROM tm WHERE NOT list_contains($oStop, term)
+         |   GROUP BY term ORDER BY cnt DESC, term ASC LIMIT 3)),
+         | tf AS (SELECT doc_id, tm.term,
+         |   CAST(count(*) AS BIGINT) AS tf
+         |  FROM tm JOIN qt ON tm.term = qt.term
+         |  GROUP BY doc_id, tm.term),
+         | dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+         |  FROM tf GROUP BY term),
+         | cells AS (SELECT tf.doc_id,
+         |   CAST(round(
+         |     ln(1.0 + (st.n_docs - dfr.df + 0.5) / (dfr.df + 0.5))
+         |     * (tf.tf * CAST(2.2 AS DOUBLE)
+         |        / (tf.tf + CAST(1.2 AS DOUBLE) * (0.25
+         |           + 0.75 * lens.dl
+         |             / (CAST(st.tot AS DOUBLE) / st.n_docs))))
+         |     + 5e-10, 6) AS DECIMAL(18,6)) AS cell
+         |  FROM tf JOIN dfr USING (term) JOIN lens USING (doc_id), st)
+         | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+         |  CAST(sum(cell) AS DOUBLE) AS score
+         | FROM cells GROUP BY doc_id
+         | ORDER BY score DESC, doc_id LIMIT 20"""
+        .stripMargin.replaceAll("\n", " "),
+
     "q_text_lang_stats" ->
       s"""SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
          | round(CAST(sum(len($oToks)) AS DOUBLE) / count(*) + 5e-10, 4) AS avg_tok
@@ -4096,6 +4199,19 @@ object Text {
         |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         | FROM documents)
         | WHERE rn <= 3 ORDER BY lang, rn"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same md5 rank order and every-10th filter; counts stay BIGINT.
+    "q_sample_systematic" ->
+      """WITH r AS (SELECT c_custkey, c_mktsegment, row_number() OVER
+        |  (ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rn
+        | FROM customer)
+        | SELECT c_mktsegment AS segment,
+        |  CAST(count(*) AS BIGINT) AS n_pop,
+        |  CAST(count(*) FILTER (rn % 10 = 1) AS BIGINT) AS n_sample,
+        |  round(CAST(count(*) FILTER (rn % 10 = 1) AS BIGINT)
+        |    / CAST(count(*) AS BIGINT) + 5e-10, 4) AS rate
+        | FROM r GROUP BY segment ORDER BY segment"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_text_winsorize" ->

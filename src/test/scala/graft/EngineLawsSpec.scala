@@ -4542,6 +4542,93 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("q_text_bm25 matches a driver-side recompute of the full ranking") {
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        split(lower(col("text")), " ").as("t"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1).toArray))
+    val stop = Set("the", "a")
+    val termCnt = docs.flatMap(_._2).filterNot(stop)
+      .groupBy(identity).view.mapValues(_.length).toSeq
+    val q = termCnt.sortBy { case (t, c) => (-c, t) }.take(3).map(_._1)
+    val lens = docs.map { case (id, t) => id -> t.length.toLong }.toMap
+    val nDocs = docs.length.toLong
+    val avgdl = lens.values.sum.toDouble / nDocs
+    val tf = docs.flatMap { case (id, t) =>
+      q.flatMap(term => { val c = t.count(_ == term)
+        if (c > 0) Some((id, term, c.toLong)) else None }) }
+    val dfm = tf.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    def r6(x: Double) = math.rint((x + 5e-10) * 1e6) / 1e6
+    val scores = tf.groupBy(_._1).map { case (id, rows) =>
+      val cells = rows.map { case (_, term, c) =>
+        val idf = math.log(1.0 + (nDocs - dfm(term) + 0.5)
+          / (dfm(term) + 0.5))
+        val w = c * 2.2 / (c + 1.2 * (0.25 + 0.75 * lens(id) / avgdl))
+        BigDecimal(r6(idf * w)).setScale(6)
+      }
+      (id, rows.length.toLong, cells.sum.toDouble)
+    }
+    val expect = scores.toSeq
+      .sortBy { case (id, _, sc) => (-sc, id) }.take(20)
+    val got = SparkEntry.queries("q_text_bm25")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === expect)
+  }
+
+  test("q_sample_systematic draws exactly ceil(n/10) across strata") {
+    val out = SparkEntry.queries("q_sample_systematic")(spark, sf)
+      .collect()
+    val n = Tables.customer(spark, sf).count()
+    assert(out.map(_.getLong(1)).sum === n, "population partitioned")
+    assert(out.map(_.getLong(2)).sum === (n + 9) / 10,
+      "systematic sample size is exact, not Bernoulli-random")
+    out.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("q_ts_holt_winters matches a driver-side replay of the fold") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+      .groupBy(_._1)
+    def r6(x: Double) = math.rint((x + 5e-10) * 1e6) / 1e6
+    SparkEntry.queries("q_ts_holt_winters")(spark, sf).collect()
+      .foreach { row =>
+        val ys = daily(row.getString(0)).sortBy(_._2)
+          .map(_._3.toDouble)
+        var l = ys.take(7).foldLeft(0.0)(_ + _) / 7
+        var b = 0.0
+        var sArr = ys.take(7).map(_ - l)
+        ys.drop(7).foreach { y =>
+          val s0 = sArr.head
+          val lNew = (y - s0) / 2 + (l + b) / 2
+          val bNew = (lNew - l) / 2 + b / 2
+          sArr = sArr.tail :+ ((y - lNew) / 2 + s0 / 2)
+          l = lNew; b = bNew
+        }
+        assert(row.getLong(1) === ys.length.toLong)
+        assert(row.getDouble(2) === r6(l / 100.0), "level")
+        assert(row.getDouble(3) === r6(b / 100.0), "trend")
+        assert(row.getDouble(4) === r6((l + b + sArr.head) / 100.0))
+        assert(row.getDouble(5) === r6((l + 7 * b + sArr.last) / 100.0))
+      }
+  }
+
+  test("q_ts_pacf: lag-1 equals the ACF's r1; all |pacf| <= 1") {
+    val acf1 = SparkEntry.queries("q_ts_acf")(spark, sf).collect()
+      .filter(_.getLong(1) == 1L)
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    val out = SparkEntry.queries("q_ts_pacf")(spark, sf).collect()
+    assert(out.length === acf1.size * 5)
+    out.foreach { r =>
+      assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-6, "|pacf| bound")
+      if (r.getLong(1) == 1L)
+        assert(r.getDouble(3) === acf1(r.getString(0)),
+          "Durbin-Levinson base case is the lag-1 autocorrelation")
+    }
+  }
+
   test("mu-law codec: exhaustive round-trip bound, sign, idempotence") {
     import graft.engine.Multimodal.Ulaw
     var x = -32768
