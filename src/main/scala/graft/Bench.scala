@@ -334,7 +334,17 @@ object Bench {
       // third wave: the KM double-window bounded-axis shape and the
       // collect-and-fold Holt kernel (dp_count/fellegi/fixed_width share
       // shapes already timed — excluded by (b)).
-      "q_shape_survival", "q_ts_holt")
+      "q_shape_survival", "q_ts_holt",
+      // round-11: the densified-grid stacked-window dominance walk
+      // (kendall), the calendar-bounded O(hours²) pair join (MK), the
+      // per-pair n-gram clipped-count joins (BLEU), and BM25's
+      // broadcast-term scoring scan. cohens_d/split_gini share the
+      // ttest/KS partial-agg shapes (rule (c)); systematic is
+      // dimension-scale (rule (b)); holt_winters/pacf share the
+      // holt/acf fold-and-window shapes (rule (c)); shortest_path and
+      // mulaw share the supportEdges/codec scans already timed.
+      "q_agg_kendall_tau", "q_ts_mann_kendall", "q_text_bleu",
+      "q_text_bm25")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

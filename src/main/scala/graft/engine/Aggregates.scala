@@ -475,6 +475,34 @@ object Aggregates {
           .as("hedges_g"))
     },
 
+    // Lognormal fit of order totals per status (μ, σ of the logs; the
+    // geometric mean exp(μ) and the implied lognormal mean
+    // exp(μ + σ²/2)) — heavy-tailed money/latency columns are modeled
+    // lognormal, and the geometric mean is the robust central tendency
+    // the arithmetic mean overstates. Per-row ln cells ε-round to
+    // DECIMAL(18,6) (the r11 coarse-ε recipe) so Σx and Σx² are exact
+    // decimals (squares exact at scale 12); μ/σ²/exp then derive
+    // through identical IEEE trees. One scan, one partial agg.
+    "q_agg_lognormal_fit" -> { (s, d) =>
+      val cells = Tables.orders(s, d)
+        .select(col("o_orderstatus"),
+          eround(log(round(col("o_totalprice") * 100).cast("long")
+            / 100.0), 6).cast("decimal(18,6)").as("x"))
+      val m = cells.groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("sxx"))
+      val mu = col("sx").cast("double") / col("n")
+      val v = (col("sxx").cast("double")
+        - col("sx").cast("double") * col("sx").cast("double")
+          / col("n")) / (col("n") - 1)
+      m.select(col("o_orderstatus"), col("n"),
+        eround(mu, 6).as("mu_log"),
+        eround(sqrt(v), 6).as("sigma_log"),
+        eround(exp(mu), 4).as("gmean"),
+        eround(exp(mu + v / 2), 4).as("mean_lognormal"))
+        .orderBy(col("o_orderstatus"))
+    },
+
     // Two-sample Kolmogorov–Smirnov D between the click and purchase
     // value distributions — the distribution-drift gate a data pipeline
     // runs between cohorts or snapshots. EXACT rational spelling: on
@@ -1256,6 +1284,35 @@ object Aggregates {
         .orderBy(col("column_name"))
     },
 
+    // Tukey-fence outlier profile per event type — the box-plot rule
+    // (lo = Q1 − 1.5·IQR, hi = Q3 + 1.5·IQR) every data-profiling pass
+    // runs before trusting a numeric column. Quartiles come off exact
+    // integer cents (interpolation is IEEE-identical) and ε-round at
+    // 4dp BEFORE the fences derive, so both engines compare rows
+    // against the same fence doubles; the outlier counts are then pure
+    // integers. Two passes over one scan shape: per-type quartiles
+    // (broadcast back), then one filtered count aggregate.
+    "q_profile_tukey" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+      val pct = ev.groupBy(col("event_type"))
+        .agg(eround(percentile(col("c"), lit(0.25)), 4).as("p25"),
+          eround(percentile(col("c"), lit(0.75)), 4).as("p75"))
+        .withColumn("lo",
+          col("p25") - lit(1.5) * (col("p75") - col("p25")))
+        .withColumn("hi",
+          col("p75") + lit(1.5) * (col("p75") - col("p25")))
+      ev.join(broadcast(pct), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          max(col("p25")).as("q1_cents"), max(col("p75")).as("q3_cents"),
+          max(col("lo")).as("lo_fence"), max(col("hi")).as("hi_fence"),
+          sum(when(col("c") < col("lo"), 1L).otherwise(0L)).as("n_low"),
+          sum(when(col("c") > col("hi"), 1L).otherwise(0L)).as("n_high"))
+        .orderBy(col("event_type"))
+    },
+
     // Crosstab reshape (status columns per priority) — the Bulkrax-CSV
     // style wide layout an EPrints->Hyku migration emits.
     "q_pivot" -> { (s, d) =>
@@ -1931,6 +1988,27 @@ object Aggregates {
         | FROM m"""
         .stripMargin.replaceAll("\n", " "),
 
+    // Same 6dp ln cells; exact decimal Σx/Σx²; identical IEEE μ/σ/exp
+    // trees.
+    "q_agg_lognormal_fit" ->
+      """WITH cells AS (SELECT o_orderstatus,
+        |   CAST(round(ln(CAST(round(o_totalprice * 100) AS BIGINT)
+        |     / 100.0) + 5e-10, 6) AS DECIMAL(18,6)) AS x FROM orders),
+        | m AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n,
+        |   sum(x) AS sx, sum(x * x) AS sxx FROM cells GROUP BY 1)
+        | SELECT o_orderstatus, n,
+        |  round(CAST(sx AS DOUBLE) / n + 5e-10, 6) AS mu_log,
+        |  round(sqrt((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+        |     * CAST(sx AS DOUBLE) / n) / (n - 1)) + 5e-10, 6)
+        |   AS sigma_log,
+        |  round(exp(CAST(sx AS DOUBLE) / n) + 5e-10, 4) AS gmean,
+        |  round(exp(CAST(sx AS DOUBLE) / n
+        |    + (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+        |       * CAST(sx AS DOUBLE) / n) / (n - 1) / 2) + 5e-10, 4)
+        |   AS mean_lognormal
+        | FROM m ORDER BY o_orderstatus"""
+        .stripMargin.replaceAll("\n", " "),
+
     // Integer ECDF-difference numerator, one float division at the end;
     // every count CAST to BIGINT (sum/window-sum widen to HUGEINT).
     "q_agg_ks_test" ->
@@ -2426,6 +2504,29 @@ object Aggregates {
         | round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) + 5e-10, 4) AS p50_price,
         | round(CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE) + 5e-10, 4) AS p90_price
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Quartiles ε-round at 4dp BEFORE the fences derive so both
+    // engines compare against identical doubles; counts stay BIGINT.
+    "q_profile_tukey" ->
+      """WITH ev AS (SELECT event_type,
+        |   CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        | pct AS (SELECT event_type,
+        |   round(CAST(quantile_cont(c, 0.25) AS DOUBLE) + 5e-10, 4)
+        |     AS p25,
+        |   round(CAST(quantile_cont(c, 0.75) AS DOUBLE) + 5e-10, 4)
+        |     AS p75
+        |  FROM ev GROUP BY event_type),
+        | f AS (SELECT event_type, p25, p75,
+        |   p25 - 1.5 * (p75 - p25) AS lo,
+        |   p75 + 1.5 * (p75 - p25) AS hi FROM pct)
+        | SELECT ev.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  max(p25) AS q1_cents, max(p75) AS q3_cents,
+        |  max(lo) AS lo_fence, max(hi) AS hi_fence,
+        |  CAST(count(*) FILTER (c < lo) AS BIGINT) AS n_low,
+        |  CAST(count(*) FILTER (c > hi) AS BIGINT) AS n_high
+        | FROM ev JOIN f USING (event_type)
+        | GROUP BY ev.event_type ORDER BY ev.event_type"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_agg_histogram" ->

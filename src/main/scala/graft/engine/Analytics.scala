@@ -1330,6 +1330,62 @@ object Analytics {
           .as("z"))
     },
 
+    // Delta-method CI for a RATIO metric (revenue per event, the
+    // ratio-of-sums every experimentation platform reports) between
+    // the even/odd user_id arms — the statistically honest companion
+    // to q_shape_ab_test's proportion z-test: per-user (x, y) pairs
+    // are the randomization unit, so Var(Σx/Σy) ≈ (Sxx − 2R·Sxy +
+    // R²·Syy)/((n−1)·n·ȳ²) (linearization). All moments exact
+    // DECIMAL(38,0) integers (the ttest machinery); the two sqrt calls
+    // are the only libm; the significance verdict compares the ROUNDED
+    // CI bounds so both engines decide the same boundary. One scan →
+    // user grain → 2-row arm frame.
+    "q_shape_ab_ratio" -> { (s, d) =>
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      val user = Tables.events(s, d)
+        .groupBy(pmod(col("user_id"), lit(2)).as("arm"), col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("x"),
+          count(lit(1)).as("y"))
+      val m = user.groupBy(col("arm"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(dec38)).as("sx"),
+          sum(col("y").cast(dec38)).as("sy"),
+          sum(col("x").cast(dec19) * col("x").cast(dec19)).as("sxx"),
+          sum(col("y").cast(dec19) * col("y").cast(dec19)).as("syy"),
+          sum(col("x").cast(dec19) * col("y").cast(dec19)).as("sxy"))
+      def dbl(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        c.cast("double")
+      def varR(p: String): org.apache.spark.sql.Column = {
+        val (n, sx, sy) = (col(s"n$p"), dbl(col(s"sx$p")),
+          dbl(col(s"sy$p")))
+        val r = sx / sy
+        val sXX = dbl(col(s"sxx$p")) - sx * sx / n
+        val sYY = dbl(col(s"syy$p")) - sy * sy / n
+        val sXY = dbl(col(s"sxy$p")) - sx * sy / n
+        (sXX - lit(2.0) * r * sXY + r * r * sYY) / (n - 1) /
+          (n * (sy / n) * (sy / n))
+      }
+      def side(arm: Int, p: String): DataFrame =
+        m.filter(col("arm") === arm).select(col("n").as(s"n$p"),
+          col("sx").as(s"sx$p"), col("sy").as(s"sy$p"),
+          col("sxx").as(s"sxx$p"), col("syy").as(s"syy$p"),
+          col("sxy").as(s"sxy$p"))
+      val ra = dbl(col("sx_a")) / dbl(col("sy_a"))
+      val rb = dbl(col("sx_b")) / dbl(col("sy_b"))
+      val seD = sqrt(varR("_a") + varR("_b"))
+      val lo = eround(ra - rb - lit(1.96) * seD, 6)
+      val hi = eround(ra - rb + lit(1.96) * seD, 6)
+      side(0, "_a").crossJoin(side(1, "_b"))
+        .select(col("n_a"), col("n_b"),
+          eround(ra, 6).as("ratio_a"), eround(rb, 6).as("ratio_b"),
+          eround(ra - rb, 6).as("diff"),
+          eround(seD, 6).as("se_diff"),
+          lo.as("ci_lo"), hi.as("ci_hi"),
+          (lo > 0.0 || hi < 0.0).as("significant"))
+    },
+
     "q_shape_cart_abandonment" -> { (s, d) =>
       val W = org.apache.spark.sql.expressions.Window
       val wU = W.partitionBy(col("user_id"))
@@ -1567,6 +1623,44 @@ object Analytics {
       }
       d4.select(col("node"), col("dist"))
         .orderBy(col("dist"), col("node"))
+    },
+
+    // 2-core decomposition by bounded peeling (5 rounds) — the pruning
+    // that strips pendant chains before cycle/community analysis:
+    // repeatedly drop nodes of degree < 2 together with their edges.
+    // Output = the per-round (nodes, edges) convergence trace; the law
+    // test asserts a 6th round is a fixpoint at this fixture. Each
+    // round is one degree agg + two semi-joins against the surviving
+    // node set — keyed shuffles only — and each round's edge frame is
+    // pinned under its own slot so the 6-frame summary never re-derives
+    // the peel chain (and storage stays capped per slot across bench
+    // reps). At unbounded scale the loop runs to fixpoint with the
+    // same per-round checkpoint cadence (the q_dedup_groups
+    // discipline).
+    "q_graph_kcore" -> { (s, d) =>
+      def degrees(e: DataFrame): DataFrame =
+        e.select(col("u").as("n"))
+          .unionAll(e.select(col("v").as("n")))
+          .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+      val states = (1 to 5).scanLeft(supportEdges(s, d, "kcore")) {
+        (e, k) =>
+          val keep = degrees(e).filter(col("dg") >= 2).select(col("n"))
+          val peeled = e
+            .join(keep.withColumnRenamed("n", "u"), Seq("u"),
+              "left_semi")
+            .join(keep.withColumnRenamed("n", "v"), Seq("v"),
+              "left_semi")
+            .select(col("u"), col("v"))
+            .localCheckpoint()
+          triPinned.put(s"kcore$k:" + d, peeled).foreach(freeCheckpoint)
+          peeled
+      }
+      states.zipWithIndex.map { case (e, k) =>
+        degrees(e).agg(count(lit(1)).as("n_nodes"))
+          .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+          .select(lit(k.toLong).as("round"), col("n_nodes"),
+            col("n_edges"))
+      }.reduce(_.unionAll(_)).orderBy(col("round"))
     },
 
     // Local clustering coefficient — the per-node cohesion score behind
@@ -2402,6 +2496,38 @@ object Analytics {
         .stripMargin.replaceAll("\n", " ")
     },
 
+    // Unrolled 5-round peel replay on the same support graph; node
+    // counts are distinct surviving endpoints per round. Every e/k CTE
+    // is MATERIALIZED: each level is referenced 5× (degrees, the two
+    // semi-join sides, the summary), so inlining would expand the scan
+    // tree 5^6-fold (observed as a file-handle blowup).
+    "q_graph_kcore" -> {
+      def peel(k: Int) =
+        s"""k$k AS MATERIALIZED (SELECT n FROM (SELECT n,
+           |   CAST(count(*) AS BIGINT) AS dg FROM
+           |   (SELECT u AS n FROM e$k UNION ALL SELECT v FROM e$k)
+           |   GROUP BY n) WHERE dg >= 2),
+           | e${k + 1} AS MATERIALIZED (SELECT e$k.u, e$k.v FROM e$k
+           |  JOIN k$k a ON a.n = e$k.u
+           |  JOIN k$k b ON b.n = e$k.v)""".stripMargin
+      val summary = (0 to 5).map(k =>
+        s"""SELECT CAST($k AS BIGINT) AS round,
+           | (SELECT CAST(count(DISTINCT n) AS BIGINT) FROM
+           |  (SELECT u AS n FROM e$k UNION ALL SELECT v FROM e$k))
+           |  AS n_nodes,
+           | (SELECT CAST(count(*) AS BIGINT) FROM e$k) AS n_edges"""
+          .stripMargin).mkString(" UNION ALL ")
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+         |  FROM lineitem),
+         | e0 AS MATERIALIZED (SELECT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |   AND a.l_partkey < b.l_partkey
+         |  GROUP BY u, v HAVING count(*) >= 2),
+         | ${peel(0)}, ${peel(1)}, ${peel(2)}, ${peel(3)}, ${peel(4)}
+         | SELECT * FROM ($summary) ORDER BY round"""
+        .stripMargin.replaceAll("\n", " ")
+    },
+
     // Integer month-ordinal key; YoY join on mk−12; window sum widens to
     // HUGEINT, cast back before the /100.0.
     "q_shape_yoy_growth" ->
@@ -2581,6 +2707,53 @@ object Analytics {
         |    * (1.0 - CAST(c_a + c_b AS DOUBLE) / (n_a + n_b))
         |    * (1.0 / n_a + 1.0 / n_b)) + 5e-10, 6) AS z
         | FROM o""".stripMargin.replaceAll("\n", " "),
+
+    // Same exact integer moments; the delta-method variance spelled
+    // with the identical operator grouping as the Spark tree; verdict
+    // compares the rounded CI bounds.
+    "q_shape_ab_ratio" -> {
+      def vR(p: String) = {
+        val n = s"n$p"
+        val sx = s"CAST(sx$p AS DOUBLE)"
+        val sy = s"CAST(sy$p AS DOUBLE)"
+        val r = s"($sx / $sy)"
+        s"""((CAST(sxx$p AS DOUBLE) - $sx * $sx / $n)
+           | - 2.0 * $r * (CAST(sxy$p AS DOUBLE) - $sx * $sy / $n)
+           | + $r * $r * (CAST(syy$p AS DOUBLE) - $sy * $sy / $n))
+           | / ($n - 1) / ($n * ($sy / $n) * ($sy / $n))""".stripMargin
+      }
+      def arm(v: Int, p: String) =
+        s"""(SELECT n AS n$p, sx AS sx$p, sy AS sy$p, sxx AS sxx$p,
+           | syy AS syy$p, sxy AS sxy$p FROM m WHERE arm = $v)"""
+          .stripMargin
+      s"""WITH u AS (SELECT user_id % 2 AS arm, user_id,
+         |   CAST(sum(CASE WHEN event_type = 'purchase'
+         |     THEN CAST(round(value * 100) AS BIGINT)
+         |     ELSE 0 END) AS BIGINT) AS x,
+         |   CAST(count(*) AS BIGINT) AS y
+         |  FROM events GROUP BY arm, user_id),
+         | m AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+         |   sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+         |   sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+         |  FROM u GROUP BY arm),
+         | j AS (SELECT * FROM ${arm(0, "_a")}, ${arm(1, "_b")}),
+         | f AS (SELECT n_a, n_b,
+         |   CAST(sx_a AS DOUBLE) / CAST(sy_a AS DOUBLE) AS ra,
+         |   CAST(sx_b AS DOUBLE) / CAST(sy_b AS DOUBLE) AS rb,
+         |   sqrt(${vR("_a")} + ${vR("_b")}) AS sed FROM j),
+         | g AS (SELECT n_a, n_b, ra, rb, sed,
+         |   round(ra - rb - 1.96 * sed + 5e-10, 6) AS lo,
+         |   round(ra - rb + 1.96 * sed + 5e-10, 6) AS hi FROM f)
+         | SELECT n_a, n_b,
+         |  round(ra + 5e-10, 6) AS ratio_a,
+         |  round(rb + 5e-10, 6) AS ratio_b,
+         |  round(ra - rb + 5e-10, 6) AS diff,
+         |  round(sed + 5e-10, 6) AS se_diff,
+         |  lo AS ci_lo, hi AS ci_hi,
+         |  (lo > 0.0 OR hi < 0.0) AS significant
+         | FROM g"""
+        .stripMargin.replaceAll("\n", " ")
+    },
 
     "q_shape_cart_abandonment" ->
       """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
