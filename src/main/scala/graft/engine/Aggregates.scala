@@ -1284,6 +1284,31 @@ object Aggregates {
         .orderBy(col("column_name"))
     },
 
+    // Hill tail-index estimator over the top-100 order totals — the
+    // power-law exponent of the revenue tail, the numeric-column twin
+    // of q_text_zipf_fit (and the quantitative backing for the Pareto/
+    // Lorenz rows): α̂ = (k−1)/Σ ln(x_i/x_k) over the k largest values
+    // under a deterministic (cents DESC, orderkey) rank. Rows equal to
+    // the threshold contribute ln(1) = 0, so the sum over all k rows
+    // IS the Σ_{i<k} of the estimator. ln cells ε-round to
+    // DECIMAL(18,6) (r11 recipe); the global top-k plans as
+    // TakeOrderedAndProject — no full sort at any scale.
+    "q_agg_hill_tail" -> { (s, d) =>
+      val top = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("c"))
+        .orderBy(desc("c"), asc("o_orderkey")).limit(100)
+      val xk = top.agg(min(col("c")).as("ck"))
+      top.crossJoin(broadcast(xk))
+        .select(col("ck"),
+          eround(log(col("c").cast("double") / col("ck")), 6)
+            .cast("decimal(18,6)").as("lc"))
+        .groupBy(col("ck"))
+        .agg(sum(col("lc")).as("ssum"))
+        .select(lit(100L).as("k"), (col("ck") / 100.0).as("x_min"),
+          eround(lit(99.0) / col("ssum").cast("double"), 6).as("alpha"))
+    },
+
     // Tukey-fence outlier profile per event type — the box-plot rule
     // (lo = Q1 − 1.5·IQR, hi = Q3 + 1.5·IQR) every data-profiling pass
     // runs before trusting a numeric column. Quartiles come off exact
@@ -2504,6 +2529,21 @@ object Aggregates {
         | round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) + 5e-10, 4) AS p50_price,
         | round(CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE) + 5e-10, 4) AS p90_price
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same deterministic top-100, zero-contributing threshold rows,
+    // 6dp decimal ln cells.
+    "q_agg_hill_tail" ->
+      """WITH top AS (SELECT o_orderkey,
+        |   CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        |  FROM orders ORDER BY c DESC, o_orderkey LIMIT 100),
+        | xk AS (SELECT CAST(min(c) AS BIGINT) AS ck FROM top),
+        | cells AS (SELECT ck,
+        |   CAST(round(ln(CAST(c AS DOUBLE) / ck) + 5e-10, 6)
+        |    AS DECIMAL(18,6)) AS lc FROM top, xk)
+        | SELECT CAST(100 AS BIGINT) AS k, ck / 100.0 AS x_min,
+        |  round(99.0 / CAST(sum(lc) AS DOUBLE) + 5e-10, 6) AS alpha
+        | FROM cells GROUP BY ck"""
         .stripMargin.replaceAll("\n", " "),
 
     // Quartiles ε-round at 4dp BEFORE the fences derive so both

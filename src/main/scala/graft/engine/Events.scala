@@ -1521,6 +1521,54 @@ object Events {
         .orderBy(col("event_type"), col("lag"))
     },
 
+    // Single-frequency DFT power (Goertzel-style) at periods 24/12/8/6
+    // hours — the SPECTRAL seasonality test beside q_ts_diurnal's
+    // profile and q_ts_decompose's components: variance fraction
+    // explained by each frequency, 2(A²+B²)/(n·Σdev²) by Parseval.
+    // ZERO runtime libm: all four periods divide 24, so ONE 24-entry
+    // cos/sin literal table (constant-folded, the r11 recipe) serves
+    // them via index (t mod 24)·(24/P) mod 24. dev = n·x − Σx stays
+    // the exact acf integer; each dev·cos cell ε-rounds at 4dp to
+    // DECIMAL(28,4) (relative 1e-9 at cell scale) so A and B are exact
+    // order-free decimal sums. Frame = the dense calendar-bounded grid.
+    "q_ts_dft_power" -> { (s, d) =>
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val hourly = hourlySeries(s, d, "dft")
+      val grid = hourly.groupBy(col("event_type"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val dense = grid.join(hourly, Seq("event_type", "h"), "left")
+        .na.fill(0L, Seq("x"))
+      val st = dense.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("x")).cast(dec).as("sx"))
+      val devs = dense.join(broadcast(st), Seq("event_type"))
+        .withColumn("dev", col("n") * col("x").cast(dec) - col("sx"))
+      val cosA = array(Fx.cos24.map(x => lit(x.toDouble)): _*)
+      val sinA = array(Fx.sin24.map(x => lit(x.toDouble)): _*)
+      val idx = (pmod(pmod(expr("unix_micros(h) DIV 3600000000"),
+        lit(24)) * col("m"), lit(24)) + 1).cast("int")
+      val cells = devs
+        .select(col("event_type"), col("h"), col("n"), col("dev"),
+          explode(array((1 to 4).map(lit): _*)).as("m"))
+        .withColumn("ca", eround(col("dev").cast("double")
+          * element_at(cosA, idx), 4).cast("decimal(28,4)"))
+        .withColumn("sa", eround(col("dev").cast("double")
+          * element_at(sinA, idx), 4).cast("decimal(28,4)"))
+      cells.groupBy(col("event_type"), col("m"))
+        .agg(max(col("n")).cast("long").as("n_hours"),
+          sum(col("ca")).as("a"), sum(col("sa")).as("b"),
+          sum(col("dev") * col("dev")).as("dd"))
+        .select(col("event_type"), expr("24 DIV m").as("period"),
+          col("n_hours"),
+          eround((col("a").cast("double") * col("a").cast("double")
+            + col("b").cast("double") * col("b").cast("double"))
+            * 2.0 / (col("n_hours") * col("dd").cast("double")), 6)
+            .as("power_frac"))
+        .orderBy(col("event_type"), desc("period"))
+    },
+
     // Cross-correlation between every event-type pair's hourly count
     // series at lags −3..+3 — the lead-lag discovery probe (do errors
     // precede purchase dips? which signal leads?): r_k = corr(x_t,
@@ -2511,6 +2559,45 @@ object Events {
          | SELECT * FROM ($branches) ORDER BY event_type, "lag""""
         .stripMargin.replaceAll("\n", " ")
     },
+
+    // Same dense grid and exact integer devs; the shared 24-entry trig
+    // VALUES table replaces runtime cos/sin; 4dp decimal cells.
+    "q_ts_dft_power" ->
+      s"""WITH hourly AS (SELECT event_type,
+         |   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         |   CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+         | bounds AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+         |  FROM hourly GROUP BY 1),
+         | grid AS (SELECT event_type,
+         |   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+         |  FROM bounds),
+         | dense AS (SELECT g.event_type, g.h, COALESCE(hl.x, 0) AS x
+         |  FROM grid g LEFT JOIN hourly hl
+         |   ON g.event_type = hl.event_type AND g.h = hl.h),
+         | st AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         |   CAST(sum(x) AS HUGEINT) AS sx FROM dense GROUP BY 1),
+         | devs AS (SELECT d.event_type, d.h, st.n,
+         |   st.n * d.x - st.sx AS dev
+         |  FROM dense d JOIN st USING (event_type)),
+         | tg(k, c, sn) AS (VALUES ${Fx.oTrig24}),
+         | pm(m) AS (VALUES (1), (2), (3), (4)),
+         | cells AS (SELECT d.event_type, pm.m, d.n, d.dev,
+         |   CAST(round(CAST(d.dev AS DOUBLE) * tg.c + 5e-10, 4)
+         |    AS DECIMAL(28,4)) AS ca,
+         |   CAST(round(CAST(d.dev AS DOUBLE) * tg.sn + 5e-10, 4)
+         |    AS DECIMAL(28,4)) AS sa
+         |  FROM devs d, pm, tg
+         |  WHERE tg.k = ((epoch(d.h)::BIGINT // 3600 % 24) * pm.m) % 24),
+         | ag AS (SELECT event_type, m,
+         |   CAST(max(n) AS BIGINT) AS n_hours,
+         |   sum(ca) AS a, sum(sa) AS b, sum(dev * dev) AS dd
+         |  FROM cells GROUP BY 1, 2)
+         | SELECT event_type, CAST(24 // m AS BIGINT) AS period, n_hours,
+         |  round((CAST(a AS DOUBLE) * CAST(a AS DOUBLE)
+         |    + CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) * 2.0
+         |   / (n_hours * CAST(dd AS DOUBLE)) + 5e-10, 6) AS power_frac
+         | FROM ag ORDER BY event_type, period DESC"""
+        .stripMargin.replaceAll("\n", " "),
 
     // Mirrors the dense grids, the shifted-hour equi-join, and the
     // /√dx/√dy division order; state HUGEINT.

@@ -279,6 +279,66 @@ object Multimodal {
     }
   }
 
+  /** TGA type-11 (run-length-encoded 8-bit grayscale) codec — the
+    * simplest REAL RLE image format (public spec: Truevision TGA 2.0).
+    * Header is the standard 18 bytes (type 11, top-left origin via
+    * descriptor 0x20); RLE packets are (0x80|run−1, value) and, per
+    * spec, never cross scanlines. Deterministic integer byte math, so
+    * the compressed SIZE is an exact function of the block equality
+    * pattern and SQL-oracle-replayable — the repo's first codec whose
+    * COMPRESSION (not just decode) is oracle-gated.
+    */
+  object Tga {
+    def encode(w: Int, h: Int, px: Array[Int]): Array[Byte] = {
+      val out = new scala.collection.mutable.ArrayBuffer[Byte](64)
+      out ++= Array[Byte](0, 0, 11, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+      out += (w & 0xff).toByte; out += ((w >> 8) & 0xff).toByte
+      out += (h & 0xff).toByte; out += ((h >> 8) & 0xff).toByte
+      out += 8; out += 0x20.toByte
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v = px(y * w + x)
+          var run = 1
+          while (x + run < w && px(y * w + x + run) == v && run < 128)
+            run += 1
+          out += (0x80 | (run - 1)).toByte
+          out += v.toByte
+          x += run
+        }
+        y += 1
+      }
+      out.toArray
+    }
+
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+      require((bytes(2) & 0xff) == 11, "not an RLE grayscale TGA")
+      val w = (bytes(12) & 0xff) | ((bytes(13) & 0xff) << 8)
+      val h = (bytes(14) & 0xff) | ((bytes(15) & 0xff) << 8)
+      val px = new Array[Int](w * h)
+      var i = 18
+      var p = 0
+      while (p < w * h) {
+        val hdr = bytes(i) & 0xff
+        val run = (hdr & 0x7f) + 1
+        if ((hdr & 0x80) != 0) {
+          val v = bytes(i + 1) & 0xff
+          var k = 0
+          while (k < run) { px(p) = v; p += 1; k += 1 }
+          i += 2
+        } else {
+          var k = 0
+          while (k < run) {
+            px(p) = bytes(i + 1 + k) & 0xff; p += 1; k += 1
+          }
+          i += 1 + run
+        }
+      }
+      (w, h, px)
+    }
+  }
+
   /** REAL compressed-audio codec: IMA ADPCM (DVI4), the standard 4:1
     * 16-bit→4-bit adaptive-delta compression (public spec: IMA Digital
     * Audio Focus Group, also RFC 3551 DVI4). Frame layout here is the
@@ -794,6 +854,44 @@ object Multimodal {
         .orderBy(col("doc_id"))
     },
 
+    // REAL RLE-image path: the 8×8 4-block grayscale plane through the
+    // genuine TGA type-11 codec — encode, decode, verify. Because RLE
+    // size is a pure integer function of the block equality pattern
+    // (rows inside a block pair cost 2 bytes when the two blocks
+    // match, 4 when they differ), the COMPRESSED byte count itself is
+    // oracle-gated, not just the decoded stats — the only codec row
+    // where the compression ratio is hash-checked.
+    "q_multimodal_tga" -> { (s, d) =>
+      val frame = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("w", IntegerType),
+        StructField("h", IntegerType),
+        StructField("tga_bytes", IntegerType),
+        StructField("px_sum", IntegerType),
+        StructField("mean_px", DoubleType),
+        StructField("roundtrip_ok", BooleanType)))
+      frame.mapPartitions { rows =>
+        rows.map { r =>
+          val text = r.getString(1)
+          def v(i: Int): Int = text.charAt(i % text.length) & 0x7f
+          val px = Array.tabulate(64) { p =>
+            val (y, x) = (p / 8, p % 8)
+            v(2 * (y / 4) + (x / 4))
+          }
+          val enc = Tga.encode(8, 8, px)
+          val (w, h, back) = Tga.decode(enc)
+          Row(r.getLong(0), w, h, enc.length, back.sum,
+            back.sum / 64.0, java.util.Arrays.equals(back, px))
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+        .select(col("doc_id"), col("w"), col("h"), col("tga_bytes"),
+          col("px_sum"),
+          round(col("mean_px") + lit(5e-10), 4).as("mean_px"),
+          col("roundtrip_ok"))
+        .orderBy(col("doc_id"))
+    },
+
     // REAL PNG path: the same synthesized 8x4 pixel plane as
     // q_multimodal_ppm, but round-tripped through the genuine PNG codec —
     // zlib deflate/inflate, CRC-verified chunk framing, and
@@ -988,6 +1086,24 @@ object Multimodal {
         |  round(sqrt(avg(CAST(v AS DOUBLE) * v)) + 5e-10, 4) AS rms,
         |  CAST(max(abs(v)) AS INT) AS peak
         | FROM sm GROUP BY doc_id ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // RLE byte math replayed: rows of a block pair cost 2 bytes when
+    // the blocks match, 4 when they differ; 18-byte header.
+    "q_multimodal_tga" ->
+      """WITH v AS (SELECT doc_id,
+        |  ascii(substring(text, (0 % length(text)) + 1, 1)) % 128 AS v0,
+        |  ascii(substring(text, (1 % length(text)) + 1, 1)) % 128 AS v1,
+        |  ascii(substring(text, (2 % length(text)) + 1, 1)) % 128 AS v2,
+        |  ascii(substring(text, (3 % length(text)) + 1, 1)) % 128 AS v3
+        | FROM documents)
+        | SELECT doc_id, 8 AS w, 8 AS h,
+        |  18 + 4 * (CASE WHEN v0 = v1 THEN 2 ELSE 4 END)
+        |     + 4 * (CASE WHEN v2 = v3 THEN 2 ELSE 4 END) AS tga_bytes,
+        |  16 * (v0 + v1 + v2 + v3) AS px_sum,
+        |  round(16 * (v0 + v1 + v2 + v3) / 64.0 + 5e-10, 4) AS mean_px,
+        |  TRUE AS roundtrip_ok
+        | FROM v ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
 
     // Full integer replay of the G.711 µ-law round-trip: bias, segment

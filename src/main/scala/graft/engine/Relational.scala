@@ -390,6 +390,48 @@ object Relational {
         .orderBy(col("o1.o_orderkey"))
     },
 
+    // Point-in-polygon containment join (geofencing): classify event
+    // points against a broadcast 5-edge polygon by the crossing-number
+    // rule, spelled in EXACT INTEGER arithmetic — the ray test
+    // (px−x1)·dy <vs> (py−y1)·dx cross-multiplies instead of dividing,
+    // with the comparison direction following sign(dy) — so both
+    // engines agree bit-for-bit including boundary points. The polygon
+    // is a 5-row literal (real systems broadcast the fence table); the
+    // per-point work is a 5-way explode + parity — map-side only, one
+    // final rollup. Complements q_fn_geo's haversine distance.
+    "q_join_point_in_polygon" -> { (s, d) =>
+      val poly = Seq(
+        (200L, 100L, 1800L, 200L), (1800L, 200L, 1600L, 800L),
+        (1600L, 800L, 900L, 950L), (900L, 950L, 300L, 700L),
+        (300L, 700L, 200L, 100L))
+      val edges = array(poly.map { case (a, b, c, e) =>
+        struct(lit(a).as("x1"), lit(b).as("y1"),
+          lit(c).as("x2"), lit(e).as("y2"))
+      }: _*)
+      val pts = Tables.events(s, d).select(col("event_type"),
+        col("event_id"),
+        pmod(round(col("value") * 100).cast("long"), lit(2000L))
+          .as("px"),
+        pmod(col("event_id"), lit(1000L)).as("py"))
+      val dy = col("e.y2") - col("e.y1")
+      val lhs = (col("px") - col("e.x1")) * dy
+      val rhs = (col("py") - col("e.y1")) * (col("e.x2") - col("e.x1"))
+      val crosses = when(
+        (col("e.y1") > col("py")) =!= (col("e.y2") > col("py")),
+        when(dy > 0, (lhs < rhs).cast("long"))
+          .otherwise((lhs > rhs).cast("long"))).otherwise(0L)
+      pts.select(col("event_type"), col("event_id"), col("px"),
+          col("py"), explode(edges).as("e"))
+        .groupBy(col("event_type"), col("event_id"))
+        .agg(sum(crosses).as("nc"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_points"),
+          sum(pmod(col("nc"), lit(2L))).as("n_inside"))
+        .select(col("event_type"), col("n_points"), col("n_inside"),
+          eround(col("n_inside") / col("n_points"), 6).as("share"))
+        .orderBy(col("event_type"))
+    },
+
     // Fuzzy reconciliation join (metadata cleanup shape): match suppliers
     // to customers whose normalized name differs by edit distance <= 1.
     // Blocking via deletion neighborhoods (FastSS): two strings with
@@ -1121,6 +1163,33 @@ object Relational {
         |  AND o2.o_orderdate < o1.o_orderdate + INTERVAL 30 DAY
         |  AND o2.o_orderkey <> o1.o_orderkey
         | GROUP BY o1.o_orderkey ORDER BY o1.o_orderkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same integer crossing-number test (cross-multiplied, direction
+    // follows sign(dy)) against the identical 5-edge VALUES polygon.
+    "q_join_point_in_polygon" ->
+      """WITH pts AS (SELECT event_type, event_id,
+        |   CAST(round(value * 100) AS BIGINT) % 2000 AS px,
+        |   event_id % 1000 AS py FROM events),
+        | pe(x1, y1, x2, y2) AS (VALUES
+        |  (200, 100, 1800, 200), (1800, 200, 1600, 800),
+        |  (1600, 800, 900, 950), (900, 950, 300, 700),
+        |  (300, 700, 200, 100)),
+        | cr AS (SELECT event_type, event_id,
+        |   CAST(sum(CASE WHEN (y1 > py) <> (y2 > py) THEN
+        |     CASE WHEN y2 - y1 > 0 THEN
+        |       CASE WHEN (px - x1) * (y2 - y1)
+        |         < (py - y1) * (x2 - x1) THEN 1 ELSE 0 END
+        |      ELSE
+        |       CASE WHEN (px - x1) * (y2 - y1)
+        |         > (py - y1) * (x2 - x1) THEN 1 ELSE 0 END
+        |     END ELSE 0 END) AS BIGINT) AS nc
+        |  FROM pts, pe GROUP BY 1, 2)
+        | SELECT event_type, CAST(count(*) AS BIGINT) AS n_points,
+        |  CAST(sum(nc % 2) AS BIGINT) AS n_inside,
+        |  round(CAST(sum(nc % 2) AS BIGINT)
+        |    / CAST(count(*) AS BIGINT) + 5e-10, 6) AS share
+        | FROM cr GROUP BY event_type ORDER BY event_type"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_join_fuzzy" ->

@@ -136,6 +136,39 @@ object Fx {
       s"WHEN ${i + 1} THEN CAST($p AS DOUBLE)"
     }.mkString(s"CASE $digit ", " ", " END")
 
+  /** cos/sin(2πk/24) for k = 0..23 as shortest-repr double literals —
+    * the one trig table behind q_ts_dft_power's four divisor periods
+    * (24/12/8/6h share it via index (t mod 24)·(24/P) mod 24). Same
+    * constant-fold rationale as [[benfordP]]: no engine computes trig
+    * at runtime, so cells are pure IEEE arithmetic. */
+  val cos24: Seq[String] = Seq(
+    "1.0", "0.9659258262890683", "0.8660254037844387",
+    "0.7071067811865476", "0.5000000000000001", "0.25881904510252074",
+    "6.123233995736766E-17", "-0.25881904510252063",
+    "-0.4999999999999998", "-0.7071067811865475", "-0.8660254037844387",
+    "-0.9659258262890682", "-1.0", "-0.9659258262890683",
+    "-0.8660254037844388", "-0.7071067811865479", "-0.5000000000000004",
+    "-0.25881904510252063", "-1.8369701987210297E-16",
+    "0.2588190451025203", "0.5000000000000001", "0.7071067811865474",
+    "0.8660254037844384", "0.9659258262890681")
+  val sin24: Seq[String] = Seq(
+    "0.0", "0.25881904510252074", "0.49999999999999994",
+    "0.7071067811865475", "0.8660254037844386", "0.9659258262890683",
+    "1.0", "0.9659258262890683", "0.8660254037844387",
+    "0.7071067811865476", "0.49999999999999994", "0.258819045102521",
+    "1.2246467991473532E-16", "-0.2588190451025208",
+    "-0.4999999999999997", "-0.7071067811865471", "-0.8660254037844384",
+    "-0.9659258262890683", "-1.0", "-0.9659258262890684",
+    "-0.8660254037844386", "-0.7071067811865477", "-0.5000000000000004",
+    "-0.25881904510252157")
+
+  /** Oracle-side twin of [[cos24]]/[[sin24]]: a 24-row VALUES CTE
+    * fragment `(k, c, sn)`. */
+  def oTrig24: String =
+    (0 until 24).map(k =>
+      s"($k, CAST(${cos24(k)} AS DOUBLE), CAST(${sin24(k)} AS DOUBLE))")
+      .mkString(", ")
+
   /** Oracle-side twins (DuckDB SQL fragments). */
   def oSum(x: String, scale: Int = 2): String =
     s"CAST(sum(CAST($x AS DECIMAL(18,$scale))) AS DOUBLE)"

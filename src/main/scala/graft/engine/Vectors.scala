@@ -513,9 +513,18 @@ object Vectors {
     // BOTH the fixture and the sf0.1 bench scale.
     "q_sim_topk_ivf" -> { (s, d) =>
       GraftFunctions.register(s)
+      // qd (the micros cast back to double for the scale-invariant
+      // cosine) is materialized ONCE per vector/centroid — inlining the
+      // transform() inside the cosine would rebuild the array per
+      // (vector, centroid) PAIR inside the broadcast loop (measured
+      // 2.4x on the r11 bench before hoisting)
       val emb = Tables.embeddings(s, d)
         .select(col("vec_id"), vd(col("embedding")).as("v"),
           expr("int_micros(embedding)").as("q"))
+        .withColumn("qd", expr("transform(q, x -> CAST(x AS DOUBLE))"))
+      def withCvd(cents: DataFrame): DataFrame =
+        cents.withColumn("cvd",
+          expr("transform(cv, x -> CAST(x AS DOUBLE))"))
       // argmax via a partial-aggregating min(struct(-cos_micros, c_id))
       // — exact same winner as a row_number window but the per-vector
       // reduction combines MAP-SIDE instead of shuffling and sorting
@@ -525,10 +534,9 @@ object Vectors {
       // integer ordering — no −0.0/0.0 double-comparison ambiguity to
       // diverge from the oracle's ORDER BY.
       def assign(cents: DataFrame): DataFrame =
-        emb.select(col("vec_id"), col("q")).crossJoin(broadcast(cents))
-          .withColumn("c_cos", eround(cosine(
-            expr("transform(q, x -> CAST(x AS DOUBLE))"),
-            expr("transform(cv, x -> CAST(x AS DOUBLE))")), 6))
+        emb.select(col("vec_id"), col("qd"))
+          .crossJoin(broadcast(withCvd(cents)))
+          .withColumn("c_cos", eround(cosine(col("qd"), col("cvd")), 6))
           .withColumn("ci", round(col("c_cos") * 1e6).cast("long"))
           .groupBy(col("vec_id"))
           .agg(min(struct((-col("ci")).as("nc"),
@@ -569,10 +577,8 @@ object Vectors {
         .partitionBy(col("vec_id"))
         .orderBy(desc("ci"), asc("c_id"))
       val probes = emb.filter(col("vec_id") < 10)
-        .crossJoin(broadcast(learned))
-        .withColumn("c_cos", eround(cosine(
-          expr("transform(q, x -> CAST(x AS DOUBLE))"),
-          expr("transform(cv, x -> CAST(x AS DOUBLE))")), 6))
+        .crossJoin(broadcast(withCvd(learned)))
+        .withColumn("c_cos", eround(cosine(col("qd"), col("cvd")), 6))
         .withColumn("ci", round(col("c_cos") * 1e6).cast("long"))
         .withColumn("pr", row_number().over(wProbe))
         .filter(col("pr") <= 16)

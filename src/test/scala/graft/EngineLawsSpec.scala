@@ -4735,6 +4735,113 @@ class EngineLawsSpec extends SparkSuite {
       (r.getDouble(6) > 0.0 || r.getDouble(7) < 0.0))
   }
 
+  test("q_agg_hill_tail replays the estimator; alpha positive") {
+    val Array(r) = SparkEntry.queries("q_agg_hill_tail")(spark, sf)
+      .collect()
+    val top = Tables.orders(spark, sf)
+      .select(col("o_orderkey"),
+        round(col("o_totalprice") * 100).cast("long").as("c"))
+      .collect().map(x => (x.getLong(1), x.getLong(0)))
+      .sortBy { case (c, k) => (-c, k) }.take(100).map(_._1)
+    val ck = top.min
+    val ssum = top.map(c => BigDecimal(math.log(c.toDouble / ck) + 5e-10)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP)).sum
+    def r6(x: Double) = math.rint((x + 5e-10) * 1e6) / 1e6
+    assert(r.getLong(0) === 100L)
+    assert(r.getDouble(1) === ck / 100.0)
+    assert(r.getDouble(2) === r6(99.0 / ssum.toDouble), "alpha replay")
+    assert(r.getDouble(2) > 0.0)
+  }
+
+  test("q_ts_dft_power replays the literal-table cells; fracs bounded") {
+    val out = SparkEntry.queries("q_ts_dft_power")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0 + 1e-6,
+        s"power fraction in [0,1] for ${r.getString(0)} @${r.getLong(1)}")
+    }
+    // driver replay for one type at period 24
+    val cosT = Fx.cos24.map(_.toDouble)
+    val sinT = Fx.sin24.map(_.toDouble)
+    val hours = Tables.events(spark, sf)
+      .filter(col("event_type") === "click")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(x => (x.getTimestamp(0).getTime / 3600000,
+        x.getLong(1))).sortBy(_._1)
+    val (h0, h1) = (hours.head._1, hours.last._1)
+    val byH = hours.toMap
+    val dense = (h0 to h1).map(t => (t, byH.getOrElse(t, 0L)))
+    val n = dense.length.toLong
+    val sx = dense.map(_._2).sum
+    val devs = dense.map { case (t, x) => (t, n * x - sx) }
+    def c6(x: Double) = BigDecimal(x + 5e-10)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    val a = devs.map { case (t, dv) =>
+      c6(dv.toDouble * cosT(((t % 24)).toInt)) }.sum
+    val b = devs.map { case (t, dv) =>
+      c6(dv.toDouble * sinT(((t % 24)).toInt)) }.sum
+    val dd = devs.map(d => BigInt(d._2) * BigInt(d._2)).sum.toDouble
+    def r6(x: Double) = math.rint((x + 5e-10) * 1e6) / 1e6
+    val expect = r6((a.toDouble * a.toDouble + b.toDouble * b.toDouble)
+      * 2.0 / (n * dd))
+    val got = out.find(r => r.getString(0) == "click"
+      && r.getLong(1) == 24L).get
+    assert(got.getDouble(3) === expect, "period-24 replay for click")
+  }
+
+  test("q_join_point_in_polygon matches a driver-side crossing count") {
+    val poly = Seq(
+      (200L, 100L, 1800L, 200L), (1800L, 200L, 1600L, 800L),
+      (1600L, 800L, 900L, 950L), (900L, 950L, 300L, 700L),
+      (300L, 700L, 200L, 100L))
+    def inside(px: Long, py: Long): Boolean = {
+      var nc = 0
+      poly.foreach { case (x1, y1, x2, y2) =>
+        if ((y1 > py) != (y2 > py)) {
+          val (lhs, rhs) = ((px - x1) * (y2 - y1), (py - y1) * (x2 - x1))
+          if (if (y2 - y1 > 0) lhs < rhs else lhs > rhs) nc += 1
+        }
+      }
+      nc % 2 == 1
+    }
+    val pts = Tables.events(spark, sf)
+      .select(col("event_type"),
+        pmod(round(col("value") * 100).cast("long"), lit(2000L)),
+        pmod(col("event_id"), lit(1000L)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = pts.groupBy(_._1).view.mapValues(g =>
+      (g.length.toLong, g.count(p => inside(p._2, p._3)).toLong)).toMap
+    val out = SparkEntry.queries("q_join_point_in_polygon")(spark, sf)
+      .collect()
+    out.foreach { r =>
+      val (n, in) = expect(r.getString(0))
+      assert(r.getLong(1) === n)
+      assert(r.getLong(2) === in, s"inside count for ${r.getString(0)}")
+    }
+    assert(out.map(_.getLong(2)).sum > 0, "polygon contains some points")
+  }
+
+  test("TGA codec: round-trips arbitrary planes, 128-run cap, literals") {
+    import graft.engine.Multimodal.Tga
+    // deterministic pseudo-random plane
+    val px = Array.tabulate(16 * 16)(i => (i * 2654435761L >>> 24).toInt
+      & 0xff)
+    val (w1, h1, back1) = Tga.decode(Tga.encode(16, 16, px))
+    assert((w1, h1) === ((16, 16)))
+    assert(back1.toSeq === px.toSeq)
+    // constant 300-wide row exercises the 128-run packet cap
+    val wide = Array.fill(300)(77)
+    val (_, _, back2) = Tga.decode(Tga.encode(300, 1, wide))
+    assert(back2.toSeq === wide.toSeq)
+    // hand-built literal (non-RLE) packet decodes too
+    val lit3 = Array[Byte](0, 0, 11, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+      3, 0, 1, 0, 8, 0x20,
+      2, 10, 20, 30) // literal packet: run=3, values 10 20 30
+    val (_, _, back3) = Tga.decode(lit3)
+    assert(back3.toSeq === Seq(10, 20, 30))
+  }
+
   test("mu-law codec: exhaustive round-trip bound, sign, idempotence") {
     import graft.engine.Multimodal.Ulaw
     var x = -32768
