@@ -344,7 +344,14 @@ object Bench {
       // holt/acf fold-and-window shapes (rule (c)); shortest_path and
       // mulaw share the supportEdges/codec scans already timed.
       "q_agg_kendall_tau", "q_ts_mann_kendall", "q_text_bleu",
-      "q_text_bm25")
+      "q_text_bm25",
+      // round-11 batch 4: the 5-way polygon explode + parity rollup
+      // over the fact table, and the 5-round iterative peel (a new
+      // iterative shape beside pagerank). hill/tukey/lognormal/
+      // dft_power/ab_ratio share TakeOrdered/percentile/ln-cell/acf/
+      // ttest shapes already timed (rule (c)); tga/mulaw are map-only
+      // codec scans (rule (a)); systematic is dimension-scale.
+      "q_join_point_in_polygon", "q_graph_kcore")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

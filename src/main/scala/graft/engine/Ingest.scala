@@ -265,6 +265,35 @@ object Ingest {
         .orderBy(col("o_orderkey"))
     },
 
+    // CSV schema DRIFT — the merge-schema problem in the format where
+    // it actually bites: generation 2 REORDERS the columns and adds
+    // one, so a positional read of the directory would silently load
+    // prices into the key column. The drift-safe recipe: read each
+    // generation with header-name binding and unionByName with
+    // allowMissingColumns (gen-1 rows take NULL for the new column) —
+    // exactly what a production loader does when upstream teams evolve
+    // an export. Round-trip float parity holds because Spark writes
+    // shortest-repr doubles (CSV text → double is lossless both ways).
+    "q_scan_csv_drift" -> { (s, d) =>
+      val out = tmp("orders_csv_drift", d)
+      val base = Tables.orders(s, d)
+      base.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .coalesce(2).write.mode("overwrite")
+        .option("header", "true").csv(s"$out/gen1")
+      base.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderpriority"), col("o_totalprice"),
+          col("o_orderkey"))
+        .coalesce(2).write.mode("overwrite")
+        .option("header", "true").csv(s"$out/gen2")
+      def gen(p: String) = s.read.option("header", "true")
+        .option("inferSchema", "true").csv(s"$out/$p")
+      gen("gen1").unionByName(gen("gen2"), allowMissingColumns = true)
+        .select(col("o_orderkey").cast("long"),
+          col("o_totalprice").cast("double"), col("o_orderpriority"))
+        .orderBy(col("o_orderkey"))
+    },
+
     // NESTED schema pruning — the scan feature wide nested layouts live
     // and die by at 100 TB: documents re-shaped as the event-log nesting
     // every telemetry pipeline ships (small `meta` struct beside a fat
@@ -879,6 +908,15 @@ object Ingest {
     "q_scan_merge_schema" ->
       """SELECT o_orderkey, o_totalprice,
         | CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END AS o_orderpriority
+        | FROM orders ORDER BY o_orderkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Name-bound union survives the column reorder; gen-1 rows take
+    // NULL for the late column — replayed straight off orders.
+    "q_scan_csv_drift" ->
+      """SELECT o_orderkey, o_totalprice,
+        | CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+        |  AS o_orderpriority
         | FROM orders ORDER BY o_orderkey"""
         .stripMargin.replaceAll("\n", " "),
 

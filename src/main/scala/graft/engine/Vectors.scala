@@ -596,6 +596,60 @@ object Vectors {
         .orderBy(col("probe_id"), col("rnk"))
     },
 
+    // Top principal component by POWER ITERATION on the exact integer
+    // Gram matrix — PCA's first factor at corpus scale with no
+    // linear-algebra library: G = Σ q·qᵀ over the int-micros vectors is
+    // a 64×64 exact-long frame from ONE posexplode self-join (map-side
+    // partial sums — the corpus is touched once, the iteration never
+    // re-reads it); three matvec rounds, with the vector ε-rounded to
+    // 6dp BETWEEN rounds, make the whole walk deterministic and
+    // SQL-replayable; ‖Gv‖ at the last round is the eigenvalue
+    // (‖v‖ = 1), reported per-sample in embedding units. Matvec cells
+    // ride 4dp DECIMAL(28,4) sums (order-free); the rescaled 6dp norm
+    // cells keep the squares inside DECIMAL(38,12). Gram products
+    // overflow int64 past ~2.7e7 vectors — cast g to DECIMAL(38,0) at
+    // that scale (the KS caveat class).
+    "q_vec_pca_power" -> { (s, d) =>
+      GraftFunctions.register(s)
+      val qs = Tables.embeddings(s, d)
+        .select(col("vec_id"), expr("int_micros(embedding)").as("q"))
+      val lng = qs.select(col("vec_id"),
+        posexplode(col("q")).as(Seq("i", "qi")))
+      val gram = Checkpoints.pin("pca:" + d,
+        lng.join(lng.select(col("vec_id"), col("i").as("j"),
+            col("qi").as("qj")), "vec_id")
+          .groupBy(col("i"), col("j"))
+          .agg(sum(col("qi") * col("qj")).as("g"))
+          .localCheckpoint())
+      val nn = qs.agg(count(lit(1)).as("n"))
+      val v0 = s.range(0, 64)
+        .select(col("id").cast("int").as("j"), lit(0.125).as("v"))
+      def matvec(vk: DataFrame): (DataFrame, DataFrame) = {
+        val ws = gram.join(broadcast(vk), "j")
+          .withColumn("cell", eround(col("g").cast("double")
+            * col("v"), 4).cast("decimal(28,4)"))
+          .groupBy(col("i")).agg(sum(col("cell")).as("w"))
+          .withColumn("ws", eround(col("w").cast("double") / 1e12, 6)
+            .cast("decimal(18,6)"))
+        val nrm = ws.agg(
+          sqrt(sum(col("ws") * col("ws")).cast("double")).as("nrm"))
+        (ws, nrm)
+      }
+      val vFinalAndNorm = (1 to 3).foldLeft((v0,
+          v0.limit(0).select(lit(0.0).as("nrm")))) { case ((vk, _), _) =>
+        val (ws, nrm) = matvec(vk)
+        (ws.crossJoin(broadcast(nrm))
+          .select(col("i").as("j"),
+            eround(col("ws").cast("double") / col("nrm"), 6).as("v")),
+          nrm)
+      }
+      val (v3, nrm3) = vFinalAndNorm
+      v3.crossJoin(broadcast(nrm3)).crossJoin(broadcast(nn))
+        .select(col("j").as("dim"), col("v").as("loading"),
+          eround(col("nrm") / col("n"), 6).as("lambda_unit"))
+        .orderBy(col("dim"))
+    },
+
     // Embedding-cosine near-dup pairs, exact + oracle-checked on a bounded
     // corpus (the exact-verification half of embedding dedup, like
     // q_dedup_ngram_jaccard for text; the unbounded scale path is the LSH
@@ -1693,6 +1747,40 @@ object Vectors {
          |   (PARTITION BY probe_id ORDER BY d2, vec_id) AS rnk FROM rr)
          | SELECT probe_id, rnk, vec_id, d2, ad2 FROM top
          | WHERE rnk <= 5 ORDER BY probe_id, rnk"""
+        .stripMargin.replaceAll("\n", " ")
+    },
+
+    // Exact-integer Gram + three unrolled matvec rounds with the same
+    // 4dp/6dp decimal cell grid; MATERIALIZED so the multi-referenced
+    // round CTEs never inline-explode.
+    "q_vec_pca_power" -> {
+      def rnd(k: Int) =
+        s"""w$k AS MATERIALIZED (SELECT g.i,
+           |  sum(CAST(round(CAST(g.g AS DOUBLE) * v.v + 5e-10, 4)
+           |   AS DECIMAL(28,4))) AS w
+           | FROM g JOIN v${k - 1} v ON v.j = g.j GROUP BY g.i),
+           | ws$k AS MATERIALIZED (SELECT i,
+           |  CAST(round(CAST(w AS DOUBLE) / 1e12 + 5e-10, 6)
+           |   AS DECIMAL(18,6)) AS ws FROM w$k),
+           | nr$k AS MATERIALIZED (SELECT
+           |  sqrt(CAST(sum(ws * ws) AS DOUBLE)) AS nrm FROM ws$k),
+           | v$k AS MATERIALIZED (SELECT i AS j,
+           |  round(CAST(ws AS DOUBLE) / nrm + 5e-10, 6) AS v
+           | FROM ws$k, nr$k)""".stripMargin
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+         |   x -> CAST(round(x * 1e6) AS BIGINT)) AS q FROM embeddings),
+         | lng AS MATERIALIZED (SELECT vec_id, i - 1 AS i, q[i] AS qi
+         |  FROM q, LATERAL unnest(generate_series(1, len(q))) u(i)),
+         | g AS MATERIALIZED (SELECT a.i, b.i AS j,
+         |   CAST(sum(a.qi * b.qi) AS BIGINT) AS g
+         |  FROM lng a JOIN lng b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         | nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM q),
+         | v0 AS (SELECT unnest(generate_series(0, 63)) AS j,
+         |   CAST(0.125 AS DOUBLE) AS v),
+         | ${rnd(1)}, ${rnd(2)}, ${rnd(3)}
+         | SELECT v3.j AS dim, v3.v AS loading,
+         |  round(nr3.nrm / nn.n + 5e-10, 6) AS lambda_unit
+         | FROM v3, nr3, nn ORDER BY dim"""
         .stripMargin.replaceAll("\n", " ")
     },
 

@@ -4842,6 +4842,64 @@ class EngineLawsSpec extends SparkSuite {
     assert(back3.toSeq === Seq(10, 20, 30))
   }
 
+  test("q_vec_pca_power replays the iteration; unit norm; dominance") {
+    val out = SparkEntry.queries("q_vec_pca_power")(spark, sf).collect()
+    assert(out.length === 64)
+    val loadings = out.map(r => r.getInt(0) -> r.getDouble(1))
+      .sortBy(_._1).map(_._2)
+    val norm2 = loadings.map(x => x * x).sum
+    assert(math.abs(norm2 - 1.0) < 1e-4, s"unit norm, got $norm2")
+    // driver replay: exact integer gram, same 4dp/6dp rounding walk
+    val vecs = Tables.embeddings(spark, sf)
+      .select(expr("int_micros(embedding)")).collect()
+      .map(_.getSeq[Long](0).toArray)
+    val n = vecs.length
+    val g = Array.ofDim[Long](64, 64)
+    vecs.foreach { q =>
+      for (i <- 0 until 64; j <- 0 until 64) g(i)(j) += q(i) * q(j)
+    }
+    def r(x: Double, sc: Int) = BigDecimal(x + 5e-10)
+      .setScale(sc, BigDecimal.RoundingMode.HALF_UP)
+    var v = Array.fill(64)(0.125)
+    var nrm = 0.0
+    for (_ <- 1 to 3) {
+      val ws = (0 until 64).map { i =>
+        (0 until 64).map(j => r(g(i)(j).toDouble * v(j), 4)).sum
+      }.map(w => r(w.toDouble / 1e12, 6))
+      nrm = math.sqrt(ws.map(x => (x * x).toDouble).sum)
+      v = ws.map(w => math.rint((w.toDouble / nrm + 5e-10) * 1e6) / 1e6)
+        .toArray
+    }
+    loadings.zip(v).zipWithIndex.foreach { case ((got, exp), i) =>
+      assert(got === exp, s"loading @$i")
+    }
+    def r6(x: Double) = math.rint((x + 5e-10) * 1e6) / 1e6
+    assert(out.head.getDouble(2) === r6(nrm / n), "lambda replay")
+    // convergence proximity: the norm estimate and the Rayleigh
+    // quotient of the final vector agree within 10% — loose because
+    // the fixture's random embeddings have a nearly FLAT spectrum
+    // (measured ~5% gap after 3 rounds); a grossly unconverged or
+    // wrong-matrix run lands orders of magnitude away
+    val rq = (0 until 64).map(i => (0 until 64).map(j =>
+      g(i)(j) * v(i) * v(j)).sum).sum / 1e12 / n
+    val lam = out.head.getDouble(2)
+    assert(math.abs(lam - rq) / lam < 0.10,
+      s"lambda $lam vs Rayleigh $rq diverge — iteration unconverged")
+  }
+
+  test("q_scan_csv_drift: name binding survives the reorder") {
+    val out = SparkEntry.queries("q_scan_csv_drift")(spark, sf).collect()
+    val n = Tables.orders(spark, sf).count()
+    assert(out.length.toLong === n)
+    out.foreach { r =>
+      val key = r.getLong(0)
+      // a positional read would have loaded prices into the key column
+      assert(r.getDouble(1) > 0, "price stayed a price")
+      if (key % 2 == 0) assert(r.isNullAt(2), "gen-1 rows take NULL")
+      else assert(!r.isNullAt(2), "gen-2 rows keep the new column")
+    }
+  }
+
   test("mu-law codec: exhaustive round-trip bound, sign, idempotence") {
     import graft.engine.Multimodal.Ulaw
     var x = -32768
