@@ -1284,6 +1284,43 @@ object Aggregates {
         .orderBy(col("column_name"))
     },
 
+    // Mutual information (nats) between event type and hour-of-day,
+    // with H(hour) and the uncertainty coefficient U = MI/H — THE
+    // feature-selection signal chi² approximates: how many bits of the
+    // hour does knowing the type buy. Cell terms p_xy·ln(n·N/(rt·ct))
+    // take ln of a ratio of exact integer products (identical double
+    // arguments) and ε-round to DECIMAL(18,6) before the exact sums
+    // (r11 recipe); U derives from the two ROUNDED sums. One
+    // contingency scan (the q_agg_chi2 shape), bounded 24-col domain.
+    "q_agg_mutual_info" -> { (s, d) =>
+      val obs = Tables.events(s, d)
+        .select(col("event_type").as("x"),
+          hour(col("ts")).cast("long").as("y"))
+        .groupBy(col("x"), col("y")).agg(count(lit(1)).as("nc"))
+      val rt = obs.groupBy(col("x")).agg(sum(col("nc")).as("rx"))
+      val ct = obs.groupBy(col("y")).agg(sum(col("nc")).as("cy"))
+      val nn = obs.agg(sum(col("nc")).as("n"))
+      val cells = obs.join(broadcast(rt), "x").join(broadcast(ct), "y")
+        .crossJoin(broadcast(nn))
+        .withColumn("cell",
+          eround((col("nc").cast("double") / col("n"))
+            * log((col("nc") * col("n")).cast("double")
+              / (col("rx") * col("cy"))), 6).cast("decimal(18,6)"))
+      val mi = cells.agg(count(lit(1)).as("n_cells"),
+        sum(col("cell")).as("mis"))
+      val hy = ct.crossJoin(broadcast(nn))
+        .select(eround(-(col("cy").cast("double") / col("n"))
+          * log(col("cy").cast("double") / col("n")), 6)
+          .cast("decimal(18,6)").as("hc"))
+        .agg(sum(col("hc")).as("hys"))
+      mi.crossJoin(broadcast(hy))
+        .select(col("n_cells"),
+          eround(col("mis").cast("double"), 6).as("mi_nats"),
+          eround(col("hys").cast("double"), 6).as("h_hour"),
+          eround(col("mis").cast("double") / col("hys").cast("double"),
+            6).as("uncertainty_coef"))
+    },
+
     // Hill tail-index estimator over the top-100 order totals — the
     // power-law exponent of the revenue tail, the numeric-column twin
     // of q_text_zipf_fit (and the quantitative backing for the Pareto/
@@ -2529,6 +2566,35 @@ object Aggregates {
         | round(CAST(quantile_cont(l_extendedprice, 0.5) AS DOUBLE) + 5e-10, 4) AS p50_price,
         | round(CAST(quantile_cont(l_extendedprice, 0.9) AS DOUBLE) + 5e-10, 4) AS p90_price
         | FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same contingency frame; ln of integer-product ratios; 6dp cells;
+    // U from the rounded sums.
+    "q_agg_mutual_info" ->
+      """WITH obs AS (SELECT event_type AS x,
+        |   CAST(hour(CAST(ts AS TIMESTAMP)) AS BIGINT) AS y,
+        |   CAST(count(*) AS BIGINT) AS nc FROM events GROUP BY 1, 2),
+        | rt AS (SELECT x, CAST(sum(nc) AS BIGINT) AS rx FROM obs
+        |  GROUP BY x),
+        | ct AS (SELECT y, CAST(sum(nc) AS BIGINT) AS cy FROM obs
+        |  GROUP BY y),
+        | nn AS (SELECT CAST(sum(nc) AS BIGINT) AS n FROM obs),
+        | cells AS (SELECT
+        |   CAST(round((CAST(nc AS DOUBLE) / n)
+        |     * ln(CAST(nc * n AS DOUBLE) / (rx * cy)) + 5e-10, 6)
+        |    AS DECIMAL(18,6)) AS cell
+        |  FROM obs JOIN rt USING (x) JOIN ct USING (y), nn),
+        | mi AS (SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |   sum(cell) AS mis FROM cells),
+        | hy AS (SELECT sum(CAST(round(-(CAST(cy AS DOUBLE) / n)
+        |     * ln(CAST(cy AS DOUBLE) / n) + 5e-10, 6)
+        |    AS DECIMAL(18,6))) AS hys FROM ct, nn)
+        | SELECT n_cells,
+        |  round(CAST(mis AS DOUBLE) + 5e-10, 6) AS mi_nats,
+        |  round(CAST(hys AS DOUBLE) + 5e-10, 6) AS h_hour,
+        |  round(CAST(mis AS DOUBLE) / CAST(hys AS DOUBLE) + 5e-10, 6)
+        |   AS uncertainty_coef
+        | FROM mi, hy"""
         .stripMargin.replaceAll("\n", " "),
 
     // Same deterministic top-100, zero-contributing threshold rows,

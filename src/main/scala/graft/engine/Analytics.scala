@@ -652,6 +652,37 @@ object Analytics {
     // that way because quintiles are population-relative by definition;
     // at 10^9 customers this is the one place you'd swap in approx
     // percentile boundaries).
+    // Value-segment MIGRATION matrix — the marketing follow-up to a
+    // static RFM snapshot: tercile each customer by revenue in the
+    // early and late halves of the calendar (deterministic (cents DESC,
+    // custkey) ntile; 'absent' when a customer has no orders in a
+    // half), then count every (from → to) transition. Upgrades/
+    // downgrades/churn in one 4×4 matrix. Two customer-grain aggs +
+    // two population ntiles over those bounded frames (the documented
+    // class) + one full outer join on custkey.
+    "q_shape_rfm_migration" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      def seg(early: Boolean, out: String): DataFrame = {
+        val f = if (early)
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp")
+        else col("o_orderdate") >= lit("1997-01-01").cast("timestamp")
+        Tables.orders(s, d).filter(f)
+          .groupBy(col("o_custkey"))
+          .agg(sum(round(col("o_totalprice") * 100).cast("long"))
+            .as("c"))
+          .withColumn(out, concat(lit("T"), ntile(3).over(
+            W.orderBy(desc("c"), asc("o_custkey")))))
+          .select(col("o_custkey"), col(out))
+      }
+      seg(early = true, "seg_from")
+        .join(seg(early = false, "seg_to"), Seq("o_custkey"), "full")
+        .select(coalesce(col("seg_from"), lit("absent")).as("seg_from"),
+          coalesce(col("seg_to"), lit("absent")).as("seg_to"))
+        .groupBy(col("seg_from"), col("seg_to"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("seg_from"), col("seg_to"))
+    },
+
     "q_shape_rfm" -> { (s, d) =>
       val W = org.apache.spark.sql.expressions.Window
       val ref = Tables.orders(s, d)
@@ -2331,6 +2362,30 @@ object Analytics {
          |  AND l_shipdate < TIMESTAMP '1997-01-01'
          |  AND l_discount BETWEEN 0.05 AND 0.07
          |  AND l_quantity < 24"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same tercile ranking (ntile front-loads remainders identically
+    // in both engines — the Lorenz precedent) and full-join matrix.
+    "q_shape_rfm_migration" ->
+      """WITH e AS (SELECT o_custkey,
+        |   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    AS BIGINT) AS c
+        |  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY o_custkey),
+        | l AS (SELECT o_custkey,
+        |   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |    AS BIGINT) AS c
+        |  FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        |  GROUP BY o_custkey),
+        | se AS (SELECT o_custkey, 'T' || ntile(3) OVER
+        |   (ORDER BY c DESC, o_custkey) AS seg_from FROM e),
+        | sl AS (SELECT o_custkey, 'T' || ntile(3) OVER
+        |   (ORDER BY c DESC, o_custkey) AS seg_to FROM l)
+        | SELECT coalesce(seg_from, 'absent') AS seg_from,
+        |  coalesce(seg_to, 'absent') AS seg_to,
+        |  CAST(count(*) AS BIGINT) AS n_customers
+        | FROM se FULL JOIN sl USING (o_custkey)
+        | GROUP BY 1, 2 ORDER BY seg_from, seg_to"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_shape_q8" ->

@@ -1521,6 +1521,54 @@ object Events {
         .orderBy(col("event_type"), col("lag"))
     },
 
+    // Ljung–Box whiteness test on the hourly series — THE residual
+    // diagnostic run after any forecast fit (Holt/SES/decompose):
+    // Q = n(n+2)·Σ_{k≤6} r_k²/(n−k), compared to the χ²(6, .05)
+    // critical value 12.592 (a public-table LITERAL — no CDF at
+    // runtime). The r_k are the same 6dp-rounded exact-integer ACF
+    // values the acf/pacf rows ride, so Q is pure arithmetic on
+    // parity-safe inputs and the white-noise verdict is decided on the
+    // ROUNDED Q in both engines. The fixture's diurnal cycle makes
+    // every series loudly non-white — the test firing is the demo
+    // working.
+    "q_ts_ljung_box" -> { (s, d) =>
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val W = org.apache.spark.sql.expressions.Window
+      val lags = 1 to 6
+      val hourly = hourlySeries(s, d, "lb")
+      val grid = hourly.groupBy(col("event_type"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val dense = grid.join(hourly, Seq("event_type", "h"), "left")
+        .na.fill(0L, Seq("x"))
+      val st = dense.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("x")).cast(dec).as("sx"))
+      val w = W.partitionBy(col("event_type")).orderBy(col("h"))
+      val devs = dense.join(broadcast(st), Seq("event_type"))
+        .withColumn("dev", col("n") * col("x").cast(dec) - col("sx"))
+      val lagged = lags.foldLeft(devs) { (df, k) =>
+        df.withColumn(s"d$k", lag(col("dev"), k).over(w))
+      }
+      val aggCols = Seq(sum(col("dev") * col("dev")).as("den")) ++
+        lags.map(k => sum(col("dev") * col(s"d$k")).as(s"num$k"))
+      val aggd = lagged.groupBy(col("event_type"))
+        .agg(max(col("n")).cast("long").as("n_hours"), aggCols: _*)
+      val withR = lags.foldLeft(aggd) { (df, k) =>
+        df.withColumn(s"r$k",
+          eround(col(s"num$k").cast("double") / col("den").cast("double"),
+            6))
+      }
+      val qsum = lags.map(k =>
+        col(s"r$k") * col(s"r$k") / (col("n_hours") - k)).reduce(_ + _)
+      val qstat = eround(col("n_hours") * (col("n_hours") + 2) * qsum, 4)
+      withR.select(col("event_type"), col("n_hours"),
+          qstat.as("q_stat"), lit(6L).as("df"),
+          (qstat < 12.592).as("white_noise"))
+        .orderBy(col("event_type"))
+    },
+
     // Single-frequency DFT power (Goertzel-style) at periods 24/12/8/6
     // hours — the SPECTRAL seasonality test beside q_ts_diurnal's
     // profile and q_ts_decompose's components: variance fraction
@@ -2557,6 +2605,49 @@ object Events {
          |  (SELECT event_type, n_hours, $rCols FROM ag) rr),
          | $dlCtes
          | SELECT * FROM ($branches) ORDER BY event_type, "lag""""
+        .stripMargin.replaceAll("\n", " ")
+    },
+
+    // Same ACF machinery; Q from the rounded r's in the identical
+    // left-assoc term order; verdict vs the 12.592 literal.
+    "q_ts_ljung_box" -> {
+      val lags = 1 to 6
+      val lagCols = lags.map(k => s"lag(dev, $k) OVER w AS d$k")
+        .mkString(", ")
+      val numCols = lags.map(k => s"sum(dev * d$k) AS num$k")
+        .mkString(", ")
+      val rCols = lags.map(k =>
+        s"round(CAST(num$k AS DOUBLE) / CAST(den AS DOUBLE) + 5e-10, 6)"
+          + s" AS r$k").mkString(", ")
+      val qsum = lags.map(k => s"r$k * r$k / (n_hours - $k)")
+        .mkString(" + ")
+      s"""WITH hourly AS (SELECT event_type,
+         |   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         |   CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+         | bounds AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+         |  FROM hourly GROUP BY 1),
+         | grid AS (SELECT event_type,
+         |   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+         |  FROM bounds),
+         | dense AS (SELECT g.event_type, g.h, COALESCE(hl.x, 0) AS x
+         |  FROM grid g LEFT JOIN hourly hl
+         |   ON g.event_type = hl.event_type AND g.h = hl.h),
+         | st AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         |   CAST(sum(x) AS HUGEINT) AS sx FROM dense GROUP BY 1),
+         | devs AS (SELECT d.event_type, d.h, st.n,
+         |   st.n * d.x - st.sx AS dev
+         |  FROM dense d JOIN st USING (event_type)),
+         | lagd AS (SELECT event_type, n, dev, $lagCols FROM devs
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+         | ag AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n_hours,
+         |   sum(dev * dev) AS den, $numCols FROM lagd GROUP BY 1),
+         | rr AS (SELECT event_type, n_hours, $rCols FROM ag),
+         | qq AS (SELECT event_type, n_hours,
+         |   round(n_hours * (n_hours + 2) * ($qsum) + 5e-10, 4) AS q
+         |  FROM rr)
+         | SELECT event_type, n_hours, q AS q_stat,
+         |  CAST(6 AS BIGINT) AS df, q < 12.592 AS white_noise
+         | FROM qq ORDER BY event_type"""
         .stripMargin.replaceAll("\n", " ")
     },
 

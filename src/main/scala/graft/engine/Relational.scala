@@ -432,6 +432,42 @@ object Relational {
         .orderBy(col("event_type"))
     },
 
+    // Nearest-facility assignment join: every event point routes to its
+    // closest of 5 broadcast hubs by SQUARED distance — exact integer
+    // arithmetic, argmin via min(struct(d2, hub_id)) so ties break
+    // deterministically, no sqrt anywhere (monotone in distance). The
+    // geo-assignment dual of q_join_point_in_polygon's containment;
+    // per-hub load + mean squared distance are the capacity-planning
+    // readout. Map-side explode + partial-agg argmin; hubs broadcast.
+    "q_join_nearest_hub" -> { (s, d) =>
+      val hubs = Seq((1L, 300L, 300L), (2L, 1000L, 200L),
+        (3L, 1700L, 500L), (4L, 900L, 800L), (5L, 200L, 900L))
+      val harr = array(hubs.map { case (id, hx, hy) =>
+        struct(lit(id).as("hub_id"), lit(hx).as("hx"), lit(hy).as("hy"))
+      }: _*)
+      val d2 = (col("px") - col("h.hx")) * (col("px") - col("h.hx")) +
+        (col("py") - col("h.hy")) * (col("py") - col("h.hy"))
+      Tables.events(s, d)
+        .select(col("event_id"),
+          pmod(round(col("value") * 100).cast("long"), lit(2000L))
+            .as("px"),
+          pmod(col("event_id"), lit(1000L)).as("py"))
+        .select(col("event_id"), col("px"), col("py"),
+          explode(harr).as("h"))
+        .groupBy(col("event_id"))
+        .agg(min(struct(d2.as("d2"), col("h.hub_id").as("hid"),
+          col("h.hx").as("hx"), col("h.hy").as("hy"))).as("m"))
+        .groupBy(col("m.hid").as("hub_id"))
+        .agg(max(col("m.hx")).as("hub_x"), max(col("m.hy")).as("hub_y"),
+          count(lit(1)).as("n_assigned"),
+          sum(col("m.d2")).as("sum_sqdist"))
+        .select(col("hub_id"), col("hub_x"), col("hub_y"),
+          col("n_assigned"), col("sum_sqdist"),
+          eround(col("sum_sqdist") / col("n_assigned"), 4)
+            .as("avg_sqdist"))
+        .orderBy(col("hub_id"))
+    },
+
     // Fuzzy reconciliation join (metadata cleanup shape): match suppliers
     // to customers whose normalized name differs by edit distance <= 1.
     // Blocking via deletion neighborhoods (FastSS): two strings with
@@ -1163,6 +1199,30 @@ object Relational {
         |  AND o2.o_orderdate < o1.o_orderdate + INTERVAL 30 DAY
         |  AND o2.o_orderkey <> o1.o_orderkey
         | GROUP BY o1.o_orderkey ORDER BY o1.o_orderkey"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same integer argmin (row_number over (d2, hub_id)) against the
+    // identical 5-hub VALUES table.
+    "q_join_nearest_hub" ->
+      """WITH pts AS (SELECT event_id,
+        |   CAST(round(value * 100) AS BIGINT) % 2000 AS px,
+        |   event_id % 1000 AS py FROM events),
+        | hb(hub_id, hx, hy) AS (VALUES (1, 300, 300), (2, 1000, 200),
+        |  (3, 1700, 500), (4, 900, 800), (5, 200, 900)),
+        | asg AS (SELECT event_id, hub_id, hx, hy,
+        |   (px - hx) * (px - hx) + (py - hy) * (py - hy) AS d2,
+        |   row_number() OVER (PARTITION BY event_id ORDER BY
+        |    (px - hx) * (px - hx) + (py - hy) * (py - hy), hub_id)
+        |    AS rn
+        |  FROM pts, hb)
+        | SELECT CAST(hub_id AS BIGINT) AS hub_id,
+        |  CAST(max(hx) AS BIGINT) AS hub_x,
+        |  CAST(max(hy) AS BIGINT) AS hub_y,
+        |  CAST(count(*) AS BIGINT) AS n_assigned,
+        |  CAST(sum(d2) AS BIGINT) AS sum_sqdist,
+        |  round(CAST(sum(d2) AS BIGINT)
+        |    / CAST(count(*) AS BIGINT) + 5e-10, 4) AS avg_sqdist
+        | FROM asg WHERE rn = 1 GROUP BY hub_id ORDER BY hub_id"""
         .stripMargin.replaceAll("\n", " "),
 
     // Same integer crossing-number test (cross-multiplied, direction

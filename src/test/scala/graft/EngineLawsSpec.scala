@@ -4900,6 +4900,84 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("q_ts_ljung_box recomputes Q from the ACF row") {
+    val acf = SparkEntry.queries("q_ts_acf")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    def r4(x: Double) = math.rint((x + 5e-10) * 1e4) / 1e4
+    val out = SparkEntry.queries("q_ts_ljung_box")(spark, sf).collect()
+    out.foreach { r =>
+      val (t, n) = (r.getString(0), r.getLong(1))
+      val q = n * (n + 2) * (1 to 6).map(k =>
+        math.pow(acf((t, k.toLong)), 2) / (n - k)).sum
+      assert(r.getDouble(2) === r4(q), s"Q replay for $t")
+      assert(r.getLong(3) === 6L)
+      assert(r.getBoolean(4) === (r.getDouble(2) < 12.592))
+      assert(r.getDouble(2) >= 0.0, "Q nonnegative")
+    }
+    // at least one series carries autocorrelation even at the toy SF
+    assert(out.exists(!_.getBoolean(4)), "some series rejects whiteness")
+  }
+
+  test("q_agg_mutual_info: MI within [0, min(H)]; U in [0,1]") {
+    val Array(r) = SparkEntry.queries("q_agg_mutual_info")(spark, sf)
+      .collect()
+    val (mi, hy, u) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(mi >= -1e-4, "MI nonnegative (within cell rounding)")
+    assert(hy > 0 && hy <= math.log(24.0) + 1e-9,
+      "H(hour) bounded by ln 24")
+    assert(mi <= hy + 1e-6, "MI bounded by H(hour)")
+    assert(math.abs(u - mi / hy) < 1e-5, "U = MI/H")
+  }
+
+  test("q_join_nearest_hub: every point goes to its true argmin hub") {
+    val hubs = Seq((1L, 300L, 300L), (2L, 1000L, 200L),
+      (3L, 1700L, 500L), (4L, 900L, 800L), (5L, 200L, 900L))
+    val pts = Tables.events(spark, sf)
+      .select(pmod(round(col("value") * 100).cast("long"), lit(2000L)),
+        pmod(col("event_id"), lit(1000L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val assign = pts.map { case (px, py) =>
+      hubs.map { case (id, hx, hy) =>
+        ((px - hx) * (px - hx) + (py - hy) * (py - hy), id)
+      }.min
+    }
+    val expectN = assign.groupBy(_._2).view
+      .mapValues(_.length.toLong).toMap
+    val expectD = assign.groupBy(_._2).view
+      .mapValues(_.map(_._1).sum).toMap
+    val out = SparkEntry.queries("q_join_nearest_hub")(spark, sf)
+      .collect()
+    assert(out.map(_.getLong(3)).sum === pts.length.toLong)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getLong(3) === expectN(id), s"load @hub $id")
+      assert(r.getLong(4) === expectD(id), s"sqdist @hub $id")
+    }
+  }
+
+  test("q_shape_rfm_migration conserves customers on both margins") {
+    val out = SparkEntry.queries("q_shape_rfm_migration")(spark, sf)
+      .collect().map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2)))
+    val split = lit("1997-01-01").cast("timestamp")
+    val nEarly = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") < split)
+      .select(col("o_custkey")).distinct().count()
+    val nLate = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= split)
+      .select(col("o_custkey")).distinct().count()
+    assert(out.filter(_._1 != "absent").map(_._3).sum === nEarly,
+      "from-margin partitions the early customers")
+    assert(out.filter(_._2 != "absent").map(_._3).sum === nLate,
+      "to-margin partitions the late customers")
+    assert(!out.exists(t => t._1 == "absent" && t._2 == "absent"),
+      "no absent-to-absent cell")
+    // terciles split the early half near-evenly
+    val fromT = out.filter(_._1 != "absent").groupBy(_._1).view
+      .mapValues(_.map(_._3).sum).toMap
+    assert(fromT.values.max - fromT.values.min <= 1, "even terciles")
+  }
+
   test("mu-law codec: exhaustive round-trip bound, sign, idempotence") {
     import graft.engine.Multimodal.Ulaw
     var x = -32768
