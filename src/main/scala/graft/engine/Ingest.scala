@@ -771,6 +771,17 @@ object Ingest {
         | n_regionkey FROM nation ORDER BY n_nationkey"""
         .stripMargin.replaceAll("\n", " "),
 
+    // The XML is self-built from customer columns, so the expected
+    // parse replays analytically — hash parity proves from_xml
+    // extracted exactly what was embedded (r11: the row graduates from
+    // structural laws to the full oracle gate).
+    "q_scan_xml" ->
+      """SELECT c_custkey, c_custkey AS eprintid, c_name AS title,
+        | 2 AS n_creators,
+        | 'F' || (c_custkey % 7) AS first_family
+        | FROM customer WHERE c_custkey < 100 ORDER BY c_custkey"""
+        .stripMargin.replaceAll("\n", " "),
+
     "q_scan_json" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         | FROM customer ORDER BY c_custkey"""

@@ -1228,11 +1228,23 @@ object Text {
     // (upsample-free Bernoulli via sampleBy with a fixed seed). The mixing
     // knob of corpus construction; no oracle (sampling is algorithm-
     // specific) — ScalaTest asserts determinism and per-stratum rates.
+    // Stratified Bernoulli sampling with per-stratum fractions on the
+    // repo's md5 coin (52-bit uniform from 13 hex chars) instead of
+    // engine-internal RNG — same semantics as stat.sampleBy but
+    // REPRODUCIBLE across engines and runs, which is what a curation
+    // pipeline actually wants from its sampling step, and what lets the
+    // row graduate from recall-law-only to the full oracle gate (r11:
+    // no-oracle list 12 → 11). All fractions are binary-exact (0.25 /
+    // 0.5 / 1.0), so the coin comparison has no representation
+    // boundary; u < 1.0 always holds, keeping full strata complete.
     "q_sample_stratified" -> { (s, d) =>
-      val fractions = Map("en" -> 0.25, "de" -> 1.0, "es" -> 1.0,
-        "fr" -> 1.0, "zh" -> 0.5)
+      val u = conv(substring(md5(concat_ws(":", lit("strat"),
+        col("doc_id"))), 1, 13), 16, 10)
+        .cast("long").cast("double") / lit(4503599627370496.0) // 2^52
+      val frac = when(col("lang") === "en", 0.25)
+        .when(col("lang") === "zh", 0.5).otherwise(1.0)
       Tables.documents(s, d)
-        .stat.sampleBy("lang", fractions, 42L)
+        .filter(u < frac)
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_kept"))
         .orderBy(col("lang"))
@@ -4199,6 +4211,18 @@ object Text {
         |   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         | FROM documents)
         | WHERE rn <= 3 ORDER BY lang, rn"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same md5 coin and binary-exact fraction CASE.
+    "q_sample_stratified" ->
+      """WITH u AS (SELECT lang,
+        |   CAST(('0x' || substr(md5('strat:' || doc_id), 1, 13))
+        |     AS BIGINT) / 4503599627370496.0 AS u
+        |  FROM documents)
+        | SELECT lang, CAST(count(*) AS BIGINT) AS n_kept FROM u
+        | WHERE u < CASE WHEN lang = 'en' THEN 0.25
+        |   WHEN lang = 'zh' THEN 0.5 ELSE 1.0 END
+        | GROUP BY lang ORDER BY lang"""
         .stripMargin.replaceAll("\n", " "),
 
     // Same md5 rank order and every-10th filter; counts stay BIGINT.
