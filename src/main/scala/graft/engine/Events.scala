@@ -1521,6 +1521,48 @@ object Events {
         .orderBy(col("event_type"), col("lag"))
     },
 
+    // CUSUM changepoint LOCALIZATION per event_type — q_ts_cusum flags
+    // THAT a shift happened; this row says WHERE: the split point
+    // maximizing |Σ_{i≤t}(x_i − x̄)|, with the level before/after and
+    // the shift size. EXACT integers throughout: the centered cumsum
+    // spells n·cum_t − t·total (no float mean), the argmax key is
+    // min(struct(−|s|, t)) integer ordering, and the two means are one
+    // float division each at 4dp. The walk runs over the
+    // calendar-bounded daily frame (the KS window class); n·cum
+    // overflows int64 past ~1e12 daily cents-days — DECIMAL(38,0)
+    // then.
+    "q_ts_changepoint" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+      val w = W.partitionBy(col("event_type")).orderBy(col("day"))
+      val tot = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("tc"))
+      val walk = daily
+        .withColumn("t", row_number().over(w).cast("long"))
+        .withColumn("cum", sum(col("c")).over(
+          w.rowsBetween(W.unboundedPreceding, W.currentRow)))
+        .join(broadcast(tot), "event_type")
+        .filter(col("t") < col("n"))
+        .withColumn("sdev",
+          col("n") * col("cum") - col("t") * col("tc"))
+      walk.groupBy(col("event_type"))
+        .agg(min(struct((-abs(col("sdev"))).as("na"), col("t").as("t"),
+          col("day").as("day"), col("cum").as("cum"),
+          col("n").as("n"), col("tc").as("tc"))).as("m"))
+        .select(col("event_type"), col("m.day").as("cp_day"),
+          col("m.t").as("t_index"), col("m.n").as("n_days"),
+          eround(col("m.cum") / col("m.t") / 100.0, 4)
+            .as("mean_before"),
+          eround((col("m.tc") - col("m.cum"))
+            / (col("m.n") - col("m.t")) / 100.0, 4).as("mean_after"),
+          eround((col("m.tc") - col("m.cum"))
+            / (col("m.n") - col("m.t")) / 100.0
+            - col("m.cum") / col("m.t") / 100.0, 4).as("shift"))
+        .orderBy(col("event_type"))
+    },
+
     // Ljung–Box whiteness test on the hourly series — THE residual
     // diagnostic run after any forecast fit (Holt/SES/decompose):
     // Q = n(n+2)·Σ_{k≤6} r_k²/(n−k), compared to the χ²(6, .05)
@@ -2607,6 +2649,36 @@ object Events {
          | SELECT * FROM ($branches) ORDER BY event_type, "lag""""
         .stripMargin.replaceAll("\n", " ")
     },
+
+    // Same centered-cumsum integers; argmax replayed as a window rank
+    // on (−|s|, t); identical division order for the two means.
+    "q_ts_changepoint" ->
+      """WITH daily AS (SELECT event_type,
+        |   CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+        |   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS c
+        |  FROM events GROUP BY event_type, day),
+        | tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(c) AS BIGINT) AS tc FROM daily GROUP BY 1),
+        | walk AS (SELECT d.event_type, d.day,
+        |   CAST(row_number() OVER (PARTITION BY d.event_type
+        |     ORDER BY d.day) AS BIGINT) AS t,
+        |   CAST(sum(c) OVER (PARTITION BY d.event_type ORDER BY d.day
+        |     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |   tot.n, tot.tc
+        |  FROM daily d JOIN tot USING (event_type)),
+        | sd AS (SELECT *, n * cum - t * tc AS sdev FROM walk
+        |  WHERE t < n),
+        | rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |   ORDER BY -abs(sdev), t) AS rn FROM sd)
+        | SELECT event_type, day AS cp_day, t AS t_index, n AS n_days,
+        |  round(cum / CAST(t AS DOUBLE) / 100.0 + 5e-10, 4)
+        |   AS mean_before,
+        |  round((tc - cum) / CAST(n - t AS DOUBLE) / 100.0 + 5e-10, 4)
+        |   AS mean_after,
+        |  round((tc - cum) / CAST(n - t AS DOUBLE) / 100.0
+        |    - cum / CAST(t AS DOUBLE) / 100.0 + 5e-10, 4) AS shift
+        | FROM rk WHERE rn = 1 ORDER BY event_type"""
+        .stripMargin.replaceAll("\n", " "),
 
     // Same ACF machinery; Q from the rounded r's in the identical
     // left-assoc term order; verdict vs the 12.592 literal.

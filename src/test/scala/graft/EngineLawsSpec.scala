@@ -4978,6 +4978,37 @@ class EngineLawsSpec extends SparkSuite {
     assert(fromT.values.max - fromT.values.min <= 1, "even terciles")
   }
 
+  test("q_ts_changepoint finds the true argmax split per series") {
+    val daily = Tables.events(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2)))
+      .groupBy(_._1)
+    def r4(x: Double) = math.rint((x + 5e-10) * 1e4) / 1e4
+    SparkEntry.queries("q_ts_changepoint")(spark, sf).collect()
+      .foreach { r =>
+        val series = daily(r.getString(0)).sortBy(_._2)
+        val n = series.length.toLong
+        val tc = series.map(_._3).sum
+        var cum = 0L
+        val walk = series.zipWithIndex.dropRight(1).map {
+          case ((_, day, c), i) =>
+            cum += c
+            (math.abs(n * cum - (i + 1) * tc), i + 1L, day, cum)
+        }
+        val best = walk.minBy { case (a, t, _, _) => (-a, t) }
+        assert(r.getDate(1).toString === best._3, "cp day")
+        assert(r.getLong(2) === best._2, "t index")
+        val before = best._4.toDouble / best._2 / 100.0
+        val after = (tc - best._4).toDouble / (n - best._2) / 100.0
+        assert(r.getDouble(4) === r4(before))
+        assert(r.getDouble(5) === r4(after))
+        assert(math.abs(r.getDouble(6) - (r.getDouble(5)
+          - r.getDouble(4))) < 2e-4, "shift consistent with the means")
+      }
+  }
+
   test("mu-law codec: exhaustive round-trip bound, sign, idempotence") {
     import graft.engine.Multimodal.Ulaw
     var x = -32768
