@@ -428,6 +428,49 @@ object Aggregates {
         .orderBy(col("type_a"), col("type_b"))
     },
 
+    // Tukey–Kramer HSD post-hoc — the step AFTER q_agg_anova's F says
+    // "the groups differ": WHICH pairs differ, with the studentized-
+    // range correction that plain pairwise t-tests lack (family-wise
+    // error). q_crit(k=5, df→∞, α=.05) = 3.858 is a public-table
+    // LITERAL (no CDF at runtime; the fixture's df is ~corpus-sized, so
+    // the ∞-df row is the right one). Moments are the exact ANOVA
+    // integers: MSW from Σ(qc − sc²/n)/(N−k), per-pair q = |Δmean| /
+    // sqrt(MSW/2·(1/na+1/nb)); significance decided on the ROUNDED q.
+    "q_agg_tukey_hsd" -> { (s, d) =>
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      val st = Tables.events(s, d)
+        .withColumn("c", round(col("value") * 100).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c").cast(dec38)).as("sc"),
+          sum(col("c").cast(dec19) * col("c").cast(dec19)).as("qc"))
+      val termW = eround((col("qc").cast("double")
+        - col("sc").cast("double") * col("sc").cast("double") / col("n"))
+        / 10000.0, 6).cast("decimal(28,6)")
+      val msw = st.select(col("n"), termW.as("tw"))
+        .agg(sum(col("n")).as("nn"), count(lit(1)).as("k"),
+          sum(col("tw")).as("sw"))
+        .select((col("sw").cast("double") / (col("nn") - col("k")))
+          .as("msw"))
+      val a = st.select(col("event_type").as("type_a"),
+        col("n").as("n_a"), col("sc").as("sc_a"))
+      val b = st.select(col("event_type").as("type_b"),
+        col("n").as("n_b"), col("sc").as("sc_b"))
+      val ma = col("sc_a").cast("double") / col("n_a") / 100.0
+      val mb = col("sc_b").cast("double") / col("n_b") / 100.0
+      val qstat = eround(abs(ma - mb) /
+        sqrt(col("msw") / 2.0
+          * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6)
+      a.join(b, col("type_a") < col("type_b"))
+        .crossJoin(broadcast(msw))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          eround(ma, 6).as("mean_a"), eround(mb, 6).as("mean_b"),
+          qstat.as("q_stat"),
+          (qstat > 3.858).as("significant"))
+        .orderBy(col("type_a"), col("type_b"))
+    },
+
     // Cohen's d pooled-SD effect size (with Hedges' g small-sample
     // correction) between the click and purchase value distributions —
     // the companion number every A/B readout ships beside the t-test:
@@ -2013,6 +2056,37 @@ object Aggregates {
         |    + 5e-10, 4) AS df
         | FROM st a, st b WHERE a.event_type < b.event_type
         | ORDER BY type_a, type_b"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same ANOVA integer moments; q vs the 3.858 literal on the
+    // rounded statistic.
+    "q_agg_tukey_hsd" ->
+      """WITH st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |   sum(CAST(CAST(round(value * 100) AS BIGINT) AS HUGEINT))
+        |     AS sc,
+        |   sum(CAST(round(value * 100) AS BIGINT)
+        |     * CAST(round(value * 100) AS BIGINT)) AS qc
+        |  FROM events GROUP BY event_type),
+        | tw AS (SELECT n,
+        |   CAST(round((CAST(qc AS DOUBLE) - CAST(sc AS DOUBLE)
+        |      * CAST(sc AS DOUBLE) / n) / 10000.0 + 5e-10, 6)
+        |    AS DECIMAL(28,6)) AS tw, sc, event_type FROM st),
+        | mw AS (SELECT CAST(sum(tw) AS DOUBLE)
+        |   / (CAST(sum(n) AS BIGINT) - count(*)) AS msw FROM tw),
+        | pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |   a.n AS n_a, b.n AS n_b,
+        |   CAST(a.sc AS DOUBLE) / a.n / 100.0 AS ma,
+        |   CAST(b.sc AS DOUBLE) / b.n / 100.0 AS mb
+        |  FROM st a, st b WHERE a.event_type < b.event_type),
+        | qs AS (SELECT type_a, type_b, n_a, n_b, ma, mb,
+        |   round(abs(ma - mb) / sqrt(msw / 2.0
+        |     * (1.0 / n_a + 1.0 / n_b)) + 5e-10, 6) AS q
+        |  FROM pr, mw)
+        | SELECT type_a, type_b, n_a, n_b,
+        |  round(ma + 5e-10, 6) AS mean_a,
+        |  round(mb + 5e-10, 6) AS mean_b,
+        |  q AS q_stat, q > 3.858 AS significant
+        | FROM qs ORDER BY type_a, type_b"""
         .stripMargin.replaceAll("\n", " "),
 
     // Same exact integer moments as the ttest oracle; the single

@@ -5009,6 +5009,37 @@ class EngineLawsSpec extends SparkSuite {
       }
   }
 
+  test("q_agg_tukey_hsd: all 5-choose-2 pairs; q consistent with means") {
+    val out = SparkEntry.queries("q_agg_tukey_hsd")(spark, sf).collect()
+    assert(out.length === 10, "all unordered type pairs")
+    // recompute MSW from raw cents and verify one pair's q end to end
+    val vals = Tables.events(spark, sf)
+      .select(col("event_type"), round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    def r6(x: Double) = BigDecimal(x + 5e-10)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val tws = vals.values.map { v =>
+      val n = v.length
+      val sc = v.map(BigInt(_)).sum.toDouble
+      val qc = v.map(x => BigInt(x) * BigInt(x)).sum.toDouble
+      BigDecimal(r6((qc - sc * sc / n) / 10000.0)).setScale(6)
+    }
+    val nn = vals.values.map(_.length.toLong).sum
+    val msw = tws.sum.toDouble / (nn - vals.size)
+    out.foreach { r =>
+      val (ta, tb) = (r.getString(0), r.getString(1))
+      val (na, nb) = (vals(ta).length, vals(tb).length)
+      val ma = vals(ta).map(BigInt(_)).sum.toDouble / na / 100.0
+      val mb = vals(tb).map(BigInt(_)).sum.toDouble / nb / 100.0
+      val q = r6(math.abs(ma - mb) /
+        math.sqrt(msw / 2.0 * (1.0 / na + 1.0 / nb)))
+      assert(r.getDouble(6) === q, s"q replay for $ta vs $tb")
+      assert(r.getBoolean(7) === (r.getDouble(6) > 3.858))
+      assert(r.getDouble(6) >= 0.0)
+    }
+  }
+
   test("mu-law codec: exhaustive round-trip bound, sign, idempotence") {
     import graft.engine.Multimodal.Ulaw
     var x = -32768
