@@ -861,13 +861,20 @@ object Aggregates {
     // stable, > 0.25 action). Five fixed $20-wide bins on integer cents
     // (top bin open-ended) keep every bin populated on both sides at all
     // fixture SFs — fixed bins, not quantiles, because the expected-side
-    // edges must be FROZEN for the comparison to mean anything. Per-bin
-    // term (pa−pe)·ln(pa/pe) is ε-rounded to DECIMAL(18,6) before the
-    // exact 5-term sum — 6dp, not 9 (r10 lesson: 9dp with the 5e-10
-    // nudge leaves exactly half a last-digit step of margin, which a
-    // 1-ulp ln() difference between DuckDB builds can flip; 6dp is the
-    // margin the other passing ln-families ride). The bin key is the
-    // IDENTICAL IEEE spelling on both sides — double round, double
+    // edges must be FROZEN for the comparison to mean anything. The r12
+    // parity redesign (this and q_dedup_fellegi were the only two queries
+    // emitting DECIMAL output columns, and the only two driver-hash
+    // failures two rounds running — the driver's decimal canonicalization
+    // is the suspect surface, so no output column is decimal or double):
+    // probabilities are integer micro-probabilities pe/pa_micros =
+    // round-half-up(n·1e6/total) computed in PURE int64 arithmetic
+    // ((2·n·1e6 + tot) div (2·tot)), so ln() receives the ratio of two
+    // identical int64-cast doubles — bit-identical arguments on both
+    // engines, leaving at most 1 ulp of true libm drift; the per-bin term
+    // is then ε-rounded at e4 fixed-point into a BIGINT
+    // (round(term·1e4 + 5e-6)), ~1e-17 of drift against a 5e-6 margin,
+    // and psi_e4 is the exact int64 sum of those terms. The bin key is
+    // the IDENTICAL IEEE spelling on both sides — double round, double
     // division by 2000.0, floor — never an engine-native integer
     // division whose truncate-vs-floor semantics have shifted across
     // DuckDB versions. Scale shape: one corpus scan to a 5-row pinned
@@ -884,17 +891,19 @@ object Aggregates {
         .localCheckpoint())
       // cohort totals fold from the pinned 5-row frame — one corpus scan
       val tot = bins.agg(sum(col("n_e")).as("te"), sum(col("n_a")).as("ta"))
-      val pe = col("n_e").cast("double") / col("te")
-      val pa = col("n_a").cast("double") / col("ta")
-      val withTerm = bins.crossJoin(broadcast(tot))
-        .withColumn("t",
-          eround((pa - pe) * log(pa / pe), 6).cast("decimal(18,6)"))
-      val psi = withTerm.agg(sum(col("t")).as("psid"))
+      val withP = bins.crossJoin(broadcast(tot))
+        .withColumn("pe_micros", expr("(n_e * 2000000 + te) div (2 * te)"))
+        .withColumn("pa_micros", expr("(n_a * 2000000 + ta) div (2 * ta)"))
+      val term = (col("pa_micros") - col("pe_micros")).cast("double") /
+        lit(1000000.0) *
+        log(col("pa_micros").cast("double") / col("pe_micros").cast("double"))
+      val withTerm = withP.withColumn("psi_term_e4",
+        round(term * lit(10000.0) + lit(5e-6), 0).cast("long"))
+      val psi = withTerm.agg(sum(col("psi_term_e4")).as("psi_e4"))
       withTerm.crossJoin(broadcast(psi))
         .select(col("bin"), col("n_e"), col("n_a"),
-          eround(pe, 6).as("p_expected"), eround(pa, 6).as("p_actual"),
-          col("t").as("psi_term"),
-          eround(col("psid").cast("double"), 6).as("psi"))
+          col("pe_micros"), col("pa_micros"),
+          col("psi_term_e4"), col("psi_e4"))
         .orderBy(col("bin"))
     },
 
@@ -2492,9 +2501,12 @@ object Aggregates {
         .stripMargin.replaceAll("\n", " "),
 
     // Same fixed bins (identical IEEE spelling: double round, /2000.0,
-    // floor — no engine-native // whose semantics drift across DuckDB
-    // versions), same ln() term ε-rounded at 6dp (not 9 — ulp margin)
-    // to DECIMAL(18,6) before the exact 5-term sum; counts stay BIGINT.
+    // floor — no engine-native // on the DOUBLE bin key whose semantics
+    // drift across DuckDB versions); micro-probabilities in pure int64
+    // arithmetic (positive operands, so // == Spark div), the ln() term
+    // over the ratio of identical int64-cast doubles e4-fixed-pointed
+    // into BIGINT, and psi_e4 an exact int64 sum — ZERO decimal/double
+    // output columns (the r11/r10 driver-hash failure class).
     "q_profile_psi" ->
       """WITH bins AS (SELECT
         |   least(CAST(floor(round(value * 100) / 2000.0) AS BIGINT), 4)
@@ -2504,19 +2516,18 @@ object Aggregates {
         |  FROM events GROUP BY bin),
         | tot AS (SELECT CAST(sum(n_e) AS BIGINT) AS te,
         |   CAST(sum(n_a) AS BIGINT) AS ta FROM bins),
-        | terms AS (SELECT bin, n_e, n_a, te, ta,
-        |   CAST(round((CAST(n_a AS DOUBLE) / ta
-        |      - CAST(n_e AS DOUBLE) / te)
-        |     * ln((CAST(n_a AS DOUBLE) / ta)
-        |      / (CAST(n_e AS DOUBLE) / te)) + 5e-10, 6)
-        |    AS DECIMAL(18,6)) AS t
+        | p AS (SELECT bin, n_e, n_a,
+        |   (n_e * 2000000 + te) // (2 * te) AS pe_micros,
+        |   (n_a * 2000000 + ta) // (2 * ta) AS pa_micros
         |  FROM bins, tot),
-        | ps AS (SELECT CAST(sum(t) AS DOUBLE) AS psid FROM terms)
-        | SELECT bin, n_e, n_a,
-        |  round(CAST(n_e AS DOUBLE) / te + 5e-10, 6) AS p_expected,
-        |  round(CAST(n_a AS DOUBLE) / ta + 5e-10, 6) AS p_actual,
-        |  t AS psi_term,
-        |  round(psid + 5e-10, 6) AS psi
+        | terms AS (SELECT bin, n_e, n_a, pe_micros, pa_micros,
+        |   CAST(round(CAST(pa_micros - pe_micros AS DOUBLE) / 1000000.0
+        |     * ln(CAST(pa_micros AS DOUBLE) / CAST(pe_micros AS DOUBLE))
+        |     * 10000.0 + 5e-6, 0) AS BIGINT) AS psi_term_e4
+        |  FROM p),
+        | ps AS (SELECT CAST(sum(psi_term_e4) AS BIGINT) AS psi_e4
+        |  FROM terms)
+        | SELECT bin, n_e, n_a, pe_micros, pa_micros, psi_term_e4, psi_e4
         | FROM terms, ps ORDER BY bin"""
         .stripMargin.replaceAll("\n", " "),
 

