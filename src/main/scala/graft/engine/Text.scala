@@ -2753,8 +2753,15 @@ object Text {
     // (band, bits) — by pigeonhole every pair with Hamming <= 3 shares an
     // identical band (guaranteed recall in the near-dup regime; 4-6 is
     // probabilistic), and the all-pairs cross join the plain predicate
-    // would force never materializes. No oracle (hash-algorithm-specific);
-    // ScalaTest asserts the planted near-duplicates are recovered.
+    // would force never materializes. ORACLED (r12, closing the r11
+    // judge task): the token hash is the house 32-bit md5 digest (the
+    // q_text_dedup_span / q_text_winnow recipe, not JVM-only xxhash64),
+    // which makes the ENTIRE pipeline — votes, signature, banding,
+    // Hamming filter, first-band ownership — pure integer arithmetic a
+    // DuckDB oracle replays bit-for-bit, so the algorithm-defined
+    // candidate set itself is the oracled result (no lossy confirm
+    // projection; the hamming column survives). ScalaTest keeps the
+    // planted near-dup recall law as the fixture-independent backstop.
     "q_dedup_simhash" -> { (s, d) =>
       val corpus = nearDupCorpus(s, d)
         .withColumn("t", array_distinct(toks(col("text"))))
@@ -2764,13 +2771,16 @@ object Text {
       // scans per doc (~10s at sf0.1; this shape runs in ~1s). explode_outer
       // is defensive for null-text docs: split() never yields an empty
       // array (empty text gives [""], which votes like any token), but a
-      // NULL text gives a NULL array, whose explode_outer row hashes the
-      // NULL token to the xxhash64 seed (42) — a deterministic sentinel
-      // signature, not bit-0. The fixture has no null texts; the planted
-      // ScalaTest pins the behavior that matters (near-dup recall).
+      // NULL text gives a NULL array, whose explode_outer row hashes to a
+      // NULL vote that the sum ignores — all-null votes make every band
+      // fall through when()'s otherwise to a deterministic all-zero
+      // signature. The fixture has no null texts; the planted ScalaTest
+      // pins the behavior that matters (near-dup recall).
       val hashed = corpus
         .select(col("doc_id"), explode_outer(col("t")).as("tok"))
-        .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+        .select(col("doc_id"),
+          conv(substring(md5(col("tok")), 1, 8), 16, 10)
+            .cast("long").as("h"))
       val bitSums = hashed.groupBy(col("doc_id"))
         .agg(sum(shiftright(col("h"), 0).bitwiseAND(lit(1L)) * 2 - 1)
           .as("b0"),
@@ -4394,6 +4404,44 @@ object Text {
          |  AND round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
          |    / len(list_distinct(list_concat(a.sh, b.sh))) + 5e-10, 6)
          |   >= 0.5
+         | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
+
+    // Bit-exact replay of the whole simhash pipeline: same 32-bit md5
+    // token digest, same signed bit votes (ties -> 0), same 4 x 8-bit
+    // banding, same Hamming <= 6 filter and first-matching-band
+    // ownership — all integer arithmetic, so the algorithm-defined
+    // candidate set is itself the oracled result.
+    "q_dedup_simhash" ->
+      s"""WITH corpus0 AS (SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 1000000,
+         |    array_to_string(($oToks)[2:], ' ')
+         |   FROM documents WHERE doc_id < 20),
+         | tk AS (SELECT doc_id, unnest(list_distinct($oToks)) AS tok
+         |  FROM corpus0),
+         | h AS (SELECT doc_id,
+         |   ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h FROM tk),
+         | bits AS (SELECT doc_id, b,
+         |   CAST(sum(((h >> b) & 1) * 2 - 1) AS BIGINT) AS v
+         |  FROM h, unnest(generate_series(0, 31)) u(b)
+         |  GROUP BY doc_id, b),
+         | sig AS (SELECT doc_id,
+         |   CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END)
+         |     AS BIGINT) AS simhash
+         |  FROM bits GROUP BY doc_id),
+         | banded AS (SELECT doc_id, simhash, b AS band,
+         |   (simhash >> (8 * b)) & 255 AS bits
+         |  FROM sig, unnest(generate_series(0, 3)) u(b)),
+         | pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.band,
+         |   a.simhash AS sa, b.simhash AS sb,
+         |   CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |  FROM banded a JOIN banded b
+         |   ON a.band = b.band AND a.bits = b.bits
+         |    AND a.doc_id < b.doc_id)
+         | SELECT id_a, id_b, hamming FROM pairs
+         | WHERE hamming <= 6
+         |  AND (band <= 0 OR ((sa >> 0) & 255) != ((sb >> 0) & 255))
+         |  AND (band <= 1 OR ((sa >> 8) & 255) != ((sb >> 8) & 255))
+         |  AND (band <= 2 OR ((sa >> 16) & 255) != ((sb >> 16) & 255))
          | ORDER BY id_a, id_b""".stripMargin.replaceAll("\n", " "),
 
     // Same 60-bit digest shingling as the Spark side (the dedup_span

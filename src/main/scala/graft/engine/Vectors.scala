@@ -487,11 +487,19 @@ object Vectors {
         .orderBy(col("probe_id"), col("rnk"))
     },
 
-    // All-pairs candidate generation via 8-plane random-hyperplane LSH
-    // (SimHash buckets). Corpus includes planted identical copies
-    // (vec_id + 1,000,000) so recall is testable; no oracle (candidate set
-    // is algorithm-defined) — ScalaTest asserts recall 1.0 on the planted
-    // pairs.
+    // All-pairs candidate generation via random-hyperplane LSH (the
+    // native 16-bit SimHashBucket) + exact-cosine >= 0.99 confirm.
+    // Corpus includes planted identical copies (vec_id + 1,000,000) so
+    // recall is testable. ORACLED (r12, the q_dedup_groups_lsh argument
+    // projected onto the pair set): at the 0.99 confirm threshold the
+    // fixture's only qualifying pairs are the planted identical copies
+    // (verified: zero natural pairs >= 0.99 at sf0.001/0.01/0.1), and
+    // identical vectors ALWAYS share an LSH bucket (the bucket is a
+    // deterministic function of the vector), so the LSH-confirmed output
+    // provably equals the oracle's exact all-pairs >= 0.99 set on this
+    // corpus — the oracle pins candidate recall 1.0 on real data, the
+    // same adversarial shape as q_dedup_near's. ScalaTest keeps the
+    // planted-pair recall law (incl. at sf0.1) as the backstop.
     "q_sim_pairs_lsh" -> { (s, d) =>
       GraftFunctions.register(s)
       lshPairs(lshCorpus(s, d))
@@ -1465,6 +1473,26 @@ object Vectors {
          |    / CAST(ideal.idcg AS DOUBLE) + 5e-10, 6), 0.0) AS ndcg
          | FROM sc LEFT JOIN ideal USING (probe_id)
          | ORDER BY sc.probe_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Exact all-pairs cosine >= 0.99 over the planted-copy corpus — by
+    // the documented equality argument (only planted identical-copy
+    // pairs reach 0.99, and identical vectors always share a bucket)
+    // this IS the LSH-confirmed pair set; cosine spelled exactly as the
+    // q_dedup_embedding oracle.
+    "q_sim_pairs_lsh" ->
+      s"""WITH b0 AS (SELECT vec_id, $oVd AS v FROM embeddings),
+         | e AS (SELECT vec_id, v FROM b0
+         |  UNION ALL SELECT vec_id + 1000000, v FROM b0 WHERE vec_id < 10)
+         | SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(list_dot_product(a.v, b.v)
+         |    / (sqrt(list_dot_product(a.v, a.v))
+         |       * sqrt(list_dot_product(b.v, b.v))) + 5e-10, 6) AS cos_r
+         | FROM e a, e b WHERE a.vec_id < b.vec_id
+         |  AND round(list_dot_product(a.v, b.v)
+         |    / (sqrt(list_dot_product(a.v, a.v))
+         |       * sqrt(list_dot_product(b.v, b.v))) + 5e-10, 6) >= 0.99
+         | ORDER BY id_a, id_b"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_dedup_embedding" ->
