@@ -318,4 +318,41 @@ class PlanSpec extends SparkSuite {
       assert(!p.contains("CartesianProduct"), s"$q: no cartesian:\n$p")
     }
   }
+
+  test("bounded-axis windows (kendall/ljung-box/pacf) ride pinned " +
+      "domain-sized frames, never the corpus") {
+    // Same property as the distribution tests, extended to the r11 rows
+    // that stack windows over a bounded axis: Kendall τ-b cumulates over
+    // the pinned (cents, hour) cell grid (≤49k × 24 cells), and the
+    // Ljung-Box / PACF autocorrelation frames lag over the pinned hourly
+    // series (rows = calendar hours × event types, not events). Each
+    // executed plan must read ONLY the localCheckpoint (zero parquet
+    // scans) and every Window must sit above the Scan ExistingRDD
+    // subtree — the shape that keeps these windows safe at 100 TB.
+    for (q <- Seq("q_agg_kendall_tau", "q_ts_ljung_box", "q_ts_pacf")) {
+      val p = plan(q)
+      assert(!p.contains("Scan parquet"),
+        s"$q: consumers must read the pinned frame, not re-scan:\n$p")
+      assert(p.contains("Scan ExistingRDD"),
+        s"$q: pinned bounded frame missing:\n$p")
+      val lines = p.linesIterator.toSeq
+      val win = lines.indexWhere(_.contains("Window"))
+      assert(win >= 0, s"$q: no window in:\n$p")
+      assert(lines.drop(win).exists(_.contains("Scan ExistingRDD")),
+        s"$q: window must consume the pinned subtree:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q: no cartesian:\n$p")
+    }
+  }
+
+  test("hill tail index: global top-100 plans as TakeOrderedAndProject") {
+    // The k-largest-order-statistics scan must be the per-partition
+    // heap + single-reduce TakeOrderedAndProject, not a full global
+    // sort — the difference between O(n log k) map-side work and a
+    // range-partitioned total order of the whole orders table.
+    val p = plan("q_agg_hill_tail")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 should take, not sort:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no global sort exchange for a bounded top-k:\n$p")
+  }
 }
