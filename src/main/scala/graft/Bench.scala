@@ -351,7 +351,16 @@ object Bench {
       // dft_power/ab_ratio share TakeOrdered/percentile/ln-cell/acf/
       // ttest shapes already timed (rule (c)); tga/mulaw are map-only
       // codec scans (rule (a)); systematic is dimension-scale.
-      "q_join_point_in_polygon", "q_graph_kcore")
+      "q_join_point_in_polygon", "q_graph_kcore",
+      // round-12: the 64x md5-coin explode (the permutation null), the
+      // dense day×type rank windows (friedman), the blocked integer
+      // R/S window chain (hurst), the 11-harmonic trig cell scan
+      // (spectral entropy), the events-scan Neyman moments + md5-rank
+      // window, and the regex-heavy per-row readability scan (the
+      // html_extract rule). dispersion/levene share the dense-grid /
+      // ANOVA moment shapes already timed (rule (c)).
+      "q_agg_permutation_test", "q_agg_friedman", "q_ts_hurst",
+      "q_ts_spectral_entropy", "q_sample_neyman", "q_text_readability")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

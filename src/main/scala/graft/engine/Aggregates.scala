@@ -428,6 +428,188 @@ object Aggregates {
         .orderBy(col("type_a"), col("type_b"))
     },
 
+    // Monte-Carlo PERMUTATION test for the click-vs-purchase mean gap —
+    // the distribution-free alternative to q_agg_ttest (no normality or
+    // equal-variance assumption; the null is built by re-labeling).
+    // B = 64 deterministic md5-coin re-labelings (the q_agg_bootstrap_ci
+    // recipe): each row's group under permutation b is a fair coin on
+    // the 52-bit md5 integer (pure INTEGER compare against 2^51 — no
+    // float uniform at all), every permuted statistic folds from exact
+    // integer sums in ONE map-side pass (explode(B) + partial agg to 64
+    // groups — the only shuffle is 64 rows), and the two-sided p-value
+    // counts |T_b| ≥ |T_obs| on the ε-ROUNDED statistics so both
+    // engines compare identical 6dp doubles. p = (1+extreme)/(B+1), the
+    // add-one estimator that never reports zero.
+    "q_agg_permutation_test" -> { (s, d) =>
+      val B = 64
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+      val obs = ev.groupBy()
+        .agg(count(lit(1)).as("n"),
+          sum(col("c")).as("sc"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("na"),
+          sum(when(col("event_type") === "click", col("c"))
+            .otherwise(0L)).as("sa"))
+        .select(col("n"), col("na"), col("sc"), col("sa"),
+          eround(col("sa").cast("double") / col("na") / 100.0
+            - (col("sc") - col("sa")).cast("double")
+              / (col("n") - col("na")) / 100.0, 6).as("t_obs"))
+      val coin = conv(substring(md5(concat_ws(":",
+        col("event_id"), lit("p"), col("b"))), 1, 13), 16, 10)
+        .cast("long") < lit(2251799813685248L) // 2^51: fair integer coin
+      val perms = ev
+        .select(col("event_id"), col("c"),
+          explode(sequence(lit(0), lit(B - 1))).as("b"))
+        .withColumn("ga", coin)
+        .groupBy(col("b"))
+        .agg(count(lit(1)).as("nb"),
+          sum(col("c")).as("scb"),
+          sum(when(col("ga"), 1L).otherwise(0L)).as("nab"),
+          sum(when(col("ga"), col("c")).otherwise(0L)).as("sab"))
+        .select(eround(col("sab").cast("double") / col("nab") / 100.0
+          - (col("scb") - col("sab")).cast("double")
+            / (col("nb") - col("nab")) / 100.0, 6).as("tb"))
+      val extreme = perms.crossJoin(broadcast(obs))
+        .agg(sum(when(abs(col("tb")) >= abs(col("t_obs")), 1L)
+          .otherwise(0L)).as("n_extreme"))
+      obs.crossJoin(broadcast(extreme))
+        .select(col("n"), col("na").as("n_click"), col("t_obs"),
+          lit(B.toLong).as("n_permutations"), col("n_extreme"),
+          eround((col("n_extreme") + 1).cast("double") / lit(B + 1), 6)
+            .as("p_value"))
+    },
+
+    // Friedman rank test over (day, event_type) blocks — the
+    // distribution-free repeated-measures ANOVA: does any event type
+    // systematically out-count the others across days, judged on
+    // within-day RANKS so heavy days can't dominate. Dense day×type
+    // grid (missing cells = 0 — Friedman requires complete blocks),
+    // average ranks for ties via rank() + (ties−1)/2 (multiples of 0.5,
+    // EXACT in doubles, so the rank sums and Σ R² are exact and
+    // order-free — no decimal carrier needed), χ²_F =
+    // 12/(nk(k+1))·ΣR² − 3n(k+1) is exact integer/half arithmetic
+    // until the final division. χ²crit(k−1=4, α=.05) = 9.488 is a
+    // public-table literal; significance decided on the ROUNDED stat.
+    // Scale: one corpus scan to the (days × 5) grid; windows ride the
+    // day-sized frame, never the corpus.
+    "q_agg_friedman" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val cell = Tables.events(s, d)
+        .groupBy(date_trunc("day", col("ts")).as("day"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      val dense = cell.select(col("day")).distinct()
+        .crossJoin(broadcast(cell.select(col("event_type")).distinct()))
+        .join(cell, Seq("day", "event_type"), "left")
+        .select(col("day"), col("event_type"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+      val rk = dense
+        .withColumn("r", rank().over(
+          W.partitionBy(col("day")).orderBy(col("cnt"))))
+        .withColumn("t", count(lit(1)).over(
+          W.partitionBy(col("day"), col("cnt"))))
+        .withColumn("ar",
+          col("r") + (col("t") - 1).cast("double") / 2.0)
+      val rj = rk.groupBy(col("event_type"))
+        .agg(sum(col("ar")).as("r_sum"), count(lit(1)).as("n_blocks"))
+      val stat = rj.agg(count(lit(1)).as("k"),
+          max(col("n_blocks")).as("n"),
+          sum(col("r_sum") * col("r_sum")).as("ssr"))
+        .select(col("k"), col("n"),
+          eround(lit(12.0) * col("ssr")
+            / (col("n") * col("k") * (col("k") + 1))
+            - lit(3.0) * col("n") * (col("k") + 1), 6).as("chi2_f"))
+      rj.crossJoin(broadcast(stat))
+        .select(col("event_type"), col("n_blocks"), col("r_sum"),
+          eround(col("r_sum") / col("n_blocks"), 6).as("mean_rank"),
+          col("k"), col("chi2_f"),
+          (col("chi2_f") > 9.488).as("significant"))
+        .orderBy(col("event_type"))
+    },
+
+    // Index-of-dispersion (variance-to-mean) Poisson audit per event
+    // type — the first question a rate monitor asks of count data: is
+    // the hourly arrival process Poisson (VMR ≈ 1), or bursty
+    // (overdispersed)? Dense hourly grid per type (a zero hour is
+    // evidence), then D = (n·Σx² − (Σx)²)/Σx is a PURE INTEGER ratio
+    // (the (n−1)s²/x̄ chi² statistic with every cancellation done
+    // symbolically — no mean subtraction in floats anywhere), VMR =
+    // D/(n−1), and the Wilson–Hilferty-style normal approximation
+    // z = sqrt(2D) − sqrt(2(n−1)−1) needs only IEEE-exact sqrt. Flag
+    // on the ROUNDED z vs the one-sided 1.645 literal.
+    "q_agg_dispersion" -> { (s, d) =>
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("x"))
+      val grid = hourly.groupBy(col("event_type"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val dense = grid.join(hourly, Seq("event_type", "h"), "left")
+        .na.fill(0L, Seq("x"))
+      dense.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"), sum(col("x")).as("sx"),
+          sum(col("x") * col("x")).as("qx"))
+        .select(col("event_type"), col("n_hours"), col("sx").as("n_events"),
+          eround((col("n_hours") * col("qx") - col("sx") * col("sx"))
+            .cast("double")
+            / (col("sx") * (col("n_hours") - 1)), 6).as("vmr"),
+          eround(sqrt(lit(2.0) * (col("n_hours") * col("qx")
+              - col("sx") * col("sx")).cast("double") / col("sx"))
+            - sqrt(lit(2.0) * (col("n_hours") - 1) - 1), 6).as("z"))
+        .withColumn("overdispersed", col("z") > 1.645)
+        .orderBy(col("event_type"))
+    },
+
+    // Brown–Forsythe (median-centered Levene) homogeneity-of-variance
+    // test across market segments — the gate a pooled-variance test
+    // (q_agg_ttest, q_agg_anova) should itself be gated on. The key
+    // parity move: deviations are computed at DOUBLED scale, z = |2c −
+    // 2·median|, which is a pure INTEGER because the median of integer
+    // cents is an integer or an exact half — so the whole test reduces
+    // to the exact-integer-moment one-way ANOVA recipe (q_agg_anova) on
+    // z with zero float subtraction anywhere. F(4, ∞, α=.05) = 2.372 is
+    // a public-table literal; decided on the ROUNDED F.
+    "q_agg_levene" -> { (s, d) =>
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      val cust = Tables.customer(s, d)
+        .select(col("c_mktsegment").as("seg"),
+          round(col("c_acctbal") * 100).cast("long").as("c"))
+      val med = cust.groupBy(col("seg"))
+        .agg(round(median(col("c")) * 2).cast("long").as("med2"))
+      val z = cust.join(broadcast(med), "seg")
+        .select(col("seg"), abs(col("c") * 2 - col("med2")).as("z"))
+      val st = z.groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("z").cast(dec38)).as("sc"),
+          sum(col("z").cast(dec19) * col("z").cast(dec19)).as("qc"))
+      val tot = st.agg(sum(col("n")).as("nn"), sum(col("sc")).as("ss"),
+        count(lit(1)).as("k"))
+      val grand = col("ss").cast("double") / col("nn") / 100.0
+      val meanI = col("sc").cast("double") / col("n") / 100.0
+      val termB = eround(col("n") * (meanI - grand) * (meanI - grand), 6)
+        .cast("decimal(28,6)")
+      val termW = eround((col("qc").cast("double")
+        - col("sc").cast("double") * col("sc").cast("double") / col("n"))
+        / 10000.0, 6).cast("decimal(28,6)")
+      st.crossJoin(broadcast(tot))
+        .select(col("k"), col("nn"), termB.as("tb"), termW.as("tw"))
+        .groupBy(col("k"), col("nn"))
+        .agg(sum(col("tb")).cast("double").as("ssb"),
+          sum(col("tw")).cast("double").as("ssw"))
+        .select(col("k"), col("nn").as("n"),
+          eround(col("ssb"), 4).as("ss_between"),
+          eround(col("ssw"), 4).as("ss_within"),
+          eround((col("ssb") / (col("k") - 1)) /
+            (col("ssw") / (col("nn") - col("k"))), 6).as("f_stat"))
+        .withColumn("heteroscedastic", col("f_stat") > 2.372)
+    },
+
     // Tukey–Kramer HSD post-hoc — the step AFTER q_agg_anova's F says
     // "the groups differ": WHICH pairs differ, with the studentized-
     // range correction that plain pairwise t-tests lack (family-wise
@@ -2065,6 +2247,150 @@ object Aggregates {
         |    + 5e-10, 4) AS df
         | FROM st a, st b WHERE a.event_type < b.event_type
         | ORDER BY type_a, type_b"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same md5 coin (52-bit integer vs the 2^51 literal — no float
+    // uniform), same exact integer sums, ε-rounded statistics compared
+    // at identical 6dp on both engines.
+    "q_agg_permutation_test" ->
+      """WITH ev AS (SELECT event_id, event_type,
+        |   CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        | obs AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(c) AS BIGINT) AS sc,
+        |   CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS na,
+        |   CAST(sum(CASE WHEN event_type = 'click' THEN c ELSE 0 END)
+        |     AS BIGINT) AS sa
+        |  FROM ev),
+        | obs2 AS (SELECT n, na,
+        |   round(CAST(sa AS DOUBLE) / na / 100.0
+        |     - CAST(sc - sa AS DOUBLE) / (n - na) / 100.0 + 5e-10, 6)
+        |     AS t_obs
+        |  FROM obs),
+        | flips AS (SELECT c, b,
+        |   ('0x' || substr(md5(event_id || ':p:' || b), 1, 13))::BIGINT
+        |     < 2251799813685248 AS ga
+        |  FROM ev, unnest(generate_series(0, 63)) u(b)),
+        | perms AS (SELECT b, CAST(count(*) AS BIGINT) AS nb,
+        |   CAST(sum(c) AS BIGINT) AS scb,
+        |   CAST(count(*) FILTER (ga) AS BIGINT) AS nab,
+        |   CAST(sum(CASE WHEN ga THEN c ELSE 0 END) AS BIGINT) AS sab
+        |  FROM flips GROUP BY b),
+        | tb AS (SELECT round(CAST(sab AS DOUBLE) / nab / 100.0
+        |    - CAST(scb - sab AS DOUBLE) / (nb - nab) / 100.0
+        |    + 5e-10, 6) AS tb
+        |  FROM perms),
+        | ex AS (SELECT
+        |   CAST(count(*) FILTER (abs(tb) >= abs(t_obs)) AS BIGINT)
+        |     AS n_extreme
+        |  FROM tb, obs2)
+        | SELECT obs2.n, obs2.na AS n_click, obs2.t_obs,
+        |  CAST(64 AS BIGINT) AS n_permutations, ex.n_extreme,
+        |  round(CAST(ex.n_extreme + 1 AS DOUBLE) / 65 + 5e-10, 6)
+        |    AS p_value
+        | FROM obs2, ex"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same dense day×type grid, rank()+(ties−1)/2 average ranks (exact
+    // halves), exact ΣR², and the 9.488 table literal on the rounded
+    // statistic.
+    "q_agg_friedman" ->
+      """WITH cell AS (SELECT
+        |   date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, event_type,
+        |   CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        | dense AS (SELECT d.day, t.event_type, COALESCE(c.cnt, 0) AS cnt
+        |  FROM (SELECT DISTINCT day FROM cell) d
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM cell) t
+        |  LEFT JOIN cell c
+        |   ON c.day = d.day AND c.event_type = t.event_type),
+        | rk AS (SELECT day, event_type, cnt,
+        |   rank() OVER (PARTITION BY day ORDER BY cnt) AS r,
+        |   count(*) OVER (PARTITION BY day, cnt) AS t
+        |  FROM dense),
+        | ar AS (SELECT event_type,
+        |   r + CAST(t - 1 AS DOUBLE) / 2.0 AS ar FROM rk),
+        | rj AS (SELECT event_type, sum(ar) AS r_sum,
+        |   CAST(count(*) AS BIGINT) AS n_blocks
+        |  FROM ar GROUP BY event_type),
+        | stat AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |   CAST(max(n_blocks) AS BIGINT) AS n, sum(r_sum * r_sum) AS ssr
+        |  FROM rj),
+        | s2 AS (SELECT k,
+        |   round(12.0 * ssr / (n * k * (k + 1)) - 3.0 * n * (k + 1)
+        |     + 5e-10, 6) AS chi2_f
+        |  FROM stat)
+        | SELECT rj.event_type, rj.n_blocks, rj.r_sum,
+        |  round(rj.r_sum / rj.n_blocks + 5e-10, 6) AS mean_rank,
+        |  s2.k, s2.chi2_f, s2.chi2_f > 9.488 AS significant
+        | FROM rj, s2 ORDER BY rj.event_type"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same dense hourly grid as the Ljung-Box oracle; D and VMR as the
+    // pure integer ratios, sqrt-only z, 1.645 literal on the rounded z.
+    "q_agg_dispersion" ->
+      """WITH hourly AS (SELECT event_type,
+        |   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |   CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        | bounds AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+        |  FROM hourly GROUP BY 1),
+        | grid AS (SELECT event_type,
+        |   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM bounds),
+        | dense AS (SELECT g.event_type, g.h, COALESCE(hl.x, 0) AS x
+        |  FROM grid g LEFT JOIN hourly hl
+        |   ON hl.event_type = g.event_type AND hl.h = g.h),
+        | st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_hours,
+        |   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS qx
+        |  FROM dense GROUP BY event_type),
+        | zz AS (SELECT event_type, n_hours, sx,
+        |   round(CAST(n_hours * qx - sx * sx AS DOUBLE)
+        |     / (sx * (n_hours - 1)) + 5e-10, 6) AS vmr,
+        |   round(sqrt(2.0 * CAST(n_hours * qx - sx * sx AS DOUBLE) / sx)
+        |     - sqrt(2.0 * (n_hours - 1) - 1) + 5e-10, 6) AS z
+        |  FROM st)
+        | SELECT event_type, n_hours, sx AS n_events, vmr, z,
+        |  z > 1.645 AS overdispersed
+        | FROM zz ORDER BY event_type"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Median-centered integer deviations at doubled scale (exact), then
+    // the ANOVA exact-moment oracle verbatim; F vs the 2.372 literal.
+    "q_agg_levene" ->
+      """WITH cust AS (SELECT c_mktsegment AS seg,
+        |   CAST(round(c_acctbal * 100) AS BIGINT) AS c FROM customer),
+        | med AS (SELECT seg, CAST(round(median(c) * 2) AS BIGINT)
+        |    AS med2 FROM cust GROUP BY seg),
+        | z AS (SELECT cust.seg, abs(cust.c * 2 - med.med2) AS z
+        |  FROM cust JOIN med ON cust.seg = med.seg),
+        | st AS (SELECT seg, CAST(count(*) AS BIGINT) AS n,
+        |   sum(CAST(z AS HUGEINT)) AS sc, sum(z * z) AS qc
+        |  FROM z GROUP BY seg),
+        | tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |   CAST(sum(sc) AS HUGEINT) AS ss,
+        |   CAST(count(*) AS BIGINT) AS k FROM st),
+        | terms AS (SELECT k, nn,
+        |   CAST(round(n * (CAST(sc AS DOUBLE) / n / 100.0
+        |      - CAST(ss AS DOUBLE) / nn / 100.0)
+        |     * (CAST(sc AS DOUBLE) / n / 100.0
+        |      - CAST(ss AS DOUBLE) / nn / 100.0) + 5e-10, 6)
+        |    AS DECIMAL(28,6)) AS tb,
+        |   CAST(round((CAST(qc AS DOUBLE) - CAST(sc AS DOUBLE)
+        |      * CAST(sc AS DOUBLE) / n) / 10000.0 + 5e-10, 6)
+        |    AS DECIMAL(28,6)) AS tw
+        |  FROM st, tot),
+        | agg AS (SELECT k, nn, CAST(sum(tb) AS DOUBLE) AS ssb,
+        |   CAST(sum(tw) AS DOUBLE) AS ssw
+        |  FROM terms GROUP BY k, nn),
+        | res AS (SELECT k, nn AS n,
+        |   round(ssb + 5e-10, 4) AS ss_between,
+        |   round(ssw + 5e-10, 4) AS ss_within,
+        |   round((ssb / (k - 1)) / (ssw / (nn - k)) + 5e-10, 6)
+        |     AS f_stat
+        |  FROM agg)
+        | SELECT k, n, ss_between, ss_within, f_stat,
+        |  f_stat > 2.372 AS heteroscedastic
+        | FROM res"""
         .stripMargin.replaceAll("\n", " "),
 
     // Same ANOVA integer moments; q vs the 3.858 literal on the

@@ -1668,6 +1668,150 @@ object Events {
         .orderBy(col("event_type"), desc("period"))
     },
 
+    // Spectral entropy of the hourly series (r12) — the single-number
+    // "how periodic is this signal" summary on top of q_ts_dft_power's
+    // harmonics: power at the 24h-cycle harmonics m = 1..11 (the same
+    // tabulated-literal trig — zero runtime cos/sin), normalized to a
+    // distribution q_m, H = −Σ q·ln q / ln(11) ∈ [0,1] (0 = one pure
+    // tone, 1 = white). A diurnal corpus scores low; bursty/noisy types
+    // drift high. Parity recipe: per-harmonic power ε-rounds to
+    // DECIMAL(38,2) so the normalizing total is an exact order-free
+    // sum, q = ratio of the identical decimal-cast doubles, ln terms
+    // ε-round at 6dp into an exact decimal sum (the q_text_entropy
+    // family), ln(11) is a literal. Peak harmonic by exact decimal
+    // ordering with the m tiebreak. One corpus scan to the pinned
+    // hourly frame; everything after is (types × 11) arithmetic.
+    "q_ts_spectral_entropy" -> { (s, d) =>
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val W = org.apache.spark.sql.expressions.Window
+      val hourly = hourlySeries(s, d, "spent")
+      val grid = hourly.groupBy(col("event_type"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val dense = grid.join(hourly, Seq("event_type", "h"), "left")
+        .na.fill(0L, Seq("x"))
+      val st = dense.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("x")).cast(dec).as("sx"))
+      val devs = dense.join(broadcast(st), Seq("event_type"))
+        .withColumn("dev", col("n") * col("x").cast(dec) - col("sx"))
+      val cosA = array(Fx.cos24.map(x => lit(x.toDouble)): _*)
+      val sinA = array(Fx.sin24.map(x => lit(x.toDouble)): _*)
+      val idx = (pmod(pmod(expr("unix_micros(h) DIV 3600000000"),
+        lit(24)) * col("m"), lit(24)) + 1).cast("int")
+      val pw = devs
+        .select(col("event_type"), col("h"), col("n"), col("dev"),
+          explode(array((1 to 11).map(lit): _*)).as("m"))
+        .withColumn("ca", eround(col("dev").cast("double")
+          * element_at(cosA, idx), 4).cast("decimal(28,4)"))
+        .withColumn("sa", eround(col("dev").cast("double")
+          * element_at(sinA, idx), 4).cast("decimal(28,4)"))
+        .groupBy(col("event_type"), col("m"))
+        .agg(max(col("n")).cast("long").as("n_hours"),
+          sum(col("ca")).as("a"), sum(col("sa")).as("b"))
+        .withColumn("p", eround(
+          col("a").cast("double") * col("a").cast("double")
+            + col("b").cast("double") * col("b").cast("double"), 2)
+          .cast("decimal(38,2)"))
+      val tot = pw.groupBy(col("event_type"))
+        .agg(sum(col("p")).as("ptot"))
+      val terms = pw.join(broadcast(tot), "event_type")
+        .withColumn("q", eround(
+          col("p").cast("double") / col("ptot").cast("double"), 6))
+        .withColumn("t", when(col("q") > 0,
+          eround(-col("q") * log(col("q")), 6)).otherwise(lit(0.0))
+          .cast("decimal(18,6)"))
+        .withColumn("rk", row_number().over(W.partitionBy(col("event_type"))
+          .orderBy(col("p").desc, col("m"))))
+      terms.groupBy(col("event_type"))
+        .agg(max(col("n_hours")).as("n_hours"),
+          max(when(col("rk") === 1, col("m"))).cast("long").as("peak_m"),
+          sum(col("t")).as("hsum"))
+        .select(col("event_type"), col("n_hours"), col("peak_m"),
+          eround(col("hsum").cast("double") / lit(2.3978952727983707), 6)
+            .as("h_spectral"))
+        .orderBy(col("event_type"))
+    },
+
+    // Hurst exponent by rescaled-range (R/S) analysis (r12) — the
+    // long-memory probe beside ACF/PACF: H ≈ 0.5 = memoryless, > 0.5 =
+    // persistent trends, < 0.5 = mean-reverting. The parity engineering
+    // is the whole operator: within each size-m block of the dense
+    // hourly series, the cumulative deviations are lifted to integers
+    // by scaling with m (m·S_j = m·cumsum − (j+1)·Σx), so the range
+    // R·m = max − min is EXACT int64, the block std satisfies S·m =
+    // sqrt(m·Σx² − (Σx)²) (exact integer under an IEEE-exact sqrt), and
+    // R/S = Rm/sqrt(D) — a pure integer-ratio-under-sqrt per block with
+    // zero float subtraction. Block means ride exact DECIMAL sums of
+    // the 6dp-rounded R/S; the log-log regression uses log2(m) ∈
+    // {3,4,5,6} as EXACT INTEGER abscissae (slope/ln2 at the end, ln2 a
+    // literal), and the 4-point slope is a closed-form scalar over the
+    // four ln(mean R/S) doubles — no float aggregation order anywhere.
+    // Scale: windows ride (type, m, block) frames of the domain-sized
+    // hourly series, never the corpus.
+    "q_ts_hurst" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val hourly = hourlySeries(s, d, "hurst")
+      val grid = hourly.groupBy(col("event_type"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("event_type"), col("h0"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val dense = grid.join(hourly, Seq("event_type", "h"), "left")
+        .na.fill(0L, Seq("x"))
+        .withColumn("i", expr(
+          "(unix_micros(h) - unix_micros(h0)) DIV 3600000000"))
+      val blocked = dense
+        .select(col("event_type"), col("i"), col("x"),
+          explode(array(Seq(8, 16, 32, 64).map(lit): _*)).as("m"))
+        .withColumn("blk", expr("i DIV m"))
+        .withColumn("j", expr("i % m"))
+      val wRun = W.partitionBy(col("event_type"), col("m"), col("blk"))
+        .orderBy(col("j"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val wAll = W.partitionBy(col("event_type"), col("m"), col("blk"))
+      val perPos = blocked
+        .withColumn("cum", sum(col("x")).over(wRun))
+        .withColumn("bs", sum(col("x")).over(wAll))
+        .withColumn("qs", sum(col("x") * col("x")).over(wAll))
+        .withColumn("cnt", count(lit(1)).over(wAll))
+        .filter(col("cnt") === col("m"))
+        .withColumn("ms", col("m") * col("cum") - (col("j") + 1) * col("bs"))
+      val perBlock = perPos.groupBy(col("event_type"), col("m"),
+          col("blk"))
+        .agg((max(col("ms")) - min(col("ms"))).as("rm"),
+          (max(col("m") * col("qs")) - max(col("bs")) * max(col("bs")))
+            .as("dd"))
+        .filter(col("dd") > 0)
+        .select(col("event_type"), col("m"),
+          eround(col("rm").cast("double") /
+            sqrt(col("dd").cast("double")), 6)
+            .cast("decimal(18,6)").as("rs"))
+      val perM = perBlock.groupBy(col("event_type"), col("m"))
+        .agg(count(lit(1)).as("nb"), sum(col("rs")).as("srs"))
+        .withColumn("mean_rs",
+          col("srs").cast("double") / col("nb"))
+        .withColumn("y", log(col("mean_rs")))
+      def pick(m: Int, c: String) = max(when(col("m") === m, col(c)))
+      perM.groupBy(col("event_type"))
+        .agg(pick(8, "nb").as("nb8"), pick(16, "nb").as("nb16"),
+          pick(32, "nb").as("nb32"), pick(64, "nb").as("nb64"),
+          eround(pick(8, "mean_rs"), 6).as("rs8"),
+          eround(pick(16, "mean_rs"), 6).as("rs16"),
+          eround(pick(32, "mean_rs"), 6).as("rs32"),
+          eround(pick(64, "mean_rs"), 6).as("rs64"),
+          pick(8, "y").as("y8"), pick(16, "y").as("y16"),
+          pick(32, "y").as("y32"), pick(64, "y").as("y64"))
+        .select(col("event_type"), col("nb8"), col("nb16"), col("nb32"),
+          col("nb64"), col("rs8"), col("rs16"), col("rs32"), col("rs64"),
+          eround((lit(4.0) * (lit(3.0) * col("y8") + lit(4.0) * col("y16")
+              + lit(5.0) * col("y32") + lit(6.0) * col("y64"))
+            - lit(18.0) * (col("y8") + col("y16") + col("y32")
+              + col("y64")))
+            / 20.0 / lit(0.6931471805599453), 6).as("hurst"))
+        .orderBy(col("event_type"))
+    },
+
     // Cross-correlation between every event-type pair's hourly count
     // series at lags −3..+3 — the lead-lag discovery probe (do errors
     // precede purchase dips? which signal leads?): r_k = corr(x_t,
@@ -2769,6 +2913,123 @@ object Events {
          |    + CAST(b AS DOUBLE) * CAST(b AS DOUBLE)) * 2.0
          |   / (n_hours * CAST(dd AS DOUBLE)) + 5e-10, 6) AS power_frac
          | FROM ag ORDER BY event_type, period DESC"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same tabulated-literal trig over m = 1..11, per-harmonic power
+    // ε-rounded into an exact decimal total, ln terms at 6dp into an
+    // exact decimal sum, ln(11) a literal; peak by exact decimal order.
+    "q_ts_spectral_entropy" ->
+      s"""WITH hourly AS (SELECT event_type,
+         |   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         |   CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+         | bounds AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+         |  FROM hourly GROUP BY 1),
+         | grid AS (SELECT event_type,
+         |   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+         |  FROM bounds),
+         | dense AS (SELECT g.event_type, g.h, COALESCE(hl.x, 0) AS x
+         |  FROM grid g LEFT JOIN hourly hl
+         |   ON g.event_type = hl.event_type AND g.h = hl.h),
+         | st AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+         |   CAST(sum(x) AS HUGEINT) AS sx FROM dense GROUP BY 1),
+         | devs AS (SELECT d.event_type, d.h, st.n,
+         |   st.n * d.x - st.sx AS dev
+         |  FROM dense d JOIN st USING (event_type)),
+         | tg(k, c, sn) AS (VALUES ${Fx.oTrig24}),
+         | pm(m) AS (VALUES (1), (2), (3), (4), (5), (6), (7), (8),
+         |   (9), (10), (11)),
+         | cells AS (SELECT d.event_type, pm.m, d.n,
+         |   CAST(round(CAST(d.dev AS DOUBLE) * tg.c + 5e-10, 4)
+         |    AS DECIMAL(28,4)) AS ca,
+         |   CAST(round(CAST(d.dev AS DOUBLE) * tg.sn + 5e-10, 4)
+         |    AS DECIMAL(28,4)) AS sa
+         |  FROM devs d, pm, tg
+         |  WHERE tg.k = ((epoch(d.h)::BIGINT // 3600 % 24) * pm.m) % 24),
+         | pw AS (SELECT event_type, m,
+         |   CAST(max(n) AS BIGINT) AS n_hours,
+         |   CAST(round(CAST(sum(ca) AS DOUBLE) * CAST(sum(ca) AS DOUBLE)
+         |     + CAST(sum(sa) AS DOUBLE) * CAST(sum(sa) AS DOUBLE)
+         |     + 5e-10, 2) AS DECIMAL(38,2)) AS p
+         |  FROM cells GROUP BY 1, 2),
+         | tot AS (SELECT event_type, sum(p) AS ptot FROM pw GROUP BY 1),
+         | terms AS (SELECT pw.event_type, pw.m, pw.n_hours, pw.p,
+         |   round(CAST(pw.p AS DOUBLE) / CAST(t.ptot AS DOUBLE)
+         |     + 5e-10, 6) AS q,
+         |   row_number() OVER (PARTITION BY pw.event_type
+         |     ORDER BY pw.p DESC, pw.m) AS rk
+         |  FROM pw JOIN tot t USING (event_type)),
+         | tt AS (SELECT event_type, n_hours, m, rk,
+         |   CAST(CASE WHEN q > 0
+         |     THEN round((-q) * ln(q) + 5e-10, 6) ELSE 0.0 END
+         |    AS DECIMAL(18,6)) AS t
+         |  FROM terms)
+         | SELECT event_type, CAST(max(n_hours) AS BIGINT) AS n_hours,
+         |  CAST(max(CASE WHEN rk = 1 THEN m END) AS BIGINT) AS peak_m,
+         |  round(CAST(sum(t) AS DOUBLE) / 2.3978952727983707
+         |    + 5e-10, 6) AS h_spectral
+         | FROM tt GROUP BY event_type ORDER BY event_type"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Integer-lifted cumulative deviations (m·S_j), Rm/sqrt(D) per
+    // block, exact decimal block means, integer log2(m) abscissae and
+    // the ln2 literal — the identical closed-form 4-point slope.
+    "q_ts_hurst" ->
+      """WITH hourly AS (SELECT event_type,
+        |   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |   CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        | bounds AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+        |  FROM hourly GROUP BY 1),
+        | grid AS (SELECT b.event_type, b.h0,
+        |   unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS h
+        |  FROM bounds b),
+        | dense AS (SELECT g.event_type,
+        |   (epoch_us(g.h) - epoch_us(g.h0)) // 3600000000 AS i,
+        |   COALESCE(hl.x, 0) AS x
+        |  FROM grid g LEFT JOIN hourly hl
+        |   ON g.event_type = hl.event_type AND g.h = hl.h),
+        | pm(m) AS (VALUES (8), (16), (32), (64)),
+        | blocked AS (SELECT event_type, pm.m, i // pm.m AS blk,
+        |   i % pm.m AS j, x FROM dense, pm),
+        | perpos AS (SELECT event_type, m, blk, j, x,
+        |   sum(x) OVER (PARTITION BY event_type, m, blk ORDER BY j
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |   sum(x) OVER (PARTITION BY event_type, m, blk) AS bs,
+        |   sum(x * x) OVER (PARTITION BY event_type, m, blk) AS qs,
+        |   count(*) OVER (PARTITION BY event_type, m, blk) AS cnt
+        |  FROM blocked),
+        | ms AS (SELECT event_type, m, blk,
+        |   m * cum - (j + 1) * bs AS ms, bs, qs
+        |  FROM perpos WHERE cnt = m),
+        | perblock AS (SELECT event_type, m, blk,
+        |   max(ms) - min(ms) AS rm,
+        |   max(m * qs) - max(bs) * max(bs) AS dd
+        |  FROM ms GROUP BY 1, 2, 3),
+        | rs AS (SELECT event_type, m,
+        |   CAST(round(CAST(rm AS DOUBLE) / sqrt(CAST(dd AS DOUBLE))
+        |     + 5e-10, 6) AS DECIMAL(18,6)) AS rs
+        |  FROM perblock WHERE dd > 0),
+        | perm AS (SELECT event_type, m,
+        |   CAST(count(*) AS BIGINT) AS nb,
+        |   CAST(sum(rs) AS DOUBLE) / count(*) AS mean_rs
+        |  FROM rs GROUP BY 1, 2),
+        | pv AS (SELECT event_type,
+        |   max(CASE WHEN m = 8 THEN nb END) AS nb8,
+        |   max(CASE WHEN m = 16 THEN nb END) AS nb16,
+        |   max(CASE WHEN m = 32 THEN nb END) AS nb32,
+        |   max(CASE WHEN m = 64 THEN nb END) AS nb64,
+        |   max(CASE WHEN m = 8 THEN mean_rs END) AS m8,
+        |   max(CASE WHEN m = 16 THEN mean_rs END) AS m16,
+        |   max(CASE WHEN m = 32 THEN mean_rs END) AS m32,
+        |   max(CASE WHEN m = 64 THEN mean_rs END) AS m64
+        |  FROM perm GROUP BY 1)
+        | SELECT event_type, nb8, nb16, nb32, nb64,
+        |  round(m8 + 5e-10, 6) AS rs8, round(m16 + 5e-10, 6) AS rs16,
+        |  round(m32 + 5e-10, 6) AS rs32, round(m64 + 5e-10, 6) AS rs64,
+        |  round((4.0 * (3.0 * ln(m8) + 4.0 * ln(m16) + 5.0 * ln(m32)
+        |     + 6.0 * ln(m64))
+        |    - 18.0 * (ln(m8) + ln(m16) + ln(m32) + ln(m64)))
+        |   / 20.0 / 0.6931471805599453 + 5e-10, 6) AS hurst
+        | FROM pv ORDER BY event_type"""
         .stripMargin.replaceAll("\n", " "),
 
     // Mirrors the dense grids, the shifted-hour equi-join, and the

@@ -740,6 +740,34 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // Flesch–Kincaid readability grade (r12) — the classic curation
+    // heuristic beside q_text_quality: 0.39·(words/sentences) +
+    // 11.8·(syllables/word) − 15.59, with syllables as contiguous
+    // vowel-group counts (the standard cheap approximation) and
+    // sentences as terminator runs [.!?]+ floored at 1. The fixture
+    // corpus has NO punctuation, so every doc is "one sentence" and the
+    // grade explodes with doc length — the detector FLAGGING unpunctuated
+    // machine text is the demo working (the q_agg_benford pattern: the
+    // audit fires loudly on synthetic data). Pure per-row regex + exact
+    // integer counts + one ε-rounded division chain — map-only at any
+    // scale, identical regex semantics in java.util.regex and RE2.
+    "q_text_readability" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(toks(col("text"))).cast("long").as("n_words"),
+          size(expr("regexp_extract_all(text, '[aeiouy]+', 0)"))
+            .cast("long").as("n_syllables"),
+          greatest(size(expr("regexp_extract_all(text, '[.!?]+', 0)"))
+            .cast("long"), lit(1L)).as("n_sentences"))
+        .withColumn("fk_grade", eround(
+          lit(0.39) * (col("n_words").cast("double") / col("n_sentences"))
+            + lit(11.8) * (col("n_syllables").cast("double")
+              / col("n_words"))
+            - lit(15.59), 4))
+        .withColumn("flagged_unreadable", col("fk_grade") > 18.0)
+        .orderBy(col("doc_id"))
+    },
+
     // Lexicon/blocklist filtering (the C4 "bad-words" gate): per-doc hit
     // count against a curated term list + hit-rate keep/drop flag. The
     // lexicon is a broadcast-free LITERAL array folded per row
@@ -1896,6 +1924,55 @@ object Text {
           col("n_sample"),
           eround(col("n_sample") / col("n_pop"), 4).as("rate"))
         .orderBy(col("segment"))
+    },
+
+    // Neyman-allocation stratified sample (r12) — the OPTIMAL stratified
+    // design beside the proportional q_sample_stratified: a fixed budget
+    // n = 1000 allocates ∝ N_h·S_h, so volatile strata get more rows
+    // than their population share (the variance-minimizing allocation
+    // for estimating the overall mean). Per-stratum std comes from the
+    // exact integer moments (sqrt of (N·Σx²−(Σx)²)/(N·(N−1)) — no float
+    // mean subtraction), weights ε-round into an exact DECIMAL total so
+    // the allocation ratio divides two identical decimal-cast doubles,
+    // n_h rounds on the nudged grid, and membership is the md5-order
+    // rank (the systematic-sampling coin): fully deterministic, so the
+    // sampled-id checksum is oracle-exact. One corpus scan for moments
+    // + one rank window per stratum.
+    "q_sample_neyman" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          round(col("value") * 100).cast("long").as("c"))
+      val st = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nh"), sum(col("c")).as("sx"),
+          sum(col("c") * col("c")).as("qx"))
+        .withColumn("sh", sqrt((col("nh") * col("qx")
+          - col("sx") * col("sx")).cast("double")
+          / (col("nh") * (col("nh") - 1))))
+        .withColumn("wd",
+          eround(col("nh") * col("sh"), 6).cast("decimal(28,6)"))
+      val tot = st.agg(sum(col("wd")).as("wtot"))
+      val alloc = st.crossJoin(broadcast(tot))
+        .withColumn("n_alloc",
+          round(lit(1000.0) * col("wd").cast("double")
+            / col("wtot").cast("double") + lit(5e-10), 0).cast("long"))
+        .select(col("event_type"), col("nh"), col("sh"), col("n_alloc"))
+      val ranked = ev
+        .withColumn("rn", row_number().over(
+          W.partitionBy(col("event_type"))
+            .orderBy(md5(col("event_id").cast("string")),
+              col("event_id"))))
+        .join(broadcast(alloc), "event_type")
+        .filter(col("rn") <= col("n_alloc"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("event_id")).as("id_checksum"))
+      alloc.join(ranked, Seq("event_type"), "left")
+        .select(col("event_type"), col("nh").as("n_pop"),
+          eround(col("sh"), 6).as("stddev"), col("n_alloc"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+          coalesce(col("id_checksum"), lit(0L)).as("id_checksum"))
+        .orderBy(col("event_type"))
     },
 
     // Winsorized length statistics: clip per-language token counts at the
@@ -4251,6 +4328,72 @@ object Text {
         |  round(CAST(count(*) FILTER (rn % 10 = 1) AS BIGINT)
         |    / CAST(count(*) AS BIGINT) + 5e-10, 4) AS rate
         | FROM r GROUP BY segment ORDER BY segment"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same exact integer moments under the sqrt, ε-rounded decimal
+    // weight total, nudged half-up allocation, md5-order membership —
+    // the sampled-id checksum is therefore exact on both engines.
+    "q_sample_neyman" ->
+      """WITH ev AS (SELECT event_type, event_id,
+        |   CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        | st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nh,
+        |   CAST(sum(c) AS BIGINT) AS sx,
+        |   CAST(sum(c * c) AS BIGINT) AS qx
+        |  FROM ev GROUP BY event_type),
+        | sw AS (SELECT event_type, nh,
+        |   sqrt(CAST(nh * qx - sx * sx AS DOUBLE) / (nh * (nh - 1)))
+        |     AS sh
+        |  FROM st),
+        | wd AS (SELECT event_type, nh, sh,
+        |   CAST(round(nh * sh + 5e-10, 6) AS DECIMAL(28,6)) AS wd
+        |  FROM sw),
+        | tot AS (SELECT sum(wd) AS wtot FROM wd),
+        | alloc AS (SELECT event_type, nh, sh,
+        |   CAST(round(1000.0 * CAST(wd AS DOUBLE)
+        |     / CAST(wtot AS DOUBLE) + 5e-10, 0) AS BIGINT) AS n_alloc
+        |  FROM wd, tot),
+        | rk AS (SELECT event_type, event_id, row_number() OVER
+        |   (PARTITION BY event_type
+        |    ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rn
+        |  FROM ev),
+        | got AS (SELECT rk.event_type,
+        |   CAST(count(*) AS BIGINT) AS n_sampled,
+        |   CAST(sum(rk.event_id) AS BIGINT) AS id_checksum
+        |  FROM rk JOIN alloc USING (event_type)
+        |  WHERE rk.rn <= alloc.n_alloc GROUP BY rk.event_type)
+        | SELECT a.event_type, a.nh AS n_pop,
+        |  round(a.sh + 5e-10, 6) AS stddev, a.n_alloc,
+        |  COALESCE(g.n_sampled, 0) AS n_sampled,
+        |  COALESCE(g.id_checksum, 0) AS id_checksum
+        | FROM alloc a LEFT JOIN got g USING (event_type)
+        | ORDER BY a.event_type"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same vowel-group and terminator regexes on the raw text, exact
+    // integer counts, identical division chain; the no-punctuation
+    // fixture pins the S=1 floor path on both engines.
+    "q_text_readability" ->
+      s"""SELECT doc_id,
+         | CAST(len($oToks) AS BIGINT) AS n_words,
+         | CAST(len(regexp_extract_all(text, '[aeiouy]+')) AS BIGINT)
+         |   AS n_syllables,
+         | greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+         |   AS BIGINT), 1) AS n_sentences,
+         | round(0.39 * (CAST(len($oToks) AS BIGINT)
+         |    / greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+         |      AS BIGINT), 1))
+         |  + 11.8 * (CAST(len(regexp_extract_all(text, '[aeiouy]+'))
+         |      AS BIGINT)
+         |    / CAST(len($oToks) AS BIGINT))
+         |  - 15.59 + 5e-10, 4) AS fk_grade,
+         | round(0.39 * (CAST(len($oToks) AS BIGINT)
+         |    / greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+         |      AS BIGINT), 1))
+         |  + 11.8 * (CAST(len(regexp_extract_all(text, '[aeiouy]+'))
+         |      AS BIGINT)
+         |    / CAST(len($oToks) AS BIGINT))
+         |  - 15.59 + 5e-10, 4) > 18.0 AS flagged_unreadable
+         | FROM documents ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_text_winsorize" ->

@@ -3735,18 +3735,24 @@ class EngineLawsSpec extends SparkSuite {
     val (te, ta) = (ev.count(_._1 % 2 == 0).toLong,
       ev.count(_._1 % 2 == 1).toLong)
     assert(out.length === bins.size)
-    var psi = BigDecimal(0)
+    // r12 all-integer shape: (bin, n_e, n_a, pe_micros, pa_micros,
+    // psi_term_e4, psi_e4) — micro-probability shares sum to 1e6 within
+    // the half-up rounding slack, terms stay nonneg, psi_e4 is their
+    // exact int64 sum.
+    var psiE4 = 0L
     out.foreach { r =>
       val es = bins(r.getLong(0))
       assert(r.getLong(1) === es.count(_._1 % 2 == 0).toLong)
       assert(r.getLong(2) === es.count(_._1 % 2 == 1).toLong)
-      val term = r.getDecimal(5)
-      assert(term.signum >= 0, "each PSI term (pa-pe)ln(pa/pe) >= 0")
-      psi += BigDecimal(term)
+      val term = r.getLong(5)
+      assert(term >= 0L, "each PSI term (pa-pe)ln(pa/pe) >= 0")
+      psiE4 += term
     }
-    assert(math.abs(out.head.getDouble(6) - psi.toDouble) < 1e-6)
-    assert(math.abs(out.map(_.getDouble(3)).sum - 1.0) < 1e-4)
-    assert(math.abs(out.map(_.getDouble(4)).sum - 1.0) < 1e-4)
+    assert(out.head.getLong(6) === psiE4)
+    assert(math.abs(out.map(_.getLong(3)).sum - 1000000L) <= out.length,
+      "pe_micros shares sum to 1e6 within rounding slack")
+    assert(math.abs(out.map(_.getLong(4)).sum - 1000000L) <= out.length,
+      "pa_micros shares sum to 1e6 within rounding slack")
     assert(te > 0 && ta > 0)
   }
 
@@ -3879,11 +3885,14 @@ class EngineLawsSpec extends SparkSuite {
       .map(r => r.getLong(0) ->
         (r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))
       .toMap
-    def r6(x: Double) = BigDecimal(x + 5e-10)
-      .setScale(6, BigDecimal.RoundingMode.HALF_UP)
-    def fw(agree: Boolean, m: Double, u: Double) =
-      if (agree) r6(math.log(m / u) / math.log(2.0))
-      else r6(math.log((1 - m) / (1 - u)) / math.log(2.0))
+    // r12 integer shape: the 6dp log2 weights ride ×1e6 as int64
+    // micro-weights and score_micros is their exact sum.
+    def fw(agree: Boolean, m: Double, u: Double): Long = {
+      val w = if (agree) math.log(m / u) / math.log(2.0)
+      else math.log((1 - m) / (1 - u)) / math.log(2.0)
+      (BigDecimal(w + 5e-10)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP) * 1000000).toLongExact
+    }
     out.foreach { r =>
       val (na, nb) = (cust(r.getLong(0)), cust(r.getLong(1)))
       // same block: nation + $1000 balance bucket
@@ -3898,9 +3907,9 @@ class EngineLawsSpec extends SparkSuite {
       assert(r.getInt(4) === (if (nmA) 1 else 0))
       val score = fw(segA, 0.9, 0.2) + fw(balA, 0.8, 0.05) +
         fw(nmA, 0.7, 0.01)
-      assert(BigDecimal(r.getDecimal(5)) === score, "F-S score")
+      assert(r.getLong(5) === score, "F-S score_micros")
     }
-    val scores = out.map(r => BigDecimal(r.getDecimal(5)))
+    val scores = out.map(_.getLong(5))
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
 
@@ -5057,6 +5066,128 @@ class EngineLawsSpec extends SparkSuite {
       if ((u & 0xff) != 0x7f)
         assert(Ulaw.encode(back) === u, s"idempotence at $x")
       x += 1
+    }
+  }
+
+  test("q_agg_permutation_test: add-one p in (0,1], extreme count bounded") {
+    val r = SparkEntry.queries("q_agg_permutation_test")(spark, sf)
+      .collect().head
+    val (nExtreme, p) = (r.getLong(4), r.getDouble(5))
+    assert(r.getLong(3) === 64L)
+    assert(nExtreme >= 0L && nExtreme <= 64L)
+    assert(p > 0.0 && p <= 1.0, "add-one estimator never reports 0")
+    assert(math.abs(p - (nExtreme + 1).toDouble / 65.0) < 1e-6)
+    assert(r.getLong(1) > 0 && r.getLong(1) < r.getLong(0),
+      "both groups populated")
+  }
+
+  test("q_agg_friedman: rank sums conserve n*k(k+1)/2; stat nonneg") {
+    val out = SparkEntry.queries("q_agg_friedman")(spark, sf).collect()
+    val k = out.head.getLong(4)
+    assert(out.length.toLong === k)
+    val n = out.head.getLong(1)
+    assert(out.forall(_.getLong(1) === n), "complete blocks")
+    // per block the (tie-averaged) ranks sum to k(k+1)/2 exactly
+    assert(math.abs(out.map(_.getDouble(2)).sum
+      - n.toDouble * k * (k + 1) / 2.0) < 1e-9)
+    assert(out.head.getDouble(5) >= 0.0, "chi2_F nonneg")
+    assert(out.forall(r => r.getBoolean(6) === (r.getDouble(5) > 9.488)))
+  }
+
+  test("q_agg_dispersion: VMR replays from dense hourly counts") {
+    val out = SparkEntry.queries("q_agg_dispersion")(spark, sf).collect()
+    import org.apache.spark.sql.functions.{col, date_trunc}
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).getTime))
+    out.foreach { r =>
+      val t = r.getString(0)
+      val hs = ev.filter(_._1 == t).map(_._2)
+      val (h0, h1) = (hs.min, hs.max)
+      val nHours = (h1 - h0) / 3600000L + 1
+      assert(r.getLong(1) === nHours, s"dense grid span for $t")
+      val counts = hs.groupBy(identity).view.mapValues(_.length.toLong)
+      val xs = (0L until nHours)
+        .map(i => counts.getOrElse(h0 + i * 3600000L, 0L))
+      val (sx, qx) = (xs.sum, xs.map(x => x * x).sum)
+      assert(r.getLong(2) === sx)
+      val vmr = (nHours * qx - sx * sx).toDouble / (sx * (nHours - 1))
+      assert(math.abs(r.getDouble(3) - vmr) < 1e-5, s"VMR replay for $t")
+      assert(r.getBoolean(5) === (r.getDouble(4) > 1.645))
+    }
+  }
+
+  test("q_agg_levene: F nonneg; doubled-scale deviations reduce to ANOVA") {
+    val r = SparkEntry.queries("q_agg_levene")(spark, sf).collect().head
+    assert(r.getLong(0) === 5L, "five market segments")
+    assert(r.getLong(1) ===
+      Tables.customer(spark, sf).count(), "every customer scored")
+    assert(r.getDouble(4) >= 0.0)
+    assert(r.getBoolean(5) === (r.getDouble(4) > 2.372))
+  }
+
+  test("q_ts_spectral_entropy: H in [0,1], peak harmonic in range") {
+    val out = SparkEntry.queries("q_ts_spectral_entropy")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(2) >= 1L && r.getLong(2) <= 11L)
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0 + 1e-9,
+        s"H normalized for ${r.getString(0)}")
+    }
+  }
+
+  test("q_ts_hurst: mean R/S grows with block size; H in (0,1)") {
+    val out = SparkEntry.queries("q_ts_hurst")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val rs = Seq(r.getDouble(5), r.getDouble(6), r.getDouble(7),
+        r.getDouble(8))
+      assert(rs.zip(rs.tail).forall { case (a, b) => b > a },
+        s"R/S monotone in m for ${r.getString(0)}: $rs")
+      assert(r.getDouble(9) > 0.0 && r.getDouble(9) < 1.0,
+        s"plausible Hurst for ${r.getString(0)}")
+    }
+  }
+
+  test("q_sample_neyman: budget conserved, membership replays md5 order") {
+    val out = SparkEntry.queries("q_sample_neyman")(spark, sf).collect()
+    val k = out.length
+    assert(math.abs(out.map(_.getLong(3)).sum - 1000L) <= k,
+      "half-up allocations conserve the budget within k")
+    import org.apache.spark.sql.functions.{col, round => sround}
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    out.foreach { r =>
+      val ids = ev.filter(_._1 == r.getString(0)).map(_._2)
+      assert(r.getLong(4) === math.min(r.getLong(3), ids.length.toLong))
+      val sampled = ids.map(id => (md5hex(id.toString), id))
+        .sorted.take(r.getLong(3).toInt).map(_._2)
+      assert(r.getLong(5) === sampled.sum, "md5-order checksum replay")
+    }
+  }
+
+  test("q_text_readability: counts replay; unpunctuated corpus floors S=1") {
+    val out = SparkEntry.queries("q_text_readability")(spark, sf).collect()
+    val docs = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.length === docs.size)
+    out.foreach { r =>
+      val text = docs(r.getLong(0))
+      assert(r.getLong(1) === text.toLowerCase.split(" ", -1).length.toLong)
+      assert(r.getLong(2) ===
+        "[aeiouy]+".r.findAllIn(text).length.toLong)
+      assert(r.getLong(3) === 1L, "no punctuation -> one sentence")
+      val grade = 0.39 * (r.getLong(1).toDouble / r.getLong(3)) +
+        11.8 * (r.getLong(2).toDouble / r.getLong(1)) - 15.59
+      assert(math.abs(r.getDouble(4) - grade) < 1e-3)
+      assert(r.getBoolean(5) === (r.getDouble(4) > 18.0))
     }
   }
 }
