@@ -339,6 +339,170 @@ object Multimodal {
     }
   }
 
+  /** REAL GIF89a codec with genuine LZW (public spec: GIF89a, CompuServe
+    * 1990; LZW layout per the spec's Appendix F): variable-width codes
+    * starting at minCodeSize+1 bits, clear/EOI control codes, dictionary
+    * growth with width bumps at each power of two (the decoder bumps one
+    * entry EARLY — the classic off-by-one that pairs a spec decoder with
+    * a spec encoder), LSB-first bit packing, and ≤255-byte data
+    * sub-blocks. 128-entry grayscale palette (i,i,i), so a decoded
+    * pixel's red channel IS its palette index — which is what lets
+    * GifCodecSpec validate the encoder against the JDK's own ImageIO GIF
+    * reader as an independent implementation, not just our decoder.
+    */
+  object Gif {
+    private val MinCode = 7 // 128-color palette
+    private val Clear = 1 << MinCode
+    private val Eoi = Clear + 1
+
+    def encode(w: Int, h: Int, px: Array[Int]): Array[Byte] = {
+      val out = new scala.collection.mutable.ArrayBuffer[Byte](256)
+      out ++= "GIF89a".getBytes("US-ASCII")
+      out += (w & 0xff).toByte; out += ((w >> 8) & 0xff).toByte
+      out += (h & 0xff).toByte; out += ((h >> 8) & 0xff).toByte
+      // GCT present, 8-bit color resolution, 128-entry table (2^(6+1))
+      out += 0xf6.toByte; out += 0; out += 0
+      var i = 0
+      while (i < 128) { // grayscale palette: index == channel value
+        out += i.toByte; out += i.toByte; out += i.toByte; i += 1
+      }
+      out += 0x2c // image descriptor
+      out += 0; out += 0; out += 0; out += 0
+      out += (w & 0xff).toByte; out += ((w >> 8) & 0xff).toByte
+      out += (h & 0xff).toByte; out += ((h >> 8) & 0xff).toByte
+      out += 0 // no local table, not interlaced
+      out += MinCode.toByte
+      // LZW: dictionary keyed (prefixCode << 8 | symbol); codes widen
+      // when the next-to-assign counter reaches the current capacity
+      val data = new scala.collection.mutable.ArrayBuffer[Byte](256)
+      var bitBuf = 0L
+      var bitCnt = 0
+      var width = MinCode + 1
+      def emit(code: Int): Unit = {
+        bitBuf |= code.toLong << bitCnt
+        bitCnt += width
+        while (bitCnt >= 8) {
+          data += (bitBuf & 0xff).toByte
+          bitBuf >>>= 8; bitCnt -= 8
+        }
+      }
+      val table = new java.util.HashMap[Long, Integer]()
+      var next = Eoi + 1
+      emit(Clear)
+      var prefix = px(0)
+      var p = 1
+      while (p < px.length) {
+        val c = px(p)
+        val key = prefix.toLong << 8 | c
+        val hit = table.get(key)
+        if (hit != null) prefix = hit.intValue()
+        else {
+          emit(prefix)
+          table.put(key, Integer.valueOf(next))
+          next += 1
+          if (next == (1 << width) + 1 && width < 12) width += 1
+          prefix = c
+        }
+        p += 1
+      }
+      emit(prefix)
+      emit(Eoi)
+      if (bitCnt > 0) data += (bitBuf & 0xff).toByte
+      // sub-block framing
+      var off = 0
+      while (off < data.length) {
+        val n = math.min(255, data.length - off)
+        out += n.toByte
+        out ++= data.slice(off, off + n)
+        off += n
+      }
+      out += 0 // block terminator
+      out += 0x3b // trailer
+      out.toArray
+    }
+
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+      require(new String(bytes, 0, 6, "US-ASCII") == "GIF89a", "not GIF89a")
+      val w = (bytes(6) & 0xff) | ((bytes(7) & 0xff) << 8)
+      val h = (bytes(8) & 0xff) | ((bytes(9) & 0xff) << 8)
+      val packed = bytes(10) & 0xff
+      var i = 13
+      if ((packed & 0x80) != 0) i += 3 * (2 << (packed & 0x07))
+      require((bytes(i) & 0xff) == 0x2c, "image descriptor expected")
+      i += 10 // descriptor (no local color table in our streams)
+      val minCode = bytes(i) & 0xff; i += 1
+      // concatenate sub-blocks
+      val data = new scala.collection.mutable.ArrayBuffer[Byte](256)
+      var bl = bytes(i) & 0xff; i += 1
+      while (bl != 0) {
+        data ++= bytes.slice(i, i + bl); i += bl
+        bl = bytes(i) & 0xff; i += 1
+      }
+      val clear = 1 << minCode
+      val eoi = clear + 1
+      val px = new Array[Int](w * h)
+      var out = 0
+      // dictionary as (prefixCode, symbol) arrays; roots are implicit
+      val prefixOf = new Array[Int](4096)
+      val symbolOf = new Array[Int](4096)
+      var next = eoi + 1
+      var width = minCode + 1
+      var bitPos = 0
+      def read(): Int = {
+        var v = 0
+        var k = 0
+        while (k < width) {
+          val byte = data(bitPos >> 3) & 0xff
+          v |= ((byte >> (bitPos & 7)) & 1) << k
+          bitPos += 1; k += 1
+        }
+        v
+      }
+      def firstSym(code0: Int): Int = {
+        var c = code0
+        while (c >= clear) c = prefixOf(c)
+        c
+      }
+      def write(code0: Int): Unit = {
+        // expand back-to-front into a small stack
+        var c = code0
+        val stack = new Array[Int](4096)
+        var sp = 0
+        while (c >= clear) { stack(sp) = symbolOf(c); sp += 1; c = prefixOf(c) }
+        px(out) = c; out += 1
+        while (sp > 0) { sp -= 1; px(out) = stack(sp); out += 1 }
+      }
+      var prev = -1
+      var code = read()
+      while (code != eoi && out < w * h) {
+        if (code == clear) {
+          next = eoi + 1; width = minCode + 1; prev = -1
+        } else if (prev < 0) {
+          write(code); prev = code
+        } else {
+          if (code < next) write(code)
+          else { // the K-omega-K case: code == next
+            var c = prev
+            val stack = new Array[Int](4096)
+            var sp = 0
+            while (c >= clear) { stack(sp) = symbolOf(c); sp += 1; c = prefixOf(c) }
+            px(out) = c; out += 1
+            while (sp > 0) { sp -= 1; px(out) = stack(sp); out += 1 }
+            px(out) = firstSym(prev); out += 1
+          }
+          prefixOf(next) = prev
+          symbolOf(next) = firstSym(code)
+          next += 1
+          // decoder widens one entry EARLY relative to the encoder
+          if (next == (1 << width) && width < 12) width += 1
+          prev = code
+        }
+        code = read()
+      }
+      (w, h, px)
+    }
+  }
+
   /** REAL compressed-audio codec: IMA ADPCM (DVI4), the standard 4:1
     * 16-bit→4-bit adaptive-delta compression (public spec: IMA Digital
     * Audio Focus Group, also RFC 3551 DVI4). Frame layout here is the
@@ -892,6 +1056,43 @@ object Multimodal {
         .orderBy(col("doc_id"))
     },
 
+    // REAL GIF89a path (r12): a 16x16 indexed plane (palette index =
+    // 7-bit char code, the house synthesis) round-tripped through the
+    // genuine LZW codec — variable-width codes, clear/EOI, dictionary
+    // width bumps, sub-block framing. GIF's LZW is lossless, so unlike
+    // JPEG the WHOLE plane oracle-checks: px_sum/mean replay as byte
+    // arithmetic while the stream exercises real dictionary dynamics
+    // (the 256-pixel plane pushes codes into 9-bit width). The encoded
+    // size is dictionary-path-dependent (not SQL-expressible) and is
+    // law-tested in GifCodecSpec instead, which also validates the
+    // encoder against the JDK's own ImageIO GIF reader — an independent
+    // implementation, not just our decoder.
+    "q_multimodal_gif" -> { (s, d) =>
+      val frame = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val outSchema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("w", IntegerType),
+        StructField("h", IntegerType),
+        StructField("px_sum", IntegerType),
+        StructField("mean_px", DoubleType),
+        StructField("roundtrip_ok", BooleanType)))
+      frame.mapPartitions { rows =>
+        rows.map { r =>
+          val text = r.getString(1)
+          val px = Array.tabulate(256)(i =>
+            text.charAt(i % text.length) & 0x7f)
+          val enc = Gif.encode(16, 16, px)
+          val (w, h, back) = Gif.decode(enc)
+          Row(r.getLong(0), w, h, back.sum, back.sum / 256.0,
+            w == 16 && h == 16 && java.util.Arrays.equals(back, px))
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
+        .select(col("doc_id"), col("w"), col("h"), col("px_sum"),
+          round(col("mean_px") + lit(5e-10), 4).as("mean_px"),
+          col("roundtrip_ok"))
+        .orderBy(col("doc_id"))
+    },
+
     // REAL PNG path: the same synthesized 8x4 pixel plane as
     // q_multimodal_ppm, but round-tripped through the genuine PNG codec —
     // zlib deflate/inflate, CRC-verified chunk framing, and
@@ -1104,6 +1305,20 @@ object Multimodal {
         |  round(16 * (v0 + v1 + v2 + v3) / 64.0 + 5e-10, 4) AS mean_px,
         |  TRUE AS roundtrip_ok
         | FROM v ORDER BY doc_id"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // LZW is lossless, so the decoded plane equals the synthesized one
+    // and every stat is byte arithmetic; roundtrip_ok is the literal the
+    // codec law suite earns.
+    "q_multimodal_gif" ->
+      """WITH sm AS (SELECT doc_id,
+        |  ascii(substring(text, (i % length(text)) + 1, 1)) % 128 AS v
+        | FROM documents, LATERAL unnest(generate_series(0, 255)) u(i))
+        | SELECT doc_id, 16 AS w, 16 AS h,
+        |  CAST(sum(v) AS INT) AS px_sum,
+        |  round(CAST(sum(v) AS INT) / 256.0 + 5e-10, 4) AS mean_px,
+        |  TRUE AS roundtrip_ok
+        | FROM sm GROUP BY doc_id ORDER BY doc_id"""
         .stripMargin.replaceAll("\n", " "),
 
     // Full integer replay of the G.711 µ-law round-trip: bias, segment
