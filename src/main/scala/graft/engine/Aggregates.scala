@@ -565,6 +565,43 @@ object Aggregates {
         .orderBy(col("event_type"))
     },
 
+    // Grubbs max-outlier statistic per event type (r12) — "is the most
+    // extreme value too extreme for a normal sample": G = max|x − x̄|/s.
+    // Everything reduces to integers before any float: the deviation
+    // lifts to |n·c − Σc| (exact int64, no float mean subtraction), the
+    // argmax rides a composite integer key with the smallest-event-id
+    // tiebreak (the q_agg_median max_by recipe), and G divides that
+    // integer by n and by the exact-moment sample std — one IEEE sqrt,
+    // zero libm. The critical value depends on n, so G is emitted for
+    // the caller's table lookup rather than flag-compared (unlike the
+    // fixed-k tests, n varies per group).
+    "q_agg_grubbs" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          round(col("value") * 100).cast("long").as("c"))
+      val st = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("sx"),
+          sum(col("c") * col("c")).as("qx"))
+      ev.join(broadcast(st), "event_type")
+        .withColumn("ad", abs(col("n") * col("c") - col("sx")))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"), max(col("sx")).as("sx"),
+          max(col("qx")).as("qx"), max(col("ad")).as("mad"),
+          max_by(col("event_id"),
+            col("ad") * lit(100000000L) - col("event_id"))
+            .as("outlier_event_id"),
+          max_by(col("c"),
+            col("ad") * lit(100000000L) - col("event_id"))
+            .as("outlier_cents"))
+        .select(col("event_type"), col("n"), col("outlier_event_id"),
+          col("outlier_cents"),
+          eround(col("mad").cast("double") / col("n")
+            / sqrt((col("n") * col("qx") - col("sx") * col("sx"))
+              .cast("double") / (col("n") * (col("n") - 1))), 6)
+            .as("g_stat"))
+        .orderBy(col("event_type"))
+    },
+
     // Brown–Forsythe (median-centered Levene) homogeneity-of-variance
     // test across market segments — the gate a pooled-variance test
     // (q_agg_ttest, q_agg_anova) should itself be gated on. The key
@@ -2352,6 +2389,28 @@ object Aggregates {
         | SELECT event_type, n_hours, sx AS n_events, vmr, z,
         |  z > 1.645 AS overdispersed
         | FROM zz ORDER BY event_type"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same integer-lifted deviations |n·c − Σc|, same composite-key
+    // argmax tiebreak, one sqrt.
+    "q_agg_grubbs" ->
+      """WITH ev AS (SELECT event_type, event_id,
+        |   CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        | st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(c) AS BIGINT) AS sx,
+        |   CAST(sum(c * c) AS BIGINT) AS qx
+        |  FROM ev GROUP BY event_type),
+        | ad AS (SELECT ev.event_type, ev.event_id, ev.c, st.n, st.sx,
+        |   st.qx, abs(st.n * ev.c - st.sx) AS ad
+        |  FROM ev JOIN st USING (event_type))
+        | SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |  arg_max(event_id, ad * 100000000 - event_id)
+        |    AS outlier_event_id,
+        |  arg_max(c, ad * 100000000 - event_id) AS outlier_cents,
+        |  round(CAST(max(ad) AS DOUBLE) / max(n)
+        |    / sqrt(CAST(max(n) * max(qx) - max(sx) * max(sx) AS DOUBLE)
+        |      / (max(n) * (max(n) - 1))) + 5e-10, 6) AS g_stat
+        | FROM ad GROUP BY event_type ORDER BY event_type"""
         .stripMargin.replaceAll("\n", " "),
 
     // Median-centered integer deviations at doubled scale (exact), then

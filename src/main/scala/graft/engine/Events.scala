@@ -1734,6 +1734,101 @@ object Events {
         .orderBy(col("event_type"))
     },
 
+    // Wald–Wolfowitz runs test per daily series (r12) — the classic
+    // "is this sequence random or regime-switching" probe: too FEW runs
+    // of above/below-median days means trending (growth, regime
+    // shifts), too many means oscillation. Parity: the median of integer
+    // counts doubles to an exact int (the q_agg_levene move), ties drop
+    // (standard practice — an equal-to-median hour is neither side, and
+    // the drop is an identical integer predicate on both engines), runs
+    // count from one lag window over the survivors, and E[R]/Var[R] are
+    // pure integer-ratio arithmetic under a single IEEE-exact sqrt —
+    // zero libm. Verdict vs the two-sided 1.96 literal on the rounded z.
+    "q_ts_runs_test" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      // DAILY series, not hourly: at the smallest fixture the hourly
+      // median is 0 (most hours empty), every survivor sits above it
+      // and the test degenerates to zero rows — days keep both sides
+      // populated at every SF while the windows still ride a
+      // calendar-bounded (≤ 31 rows/type) frame.
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("day", col("ts")).as("h"))
+        .agg(count(lit(1)).as("x"))
+      val grid = daily.groupBy(col("event_type"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1, interval 1 day)")).as("h"))
+      val dense = grid.join(daily, Seq("event_type", "h"), "left")
+        .na.fill(0L, Seq("x"))
+      val med = dense.groupBy(col("event_type"))
+        .agg(round(median(col("x")) * 2).cast("long").as("med2"))
+      val cls = dense.join(broadcast(med), "event_type")
+        .filter(col("x") * 2 =!= col("med2"))
+        .withColumn("above", (col("x") * 2 > col("med2")).cast("int"))
+      val w = W.partitionBy(col("event_type")).orderBy(col("h"))
+      val runs = cls
+        .withColumn("chg",
+          when(lag(col("above"), 1).over(w).isNull, 1)
+            .when(lag(col("above"), 1).over(w) =!= col("above"), 1)
+            .otherwise(0))
+        .groupBy(col("event_type"))
+        .agg(sum(col("above").cast("long")).as("n1"),
+          sum((lit(1) - col("above")).cast("long")).as("n2"),
+          sum(col("chg").cast("long")).as("r"))
+        .filter(col("n1") > 0 && col("n2") > 0)
+      runs.select(col("event_type"), col("n1").as("n_above"),
+          col("n2").as("n_below"), col("r").as("n_runs"),
+          eround((col("r").cast("double")
+            - (lit(2.0) * col("n1") * col("n2")
+              / (col("n1") + col("n2")) + lit(1.0)))
+            / sqrt((lit(2.0) * col("n1") * col("n2")
+              * (lit(2) * col("n1") * col("n2") - col("n1") - col("n2")))
+              .cast("double")
+              / ((col("n1") + col("n2")) * (col("n1") + col("n2"))
+                * (col("n1") + col("n2") - 1)).cast("double")), 6)
+            .as("z"))
+        .withColumn("random_ok", abs(col("z")) <= 1.96)
+        .orderBy(col("event_type"))
+    },
+
+    // Turning-point randomness test per hourly series (r12) — the
+    // second classical randomness probe beside the runs test, sensitive
+    // to SMOOTHNESS rather than level regimes: count strict local
+    // extrema (x_{t−1} < x_t > x_{t+1} or the mirror; ties break no
+    // turning point, an identical integer predicate on both engines),
+    // E[T] = 2(n−2)/3 and Var[T] = (16n−29)/90 are exact rationals, z
+    // needs one sqrt — zero libm. A smooth diurnal series turns too
+    // RARELY and fails low; white noise passes. 1.96 literal on the
+    // rounded z.
+    "q_ts_turning_points" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val hourly = hourlySeries(s, d, "tp")
+      val grid = hourly.groupBy(col("event_type"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val dense = grid.join(hourly, Seq("event_type", "h"), "left")
+        .na.fill(0L, Seq("x"))
+      val w = W.partitionBy(col("event_type")).orderBy(col("h"))
+      val tp = dense
+        .withColumn("pv", lag(col("x"), 1).over(w))
+        .withColumn("nx", lead(col("x"), 1).over(w))
+        .withColumn("turn", when(col("pv").isNotNull
+          && col("nx").isNotNull
+          && ((col("pv") < col("x") && col("x") > col("nx"))
+            || (col("pv") > col("x") && col("x") < col("nx"))), 1L)
+          .otherwise(0L))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"), sum(col("turn")).as("n_turning"))
+      tp.select(col("event_type"), col("n_hours"), col("n_turning"),
+          eround((col("n_turning").cast("double")
+            - lit(2.0) * (col("n_hours") - 2) / lit(3.0))
+            / sqrt((lit(16) * col("n_hours") - 29).cast("double")
+              / lit(90.0)), 6).as("z"))
+        .withColumn("random_ok", abs(col("z")) <= 1.96)
+        .orderBy(col("event_type"))
+    },
+
     // Hurst exponent by rescaled-range (R/S) analysis (r12) — the
     // long-memory probe beside ACF/PACF: H ≈ 0.5 = memoryless, > 0.5 =
     // persistent trends, < 0.5 = mean-reverting. The parity engineering
@@ -3030,6 +3125,82 @@ object Events {
         |    - 18.0 * (ln(m8) + ln(m16) + ln(m32) + ln(m64)))
         |   / 20.0 / 0.6931471805599453 + 5e-10, 6) AS hurst
         | FROM pv ORDER BY event_type"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same doubled-median classification, tie drop, lag-window run
+    // count, and the integer-ratio E/Var under one sqrt.
+    "q_ts_runs_test" ->
+      """WITH daily AS (SELECT event_type,
+        |   date_trunc('day', CAST(ts AS TIMESTAMP)) AS h,
+        |   CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        | bounds AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+        |  FROM daily GROUP BY 1),
+        | grid AS (SELECT event_type,
+        |   unnest(generate_series(h0, h1, INTERVAL 1 DAY)) AS h
+        |  FROM bounds),
+        | dense AS (SELECT g.event_type, g.h, COALESCE(hl.x, 0) AS x
+        |  FROM grid g LEFT JOIN daily hl
+        |   ON g.event_type = hl.event_type AND g.h = hl.h),
+        | med AS (SELECT event_type,
+        |   CAST(round(median(x) * 2) AS BIGINT) AS med2
+        |  FROM dense GROUP BY 1),
+        | cls AS (SELECT d.event_type, d.h,
+        |   CAST(d.x * 2 > m.med2 AS INT) AS above
+        |  FROM dense d JOIN med m USING (event_type)
+        |  WHERE d.x * 2 != m.med2),
+        | chg AS (SELECT event_type, above,
+        |   CASE WHEN lag(above) OVER w IS NULL THEN 1
+        |    WHEN lag(above) OVER w != above THEN 1 ELSE 0 END AS chg
+        |  FROM cls WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+        | runs AS (SELECT event_type,
+        |   CAST(sum(above) AS BIGINT) AS n1,
+        |   CAST(sum(1 - above) AS BIGINT) AS n2,
+        |   CAST(sum(chg) AS BIGINT) AS r
+        |  FROM chg GROUP BY event_type),
+        | zz AS (SELECT event_type, n1, n2, r,
+        |   round((CAST(r AS DOUBLE)
+        |     - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+        |    / sqrt(CAST(2 * n1 * n2 * (2 * n1 * n2 - n1 - n2) AS DOUBLE)
+        |      / CAST((n1 + n2) * (n1 + n2) * (n1 + n2 - 1) AS DOUBLE))
+        |    + 5e-10, 6) AS z
+        |  FROM runs WHERE n1 > 0 AND n2 > 0)
+        | SELECT event_type, n1 AS n_above, n2 AS n_below, r AS n_runs,
+        |  z, abs(z) <= 1.96 AS random_ok
+        | FROM zz ORDER BY event_type"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same strict-extremum predicate over lag/lead, exact rational
+    // moments, one sqrt.
+    "q_ts_turning_points" ->
+      """WITH hourly AS (SELECT event_type,
+        |   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |   CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        | bounds AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+        |  FROM hourly GROUP BY 1),
+        | grid AS (SELECT event_type,
+        |   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM bounds),
+        | dense AS (SELECT g.event_type, g.h, COALESCE(hl.x, 0) AS x
+        |  FROM grid g LEFT JOIN hourly hl
+        |   ON g.event_type = hl.event_type AND g.h = hl.h),
+        | tp0 AS (SELECT event_type, x,
+        |   lag(x) OVER w AS pv, lead(x) OVER w AS nx
+        |  FROM dense WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+        | tp AS (SELECT event_type,
+        |   CAST(count(*) AS BIGINT) AS n_hours,
+        |   CAST(sum(CASE WHEN pv IS NOT NULL AND nx IS NOT NULL
+        |     AND ((pv < x AND x > nx) OR (pv > x AND x < nx))
+        |     THEN 1 ELSE 0 END) AS BIGINT) AS n_turning
+        |  FROM tp0 GROUP BY event_type),
+        | zz AS (SELECT event_type, n_hours, n_turning,
+        |   round((CAST(n_turning AS DOUBLE)
+        |     - 2.0 * (n_hours - 2) / 3.0)
+        |    / sqrt(CAST(16 * n_hours - 29 AS DOUBLE) / 90.0)
+        |    + 5e-10, 6) AS z
+        |  FROM tp)
+        | SELECT event_type, n_hours, n_turning, z,
+        |  abs(z) <= 1.96 AS random_ok
+        | FROM zz ORDER BY event_type"""
         .stripMargin.replaceAll("\n", " "),
 
     // Mirrors the dense grids, the shifted-hour equi-join, and the

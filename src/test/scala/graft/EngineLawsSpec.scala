@@ -5171,6 +5171,57 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("q_ts_runs_test: runs bounded by survivors; z replays moments") {
+    val out = SparkEntry.queries("q_ts_runs_test")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n1, n2, runs) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(runs >= 1L && runs <= n1 + n2)
+      assert(runs <= 2L * math.min(n1, n2) + 1, "runs upper bound")
+      val e = 2.0 * n1 * n2 / (n1 + n2) + 1.0
+      val v = 2.0 * n1 * n2 * (2L * n1 * n2 - n1 - n2) /
+        ((n1 + n2).toDouble * (n1 + n2) * (n1 + n2 - 1))
+      assert(math.abs(r.getDouble(4) - (runs - e) / math.sqrt(v)) < 1e-5)
+      assert(r.getBoolean(5) === (math.abs(r.getDouble(4)) <= 1.96))
+    }
+  }
+
+  test("q_ts_turning_points: count bounded by n-2; z replays moments") {
+    val out = SparkEntry.queries("q_ts_turning_points")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (n, t) = (r.getLong(1), r.getLong(2))
+      assert(t >= 0L && t <= n - 2)
+      val z = (t - 2.0 * (n - 2) / 3.0) /
+        math.sqrt((16.0 * n - 29.0) / 90.0)
+      assert(math.abs(r.getDouble(3) - z) < 1e-5)
+      assert(r.getBoolean(4) === (math.abs(r.getDouble(3)) <= 1.96))
+    }
+  }
+
+  test("q_agg_grubbs: the flagged row is the true argmax deviation") {
+    val out = SparkEntry.queries("q_agg_grubbs")(spark, sf).collect()
+    import org.apache.spark.sql.functions.{col, round => sround}
+    val ev = Tables.events(spark, sf)
+      .select(col("event_type"), col("event_id"),
+        sround(col("value") * 100).cast("long").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    out.foreach { r =>
+      val t = r.getString(0)
+      val g = ev.filter(_._1 == t)
+      val n = g.length.toLong
+      assert(r.getLong(1) === n)
+      val sx = g.map(x => BigInt(x._3)).sum
+      val best = g.map { case (_, id, c) =>
+        ((BigInt(n) * c - sx).abs, -id, id, c)
+      }.max
+      assert(r.getLong(2) === best._3, s"argmax id for $t")
+      assert(r.getLong(3) === best._4, s"argmax cents for $t")
+      assert(r.getDouble(4) > 0.0)
+    }
+  }
+
   test("q_text_readability: counts replay; unpunctuated corpus floors S=1") {
     val out = SparkEntry.queries("q_text_readability")(spark, sf).collect()
     val docs = Tables.documents(spark, sf)
