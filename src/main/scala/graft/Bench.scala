@@ -360,7 +360,12 @@ object Bench {
       // html_extract rule). dispersion/levene share the dense-grid /
       // ANOVA moment shapes already timed (rule (c)).
       "q_agg_permutation_test", "q_agg_friedman", "q_ts_hurst",
-      "q_ts_spectral_entropy", "q_sample_neyman", "q_text_readability")
+      "q_ts_spectral_entropy", "q_sample_neyman", "q_text_readability",
+      // round-12 batch 2: the bipartite integer power iteration (one
+      // distinct cust-part edge shuffle + 4 join/agg half-steps).
+      // runs/turning/grubbs/median_ci share the dense-grid / moment /
+      // KS-cumulative shapes already timed (rule (c)).
+      "q_graph_hits")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

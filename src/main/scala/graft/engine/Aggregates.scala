@@ -565,6 +565,47 @@ object Aggregates {
         .orderBy(col("event_type"))
     },
 
+    // Distribution-free median confidence interval per event type (r12)
+    // — the order-statistic CI (binomial/normal-approximation ranks)
+    // that needs NO normality assumption, the uncertainty companion to
+    // q_agg_median: lo/hi ranks from n ± 1.96·√n (identical IEEE sqrt/
+    // floor/ceil on both engines), the rank→value lookup rides the
+    // bounded cents-domain cumulative frame (the KS machinery) — the
+    // window walks ≤ distinct-cents rows, never the corpus — and the
+    // median itself is the exact integer/half interpolation. Scale: one
+    // corpus scan to the per-(type, cents) frame.
+    "q_agg_median_ci" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+      val cells = ev.groupBy(col("event_type"), col("c"))
+        .agg(count(lit(1)).as("k"))
+      val w = W.partitionBy(col("event_type")).orderBy(col("c"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val cum = cells.withColumn("cum", sum(col("k")).over(w))
+      val st = ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), median(col("c")).as("med"))
+        .withColumn("lo_rank", greatest(lit(1L),
+          floor((col("n") - lit(1.96) * sqrt(col("n"))) / 2.0)
+            .cast("long")))
+        .withColumn("hi_rank", least(col("n"),
+          ceil(lit(1.0) + (col("n") + lit(1.96) * sqrt(col("n"))) / 2.0)
+            .cast("long")))
+      val lo = cum.join(broadcast(st), "event_type")
+        .filter(col("cum") >= col("lo_rank"))
+        .groupBy(col("event_type")).agg(min(col("c")).as("ci_lo_cents"))
+      val hi = cum.join(broadcast(st), "event_type")
+        .filter(col("cum") >= col("hi_rank"))
+        .groupBy(col("event_type")).agg(min(col("c")).as("ci_hi_cents"))
+      st.join(lo, "event_type").join(hi, "event_type")
+        .select(col("event_type"), col("n"),
+          eround(col("med") / 100.0, 4).as("median"),
+          col("lo_rank"), col("hi_rank"),
+          col("ci_lo_cents"), col("ci_hi_cents"))
+        .orderBy(col("event_type"))
+    },
+
     // Grubbs max-outlier statistic per event type (r12) — "is the most
     // extreme value too extreme for a normal sample": G = max|x − x̄|/s.
     // Everything reduces to integers before any float: the deviation
@@ -2389,6 +2430,40 @@ object Aggregates {
         | SELECT event_type, n_hours, sx AS n_events, vmr, z,
         |  z > 1.645 AS overdispersed
         | FROM zz ORDER BY event_type"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same normal-approximation ranks (identical sqrt/floor/ceil), the
+    // same bounded cents-domain cumulative lookup, exact median.
+    "q_agg_median_ci" ->
+      """WITH ev AS (SELECT event_type,
+        |   CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        | cells AS (SELECT event_type, c, CAST(count(*) AS BIGINT) AS k
+        |  FROM ev GROUP BY event_type, c),
+        | cum AS (SELECT event_type, c,
+        |   sum(k) OVER (PARTITION BY event_type ORDER BY c
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM cells),
+        | st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |   median(c) AS med FROM ev GROUP BY event_type),
+        | rk AS (SELECT event_type, n, med,
+        |   greatest(1, CAST(floor((n - 1.96 * sqrt(n)) / 2.0)
+        |     AS BIGINT)) AS lo_rank,
+        |   least(n, CAST(ceil(1.0 + (n + 1.96 * sqrt(n)) / 2.0)
+        |     AS BIGINT)) AS hi_rank
+        |  FROM st),
+        | lo AS (SELECT cum.event_type,
+        |   CAST(min(cum.c) AS BIGINT) AS ci_lo_cents
+        |  FROM cum JOIN rk USING (event_type)
+        |  WHERE cum.cum >= rk.lo_rank GROUP BY cum.event_type),
+        | hi AS (SELECT cum.event_type,
+        |   CAST(min(cum.c) AS BIGINT) AS ci_hi_cents
+        |  FROM cum JOIN rk USING (event_type)
+        |  WHERE cum.cum >= rk.hi_rank GROUP BY cum.event_type)
+        | SELECT rk.event_type, rk.n,
+        |  round(rk.med / 100.0 + 5e-10, 4) AS median,
+        |  rk.lo_rank, rk.hi_rank, lo.ci_lo_cents, hi.ci_hi_cents
+        | FROM rk JOIN lo USING (event_type) JOIN hi USING (event_type)
+        | ORDER BY rk.event_type"""
         .stripMargin.replaceAll("\n", " "),
 
     // Same integer-lifted deviations |n·c − Σc|, same composite-key

@@ -1668,6 +1668,53 @@ object Analytics {
     // reps). At unbounded scale the loop runs to fixpoint with the
     // same per-round checkpoint cadence (the q_dedup_groups
     // discipline).
+    // HITS hubs & authorities (r12) — the bipartite dual of PageRank
+    // over the natural customer→part purchase graph: a good HUB is a
+    // customer whose basket concentrates on widely-bought parts, a good
+    // AUTHORITY is a part bought by strong hubs. Two power iterations
+    // unrolled (the pagerank recipe), all INTEGER fixed-point: scores
+    // carry as micros, each half-step renormalizes by the side maximum
+    // with truncating integer division (score·1e6 DIV max — exact,
+    // order-free, oracle-replayable; float L2 normalization would need
+    // a cross-engine sqrt-sum), and the top-10 per side picks on the
+    // (score DESC, id) total order. Scale: edges = one distinct
+    // (cust, part) shuffle; each half-step is one join + one partial
+    // agg + a broadcast 1-row max — no all-pairs anywhere.
+    "q_graph_hits" -> { (s, d) =>
+      val edges = Checkpoints.pin("hits:" + d, Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("u"), col("l_partkey").as("p"))
+        .distinct()
+        .localCheckpoint())
+      def normalize(df: DataFrame, key: String, raw: String): DataFrame = {
+        val mx = df.agg(max(col(raw)).as("mx"))
+        df.crossJoin(broadcast(mx))
+          .select(col(key), expr(s"$raw * 1000000 DIV mx").as("score"))
+      }
+      // iteration 1: hub0 = 1e6 for every customer
+      val a1 = normalize(edges.groupBy(col("p"))
+        .agg(sum(lit(1000000L)).as("raw")), "p", "raw")
+      val h1 = normalize(edges.join(a1, "p").groupBy(col("u"))
+        .agg(sum(col("score")).as("raw")), "u", "raw")
+      // iteration 2
+      val a2 = normalize(edges.join(h1, "u").groupBy(col("p"))
+        .agg(sum(col("score")).as("raw")), "p", "raw")
+      val h2 = normalize(edges.join(a2, "p").groupBy(col("u"))
+        .agg(sum(col("score")).as("raw")), "u", "raw")
+      val top = h2.select(lit("hub").as("side"), col("u").as("id"),
+          col("score"))
+        .unionByName(a2.select(lit("authority").as("side"),
+          col("p").as("id"), col("score")))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("side"))
+            .orderBy(desc("score"), asc("id"))))
+        .filter(col("rk") <= 10)
+      top.select(col("side"), col("rk").as("rank"), col("id"),
+          col("score").as("score_micros"))
+        .orderBy(col("side"), col("rank"))
+    },
+
     "q_graph_kcore" -> { (s, d) =>
       def degrees(e: DataFrame): DataFrame =
         e.select(col("u").as("n"))
@@ -1983,6 +2030,37 @@ object Analytics {
         | FROM ev JOIN f ON ev.user_id = f.user_id
         | GROUP BY cohort_week, week_offset
         | ORDER BY cohort_week, week_offset"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Unrolled half-step CTEs; integer micros with truncating DIV
+    // renormalization keep every stage exact (the pagerank recipe).
+    "q_graph_hits" ->
+      """WITH e AS (SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS p
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        | a1r AS (SELECT p, CAST(sum(1000000) AS BIGINT) AS raw
+        |  FROM e GROUP BY p),
+        | a1 AS (SELECT p, raw * 1000000 // (SELECT max(raw) FROM a1r)
+        |    AS score FROM a1r),
+        | h1r AS (SELECT e.u, CAST(sum(a1.score) AS BIGINT) AS raw
+        |  FROM e JOIN a1 USING (p) GROUP BY e.u),
+        | h1 AS (SELECT u, raw * 1000000 // (SELECT max(raw) FROM h1r)
+        |    AS score FROM h1r),
+        | a2r AS (SELECT e.p, CAST(sum(h1.score) AS BIGINT) AS raw
+        |  FROM e JOIN h1 USING (u) GROUP BY e.p),
+        | a2 AS (SELECT p, raw * 1000000 // (SELECT max(raw) FROM a2r)
+        |    AS score FROM a2r),
+        | h2r AS (SELECT e.u, CAST(sum(a2.score) AS BIGINT) AS raw
+        |  FROM e JOIN a2 USING (p) GROUP BY e.u),
+        | h2 AS (SELECT u, raw * 1000000 // (SELECT max(raw) FROM h2r)
+        |    AS score FROM h2r),
+        | allrows AS (SELECT 'hub' AS side, u AS id, score FROM h2
+        |  UNION ALL SELECT 'authority', p, score FROM a2),
+        | ranked AS (SELECT side, id, score, row_number() OVER
+        |   (PARTITION BY side ORDER BY score DESC, id) AS rk
+        |  FROM allrows)
+        | SELECT side, CAST(rk AS INT) AS rank, id,
+        |  CAST(score AS BIGINT) AS score_micros
+        | FROM ranked WHERE rk <= 10 ORDER BY side, rank"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_graph_pagerank" -> {

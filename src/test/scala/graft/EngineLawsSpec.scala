@@ -5222,6 +5222,56 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("q_graph_hits: scala replay of both integer power iterations") {
+    val out = SparkEntry.queries("q_graph_hits")(spark, sf).collect()
+    assert(out.length === 20)
+    // replay: edges, two max-normalized integer half-step pairs
+    import org.apache.spark.sql.functions.col
+    val edges = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet.toSeq
+    def normalize(m: Map[Long, Long]): Map[Long, Long] = {
+      val mx = m.values.max
+      m.map { case (k, v) => k -> v * 1000000L / mx }
+    }
+    val a1 = normalize(edges.groupBy(_._2).map { case (p, es) =>
+      p -> es.map(_ => 1000000L).sum })
+    val h1 = normalize(edges.groupBy(_._1).map { case (u, es) =>
+      u -> es.map(e => a1(e._2)).sum })
+    val a2 = normalize(edges.groupBy(_._2).map { case (p, es) =>
+      p -> es.map(e => h1(e._1)).sum })
+    val h2 = normalize(edges.groupBy(_._1).map { case (u, es) =>
+      u -> es.map(e => a2(e._2)).sum })
+    def top10(m: Map[Long, Long]): Seq[(Long, Long)] =
+      m.toSeq.sortBy { case (id, sc) => (-sc, id) }.take(10)
+    val gotHubs = out.filter(_.getString(0) == "hub")
+      .sortBy(_.getInt(1)).map(r => (r.getLong(2), r.getLong(3))).toSeq
+    val gotAuth = out.filter(_.getString(0) == "authority")
+      .sortBy(_.getInt(1)).map(r => (r.getLong(2), r.getLong(3))).toSeq
+    assert(gotHubs === top10(h2), "hub top-10 replay")
+    assert(gotAuth === top10(a2), "authority top-10 replay")
+    assert(gotHubs.head._2 === 1000000L, "max hub pins the fixed point")
+    assert(gotAuth.head._2 === 1000000L, "max authority pins it too")
+  }
+
+  test("q_agg_median_ci: interval brackets the median, ranks replay") {
+    val out = SparkEntry.queries("q_agg_median_ci")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getLong(1)
+      val (loR, hiR) = (r.getLong(3), r.getLong(4))
+      assert(loR === math.max(1L,
+        math.floor((n - 1.96 * math.sqrt(n.toDouble)) / 2.0).toLong))
+      assert(hiR === math.min(n,
+        math.ceil(1.0 + (n + 1.96 * math.sqrt(n.toDouble)) / 2.0).toLong))
+      assert(loR <= hiR)
+      val medCents = r.getDouble(2) * 100.0
+      assert(r.getLong(5) <= medCents + 0.51, "lo bound below median")
+      assert(r.getLong(6) >= medCents - 0.51, "hi bound above median")
+    }
+  }
+
   test("q_text_readability: counts replay; unpunctuated corpus floors S=1") {
     val out = SparkEntry.queries("q_text_readability")(spark, sf).collect()
     val docs = Tables.documents(spark, sf)
