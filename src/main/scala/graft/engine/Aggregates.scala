@@ -565,6 +565,112 @@ object Aggregates {
         .orderBy(col("event_type"))
     },
 
+    // McNemar paired test (r12) — THE before/after retention test: did
+    // the user base's activity margin CHANGE between the calendar
+    // halves? Pairs are (user, hour-of-day) cells, the outcome "active in that
+    // half", and only the DISCORDANT cells matter: b = active-then-gone
+    // (churned), c = gone-then-active (resurrected). The continuity-
+    // corrected χ² = (|b−c|−1)²/(b+c) is a pure integer ratio — zero
+    // libm, one double division; χ²crit(1,.05) = 3.841 literal on the
+    // rounded statistic. The calendar split point is the integer
+    // midpoint of the fixture's [min,max] event-time micros.
+    "q_agg_mcnemar" -> { (s, d) =>
+      // pairing unit = (user, hour-of-day): the fixture's user axis is
+      // saturated (every user active in both halves -> zero discordant
+      // pairs, chi2 undefined), while per-(user, hour) activity is
+      // sparse enough to churn/resurrect at every SF
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), hour(col("ts")).as("hod"),
+          expr("unix_micros(ts)").as("us"))
+      val span = ev.agg(((min(col("us")) + max(col("us"))) / 2)
+        .cast("long").as("mid"))
+      val flags = ev.crossJoin(broadcast(span))
+        .groupBy(col("user_id"), col("hod"))
+        .agg(max(when(col("us") < col("mid"), 1L).otherwise(0L)).as("a"),
+          max(when(col("us") >= col("mid"), 1L).otherwise(0L)).as("b"))
+      flags.agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L))
+            .as("concordant"),
+          sum(when(col("a") === 1 && col("b") === 0, 1L).otherwise(0L))
+            .as("churned"),
+          sum(when(col("a") === 0 && col("b") === 1, 1L).otherwise(0L))
+            .as("resurrected"))
+        .select(col("n_pairs"), col("concordant"), col("churned"),
+          col("resurrected"),
+          eround(((abs(col("churned") - col("resurrected")) - 1)
+            * (abs(col("churned") - col("resurrected")) - 1))
+            .cast("double")
+            / (col("churned") + col("resurrected")), 6).as("chi2"))
+        .withColumn("significant", col("chi2") > 3.841)
+    },
+
+    // Cochran's Q (r12) — McNemar's k-treatment extension: is the
+    // fraction of active users STABLE across the three calendar thirds?
+    // Rows are users, treatments the thirds, outcomes binary. Q =
+    // k(k−1)·Σ(Cj·k − N)² / k² / (k·ΣRi − ΣRi²) stays in exact integer
+    // arithmetic until one double division (the spelled form clears the
+    // N/k fraction by scaling each column deviation by k); zero libm;
+    // χ²crit(2,.05) = 5.991 literal on the rounded Q.
+    "q_agg_cochran_q" -> { (s, d) =>
+      // same (user, hour-of-day) pairing as q_agg_mcnemar - an all-user
+      // row set is saturated (every Ri = k zeroes the denominator)
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), hour(col("ts")).as("hod"),
+          expr("unix_micros(ts)").as("us"))
+      val span = ev.agg(min(col("us")).as("lo"),
+        (max(col("us")) + 1).as("hi"))
+      val thirds = ev.crossJoin(broadcast(span))
+        .withColumn("third",
+          least(expr("(us - lo) * 3 DIV (hi - lo)"), lit(2L)))
+        .groupBy(col("user_id"), col("hod"))
+        .agg(max(when(col("third") === 0, 1L).otherwise(0L)).as("x0"),
+          max(when(col("third") === 1, 1L).otherwise(0L)).as("x1"),
+          max(when(col("third") === 2, 1L).otherwise(0L)).as("x2"))
+      val withR = thirds
+        .withColumn("ri", col("x0") + col("x1") + col("x2"))
+      withR.agg(count(lit(1)).as("n_pairs"),
+          sum(col("x0")).as("c0"), sum(col("x1")).as("c1"),
+          sum(col("x2")).as("c2"), sum(col("ri")).as("nn"),
+          sum(col("ri") * col("ri")).as("r2"))
+        .select(col("n_pairs"), col("c0"), col("c1"), col("c2"),
+          eround(lit(6.0) * (((col("c0") * 3 - col("nn"))
+              * (col("c0") * 3 - col("nn"))
+            + (col("c1") * 3 - col("nn")) * (col("c1") * 3 - col("nn"))
+            + (col("c2") * 3 - col("nn")) * (col("c2") * 3 - col("nn")))
+            .cast("double"))
+            / lit(9.0) / (lit(3) * col("nn") - col("r2")).cast("double"),
+            6).as("q_stat"))
+        .withColumn("significant", col("q_stat") > 5.991)
+    },
+
+    // Paired sign test (r12) — the weakest-assumption paired test: per
+    // user, did purchase COUNT rise or fall between the calendar
+    // halves? Ties drop (standard), S+ vs S− among the n' movers,
+    // z = (2·S+ − n')/√n' — integer arithmetic under one sqrt, zero
+    // libm; 1.96 literal on the rounded z.
+    "q_agg_sign_test" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+      val span = ev.agg(((min(col("us")) + max(col("us"))) / 2)
+        .cast("long").as("mid"))
+      val per = ev.crossJoin(broadcast(span))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("us") < col("mid"), 1L).otherwise(0L))
+          .as("early"),
+          sum(when(col("us") >= col("mid"), 1L).otherwise(0L))
+            .as("late"))
+        .filter(col("early") =!= col("late"))
+      per.agg(count(lit(1)).as("n_movers"),
+          sum(when(col("late") > col("early"), 1L).otherwise(0L))
+            .as("s_plus"))
+        .select(col("n_movers"), col("s_plus"),
+          (col("n_movers") - col("s_plus")).as("s_minus"),
+          eround((lit(2) * col("s_plus") - col("n_movers")).cast("double")
+            / sqrt(col("n_movers").cast("double")), 6).as("z"))
+        .withColumn("significant", abs(col("z")) > 1.96)
+    },
+
     // Distribution-free median confidence interval per event type (r12)
     // — the order-statistic CI (binomial/normal-approximation ranks)
     // that needs NO normality assumption, the uncertainty companion to
@@ -2430,6 +2536,90 @@ object Aggregates {
         | SELECT event_type, n_hours, sx AS n_events, vmr, z,
         |  z > 1.645 AS overdispersed
         | FROM zz ORDER BY event_type"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same integer midpoint split, discordant-cell counts, and the
+    // continuity-corrected integer-ratio chi2.
+    "q_agg_mcnemar" ->
+      """WITH ev AS (SELECT user_id, hour(CAST(ts AS TIMESTAMP)) AS hod,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        | span AS (SELECT CAST((min(us) + max(us)) / 2 AS BIGINT)
+        |    AS mid FROM ev),
+        | flags AS (SELECT user_id, hod,
+        |   max(CASE WHEN us < mid THEN 1 ELSE 0 END) AS a,
+        |   max(CASE WHEN us >= mid THEN 1 ELSE 0 END) AS b
+        |  FROM ev, span GROUP BY user_id, hod),
+        | cells AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |   CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS concordant,
+        |   CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS churned,
+        |   CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS resurrected
+        |  FROM flags),
+        | res AS (SELECT n_pairs, concordant, churned, resurrected,
+        |   round(CAST((abs(churned - resurrected) - 1)
+        |      * (abs(churned - resurrected) - 1) AS DOUBLE)
+        |     / (churned + resurrected) + 5e-10, 6) AS chi2
+        |  FROM cells)
+        | SELECT n_pairs, concordant, churned, resurrected, chi2,
+        |  chi2 > 3.841 AS significant FROM res"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same integer thirds, row/column totals, and the cleared-fraction
+    // integer Q with one double division chain.
+    "q_agg_cochran_q" ->
+      """WITH ev AS (SELECT user_id, hour(CAST(ts AS TIMESTAMP)) AS hod,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        | span AS (SELECT min(us) AS lo, max(us) + 1 AS hi FROM ev),
+        | thirds AS (SELECT user_id, hod,
+        |   max(CASE WHEN least((us - lo) * 3 // (hi - lo), 2) = 0
+        |     THEN 1 ELSE 0 END) AS x0,
+        |   max(CASE WHEN least((us - lo) * 3 // (hi - lo), 2) = 1
+        |     THEN 1 ELSE 0 END) AS x1,
+        |   max(CASE WHEN least((us - lo) * 3 // (hi - lo), 2) = 2
+        |     THEN 1 ELSE 0 END) AS x2
+        |  FROM ev, span GROUP BY user_id, hod),
+        | agg AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        |   CAST(sum(x0) AS BIGINT) AS c0, CAST(sum(x1) AS BIGINT) AS c1,
+        |   CAST(sum(x2) AS BIGINT) AS c2,
+        |   CAST(sum(x0 + x1 + x2) AS BIGINT) AS nn,
+        |   CAST(sum((x0 + x1 + x2) * (x0 + x1 + x2)) AS BIGINT) AS r2
+        |  FROM thirds),
+        | res AS (SELECT n_pairs, c0, c1, c2,
+        |   round(6.0 * CAST((c0 * 3 - nn) * (c0 * 3 - nn)
+        |      + (c1 * 3 - nn) * (c1 * 3 - nn)
+        |      + (c2 * 3 - nn) * (c2 * 3 - nn) AS DOUBLE)
+        |     / 9.0 / CAST(3 * nn - r2 AS DOUBLE) + 5e-10, 6) AS q_stat
+        |  FROM agg)
+        | SELECT n_pairs, c0, c1, c2, q_stat,
+        |  q_stat > 5.991 AS significant FROM res"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same tie-dropping mover counts; z from integers under one sqrt.
+    "q_agg_sign_test" ->
+      """WITH ev AS (SELECT user_id,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+        |  WHERE event_type = 'purchase'),
+        | span AS (SELECT CAST((min(us) + max(us)) / 2 AS BIGINT)
+        |    AS mid FROM ev),
+        | per AS (SELECT user_id,
+        |   CAST(sum(CASE WHEN us < mid THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS early,
+        |   CAST(sum(CASE WHEN us >= mid THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS late
+        |  FROM ev, span GROUP BY user_id),
+        | mv AS (SELECT * FROM per WHERE early != late),
+        | agg AS (SELECT CAST(count(*) AS BIGINT) AS n_movers,
+        |   CAST(sum(CASE WHEN late > early THEN 1 ELSE 0 END) AS BIGINT)
+        |     AS s_plus
+        |  FROM mv),
+        | res AS (SELECT n_movers, s_plus, n_movers - s_plus AS s_minus,
+        |   round(CAST(2 * s_plus - n_movers AS DOUBLE)
+        |     / sqrt(CAST(n_movers AS DOUBLE)) + 5e-10, 6) AS z
+        |  FROM agg)
+        | SELECT n_movers, s_plus, s_minus, z,
+        |  abs(z) > 1.96 AS significant FROM res"""
         .stripMargin.replaceAll("\n", " "),
 
     // Same normal-approximation ranks (identical sqrt/floor/ceil), the

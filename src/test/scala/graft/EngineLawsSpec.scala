@@ -5272,6 +5272,30 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("paired tests: cells conserve pairs; statistics replay closed forms") {
+    val mc = SparkEntry.queries("q_agg_mcnemar")(spark, sf).collect().head
+    val (np, conc, b, c) =
+      (mc.getLong(0), mc.getLong(1), mc.getLong(2), mc.getLong(3))
+    assert(conc + b + c <= np, "cells partition the pair set")
+    assert(b > 0 && c > 0, "discordant cells populated at every SF")
+    val chi2 = math.pow(math.abs(b - c) - 1.0, 2) / (b + c)
+    assert(math.abs(mc.getDouble(4) - chi2) < 1e-6)
+    assert(mc.getBoolean(5) === (mc.getDouble(4) > 3.841))
+
+    val cq = SparkEntry.queries("q_agg_cochran_q")(spark, sf)
+      .collect().head
+    assert(cq.getDouble(4) >= 0.0)
+    assert(cq.getBoolean(5) === (cq.getDouble(4) > 5.991))
+
+    val st = SparkEntry.queries("q_agg_sign_test")(spark, sf)
+      .collect().head
+    val (nm, sp, sm) = (st.getLong(0), st.getLong(1), st.getLong(2))
+    assert(sp + sm === nm, "movers split exactly")
+    val z = (2.0 * sp - nm) / math.sqrt(nm.toDouble)
+    assert(math.abs(st.getDouble(3) - z) < 1e-6)
+    assert(st.getBoolean(4) === (math.abs(st.getDouble(3)) > 1.96))
+  }
+
   test("q_text_readability: counts replay; unpunctuated corpus floors S=1") {
     val out = SparkEntry.queries("q_text_readability")(spark, sf).collect()
     val docs = Tables.documents(spark, sf)
