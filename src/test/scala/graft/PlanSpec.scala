@@ -344,6 +344,50 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("permutation test: explode(64) collapses into a partial agg " +
+      "before the only shuffle") {
+    // The 64x explode must partial-aggregate map-side to the 64
+    // permutation groups — the shuffle moves 64 partial rows per task,
+    // never the exploded corpus. If Generate sat above the exchange the
+    // operator would shuffle 64x the fact table at 100 TB.
+    val p = plan("q_agg_permutation_test")
+    val lines = p.linesIterator.toSeq
+    val gen = lines.indexWhere(_.contains("Generate explode"))
+    assert(gen >= 0, s"explode missing:\n$p")
+    // plans print parents first: the nearest HashAggregate ABOVE the
+    // Generate must sit closer to it than the nearest Exchange — i.e.
+    // the partial agg is a child of the exchange, not vice versa
+    val aggIdx = (gen - 1 to 0 by -1)
+      .find(i => lines(i).contains("HashAggregate"))
+    val exIdx = (gen - 1 to 0 by -1)
+      .find(i => lines(i).contains("Exchange"))
+    assert(aggIdx.isDefined,
+      s"explode output must partial-aggregate before exchanging:\n$p")
+    assert(exIdx.forall(e => aggIdx.get > e),
+      s"partial agg must sit between the explode and the exchange:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("hits: no cartesian; every half-step max joins as a broadcast") {
+    val p = plan("q_graph_hits")
+    assert(!p.contains("CartesianProduct"),
+      s"1-row max frames must broadcast:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), s"broadcast missing:\n$p")
+  }
+
+  test("hurst: block windows partition by (type, m, blk), never " +
+      "a single partition") {
+    val p = plan("q_ts_hurst")
+    assert(p.contains("windowspecdefinition(event_type"),
+      s"window must partition by the block key:\n$p")
+    // every windowspecdefinition in this plan carries the 3-part key
+    val bad = p.linesIterator.filter(_.contains("windowspecdefinition("))
+      .filterNot(_.contains("event_type"))
+    assert(bad.isEmpty,
+      s"unpartitioned window in hurst plan:\n${bad.mkString("\n")}")
+  }
+
   test("hill tail index: global top-100 plans as TakeOrderedAndProject") {
     // The k-largest-order-statistics scan must be the per-partition
     // heap + single-reduce TakeOrderedAndProject, not a full global
