@@ -671,6 +671,48 @@ object Aggregates {
         .withColumn("significant", abs(col("z")) > 1.96)
     },
 
+    // Wilcoxon signed-rank test (r12) — the paired tier's workhorse
+    // between the sign test (direction only) and the paired t-test
+    // (normality): per-user purchase-count change between the calendar
+    // halves, zero diffs dropped, |d| ranked with tie-averaged ranks
+    // (exact halves, the q_agg_friedman move), W⁺ = Σ ranks of positive
+    // diffs. The tie-corrected variance n(n+1)(2n+1)/24 − Σ(t³−t)/48
+    // is exact integer arithmetic divided by literals (identical IEEE
+    // on both engines), z needs one sqrt — zero libm; 1.96 literal on
+    // the rounded z. The rank window walks the per-user frame (≤ users
+    // rows), never the corpus.
+    "q_agg_wilcoxon" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+      val span = ev.agg(((min(col("us")) + max(col("us"))) / 2)
+        .cast("long").as("mid"))
+      val diffs = ev.crossJoin(broadcast(span))
+        .groupBy(col("user_id"))
+        .agg((sum(when(col("us") >= col("mid"), 1L).otherwise(0L))
+          - sum(when(col("us") < col("mid"), 1L).otherwise(0L))).as("dd"))
+        .filter(col("dd") =!= 0)
+        .withColumn("ad", abs(col("dd")))
+      val ranked = diffs
+        .withColumn("r", rank().over(W.orderBy(col("ad"))))
+        .withColumn("t", count(lit(1)).over(W.partitionBy(col("ad"))))
+        .withColumn("ar", col("r") + (col("t") - 1).cast("double") / 2.0)
+      val ties = diffs.groupBy(col("ad")).agg(count(lit(1)).as("t"))
+        .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tc"))
+      val st = ranked.agg(count(lit(1)).as("n_movers"),
+        sum(when(col("dd") > 0, col("ar")).otherwise(0.0)).as("w_plus"))
+      st.crossJoin(broadcast(ties))
+        .select(col("n_movers"), col("w_plus"),
+          eround((col("w_plus")
+            - (col("n_movers") * (col("n_movers") + 1)).cast("double")
+              / 4.0)
+            / sqrt((col("n_movers") * (col("n_movers") + 1)
+              * (col("n_movers") * 2 + 1)).cast("double") / 24.0
+              - col("tc").cast("double") / 48.0), 6).as("z"))
+        .withColumn("significant", abs(col("z")) > 1.96)
+    },
+
     // Distribution-free median confidence interval per event type (r12)
     // — the order-statistic CI (binomial/normal-approximation ranks)
     // that needs NO normality assumption, the uncertainty companion to
@@ -2594,6 +2636,42 @@ object Aggregates {
         |  FROM agg)
         | SELECT n_pairs, c0, c1, c2, q_stat,
         |  q_stat > 5.991 AS significant FROM res"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same zero-drop, tie-averaged half-integer ranks, exact integer
+    // tie correction, literal divisors, one sqrt.
+    "q_agg_wilcoxon" ->
+      """WITH ev AS (SELECT user_id,
+        |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+        |  WHERE event_type = 'purchase'),
+        | span AS (SELECT CAST((min(us) + max(us)) / 2 AS BIGINT)
+        |    AS mid FROM ev),
+        | diffs AS (SELECT user_id,
+        |   CAST(sum(CASE WHEN us >= mid THEN 1 ELSE 0 END)
+        |    - sum(CASE WHEN us < mid THEN 1 ELSE 0 END) AS BIGINT) AS dd
+        |  FROM ev, span GROUP BY user_id),
+        | mv AS (SELECT user_id, dd, abs(dd) AS ad FROM diffs
+        |  WHERE dd != 0),
+        | rk AS (SELECT dd,
+        |   rank() OVER (ORDER BY ad)
+        |    + CAST(count(*) OVER (PARTITION BY ad) - 1 AS DOUBLE) / 2.0
+        |    AS ar
+        |  FROM mv),
+        | ties AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tc
+        |  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM mv
+        |   GROUP BY ad)),
+        | st AS (SELECT CAST(count(*) AS BIGINT) AS n_movers,
+        |   sum(CASE WHEN dd > 0 THEN ar ELSE 0.0 END) AS w_plus
+        |  FROM rk),
+        | res AS (SELECT n_movers, w_plus,
+        |   round((w_plus
+        |     - CAST(n_movers * (n_movers + 1) AS DOUBLE) / 4.0)
+        |    / sqrt(CAST(n_movers * (n_movers + 1) * (2 * n_movers + 1)
+        |       AS DOUBLE) / 24.0 - CAST(tc AS DOUBLE) / 48.0)
+        |    + 5e-10, 6) AS z
+        |  FROM st, ties)
+        | SELECT n_movers, w_plus, z, abs(z) > 1.96 AS significant
+        | FROM res"""
         .stripMargin.replaceAll("\n", " "),
 
     // Same tie-dropping mover counts; z from integers under one sqrt.

@@ -5294,6 +5294,16 @@ class EngineLawsSpec extends SparkSuite {
     val z = (2.0 * sp - nm) / math.sqrt(nm.toDouble)
     assert(math.abs(st.getDouble(3) - z) < 1e-6)
     assert(st.getBoolean(4) === (math.abs(st.getDouble(3)) > 1.96))
+
+    val wx = SparkEntry.queries("q_agg_wilcoxon")(spark, sf)
+      .collect().head
+    val nw = wx.getLong(0)
+    assert(nw === nm, "wilcoxon movers = sign-test movers (same diffs)")
+    val wPlus = wx.getDouble(1)
+    // rank-sum conservation: W+ + W- = n(n+1)/2 and both halves nonneg
+    assert(wPlus >= 0.0 && wPlus <= nw.toDouble * (nw + 1) / 2.0)
+    assert(wPlus * 2 === math.rint(wPlus * 2), "W+ is an exact half")
+    assert(wx.getBoolean(3) === (math.abs(wx.getDouble(2)) > 1.96))
   }
 
   test("q_text_readability: counts replay; unpunctuated corpus floors S=1") {
