@@ -1791,6 +1791,51 @@ object Events {
         .orderBy(col("event_type"))
     },
 
+    // Lo–MacKinlay variance-ratio test (r12) — the random-walk
+    // diagnostic finance runs before any momentum claim: if the hourly
+    // level series is a random walk, the variance of 4-hour increments
+    // is 4× the variance of 1-hour increments, so VR(4) ≈ 1; VR < 1 =
+    // mean reversion, VR > 1 = trending. Both increment families come
+    // from lag windows over the dense grid (integers), each variance is
+    // the exact-integer-moment lift (m·Σd² − (Σd)², no float mean), the
+    // ratio divides identically-derived doubles, and the z denominator
+    // φ(q) = 2(2q−1)(q−1)/(3q·m) is a rational of integers — one sqrt,
+    // zero libm; 1.96 literal on the rounded z.
+    "q_ts_variance_ratio" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val q = 4
+      val hourly = hourlySeries(s, d, "vr")
+      val grid = hourly.groupBy(col("event_type"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val dense = grid.join(hourly, Seq("event_type", "h"), "left")
+        .na.fill(0L, Seq("x"))
+      val w = W.partitionBy(col("event_type")).orderBy(col("h"))
+      val diffs = dense
+        .withColumn("d1", col("x") - lag(col("x"), 1).over(w))
+        .withColumn("d4", col("x") - lag(col("x"), q).over(w))
+      val st = diffs.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          sum(when(col("d1").isNotNull, 1L).otherwise(0L)).as("m1"),
+          sum(coalesce(col("d1"), lit(0L))).as("s1"),
+          sum(coalesce(col("d1") * col("d1"), lit(0L))).as("q1"),
+          sum(when(col("d4").isNotNull, 1L).otherwise(0L)).as("m4"),
+          sum(coalesce(col("d4"), lit(0L))).as("s4"),
+          sum(coalesce(col("d4") * col("d4"), lit(0L))).as("q4"))
+      val v1 = (col("m1") * col("q1") - col("s1") * col("s1"))
+        .cast("double") / (col("m1") * (col("m1") - 1)).cast("double")
+      val v4 = (col("m4") * col("q4") - col("s4") * col("s4"))
+        .cast("double") / (col("m4") * (col("m4") - 1)).cast("double")
+      st.select(col("event_type"), col("n_hours"), col("m1"), col("m4"),
+          eround(v4 / lit(q.toDouble) / v1, 6).as("vr"))
+        .withColumn("z", eround((col("vr") - 1.0)
+          / sqrt(lit(2.0 * (2 * q - 1) * (q - 1))
+            / (lit(3.0 * q) * col("m1"))), 6))
+        .withColumn("random_walk_ok", abs(col("z")) <= 1.96)
+        .orderBy(col("event_type"))
+    },
+
     // Turning-point randomness test per hourly series (r12) — the
     // second classical randomness probe beside the runs test, sensitive
     // to SMOOTHNESS rather than level regimes: count strict local
@@ -3166,6 +3211,46 @@ object Events {
         |  FROM runs WHERE n1 > 0 AND n2 > 0)
         | SELECT event_type, n1 AS n_above, n2 AS n_below, r AS n_runs,
         |  z, abs(z) <= 1.96 AS random_ok
+        | FROM zz ORDER BY event_type"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same lag-window increments, exact integer variance lifts, the
+    // rounded-VR z with the folded 42/12 literals, one sqrt.
+    "q_ts_variance_ratio" ->
+      """WITH hourly AS (SELECT event_type,
+        |   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |   CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        | bounds AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+        |  FROM hourly GROUP BY 1),
+        | grid AS (SELECT event_type,
+        |   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM bounds),
+        | dense AS (SELECT g.event_type, g.h, COALESCE(hl.x, 0) AS x
+        |  FROM grid g LEFT JOIN hourly hl
+        |   ON g.event_type = hl.event_type AND g.h = hl.h),
+        | diffs AS (SELECT event_type,
+        |   x - lag(x, 1) OVER w AS d1, x - lag(x, 4) OVER w AS d4
+        |  FROM dense WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+        | st AS (SELECT event_type,
+        |   CAST(count(*) AS BIGINT) AS n_hours,
+        |   CAST(count(d1) AS BIGINT) AS m1,
+        |   CAST(sum(COALESCE(d1, 0)) AS BIGINT) AS s1,
+        |   CAST(sum(COALESCE(d1 * d1, 0)) AS BIGINT) AS q1,
+        |   CAST(count(d4) AS BIGINT) AS m4,
+        |   CAST(sum(COALESCE(d4, 0)) AS BIGINT) AS s4,
+        |   CAST(sum(COALESCE(d4 * d4, 0)) AS BIGINT) AS q4
+        |  FROM diffs GROUP BY event_type),
+        | vr AS (SELECT event_type, n_hours, m1, m4,
+        |   round(CAST(m4 * q4 - s4 * s4 AS DOUBLE)
+        |      / CAST(m4 * (m4 - 1) AS DOUBLE) / 4.0
+        |     / (CAST(m1 * q1 - s1 * s1 AS DOUBLE)
+        |      / CAST(m1 * (m1 - 1) AS DOUBLE)) + 5e-10, 6) AS vr
+        |  FROM st),
+        | zz AS (SELECT event_type, n_hours, m1, m4, vr,
+        |   round((vr - 1.0) / sqrt(42.0 / (12.0 * m1)) + 5e-10, 6) AS z
+        |  FROM vr)
+        | SELECT event_type, n_hours, m1, m4, vr, z,
+        |  abs(z) <= 1.96 AS random_walk_ok
         | FROM zz ORDER BY event_type"""
         .stripMargin.replaceAll("\n", " "),
 

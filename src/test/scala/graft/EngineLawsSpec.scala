@@ -5306,6 +5306,22 @@ class EngineLawsSpec extends SparkSuite {
     assert(wx.getBoolean(3) === (math.abs(wx.getDouble(2)) > 1.96))
   }
 
+  test("q_ts_variance_ratio: i.i.d. levels pin VR near 1/q, z replays") {
+    val out = SparkEntry.queries("q_ts_variance_ratio")(spark, sf)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val vr = r.getDouble(4)
+      // i.i.d. hourly counts are NOT a random walk: VR(4) concentrates
+      // near 1/4, far below 1 - the test firing on the fixture is the
+      // demo working
+      assert(vr > 0.0 && vr < 0.8, s"VR=$vr for ${r.getString(0)}")
+      val z = (vr - 1.0) / math.sqrt(42.0 / (12.0 * r.getLong(2)))
+      assert(math.abs(r.getDouble(5) - z) < 1e-5)
+      assert(r.getBoolean(6) === (math.abs(r.getDouble(5)) <= 1.96))
+    }
+  }
+
   test("q_text_readability: counts replay; unpunctuated corpus floors S=1") {
     val out = SparkEntry.queries("q_text_readability")(spark, sf).collect()
     val docs = Tables.documents(spark, sf)
