@@ -1741,6 +1741,36 @@ object Text {
     // explode — the classifier itself never shuffles, which is why this
     // family (not the heuristics) is what production gates run at
     // 100 TB.
+    // Filter-ablation table (r12) — the artifact curation papers
+    // publish before fixing a quality pipeline: for EVERY combination
+    // of the three standard gates (length band, stopword-ratio band,
+    // no-repetition), how many documents and tokens survive? One
+    // corpus scan computes the three boolean flags per doc and one
+    // 8-group rollup aggregates the 2³ cells — the table that tells you
+    // which gate actually bites before you commit a filter stack. All
+    // counts exact integers; the share is one ε-rounded division.
+    "q_pipeline_quality_ablation" -> { (s, d) =>
+      val flags = Tables.documents(s, d)
+        .withColumn("t", toks(col("text")))
+        .select(col("doc_id"), size(col("t")).cast("long").as("n_tok"),
+          (size(col("t")).between(10, 500) && length(col("text")) >= 40)
+            .as("g_len"),
+          (size(filter(col("t"), x => x.isInCollection(StopWords)))
+            .cast("double") / size(col("t")) <= 0.3).as("g_stop"),
+          (size(col("t")) === size(array_distinct(col("t"))))
+            .as("g_norep"))
+      val tot = flags.agg(count(lit(1)).as("n_docs_total"),
+        sum(col("n_tok")).as("n_tok_total"))
+      flags.groupBy(col("g_len"), col("g_stop"), col("g_norep"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+        .crossJoin(broadcast(tot))
+        .select(col("g_len"), col("g_stop"), col("g_norep"),
+          col("n_docs"), col("n_tokens"),
+          eround(col("n_docs").cast("double") / col("n_docs_total"), 4)
+            .as("doc_share"))
+        .orderBy(col("g_len"), col("g_stop"), col("g_norep"))
+    },
+
     "q_pipeline_quality_classify" -> { (s, d) =>
       val t = Tables.documents(s, d)
         .select(col("doc_id"), toks(col("text")).as("tk"))
@@ -4066,6 +4096,28 @@ object Text {
 
     // Same 64-bin md5 feature hashing and integer weight formula; the
     // HUGEINT weight sum casts to BIGINT for the comparator.
+    // Same three gate predicates (the q_text_quality spellings), one
+    // 8-cell rollup, exact counts, one rounded share.
+    "q_pipeline_quality_ablation" ->
+      s"""WITH f AS (SELECT doc_id, len($oToks) AS n_tok,
+         |   len($oToks) BETWEEN 10 AND 500 AND length(text) >= 40
+         |     AS g_len,
+         |   CAST(len(list_filter($oToks,
+         |       x -> x IN ('the', 'a'))) AS DOUBLE)
+         |     / len($oToks) <= 0.3 AS g_stop,
+         |   len($oToks) = len(list_distinct($oToks)) AS g_norep
+         |  FROM documents),
+         | tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs_total
+         |  FROM f)
+         | SELECT g_len, g_stop, g_norep,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  round(CAST(count(*) AS BIGINT)
+         |    / CAST(tot.n_docs_total AS DOUBLE) + 5e-10, 4) AS doc_share
+         | FROM f, tot GROUP BY g_len, g_stop, g_norep, tot.n_docs_total
+         | ORDER BY g_len, g_stop, g_norep"""
+        .stripMargin.replaceAll("\n", " "),
+
     "q_pipeline_quality_classify" ->
       s"""WITH t AS (SELECT doc_id, $oToks AS tk FROM documents),
          | uni AS (SELECT doc_id, unnest(tk) AS f FROM t),

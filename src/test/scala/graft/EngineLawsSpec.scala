@@ -5322,6 +5322,19 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("q_pipeline_quality_ablation: cells partition the corpus exactly") {
+    val out = SparkEntry.queries("q_pipeline_quality_ablation")(spark, sf)
+      .collect()
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(out.map(_.getLong(3)).sum === nDocs,
+      "every document lands in exactly one gate cell")
+    assert(math.abs(out.map(_.getDouble(5)).sum - 1.0) < 1e-3,
+      "shares sum to 1")
+    val keys = out.map(r =>
+      (r.getBoolean(0), r.getBoolean(1), r.getBoolean(2)))
+    assert(keys.toSet.size === keys.length, "cells are distinct")
+  }
+
   test("q_text_readability: counts replay; unpunctuated corpus floors S=1") {
     val out = SparkEntry.queries("q_text_readability")(spark, sf).collect()
     val docs = Tables.documents(spark, sf)
