@@ -671,6 +671,63 @@ object Aggregates {
         .withColumn("significant", abs(col("z")) > 1.96)
     },
 
+    // Kruskal–Wallis H (r12) — the k-group rank ANOVA completing the
+    // nonparametric lattice (Mann–Whitney = 2 independent groups,
+    // Friedman = blocked, Wilcoxon = paired): do the five event types
+    // draw values from the same distribution, judged on ranks? NEVER a
+    // corpus-ordered rank window: tie-averaged pooled ranks derive from
+    // the bounded cents-domain cumulative frame (the Mann–Whitney/KS
+    // machinery — avg_rank(c) = cum_before(c) + (k_c+1)/2, an exact
+    // half), per-group rank sums are exact half-integer folds, the tie
+    // correction 1 − Σ(k³−k)/(N³−N) is pure int64, and H's divisions
+    // are identical IEEE on both engines; χ²crit(4,.05) = 9.488
+    // literal. One corpus scan to the pinned (type, cents) frame.
+    "q_agg_kruskal_wallis" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val cells = Checkpoints.pin("kw:" + d, Tables.events(s, d)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy(col("event_type"), col("c"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint())
+      val perC = cells.groupBy(col("c")).agg(sum(col("n")).as("kc"))
+      val w = W.orderBy(col("c"))
+        .rowsBetween(W.unboundedPreceding, -1)
+      val ranks = perC
+        .withColumn("cumb", coalesce(sum(col("kc")).over(w), lit(0L)))
+        .withColumn("ar",
+          col("cumb") + (col("kc") + 1).cast("double") / 2.0)
+      val rj = cells.join(ranks.select(col("c"), col("ar")), "c")
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("nj"), sum(col("n") * col("ar")).as("rj"))
+      val ties = perC.agg(sum(col("kc") * col("kc") * col("kc")
+        - col("kc")).as("tc"), sum(col("kc")).as("nn"))
+      val h = rj.crossJoin(broadcast(ties))
+        .select(col("event_type"), col("nj"), col("rj"), col("nn"),
+          col("tc"),
+          // per-group R²/n ε-rounds into an exact decimal so the k-term
+          // sum is order-free (R² sits near 1e18 at sf0.1 — a raw
+          // double sum would be aggregation-order-dependent)
+          eround(col("rj") * col("rj") / col("nj"), 4)
+            .cast("decimal(38,4)").as("rr"))
+      val stat = h.agg(max(col("nn")).as("nn"), max(col("tc")).as("tc"),
+          sum(col("rr")).as("srr"), count(lit(1)).as("k"))
+        .select(col("k"), col("nn"),
+          eround((lit(12.0) * col("srr").cast("double")
+            / (col("nn") * (col("nn") + 1)).cast("double")
+            - lit(3.0) * (col("nn") + 1))
+            / (lit(1.0) - col("tc").cast("double")
+              / (col("nn") * col("nn") * col("nn") - col("nn"))
+                .cast("double")), 6).as("h_adj"))
+      rj.crossJoin(broadcast(stat))
+        .select(col("event_type"), col("nj").as("n"),
+          col("rj").as("rank_sum"),
+          eround(col("rj") / col("nj"), 6).as("mean_rank"),
+          col("k"), col("h_adj"))
+        .withColumn("significant", col("h_adj") > 9.488)
+        .orderBy(col("event_type"))
+    },
+
     // Wilcoxon signed-rank test (r12) — the paired tier's workhorse
     // between the sign test (direction only) and the paired t-test
     // (normality): per-user purchase-count change between the calendar
@@ -2636,6 +2693,45 @@ object Aggregates {
         |  FROM agg)
         | SELECT n_pairs, c0, c1, c2, q_stat,
         |  q_stat > 5.991 AS significant FROM res"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same cents-domain average ranks, half-exact rank sums, decimal
+    // R²/n cells, int64 tie correction, identical division chain.
+    "q_agg_kruskal_wallis" ->
+      """WITH ev AS (SELECT event_type,
+        |   CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        | cells AS (SELECT event_type, c, CAST(count(*) AS BIGINT) AS n
+        |  FROM ev GROUP BY event_type, c),
+        | perc AS (SELECT c, CAST(sum(n) AS BIGINT) AS kc
+        |  FROM cells GROUP BY c),
+        | ranks AS (SELECT c, kc,
+        |   COALESCE(sum(kc) OVER (ORDER BY c
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + CAST(kc + 1 AS DOUBLE) / 2.0 AS ar
+        |  FROM perc),
+        | rj AS (SELECT cells.event_type,
+        |   CAST(sum(cells.n) AS BIGINT) AS nj,
+        |   sum(cells.n * ranks.ar) AS rj
+        |  FROM cells JOIN ranks USING (c) GROUP BY cells.event_type),
+        | ties AS (SELECT CAST(sum(kc * kc * kc - kc) AS BIGINT) AS tc,
+        |   CAST(sum(kc) AS BIGINT) AS nn FROM perc),
+        | h AS (SELECT event_type, nj, rj, nn, tc,
+        |   CAST(round(rj * rj / nj + 5e-10, 4) AS DECIMAL(38,4)) AS rr
+        |  FROM rj, ties),
+        | stat AS (SELECT CAST(max(nn) AS BIGINT) AS nn,
+        |   CAST(max(tc) AS BIGINT) AS tc,
+        |   CAST(count(*) AS BIGINT) AS k,
+        |   round((12.0 * CAST(sum(rr) AS DOUBLE)
+        |      / CAST(max(nn) * (max(nn) + 1) AS DOUBLE)
+        |     - 3.0 * (max(nn) + 1))
+        |    / (1.0 - CAST(max(tc) AS DOUBLE)
+        |      / CAST(max(nn) * max(nn) * max(nn) - max(nn) AS DOUBLE))
+        |    + 5e-10, 6) AS h_adj
+        |  FROM h)
+        | SELECT rj.event_type, rj.nj AS n, rj.rj AS rank_sum,
+        |  round(rj.rj / rj.nj + 5e-10, 6) AS mean_rank,
+        |  stat.k, stat.h_adj, stat.h_adj > 9.488 AS significant
+        | FROM rj, stat ORDER BY rj.event_type"""
         .stripMargin.replaceAll("\n", " "),
 
     // Same zero-drop, tie-averaged half-integer ranks, exact integer

@@ -5335,6 +5335,21 @@ class EngineLawsSpec extends SparkSuite {
     assert(keys.toSet.size === keys.length, "cells are distinct")
   }
 
+  test("q_agg_kruskal_wallis: rank sums conserve N(N+1)/2; H nonneg") {
+    val out = SparkEntry.queries("q_agg_kruskal_wallis")(spark, sf)
+      .collect()
+    val n = out.map(_.getLong(1)).sum
+    // pooled tie-averaged ranks must sum to N(N+1)/2 exactly (halves)
+    assert(out.map(_.getDouble(2)).sum ===
+      n.toDouble * (n + 1) / 2.0, "rank-sum conservation")
+    out.foreach { r =>
+      assert(r.getDouble(2) * 2 === math.rint(r.getDouble(2) * 2),
+        "rank sums are exact halves")
+      assert(r.getDouble(5) >= 0.0, "H nonneg")
+      assert(r.getBoolean(6) === (r.getDouble(5) > 9.488))
+    }
+  }
+
   test("q_text_readability: counts replay; unpunctuated corpus floors S=1") {
     val out = SparkEntry.queries("q_text_readability")(spark, sf).collect()
     val docs = Tables.documents(spark, sf)
