@@ -582,8 +582,10 @@ object Aggregates {
       val ev = Tables.events(s, d)
         .select(col("user_id"), hour(col("ts")).as("hod"),
           expr("unix_micros(ts)").as("us"))
-      val span = ev.agg(((min(col("us")) + max(col("us"))) / 2)
-        .cast("long").as("mid"))
+      // integer midpoint via DIV: Spark's double->long cast truncates but
+      // DuckDB's CAST rounds, so an odd min+max would split 1 us apart --
+      // pure integer division is identical on both engines (ADVICE r12)
+      val span = ev.agg(expr("(min(us) + max(us)) DIV 2").as("mid"))
       val flags = ev.crossJoin(broadcast(span))
         .groupBy(col("user_id"), col("hod"))
         .agg(max(when(col("us") < col("mid"), 1L).otherwise(0L)).as("a"),
@@ -652,8 +654,10 @@ object Aggregates {
       val ev = Tables.events(s, d)
         .filter(col("event_type") === "purchase")
         .select(col("user_id"), expr("unix_micros(ts)").as("us"))
-      val span = ev.agg(((min(col("us")) + max(col("us"))) / 2)
-        .cast("long").as("mid"))
+      // integer midpoint via DIV: Spark's double->long cast truncates but
+      // DuckDB's CAST rounds, so an odd min+max would split 1 us apart --
+      // pure integer division is identical on both engines (ADVICE r12)
+      val span = ev.agg(expr("(min(us) + max(us)) DIV 2").as("mid"))
       val per = ev.crossJoin(broadcast(span))
         .groupBy(col("user_id"))
         .agg(sum(when(col("us") < col("mid"), 1L).otherwise(0L))
@@ -743,8 +747,10 @@ object Aggregates {
       val ev = Tables.events(s, d)
         .filter(col("event_type") === "purchase")
         .select(col("user_id"), expr("unix_micros(ts)").as("us"))
-      val span = ev.agg(((min(col("us")) + max(col("us"))) / 2)
-        .cast("long").as("mid"))
+      // integer midpoint via DIV: Spark's double->long cast truncates but
+      // DuckDB's CAST rounds, so an odd min+max would split 1 us apart --
+      // pure integer division is identical on both engines (ADVICE r12)
+      val span = ev.agg(expr("(min(us) + max(us)) DIV 2").as("mid"))
       val diffs = ev.crossJoin(broadcast(span))
         .groupBy(col("user_id"))
         .agg((sum(when(col("us") >= col("mid"), 1L).otherwise(0L))
@@ -833,11 +839,15 @@ object Aggregates {
         .groupBy(col("event_type"))
         .agg(max(col("n")).as("n"), max(col("sx")).as("sx"),
           max(col("qx")).as("qx"), max(col("ad")).as("mad"),
+          // struct-ordered argmax (ad desc, event_id asc): the r11
+          // ad*1e8 - event_id composite key overflows int64 once
+          // ad >= ~9.2e10 and silently assumes event_id < 1e8; the
+          // lexicographic struct ordering is exact at any scale
           max_by(col("event_id"),
-            col("ad") * lit(100000000L) - col("event_id"))
+            struct(col("ad").as("k1"), (-col("event_id")).as("k2")))
             .as("outlier_event_id"),
           max_by(col("c"),
-            col("ad") * lit(100000000L) - col("event_id"))
+            struct(col("ad").as("k1"), (-col("event_id")).as("k2")))
             .as("outlier_cents"))
         .select(col("event_type"), col("n"), col("outlier_event_id"),
           col("outlier_cents"),
@@ -2642,7 +2652,7 @@ object Aggregates {
     "q_agg_mcnemar" ->
       """WITH ev AS (SELECT user_id, hour(CAST(ts AS TIMESTAMP)) AS hod,
         |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
-        | span AS (SELECT CAST((min(us) + max(us)) / 2 AS BIGINT)
+        | span AS (SELECT (min(us) + max(us)) // 2
         |    AS mid FROM ev),
         | flags AS (SELECT user_id, hod,
         |   max(CASE WHEN us < mid THEN 1 ELSE 0 END) AS a,
@@ -2740,7 +2750,7 @@ object Aggregates {
       """WITH ev AS (SELECT user_id,
         |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
         |  WHERE event_type = 'purchase'),
-        | span AS (SELECT CAST((min(us) + max(us)) / 2 AS BIGINT)
+        | span AS (SELECT (min(us) + max(us)) // 2
         |    AS mid FROM ev),
         | diffs AS (SELECT user_id,
         |   CAST(sum(CASE WHEN us >= mid THEN 1 ELSE 0 END)
@@ -2775,7 +2785,7 @@ object Aggregates {
       """WITH ev AS (SELECT user_id,
         |   epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
         |  WHERE event_type = 'purchase'),
-        | span AS (SELECT CAST((min(us) + max(us)) / 2 AS BIGINT)
+        | span AS (SELECT (min(us) + max(us)) // 2
         |    AS mid FROM ev),
         | per AS (SELECT user_id,
         |   CAST(sum(CASE WHEN us < mid THEN 1 ELSE 0 END) AS BIGINT)
@@ -2841,15 +2851,20 @@ object Aggregates {
         |  FROM ev GROUP BY event_type),
         | ad AS (SELECT ev.event_type, ev.event_id, ev.c, st.n, st.sx,
         |   st.qx, abs(st.n * ev.c - st.sx) AS ad
-        |  FROM ev JOIN st USING (event_type))
+        |  FROM ev JOIN st USING (event_type)),
+        | rnk AS (SELECT event_type, event_id, c, n, sx, qx, ad,
+        |   row_number() OVER (PARTITION BY event_type
+        |     ORDER BY ad DESC, event_id ASC) AS rn
+        |  FROM ad)
         | SELECT event_type, CAST(max(n) AS BIGINT) AS n,
-        |  arg_max(event_id, ad * 100000000 - event_id)
+        |  CAST(max(CASE WHEN rn = 1 THEN event_id END) AS BIGINT)
         |    AS outlier_event_id,
-        |  arg_max(c, ad * 100000000 - event_id) AS outlier_cents,
+        |  CAST(max(CASE WHEN rn = 1 THEN c END) AS BIGINT)
+        |    AS outlier_cents,
         |  round(CAST(max(ad) AS DOUBLE) / max(n)
         |    / sqrt(CAST(max(n) * max(qx) - max(sx) * max(sx) AS DOUBLE)
         |      / (max(n) * (max(n) - 1))) + 5e-10, 6) AS g_stat
-        | FROM ad GROUP BY event_type ORDER BY event_type"""
+        | FROM rnk GROUP BY event_type ORDER BY event_type"""
         .stripMargin.replaceAll("\n", " "),
 
     // Median-centered integer deviations at doubled scale (exact), then

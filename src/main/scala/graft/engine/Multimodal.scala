@@ -398,9 +398,18 @@ object Multimodal {
         if (hit != null) prefix = hit.intValue()
         else {
           emit(prefix)
-          table.put(key, Integer.valueOf(next))
-          next += 1
-          if (next == (1 << width) + 1 && width < 12) width += 1
+          if (next < 4096) {
+            table.put(key, Integer.valueOf(next))
+            next += 1
+            if (next == (1 << width) + 1 && width < 12) width += 1
+          } else {
+            // table full: spec behavior is a Clear code + fresh table,
+            // never a code >= 4096 (whose high bits emit() would drop)
+            emit(Clear)
+            table.clear()
+            next = Eoi + 1
+            width = MinCode + 1
+          }
           prefix = c
         }
         p += 1

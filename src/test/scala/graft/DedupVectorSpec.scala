@@ -149,6 +149,38 @@ class DedupVectorSpec extends SparkSuite {
     planted.foreach(p => assert(p._3 === 1.0))
   }
 
+  test("fixture invariant: zero NATURAL pairs at rounded cosine >= 0.99") {
+    // the q_sim_pairs_lsh oracle equals the LSH output only because the
+    // sole >= 0.99 pairs are the planted identical copies (identical
+    // vectors always share a bucket). If a regenerated fixture ever
+    // grows a natural >= 0.99 pair that misses bucket collision, the
+    // exact all-pairs oracle becomes a strict superset and the driver
+    // parity fails with no hint why — this test makes that loud.
+    for (dir <- Seq(sf, "/root/testdata/sf0.1")
+         if new java.io.File(dir).isDirectory) {
+      val vecs = graft.engine.Tables.embeddings(spark, dir)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0),
+          r.getSeq[Float](1).map(_.toDouble).toArray))
+      def round6(x: Double) = math.rint((x + 5e-10) * 1e6) / 1e6
+      var worst = -1.0
+      for (i <- vecs.indices; j <- (i + 1) until vecs.length) {
+        val (a, b) = (vecs(i)._2, vecs(j)._2)
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        var k = 0
+        while (k < a.length) {
+          dot += a(k) * b(k); na += a(k) * a(k); nb += b(k) * b(k); k += 1
+        }
+        val c = round6(dot / (math.sqrt(na) * math.sqrt(nb)))
+        if (c > worst) worst = c
+        assert(c < 0.99,
+          s"natural pair (${vecs(i)._1}, ${vecs(j)._1}) at cosine $c " +
+            s"in $dir breaks the q_sim_pairs_lsh oracle assumption")
+      }
+      info(f"max natural cosine in $dir: $worst%.6f (< 0.99 required)")
+    }
+  }
+
   test("exact dedup keeps the minimum doc_id per text") {
     val deduped = SparkEntry.queries("q_dedup_exact")(spark, sf)
     val n = graft.engine.Tables.documents(spark, sf)

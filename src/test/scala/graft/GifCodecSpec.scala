@@ -71,6 +71,20 @@ class GifCodecSpec extends AnyFunSuite {
     assert(Gif.decode(enc)._3.sameElements(px))
   }
 
+  test("full dictionary triggers Clear-code reset and still round-trips") {
+    // 160x160 = 25.6k pixels of seeded noise creates well over 3965
+    // dictionary entries, forcing the encoder's table-full Clear +
+    // reset path (r12 ADVICE: codes >= 4096 would silently corrupt the
+    // bitstream); both our decoder and ImageIO must agree byte-exact
+    val rnd = new scala.util.Random(19)
+    val px = Array.fill(160 * 160)(rnd.nextInt(128))
+    val enc = Gif.encode(160, 160, px)
+    val (dw, dh, dec) = Gif.decode(enc)
+    assert(dw === 160 && dh === 160)
+    assert(dec.sameElements(px), "own decode after dictionary reset")
+    assert(imageio(enc)._3.sameElements(px), "ImageIO after reset")
+  }
+
   test("compression beats raw on runs, stays bounded on noise") {
     val runs = Array.fill(64 * 64)(17)
     val encRuns = Gif.encode(64, 64, runs)
