@@ -23,11 +23,16 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val reps = if (args.length > 2) args(2).toInt else 1
+    // rebuild=1 re-invokes the query builder inside the timed region,
+    // like Bench does — the honest number for queries with eager
+    // localCheckpoints, whose build cost a build-once loop would hide
+    val rebuild = sys.env.get("SPARK_GRAFT_EXPLAIN_REBUILD").contains("1")
     val df = SparkEntry.queries(name)(spark, sfDir)
     df.explain("formatted")
     (1 to reps).foreach { k =>
       val t0 = System.nanoTime()
-      val n = df.count()
+      val n = (if (rebuild) SparkEntry.queries(name)(spark, sfDir) else df)
+        .count()
       println(
         f"[explain] $name rows=$n time=${(System.nanoTime() - t0) / 1e9}%.2fs rep=$k")
     }
