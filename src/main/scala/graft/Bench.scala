@@ -365,7 +365,14 @@ object Bench {
       // distinct cust-part edge shuffle + 4 join/agg half-steps).
       // runs/turning/grubbs/median_ci share the dense-grid / moment /
       // KS-cumulative shapes already timed (rule (c)).
-      "q_graph_hits")
+      "q_graph_hits",
+      // round-13: the 8-source bounded relax (frontier joins over the
+      // memoized weighted edge list — a genuinely multi-source shape
+      // beside the single-source sssp) and the residual-scan LM test
+      // (a second fact-table pass joined against broadcast
+      // coefficients). mood_median shares the KS cents-frame shape
+      // already timed (rule (c)).
+      "q_graph_closeness", "q_agg_breusch_pagan")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

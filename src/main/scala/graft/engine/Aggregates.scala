@@ -903,6 +903,121 @@ object Aggregates {
         .withColumn("heteroscedastic", col("f_stat") > 2.372)
     },
 
+    // Mood's median test (r13) — the nonparametric two-group location
+    // test on the COUNT scale: do clicks and purchases straddle the
+    // pooled median equally? Rides the pinned bounded cents-domain
+    // frame (the KS machinery): the pooled doubled-median med2 comes
+    // from the cumulative window over ≤ distinct-cents rows (exact
+    // integer or exact half ×2 — never a float median), ties at the
+    // median drop (standard), and the 2×2 χ² = N(ad−bc)²/(r1·r2·c1·c2)
+    // is the same IEEE double expression on both engines (counts cast
+    // to double BEFORE the cross-products so nothing overflows int64
+    // at any corpus size). χ²crit(1,.05) = 3.841 literal on the
+    // rounded statistic. Scale: one corpus scan to the per-cents frame;
+    // everything after walks the bounded domain.
+    "q_agg_mood_median" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+      val pv = Checkpoints.pin("mood:" + d, ev.groupBy(col("c"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("a1"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("a2")).localCheckpoint())
+      val tot = pv.agg(sum(col("a1") + col("a2")).as("nn"))
+      val w = W.orderBy(col("c"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val cum = pv.withColumn("cum", sum(col("a1") + col("a2")).over(w))
+        .crossJoin(broadcast(tot))
+      val med = cum.agg(
+        (min(when(expr("cum >= (nn + 1) DIV 2"), col("c")))
+          + min(when(expr("cum >= (nn + 2) DIV 2"), col("c"))))
+          .as("med2"))
+      val cts = pv.crossJoin(broadcast(med))
+        .agg(max(col("med2")).as("med2x"),
+          sum(when(col("c") * 2 > col("med2"), col("a1")).otherwise(0L))
+            .as("ca"),
+          sum(when(col("c") * 2 < col("med2"), col("a1")).otherwise(0L))
+            .as("cb"),
+          sum(when(col("c") * 2 > col("med2"), col("a2")).otherwise(0L))
+            .as("pa"),
+          sum(when(col("c") * 2 < col("med2"), col("a2")).otherwise(0L))
+            .as("pb"))
+      val z = cts.select(col("med2x"), col("ca"), col("cb"), col("pa"),
+        col("pb"),
+        (col("ca").cast("double") * col("pb").cast("double")
+          - col("cb").cast("double") * col("pa").cast("double"))
+          .as("dd"),
+        (col("ca") + col("cb") + col("pa") + col("pb")).cast("double")
+          .as("nd"),
+        (col("ca") + col("cb")).cast("double").as("r1"),
+        (col("pa") + col("pb")).cast("double").as("r2"),
+        (col("ca") + col("pa")).cast("double").as("c1"),
+        (col("cb") + col("pb")).cast("double").as("c2"))
+      z.select(col("med2x").as("median_x2"),
+          col("ca").as("click_above"), col("cb").as("click_below"),
+          col("pa").as("purch_above"), col("pb").as("purch_below"),
+          eround(col("nd") * col("dd") * col("dd")
+            / (col("r1") * col("r2") * col("c1") * col("c2")), 6)
+            .as("chi2"))
+        .withColumn("significant", col("chi2") > 3.841)
+    },
+
+    // Breusch–Pagan heteroscedasticity test (r13) — does residual
+    // VARIANCE drift with the regressor (the q_agg_regr gate the same
+    // way q_agg_levene gates the pooled t-test)? Per returnflag: fit
+    // y = b0 + b1·x from the exact decimal moments (the regr recipe,
+    // unrounded coefficients — identical IEEE on both engines), join
+    // the 1-row-per-group coefficients back BROADCAST, and aggregate
+    // the auxiliary e²-on-x regression's sums with the ε-round parity
+    // recipe (each per-row term rounds to the 4dp grid then sums as
+    // DECIMAL(38,4) — order-free, exact cross-engine). LM = n·R²aux
+    // against χ²(1) = 3.841 on the rounded statistic. Scale: two corpus
+    // scans (moments + residuals), one broadcast join, zero shuffles
+    // beyond the two groupBys.
+    "q_agg_breusch_pagan" -> { (s, d) =>
+      val dec4 = org.apache.spark.sql.types.DecimalType(38, 4)
+      val m = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sx"),
+          dsum(col("l_extendedprice")).as("sy"),
+          dsum(col("l_quantity") * col("l_extendedprice"), 4).as("sxy"),
+          dsum(col("l_quantity") * col("l_quantity"), 4).as("sxx"))
+      val nD = col("n").cast("double")
+      val slope = (nD * col("sxy") - col("sx") * col("sy")) /
+        (nD * col("sxx") - col("sx") * col("sx"))
+      val co = m.select(col("l_returnflag"), col("n"), col("sx"),
+        col("sxx"), slope.as("b1"),
+        ((col("sy") - slope * col("sx")) / nD).as("b0"))
+      val r = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("double").as("x"),
+          col("l_extendedprice").cast("double").as("y"))
+        .join(broadcast(co), "l_returnflag")
+        .withColumn("e", col("y") - (col("b0") + col("b1") * col("x")))
+      val a = r.groupBy(col("l_returnflag"))
+        .agg(max(col("n")).as("n"), max(col("sx")).as("sx"),
+          max(col("sxx")).as("sxx"),
+          sum(eround(col("e") * col("e"), 4).cast(dec4)).cast("double")
+            .as("se"),
+          sum(eround(col("e") * col("e") * col("x"), 4).cast(dec4))
+            .cast("double").as("sxe"),
+          sum(eround(col("e") * col("e") * (col("e") * col("e")), 4)
+            .cast(dec4)).cast("double").as("see"))
+      val n2 = col("n").cast("double")
+      val num = n2 * col("sxe") - col("sx") * col("se")
+      a.select(col("l_returnflag"), col("n"),
+          eround(n2 * num * num
+            / ((n2 * col("sxx") - col("sx") * col("sx"))
+              * (n2 * col("see") - col("se") * col("se"))), 6)
+            .as("lm_stat"))
+        .withColumn("heteroscedastic", col("lm_stat") > 3.841)
+        .orderBy(col("l_returnflag"))
+    },
+
     // Tukey–Kramer HSD post-hoc — the step AFTER q_agg_anova's F says
     // "the groups differ": WHICH pairs differ, with the studentized-
     // range correction that plain pairwise t-tests lack (family-wise
@@ -2645,6 +2760,99 @@ object Aggregates {
         | SELECT event_type, n_hours, sx AS n_events, vmr, z,
         |  z > 1.645 AS overdispersed
         | FROM zz ORDER BY event_type"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same bounded cents-domain frame, cumulative-window doubled
+    // median, tie-dropped 2x2 counts, double-cast chi-square chain.
+    "q_agg_mood_median" ->
+      """WITH ev AS (SELECT event_type,
+        |   CAST(round(value * 100) AS BIGINT) AS c FROM events
+        |  WHERE event_type IN ('click', 'purchase')),
+        | pv AS (SELECT c,
+        |   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS a1,
+        |   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS a2
+        |  FROM ev GROUP BY c),
+        | tot AS (SELECT CAST(sum(a1 + a2) AS BIGINT) AS nn FROM pv),
+        | cum AS (SELECT c, a1, a2, nn,
+        |   sum(a1 + a2) OVER (ORDER BY c
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM pv, tot),
+        | med AS (SELECT
+        |   min(CASE WHEN cum >= (nn + 1) // 2 THEN c END)
+        |    + min(CASE WHEN cum >= (nn + 2) // 2 THEN c END) AS med2
+        |  FROM cum),
+        | cts AS (SELECT CAST(max(med2) AS BIGINT) AS med2x,
+        |   CAST(sum(CASE WHEN c * 2 > med2 THEN a1 ELSE 0 END)
+        |     AS BIGINT) AS ca,
+        |   CAST(sum(CASE WHEN c * 2 < med2 THEN a1 ELSE 0 END)
+        |     AS BIGINT) AS cb,
+        |   CAST(sum(CASE WHEN c * 2 > med2 THEN a2 ELSE 0 END)
+        |     AS BIGINT) AS pa,
+        |   CAST(sum(CASE WHEN c * 2 < med2 THEN a2 ELSE 0 END)
+        |     AS BIGINT) AS pb
+        |  FROM pv, med),
+        | z AS (SELECT med2x, ca, cb, pa, pb,
+        |   CAST(ca AS DOUBLE) * CAST(pb AS DOUBLE)
+        |    - CAST(cb AS DOUBLE) * CAST(pa AS DOUBLE) AS dd,
+        |   CAST(ca + cb + pa + pb AS DOUBLE) AS nd,
+        |   CAST(ca + cb AS DOUBLE) AS r1, CAST(pa + pb AS DOUBLE) AS r2,
+        |   CAST(ca + pa AS DOUBLE) AS c1, CAST(cb + pb AS DOUBLE) AS c2
+        |  FROM cts),
+        | res AS (SELECT med2x, ca, cb, pa, pb,
+        |   round(nd * dd * dd / (r1 * r2 * c1 * c2) + 5e-10, 6) AS chi2
+        |  FROM z)
+        | SELECT med2x AS median_x2, ca AS click_above,
+        |  cb AS click_below, pa AS purch_above, pb AS purch_below,
+        |  chi2, chi2 > 3.841 AS significant FROM res"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same exact-moment coefficients, epsilon-rounded decimal residual
+    // sums, and the identical LM division chain.
+    "q_agg_breusch_pagan" ->
+      """WITH m AS (SELECT l_returnflag,
+        |   CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |     AS sx,
+        |   CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |     AS sy,
+        |   CAST(sum(CAST(l_quantity*l_extendedprice AS DECIMAL(18,4)))
+        |     AS DOUBLE) AS sxy,
+        |   CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(18,4)))
+        |     AS DOUBLE) AS sxx
+        |  FROM lineitem GROUP BY l_returnflag),
+        | co AS (SELECT l_returnflag, n, sx, sxx,
+        |   (CAST(n AS DOUBLE)*sxy - sx*sy)
+        |     / (CAST(n AS DOUBLE)*sxx - sx*sx) AS b1,
+        |   (sy - (CAST(n AS DOUBLE)*sxy - sx*sy)
+        |     / (CAST(n AS DOUBLE)*sxx - sx*sx) * sx)
+        |     / CAST(n AS DOUBLE) AS b0
+        |  FROM m),
+        | r AS (SELECT li.l_returnflag, co.n, co.sx, co.sxx,
+        |   CAST(li.l_quantity AS DOUBLE) AS x,
+        |   CAST(li.l_extendedprice AS DOUBLE)
+        |    - (co.b0 + co.b1 * CAST(li.l_quantity AS DOUBLE)) AS e
+        |  FROM lineitem li JOIN co USING (l_returnflag)),
+        | a AS (SELECT l_returnflag, CAST(max(n) AS BIGINT) AS n,
+        |   max(sx) AS sx, max(sxx) AS sxx,
+        |   CAST(sum(CAST(round(e*e + 5e-10, 4) AS DECIMAL(38,4)))
+        |     AS DOUBLE) AS se,
+        |   CAST(sum(CAST(round(e*e*x + 5e-10, 4) AS DECIMAL(38,4)))
+        |     AS DOUBLE) AS sxe,
+        |   CAST(sum(CAST(round(e*e*(e*e) + 5e-10, 4) AS DECIMAL(38,4)))
+        |     AS DOUBLE) AS see
+        |  FROM r GROUP BY l_returnflag),
+        | res AS (SELECT l_returnflag, n,
+        |   round(CAST(n AS DOUBLE)
+        |     * (CAST(n AS DOUBLE)*sxe - sx*se)
+        |     * (CAST(n AS DOUBLE)*sxe - sx*se)
+        |     / ((CAST(n AS DOUBLE)*sxx - sx*sx)
+        |       * (CAST(n AS DOUBLE)*see - se*se)) + 5e-10, 6) AS lm_stat
+        |  FROM a)
+        | SELECT l_returnflag, n, lm_stat,
+        |  lm_stat > 3.841 AS heteroscedastic
+        | FROM res ORDER BY l_returnflag"""
         .stripMargin.replaceAll("\n", " "),
 
     // Same integer midpoint split, discordant-cell counts, and the

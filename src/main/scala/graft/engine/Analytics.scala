@@ -57,13 +57,14 @@ object Analytics {
     * one pair-count partial agg, checkpointed with the triPinned hygiene
     * so each query scans lineitem exactly once.
     */
-  private def supportEdges(s: SparkSession, d: String, slot: String)
-      : DataFrame =
-    // ONE memoized frame per dataset (r13): the 12 q_graph_* rows used
-    // to re-derive this identical support>=2 edge list under separate
-    // per-query slots — same content, 12 derivations per bench visit.
-    // `slot` is kept for call-site documentation only; the frame is
-    // keyed by dataset alone and reused across queries and reps.
+  /** ONE memoized (u, v, support) frame per dataset (r13): the graph
+    * family's support>=2 co-purchase edge list WITH its support count —
+    * the 12+ q_graph_* rows used to re-derive this identical frame
+    * under separate per-query slots; one derivation per session now
+    * serves them all (supportEdges drops the weight column, the
+    * shortest-path family turns it into 1000 DIV support edge weights).
+    */
+  private def supportFrame(s: SparkSession, d: String): DataFrame =
     Checkpoints.memo("support:" + d, s) {
       val baskets = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey"))
@@ -73,7 +74,26 @@ object Analytics {
         .groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= 2)
-        .select(col("u"), col("v"))
+        .localCheckpoint()
+    }
+
+  private def supportEdges(s: SparkSession, d: String, slot: String)
+      : DataFrame =
+    // `slot` is kept for call-site documentation only; the frame is
+    // keyed by dataset alone and reused across queries and reps.
+    supportFrame(s, d).select(col("u"), col("v"))
+
+  /** Memoized symmetric weighted edge list (src, dst, w) shared by the
+    * shortest-path / closeness rows: w = 1000 DIV support (strong ties
+    * are short), both directions materialized once per dataset.
+    */
+  private def ssspEdges(s: SparkSession, d: String): DataFrame =
+    Checkpoints.memo("sssp:" + d, s) {
+      val und = supportFrame(s, d)
+        .select(col("u"), col("v"), expr("1000 DIV support").as("w"))
+      und.select(col("u").as("src"), col("v").as("dst"), col("w"))
+        .unionAll(und.select(col("v").as("src"), col("u").as("dst"),
+          col("w")))
         .localCheckpoint()
     }
 
@@ -1628,21 +1648,7 @@ object Analytics {
     // reachable set; at production scale the same loop runs to
     // convergence with localCheckpoint added per round.
     "q_graph_shortest_path" -> { (s, d) =>
-      val baskets = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey"))
-        .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-      val und = orderedPairs(baskets, "u", "v")
-        .groupBy(col("u"), col("v"))
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2)
-        .select(col("u"), col("v"), expr("1000 DIV support").as("w"))
-      val edges = und
-        .select(col("u").as("src"), col("v").as("dst"), col("w"))
-        .unionAll(und.select(col("v").as("src"), col("u").as("dst"),
-          col("w")))
-        .localCheckpoint()
-      triPinned.put("sssp:" + d, edges).foreach(freeCheckpoint)
+      val edges = ssspEdges(s, d)
       val src = edges.agg(min(col("src")).as("s0"))
       val d0 = src.select(col("s0").as("node"), lit(0L).as("dist"))
       val d4 = (1 to 4).foldLeft(d0) { (dk, _) =>
@@ -1658,6 +1664,52 @@ object Analytics {
       }
       d4.select(col("node"), col("dist"))
         .orderBy(col("dist"), col("node"))
+    },
+
+    // Sampled closeness centrality (r13) — the Eppstein–Wang estimator
+    // shape over the co-purchase support graph: run the bounded-hop
+    // multi-source relax from the 8 smallest node ids (deterministic
+    // sample) and score each node by how cheaply the sample reaches it,
+    // closeness = n_sources·1e6 DIV Σdist (truncating integer division
+    // — exact, order-free). Per-source frontier rides the exact
+    // q_graph_shortest_path machinery with (source, node) keys, so the
+    // whole walk is 4 keyed join+min-agg rounds over the memoized
+    // symmetric edge list — frontier size ≤ 8·|V|, never all-pairs;
+    // at 1000 executors the relax shuffles on the node key only. The
+    // top-20 window runs over the bounded per-node aggregate (≤ |V|
+    // rows), the sanctioned population-window class.
+    "q_graph_closeness" -> { (s, d) =>
+      val edges = ssspEdges(s, d)
+      val sources = edges.select(col("src")).distinct()
+        .orderBy(col("src")).limit(8)
+        .select(col("src").as("source"))
+      val d0 = sources.select(col("source"), col("source").as("node"),
+        lit(0L).as("dist"))
+      val d4 = (1 to 4).foldLeft(d0) { (dk, _) =>
+        val f = dk.select(col("source").as("f_src"),
+          col("node").as("f_node"), col("dist").as("f_dist"))
+        f.join(edges, col("f_node") === col("src"))
+          .select(col("f_src").as("source"), col("dst").as("node"),
+            (col("f_dist") + col("w")).as("dist"))
+          .unionAll(dk)
+          .groupBy(col("source"), col("node"))
+          .agg(min(col("dist")).as("dist"))
+      }
+      val per = d4.filter(col("source") =!= col("node"))
+        .groupBy(col("node"))
+        .agg(count(lit(1)).as("n_sources"), sum(col("dist")).as("dist_sum"))
+        // greatest guards the hypothetical all-zero-weight path sum
+        // (w = 1000 DIV support hits 0 past support 1000): Spark DIV
+        // would null, DuckDB // would error — both sides clamp the same
+        .withColumn("closeness_micros",
+          expr("n_sources * 1000000 DIV greatest(dist_sum, 1)"))
+      per.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(desc("closeness_micros"), asc("node"))).cast("long"))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("node"), col("n_sources"),
+          col("dist_sum"), col("closeness_micros"))
+        .orderBy(col("rank"))
     },
 
     // 2-core decomposition by bounded peeling (5 rounds) — the pruning
@@ -2646,6 +2698,48 @@ object Analytics {
          | ${round(1, "d0")}, ${round(2, "d1")},
          | ${round(3, "d2")}, ${round(4, "d3")}
          | SELECT node, dist FROM d4 ORDER BY dist, node"""
+        .stripMargin.replaceAll("\n", " ")
+    },
+
+    // Same unrolled relax with (source, node) keys from the 8 smallest
+    // sources, then the integer closeness ratio and the top-20 window.
+    "q_graph_closeness" -> {
+      def round(i: Int, prev: String) =
+        s"""d$i AS MATERIALIZED (SELECT source, node,
+           |  CAST(min(dist) AS BIGINT) AS dist FROM (
+           |   SELECT source, node, dist FROM $prev
+           |   UNION ALL
+           |   SELECT p.source, ed.dst AS node, p.dist + ed.w AS dist
+           |   FROM $prev p JOIN ed ON ed.src = p.node)
+           |  GROUP BY source, node)""".stripMargin
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+         |  FROM lineitem),
+         | und AS (SELECT a.l_partkey AS u, b.l_partkey AS v,
+         |   1000 // count(*) AS w
+         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |   AND a.l_partkey < b.l_partkey
+         |  GROUP BY u, v HAVING count(*) >= 2),
+         | ed AS MATERIALIZED (SELECT u AS src, v AS dst, w FROM und
+         |  UNION ALL SELECT v AS src, u AS dst, w FROM und),
+         | srcs AS (SELECT DISTINCT src AS source FROM ed
+         |  ORDER BY source LIMIT 8),
+         | d0 AS (SELECT source, source AS node, CAST(0 AS BIGINT)
+         |    AS dist FROM srcs),
+         | ${round(1, "d0")}, ${round(2, "d1")},
+         | ${round(3, "d2")}, ${round(4, "d3")},
+         | per AS (SELECT node, CAST(count(*) AS BIGINT) AS n_sources,
+         |   CAST(sum(dist) AS BIGINT) AS dist_sum
+         |  FROM d4 WHERE source <> node GROUP BY node),
+         | rnk AS (SELECT node, n_sources, dist_sum,
+         |   n_sources * 1000000 // greatest(dist_sum, 1)
+         |     AS closeness_micros,
+         |   row_number() OVER (ORDER BY
+         |     n_sources * 1000000 // greatest(dist_sum, 1) DESC,
+         |     node ASC) AS rank
+         |  FROM per)
+         | SELECT CAST(rank AS BIGINT) AS rank, node, n_sources,
+         |  dist_sum, closeness_micros
+         | FROM rnk WHERE rank <= 20 ORDER BY rank"""
         .stripMargin.replaceAll("\n", " ")
     },
 

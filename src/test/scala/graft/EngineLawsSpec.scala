@@ -5350,6 +5350,91 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("q_graph_closeness: scala replay of the 8-source bounded relax") {
+    val out = SparkEntry.queries("q_graph_closeness")(spark, sf).collect()
+    assert(out.nonEmpty && out.length <= 20)
+    // rebuild the weighted support graph in the driver
+    val baskets = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.map(_.map(_._2).sorted)
+    val support = baskets.toSeq
+      .flatMap(ps => for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j)))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      .filter(_._2 >= 2)
+    val edges = support.toSeq.flatMap { case ((u, v), sp) =>
+      val w = 1000L / sp
+      Seq((u, v, w), (v, u, w))
+    }
+    val sources = edges.map(_._1).distinct.sorted.take(8)
+    var dist: Map[(Long, Long), Long] =
+      sources.map(s0 => (s0, s0) -> 0L).toMap
+    for (_ <- 1 to 4) {
+      val stepped = dist.toSeq.flatMap { case ((s0, node), dd) =>
+        edges.filter(_._1 == node).map(e => (s0, e._2) -> (dd + e._3))
+      } ++ dist.toSeq
+      dist = stepped.groupBy(_._1).map { case (k, v) =>
+        k -> v.map(_._2).min }
+    }
+    val per = dist.toSeq.filter { case ((s0, node), _) => s0 != node }
+      .groupBy(_._1._2)
+      .map { case (node, ds) =>
+        val sum = ds.map(_._2).sum
+        (node, ds.size.toLong, sum,
+          ds.size.toLong * 1000000L / math.max(sum, 1L))
+      }.toSeq
+    val top = per.sortBy(p => (-p._4, p._1)).take(20)
+    val got = out.map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4))).toSeq
+    assert(got === top, "top-20 closeness replay")
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) === i + 1L, "dense 1-based rank")
+      assert(r.getLong(2) <= 8L, "at most 8 sampled sources reach a node")
+    }
+  }
+
+  test("q_agg_mood_median: scala replay of the pooled-median 2x2 table") {
+    val out = SparkEntry.queries("q_agg_mood_median")(spark, sf)
+      .collect().head
+    val vals = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), round(col("value") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val sorted = vals.map(_._2).sorted
+    val n = sorted.length
+    val med2 = sorted((n - 1) / 2) + sorted(n / 2)
+    assert(out.getLong(0) === med2, "doubled pooled median")
+    val ca = vals.count(v => v._1 == "click" && v._2 * 2 > med2).toLong
+    val cb = vals.count(v => v._1 == "click" && v._2 * 2 < med2).toLong
+    val pa = vals.count(v => v._1 == "purchase" && v._2 * 2 > med2).toLong
+    val pb = vals.count(v => v._1 == "purchase" && v._2 * 2 < med2).toLong
+    assert((out.getLong(1), out.getLong(2), out.getLong(3),
+      out.getLong(4)) === ((ca, cb, pa, pb)), "2x2 tie-dropped counts")
+    val dd = ca.toDouble * pb.toDouble - cb.toDouble * pa.toDouble
+    val chi2 = (ca + cb + pa + pb).toDouble * dd * dd /
+      ((ca + cb).toDouble * (pa + pb).toDouble *
+        (ca + pa).toDouble * (cb + pb).toDouble)
+    assert(math.abs(out.getDouble(5) - chi2) < 1e-5, "chi2 replay")
+    assert(out.getBoolean(6) === (out.getDouble(5) > 3.841))
+  }
+
+  test("q_agg_breusch_pagan: LM nonneg, bounded by n, flag consistent") {
+    val out = SparkEntry.queries("q_agg_breusch_pagan")(spark, sf)
+      .collect()
+    assert(out.length === 3, "one row per returnflag")
+    val sizes = Tables.lineitem(spark, sf).groupBy(col("l_returnflag"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      assert(r.getLong(1) === sizes(r.getString(0)), "group n")
+      // LM = n * R^2_aux with R^2 in [0, 1]
+      assert(r.getDouble(2) >= 0.0, "LM nonneg")
+      assert(r.getDouble(2) <= r.getLong(1).toDouble + 1e-6,
+        "LM bounded by n")
+      assert(r.getBoolean(3) === (r.getDouble(2) > 3.841))
+    }
+  }
+
   test("q_text_readability: counts replay; unpunctuated corpus floors S=1") {
     val out = SparkEntry.queries("q_text_readability")(spark, sf).collect()
     val docs = Tables.documents(spark, sf)

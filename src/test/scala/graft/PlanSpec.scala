@@ -376,6 +376,12 @@ class PlanSpec extends SparkSuite {
       p.contains("BroadcastExchange"), s"broadcast missing:\n$p")
   }
 
+  test("closeness: no cartesian; relax rounds join on the node key") {
+    val p = plan("q_graph_closeness")
+    assert(!p.contains("CartesianProduct"),
+      s"multi-source relax must stay a keyed join:\n$p")
+  }
+
   test("hurst: block windows partition by (type, m, blk), never " +
       "a single partition") {
     val p = plan("q_ts_hurst")
