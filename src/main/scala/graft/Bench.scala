@@ -372,7 +372,10 @@ object Bench {
       // (a second fact-table pass joined against broadcast
       // coefficients). mood_median shares the KS cents-frame shape
       // already timed (rule (c)).
-      "q_graph_closeness", "q_agg_breusch_pagan")
+      "q_graph_closeness", "q_agg_breusch_pagan",
+      // round-13: the timer-eviction replay joins the other durable-
+      // checkpoint streaming rows (restart no-op cost after build-once)
+      "q_stream_timer_replay")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

@@ -590,6 +590,71 @@ object Events {
     // the oracle replays; sessions inside the final 10-minute horizon
     // stay open and are EXCLUDED on both sides — precisely the
     // steady-state semantics of the streaming operator.
+    // EVENT-TIME TIMER eviction under the replay protocol (r13,
+    // closing the r12 backlog's last streaming surface): a TRUE
+    // Trigger.Once stream over transformWithState + TimeMode.EventTime
+    // where the ONLY output rows are timer firings — per user, one
+    // (user_id, n_events, evict_ms = lastSeen + 30min) row emitted when
+    // the watermark passes the idle deadline. Deterministic BECAUSE the
+    // timers are event-time: expiry is a pure function of the data's
+    // own timestamps and the sentinel-driven watermark walk (a
+    // processing-time timer would be wall-clock-coupled — that variant
+    // is exactly what stays undemonstrable under a replay oracle).
+    // Protocol: batch 1 = real events (arms every timer, emits
+    // nothing); batch 2 = sentinel A (2030, user −1) advances the
+    // eviction watermark to maxTs(real) − 10min, firing the early
+    // timers; batch 3 = sentinel B (2031, user −2) advances it to
+    // 2030 − 10min, firing every remaining real timer (the sentinels'
+    // own timers sit past their batch's watermark and never fire —
+    // their users are filtered). Restart invocations reopen the durable
+    // checkpoint and commit nothing (the crash-recovery no-op).
+    "q_stream_timer_replay" -> { (s, d) =>
+      def runOnce(base: String): Unit =
+        Streaming.withRocksDB(s) {
+          Streaming.withStatePartitions(s, 4) {
+            import s.implicits._
+            val in = s.readStream
+              .schema(s.read.parquet(s"$base/timer_in").schema)
+              .parquet(s"$base/timer_in")
+            val q = Streaming.idleEvictions(in.as[Ev])
+              .toDF()
+              .writeStream.format("parquet")
+              .option("path", s"$base/timer_out")
+              .option("checkpointLocation", s"$base/timer_ckpt")
+              .outputMode("append")
+              .trigger(org.apache.spark.sql.streaming.Trigger.Once())
+              .start()
+            try q.awaitTermination() finally if (q.isActive) q.stop()
+          }
+        }
+      def sentinel(ts: String, uid: Long) =
+        s.range(1).select(
+          lit(ts).cast("timestamp").as("ts"),
+          lit(uid).as("userId"), lit("sentinel").as("eventType"),
+          lit(0.0).as("value"), lit(uid).as("eventId"))
+      val base = replayReuse(s, d, "timer", "v1") { base =>
+        Seq("timer_in", "timer_out", "timer_ckpt")
+          .foreach(n => rmTree(new java.io.File(s"$base/$n")))
+        val ev = Tables.events(s, d)
+          .select(col("ts"), col("user_id").as("userId"),
+            col("event_type").as("eventType"), col("value"),
+            col("event_id").as("eventId"))
+        ev.coalesce(4).write.mode("overwrite").parquet(s"$base/timer_in")
+        runOnce(base)
+        sentinel("2030-01-01 00:00:00", -1L)
+          .write.mode("append").parquet(s"$base/timer_in")
+        runOnce(base)
+        sentinel("2031-01-01 00:00:00", -2L)
+          .write.mode("append").parquet(s"$base/timer_in")
+        runOnce(base)
+      }(runOnce)
+      s.read.parquet(s"$base/timer_out")
+        .filter(col("userId") >= 0)
+        .select(col("userId").as("user_id"), col("n").as("n_events"),
+          col("evictMs").as("evict_ms"))
+        .orderBy(col("user_id"))
+    },
+
     "q_stream_session_replay" -> { (s, d) =>
       def runOnce(base: String): Unit = Streaming.withStatePartitions(s, 4) {
         val in = s.readStream
@@ -2451,6 +2516,15 @@ object Events {
     // filtered by the batch-1 watermark (ms-floored max event time −
     // 10 min); the one session still inside the horizon stays open on
     // both sides.
+    // Every real user's timer fires by the second sentinel batch, so
+    // the oracle is the full per-user fold: count + last-seen + gap.
+    "q_stream_timer_replay" ->
+      """SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(max(epoch_us(CAST(ts AS TIMESTAMP))) // 1000 + 1800000
+        |   AS BIGINT) AS evict_ms
+        | FROM events GROUP BY user_id ORDER BY user_id"""
+        .stripMargin.replaceAll("\n", " "),
+
     "q_stream_session_replay" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
         |  FROM events),

@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** A raw event for the true-streaming builders (tests feed these through
   * MemoryStream; production would use readStream sources).
@@ -15,6 +15,8 @@ case class UserCount(userId: Long, running: Long)
 case class UserSum(userId: Long, total: Double)
 
 case class UserCountMax(userId: Long, n: Long, mx: Double)
+
+case class SessionEvict(userId: Long, n: Long, evictMs: Long)
 
 /** §2.9 true Structured Streaming builders (SURVEY.md). The harness-facing
   * batch equivalents live in Events.scala; these builders add the
@@ -204,6 +206,79 @@ object Streaming {
       .groupByKey(_.userId)
       .transformWithState(new CountMaxProcessor,
         TimeMode.None(), OutputMode.Update)
+  }
+
+  /** EVENT-TIME TIMER eviction (r13, the last stateful surface): a
+    * per-user idle-session monitor that emits NOTHING on input — each
+    * batch just folds the count and re-arms one timer at
+    * lastSeen + 30 min — and exactly one row per user when that timer
+    * FIRES, i.e. when the event-time watermark passes the expiry.
+    * TimeMode.EventTime is what makes this replay-deterministic: the
+    * timer is a pure function of the data's own timestamps and the
+    * watermark sequence, never of wall-clock (TimeMode.ProcessingTime
+    * would be the non-deterministic variant — that is the precise
+    * boundary the r12 backlog asked to establish). State per key is two
+    * longs + one timer; eviction clears both, so the store shrinks as
+    * sessions close — the unbounded-input posture.
+    */
+  class IdleEvictProcessor
+      extends StatefulProcessor[Long, Ev, SessionEvict] {
+    @transient private var cnt: ValueState[Long] = _
+    @transient private var tmr: ValueState[Long] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      cnt = getHandle.getValueState[Long]("cnt",
+        Encoders.scalaLong, TTLConfig.NONE)
+      tmr = getHandle.getValueState[Long]("tmr",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[SessionEvict] = {
+      var c = Option(cnt.get()).getOrElse(0L)
+      var last = Long.MinValue
+      rows.foreach { r =>
+        c += 1
+        val t = r.ts.getTime
+        if (t > last) last = t
+      }
+      cnt.update(c)
+      val expiry = last + 1800000L
+      Option(tmr.get()).filter(_ != 0L).foreach { old =>
+        if (old != expiry) getHandle.deleteTimer(old)
+      }
+      getHandle.registerTimer(expiry)
+      tmr.update(expiry)
+      Iterator.empty
+    }
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionEvict] = {
+      val n = Option(cnt.get()).getOrElse(0L)
+      cnt.clear(); tmr.clear()
+      Iterator(SessionEvict(key, n, expiredTimerInfo.getExpiryTimeInMs()))
+    }
+  }
+
+  def idleEvictions(events: Dataset[Ev]): Dataset[SessionEvict] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.userId)
+      .transformWithState(new IdleEvictProcessor,
+        TimeMode.EventTime(), OutputMode.Append)
+  }
+
+  /** Run `body` with the RocksDB state store provider set (required by
+    * transformWithState's value-state column families), restoring the
+    * previous provider conf afterwards.
+    */
+  def withRocksDB[T](s: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "org.apache.spark.sql.execution.streaming.state" +
+      ".RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
   }
 
   /** mapGroupsWithState variant: emits exactly one row per key per batch

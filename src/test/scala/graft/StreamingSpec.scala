@@ -180,6 +180,54 @@ class StreamingSpec extends SparkSuite {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
   }
 
+  test("event-time timer evicts idle sessions exactly at watermark passage") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Ev]
+      val tbl = freshTable()
+      val q = Streaming.idleEvictions(ms.toDS()).toDF()
+        .writeStream.format("memory").queryName(tbl)
+        .outputMode("append").start()
+      try {
+        // batch 1: arm timers — user 1 deadline 10:35, user 2 at 10:51
+        ms.addData(
+          Ev(ts("2024-01-01 10:00:00"), 1, "a", 1.0, 1),
+          Ev(ts("2024-01-01 10:05:00"), 1, "a", 1.0, 2),
+          Ev(ts("2024-01-01 10:21:00"), 2, "b", 1.0, 3))
+        q.processAllAvailable()
+        assert(spark.table(tbl).count() === 0,
+          "nothing fires before the watermark moves")
+        // batch 2: user-3 event at 11:00 advances the watermark to
+        // 10:50 (processAllAvailable includes the trailing no-data
+        // micro-batch that fires timers at the new watermark) -> ONLY
+        // user 1 (deadline 10:35) evicts; user 2 (10:51) survives by
+        // one minute
+        ms.addData(Ev(ts("2024-01-01 11:00:00"), 3, "c", 1.0, 4))
+        q.processAllAvailable()
+        val after2 = spark.table(tbl)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        assert(after2.toSet === Set(
+          (1L, 2L, ts("2024-01-01 10:35:00").getTime)),
+          s"exactly user 1 evicts at watermark 10:50: ${after2.toSeq}")
+        // batch 3: watermark 11:50 -> users 2 (10:51) and 3 (11:30)
+        // fire; each user evicts exactly once
+        ms.addData(Ev(ts("2024-01-01 12:00:00"), 4, "d", 1.0, 5))
+        q.processAllAvailable()
+        val after3 = spark.table(tbl)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        assert(after3.toSet === Set(
+          (1L, 2L, ts("2024-01-01 10:35:00").getTime),
+          (2L, 1L, ts("2024-01-01 10:51:00").getTime),
+          (3L, 1L, ts("2024-01-01 11:30:00").getTime)),
+          s"users 2 and 3 evict at watermark 11:50: ${after3.toSeq}")
+      } finally q.stop()
+    } finally
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+  }
+
   test("file-source readStream -> windowed agg -> writeStream round trip") {
     import spark.implicits._
     // stage a small event directory from fixture-shaped rows
