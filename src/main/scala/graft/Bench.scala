@@ -374,7 +374,9 @@ object Bench {
       // already timed (rule (c)).
       "q_graph_closeness", "q_agg_breusch_pagan",
       // round-13: the timer-eviction replay joins the other durable-
-      // checkpoint streaming rows (restart no-op cost after build-once)
+      // checkpoint streaming rows (restart no-op cost after build-once).
+      // jarque_bera shares skewkurt's moment scan, durbin_watson the
+      // dense-grid shape, rouge the BLEU pair frame (rule (c)).
       "q_stream_timer_replay")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))

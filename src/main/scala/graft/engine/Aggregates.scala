@@ -234,6 +234,44 @@ object Aggregates {
         .orderBy(col("l_returnflag"))
     },
 
+    // Jarque–Bera normality test (r13) — the closed-form gate that
+    // turns q_agg_skewkurt's shape numbers into a decision: JB =
+    // n/6·(S² + K²/4) against χ²(2) = 5.991. Rides the identical exact
+    // decimal power sums (s1..s4 — order-free, bit-identical on both
+    // engines), with S and K carried UNROUNDED into the statistic so
+    // the whole chain is one IEEE expression tree both engines share;
+    // zero libm beyond one sqrt. One corpus scan, one partial-agg
+    // shuffle of 3 groups.
+    "q_agg_jarque_bera" -> { (s, d) =>
+      val q = col("l_quantity")
+      val m = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          dsum(q).as("s1"),
+          dsum(q * q, 4).as("s2"),
+          dsum(q * q * q, 6).as("s3"),
+          dsum(q * q * q * q, 8).as("s4"))
+      val nD = col("n").cast("double")
+      val mean = col("s1") / nD
+      val m2 = col("s2") / nD - mean * mean
+      val m3 = col("s3") / nD - lit(3) * mean * (col("s2") / nD) +
+        lit(2) * mean * mean * mean
+      val m4 = col("s4") / nD - lit(4) * mean * (col("s3") / nD) +
+        lit(6) * mean * mean * (col("s2") / nD) -
+        lit(3) * mean * mean * mean * mean
+      val sk = m3 / sqrt(m2 * m2 * m2)
+      val ku = m4 / (m2 * m2) - lit(3)
+      m.select(
+          col("l_returnflag"), col("n"),
+          eround(sk, 6).as("skew"),
+          eround(ku, 6).as("kurt"),
+          eround(nD / lit(6.0) * (sk * sk + ku * ku / lit(4.0)), 4)
+            .as("jb_stat"))
+        .withColumn("normal", col("jb_stat") <= 5.991)
+        .orderBy(col("l_returnflag"))
+    },
+
     // Deterministic mode: the builtin `mode` leaves ties
     // implementation-defined, so the modal value is derived explicitly —
     // count per (group, value), then rank by (count desc, value asc).
@@ -2508,6 +2546,35 @@ object Aggregates {
         |  round(m3/sqrt(m2*m2*m2) + 5e-10, 6) AS skew_qty,
         |  round(m4/(m2*m2) - 3 + 5e-10, 6) AS kurt_qty
         | FROM u ORDER BY l_returnflag"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same exact power sums and moment chains as skewkurt; S and K are
+    // carried unrounded into the identical JB expression tree.
+    "q_agg_jarque_bera" ->
+      """WITH m AS (SELECT l_returnflag,
+        |  CAST(count(*) AS DOUBLE) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+        |  CAST(sum(CAST(l_quantity*l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS s2,
+        |  CAST(sum(CAST(l_quantity*l_quantity*l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS s3,
+        |  CAST(sum(CAST(l_quantity*l_quantity*l_quantity*l_quantity AS DECIMAL(18,8))) AS DOUBLE) AS s4
+        |  FROM lineitem GROUP BY l_returnflag),
+        | t AS (SELECT l_returnflag, n, s1/n AS mean,
+        |  s2/n AS r2, s3/n AS r3, s4/n AS r4 FROM m),
+        | u AS (SELECT l_returnflag, n, mean,
+        |  r2 - mean*mean AS m2,
+        |  r3 - 3*mean*r2 + 2*mean*mean*mean AS m3,
+        |  r4 - 4*mean*r3 + 6*mean*mean*r2 - 3*mean*mean*mean*mean AS m4
+        |  FROM t),
+        | v AS (SELECT l_returnflag, n,
+        |  m3/sqrt(m2*m2*m2) AS sk, m4/(m2*m2) - 3 AS ku FROM u),
+        | res AS (SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  round(sk + 5e-10, 6) AS skew, round(ku + 5e-10, 6) AS kurt,
+        |  round(n / 6.0 * (sk * sk + ku * ku / 4.0) + 5e-10, 4)
+        |    AS jb_stat
+        |  FROM v)
+        | SELECT l_returnflag, n, skew, kurt, jb_stat,
+        |  jb_stat <= 5.991 AS normal
+        | FROM res ORDER BY l_returnflag"""
         .stripMargin.replaceAll("\n", " "),
 
     "q_agg_argmax" ->

@@ -1422,6 +1422,61 @@ object Events {
     // collapses through one hash aggregate first). Slope division is
     // IEEE-deterministic; medians interpolate identical multisets;
     // one epsilon-round per surfaced stat.
+    // Durbin–Watson autocorrelation test (r13) — the residual
+    // diagnostic completing the ACF/Ljung-Box/runs lattice from the
+    // REGRESSION side: fit the hourly linear trend per event type from
+    // exact integer moments (x re-based to 0..h so every moment stays
+    // tiny at any SF), then DW = Σ(e_t − e_{t−1})²/Σe_t² over the
+    // calendar-bounded dense grid. The residual sums use the ε-round
+    // parity recipe (per-cell terms rounded to 6dp → DECIMAL(38,6) —
+    // order-free, exact cross-engine); the lag window rides the ≤720-row
+    // per-type frame, never the corpus. DW < 1.5 flags positive
+    // autocorrelation (the diurnal signal guarantees it — the detector
+    // firing IS the demo, the q_agg_benford pattern).
+    "q_ts_durbin_watson" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val dec6 = org.apache.spark.sql.types.DecimalType(38, 6)
+      val hourly = Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("y"))
+      val grid = hourly.groupBy(col("event_type"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("event_type"), col("h0"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val dense = grid.join(hourly, Seq("event_type", "h"), "left")
+        .na.fill(0L, Seq("y"))
+        .withColumn("x",
+          expr("(unix_micros(h) - unix_micros(h0)) DIV 3600000000"))
+      val m = dense.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+      val nD = col("n").cast("double")
+      val b1 = (nD * col("sxy").cast("double")
+        - col("sx").cast("double") * col("sy").cast("double")) /
+        (nD * col("sxx").cast("double")
+          - col("sx").cast("double") * col("sx").cast("double"))
+      val co = m.select(col("event_type"), col("n"), b1.as("b1"),
+        ((col("sy").cast("double") - b1 * col("sx").cast("double")) / nD)
+          .as("b0"))
+      val w = W.partitionBy(col("event_type")).orderBy(col("x"))
+      val resid = dense.join(broadcast(co), "event_type")
+        .withColumn("e", col("y").cast("double")
+          - (col("b0") + col("b1") * col("x").cast("double")))
+        .withColumn("dlag", lag(col("e"), 1).over(w))
+      val agg = resid.groupBy(col("event_type"))
+        .agg(max(col("n")).as("n"),
+          sum(eround(col("e") * col("e"), 6).cast(dec6)).cast("double")
+            .as("se2"),
+          sum(when(col("dlag").isNotNull,
+            eround((col("e") - col("dlag")) * (col("e") - col("dlag")),
+              6).cast(dec6))).cast("double").as("sd2"))
+      agg.select(col("event_type"), col("n"),
+          eround(col("sd2") / col("se2"), 6).as("dw"))
+        .withColumn("positive_autocorr", col("dw") < 1.5)
+        .orderBy(col("event_type"))
+    },
+
     "q_ts_theil_sen" -> { (s, d) =>
       val hourly = Tables.events(s, d)
         .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
@@ -3248,6 +3303,57 @@ object Events {
 
     // Same doubled-median classification, tie drop, lag-window run
     // count, and the integer-ratio E/Var under one sqrt.
+    // Same dense grid, re-based integer moments, identical IEEE
+    // coefficient chain, epsilon-rounded decimal residual sums.
+    "q_ts_durbin_watson" ->
+      """WITH hourly AS (SELECT event_type,
+        |   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |   CAST(count(*) AS BIGINT) AS y FROM events GROUP BY 1, 2),
+        | bounds AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+        |  FROM hourly GROUP BY 1),
+        | grid AS (SELECT event_type, h0,
+        |   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM bounds),
+        | dense AS (SELECT g.event_type,
+        |   (epoch_us(g.h) - epoch_us(g.h0)) // 3600000000 AS x,
+        |   COALESCE(hl.y, 0) AS y
+        |  FROM grid g LEFT JOIN hourly hl
+        |   ON g.event_type = hl.event_type AND g.h = hl.h),
+        | m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |   CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |   CAST(sum(x * y) AS BIGINT) AS sxy,
+        |   CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM dense GROUP BY 1),
+        | co AS (SELECT event_type, n,
+        |   (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS b1
+        |  FROM m),
+        | co2 AS (SELECT co.event_type, co.n, co.b1,
+        |   (CAST(m.sy AS DOUBLE) - co.b1 * CAST(m.sx AS DOUBLE))
+        |    / CAST(co.n AS DOUBLE) AS b0
+        |  FROM co JOIN m USING (event_type)),
+        | resid AS (SELECT d.event_type, c.n, d.x,
+        |   CAST(d.y AS DOUBLE)
+        |    - (c.b0 + c.b1 * CAST(d.x AS DOUBLE)) AS e
+        |  FROM dense d JOIN co2 c USING (event_type)),
+        | lagd AS (SELECT event_type, n, e,
+        |   lag(e) OVER (PARTITION BY event_type ORDER BY x) AS dlag
+        |  FROM resid),
+        | agg AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+        |   CAST(sum(CAST(round(e * e + 5e-10, 6) AS DECIMAL(38,6)))
+        |     AS DOUBLE) AS se2,
+        |   CAST(sum(CASE WHEN dlag IS NOT NULL THEN
+        |     CAST(round((e - dlag) * (e - dlag) + 5e-10, 6)
+        |       AS DECIMAL(38,6)) END) AS DOUBLE) AS sd2
+        |  FROM lagd GROUP BY 1),
+        | res AS (SELECT event_type, n,
+        |   round(sd2 / se2 + 5e-10, 6) AS dw FROM agg)
+        | SELECT event_type, n, dw, dw < 1.5 AS positive_autocorr
+        | FROM res ORDER BY event_type"""
+        .stripMargin.replaceAll("\n", " "),
+
     "q_ts_runs_test" ->
       """WITH daily AS (SELECT event_type,
         |   date_trunc('day', CAST(ts AS TIMESTAMP)) AS h,

@@ -1109,6 +1109,59 @@ object Text {
         .orderBy(col("cand_id"))
     },
 
+    // ROUGE-1/2 (r13) — BLEU's recall-side twin over the SAME shifted
+    // candidate/reference pairs (cand i vs ref i+1), completing the
+    // generation-eval pair: BLEU asks "how much of the candidate is in
+    // the reference" (precision + brevity), ROUGE asks "how much of the
+    // reference did the candidate recover" (recall), and the F1 rows
+    // fold both through the exact integer identity 2·m/(c_len+r_len).
+    // Same clipped-count machinery (min(nc, nr) summed per pair — the
+    // clip is symmetric, so one join serves both metrics), all integers
+    // until the final divisions. Scale: two explode+groupBy passes over
+    // the bounded pair slice, keyed shuffles only.
+    "q_text_rouge" -> { (s, d) =>
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 51)
+        .withColumn("t", toks(col("text")))
+        .withColumn("bg", slice(
+          transform(sequence(lit(1), greatest(size(col("t")) - 1, lit(1))),
+            i => concat_ws(" ", element_at(col("t"), i),
+              element_at(col("t"), i + 1))),
+          lit(1), greatest(size(col("t")) - 1, lit(0))))
+      def side(gc: String, isCand: Boolean, out: String): DataFrame = {
+        val f = if (isCand) docs.filter(col("doc_id") < 50)
+          else docs.filter(col("doc_id") >= 1)
+        val pid = if (isCand) col("doc_id") else col("doc_id") - 1
+        f.select(pid.as("p"), explode(col(gc)).as("g"))
+          .groupBy(col("p"), col("g")).agg(count(lit(1)).as(out))
+      }
+      def clipped(gc: String, out: String): DataFrame =
+        side(gc, isCand = true, "nc")
+          .join(side(gc, isCand = false, "nr"), Seq("p", "g"), "left")
+          .groupBy(col("p"))
+          .agg(sum(least(col("nc"), coalesce(col("nr"), lit(0L))))
+            .as(out))
+      val lens = docs.select(col("doc_id"),
+        size(col("t")).cast("long").as("len"))
+      val cl = lens.filter(col("doc_id") < 50)
+        .select(col("doc_id").as("p"), col("len").as("c_len"))
+      val rl = lens.filter(col("doc_id") >= 1)
+        .select((col("doc_id") - 1).as("p"), col("len").as("r_len"))
+      clipped("t", "m1").join(clipped("bg", "m2"), Seq("p"))
+        .join(cl, Seq("p")).join(rl, Seq("p"))
+        .select(col("p").as("cand_id"), (col("p") + 1).as("ref_id"),
+          col("c_len"), col("r_len"), col("m1"), col("m2"),
+          eround(col("m1") / col("r_len"), 6).as("rouge1_r"),
+          when(col("r_len") > 1,
+            eround(col("m2") / (col("r_len") - 1), 6))
+            .otherwise(lit(0.0)).as("rouge2_r"),
+          eround(col("m1") * 2 / (col("c_len") + col("r_len")), 6)
+            .as("f1_uni"),
+          when(col("c_len") + col("r_len") > 2,
+            eround(col("m2") * 2 / (col("c_len") + col("r_len") - 2), 6))
+            .otherwise(lit(0.0)).as("f1_bi"))
+        .orderBy(col("cand_id"))
+    },
+
     // Span-level (substring) duplicate detection — the word-8-gram
     // variant of suffix-style training-data dedup: a span is duplicated
     // if the same 8 consecutive tokens occur anywhere else in the corpus
@@ -3549,6 +3602,50 @@ object Text {
 
     // Same adjacent-pair clipped counts (exact integers); the two
     // exp/ln sites mirror the Spark integer-ratio arguments at 6dp.
+    // Same clipped counts and lengths as the BLEU oracle; recall and
+    // F1 denominators swap in the reference side.
+    "q_text_rouge" ->
+      s"""WITH dd AS (SELECT doc_id, $oToks AS t FROM documents
+         |  WHERE doc_id < 51),
+         | lens AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS len
+         |  FROM dd),
+         | uni AS (SELECT doc_id, unnest(t) AS g FROM dd),
+         | big AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS g FROM dd,
+         |  LATERAL unnest(generate_series(1, len(t) - 1)) u(i)
+         |  WHERE len(t) >= 2),
+         | cu AS (SELECT doc_id AS p, g, CAST(count(*) AS BIGINT) AS nc
+         |  FROM uni WHERE doc_id < 50 GROUP BY 1, 2),
+         | ru AS (SELECT doc_id - 1 AS p, g,
+         |   CAST(count(*) AS BIGINT) AS nr
+         |  FROM uni WHERE doc_id >= 1 GROUP BY 1, 2),
+         | m1 AS (SELECT p,
+         |   CAST(sum(least(nc, coalesce(nr, 0))) AS BIGINT) AS m1
+         |  FROM cu LEFT JOIN ru USING (p, g) GROUP BY p),
+         | cb AS (SELECT doc_id AS p, g, CAST(count(*) AS BIGINT) AS nc
+         |  FROM big WHERE doc_id < 50 GROUP BY 1, 2),
+         | rb AS (SELECT doc_id - 1 AS p, g,
+         |   CAST(count(*) AS BIGINT) AS nr
+         |  FROM big WHERE doc_id >= 1 GROUP BY 1, 2),
+         | m2 AS (SELECT p,
+         |   CAST(sum(least(nc, coalesce(nr, 0))) AS BIGINT) AS m2
+         |  FROM cb LEFT JOIN rb USING (p, g) GROUP BY p),
+         | cl AS (SELECT doc_id AS p, len AS c_len FROM lens
+         |  WHERE doc_id < 50),
+         | rl AS (SELECT doc_id - 1 AS p, len AS r_len FROM lens
+         |  WHERE doc_id >= 1)
+         | SELECT p AS cand_id, p + 1 AS ref_id, c_len, r_len, m1, m2,
+         |  round(m1 / r_len + 5e-10, 6) AS rouge1_r,
+         |  CASE WHEN r_len > 1
+         |   THEN round(m2 / (r_len - 1) + 5e-10, 6)
+         |   ELSE CAST(0.0 AS DOUBLE) END AS rouge2_r,
+         |  round(m1 * 2 / (c_len + r_len) + 5e-10, 6) AS f1_uni,
+         |  CASE WHEN c_len + r_len > 2
+         |   THEN round(m2 * 2 / (c_len + r_len - 2) + 5e-10, 6)
+         |   ELSE CAST(0.0 AS DOUBLE) END AS f1_bi
+         | FROM m1 JOIN m2 USING (p) JOIN cl USING (p) JOIN rl USING (p)
+         | ORDER BY cand_id"""
+        .stripMargin.replaceAll("\n", " "),
+
     "q_text_bleu" ->
       s"""WITH dd AS (SELECT doc_id, $oToks AS t FROM documents
          |  WHERE doc_id < 51),

@@ -5435,6 +5435,62 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("q_agg_jarque_bera: closed form replays from skewkurt's moments") {
+    val jb = SparkEntry.queries("q_agg_jarque_bera")(spark, sf).collect()
+    val sk = SparkEntry.queries("q_agg_skewkurt")(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3),
+        r.getDouble(4))).toMap
+    assert(jb.length === 3)
+    jb.foreach { r =>
+      val (n, s, k) = sk(r.getString(0))
+      assert(r.getLong(1) === n)
+      // the rounded skew/kurt must match skewkurt's exactly (same tree)
+      assert(r.getDouble(2) === s, "skew matches q_agg_skewkurt")
+      assert(r.getDouble(3) === k, "kurt matches q_agg_skewkurt")
+      val expected = n / 6.0 * (s * s + k * k / 4.0)
+      assert(math.abs(r.getDouble(4) - expected) < 1e-2,
+        "JB replays from the rounded moments")
+      assert(r.getDouble(4) >= 0.0)
+      assert(r.getBoolean(5) === (r.getDouble(4) <= 5.991))
+    }
+  }
+
+  test("q_ts_durbin_watson: DW in (0,4); n spans the calendar grid") {
+    val out = SparkEntry.queries("q_ts_durbin_watson")(spark, sf)
+      .collect()
+    assert(out.length === 5, "one row per event type")
+    val hours = Tables.events(spark, sf)
+      .groupBy(col("event_type"))
+      .agg(((unix_micros(date_trunc("hour", max(col("ts"))))
+        - unix_micros(date_trunc("hour", min(col("ts"))))) / 3600000000L
+        + 1).as("nh"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1).toLong).toMap
+    out.foreach { r =>
+      assert(r.getLong(1) === hours(r.getString(0)),
+        "n = dense calendar hour count")
+      val dw = r.getDouble(2)
+      assert(dw > 0.0 && dw < 4.0, s"DW $dw out of range")
+      assert(r.getBoolean(3) === (dw < 1.5))
+    }
+  }
+
+  test("q_text_rouge: clips equal BLEU's; recall and F1 in [0,1]") {
+    val rouge = SparkEntry.queries("q_text_rouge")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val bleu = SparkEntry.queries("q_text_bleu")(spark, sf).collect()
+    assert(rouge.size === bleu.length)
+    bleu.foreach { b =>
+      val r = rouge(b.getLong(0))
+      // same pair, same symmetric clipped counts
+      assert(r.getLong(4) === b.getLong(4), "clip1 matches BLEU")
+      assert(r.getLong(5) === b.getLong(5), "clip2 matches BLEU")
+      Seq(6, 7, 8, 9).foreach { i =>
+        val v = r.getDouble(i)
+        assert(v >= 0.0 && v <= 1.0 + 1e-9, s"metric $i = $v outside [0,1]")
+      }
+    }
+  }
+
   test("q_text_readability: counts replay; unpunctuated corpus floors S=1") {
     val out = SparkEntry.queries("q_text_readability")(spark, sf).collect()
     val docs = Tables.documents(spark, sf)
