@@ -1056,6 +1056,50 @@ object Aggregates {
         .orderBy(col("l_returnflag"))
     },
 
+    // Bartlett's test (r13) — the PARAMETRIC variance-homogeneity
+    // companion to q_agg_levene (Bartlett is more powerful under
+    // normality, Levene robust without it; shipping both is the
+    // standard pairing): χ² = [(N−k)·ln(Sp²) − Σ(nᵢ−1)·ln(Sᵢ²)]/C over
+    // market segments. Every Sᵢ² derives from exact integer cents
+    // moments (nᵢqᵢ − sᵢ² lifts, the ANOVA recipe), each ln cell and
+    // reciprocal ε-rounds onto a decimal grid before the k-term sums
+    // (order-free — the spectral-entropy ln-cell discipline), and
+    // χ²crit(4,.05) = 9.488 decides on the rounded statistic.
+    "q_agg_bartlett" -> { (s, d) =>
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
+      val cust = Tables.customer(s, d)
+        .select(col("c_mktsegment").as("seg"),
+          round(col("c_acctbal") * 100).cast("long").as("c"))
+      val st = cust.groupBy(col("seg"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c").cast(dec38)).as("sc"),
+          sum(col("c").cast(dec19) * col("c").cast(dec19)).as("qc"))
+      val nD = col("n").cast("double")
+      val s2 = (nD * col("qc").cast("double")
+        - col("sc").cast("double") * col("sc").cast("double")) /
+        (nD * (nD - lit(1.0)))
+      val cells = st.select(col("n"),
+        eround((nD - lit(1.0)) * s2, 4).cast("decimal(28,4)").as("vterm"),
+        eround((nD - lit(1.0)) * eround(log(s2), 6), 4)
+          .cast("decimal(28,4)").as("lterm"),
+        eround(lit(1.0) / (nD - lit(1.0)), 12).cast("decimal(28,12)")
+          .as("rterm"))
+      val tot = cells.agg(sum(col("n")).as("nn"), count(lit(1)).as("k"),
+        sum(col("vterm")).cast("double").as("sv"),
+        sum(col("lterm")).cast("double").as("sl"),
+        sum(col("rterm")).cast("double").as("sr"))
+      val nkD = (col("nn") - col("k")).cast("double")
+      val kD = col("k").cast("double")
+      val sp2 = col("sv") / nkD
+      val cfac = lit(1.0) + (col("sr") - lit(1.0) / nkD) /
+        (lit(3.0) * (kD - lit(1.0)))
+      tot.select(col("k"), col("nn").as("n"),
+          eround((nkD * eround(log(sp2), 6) - col("sl")) / cfac, 4)
+            .as("chi2"))
+        .withColumn("heteroscedastic", col("chi2") > 9.488)
+    },
+
     // Tukey–Kramer HSD post-hoc — the step AFTER q_agg_anova's F says
     // "the groups differ": WHICH pairs differ, with the studentized-
     // range correction that plain pairwise t-tests lack (family-wise
@@ -3140,6 +3184,42 @@ object Aggregates {
         |    / sqrt(CAST(max(n) * max(qx) - max(sx) * max(sx) AS DOUBLE)
         |      / (max(n) * (max(n) - 1))) + 5e-10, 6) AS g_stat
         | FROM rnk GROUP BY event_type ORDER BY event_type"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same exact cents moments, CTE-shared S_i^2 expression, 6dp ln
+    // cells, decimal term sums, identical correction-factor chain.
+    "q_agg_bartlett" ->
+      """WITH cust AS (SELECT c_mktsegment AS seg,
+        |   CAST(round(c_acctbal * 100) AS BIGINT) AS c FROM customer),
+        | st AS (SELECT seg, CAST(count(*) AS BIGINT) AS n,
+        |   sum(CAST(c AS HUGEINT)) AS sc, sum(c * c) AS qc
+        |  FROM cust GROUP BY seg),
+        | s2t AS (SELECT n,
+        |   (CAST(n AS DOUBLE) * CAST(qc AS DOUBLE)
+        |     - CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS s2
+        |  FROM st),
+        | cells AS (SELECT n,
+        |   CAST(round((CAST(n AS DOUBLE) - 1.0) * s2 + 5e-10, 4)
+        |     AS DECIMAL(28,4)) AS vterm,
+        |   CAST(round((CAST(n AS DOUBLE) - 1.0)
+        |      * round(ln(s2) + 5e-10, 6) + 5e-10, 4)
+        |     AS DECIMAL(28,4)) AS lterm,
+        |   CAST(round(1.0 / (CAST(n AS DOUBLE) - 1.0) + 5e-10, 12)
+        |     AS DECIMAL(28,12)) AS rterm
+        |  FROM s2t),
+        | tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+        |   CAST(count(*) AS BIGINT) AS k,
+        |   CAST(sum(vterm) AS DOUBLE) AS sv,
+        |   CAST(sum(lterm) AS DOUBLE) AS sl,
+        |   CAST(sum(rterm) AS DOUBLE) AS sr FROM cells),
+        | res AS (SELECT k, nn AS n,
+        |   round((CAST(nn - k AS DOUBLE)
+        |      * round(ln(sv / CAST(nn - k AS DOUBLE)) + 5e-10, 6) - sl)
+        |     / (1.0 + (sr - 1.0 / CAST(nn - k AS DOUBLE))
+        |       / (3.0 * (CAST(k AS DOUBLE) - 1.0))) + 5e-10, 4) AS chi2
+        |  FROM tot)
+        | SELECT k, n, chi2, chi2 > 9.488 AS heteroscedastic FROM res"""
         .stripMargin.replaceAll("\n", " "),
 
     // Median-centered integer deviations at doubled scale (exact), then

@@ -1422,6 +1422,78 @@ object Events {
     // collapses through one hash aggregate first). Slope division is
     // IEEE-deterministic; medians interpolate identical multisets;
     // one epsilon-round per surfaced stat.
+    // Granger causality at lag 1 (r13) — the DIRECTIONAL dependence
+    // probe the symmetric q_ts_cross_corr can't ask: does knowing last
+    // hour's clicks improve this hour's purchase forecast beyond last
+    // hour's purchases alone (and vice versa)? Unrestricted
+    // y_t = a + b·y_{t−1} + c·x_{t−1} vs restricted y_t = a + b·y_{t−1},
+    // both solved in closed form (Cramer's rule on centered moments)
+    // from ONE pass of exact integer sums over the calendar-bounded
+    // dense hourly grid; F = (RSS_r − RSS_u)·(n−3)/RSS_u against the
+    // F(1,∞) = 3.841 literal on the ε-rounded statistic. Both
+    // directions come from the same 13-moment aggregate — one corpus
+    // scan, one ≤720-row lag window, two 1-row selects.
+    "q_ts_granger" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val hourly = Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("h"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("xc"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("yc"))
+      val bounds = hourly.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      val grid = bounds
+        .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val dense = grid.join(hourly, Seq("h"), "left")
+        .na.fill(0L, Seq("xc", "yc"))
+      // single global series: the lag window rides the calendar-bounded
+      // (≤720-row) hour axis — the sanctioned population-window class
+      val w = W.orderBy(col("h"))
+      val lagged = dense
+        .withColumn("xl", lag(col("xc"), 1).over(w))
+        .withColumn("yl", lag(col("yc"), 1).over(w))
+        .filter(col("xl").isNotNull)
+      val m = lagged.agg(count(lit(1)).as("n"),
+        sum(col("yc")).as("sy"), sum(col("xc")).as("sx"),
+        sum(col("yl")).as("syl"), sum(col("xl")).as("sxl"),
+        sum(col("yc") * col("yc")).as("syy"),
+        sum(col("xc") * col("xc")).as("sxx"),
+        sum(col("yl") * col("yl")).as("syll"),
+        sum(col("xl") * col("xl")).as("sxll"),
+        sum(col("yl") * col("xl")).as("sylxl"),
+        sum(col("yc") * col("yl")).as("syyl"),
+        sum(col("yc") * col("xl")).as("syxl"),
+        sum(col("xc") * col("xl")).as("sxxl"),
+        sum(col("xc") * col("yl")).as("sxyl"))
+      // F for "w Granger-causes y" given own-lag z: all centered
+      // moments as identical IEEE chains from the exact integer sums
+      def fRow(label: String, sy: String, syy: String, sz: String,
+          szz: String, sw: String, sww: String, syz: String,
+          syw: String, szw: String): DataFrame = {
+        val nD = col("n").cast("double")
+        def D(c: String) = col(c).cast("double")
+        val cyy = D(syy) - D(sy) * D(sy) / nD
+        val czz = D(szz) - D(sz) * D(sz) / nD
+        val cww = D(sww) - D(sw) * D(sw) / nD
+        val cyz = D(syz) - D(sy) * D(sz) / nD
+        val cyw = D(syw) - D(sy) * D(sw) / nD
+        val czw = D(szw) - D(sz) * D(sw) / nD
+        val rssR = cyy - cyz * cyz / czz
+        val det = czz * cww - czw * czw
+        val bU = (cyz * cww - cyw * czw) / det
+        val cU = (cyw * czz - cyz * czw) / det
+        val rssU = cyy - bU * cyz - cU * cyw
+        m.select(lit(label).as("direction"), col("n"),
+          eround((rssR - rssU) * (nD - lit(3.0)) / rssU, 6).as("f_stat"))
+      }
+      fRow("clicks->purchases", "sy", "syy", "syl", "syll",
+          "sxl", "sxll", "syyl", "syxl", "sylxl")
+        .unionByName(fRow("purchases->clicks", "sx", "sxx", "sxl",
+          "sxll", "syl", "syll", "sxxl", "sxyl", "sylxl"))
+        .withColumn("causal", col("f_stat") > 3.841)
+        .orderBy(col("direction"))
+    },
+
     // Durbin–Watson autocorrelation test (r13) — the residual
     // diagnostic completing the ACF/Ljung-Box/runs lattice from the
     // REGRESSION side: fit the hourly linear trend per event type from
@@ -3303,6 +3375,85 @@ object Events {
 
     // Same doubled-median classification, tie drop, lag-window run
     // count, and the integer-ratio E/Var under one sqrt.
+    // Same dense grid + lag window + one 13-moment aggregate; the two
+    // directions replay the identical Cramer/centered-moment chains.
+    "q_ts_granger" -> {
+      def dir(label: String, sy: String, syy: String, sz: String,
+          szz: String, sw: String, sww: String, syz: String,
+          syw: String, szw: String) =
+        s"""c_$label AS (SELECT n,
+           |  CAST($syy AS DOUBLE) - CAST($sy AS DOUBLE)
+           |    * CAST($sy AS DOUBLE) / CAST(n AS DOUBLE) AS cyy,
+           |  CAST($szz AS DOUBLE) - CAST($sz AS DOUBLE)
+           |    * CAST($sz AS DOUBLE) / CAST(n AS DOUBLE) AS czz,
+           |  CAST($sww AS DOUBLE) - CAST($sw AS DOUBLE)
+           |    * CAST($sw AS DOUBLE) / CAST(n AS DOUBLE) AS cww,
+           |  CAST($syz AS DOUBLE) - CAST($sy AS DOUBLE)
+           |    * CAST($sz AS DOUBLE) / CAST(n AS DOUBLE) AS cyz,
+           |  CAST($syw AS DOUBLE) - CAST($sy AS DOUBLE)
+           |    * CAST($sw AS DOUBLE) / CAST(n AS DOUBLE) AS cyw,
+           |  CAST($szw AS DOUBLE) - CAST($sz AS DOUBLE)
+           |    * CAST($sw AS DOUBLE) / CAST(n AS DOUBLE) AS czw
+           | FROM m),
+           | f_$label AS (SELECT n,
+           |  round(((cyy - cyz * cyz / czz)
+           |    - (cyy - ((cyz * cww - cyw * czw)
+           |        / (czz * cww - czw * czw)) * cyz
+           |      - ((cyw * czz - cyz * czw)
+           |        / (czz * cww - czw * czw)) * cyw))
+           |   * (CAST(n AS DOUBLE) - 3.0)
+           |   / (cyy - ((cyz * cww - cyw * czw)
+           |       / (czz * cww - czw * czw)) * cyz
+           |     - ((cyw * czz - cyz * czw)
+           |       / (czz * cww - czw * czw)) * cyw) + 5e-10, 6)
+           |   AS f_stat
+           | FROM c_$label)""".stripMargin
+      s"""WITH hourly AS (SELECT
+         |   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+         |   CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+         |     AS BIGINT) AS xc,
+         |   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+         |     END) AS BIGINT) AS yc
+         |  FROM events GROUP BY 1),
+         | bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM hourly),
+         | grid AS (SELECT
+         |   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+         |  FROM bounds),
+         | dense AS (SELECT g.h, COALESCE(hl.xc, 0) AS xc,
+         |   COALESCE(hl.yc, 0) AS yc
+         |  FROM grid g LEFT JOIN hourly hl ON g.h = hl.h),
+         | lagged AS (SELECT xc, yc,
+         |   lag(xc) OVER (ORDER BY h) AS xl,
+         |   lag(yc) OVER (ORDER BY h) AS yl
+         |  FROM dense),
+         | m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |   CAST(sum(yc) AS BIGINT) AS sy, CAST(sum(xc) AS BIGINT) AS sx,
+         |   CAST(sum(yl) AS BIGINT) AS syl,
+         |   CAST(sum(xl) AS BIGINT) AS sxl,
+         |   CAST(sum(yc * yc) AS BIGINT) AS syy,
+         |   CAST(sum(xc * xc) AS BIGINT) AS sxx,
+         |   CAST(sum(yl * yl) AS BIGINT) AS syll,
+         |   CAST(sum(xl * xl) AS BIGINT) AS sxll,
+         |   CAST(sum(yl * xl) AS BIGINT) AS sylxl,
+         |   CAST(sum(yc * yl) AS BIGINT) AS syyl,
+         |   CAST(sum(yc * xl) AS BIGINT) AS syxl,
+         |   CAST(sum(xc * xl) AS BIGINT) AS sxxl,
+         |   CAST(sum(xc * yl) AS BIGINT) AS sxyl
+         |  FROM lagged WHERE xl IS NOT NULL),
+         | ${dir("cp", "sy", "syy", "syl", "syll", "sxl", "sxll",
+              "syyl", "syxl", "sylxl")},
+         | ${dir("pc", "sx", "sxx", "sxl", "sxll", "syl", "syll",
+              "sxxl", "sxyl", "sylxl")},
+         | u AS (SELECT 'clicks->purchases' AS direction,
+         |   CAST(n AS BIGINT) AS n, f_stat FROM f_cp
+         |  UNION ALL
+         |  SELECT 'purchases->clicks' AS direction,
+         |   CAST(n AS BIGINT) AS n, f_stat FROM f_pc)
+         | SELECT direction, n, f_stat, f_stat > 3.841 AS causal
+         | FROM u ORDER BY direction"""
+        .stripMargin.replaceAll("\n", " ")
+    },
+
     // Same dense grid, re-based integer moments, identical IEEE
     // coefficient chain, epsilon-rounded decimal residual sums.
     "q_ts_durbin_watson" ->

@@ -5491,6 +5491,68 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("q_agg_bartlett: scala replay of the ln-cell chi-square") {
+    val out = SparkEntry.queries("q_agg_bartlett")(spark, sf)
+      .collect().head
+    val segs = Tables.customer(spark, sf)
+      .select(col("c_mktsegment"), round(col("c_acctbal") * 100)
+        .cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).values.map(_.map(_._2)).toSeq
+    def r6(x: Double) = math.rint((x + 5e-10) * 1e6) / 1e6
+    val cells = segs.map { cs =>
+      val n = cs.length.toDouble
+      val sc = cs.sum.toDouble
+      val qc = cs.map(c => c.toDouble * c.toDouble).sum
+      val s2 = (n * qc - sc * sc) / (n * (n - 1.0))
+      (n, (n - 1.0) * s2, (n - 1.0) * r6(math.log(s2)), 1.0 / (n - 1.0))
+    }
+    val nn = cells.map(_._1).sum
+    val k = cells.length.toDouble
+    val sp2 = cells.map(_._2).sum / (nn - k)
+    val chi2 = ((nn - k) * r6(math.log(sp2)) - cells.map(_._3).sum) /
+      (1.0 + (cells.map(_._4).sum - 1.0 / (nn - k)) / (3.0 * (k - 1.0)))
+    assert(out.getLong(0) === cells.length.toLong)
+    assert(out.getLong(1) === nn.toLong)
+    assert(math.abs(out.getDouble(2) - chi2) < 1e-2, "chi2 replay")
+    assert(out.getDouble(2) >= 0.0)
+    assert(out.getBoolean(3) === (out.getDouble(2) > 9.488))
+  }
+
+  test("q_ts_granger: scala replay of both lag-1 F statistics") {
+    val out = SparkEntry.queries("q_ts_granger")(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(out.size === 2)
+    val byHour = Tables.events(spark, sf)
+      .select(date_trunc("hour", col("ts")), col("event_type"))
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1)))
+    val h0 = byHour.map(_._1).min
+    val h1 = byHour.map(_._1).max
+    val hours = (h0 to h1 by 3600000L).toArray
+    val cm = byHour.groupBy(identity).map { case (k, v) => k -> v.size }
+    val xs = hours.map(h => cm.getOrElse((h, "click"), 0).toDouble)
+    val ys = hours.map(h => cm.getOrElse((h, "purchase"), 0).toDouble)
+    def f(y: Array[Double], z: Array[Double], w: Array[Double]): Double = {
+      val n = y.length.toDouble
+      def c(a: Array[Double], b: Array[Double]) =
+        a.zip(b).map(p => p._1 * p._2).sum - a.sum * b.sum / n
+      val (cyy, czz, cww) = (c(y, y), c(z, z), c(w, w))
+      val (cyz, cyw, czw) = (c(y, z), c(y, w), c(z, w))
+      val rssR = cyy - cyz * cyz / czz
+      val det = czz * cww - czw * czw
+      val bU = (cyz * cww - cyw * czw) / det
+      val cU = (cyw * czz - cyz * czw) / det
+      val rssU = cyy - bU * cyz - cU * cyw
+      (rssR - rssU) * (n - 3.0) / rssU
+    }
+    val yT = ys.drop(1); val yL = ys.dropRight(1); val xL = xs.dropRight(1)
+    val xT = xs.drop(1)
+    assert(math.abs(out("clicks->purchases") - f(yT, yL, xL)) < 1e-3,
+      "clicks->purchases F replay")
+    assert(math.abs(out("purchases->clicks") - f(xT, xL, yL)) < 1e-3,
+      "purchases->clicks F replay")
+  }
+
   test("q_text_readability: counts replay; unpunctuated corpus floors S=1") {
     val out = SparkEntry.queries("q_text_readability")(spark, sf).collect()
     val docs = Tables.documents(spark, sf)
