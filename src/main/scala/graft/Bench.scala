@@ -375,9 +375,13 @@ object Bench {
       "q_graph_closeness", "q_agg_breusch_pagan",
       // round-13: the timer-eviction replay joins the other durable-
       // checkpoint streaming rows (restart no-op cost after build-once).
-      // jarque_bera shares skewkurt's moment scan, durbin_watson the
-      // dense-grid shape, rouge the BLEU pair frame (rule (c)).
-      "q_stream_timer_replay")
+      // jarque_bera shares skewkurt's moment scan, durbin_watson /
+      // granger / ar2_forecast the dense-grid + lag-window shape, rouge
+      // the BLEU pair frame, bartlett the levene moment scan (rule (c)).
+      "q_stream_timer_replay",
+      // round-13 batch 2: two full token-explode passes + a broadcast
+      // LM-cell join over the corpus — a real fact-scale shape
+      "q_pipeline_importance_resample")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

@@ -1422,6 +1422,66 @@ object Events {
     // collapses through one hash aggregate first). Slope division is
     // IEEE-deterministic; medians interpolate identical multisets;
     // one epsilon-round per surfaced stat.
+    // AR(2) Yule–Walker fit + in-sample one-step forecast error (r13)
+    // — the MODEL tier on top of the ACF/PACF diagnostics: φ₁, φ₂ in
+    // closed form from the 6dp-rounded r₁, r₂ (the PACF recipe — the
+    // rounding IS the cross-engine contract), then the one-step
+    // residual in the n-SCALED deviation space (dev = n·x − Σx is the
+    // exact integer lift, so e·n = dev_t − φ₁dev_{t−1} − φ₂dev_{t−2}
+    // needs no float mean subtraction) and RMSE = √(Σ(e·n)²/m)/n with
+    // ε-rounded decimal squares. Everything rides the calendar-bounded
+    // dense grid; one corpus scan.
+    "q_ts_ar2_forecast" -> { (s, d) =>
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val dec4 = org.apache.spark.sql.types.DecimalType(38, 4)
+      val W = org.apache.spark.sql.expressions.Window
+      val hourly = hourlySeries(s, d, "ar2")
+      val grid = hourly.groupBy(col("event_type"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val dense = grid.join(hourly, Seq("event_type", "h"), "left")
+        .na.fill(0L, Seq("x"))
+      val st = dense.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast(dec).as("n"),
+          sum(col("x")).cast(dec).as("sx"))
+      val w = W.partitionBy(col("event_type")).orderBy(col("h"))
+      val lagged = dense.join(broadcast(st), Seq("event_type"))
+        .withColumn("dev", col("n") * col("x").cast(dec) - col("sx"))
+        .withColumn("d1", lag(col("dev"), 1).over(w))
+        .withColumn("d2", lag(col("dev"), 2).over(w))
+      val mo = lagged.groupBy(col("event_type"))
+        .agg(max(col("n")).cast("long").as("n_hours"),
+          sum(col("dev") * col("dev")).as("den"),
+          sum(col("dev") * col("d1")).as("num1"),
+          sum(col("dev") * col("d2")).as("num2"))
+      val co = mo.select(col("event_type"), col("n_hours"),
+          eround(col("num1").cast("double") / col("den").cast("double"),
+            6).as("r1"),
+          eround(col("num2").cast("double") / col("den").cast("double"),
+            6).as("r2"))
+        .withColumn("phi1", (col("r1") * (lit(1.0) - col("r2")))
+          / (lit(1.0) - col("r1") * col("r1")))
+        .withColumn("phi2", (col("r2") - col("r1") * col("r1"))
+          / (lit(1.0) - col("r1") * col("r1")))
+      val err = lagged.filter(col("d2").isNotNull)
+        .join(broadcast(co), Seq("event_type"))
+        .withColumn("en", col("dev").cast("double")
+          - (col("phi1") * col("d1").cast("double")
+            + col("phi2") * col("d2").cast("double")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("m"),
+          sum(eround(col("en") * col("en"), 4).cast(dec4)).cast("double")
+            .as("se2"))
+      co.join(err, Seq("event_type"))
+        .select(col("event_type"), col("n_hours"), col("r1"), col("r2"),
+          eround(col("phi1"), 6).as("ar1"),
+          eround(col("phi2"), 6).as("ar2"),
+          eround(sqrt(col("se2") / col("m").cast("double"))
+            / col("n_hours").cast("double"), 6).as("rmse1"))
+        .orderBy(col("event_type"))
+    },
+
     // Granger causality at lag 1 (r13) — the DIRECTIONAL dependence
     // probe the symmetric q_ts_cross_corr can't ask: does knowing last
     // hour's clicks improve this hour's purchase forecast beyond last
@@ -3375,6 +3435,61 @@ object Events {
 
     // Same doubled-median classification, tie drop, lag-window run
     // count, and the integer-ratio E/Var under one sqrt.
+    // Same integer dev lifts, 6dp r's, closed-form phis, scaled
+    // residual decimal squares, identical rmse chain.
+    "q_ts_ar2_forecast" ->
+      """WITH hourly AS (SELECT event_type,
+        |   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+        |   CAST(count(*) AS BIGINT) AS x FROM events GROUP BY 1, 2),
+        | bounds AS (SELECT event_type, min(h) AS h0, max(h) AS h1
+        |  FROM hourly GROUP BY 1),
+        | grid AS (SELECT event_type,
+        |   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM bounds),
+        | dense AS (SELECT g.event_type, g.h, COALESCE(hl.x, 0) AS x
+        |  FROM grid g LEFT JOIN hourly hl
+        |   ON g.event_type = hl.event_type AND g.h = hl.h),
+        | st AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |   CAST(sum(x) AS HUGEINT) AS sx FROM dense GROUP BY 1),
+        | lagd AS (SELECT event_type, n, dev,
+        |   lag(dev, 1) OVER w AS d1, lag(dev, 2) OVER w AS d2
+        |  FROM (SELECT d.event_type, d.h, st.n,
+        |    st.n * d.x - st.sx AS dev
+        |   FROM dense d JOIN st USING (event_type))
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+        | mo AS (SELECT event_type, CAST(max(n) AS BIGINT) AS n_hours,
+        |   sum(dev * dev) AS den, sum(dev * d1) AS num1,
+        |   sum(dev * d2) AS num2
+        |  FROM lagd GROUP BY 1),
+        | co AS (SELECT event_type, n_hours,
+        |   round(CAST(num1 AS DOUBLE) / CAST(den AS DOUBLE)
+        |     + 5e-10, 6) AS r1,
+        |   round(CAST(num2 AS DOUBLE) / CAST(den AS DOUBLE)
+        |     + 5e-10, 6) AS r2
+        |  FROM mo),
+        | co2 AS (SELECT event_type, n_hours, r1, r2,
+        |   (r1 * (1.0 - r2)) / (1.0 - r1 * r1) AS phi1,
+        |   (r2 - r1 * r1) / (1.0 - r1 * r1) AS phi2
+        |  FROM co),
+        | err AS (SELECT l.event_type, CAST(count(*) AS BIGINT) AS m,
+        |   CAST(sum(CAST(round((CAST(l.dev AS DOUBLE)
+        |      - (c.phi1 * CAST(l.d1 AS DOUBLE)
+        |        + c.phi2 * CAST(l.d2 AS DOUBLE)))
+        |     * (CAST(l.dev AS DOUBLE)
+        |      - (c.phi1 * CAST(l.d1 AS DOUBLE)
+        |        + c.phi2 * CAST(l.d2 AS DOUBLE))) + 5e-10, 4)
+        |     AS DECIMAL(38,4))) AS DOUBLE) AS se2
+        |  FROM lagd l JOIN co2 c USING (event_type)
+        |  WHERE l.d2 IS NOT NULL GROUP BY 1)
+        | SELECT c.event_type, c.n_hours, c.r1, c.r2,
+        |  round(c.phi1 + 5e-10, 6) AS ar1,
+        |  round(c.phi2 + 5e-10, 6) AS ar2,
+        |  round(sqrt(e.se2 / CAST(e.m AS DOUBLE))
+        |    / CAST(c.n_hours AS DOUBLE) + 5e-10, 6) AS rmse1
+        | FROM co2 c JOIN err e USING (event_type)
+        | ORDER BY c.event_type"""
+        .stripMargin.replaceAll("\n", " "),
+
     // Same dense grid + lag window + one 13-moment aggregate; the two
     // directions replay the identical Cramer/centered-moment chains.
     "q_ts_granger" -> {

@@ -1109,6 +1109,51 @@ object Text {
         .orderBy(col("cand_id"))
     },
 
+    // Importance resampling toward a target domain (r13) — the
+    // DSIR-shaped selection step of a training-data pipeline: score
+    // every candidate (non-English) document by how English-like its
+    // hashed-unigram distribution is, log p_target/p_raw summed over
+    // token occurrences, and keep the top 100. The feature LM is 64
+    // hashed buckets (the q_text_hash_embed md5 spelling) with add-one
+    // smoothing; each bucket's log-ratio ε-rounds to a 6dp DECIMAL cell
+    // once (a 64-row broadcast table — the spectral-entropy ln-cell
+    // discipline), so per-doc scores are exact order-free decimal sums.
+    // Scale: two token-explode passes (cell counts + scoring), a
+    // 64-row broadcast join, and a TakeOrdered top-100 — never a
+    // corpus-wide window.
+    "q_pipeline_importance_resample" -> { (s, d) =>
+      val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
+      val W = org.apache.spark.sql.expressions.Window
+      val tk = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(toks(col("text"))).as("tok"))
+        .withColumn("b", pmod(conv(substring(md5(col("tok")), 1, 8),
+          16, 10).cast("long"), lit(64)))
+      val cells0 = tk.groupBy(col("b"))
+        .agg(sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
+          sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("cr"))
+      val tots = cells0.agg(sum(col("ct")).as("tt"),
+        sum(col("cr")).as("tr"))
+      val cells = cells0.crossJoin(broadcast(tots))
+        .select(col("b"),
+          eround(log(((col("ct") + 1).cast("double")
+            * (col("tr") + 64).cast("double"))
+            / ((col("cr") + 1).cast("double")
+              * (col("tt") + 64).cast("double"))), 6)
+            .cast(dec6).as("lcell"))
+      val scored = tk.filter(col("lang") =!= "en")
+        .join(broadcast(cells), Seq("b"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(col("lcell")).cast("double").as("score"))
+      val top = scored.orderBy(desc("score"), asc("doc_id")).limit(100)
+      top.withColumn("rank", row_number().over(
+          W.orderBy(desc("score"), asc("doc_id"))).cast("long"))
+        .select(col("rank"), col("doc_id"), col("lang"),
+          col("n_tokens"), col("score"))
+        .orderBy(col("rank"))
+    },
+
     // ROUGE-1/2 (r13) — BLEU's recall-side twin over the SAME shifted
     // candidate/reference pairs (cand i vs ref i+1), completing the
     // generation-eval pair: BLEU asks "how much of the candidate is in
@@ -3602,6 +3647,40 @@ object Text {
 
     // Same adjacent-pair clipped counts (exact integers); the two
     // exp/ln sites mirror the Spark integer-ratio arguments at 6dp.
+    // Same md5 buckets, add-one log-ratio cells on the 6dp decimal
+    // grid, exact per-doc decimal sums, top-100 on (score, doc_id).
+    "q_pipeline_importance_resample" ->
+      s"""WITH tk AS (SELECT doc_id, lang, unnest($oToks) AS tok
+         |  FROM documents),
+         | hb AS (SELECT doc_id, lang,
+         |   ('0x' || substr(md5(tok), 1, 8))::BIGINT % 64 AS b FROM tk),
+         | cells0 AS (SELECT b,
+         |   CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+         |     AS BIGINT) AS ct,
+         |   CAST(sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)
+         |     AS BIGINT) AS cr
+         |  FROM hb GROUP BY b),
+         | tots AS (SELECT CAST(sum(ct) AS BIGINT) AS tt,
+         |   CAST(sum(cr) AS BIGINT) AS tr FROM cells0),
+         | cells AS (SELECT b,
+         |   CAST(round(ln(CAST(ct + 1 AS DOUBLE)
+         |      * CAST(tr + 64 AS DOUBLE)
+         |     / (CAST(cr + 1 AS DOUBLE) * CAST(tt + 64 AS DOUBLE)))
+         |     + 5e-10, 6) AS DECIMAL(28,6)) AS lcell
+         |  FROM cells0, tots),
+         | scored AS (SELECT hb.doc_id, hb.lang,
+         |   CAST(count(*) AS BIGINT) AS n_tokens,
+         |   CAST(sum(lcell) AS DOUBLE) AS score
+         |  FROM hb JOIN cells USING (b) WHERE hb.lang <> 'en'
+         |  GROUP BY 1, 2),
+         | rnk AS (SELECT doc_id, lang, n_tokens, score,
+         |   row_number() OVER (ORDER BY score DESC, doc_id) AS rank
+         |  FROM scored)
+         | SELECT CAST(rank AS BIGINT) AS rank, doc_id, lang, n_tokens,
+         |  score
+         | FROM rnk WHERE rank <= 100 ORDER BY rank"""
+        .stripMargin.replaceAll("\n", " "),
+
     // Same clipped counts and lengths as the BLEU oracle; recall and
     // F1 denominators swap in the reference side.
     "q_text_rouge" ->

@@ -5553,6 +5553,70 @@ class EngineLawsSpec extends SparkSuite {
       "purchases->clicks F replay")
   }
 
+  test("q_ts_ar2_forecast: r's match q_ts_acf; rmse nonneg") {
+    val ar = SparkEntry.queries("q_ts_ar2_forecast")(spark, sf).collect()
+    val acf = SparkEntry.queries("q_ts_acf")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(ar.length === 5)
+    ar.foreach { r =>
+      val et = r.getString(0)
+      assert(r.getDouble(2) === acf((et, 1L)), "r1 matches acf lag 1")
+      assert(r.getDouble(3) === acf((et, 2L)), "r2 matches acf lag 2")
+      // Yule-Walker identities from the rounded r's
+      val (r1, r2) = (r.getDouble(2), r.getDouble(3))
+      val phi1 = r1 * (1.0 - r2) / (1.0 - r1 * r1)
+      val phi2 = (r2 - r1 * r1) / (1.0 - r1 * r1)
+      assert(math.abs(r.getDouble(4) - phi1) < 1e-5, "phi1 closed form")
+      assert(math.abs(r.getDouble(5) - phi2) < 1e-5, "phi2 closed form")
+      assert(r.getDouble(6) >= 0.0, "rmse nonneg")
+    }
+  }
+
+  test("q_pipeline_importance_resample: scala replay of the DSIR scores") {
+    val out = SparkEntry.queries("q_pipeline_importance_resample")(
+      spark, sf).collect()
+    assert(out.length === 100)
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) === i + 1L, "dense rank")
+      assert(r.getString(2) !== "en", "candidates are non-target docs")
+    }
+    // scores are non-increasing with doc_id tiebreak
+    out.sliding(2).foreach { p =>
+      assert(p(0).getDouble(4) > p(1).getDouble(4) ||
+        (p(0).getDouble(4) == p(1).getDouble(4) &&
+          p(0).getLong(1) < p(1).getLong(1)), "rank order")
+    }
+    // full scala replay of the bucket LM and the top-scored doc
+    val docs = Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bucket(tok: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      val hex = md.take(4).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex, 16) % 64).toInt
+    }
+    val ct = new Array[Long](64); val cr = new Array[Long](64)
+    docs.foreach { case (_, lang, text) =>
+      text.toLowerCase.split(" ", -1).foreach { t =>
+        if (lang == "en") ct(bucket(t)) += 1 else cr(bucket(t)) += 1
+      }
+    }
+    val (tt, tr) = (ct.sum, cr.sum)
+    def r6(x: Double) = math.rint((x + 5e-10) * 1e6) / 1e6
+    val lcell = Array.tabulate(64)(b => r6(math.log(
+      (ct(b) + 1).toDouble * (tr + 64).toDouble /
+        ((cr(b) + 1).toDouble * (tt + 64).toDouble))))
+    val scores = docs.filter(_._2 != "en").map { case (id, lang, text) =>
+      val s = text.toLowerCase.split(" ", -1).map(t => lcell(bucket(t))).sum
+      (id, math.rint(s * 1e6) / 1e6)
+    }.toMap
+    out.take(10).foreach { r =>
+      assert(math.abs(r.getDouble(4) - scores(r.getLong(1))) < 1e-4,
+        s"score replay for doc ${r.getLong(1)}")
+    }
+  }
+
   test("q_text_readability: counts replay; unpunctuated corpus floors S=1") {
     val out = SparkEntry.queries("q_text_readability")(spark, sf).collect()
     val docs = Tables.documents(spark, sf)
