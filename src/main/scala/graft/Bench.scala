@@ -381,7 +381,10 @@ object Bench {
       "q_stream_timer_replay",
       // round-13 batch 2: two full token-explode passes + a broadcast
       // LM-cell join over the corpus — a real fact-scale shape
-      "q_pipeline_importance_resample")
+      "q_pipeline_importance_resample",
+      // round-13 batch 3: the 12-join unrolled Brandes walk — the
+      // heaviest new graph shape (closeness shares its relax frame)
+      "q_graph_betweenness")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

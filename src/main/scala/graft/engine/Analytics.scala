@@ -1666,6 +1666,100 @@ object Analytics {
         .orderBy(col("dist"), col("node"))
     },
 
+    // Sampled betweenness centrality (r13) — Brandes' algorithm
+    // unrolled over the unweighted support graph from the same 8
+    // deterministic sources as q_graph_closeness: forward BFS levels
+    // (4 rounds of keyed min-hop), shortest-path counts σ level by
+    // level (σ(v) = Σ σ(u) over DAG predecessors — exact integers),
+    // then the dependency back-propagation δ(v) = Σ σ(v)/σ(w)·(1+δ(w))
+    // with every per-node sum ε-rounded onto a 9dp DECIMAL grid before
+    // aggregation (order-free — a raw double sum over successor sets
+    // would be engine-order-dependent; the rounding IS the estimator's
+    // deterministic definition). bc(v) = Σ_sources δ(v), top-20 via
+    // TakeOrdered. All frames are (source, node)-keyed ≤ 8·|V| —
+    // 12 keyed joins, zero all-pairs, the per-level frames pinned so
+    // the back-propagation never re-derives the forward pass.
+    "q_graph_betweenness" -> { (s, d) =>
+      val edges = ssspEdges(s, d).select(col("src"), col("dst"))
+      val sources = edges.select(col("src")).distinct()
+        .orderBy(col("src")).limit(8).select(col("src").as("sg"))
+      val l0 = sources.select(col("sg"), col("sg").as("node"),
+        lit(0L).as("lvl"))
+      val lv = Checkpoints.pin("btw:lvl:" + d,
+        (1 to 4).foldLeft(l0) { (dk, k) =>
+          val f = dk.filter(col("lvl") === (k - 1))
+            .select(col("sg").as("f_sg"), col("node").as("f_node"))
+          val nxt = f.join(edges, col("f_node") === col("src"))
+            .select(col("f_sg").as("sg"), col("dst").as("node"),
+              lit(k.toLong).as("lvl"))
+          dk.unionByName(nxt).groupBy(col("sg"), col("node"))
+            .agg(min(col("lvl")).as("lvl"))
+        }.localCheckpoint())
+      val lvU = lv.select(col("sg"), col("node").as("src"),
+        col("lvl").as("lu"))
+      val lvV = lv.select(col("sg"), col("node").as("dst"),
+        col("lvl").as("lw"))
+      val pred = Checkpoints.pin("btw:pred:" + d,
+        edges.join(lvU, Seq("src")).join(lvV, Seq("sg", "dst"))
+          .filter(col("lw") === col("lu") + 1)
+          .select(col("sg"), col("src"), col("dst"), col("lu"))
+          .localCheckpoint())
+      val sigs = new Array[DataFrame](5)
+      sigs(0) = sources.select(col("sg"), col("sg").as("node"),
+        lit(1L).as("sigma"))
+      for (k <- 1 to 4)
+        sigs(k) = Checkpoints.pin(s"btw:sig$k:" + d,
+          pred.filter(col("lu") === (k - 1))
+            .join(sigs(k - 1).select(col("sg"),
+              col("node").as("src"), col("sigma")), Seq("sg", "src"))
+            .groupBy(col("sg"), col("dst"))
+            .agg(sum(col("sigma")).as("sigma"))
+            .select(col("sg"), col("dst").as("node"), col("sigma"))
+            .localCheckpoint())
+      // delta carries as INTEGER NANOS (bigint), not a decimal: a
+      // BIGINT -> DOUBLE cast is exact below 2^53 and identical on
+      // both engines, whereas DuckDB's DECIMAL -> DOUBLE cast can sit
+      // 1 ulp off Spark's correctly-rounded one and flip a boundary
+      // cell (observed at sf0.001 before this re-spelling)
+      val dels = new Array[DataFrame](5)
+      dels(4) = sigs(4).select(col("sg"), col("node"),
+        lit(0L).as("delta"))
+      // delta at level 0 would only feed the sources' own (excluded)
+      // bc rows, so the back-propagation stops at level 1
+      for (k <- 3 to 1 by -1) {
+        val down = pred.filter(col("lu") === k)
+          .join(sigs(k).select(col("sg"), col("node").as("src"),
+            col("sigma").as("sig_v")), Seq("sg", "src"))
+          .join(sigs(k + 1).select(col("sg"), col("node").as("dst"),
+            col("sigma").as("sig_w")), Seq("sg", "dst"))
+          .join(dels(k + 1).select(col("sg"), col("node").as("dst"),
+            col("delta").as("del_w")), Seq("sg", "dst"))
+          .withColumn("contrib",
+            round(col("sig_v").cast("double")
+              / col("sig_w").cast("double")
+              * (lit(1000000000.0) + col("del_w").cast("double")))
+              .cast("long"))
+          .groupBy(col("sg"), col("src"))
+          .agg(sum(col("contrib")).as("delta"))
+          .select(col("sg"), col("src").as("node"), col("delta"))
+        dels(k) = Checkpoints.pin(s"btw:del$k:" + d,
+          sigs(k).select(col("sg"), col("node"))
+            .join(down, Seq("sg", "node"), "left")
+            .select(col("sg"), col("node"),
+              coalesce(col("delta"), lit(0L)).as("delta"))
+            .localCheckpoint())
+      }
+      val bc = (1 to 4).map(dels(_)).reduce(_.unionByName(_))
+        .groupBy(col("node"))
+        .agg(sum(col("delta")).as("bc_nanos"))
+      val top = bc.orderBy(desc("bc_nanos"), asc("node")).limit(20)
+      top.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(desc("bc_nanos"), asc("node"))).cast("long"))
+        .select(col("rank"), col("node"), col("bc_nanos"))
+        .orderBy(col("rank"))
+    },
+
     // Sampled closeness centrality (r13) — the Eppstein–Wang estimator
     // shape over the co-purchase support graph: run the bounded-hop
     // multi-source relax from the 8 smallest node ids (deterministic
@@ -2698,6 +2792,78 @@ object Analytics {
          | ${round(1, "d0")}, ${round(2, "d1")},
          | ${round(3, "d2")}, ${round(4, "d3")}
          | SELECT node, dist FROM d4 ORDER BY dist, node"""
+        .stripMargin.replaceAll("\n", " ")
+    },
+
+    // Same unrolled Brandes walk: min-hop levels, DAG-predecessor
+    // sigma chains, 9dp-decimal dependency back-propagation, top-20.
+    "q_graph_betweenness" -> {
+      def lvl(k: Int) =
+        s"""lvl$k AS MATERIALIZED (SELECT sg, node,
+           |  CAST(min(lvl) AS BIGINT) AS lvl FROM (
+           |   SELECT sg, node, lvl FROM lvl${k - 1}
+           |   UNION ALL
+           |   SELECT p.sg, ed.dst AS node, CAST($k AS BIGINT) AS lvl
+           |   FROM lvl${k - 1} p JOIN ed ON ed.src = p.node
+           |   WHERE p.lvl = ${k - 1})
+           |  GROUP BY sg, node)""".stripMargin
+      def sig(k: Int) =
+        s"""sig$k AS MATERIALIZED (SELECT p.sg, p.dst AS node,
+           |  CAST(sum(s.sigma) AS BIGINT) AS sigma
+           | FROM pred p JOIN sig${k - 1} s
+           |  ON s.sg = p.sg AND s.node = p.src
+           | WHERE p.lu = ${k - 1} GROUP BY p.sg, p.dst)""".stripMargin
+      def del(k: Int) =
+        s"""del$k AS MATERIALIZED (SELECT v.sg, v.node,
+           |  COALESCE(dn.delta, CAST(0 AS BIGINT)) AS delta
+           | FROM sig$k v LEFT JOIN (
+           |  SELECT p.sg, p.src AS node,
+           |   CAST(sum(CAST(round(CAST(sv.sigma AS DOUBLE)
+           |      / CAST(sw.sigma AS DOUBLE)
+           |      * (1000000000.0 + CAST(dw.delta AS DOUBLE)))
+           |     AS BIGINT)) AS BIGINT) AS delta
+           |  FROM pred p
+           |  JOIN sig$k sv ON sv.sg = p.sg AND sv.node = p.src
+           |  JOIN sig${k + 1} sw ON sw.sg = p.sg AND sw.node = p.dst
+           |  JOIN del${k + 1} dw ON dw.sg = p.sg AND dw.node = p.dst
+           |  WHERE p.lu = $k GROUP BY p.sg, p.src) dn
+           |  ON dn.sg = v.sg AND dn.node = v.node)""".stripMargin
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+         |  FROM lineitem),
+         | und AS (SELECT a.l_partkey AS u, b.l_partkey AS v
+         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |   AND a.l_partkey < b.l_partkey
+         |  GROUP BY u, v HAVING count(*) >= 2),
+         | ed AS MATERIALIZED (SELECT u AS src, v AS dst FROM und
+         |  UNION ALL SELECT v AS src, u AS dst FROM und),
+         | srcs AS (SELECT DISTINCT src AS sg FROM ed
+         |  ORDER BY sg LIMIT 8),
+         | lvl0 AS (SELECT sg, sg AS node, CAST(0 AS BIGINT) AS lvl
+         |  FROM srcs),
+         | ${lvl(1)}, ${lvl(2)}, ${lvl(3)}, ${lvl(4)},
+         | pred AS MATERIALIZED (SELECT lu_.sg, ed.src, ed.dst,
+         |   lu_.lvl AS lu
+         |  FROM ed JOIN lvl4 lu_ ON lu_.node = ed.src
+         |  JOIN lvl4 lv_ ON lv_.sg = lu_.sg AND lv_.node = ed.dst
+         |  WHERE lv_.lvl = lu_.lvl + 1),
+         | sig0 AS (SELECT sg, sg AS node, CAST(1 AS BIGINT) AS sigma
+         |  FROM srcs),
+         | ${sig(1)}, ${sig(2)}, ${sig(3)}, ${sig(4)},
+         | del4 AS (SELECT sg, node, CAST(0 AS BIGINT) AS delta
+         |  FROM sig4),
+         | ${del(3)}, ${del(2)}, ${del(1)},
+         | bc AS (SELECT node, CAST(sum(delta) AS BIGINT) AS bc_nanos
+         |  FROM (
+         |   SELECT sg, node, delta FROM del1
+         |   UNION ALL SELECT sg, node, delta FROM del2
+         |   UNION ALL SELECT sg, node, delta FROM del3
+         |   UNION ALL SELECT sg, node, delta FROM del4)
+         |  GROUP BY node),
+         | rnk AS (SELECT node, bc_nanos,
+         |   row_number() OVER (ORDER BY bc_nanos DESC, node) AS rank
+         |  FROM bc)
+         | SELECT CAST(rank AS BIGINT) AS rank, node, bc_nanos
+         | FROM rnk WHERE rank <= 20 ORDER BY rank"""
         .stripMargin.replaceAll("\n", " ")
     },
 

@@ -5394,6 +5394,58 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("q_graph_betweenness: scala replay of the unrolled nanos Brandes") {
+    val out = SparkEntry.queries("q_graph_betweenness")(spark, sf)
+      .collect()
+    assert(out.nonEmpty && out.length <= 20)
+    val baskets = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.map(_.map(_._2).sorted)
+    val support = baskets.toSeq
+      .flatMap(ps => for (i <- ps.indices; j <- (i + 1) until ps.length)
+        yield (ps(i), ps(j)))
+      .groupBy(identity).map { case (k, v) => k -> v.size }
+      .filter(_._2 >= 2).keys.toSeq
+    val adj = (support ++ support.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val sources = adj.keys.toSeq.sorted.take(8)
+    val bcN = scala.collection.mutable.Map.empty[Long, Long]
+    for (s0 <- sources) {
+      // BFS levels to depth 4
+      val lvl = scala.collection.mutable.Map(s0 -> 0)
+      var frontier = Seq(s0)
+      for (k <- 1 to 4) {
+        frontier = frontier.flatMap(adj.getOrElse(_, Seq.empty))
+          .distinct.filterNot(lvl.contains)
+        frontier.foreach(v => lvl(v) = k)
+      }
+      val byLvl = lvl.groupBy(_._2).map { case (k, m) => k -> m.keys.toSeq }
+      // sigma level by level
+      val sig = scala.collection.mutable.Map(s0 -> 1L)
+      for (k <- 1 to 4; v <- byLvl.getOrElse(k, Seq.empty))
+        sig(v) = adj(v).filter(u => lvl.get(u).contains(k - 1))
+          .map(sig).sum
+      // delta back-propagation in half-up-rounded nanos
+      val del = scala.collection.mutable.Map.empty[Long, Long]
+      byLvl.getOrElse(4, Seq.empty).foreach(v => del(v) = 0L)
+      for (k <- 3 to 1 by -1; v <- byLvl.getOrElse(k, Seq.empty))
+        del(v) = adj(v).filter(w => lvl.get(w).contains(k + 1))
+          .map { w =>
+            math.floor(sig(v).toDouble / sig(w).toDouble *
+              (1000000000.0 + del(w).toDouble) + 0.5).toLong
+          }.sum
+      del.foreach { case (v, dn) => bcN(v) = bcN.getOrElse(v, 0L) + dn }
+    }
+    val top = bcN.toSeq.sortBy(p => (-p._2, p._1)).take(20)
+    val got = out.map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(got === top, "top-20 betweenness nanos replay")
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) === i + 1L, "dense 1-based rank")
+      assert(r.getLong(2) >= 0L)
+    }
+  }
+
   test("q_agg_mood_median: scala replay of the pooled-median 2x2 table") {
     val out = SparkEntry.queries("q_agg_mood_median")(spark, sf)
       .collect().head

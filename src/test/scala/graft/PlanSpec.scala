@@ -382,6 +382,14 @@ class PlanSpec extends SparkSuite {
       s"multi-source relax must stay a keyed join:\n$p")
   }
 
+  test("betweenness: no cartesian; top-20 is a TakeOrdered, not a sort") {
+    val p = plan("q_graph_betweenness")
+    assert(!p.contains("CartesianProduct"),
+      s"Brandes walk must stay keyed joins:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must plan as a distributed heap:\n$p")
+  }
+
   test("hurst: block windows partition by (type, m, blk), never " +
       "a single partition") {
     val p = plan("q_ts_hurst")
