@@ -2584,7 +2584,11 @@ object Text {
     // threshold axis).
     "q_dedup_threshold_curve" -> { (s, d) =>
       val corpus = nearDupCorpus(s, d)
-      val e = shingleDigests(corpus, 3)
+      // the digest frame feeds both sides of the rare-shingle blocking
+      // join (rows + df counts) — checkpoint once instead of running
+      // the tokenize+explode+md5 chain twice per invocation (r13)
+      val e = Checkpoints.pin("thrcurve_e:" + d,
+        shingleDigests(corpus, 3).localCheckpoint())
       val rare = e.join(
         e.groupBy(col("g")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= 8), Seq("g"))
@@ -2632,7 +2636,10 @@ object Text {
       val d2 = Checkpoints.pin(s"cascade_d2:$d",
         docs.join(s2.select(col("doc_id")), Seq("doc_id"), "left_semi")
           .localCheckpoint())
-      val e = shingleDigests(d2, 3)
+      // same both-sides-of-the-blocking-join pattern as the threshold
+      // curve: one digest derivation per invocation (r13)
+      val e = Checkpoints.pin("cascade_e:" + d,
+        shingleDigests(d2, 3).localCheckpoint())
       val rare = e.join(
         e.groupBy(col("g")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= 8), Seq("g"))
