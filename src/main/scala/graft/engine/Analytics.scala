@@ -64,13 +64,22 @@ object Analytics {
     * serves them all (supportEdges drops the weight column, the
     * shortest-path family turns it into 1000 DIV support edge weights).
     */
-  private def supportFrame(s: SparkSession, d: String): DataFrame =
-    Checkpoints.memo("support:" + d, s) {
-      val baskets = Tables.lineitem(s, d)
+  /** Memoized per-order basket frame (one row per order, sorted distinct
+    * part set) — the shared input of the support graph, the basket-rules
+    * row, and the triangle family.
+    */
+  private def basketsFrame(s: SparkSession, d: String): DataFrame =
+    Checkpoints.memo("baskets:" + d, s) {
+      Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_partkey"))
         .groupBy(col("l_orderkey"))
         .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-      orderedPairs(baskets, "u", "v")
+        .localCheckpoint()
+    }
+
+  private def supportFrame(s: SparkSession, d: String): DataFrame =
+    Checkpoints.memo("support:" + d, s) {
+      orderedPairs(basketsFrame(s, d), "u", "v")
         .groupBy(col("u"), col("v"))
         .agg(count(lit(1)).as("support"))
         .filter(col("support") >= 2)
@@ -602,27 +611,10 @@ object Analytics {
     // unbounded hub blow-up of naive id-ordering). The closure probe is
     // one semi join against the canonical undirected edge set.
     "q_graph_triangles" -> { (s, d) =>
-      // Edge generation is the one-shuffle basket shape (see
-      // q_shape_basket): collect_set gathers each order's deduped basket,
-      // ordered pairs expand map-side via the indexed-transform HOF, and
-      // the support count partial-aggregates before its exchange.
-      val baskets = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey"))
-        .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
       // The edge set is referenced five times below (degrees, orientation,
-      // closure probe, node/edge counts); without materialization Spark
-      // re-runs the fact-scale pair generation for each reference.
-      // Triangle algorithms always materialize their (much smaller,
-      // aggregated) edge list once — localCheckpoint is the single-JVM
-      // analog of the reliable checkpoint a cluster run would use.
-      val und = orderedPairs(baskets, "u", "v")
-        .groupBy(col("u"), col("v"))
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2)
-        .select(col("u"), col("v"))
-        .localCheckpoint()
-      triPinned.put(d, und).foreach(freeCheckpoint)
+      // closure probe, node/edge counts) — it is the family's shared
+      // memoized support frame (r13), derived once per session.
+      val und = supportEdges(s, d, "tri")
       val deg = und.select(col("u").as("n"))
         .unionAll(und.select(col("v").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("deg"))
@@ -743,22 +735,15 @@ object Analytics {
     // broadcast (one row per item).
     "q_shape_basket_rules" -> { (s, d) =>
       // the basket frame feeds three consumers (N, item supports, pair
-      // counts) — materialize the aggregated (much smaller) form once,
-      // same pinned-checkpoint hygiene as q_graph_triangles
-      val baskets = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey"))
-        .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-        .localCheckpoint()
-      triPinned.put("rules:" + d, baskets).foreach(freeCheckpoint)
+      // counts) and the pair-support frame is EXACTLY the graph
+      // family's memoized support frame — both shared per session (r13)
+      val baskets = basketsFrame(s, d)
       val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
       val itemSupp = baskets
         .select(explode(col("parts")).as("item"))
         .groupBy(col("item")).agg(count(lit(1)).as("n_item"))
-      val pairs = orderedPairs(baskets, "u", "v")
-        .groupBy(col("u"), col("v"))
-        .agg(count(lit(1)).as("n_ab"))
-        .filter(col("n_ab") >= 2)
+      val pairs = supportFrame(s, d)
+        .select(col("u"), col("v"), col("support").as("n_ab"))
       val both = pairs
         .select(col("u").as("a"), col("v").as("b"), col("n_ab"))
         .unionAll(pairs
@@ -997,17 +982,7 @@ object Analytics {
     // wedge-explosion shuffle. Zero-common edges are filtered to match
     // the oracle's inner common-neighbor join.
     "q_graph_jaccard" -> { (s, d) =>
-      val baskets = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey"))
-        .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-      val und = orderedPairs(baskets, "u", "v")
-        .groupBy(col("u"), col("v"))
-        .agg(count(lit(1)).as("support"))
-        .filter(col("support") >= 2)
-        .select(col("u"), col("v"))
-        .localCheckpoint()
-      triPinned.put("jac:" + d, und).foreach(freeCheckpoint)
+      val und = supportEdges(s, d, "jac")
       val adjSet = und.select(col("u").as("n"), col("v").as("nb"))
         .unionAll(und.select(col("v").as("n"), col("u").as("nb")))
         .groupBy(col("n"))
