@@ -85,13 +85,6 @@ object Events {
     base
   }
 
-  /** Latest pinned hourly-series checkpoint per fixture dir (q_ts_acf):
-    * same hygiene as Analytics.triPinned — the current invocation's
-    * blocks stay pinned, the previous invocation's are freed.
-    */
-  private val acfPinned =
-    new scala.collection.concurrent.TrieMap[String, DataFrame]()
-
   /** Checkpointed per-(event_type, hour) count series — shared by
     * q_ts_acf / q_ts_cross_corr / q_ts_outage_detect (factored per the
     * r6 advice, mirroring Analytics.supportEdges): the hourly aggregate
@@ -101,14 +94,18 @@ object Events {
     * (slot, fixture) with the usual replace-previous hygiene.
     */
   private def hourlySeries(s: SparkSession, d: String, slot: String)
-      : DataFrame = {
-    val hourly = Tables.events(s, d)
-      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-      .agg(count(lit(1)).as("x"))
-      .localCheckpoint()
-    acfPinned.put(slot + ":" + d, hourly).foreach(freeCheckpoint)
-    hourly
-  }
+      : DataFrame =
+    // ONE memoized frame per dataset (r13): fifteen q_ts_* rows ride
+    // this identical per-(type, hour) count; `slot` stays for call-site
+    // documentation only. The frame is tiny (types x hours) and a pure
+    // function of the fixture, so one corpus scan per session serves
+    // every invocation of the family.
+    Checkpoints.memo("hourly:" + d, s) {
+      Tables.events(s, d)
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+        .agg(count(lit(1)).as("x"))
+        .localCheckpoint()
+    }
 
   /** The q_stream_foreachbatch_upsert merge body, factored so the
     * EngineLaws idempotency row can replay it outside the streaming
@@ -1385,9 +1382,8 @@ object Events {
     // both lags on the SAME exchange.
     "q_ts_forecast_snaive" -> { (s, d) =>
       val W = org.apache.spark.sql.expressions.Window
-      val hourly = Tables.events(s, d)
-        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-        .agg(count(lit(1)).as("y"))
+      val hourly = hourlySeries(s, d, "snaive")
+        .select(col("event_type"), col("h"), col("x").as("y"))
       val grid = hourly.groupBy(col("event_type"))
         .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
         .select(col("event_type"),
@@ -1568,9 +1564,8 @@ object Events {
     "q_ts_durbin_watson" -> { (s, d) =>
       val W = org.apache.spark.sql.expressions.Window
       val dec6 = org.apache.spark.sql.types.DecimalType(38, 6)
-      val hourly = Tables.events(s, d)
-        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-        .agg(count(lit(1)).as("y"))
+      val hourly = hourlySeries(s, d, "dw")
+        .select(col("event_type"), col("h"), col("x").as("y"))
       val grid = hourly.groupBy(col("event_type"))
         .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
         .select(col("event_type"), col("h0"),
@@ -1610,9 +1605,8 @@ object Events {
     },
 
     "q_ts_theil_sen" -> { (s, d) =>
-      val hourly = Tables.events(s, d)
-        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-        .agg(count(lit(1)).as("y"))
+      val hourly = hourlySeries(s, d, "theil")
+        .select(col("event_type"), col("h"), col("x").as("y"))
         .withColumn("x", expr("unix_micros(h) DIV 3600000000"))
       val a = hourly.select(col("event_type"), col("x").as("xi"),
         col("y").as("yi"))
@@ -1649,9 +1643,8 @@ object Events {
     // the ROUNDED z, so the 1.96 boundary is decided on identical 6dp
     // values in both engines.
     "q_ts_mann_kendall" -> { (s, d) =>
-      val hourly = Tables.events(s, d)
-        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
-        .agg(count(lit(1)).as("y"))
+      val hourly = hourlySeries(s, d, "mk")
+        .select(col("event_type"), col("h"), col("x").as("y"))
       val a = hourly.select(col("event_type"), col("h").as("hi"),
         col("y").as("yi"))
       val b = hourly.select(col("event_type").as("et2"),
