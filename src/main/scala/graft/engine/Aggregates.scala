@@ -443,6 +443,119 @@ object Aggregates {
           ((col("r") - 1) * (col("c") - 1)).as("dof"), col("chi2"))
     },
 
+    // G-test (r13) — the likelihood-ratio companion to q_agg_chi2 on
+    // the SAME event-type × user-cohort contingency (G is additive
+    // across partitions and preferred at small expected counts):
+    // G = 2·Σ O·ln(O/E), each cell's O·ln(O/E) ε-rounded onto the 9dp
+    // decimal grid before the exact sum (the chi2 cell recipe with an
+    // ln in place of the square); χ²crit(12,.05) = 21.026 literal on
+    // the rounded statistic. One corpus scan to the 20-cell frame.
+    "q_agg_gtest" -> { (s, d) =>
+      val obs = Tables.events(s, d)
+        .select(col("event_type"), pmod(col("user_id"), lit(4)).as("cohort"))
+        .groupBy(col("event_type"), col("cohort"))
+        .agg(count(lit(1)).as("o"))
+      val rt = obs.groupBy(col("event_type")).agg(sum(col("o")).as("rt"))
+      val ct = obs.groupBy(col("cohort")).agg(sum(col("o")).as("ct"))
+      val n = obs.agg(sum(col("o")).as("n"))
+      obs.join(broadcast(rt), Seq("event_type"))
+        .join(broadcast(ct), Seq("cohort"))
+        .crossJoin(broadcast(n))
+        .withColumn("e", col("rt").cast("double") * col("ct") / col("n"))
+        .withColumn("cell", when(col("o") > 0,
+          eround(col("o").cast("double")
+            * log(col("o").cast("double") / col("e")), 9))
+          .otherwise(lit(0.0)).cast("decimal(18,9)"))
+        .agg(count(lit(1)).as("n_cells"),
+          countDistinct(col("event_type")).as("r"),
+          countDistinct(col("cohort")).as("c"),
+          eround(lit(2.0) * sum(col("cell")).cast("double"), 6)
+            .as("g_stat"))
+        .select(col("n_cells"),
+          ((col("r") - 1) * (col("c") - 1)).as("dof"), col("g_stat"))
+        .withColumn("significant", col("g_stat") > 21.026)
+    },
+
+    // Conover–Iman post-hoc (r13) — the step AFTER q_agg_kruskal_wallis
+    // rejects: WHICH event-type pairs differ on ranks, with the pooled
+    // rank-variance correction (the rank-side analog of Tukey after
+    // ANOVA). Rides the identical cents-domain tie-averaged rank frame;
+    // the integer lifts keep everything exact: 2·ar = 2·cum_before +
+    // k_c + 1 is an integer, per-type doubled rank sums Σn·2ar are
+    // int64, and ΣR² lifts to the quarter grid Σk·(2ar)² in
+    // DECIMAL(38,0). H replays the q_agg_kruskal_wallis chain on its
+    // 6dp contract; t_ij = (R̄i − R̄j)/√(S²·(N−1−H)/(N−k)·(1/nᵢ+1/nⱼ))
+    // against the 1.96 literal on the rounded statistic. Scale: one
+    // corpus scan to the bounded frame, then a 10-row pair join.
+    "q_agg_conover" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          round(col("value") * 100).cast("long").as("c"))
+      val cells = ev.groupBy(col("event_type"), col("c"))
+        .agg(count(lit(1)).as("n"))
+      val perC = cells.groupBy(col("c")).agg(sum(col("n")).as("kc"))
+      val w = W.orderBy(col("c"))
+        .rowsBetween(W.unboundedPreceding, -1)
+      val ranks = perC
+        .withColumn("cb", coalesce(sum(col("kc")).over(w), lit(0L)))
+        .withColumn("ar2", col("cb") * 2 + col("kc") + 1)
+        .withColumn("ar", col("cb")
+          + (col("kc") + 1).cast("double") / 2.0)
+      val rj = cells.join(ranks.select(col("c"), col("ar2"), col("ar")),
+          "c")
+        .groupBy(col("event_type"))
+        .agg(sum(col("n")).as("nj"),
+          sum(col("n") * col("ar2")).as("rj2"),
+          sum(col("n") * col("ar")).as("rj"))
+      val ties = perC.agg(sum(col("kc") * col("kc") * col("kc")
+        - col("kc")).as("tc"), sum(col("kc")).as("nn"))
+      val q2 = perC.join(ranks.select(col("c"), col("ar2")), "c")
+        .agg(sum(col("kc").cast(dec38)
+          * (col("ar2").cast(dec38) * col("ar2").cast(dec38))).as("q4"))
+      // the KW H statistic replayed on its own 6dp contract
+      val h = rj.crossJoin(broadcast(ties))
+        .select(col("nn"), col("tc"),
+          eround(col("rj") * col("rj") / col("nj"), 4)
+            .cast("decimal(38,4)").as("rr"))
+      val stat = h.agg(max(col("nn")).as("nn"), max(col("tc")).as("tc"),
+          sum(col("rr")).as("srr"), count(lit(1)).as("k"))
+        .select(col("k"), col("nn"),
+          eround((lit(12.0) * col("srr").cast("double")
+            / (col("nn") * (col("nn") + 1)).cast("double")
+            - lit(3.0) * (col("nn") + 1))
+            / (lit(1.0) - col("tc").cast("double")
+              / (col("nn") * col("nn") * col("nn") - col("nn"))
+                .cast("double")), 6).as("h_adj"))
+      val a = rj.select(col("event_type").as("type_a"),
+        col("nj").as("n_a"), col("rj2").as("rj2_a"))
+      val b = rj.select(col("event_type").as("type_b"),
+        col("nj").as("n_b"), col("rj2").as("rj2_b"))
+      val nD = col("nn").cast("double")
+      val kD = col("k").cast("double")
+      val s2 = (col("q4").cast("double") / 4.0
+        - nD * (nD + 1.0) * (nD + 1.0) / 4.0) / (nD - 1.0)
+      val fac = s2 * (nD - 1.0 - col("h_adj")) / (nD - kD)
+      a.join(b, col("type_a") < col("type_b"))
+        .crossJoin(broadcast(stat))
+        .crossJoin(broadcast(q2))
+        .withColumn("mr_a", col("rj2_a").cast("double")
+          / (lit(2.0) * col("n_a")))
+        .withColumn("mr_b", col("rj2_b").cast("double")
+          / (lit(2.0) * col("n_b")))
+        .withColumn("t_stat", eround(
+          abs(col("mr_a") - col("mr_b"))
+            / sqrt(fac * (lit(1.0) / col("n_a")
+              + lit(1.0) / col("n_b"))), 6))
+        .select(col("type_a"), col("type_b"), col("n_a"), col("n_b"),
+          eround(col("mr_a"), 6).as("mean_rank_a"),
+          eround(col("mr_b"), 6).as("mean_rank_b"),
+          col("t_stat"))
+        .withColumn("significant", col("t_stat") > 1.96)
+        .orderBy(col("type_a"), col("type_b"))
+    },
+
     // Welch two-sample t-test between every event-type pair — the A/B
     // experimentation aggregate (unequal variances, no pooling). Parity
     // recipe: per-type moments are EXACT integers (cents in
@@ -2705,6 +2818,95 @@ object Aggregates {
         |  round(CAST(sum(CAST(round((o - e) * (o - e) / e + 5e-10, 9)
         |    AS DECIMAL(18,9))) AS DOUBLE) + 5e-10, 6) AS chi2
         | FROM cells"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same contingency margins; ln cells on the 9dp decimal grid.
+    "q_agg_gtest" ->
+      """WITH obs AS (SELECT event_type, user_id % 4 AS cohort,
+        |   count(*) AS o FROM events GROUP BY 1, 2),
+        | rt AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt
+        |  FROM obs GROUP BY 1),
+        | ct AS (SELECT cohort, CAST(sum(o) AS BIGINT) AS ct
+        |  FROM obs GROUP BY 1),
+        | nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+        | cells AS (SELECT obs.event_type, obs.cohort, obs.o,
+        |   CAST(rt.rt AS DOUBLE) * ct.ct / nn.n AS e
+        |  FROM obs JOIN rt USING (event_type) JOIN ct USING (cohort), nn),
+        | res AS (SELECT count(*) AS n_cells,
+        |  (count(DISTINCT event_type) - 1) * (count(DISTINCT cohort) - 1)
+        |    AS dof,
+        |  round(2.0 * CAST(sum(CAST(CASE WHEN o > 0
+        |     THEN round(CAST(o AS DOUBLE) * ln(CAST(o AS DOUBLE) / e)
+        |       + 5e-10, 9)
+        |     ELSE 0.0 END AS DECIMAL(18,9))) AS DOUBLE) + 5e-10, 6)
+        |    AS g_stat
+        |  FROM cells)
+        | SELECT n_cells, dof, g_stat, g_stat > 21.026 AS significant
+        | FROM res"""
+        .stripMargin.replaceAll("\n", " "),
+
+    // Same cents-domain rank frame, integer-doubled rank sums, HUGEINT
+    // quarter-grid rank squares, KW H chain, identical t chains.
+    "q_agg_conover" ->
+      """WITH ev AS (SELECT event_type,
+        |   CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        | cells AS (SELECT event_type, c, CAST(count(*) AS BIGINT) AS n
+        |  FROM ev GROUP BY event_type, c),
+        | perc AS (SELECT c, CAST(sum(n) AS BIGINT) AS kc
+        |  FROM cells GROUP BY c),
+        | ranks AS (SELECT c, kc,
+        |   COALESCE(sum(kc) OVER (ORDER BY c
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |  FROM perc),
+        | ranks2 AS (SELECT c, kc, cb,
+        |   cb * 2 + kc + 1 AS ar2,
+        |   cb + CAST(kc + 1 AS DOUBLE) / 2.0 AS ar
+        |  FROM ranks),
+        | rj AS (SELECT cells.event_type,
+        |   CAST(sum(cells.n) AS BIGINT) AS nj,
+        |   CAST(sum(cells.n * r.ar2) AS BIGINT) AS rj2,
+        |   sum(cells.n * r.ar) AS rj
+        |  FROM cells JOIN ranks2 r USING (c) GROUP BY cells.event_type),
+        | ties AS (SELECT CAST(sum(kc * kc * kc - kc) AS BIGINT) AS tc,
+        |   CAST(sum(kc) AS BIGINT) AS nn FROM perc),
+        | q4t AS (SELECT sum(CAST(kc AS HUGEINT)
+        |    * (CAST(ar2 AS HUGEINT) * CAST(ar2 AS HUGEINT))) AS q4
+        |  FROM ranks2),
+        | h AS (SELECT nj, rj, nn, tc,
+        |   CAST(round(rj * rj / nj + 5e-10, 4) AS DECIMAL(38,4)) AS rr
+        |  FROM rj, ties),
+        | stat AS (SELECT CAST(max(nn) AS BIGINT) AS nn,
+        |   CAST(count(*) AS BIGINT) AS k,
+        |   round((12.0 * CAST(sum(rr) AS DOUBLE)
+        |      / CAST(max(nn) * (max(nn) + 1) AS DOUBLE)
+        |     - 3.0 * (max(nn) + 1))
+        |    / (1.0 - CAST(max(tc) AS DOUBLE)
+        |      / CAST(max(nn) * max(nn) * max(nn) - max(nn) AS DOUBLE))
+        |    + 5e-10, 6) AS h_adj
+        |  FROM h),
+        | f AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |   a.nj AS n_a, b.nj AS n_b, a.rj2 AS rj2_a, b.rj2 AS rj2_b,
+        |   stat.nn, stat.k, stat.h_adj, q4t.q4
+        |  FROM rj a JOIN rj b ON a.event_type < b.event_type, stat, q4t),
+        | g AS (SELECT type_a, type_b, n_a, n_b,
+        |   CAST(rj2_a AS DOUBLE) / (2.0 * n_a) AS mr_a,
+        |   CAST(rj2_b AS DOUBLE) / (2.0 * n_b) AS mr_b,
+        |   (CAST(q4 AS DOUBLE) / 4.0
+        |     - CAST(nn AS DOUBLE) * (CAST(nn AS DOUBLE) + 1.0)
+        |       * (CAST(nn AS DOUBLE) + 1.0) / 4.0)
+        |    / (CAST(nn AS DOUBLE) - 1.0)
+        |    * (CAST(nn AS DOUBLE) - 1.0 - h_adj)
+        |    / (CAST(nn AS DOUBLE) - CAST(k AS DOUBLE)) AS fac
+        |  FROM f),
+        | res AS (SELECT type_a, type_b, n_a, n_b,
+        |   round(mr_a + 5e-10, 6) AS mean_rank_a,
+        |   round(mr_b + 5e-10, 6) AS mean_rank_b,
+        |   round(abs(mr_a - mr_b)
+        |     / sqrt(fac * (1.0 / n_a + 1.0 / n_b)) + 5e-10, 6) AS t_stat
+        |  FROM g)
+        | SELECT type_a, type_b, n_a, n_b, mean_rank_a, mean_rank_b,
+        |  t_stat, t_stat > 1.96 AS significant
+        | FROM res ORDER BY type_a, type_b"""
         .stripMargin.replaceAll("\n", " "),
 
     // Mirrors the Spark expression tree 1:1 — every double derives from

@@ -5669,6 +5669,44 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("q_agg_gtest: scala replay of the likelihood-ratio cells") {
+    val out = SparkEntry.queries("q_agg_gtest")(spark, sf).collect().head
+    val obs = Tables.events(spark, sf)
+      .select(col("event_type"), pmod(col("user_id"), lit(4)))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val rt = obs.groupBy(_._1._1).map { case (k, m) => k -> m.values.sum }
+    val ct = obs.groupBy(_._1._2).map { case (k, m) => k -> m.values.sum }
+    val n = obs.values.sum.toDouble
+    def r9(x: Double) = math.rint((x + 5e-10) * 1e9) / 1e9
+    val g = 2.0 * obs.map { case ((et, co), o) =>
+      val e = rt(et).toDouble * ct(co) / n
+      r9(o.toDouble * math.log(o.toDouble / e))
+    }.sum
+    assert(out.getLong(0) === obs.size.toLong, "cell count")
+    assert(out.getLong(1) === (rt.size - 1).toLong * (ct.size - 1))
+    assert(math.abs(out.getDouble(2) - g) < 1e-4, "G replay")
+    assert(out.getBoolean(3) === (out.getDouble(2) > 21.026))
+  }
+
+  test("q_agg_conover: rank-mass conservation and pair completeness") {
+    val out = SparkEntry.queries("q_agg_conover")(spark, sf).collect()
+    assert(out.length === 10, "5 choose 2 pairs")
+    // per-type mean ranks weighted by n must re-assemble N(N+1)/2
+    val byType = out.flatMap(r => Seq(
+      r.getString(0) -> (r.getLong(2), r.getDouble(4)),
+      r.getString(1) -> (r.getLong(3), r.getDouble(5)))).toMap
+    val n = byType.values.map(_._1).sum
+    val mass = byType.values.map(p => p._1 * p._2).sum
+    assert(math.abs(mass - n.toDouble * (n + 1) / 2.0) < 1e-3,
+      "rank-sum conservation")
+    out.foreach { r =>
+      assert(r.getString(0) < r.getString(1), "ordered pairs")
+      assert(r.getDouble(6) >= 0.0, "t nonneg (absolute)")
+      assert(r.getBoolean(7) === (r.getDouble(6) > 1.96))
+    }
+  }
+
   test("q_text_readability: counts replay; unpunctuated corpus floors S=1") {
     val out = SparkEntry.queries("q_text_readability")(spark, sf).collect()
     val docs = Tables.documents(spark, sf)
