@@ -92,6 +92,40 @@ object Analytics {
     // keyed by dataset alone and reused across queries and reps.
     supportFrame(s, d).select(col("u"), col("v"))
 
+  /** Sampled-closeness per-node estimate from the `k` smallest node
+    * ids: the bounded 4-hop multi-source relax over the memoized
+    * weighted edge list, closeness = n_sources·1e6 DIV Σdist (exact
+    * truncating integer division). Shared by q_graph_closeness (k = 8)
+    * and the estimator-stability ledger (k = 4 vs 8).
+    */
+  private def closenessEstimate(s: SparkSession, d: String, k: Int)
+      : DataFrame = {
+    val edges = ssspEdges(s, d)
+    val sources = edges.select(col("src")).distinct()
+      .orderBy(col("src")).limit(k)
+      .select(col("src").as("source"))
+    val d0 = sources.select(col("source"), col("source").as("node"),
+      lit(0L).as("dist"))
+    val d4 = (1 to 4).foldLeft(d0) { (dk, _) =>
+      val f = dk.select(col("source").as("f_src"),
+        col("node").as("f_node"), col("dist").as("f_dist"))
+      f.join(edges, col("f_node") === col("src"))
+        .select(col("f_src").as("source"), col("dst").as("node"),
+          (col("f_dist") + col("w")).as("dist"))
+        .unionAll(dk)
+        .groupBy(col("source"), col("node"))
+        .agg(min(col("dist")).as("dist"))
+    }
+    d4.filter(col("source") =!= col("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_sources"), sum(col("dist")).as("dist_sum"))
+      // greatest guards the hypothetical all-zero-weight path sum
+      // (w = 1000 DIV support hits 0 past support 1000): Spark DIV
+      // would null, DuckDB // would error — both sides clamp the same
+      .withColumn("closeness_micros",
+        expr("n_sources * 1000000 DIV greatest(dist_sum, 1)"))
+  }
+
   /** Memoized symmetric weighted edge list (src, dst, w) shared by the
     * shortest-path / closeness rows: w = 1000 DIV support (strong ties
     * are short), both directions materialized once per dataset.
@@ -1641,6 +1675,38 @@ object Analytics {
         .orderBy(col("dist"), col("node"))
     },
 
+    // Centrality estimator-stability ledger (r13) — the accuracy row
+    // for the sampled-centrality family (the q_dedup_minhash_est
+    // pattern): how much does the closeness estimate move between 4
+    // and 8 sampled sources? Emits the coverage counts, the top-10
+    // agreement (both top-10 sets via TakeOrdered — never a corpus
+    // window), and the exact integer L1 drift over co-covered nodes.
+    // At 100 TB this is the table that justifies the sample size
+    // before anyone trusts the centrality ranking.
+    "q_graph_centrality_stability" -> { (s, d) =>
+      val e4 = closenessEstimate(s, d, 4)
+        .select(col("node"), col("closeness_micros").as("c4"))
+      val e8 = closenessEstimate(s, d, 8)
+        .select(col("node"), col("closeness_micros").as("c8"))
+      def top10(df: DataFrame, c: String): DataFrame =
+        df.orderBy(desc(c), asc("node")).limit(10).select(col("node"))
+      val overlap = top10(e4, "c4")
+        .join(top10(e8, "c8"), Seq("node"), "left_semi")
+        .agg(count(lit(1)).as("top10_overlap"))
+      val joined = e4.join(e8, Seq("node"), "full_outer")
+      joined.agg(
+          sum(when(col("c4").isNotNull, 1L).otherwise(0L)).as("nodes_4"),
+          sum(when(col("c8").isNotNull, 1L).otherwise(0L)).as("nodes_8"),
+          sum(when(col("c4").isNotNull && col("c8").isNotNull, 1L)
+            .otherwise(0L)).as("nodes_both"),
+          sum(when(col("c4").isNotNull && col("c8").isNotNull,
+            abs(col("c4") - col("c8"))).otherwise(0L))
+            .as("l1_drift_micros"))
+        .crossJoin(broadcast(overlap))
+        .select(col("nodes_4"), col("nodes_8"), col("nodes_both"),
+          col("top10_overlap"), col("l1_drift_micros"))
+    },
+
     // Sampled betweenness centrality (r13) — Brandes' algorithm
     // unrolled over the unweighted support graph from the same 8
     // deterministic sources as q_graph_closeness: forward BFS levels
@@ -1748,30 +1814,7 @@ object Analytics {
     // top-20 window runs over the bounded per-node aggregate (≤ |V|
     // rows), the sanctioned population-window class.
     "q_graph_closeness" -> { (s, d) =>
-      val edges = ssspEdges(s, d)
-      val sources = edges.select(col("src")).distinct()
-        .orderBy(col("src")).limit(8)
-        .select(col("src").as("source"))
-      val d0 = sources.select(col("source"), col("source").as("node"),
-        lit(0L).as("dist"))
-      val d4 = (1 to 4).foldLeft(d0) { (dk, _) =>
-        val f = dk.select(col("source").as("f_src"),
-          col("node").as("f_node"), col("dist").as("f_dist"))
-        f.join(edges, col("f_node") === col("src"))
-          .select(col("f_src").as("source"), col("dst").as("node"),
-            (col("f_dist") + col("w")).as("dist"))
-          .unionAll(dk)
-          .groupBy(col("source"), col("node"))
-          .agg(min(col("dist")).as("dist"))
-      }
-      val per = d4.filter(col("source") =!= col("node"))
-        .groupBy(col("node"))
-        .agg(count(lit(1)).as("n_sources"), sum(col("dist")).as("dist_sum"))
-        // greatest guards the hypothetical all-zero-weight path sum
-        // (w = 1000 DIV support hits 0 past support 1000): Spark DIV
-        // would null, DuckDB // would error — both sides clamp the same
-        .withColumn("closeness_micros",
-          expr("n_sources * 1000000 DIV greatest(dist_sum, 1)"))
+      val per = closenessEstimate(s, d, 8)
       per.withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(desc("closeness_micros"), asc("node"))).cast("long"))
@@ -2767,6 +2810,61 @@ object Analytics {
          | ${round(1, "d0")}, ${round(2, "d1")},
          | ${round(3, "d2")}, ${round(4, "d3")}
          | SELECT node, dist FROM d4 ORDER BY dist, node"""
+        .stripMargin.replaceAll("\n", " ")
+    },
+
+    // Two replays of the closeness relax (4 and 8 sources) + the same
+    // TakeOrdered top-10 sets, coverage counts, and integer L1 drift.
+    "q_graph_centrality_stability" -> {
+      def est(tag: String, k: Int) = {
+        def round(i: Int, prev: String) =
+          s"""d$tag$i AS MATERIALIZED (SELECT source, node,
+             |  CAST(min(dist) AS BIGINT) AS dist FROM (
+             |   SELECT source, node, dist FROM $prev
+             |   UNION ALL
+             |   SELECT p.source, ed.dst AS node, p.dist + ed.w AS dist
+             |   FROM $prev p JOIN ed ON ed.src = p.node)
+             |  GROUP BY source, node)""".stripMargin
+        s"""srcs_$tag AS (SELECT DISTINCT src AS source FROM ed
+           |  ORDER BY source LIMIT $k),
+           | d${tag}0 AS (SELECT source, source AS node,
+           |   CAST(0 AS BIGINT) AS dist FROM srcs_$tag),
+           | ${round(1, s"d${tag}0")}, ${round(2, s"d${tag}1")},
+           | ${round(3, s"d${tag}2")}, ${round(4, s"d${tag}3")},
+           | c_$tag AS (SELECT node,
+           |   CAST(count(*) AS BIGINT) * 1000000
+           |    // greatest(CAST(sum(dist) AS BIGINT), 1) AS c
+           |  FROM d${tag}4 WHERE source <> node GROUP BY node),
+           | t_$tag AS (SELECT node FROM c_$tag
+           |  ORDER BY c DESC, node LIMIT 10)""".stripMargin
+      }
+      s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
+         |  FROM lineitem),
+         | und AS (SELECT a.l_partkey AS u, b.l_partkey AS v,
+         |   1000 // count(*) AS w
+         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |   AND a.l_partkey < b.l_partkey
+         |  GROUP BY u, v HAVING count(*) >= 2),
+         | ed AS MATERIALIZED (SELECT u AS src, v AS dst, w FROM und
+         |  UNION ALL SELECT v AS src, u AS dst, w FROM und),
+         | ${est("a", 4)},
+         | ${est("b", 8)},
+         | ov AS (SELECT CAST(count(*) AS BIGINT) AS top10_overlap
+         |  FROM t_a JOIN t_b USING (node)),
+         | j AS (SELECT c_a.c AS c4, c_b.c AS c8
+         |  FROM c_a FULL JOIN c_b USING (node))
+         | SELECT
+         |  CAST(sum(CASE WHEN c4 IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS nodes_4,
+         |  CAST(sum(CASE WHEN c8 IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS nodes_8,
+         |  CAST(sum(CASE WHEN c4 IS NOT NULL AND c8 IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS nodes_both,
+         |  (SELECT top10_overlap FROM ov) AS top10_overlap,
+         |  CAST(sum(CASE WHEN c4 IS NOT NULL AND c8 IS NOT NULL
+         |    THEN abs(c4 - c8) ELSE 0 END) AS BIGINT)
+         |    AS l1_drift_micros
+         | FROM j"""
         .stripMargin.replaceAll("\n", " ")
     },
 

@@ -5446,6 +5446,23 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("q_graph_centrality_stability: subset laws and closeness accord") {
+    val r = SparkEntry.queries("q_graph_centrality_stability")(spark, sf)
+      .collect().head
+    val (n4, n8, both, ov, l1) = (r.getLong(0), r.getLong(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))
+    // sources {1..4} are a subset of {1..8}, so 4-source coverage is
+    // contained in 8-source coverage exactly
+    assert(both === n4, "4-source reach is a subset of 8-source reach")
+    assert(n8 >= n4)
+    assert(ov >= 0L && ov <= 10L)
+    assert(l1 >= 0L)
+    // the 8-source side of the ledger IS q_graph_closeness's estimate
+    val top = SparkEntry.queries("q_graph_closeness")(spark, sf)
+      .filter(col("rank") <= 10).count()
+    assert(top <= 10L)
+  }
+
   test("q_agg_mood_median: scala replay of the pooled-median 2x2 table") {
     val out = SparkEntry.queries("q_agg_mood_median")(spark, sf)
       .collect().head
