@@ -383,7 +383,9 @@ object Bench {
       // LM-cell join over the corpus — a real fact-scale shape
       "q_pipeline_importance_resample",
       // round-13 batch 3: the 12-join unrolled Brandes walk — the
-      // heaviest new graph shape (closeness shares its relax frame)
+      // heaviest new graph shape (closeness shares its relax frame;
+      // the centrality-stability ledger replays that same relax twice,
+      // rule (c))
       "q_graph_betweenness")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
