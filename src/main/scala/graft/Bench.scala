@@ -562,8 +562,17 @@ object Bench {
       prevMins.get(k).filter(p => p > 0 && mn > 1.5 * p).map(p =>
         s""""$k":{"prev_min":${f3(p)},"min":${f3(mn)},"ratio":${f3(mn / p)}}""")
     }.mkString("{", ",", "}")
+    // Per-slot pinned-checkpoint storage ledger (bytes, mem+disk): a
+    // future memo addition that pins a fact-scale frame shows up here at
+    // the bench instead of at 100 TB. CheckpointBudgetSpec asserts the
+    // per-slot budget at sf0.1.
+    val slotLedger =
+      try graft.engine.Checkpoints.storageBySlot(spark).toSeq.sortBy(_._1)
+        .map { case (k, b) => "\"" + k + "\":" + b }
+        .mkString("{", ",", "}")
+      catch { case _: Throwable => "{}" }
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$mins,"telemetry":$telem,"regressed_vs_prev":$regressed,"reps":$reps,"rep_order":"interleaved_visits_${visitSizes.mkString("_")}","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$mins,"telemetry":$telem,"regressed_vs_prev":$regressed,"storage_by_slot":$slotLedger,"reps":$reps,"rep_order":"interleaved_visits_${visitSizes.mkString("_")}","sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter(outPath)
       try w.println(full) finally w.close()

@@ -509,8 +509,11 @@ object Aggregates {
         .agg(sum(col("n")).as("nj"),
           sum(col("n") * col("ar2")).as("rj2"),
           sum(col("n") * col("ar")).as("rj"))
-      val ties = perC.agg(sum(col("kc") * col("kc") * col("kc")
-        - col("kc")).as("tc"), sum(col("kc")).as("nn"))
+      // tie sum lifted to DECIMAL(38,0): Σkc³ wraps int64 once any cents
+      // cell passes ~2.1M events; the decimal sum stays exact and
+      // order-free (ADVICE r13 — cast BEFORE the cross-products)
+      val ties = perC.agg(sum(col("kc").cast(dec38) * col("kc")
+        * col("kc") - col("kc")).as("tc"), sum(col("kc")).as("nn"))
       val q2 = perC.join(ranks.select(col("c"), col("ar2")), "c")
         .agg(sum(col("kc").cast(dec38)
           * (col("ar2").cast(dec38) * col("ar2").cast(dec38))).as("q4"))
@@ -522,12 +525,18 @@ object Aggregates {
       val stat = h.agg(max(col("nn")).as("nn"), max(col("tc")).as("tc"),
           sum(col("rr")).as("srr"), count(lit(1)).as("k"))
         .select(col("k"), col("nn"),
+          // nn cast to double BEFORE cubing: nn³ on int64 silently wraps
+          // past ~2.1M total events in Spark while DuckDB errors — the
+          // engines would diverge at scale. Double products are identical
+          // IEEE on both engines, and exact below 2^53 (ADVICE r13).
           eround((lit(12.0) * col("srr").cast("double")
-            / (col("nn") * (col("nn") + 1)).cast("double")
-            - lit(3.0) * (col("nn") + 1))
+            / (col("nn").cast("double")
+              * (col("nn").cast("double") + 1.0))
+            - lit(3.0) * (col("nn").cast("double") + 1.0))
             / (lit(1.0) - col("tc").cast("double")
-              / (col("nn") * col("nn") * col("nn") - col("nn"))
-                .cast("double")), 6).as("h_adj"))
+              / (col("nn").cast("double") * col("nn").cast("double")
+                * col("nn").cast("double")
+                - col("nn").cast("double"))), 6).as("h_adj"))
       val a = rj.select(col("event_type").as("type_a"),
         col("nj").as("n_a"), col("rj2").as("rj2_a"))
       val b = rj.select(col("event_type").as("type_b"),
@@ -874,8 +883,11 @@ object Aggregates {
       val rj = cells.join(ranks.select(col("c"), col("ar")), "c")
         .groupBy(col("event_type"))
         .agg(sum(col("n")).as("nj"), sum(col("n") * col("ar")).as("rj"))
-      val ties = perC.agg(sum(col("kc") * col("kc") * col("kc")
-        - col("kc")).as("tc"), sum(col("kc")).as("nn"))
+      // tie sum lifted to DECIMAL(38,0) — Σkc³ wraps int64 at scale; the
+      // decimal sum is exact and order-free (ADVICE r13)
+      val kwDec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val ties = perC.agg(sum(col("kc").cast(kwDec38) * col("kc")
+        * col("kc") - col("kc")).as("tc"), sum(col("kc")).as("nn"))
       val h = rj.crossJoin(broadcast(ties))
         .select(col("event_type"), col("nj"), col("rj"), col("nn"),
           col("tc"),
@@ -887,12 +899,17 @@ object Aggregates {
       val stat = h.agg(max(col("nn")).as("nn"), max(col("tc")).as("tc"),
           sum(col("rr")).as("srr"), count(lit(1)).as("k"))
         .select(col("k"), col("nn"),
+          // nn→double BEFORE cubing: int64 nn³ wraps past ~2.1M events
+          // where DuckDB errors; doubles are identical IEEE on both
+          // engines and exact below 2^53 (ADVICE r13)
           eround((lit(12.0) * col("srr").cast("double")
-            / (col("nn") * (col("nn") + 1)).cast("double")
-            - lit(3.0) * (col("nn") + 1))
+            / (col("nn").cast("double")
+              * (col("nn").cast("double") + 1.0))
+            - lit(3.0) * (col("nn").cast("double") + 1.0))
             / (lit(1.0) - col("tc").cast("double")
-              / (col("nn") * col("nn") * col("nn") - col("nn"))
-                .cast("double")), 6).as("h_adj"))
+              / (col("nn").cast("double") * col("nn").cast("double")
+                * col("nn").cast("double")
+                - col("nn").cast("double"))), 6).as("h_adj"))
       rj.crossJoin(broadcast(stat))
         .select(col("event_type"), col("nj").as("n"),
           col("rj").as("rank_sum"),
@@ -2867,7 +2884,7 @@ object Aggregates {
         |   CAST(sum(cells.n * r.ar2) AS BIGINT) AS rj2,
         |   sum(cells.n * r.ar) AS rj
         |  FROM cells JOIN ranks2 r USING (c) GROUP BY cells.event_type),
-        | ties AS (SELECT CAST(sum(kc * kc * kc - kc) AS BIGINT) AS tc,
+        | ties AS (SELECT sum(CAST(kc AS HUGEINT) * kc * kc - kc) AS tc,
         |   CAST(sum(kc) AS BIGINT) AS nn FROM perc),
         | q4t AS (SELECT sum(CAST(kc AS HUGEINT)
         |    * (CAST(ar2 AS HUGEINT) * CAST(ar2 AS HUGEINT))) AS q4
@@ -2878,10 +2895,11 @@ object Aggregates {
         | stat AS (SELECT CAST(max(nn) AS BIGINT) AS nn,
         |   CAST(count(*) AS BIGINT) AS k,
         |   round((12.0 * CAST(sum(rr) AS DOUBLE)
-        |      / CAST(max(nn) * (max(nn) + 1) AS DOUBLE)
-        |     - 3.0 * (max(nn) + 1))
+        |      / (CAST(max(nn) AS DOUBLE) * (CAST(max(nn) AS DOUBLE) + 1.0))
+        |     - 3.0 * (CAST(max(nn) AS DOUBLE) + 1.0))
         |    / (1.0 - CAST(max(tc) AS DOUBLE)
-        |      / CAST(max(nn) * max(nn) * max(nn) - max(nn) AS DOUBLE))
+        |      / (CAST(max(nn) AS DOUBLE) * CAST(max(nn) AS DOUBLE)
+        |         * CAST(max(nn) AS DOUBLE) - CAST(max(nn) AS DOUBLE)))
         |    + 5e-10, 6) AS h_adj
         |  FROM h),
         | f AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
@@ -3231,19 +3249,20 @@ object Aggregates {
         |   CAST(sum(cells.n) AS BIGINT) AS nj,
         |   sum(cells.n * ranks.ar) AS rj
         |  FROM cells JOIN ranks USING (c) GROUP BY cells.event_type),
-        | ties AS (SELECT CAST(sum(kc * kc * kc - kc) AS BIGINT) AS tc,
+        | ties AS (SELECT sum(CAST(kc AS HUGEINT) * kc * kc - kc) AS tc,
         |   CAST(sum(kc) AS BIGINT) AS nn FROM perc),
         | h AS (SELECT event_type, nj, rj, nn, tc,
         |   CAST(round(rj * rj / nj + 5e-10, 4) AS DECIMAL(38,4)) AS rr
         |  FROM rj, ties),
         | stat AS (SELECT CAST(max(nn) AS BIGINT) AS nn,
-        |   CAST(max(tc) AS BIGINT) AS tc,
+        |   max(tc) AS tc,
         |   CAST(count(*) AS BIGINT) AS k,
         |   round((12.0 * CAST(sum(rr) AS DOUBLE)
-        |      / CAST(max(nn) * (max(nn) + 1) AS DOUBLE)
-        |     - 3.0 * (max(nn) + 1))
+        |      / (CAST(max(nn) AS DOUBLE) * (CAST(max(nn) AS DOUBLE) + 1.0))
+        |     - 3.0 * (CAST(max(nn) AS DOUBLE) + 1.0))
         |    / (1.0 - CAST(max(tc) AS DOUBLE)
-        |      / CAST(max(nn) * max(nn) * max(nn) - max(nn) AS DOUBLE))
+        |      / (CAST(max(nn) AS DOUBLE) * CAST(max(nn) AS DOUBLE)
+        |         * CAST(max(nn) AS DOUBLE) - CAST(max(nn) AS DOUBLE)))
         |    + 5e-10, 6) AS h_adj
         |  FROM h)
         | SELECT rj.event_type, rj.nj AS n, rj.rj AS rank_sum,
