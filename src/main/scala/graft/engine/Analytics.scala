@@ -92,21 +92,36 @@ object Analytics {
     // keyed by dataset alone and reused across queries and reps.
     supportFrame(s, d).select(col("u"), col("v"))
 
-  /** Sampled-closeness per-node estimate from the `k` smallest node
-    * ids: the bounded 4-hop multi-source relax over the memoized
-    * weighted edge list, closeness = n_sources·1e6 DIV Σdist (exact
-    * truncating integer division). Shared by q_graph_closeness (k = 8)
-    * and the estimator-stability ledger (k = 4 vs 8).
+  /** Estimator knobs for the sampled-centrality rows: the SAMPLE SIZE
+    * (number of BFS sources) and HOP DEPTH both trade cost for coverage
+    * at 100 TB, and the stability ledger measures the drift along both
+    * axes. Defaults (8 sources, 4 hops) are the oracle-matched values —
+    * overriding either breaks DuckDB parity by design (estimator
+    * studies only, never set during a driver correctness run).
     */
-  private def closenessEstimate(s: SparkSession, d: String, k: Int)
-      : DataFrame = {
+  private def envKnob(name: String, dflt: Int): Int =
+    sys.env.get(name).flatMap(_.toIntOption).filter(_ > 0).getOrElse(dflt)
+  private def centralitySources: Int =
+    envKnob("SPARK_GRAFT_CENTRALITY_SOURCES", 8)
+  private def centralityHops: Int =
+    envKnob("SPARK_GRAFT_CENTRALITY_HOPS", 4)
+
+  /** Sampled-closeness per-node estimate from the `k` smallest node
+    * ids: the bounded `hops`-hop multi-source relax over the memoized
+    * weighted edge list, closeness = n_sources·1e6 DIV Σdist (exact
+    * truncating integer division). Shared by q_graph_closeness
+    * (k = 8, hops = 4 by default, env-overridable) and the
+    * estimator-stability ledger (k = 4 vs 8; hops = 4 vs 5).
+    */
+  private def closenessEstimate(s: SparkSession, d: String, k: Int,
+      hops: Int = 4): DataFrame = {
     val edges = ssspEdges(s, d)
     val sources = edges.select(col("src")).distinct()
       .orderBy(col("src")).limit(k)
       .select(col("src").as("source"))
     val d0 = sources.select(col("source"), col("source").as("node"),
       lit(0L).as("dist"))
-    val d4 = (1 to 4).foldLeft(d0) { (dk, _) =>
+    val d4 = (1 to hops).foldLeft(d0) { (dk, _) =>
       val f = dk.select(col("source").as("f_src"),
         col("node").as("f_node"), col("dist").as("f_dist"))
       f.join(edges, col("f_node") === col("src"))
@@ -137,6 +152,16 @@ object Analytics {
       und.select(col("u").as("src"), col("v").as("dst"), col("w"))
         .unionAll(und.select(col("v").as("src"), col("u").as("dst"),
           col("w")))
+        // repartition-by-key before pinning (r14): NOT for partitioning
+        // preservation — under AQE the checkpoint leaf reports
+        // UnknownPartitioning regardless (PlanSpec's canary) — but for
+        // COMPACTION: AQE coalesces the repartition output, so the
+        // pinned frame holds a few right-sized partitions instead of
+        // the 2x32 the unionAll would pin, and every downstream
+        // frontier stage schedules proportionally fewer tasks. At
+        // 100 TB the same spelling keeps partitions at the advisory
+        // size instead of inheriting the union's layout.
+        .repartition(col("src"))
         .localCheckpoint()
     }
 
@@ -1683,28 +1708,43 @@ object Analytics {
     // window), and the exact integer L1 drift over co-covered nodes.
     // At 100 TB this is the table that justifies the sample size
     // before anyone trusts the centrality ranking.
+    // Two-axis estimator-stability ledger (r14): one row per sampling
+    // axis — 'sources_4v8' (hop depth fixed at 4) and 'hops_4v5'
+    // (sources fixed at 8) — so the 100 TB sample-size justification
+    // covers BOTH knobs. Per axis: node coverage of each variant,
+    // top-10 overlap, and the L1 closeness drift over the common nodes.
+    // The cheaper variant is always 'a'. All four estimates ride the
+    // same memoized src-partitioned edge frame.
     "q_graph_centrality_stability" -> { (s, d) =>
-      val e4 = closenessEstimate(s, d, 4)
-        .select(col("node"), col("closeness_micros").as("c4"))
-      val e8 = closenessEstimate(s, d, 8)
-        .select(col("node"), col("closeness_micros").as("c8"))
-      def top10(df: DataFrame, c: String): DataFrame =
-        df.orderBy(desc(c), asc("node")).limit(10).select(col("node"))
-      val overlap = top10(e4, "c4")
-        .join(top10(e8, "c8"), Seq("node"), "left_semi")
-        .agg(count(lit(1)).as("top10_overlap"))
-      val joined = e4.join(e8, Seq("node"), "full_outer")
-      joined.agg(
-          sum(when(col("c4").isNotNull, 1L).otherwise(0L)).as("nodes_4"),
-          sum(when(col("c8").isNotNull, 1L).otherwise(0L)).as("nodes_8"),
-          sum(when(col("c4").isNotNull && col("c8").isNotNull, 1L)
-            .otherwise(0L)).as("nodes_both"),
-          sum(when(col("c4").isNotNull && col("c8").isNotNull,
-            abs(col("c4") - col("c8"))).otherwise(0L))
-            .as("l1_drift_micros"))
-        .crossJoin(broadcast(overlap))
-        .select(col("nodes_4"), col("nodes_8"), col("nodes_both"),
-          col("top10_overlap"), col("l1_drift_micros"))
+      def pair(axis: String, a: DataFrame, b: DataFrame): DataFrame = {
+        val ea = a.select(col("node"), col("closeness_micros").as("ca"))
+        val eb = b.select(col("node"), col("closeness_micros").as("cb"))
+        def top10(df: DataFrame, c: String): DataFrame =
+          df.orderBy(desc(c), asc("node")).limit(10).select(col("node"))
+        val overlap = top10(ea, "ca")
+          .join(top10(eb, "cb"), Seq("node"), "left_semi")
+          .agg(count(lit(1)).as("top10_overlap"))
+        ea.join(eb, Seq("node"), "full_outer")
+          .agg(
+            sum(when(col("ca").isNotNull, 1L).otherwise(0L))
+              .as("nodes_a"),
+            sum(when(col("cb").isNotNull, 1L).otherwise(0L))
+              .as("nodes_b"),
+            sum(when(col("ca").isNotNull && col("cb").isNotNull, 1L)
+              .otherwise(0L)).as("nodes_both"),
+            sum(when(col("ca").isNotNull && col("cb").isNotNull,
+              abs(col("ca") - col("cb"))).otherwise(0L))
+              .as("l1_drift_micros"))
+          .crossJoin(broadcast(overlap))
+          .select(lit(axis).as("axis"), col("nodes_a"), col("nodes_b"),
+            col("nodes_both"), col("top10_overlap"),
+            col("l1_drift_micros"))
+      }
+      pair("hops_4v5", closenessEstimate(s, d, 8, 4),
+          closenessEstimate(s, d, 8, 5))
+        .unionByName(pair("sources_4v8", closenessEstimate(s, d, 4, 4),
+          closenessEstimate(s, d, 8, 4)))
+        .orderBy(col("axis"))
     },
 
     // Sampled betweenness centrality (r13) — Brandes' algorithm
@@ -1735,7 +1775,7 @@ object Analytics {
               lit(k.toLong).as("lvl"))
           dk.unionByName(nxt).groupBy(col("sg"), col("node"))
             .agg(min(col("lvl")).as("lvl"))
-        }.localCheckpoint())
+        }.localCheckpoint(false))
       val lvU = lv.select(col("sg"), col("node").as("src"),
         col("lvl").as("lu"))
       val lvV = lv.select(col("sg"), col("node").as("dst"),
@@ -1744,7 +1784,21 @@ object Analytics {
         edges.join(lvU, Seq("src")).join(lvV, Seq("sg", "dst"))
           .filter(col("lw") === col("lu") + 1)
           .select(col("sg"), col("src"), col("dst"), col("lu"))
-          .localCheckpoint())
+          // repartition before pinning (r14): measured −30% on the row
+          // (4.4 → 3.0 s floor at sf0.1). NOT partitioning preservation
+          // — under AQE the checkpoint leaf reports UnknownPartitioning
+          // either way (PlanSpec's canary) — but COMPACTION: AQE
+          // coalesces the repartition output so the pinned frame holds
+          // a few right-sized partitions, and all 7 σ/δ stages over it
+          // schedule proportionally fewer tasks. If the canary ever
+          // flips, this same spelling starts collapsing the per-level
+          // exchanges too.
+          .repartition(col("sg"), col("src"))
+          .localCheckpoint(false))
+      // σ/δ levels stay pinned: an unpinned spelling was measured 5x
+      // slower at sf0.1 (16 s vs 3 s — the δ-chain reuse of each σ
+      // level expands multiplicatively and exchange reuse does not
+      // recover it), so the 7 eager jobs are the cheaper trade.
       val sigs = new Array[DataFrame](5)
       sigs(0) = sources.select(col("sg"), col("sg").as("node"),
         lit(1L).as("sigma"))
@@ -1756,7 +1810,7 @@ object Analytics {
             .groupBy(col("sg"), col("dst"))
             .agg(sum(col("sigma")).as("sigma"))
             .select(col("sg"), col("dst").as("node"), col("sigma"))
-            .localCheckpoint())
+            .localCheckpoint(false))
       // delta carries as INTEGER NANOS (bigint), not a decimal: a
       // BIGINT -> DOUBLE cast is exact below 2^53 and identical on
       // both engines, whereas DuckDB's DECIMAL -> DOUBLE cast can sit
@@ -1788,7 +1842,7 @@ object Analytics {
             .join(down, Seq("sg", "node"), "left")
             .select(col("sg"), col("node"),
               coalesce(col("delta"), lit(0L)).as("delta"))
-            .localCheckpoint())
+            .localCheckpoint(false))
       }
       val bc = (1 to 4).map(dels(_)).reduce(_.unionByName(_))
         .groupBy(col("node"))
@@ -1814,7 +1868,9 @@ object Analytics {
     // top-20 window runs over the bounded per-node aggregate (≤ |V|
     // rows), the sanctioned population-window class.
     "q_graph_closeness" -> { (s, d) =>
-      val per = closenessEstimate(s, d, 8)
+      // sources/hops env-overridable for estimator studies (defaults are
+      // the oracle-matched 8/4 — see the knob scaladoc above)
+      val per = closenessEstimate(s, d, centralitySources, centralityHops)
       per.withColumn("rank", row_number().over(
           org.apache.spark.sql.expressions.Window
             .orderBy(desc("closeness_micros"), asc("node"))).cast("long"))
@@ -2816,7 +2872,7 @@ object Analytics {
     // Two replays of the closeness relax (4 and 8 sources) + the same
     // TakeOrdered top-10 sets, coverage counts, and integer L1 drift.
     "q_graph_centrality_stability" -> {
-      def est(tag: String, k: Int) = {
+      def est(tag: String, k: Int, hops: Int) = {
         def round(i: Int, prev: String) =
           s"""d$tag$i AS MATERIALIZED (SELECT source, node,
              |  CAST(min(dist) AS BIGINT) AS dist FROM (
@@ -2825,19 +2881,35 @@ object Analytics {
              |   SELECT p.source, ed.dst AS node, p.dist + ed.w AS dist
              |   FROM $prev p JOIN ed ON ed.src = p.node)
              |  GROUP BY source, node)""".stripMargin
+        val rounds = (1 to hops)
+          .map(i => round(i, s"d$tag${i - 1}")).mkString(", ")
         s"""srcs_$tag AS (SELECT DISTINCT src AS source FROM ed
            |  ORDER BY source LIMIT $k),
            | d${tag}0 AS (SELECT source, source AS node,
            |   CAST(0 AS BIGINT) AS dist FROM srcs_$tag),
-           | ${round(1, s"d${tag}0")}, ${round(2, s"d${tag}1")},
-           | ${round(3, s"d${tag}2")}, ${round(4, s"d${tag}3")},
+           | $rounds,
            | c_$tag AS (SELECT node,
            |   CAST(count(*) AS BIGINT) * 1000000
            |    // greatest(CAST(sum(dist) AS BIGINT), 1) AS c
-           |  FROM d${tag}4 WHERE source <> node GROUP BY node),
+           |  FROM d$tag$hops WHERE source <> node GROUP BY node),
            | t_$tag AS (SELECT node FROM c_$tag
            |  ORDER BY c DESC, node LIMIT 10)""".stripMargin
       }
+      def axis(name: String, a: String, b: String) =
+        s"""SELECT '$name' AS axis,
+           |  CAST(sum(CASE WHEN ca IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS nodes_a,
+           |  CAST(sum(CASE WHEN cb IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS nodes_b,
+           |  CAST(sum(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS nodes_both,
+           |  (SELECT CAST(count(*) AS BIGINT)
+           |   FROM t_$a JOIN t_$b USING (node)) AS top10_overlap,
+           |  CAST(sum(CASE WHEN ca IS NOT NULL AND cb IS NOT NULL
+           |    THEN abs(ca - cb) ELSE 0 END) AS BIGINT)
+           |    AS l1_drift_micros
+           | FROM (SELECT c_$a.c AS ca, c_$b.c AS cb
+           |  FROM c_$a FULL JOIN c_$b USING (node))""".stripMargin
       s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey
          |  FROM lineitem),
          | und AS (SELECT a.l_partkey AS u, b.l_partkey AS v,
@@ -2847,24 +2919,13 @@ object Analytics {
          |  GROUP BY u, v HAVING count(*) >= 2),
          | ed AS MATERIALIZED (SELECT u AS src, v AS dst, w FROM und
          |  UNION ALL SELECT v AS src, u AS dst, w FROM und),
-         | ${est("a", 4)},
-         | ${est("b", 8)},
-         | ov AS (SELECT CAST(count(*) AS BIGINT) AS top10_overlap
-         |  FROM t_a JOIN t_b USING (node)),
-         | j AS (SELECT c_a.c AS c4, c_b.c AS c8
-         |  FROM c_a FULL JOIN c_b USING (node))
-         | SELECT
-         |  CAST(sum(CASE WHEN c4 IS NOT NULL THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS nodes_4,
-         |  CAST(sum(CASE WHEN c8 IS NOT NULL THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS nodes_8,
-         |  CAST(sum(CASE WHEN c4 IS NOT NULL AND c8 IS NOT NULL
-         |    THEN 1 ELSE 0 END) AS BIGINT) AS nodes_both,
-         |  (SELECT top10_overlap FROM ov) AS top10_overlap,
-         |  CAST(sum(CASE WHEN c4 IS NOT NULL AND c8 IS NOT NULL
-         |    THEN abs(c4 - c8) ELSE 0 END) AS BIGINT)
-         |    AS l1_drift_micros
-         | FROM j"""
+         | ${est("a", 4, 4)},
+         | ${est("b", 8, 4)},
+         | ${est("c", 8, 5)}
+         | ${axis("hops_4v5", "b", "c")}
+         | UNION ALL
+         | ${axis("sources_4v8", "a", "b")}
+         | ORDER BY axis"""
         .stripMargin.replaceAll("\n", " ")
     },
 

@@ -402,6 +402,37 @@ class PlanSpec extends SparkSuite {
       s"unpartitioned window in hurst plan:\n${bad.mkString("\n")}")
   }
 
+  test("checkpoint-partitioning canary: under AQE, localCheckpoint " +
+      "does NOT preserve an explicit repartition") {
+    // Documents the r14 betweenness evaluation: pre-partitioning the
+    // Brandes pred frame by (sg, src) before pinning would collapse the
+    // seven per-level σ/δ exchanges IF the checkpoint leaf kept its
+    // HashPartitioning — but under AQE (default) Dataset.localCheckpoint
+    // captures UnknownPartitioning even with coalescing disabled
+    // (AdaptiveSparkPlanExec hides the final stage's partitioning), so
+    // the repartition is one extra exchange with zero downstream
+    // collapse and was reverted. If a Spark upgrade makes this test
+    // FAIL, the preservation now works: re-add
+    // `.repartition(col("sg"), col("src"))` to the betweenness pred pin
+    // and `.repartition(col("src"))` to ssspEdges, and flip this canary
+    // into a zero-exchange assertion (Analytics.scala, r14 notes).
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    assert(spark.conf.get("spark.sql.adaptive.enabled") === "true",
+      "canary assumes the default AQE-on posture")
+    val df = (1 to 1000).map(i => (i % 8, i % 50)).toDF("sg", "src")
+      .repartition(col("sg"), col("src"))
+      .localCheckpoint()
+    val parts = df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.outputPartitioning
+    }
+    assert(parts.nonEmpty, "checkpoint should plan as a LogicalRDD leaf")
+    assert(parts.forall(_.toString.startsWith("UnknownPartitioning")),
+      s"localCheckpoint now PRESERVES partitioning ($parts) — " +
+        "re-add the betweenness/ssspEdges pre-partitioning (see comment)")
+  }
+
   test("hill tail index: global top-100 plans as TakeOrderedAndProject") {
     // The k-largest-order-statistics scan must be the per-partition
     // heap + single-reduce TakeOrderedAndProject, not a full global
