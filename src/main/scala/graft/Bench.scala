@@ -21,6 +21,28 @@ final class BenchListener extends SparkListener {
 }
 
 object Bench {
+  /** Single-thread host-speed calibration: a fixed 200M-step xorshift64
+    * walk, timed. Pure JVM, no allocation, no IO — its wall time moves
+    * ONLY with the host's effective single-core speed (throttling, CPU
+    * steal, power state). Emitted as calib_sec_{before,after} in
+    * bench_out.json so a round-over-round floor shift on UNCHANGED code
+    * can be attributed: calib moved too → host epoch (normalize by the
+    * ratio); calib flat → chase the plan. Motivated by the r13→r14
+    * adjudication, where isolated re-runs reproduced a diffuse ~1.4x
+    * min-of-reps inflation across unchanged CPU-bound rows.
+    */
+  def calibSec(): Double = {
+    var x = 0x9E3779B97F4A7C15L
+    var i = 0
+    val t0 = System.nanoTime()
+    while (i < 200000000) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+    }
+    val sec = (System.nanoTime() - t0) / 1e9
+    if (x == 42L) System.err.println("")  // defeat dead-code elimination
+    sec
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -442,6 +464,8 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - w0) / 1e9
     }.toMap
+    // host-speed calibration brackets the timed region (see calibSec)
+    val calibBefore = calibSec()
     // INTERLEAVED VISITS (the r6 lesson): three driver rounds in a row
     // showed host-contention windows marching through the run and
     // inflating whichever queries happened to execute inside them 8-13x
@@ -571,8 +595,9 @@ object Bench {
         .map { case (k, b) => "\"" + k + "\":" + b }
         .mkString("{", ",", "}")
       catch { case _: Throwable => "{}" }
+    val calibAfter = calibSec()
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$mins,"telemetry":$telem,"regressed_vs_prev":$regressed,"storage_by_slot":$slotLedger,"reps":$reps,"rep_order":"interleaved_visits_${visitSizes.mkString("_")}","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$mins,"telemetry":$telem,"regressed_vs_prev":$regressed,"storage_by_slot":$slotLedger,"calib_sec_before":${f3(calibBefore)},"calib_sec_after":${f3(calibAfter)},"reps":$reps,"rep_order":"interleaved_visits_${visitSizes.mkString("_")}","sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter(outPath)
       try w.println(full) finally w.close()
