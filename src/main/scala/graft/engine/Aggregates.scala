@@ -948,17 +948,21 @@ object Aggregates {
         .withColumn("r", rank().over(W.orderBy(col("ad"))))
         .withColumn("t", count(lit(1)).over(W.partitionBy(col("ad"))))
         .withColumn("ar", col("r") + (col("t") - 1).cast("double") / 2.0)
+      // tie sum on DECIMAL(38,0), n(n+1)(2n+1) in double (cast BEFORE
+      // the cross-products): the int64 variance product wrapped past
+      // ~1.66M movers while DuckDB errored — the r14 conover discipline
+      // applied here too (was a documented residual bound, now fixed)
+      val wDec38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val ties = diffs.groupBy(col("ad")).agg(count(lit(1)).as("t"))
-        .agg(sum(col("t") * col("t") * col("t") - col("t")).as("tc"))
+        .agg(sum(col("t").cast(wDec38) * col("t") * col("t") - col("t"))
+          .as("tc"))
       val st = ranked.agg(count(lit(1)).as("n_movers"),
         sum(when(col("dd") > 0, col("ar")).otherwise(0.0)).as("w_plus"))
+      val nD = col("n_movers").cast("double")
       st.crossJoin(broadcast(ties))
         .select(col("n_movers"), col("w_plus"),
-          eround((col("w_plus")
-            - (col("n_movers") * (col("n_movers") + 1)).cast("double")
-              / 4.0)
-            / sqrt((col("n_movers") * (col("n_movers") + 1)
-              * (col("n_movers") * 2 + 1)).cast("double") / 24.0
+          eround((col("w_plus") - nD * (nD + 1.0) / 4.0)
+            / sqrt(nD * (nD + 1.0) * (nD * 2.0 + 1.0) / 24.0
               - col("tc").cast("double") / 48.0), 6).as("z"))
         .withColumn("significant", abs(col("z")) > 1.96)
     },
@@ -1458,21 +1462,30 @@ object Aggregates {
       val w = W.orderBy(col("c"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
       val t = col("a1") + col("a2")
+      // rank-sum / tie lifts on DECIMAL(38,0) and the n-products in
+      // double (cast BEFORE the cross-products): the int64 spellings
+      // (contrib ~ a1·2N, ties ~ t³, n1·n2, nn·(nn−1)) silently wrap at
+      // scale where DuckDB errors — the r14 conover discipline
+      val mwDec38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val agg = pv
         .withColumn("cumAll", sum(col("a1") + col("a2")).over(w))
         .select(
-          (col("a1") * (lit(2) * col("cumAll") - t + 1)).as("contrib"),
-          (t * t * t - t).as("tie"))
+          (col("a1").cast(mwDec38) * (lit(2) * col("cumAll") - t + 1))
+            .as("contrib"),
+          (t.cast(mwDec38) * t * t - t).as("tie"))
         .crossJoin(broadcast(tot))
         .groupBy(col("n1"), col("n2"))
         .agg(sum(col("contrib")).as("two_r1"), sum(col("tie")).as("ties"))
-      val nn = col("n1") + col("n2")
-      val u1 = (col("two_r1") - col("n1") * (col("n1") + 1)) / 2.0
-      val sigma = sqrt(col("n1") * col("n2") / 12.0 *
-        ((nn + 1) - col("ties") / (nn * (nn - 1)).cast("double")))
+      val n1D = col("n1").cast("double")
+      val n2D = col("n2").cast("double")
+      val nnD = (col("n1") + col("n2")).cast("double")
+      val u1 = (col("two_r1").cast("double") - n1D * (n1D + 1.0)) / 2.0
+      val sigma = sqrt(n1D * n2D / 12.0 *
+        ((nnD + 1.0) - col("ties").cast("double")
+          / (nnD * (nnD - 1.0))))
       agg.select(col("n1"), col("n2"), u1.as("u1"),
-        (col("n1") * col("n2") - u1).as("u2"),
-        eround((u1 - col("n1") * col("n2") / 2.0) / sigma, 4).as("z_stat"))
+        (n1D * n2D - u1).as("u2"),
+        eround((u1 - n1D * n2D / 2.0) / sigma, 4).as("z_stat"))
     },
 
     // Spearman rank correlation between event value and hour-of-day —
@@ -1762,19 +1775,29 @@ object Aggregates {
       val w = W.orderBy(col("c"))
         .rowsBetween(W.unboundedPreceding, W.currentRow)
       val t = col("ap") + col("an")
+      // rank-sum lift on DECIMAL(38,0) and the n-products in double:
+      // the int64 contrib (~ap·2N) and np·nn wrap at scale where DuckDB
+      // errors (r14 conover discipline); u_num stays an exact decimal
+      val aucDec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val npD = col("np").cast("double")
+      val nnD = col("nn").cast("double")
+      val uNum = col("two_rp") -
+        col("np").cast(aucDec38) * (col("np") + 1)
       pv.withColumn("cumAll", sum(t).over(w))
-        .select((col("ap") * (lit(2) * col("cumAll") - t + 1))
-          .as("contrib"))
+        .select((col("ap").cast(aucDec38)
+          * (lit(2) * col("cumAll") - t + 1)).as("contrib"))
         .crossJoin(broadcast(tot))
         .groupBy(col("np"), col("nn"))
         .agg(sum(col("contrib")).as("two_rp"))
         .select(col("np").as("n_pos"), col("nn").as("n_neg"),
-          (col("two_rp") - col("np") * (col("np") + 1)).as("u_num"),
-          eround((col("two_rp") - col("np") * (col("np") + 1))
-            .cast("double") / (lit(2) * col("np") * col("nn")), 6)
+          // output column stays BIGINT (decimal output columns fail the
+          // driver's hash — the r10/r11 class); exact to N ≈ 3e9, the
+          // documented residual — auc/gini ride the decimal lift and
+          // are scale-safe doubles
+          uNum.cast("long").as("u_num"),
+          eround(uNum.cast("double") / (lit(2.0) * npD * nnD), 6)
             .as("auc"),
-          eround((col("two_rp") - col("np") * (col("np") + 1))
-            .cast("double") / (col("np") * col("nn")) - 1, 6).as("gini"))
+          eround(uNum.cast("double") / (npD * nnD) - 1, 6).as("gini"))
     },
 
     // Two-proportion power analysis — the experiment-design step before
@@ -3290,7 +3313,7 @@ object Aggregates {
         |    + CAST(count(*) OVER (PARTITION BY ad) - 1 AS DOUBLE) / 2.0
         |    AS ar
         |  FROM mv),
-        | ties AS (SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tc
+        | ties AS (SELECT sum(CAST(t AS HUGEINT) * t * t - t) AS tc
         |  FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM mv
         |   GROUP BY ad)),
         | st AS (SELECT CAST(count(*) AS BIGINT) AS n_movers,
@@ -3298,9 +3321,11 @@ object Aggregates {
         |  FROM rk),
         | res AS (SELECT n_movers, w_plus,
         |   round((w_plus
-        |     - CAST(n_movers * (n_movers + 1) AS DOUBLE) / 4.0)
-        |    / sqrt(CAST(n_movers * (n_movers + 1) * (2 * n_movers + 1)
-        |       AS DOUBLE) / 24.0 - CAST(tc AS DOUBLE) / 48.0)
+        |     - CAST(n_movers AS DOUBLE) * (CAST(n_movers AS DOUBLE)
+        |        + 1.0) / 4.0)
+        |    / sqrt(CAST(n_movers AS DOUBLE) * (CAST(n_movers AS DOUBLE)
+        |        + 1.0) * (CAST(n_movers AS DOUBLE) * 2.0 + 1.0) / 24.0
+        |      - CAST(tc AS DOUBLE) / 48.0)
         |    + 5e-10, 6) AS z
         |  FROM st, ties)
         | SELECT n_movers, w_plus, z, abs(z) > 1.96 AS significant
@@ -3632,19 +3657,24 @@ object Aggregates {
         | tot AS (SELECT CAST(sum(a1) AS BIGINT) AS n1,
         |   CAST(sum(a2) AS BIGINT) AS n2 FROM pv),
         | ag AS (SELECT n1, n2,
-        |   CAST(sum(a1 * (2 * cumAll - (a1 + a2) + 1)) AS BIGINT)
+        |   sum(CAST(a1 AS HUGEINT) * (2 * cumAll - (a1 + a2) + 1))
         |     AS two_r1,
-        |   CAST(sum((a1 + a2) * (a1 + a2) * (a1 + a2) - (a1 + a2))
-        |     AS BIGINT) AS ties
-        |  FROM cm, tot GROUP BY n1, n2)
+        |   sum(CAST(a1 + a2 AS HUGEINT) * (a1 + a2) * (a1 + a2)
+        |     - (a1 + a2)) AS ties
+        |  FROM cm, tot GROUP BY n1, n2),
+        | d AS (SELECT n1, n2,
+        |   CAST(n1 AS DOUBLE) AS n1d, CAST(n2 AS DOUBLE) AS n2d,
+        |   CAST(n1 + n2 AS DOUBLE) AS nnd,
+        |   CAST(two_r1 AS DOUBLE) AS tr1d, CAST(ties AS DOUBLE) AS tiesd
+        |  FROM ag)
         | SELECT n1, n2,
-        |  (two_r1 - n1 * (n1 + 1)) / 2.0 AS u1,
-        |  n1 * n2 - (two_r1 - n1 * (n1 + 1)) / 2.0 AS u2,
-        |  round(((two_r1 - n1 * (n1 + 1)) / 2.0 - n1 * n2 / 2.0)
-        |    / sqrt(n1 * n2 / 12.0 * (((n1 + n2) + 1)
-        |      - ties / CAST((n1 + n2) * ((n1 + n2) - 1) AS DOUBLE)))
+        |  (tr1d - n1d * (n1d + 1.0)) / 2.0 AS u1,
+        |  n1d * n2d - (tr1d - n1d * (n1d + 1.0)) / 2.0 AS u2,
+        |  round(((tr1d - n1d * (n1d + 1.0)) / 2.0 - n1d * n2d / 2.0)
+        |    / sqrt(n1d * n2d / 12.0 * ((nnd + 1.0)
+        |      - tiesd / (nnd * (nnd - 1.0))))
         |    + 5e-10, 4) AS z_stat
-        | FROM ag"""
+        | FROM d"""
         .stripMargin.replaceAll("\n", " "),
 
     // Doubled marginal ranks (2r = 2·cumBefore + t + 1) joined back to
@@ -3800,16 +3830,21 @@ object Aggregates {
         | tot AS (SELECT CAST(sum(ap) AS BIGINT) AS np,
         |   CAST(sum(an) AS BIGINT) AS nn FROM pv),
         | ag AS (SELECT np, nn,
-        |   CAST(sum(ap * (2 * cumAll - (ap + an) + 1)) AS BIGINT)
+        |   sum(CAST(ap AS HUGEINT) * (2 * cumAll - (ap + an) + 1))
         |     AS two_rp
-        |  FROM cm, tot GROUP BY np, nn)
+        |  FROM cm, tot GROUP BY np, nn),
+        | un AS (SELECT np, nn,
+        |   two_rp - CAST(np AS HUGEINT) * (np + 1) AS u_num
+        |  FROM ag)
         | SELECT np AS n_pos, nn AS n_neg,
-        |  two_rp - np * (np + 1) AS u_num,
-        |  round(CAST(two_rp - np * (np + 1) AS DOUBLE) / (2 * np * nn)
+        |  CAST(u_num AS BIGINT) AS u_num,
+        |  round(CAST(u_num AS DOUBLE)
+        |    / (2.0 * CAST(np AS DOUBLE) * CAST(nn AS DOUBLE))
         |    + 5e-10, 6) AS auc,
-        |  round(CAST(two_rp - np * (np + 1) AS DOUBLE) / (np * nn) - 1
+        |  round(CAST(u_num AS DOUBLE)
+        |    / (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)) - 1
         |    + 5e-10, 6) AS gini
-        | FROM ag"""
+        | FROM un"""
         .stripMargin.replaceAll("\n", " "),
 
     // Identical closed-form tree (z literals 1.96/0.8416); n_required

@@ -4142,7 +4142,7 @@ class EngineLawsSpec extends SparkSuite {
     // complement law against the Mann-Whitney row (click-side U)
     val Array(mwu) =
       SparkEntry.queries("q_agg_mannwhitney")(spark, sf).collect()
-    assert(row.getLong(2) / 2.0 + mwu.getDouble(2) === (np * nn).toDouble,
+    assert(wins2 / 2.0 + mwu.getDouble(2) === (np * nn).toDouble,
       "U+ + U- = n+ * n-")
   }
 
@@ -5446,18 +5446,24 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
-  test("q_graph_centrality_stability: subset laws and closeness accord") {
-    val r = SparkEntry.queries("q_graph_centrality_stability")(spark, sf)
-      .collect().head
-    val (n4, n8, both, ov, l1) = (r.getLong(0), r.getLong(1),
-      r.getLong(2), r.getLong(3), r.getLong(4))
-    // sources {1..4} are a subset of {1..8}, so 4-source coverage is
-    // contained in 8-source coverage exactly
-    assert(both === n4, "4-source reach is a subset of 8-source reach")
-    assert(n8 >= n4)
-    assert(ov >= 0L && ov <= 10L)
-    assert(l1 >= 0L)
-    // the 8-source side of the ledger IS q_graph_closeness's estimate
+  test("q_graph_centrality_stability: subset laws on both axes") {
+    val rows = SparkEntry.queries("q_graph_centrality_stability")(spark, sf)
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq ===
+      Seq("hops_4v5", "sources_4v8"), "one row per sampling axis")
+    rows.foreach { r =>
+      val axis = r.getString(0)
+      val (na, nb, both, ov, l1) = (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))
+      // variant a is contained in variant b on BOTH axes: sources
+      // {1..4} ⊂ {1..8}, and hop-4 reach ⊂ hop-5 reach (monotone BFS)
+      assert(both === na, s"$axis: a-side reach is a subset of b-side")
+      assert(nb >= na, s"$axis: b-side coverage dominates")
+      assert(ov >= 0L && ov <= 10L)
+      assert(l1 >= 0L)
+    }
+    // the (8 sources, 4 hops) side of the ledger IS q_graph_closeness's
+    // estimate
     val top = SparkEntry.queries("q_graph_closeness")(spark, sf)
       .filter(col("rank") <= 10).count()
     assert(top <= 10L)
