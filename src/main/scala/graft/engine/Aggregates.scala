@@ -778,9 +778,13 @@ object Aggregates {
             .as("resurrected"))
         .select(col("n_pairs"), col("concordant"), col("churned"),
           col("resurrected"),
-          eround(((abs(col("churned") - col("resurrected")) - 1)
-            * (abs(col("churned") - col("resurrected")) - 1))
+          // deviation cast to double BEFORE squaring (r14 overflow
+          // discipline): the int64 square wraps past ~3e9 discordant
+          // pairs where DuckDB errors
+          eround((abs(col("churned") - col("resurrected")) - 1)
             .cast("double")
+            * (abs(col("churned") - col("resurrected")) - 1)
+              .cast("double")
             / (col("churned") + col("resurrected")), 6).as("chi2"))
         .withColumn("significant", col("chi2") > 3.841)
     },
@@ -813,14 +817,16 @@ object Aggregates {
           sum(col("x0")).as("c0"), sum(col("x1")).as("c1"),
           sum(col("x2")).as("c2"), sum(col("ri")).as("nn"),
           sum(col("ri") * col("ri")).as("r2"))
-        .select(col("n_pairs"), col("c0"), col("c1"), col("c2"),
-          eround(lit(6.0) * (((col("c0") * 3 - col("nn"))
-              * (col("c0") * 3 - col("nn"))
-            + (col("c1") * 3 - col("nn")) * (col("c1") * 3 - col("nn"))
-            + (col("c2") * 3 - col("nn")) * (col("c2") * 3 - col("nn")))
-            .cast("double"))
+        .select(col("n_pairs"), col("c0"), col("c1"), col("c2"), {
+          // column deviations cast to double BEFORE squaring (r14
+          // overflow discipline — int64 squares wrap at user scale)
+          def dev(c: String) =
+            (col(c) * 3 - col("nn")).cast("double")
+          eround(lit(6.0) * (dev("c0") * dev("c0")
+            + dev("c1") * dev("c1") + dev("c2") * dev("c2"))
             / lit(9.0) / (lit(3) * col("nn") - col("r2")).cast("double"),
-            6).as("q_stat"))
+            6).as("q_stat")
+        })
         .withColumn("significant", col("q_stat") > 5.991)
     },
 
@@ -3216,8 +3222,8 @@ object Aggregates {
         |     AS BIGINT) AS resurrected
         |  FROM flags),
         | res AS (SELECT n_pairs, concordant, churned, resurrected,
-        |   round(CAST((abs(churned - resurrected) - 1)
-        |      * (abs(churned - resurrected) - 1) AS DOUBLE)
+        |   round(CAST(abs(churned - resurrected) - 1 AS DOUBLE)
+        |      * CAST(abs(churned - resurrected) - 1 AS DOUBLE)
         |     / (churned + resurrected) + 5e-10, 6) AS chi2
         |  FROM cells)
         | SELECT n_pairs, concordant, churned, resurrected, chi2,
@@ -3245,9 +3251,10 @@ object Aggregates {
         |   CAST(sum((x0 + x1 + x2) * (x0 + x1 + x2)) AS BIGINT) AS r2
         |  FROM thirds),
         | res AS (SELECT n_pairs, c0, c1, c2,
-        |   round(6.0 * CAST((c0 * 3 - nn) * (c0 * 3 - nn)
-        |      + (c1 * 3 - nn) * (c1 * 3 - nn)
-        |      + (c2 * 3 - nn) * (c2 * 3 - nn) AS DOUBLE)
+        |   round(6.0 * (CAST(c0 * 3 - nn AS DOUBLE)
+        |        * CAST(c0 * 3 - nn AS DOUBLE)
+        |      + CAST(c1 * 3 - nn AS DOUBLE) * CAST(c1 * 3 - nn AS DOUBLE)
+        |      + CAST(c2 * 3 - nn AS DOUBLE) * CAST(c2 * 3 - nn AS DOUBLE))
         |     / 9.0 / CAST(3 * nn - r2 AS DOUBLE) + 5e-10, 6) AS q_stat
         |  FROM agg)
         | SELECT n_pairs, c0, c1, c2, q_stat,
