@@ -90,6 +90,17 @@ object Checkpoints {
     }
   }
 
+  /** Memo-style read of a pin()-managed slot: the pinned frame, when it
+    * belongs to the LIVE session `s` and bypass is off. For builders
+    * that pin MULTIPLE co-derived frames per fixture (the BPE walk's
+    * merges+vocab pair) and want to serve them across invocations with
+    * the same guard memo() applies to its own slots.
+    */
+  def serving(slot: String, s: SparkSession): Option[DataFrame] =
+    if (bypass) None
+    else pinnedFrames.get(slot).filter(df =>
+      (df.sparkSession eq s) && !s.sparkContext.isStopped)
+
   /** Per-slot storage ledger: bytes of persisted blocks behind each frame
     * currently pinned by `s` (memory + disk, from the driver's
     * RDDStorageInfo). Emitted into bench telemetry so a future memo
