@@ -825,8 +825,10 @@ object Analytics {
         .select(col("a"), col("b"), col("n_ab"),
           eround(col("n_ab").cast("double") / col("n_a"), 6)
             .as("confidence"),
+          // n_a*n_b to double BEFORE multiplying (r14 overflow
+          // discipline): the int64 product wraps past ~3e9 orders
           eround(col("n_ab").cast("double") * col("n_orders")
-            / (col("n_a") * col("n_b")), 6).as("lift"))
+            / (col("n_a").cast("double") * col("n_b")), 6).as("lift"))
         .orderBy(desc("lift"), desc("confidence"), asc("a"), asc("b"))
         .limit(20)
     },
@@ -2675,7 +2677,7 @@ object Analytics {
         |  round(CAST(n_ab AS DOUBLE) / ia.n_item + 5e-10, 6)
         |   AS confidence,
         |  round(CAST(n_ab AS DOUBLE) * n.n_orders
-        |    / (ia.n_item * ib.n_item) + 5e-10, 6) AS lift
+        |    / (CAST(ia.n_item AS DOUBLE) * ib.n_item) + 5e-10, 6) AS lift
         | FROM bo JOIN it ia ON bo.a = ia.item
         |  JOIN it ib ON bo.b = ib.item CROSS JOIN n
         | ORDER BY lift DESC, confidence DESC, a, b LIMIT 20"""

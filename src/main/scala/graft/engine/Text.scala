@@ -1779,8 +1779,11 @@ object Text {
         .crossJoin(broadcast(nDocs))
         .select(col("t").as("term"), col("ct").as("c_total"),
           col("n_docs_with"),
-          eround((col("nd") * col("cq") - col("ct") * col("ct"))
-            .cast("double") / (col("nd") * col("ct")).cast("double"), 6)
+          // counts to double BEFORE the cross-products (r14 overflow
+          // discipline): nd*cq and ct^2 wrap int64 at corpus scale
+          eround((col("nd").cast("double") * col("cq")
+            - col("ct").cast("double") * col("ct"))
+            / (col("nd").cast("double") * col("ct")), 6)
             .as("vmr"))
         .orderBy(desc("vmr"), asc("term")).limit(20)
     },
@@ -2084,9 +2087,12 @@ object Text {
       val st = ev.groupBy(col("event_type"))
         .agg(count(lit(1)).as("nh"), sum(col("c")).as("sx"),
           sum(col("c") * col("c")).as("qx"))
-        .withColumn("sh", sqrt((col("nh") * col("qx")
-          - col("sx") * col("sx")).cast("double")
-          / (col("nh") * (col("nh") - 1))))
+        // counts/sums to double BEFORE the cross-products (r14 overflow
+        // discipline): sx^2 wraps int64 near sf1-scale cents totals
+        .withColumn("sh", sqrt((col("nh").cast("double") * col("qx")
+          - col("sx").cast("double") * col("sx"))
+          / (col("nh").cast("double") * (col("nh").cast("double")
+            - 1.0))))
         .withColumn("wd",
           eround(col("nh") * col("sh"), 6).cast("decimal(28,6)"))
       val tot = st.agg(sum(col("wd")).as("wtot"))
@@ -4265,8 +4271,8 @@ object Text {
          |   count(*) AS n_docs_with
          |  FROM td GROUP BY t HAVING CAST(sum(c) AS BIGINT) >= 20)
          | SELECT t AS term, ct AS c_total, n_docs_with,
-         |  round(CAST(nd * cq - ct * ct AS DOUBLE)
-         |    / CAST(nd * ct AS DOUBLE) + 5e-10, 6) AS vmr
+         |  round((CAST(nd AS DOUBLE) * cq - CAST(ct AS DOUBLE) * ct)
+         |    / (CAST(nd AS DOUBLE) * ct) + 5e-10, 6) AS vmr
          | FROM m CROSS JOIN nd
          | ORDER BY vmr DESC, term LIMIT 20"""
         .stripMargin.replaceAll("\n", " "),
@@ -4597,7 +4603,8 @@ object Text {
         |   CAST(sum(c * c) AS BIGINT) AS qx
         |  FROM ev GROUP BY event_type),
         | sw AS (SELECT event_type, nh,
-        |   sqrt(CAST(nh * qx - sx * sx AS DOUBLE) / (nh * (nh - 1)))
+        |   sqrt((CAST(nh AS DOUBLE) * qx - CAST(sx AS DOUBLE) * sx)
+        |     / (CAST(nh AS DOUBLE) * (CAST(nh AS DOUBLE) - 1.0)))
         |     AS sh
         |  FROM st),
         | wd AS (SELECT event_type, nh, sh,
