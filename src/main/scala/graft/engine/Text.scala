@@ -1762,9 +1762,9 @@ object Text {
     // terms clump into few documents (VMR ≫ 1). The zero-docs never
     // materialize: with per-doc counts c_d, total C and corpus size N,
     //   VMR = (N·Σc² − C²) / (N·C)
-    // — every factor an exact BIGINT (Σc² passes 2⁶³ only past ~1e9
-    // occurrences of one term in one doc-set; widen to DECIMAL(38,0)
-    // then), one ε-rounded division. Two partial-agg shuffles of the
+    // — the sums stay exact BIGINT, and the cross-products (N·Σc², C²)
+    // compute in double (r14: the int64 products wrapped at corpus
+    // scale), one ε-rounded division. Two partial-agg shuffles of the
     // token stream ((term, doc) then term), support gate C ≥ 20,
     // top-20 by (vmr desc, term). Bounded top-k, never a full sort.
     "q_text_burstiness" -> { (s, d) =>

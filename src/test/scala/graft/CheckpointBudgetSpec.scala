@@ -6,10 +6,11 @@ package graft
   * that pins a fact-scale frame should fail here at the bench scale, not
   * be discovered as executor-storage pressure at 100 TB.
   *
-  * Budget: 64 MB per slot, 256 MB total. The largest slot today is the
-  * per-order basket frame at ~19 MB (sf0.1); everything else is KB-scale.
-  * A slot is allowed to grow with |entities| (parts, orders), never with
-  * raw fact bytes.
+  * Budget: 64 MB per slot, 256 MB total. The largest slots today (sf0.1,
+  * full-headline bench ledger): the HITS purchase-edge list at ~50 MB and
+  * the per-order basket frame at ~19 MB; everything else is KB–MB scale,
+  * ~149 MB total across all pins. A slot is allowed to grow with
+  * |entities| (parts, orders), never with raw fact bytes.
   */
 class CheckpointBudgetSpec extends SparkSuite {
 
