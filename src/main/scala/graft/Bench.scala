@@ -408,7 +408,14 @@ object Bench {
       // heaviest new graph shape (closeness shares its relax frame;
       // the centrality-stability ledger replays that same relax twice,
       // rule (c))
-      "q_graph_betweenness")
+      "q_graph_betweenness",
+      // round-14 full-registry cost audit: four fact-scale rows ran
+      // >0.5 s at sf0.1 with NO documented exclusion — the per-customer
+      // reorder-rate window chain, the PCA integer-Gram corpus scan,
+      // the schema-drift CSV scan (real IO, unlike the dimension-scale
+      // scan variants), and the nearest-hub broadcast-probe assignment
+      "q_shape_reorder_rate", "q_vec_pca_power", "q_scan_csv_drift",
+      "q_join_nearest_hub")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid
