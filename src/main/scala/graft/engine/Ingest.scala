@@ -507,9 +507,16 @@ object Ingest {
       val out = tmp("orders_dynpart", d)
       val orders = Tables.orders(s, d)
         .withColumn("om", date_format(col("o_orderdate"), "yyyy-MM"))
-      orders.write.mode("overwrite").partitionBy("om").parquet(out)
+      // repartition by the partition column before a partitionBy write
+      // (r14, the q_sink_bucketed discipline): each month lands in one
+      // task -> ONE file per partition instead of months x tasks small
+      // files — the standard dynamic-partition write practice, and the
+      // restatement path rewrites exactly as many files as partitions
+      orders.repartition(col("om"))
+        .write.mode("overwrite").partitionBy("om").parquet(out)
       orders.filter(col("om").startsWith("1996")
           && col("o_orderpriority") < "3")
+        .repartition(col("om"))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("om").parquet(out)
