@@ -122,4 +122,30 @@ class IngestSpec extends SparkSuite {
       assert(r.getString(2) === expect)
     }
   }
+
+  test("bucketed sink lands exactly one file per bucket (r14 discipline)") {
+    // the bucket-aligned repartition makes tasks coincide with buckets;
+    // a regression back to tasks x buckets small files fails here
+    SparkEntry.queries("q_sink_bucketed")(spark, sf).collect()
+    val dir = new java.io.File(graft.engine.Ingest.stage(
+      "lineitem_bucketed", sf))
+    val files = Option(dir.listFiles())
+      .map(_.count(_.getName.endsWith(".parquet"))).getOrElse(-1)
+    assert(files === 8, s"expected one file per bucket, got $files")
+  }
+
+  test("dynamic-partition sink lands exactly one file per partition " +
+      "(r14 discipline)") {
+    SparkEntry.queries("q_sink_partition_overwrite")(spark, sf).collect()
+    val root = new java.io.File(graft.engine.Ingest.stage(
+      "orders_dynpart", sf))
+    val parts = Option(root.listFiles())
+      .map(_.filter(f => f.isDirectory && f.getName.startsWith("om=")))
+      .getOrElse(Array.empty[java.io.File])
+    assert(parts.nonEmpty, s"no om= partitions under $root")
+    val bad = parts.filter(p =>
+      p.listFiles().count(_.getName.endsWith(".parquet")) != 1)
+    assert(bad.isEmpty, "partitions with more than one data file: " +
+      bad.map(_.getName).mkString(", "))
+  }
 }
