@@ -44,6 +44,13 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
+    // estimator-study knobs are legitimate here (bench-only studies),
+    // but announce them so a knob leaked from a shell profile can't
+    // silently skew the centrality rows' timings (ADVICE r14)
+    Seq("SPARK_GRAFT_CENTRALITY_SOURCES", "SPARK_GRAFT_CENTRALITY_HOPS")
+      .filter(sys.env.contains).foreach(k => System.err.println(
+        s"[bench] NOTE: $k=${sys.env(k)} — centrality rows run with " +
+          "overridden estimator parameters (oracle parity off)"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -577,7 +584,15 @@ object Bench {
         val txt = try src.mkString finally src.close()
         val prevSf = """"sf"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(txt)
           .map(_.group(1))
-        if (!prevSf.contains(sfDir)) Map.empty[String, Double]
+        // regime must match too (ADVICE r14): a cold (memo-bypass) run
+        // vs a memo-warm baseline flags every memoized row ~3-10x; a
+        // prior file without the field is memo-warm (pre-r15 default)
+        val prevBypass = """"memo_bypass"\s*:\s*(true|false)""".r
+          .findFirstMatchIn(txt).exists(_.group(1) == "true")
+        val curBypass =
+          sys.env.get("SPARK_GRAFT_MEMO_BYPASS").exists(_.nonEmpty)
+        if (!prevSf.contains(sfDir) || prevBypass != curBypass)
+          Map.empty[String, Double]
         else
           // whitespace-tolerant so a hand- or tool-rewritten prior file
           // (pretty-printed JSON) still parses
@@ -603,8 +618,13 @@ object Bench {
         .mkString("{", ",", "}")
       catch { case _: Throwable => "{}" }
     val calibAfter = calibSec()
+    // Regime stamp (ADVICE r14): a memo-bypass (cold) run must never be
+    // silently compared against a memo-warm baseline — benchdiff.py
+    // refuses cross-regime comparisons using this field.
+    val memoBypass =
+      sys.env.get("SPARK_GRAFT_MEMO_BYPASS").exists(_.nonEmpty)
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$mins,"telemetry":$telem,"regressed_vs_prev":$regressed,"storage_by_slot":$slotLedger,"calib_sec_before":${f3(calibBefore)},"calib_sec_after":${f3(calibAfter)},"reps":$reps,"rep_order":"interleaved_visits_${visitSizes.mkString("_")}","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$mins,"telemetry":$telem,"regressed_vs_prev":$regressed,"storage_by_slot":$slotLedger,"calib_sec_before":${f3(calibBefore)},"calib_sec_after":${f3(calibAfter)},"memo_bypass":$memoBypass,"reps":$reps,"rep_order":"interleaved_visits_${visitSizes.mkString("_")}","sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter(outPath)
       try w.println(full) finally w.close()

@@ -6,6 +6,20 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // Estimator-study knobs silently change q_graph_closeness (and the
+    // memoized estimate feeding the stability ledger) away from the
+    // oracle-matched defaults — a correctness dump under them would
+    // diverge from DuckDB with no visible cause. Abort, loudly
+    // (ADVICE r14): the knobs stay usable for explicit Bench/Explain
+    // estimator studies only.
+    val knobs = Seq("SPARK_GRAFT_CENTRALITY_SOURCES",
+      "SPARK_GRAFT_CENTRALITY_HOPS").filter(sys.env.contains)
+    if (knobs.nonEmpty) {
+      System.err.println(s"[verify] FATAL: ${knobs.mkString(", ")} " +
+        "set — centrality estimator overrides break oracle parity by " +
+        "design; unset them for a correctness dump")
+      sys.exit(2)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

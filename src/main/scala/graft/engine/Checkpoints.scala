@@ -31,18 +31,42 @@ object Checkpoints {
   private val pinnedFrames =
     new scala.collection.concurrent.TrieMap[String, DataFrame]()
 
-  /** Pin `df` under `slot`, freeing whatever was pinned there before —
-    * unless the evicted frame belongs to a DIFFERENT live session (two
-    * concurrent sessions sharing a fixture dir must not unpersist each
-    * other's blocks while the first may still lazily read them; ADVICE
-    * r13). A frame from a stopped session is always freed. Returns `df`
-    * for chaining.
+  /** EVERY slot is keyed by (name, owning-session identity) — the r15
+    * unification (ADVICE r14): before it, memo() slots were suffixed but
+    * raw pin()/serving() artifact slots (PQ/IVF codebooks, BPE merges)
+    * were not, so two live sessions sharing a fixture ping-pong-evicted
+    * each other's pins — each replace leaked the foreign frame's blocks
+    * (pin refuses to free a live foreign frame) and defeated the
+    * serve-across-invocations memo.
+    */
+  private def key(slot: String, s: SparkSession): String =
+    slot + "@" + java.lang.System.identityHashCode(s).toHexString
+
+  /** Drop (and free) every entry whose owning session has stopped —
+    * run before each pin/memo so cross-suite sessions don't accumulate
+    * dead frames in the slot map.
+    */
+  private def sweep(): Unit =
+    pinnedFrames.foreach { case (k, df) =>
+      if (df.sparkSession.sparkContext.isStopped &&
+          pinnedFrames.remove(k, df)) free(df)
+    }
+
+  /** Pin `df` under `slot` for its own session, freeing whatever that
+    * session had pinned there before (each invocation replaces the
+    * previous one's frame, capping steady-state checkpoint storage at
+    * one frame per slot per live session). Session-keying means two
+    * live sessions sharing a fixture dir NEVER evict each other —
+    * stopped sessions' entries are swept here instead (ADVICE r13/r14).
+    * Returns `df` for chaining.
     */
   def pin(slot: String, df: DataFrame): DataFrame = {
-    pinnedFrames.put(slot, df).foreach { old =>
-      val oldSession = old.sparkSession
-      if ((oldSession eq df.sparkSession) ||
-          oldSession.sparkContext.isStopped) free(old)
+    sweep()
+    pinnedFrames.put(key(slot, df.sparkSession), df).foreach { old =>
+      // same session by construction of the key; the identityHashCode-
+      // collision guard keeps a (vanishingly unlikely) foreign live
+      // frame readable rather than risking a use-after-unpersist
+      if (old.sparkSession eq df.sparkSession) free(old)
     }
     df
   }
@@ -74,31 +98,27 @@ object Checkpoints {
     * manual regeneration.
     */
   def memo(slot: String, s: SparkSession)(build: => DataFrame): DataFrame = {
-    // sweep memo entries owned by stopped sessions (cross-suite runs)
-    pinnedFrames.foreach { case (k, df) =>
-      if (k.contains('@') && df.sparkSession.sparkContext.isStopped &&
-          pinnedFrames.remove(k, df)) free(df)
-    }
-    val key = slot + "@" + java.lang.System.identityHashCode(s).toHexString
+    sweep()
     // bypass still pins (frees the previous rep's blocks) but rebuilds
-    if (bypass) return pin(key, build)
-    pinnedFrames.get(key) match {
+    if (bypass) return pin(slot, build)
+    pinnedFrames.get(key(slot, s)) match {
       case Some(df)
           if (df.sparkSession eq s) && !s.sparkContext.isStopped =>
         df
-      case _ => pin(key, build)
+      case _ => pin(slot, build)
     }
   }
 
   /** Memo-style read of a pin()-managed slot: the pinned frame, when it
     * belongs to the LIVE session `s` and bypass is off. For builders
     * that pin MULTIPLE co-derived frames per fixture (the BPE walk's
-    * merges+vocab pair) and want to serve them across invocations with
-    * the same guard memo() applies to its own slots.
+    * merges+vocab pair, the PQ/IVF codebook+encoded-corpus pairs) and
+    * want to serve them across invocations with the same session-keyed
+    * guard memo() applies to its own slots.
     */
   def serving(slot: String, s: SparkSession): Option[DataFrame] =
     if (bypass) None
-    else pinnedFrames.get(slot).filter(df =>
+    else pinnedFrames.get(key(slot, s)).filter(df =>
       (df.sparkSession eq s) && !s.sparkContext.isStopped)
 
   /** Per-slot storage ledger: bytes of persisted blocks behind each frame

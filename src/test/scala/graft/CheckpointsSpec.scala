@@ -40,6 +40,41 @@ class CheckpointsSpec extends SparkSuite {
     assert(b.count() === 7L)
   }
 
+  test("serving()/pin() artifact slots are session-keyed: two live " +
+      "sessions sharing a slot name never evict each other (ADVICE r14)") {
+    val s2 = spark.newSession()
+    val a = Checkpoints.pin("spec:art",
+      spark.range(5).toDF("v").localCheckpoint())
+    val b = Checkpoints.pin("spec:art",
+      s2.range(7).toDF("v").localCheckpoint())
+    // each session serves ITS OWN pinned artifact — pre-r15, the second
+    // pin replaced the first under the shared raw key, so session 1's
+    // serving() read session 2's frame (miss) and re-pinned, ping-pong
+    val sa = Checkpoints.serving("spec:art", spark)
+    val sb = Checkpoints.serving("spec:art", s2)
+    assert(sa.exists(_ eq a), "first session must serve its own pin")
+    assert(sb.exists(_ eq b), "second session must serve its own pin")
+    // and the first session's blocks are still readable (never freed)
+    assert(a.count() === 5L)
+    assert(b.count() === 7L)
+  }
+
+  test("pin() still evicts and frees the SAME session's previous frame") {
+    val first = spark.range(3).toDF("v").localCheckpoint()
+    Checkpoints.pin("spec:evict", first)
+    val second = Checkpoints.pin("spec:evict",
+      spark.range(4).toDF("v").localCheckpoint())
+    assert(Checkpoints.serving("spec:evict", spark).exists(_ eq second))
+    // the evicted frame's blocks were unpersisted (steady-state cap:
+    // one frame per slot per session)
+    val firstIds = first.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }.toSet
+    val live = spark.sparkContext.getRDDStorageInfo.map(_.id).toSet
+    assert(firstIds.intersect(live).isEmpty,
+      "previous same-session pin must be unpersisted on replacement")
+  }
+
   test("storageBySlot reports only the asking session's slots, " +
       "stripped of the session suffix") {
     val s2 = spark.newSession()

@@ -36,6 +36,15 @@ def main():
     thresh = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     if old.get("sf") != new.get("sf"):
         sys.exit(f"sf mismatch: {old.get('sf')} vs {new.get('sf')}")
+    # memo regime must match (ADVICE r14): comparing a cold
+    # (SPARK_GRAFT_MEMO_BYPASS) run against a memo-warm baseline flags
+    # every memoized row 3-10x and calibration cannot tell the regimes
+    # apart. Files without the field (pre-r15) are memo-warm.
+    ro, rn = old.get("memo_bypass", False), new.get("memo_bypass", False)
+    if ro != rn:
+        sys.exit(f"memo regime mismatch: old memo_bypass={ro} vs "
+                 f"new memo_bypass={rn} — compare like with like "
+                 "(re-run one side in the other's regime)")
     co, cn = calib(old), calib(new)
     host = (cn / co) if (co and cn) else None
     print(f"total med {old['value']:.1f} -> {new['value']:.1f}  "
