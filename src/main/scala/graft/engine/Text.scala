@@ -235,6 +235,60 @@ object Text {
     (Checkpoints.pin(s"bpeM:$slot", mergesCk),
       Checkpoints.pin(s"bpeW:$slot", words))
   }
+  /** Cumulative (token count, first-occurrence vocabulary) per document
+    * at the every-50-docs measurement grid — shared by
+    * q_text_vocab_growth and q_text_heaps_fit. r15: the running sums use
+    * the three-level tree prefix sum (the q_sample_weighted spelling —
+    * per-shard intra window, per-super-shard offsets, one super-shard
+    * global window over data/10^6 rows) instead of a corpus-wide
+    * unpartitioned window: the per-doc frame is one row per DOCUMENT,
+    * which is unbounded at 100 TB, so pushing it through a single
+    * window task was the exact hazard the PlanSpec global-window canary
+    * exists to catch. Integer sums are exact under any partitioning,
+    * so the grid values are bit-identical to the single-window
+    * spelling.
+    */
+  private def vocabGrowthPoints(s: SparkSession, d: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val tk = Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+    val perDoc = tk.groupBy(col("doc_id")).agg(count(lit(1)).as("n_tok"))
+    val firstSeen = tk.groupBy(col("w"))
+      .agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc")).agg(count(lit(1)).as("n_new"))
+    val base = perDoc
+      .join(firstSeen, col("doc_id") === col("first_doc"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"))
+      .withColumn("shard", expr("doc_id DIV 1000"))
+    val wI = W.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    val intra = base
+      .withColumn("it", sum(col("n_tok")).over(wI))
+      .withColumn("iv", sum(col("n_new")).over(wI))
+    val shardTot = base.groupBy(col("shard"))
+      .agg(sum(col("n_tok")).as("st"), sum(col("n_new")).as("sv"))
+      .withColumn("sup", expr("shard DIV 1000"))
+    val wS = W.partitionBy(col("sup")).orderBy(col("shard"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val shardOff = shardTot
+      .withColumn("sot", coalesce(sum(col("st")).over(wS), lit(0L)))
+      .withColumn("sov", coalesce(sum(col("sv")).over(wS), lit(0L)))
+    val wU = W.orderBy(col("sup")).rowsBetween(W.unboundedPreceding, -1)
+    val supOff = shardTot.groupBy(col("sup"))
+      .agg(sum(col("st")).as("sut"), sum(col("sv")).as("suv"))
+      .withColumn("supt", coalesce(sum(col("sut")).over(wU), lit(0L)))
+      .withColumn("supv", coalesce(sum(col("suv")).over(wU), lit(0L)))
+      .select(col("sup"), col("supt"), col("supv"))
+    val offs = shardOff.join(broadcast(supOff), "sup")
+      .select(col("shard"), (col("supt") + col("sot")).as("ot"),
+        (col("supv") + col("sov")).as("ov"))
+    intra.filter(col("doc_id") % 50 === 0)
+      .join(broadcast(offs), "shard")
+      .select(col("doc_id"), (col("ot") + col("it")).as("cum_tokens"),
+        (col("ov") + col("iv")).as("vocab_size"))
+  }
+
   private val StopWords = Seq("the", "a")
 
   // Deterministic vocabulary-marker sets for the language/topic-ID
@@ -534,29 +588,12 @@ object Text {
     // doc_id order. "Running distinct" is spelled relationally: each
     // term's FIRST document (min doc_id per term) turns the cumulative
     // distinct into a cumulative SUM of first-occurrence counts — no
-    // stateful scan. The doc axis is bounded (one row per document id in
-    // the sample grid), so its cumulative windows are the documented
-    // population class; all counts integer-exact.
+    // stateful scan. The running sums ride the three-level tree prefix
+    // sum (r15 — see vocabGrowthPoints): the per-doc frame is one row
+    // per DOCUMENT, unbounded at 100 TB, so it never crosses a single
+    // window task; all counts integer-exact.
     "q_text_vocab_growth" -> { (s, d) =>
-      val W = org.apache.spark.sql.expressions.Window
-      val tk = Tables.documents(s, d)
-        .select(col("doc_id"), explode(toks(col("text"))).as("w"))
-      val perDoc = tk.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tok"))
-      val firstSeen = tk.groupBy(col("w"))
-        .agg(min(col("doc_id")).as("first_doc"))
-        .groupBy(col("first_doc")).agg(count(lit(1)).as("n_new"))
-      perDoc
-        .join(firstSeen, col("doc_id") === col("first_doc"), "left")
-        .select(col("doc_id"), col("n_tok"),
-          coalesce(col("n_new"), lit(0L)).as("n_new"))
-        .withColumn("cum_tokens", sum(col("n_tok")).over(
-          W.orderBy(col("doc_id"))
-            .rowsBetween(W.unboundedPreceding, W.currentRow)))
-        .withColumn("vocab_size", sum(col("n_new")).over(
-          W.orderBy(col("doc_id"))
-            .rowsBetween(W.unboundedPreceding, W.currentRow)))
-        .filter(col("doc_id") % 50 === 0)
+      vocabGrowthPoints(s, d)
         .select(col("doc_id"), col("cum_tokens"), col("vocab_size"))
         .orderBy(col("doc_id"))
     },
@@ -1900,18 +1937,78 @@ object Text {
         .orderBy(col("doc_id"))
     },
 
+    // Curriculum ordering — band the corpus into 4 length quartiles
+    // (short → long, the classic length curriculum) and shuffle within
+    // each band by a deterministic coin. r15 scale respelling: the old
+    // ntile(4) OVER (ORDER BY tok, doc_id) pushed the ENTIRE corpus
+    // through one window task (the worst global-window site the PlanSpec
+    // canary found), and the per-band row_number pushed a quarter-corpus
+    // each. Now (a) the exact global rank comes from per-(tok, shard)
+    // row numbers + shard offsets within tok + one tok-DOMAIN offset
+    // window (≤ |distinct lengths| rows — the bounded-domain class), and
+    // band = the NTILE formula applied to that rank (first n%4 buckets
+    // hold ⌈n/4⌉ — identical output, pure arithmetic); (b) pos comes
+    // from per-(band, coin-prefix) row numbers + 256-row offset frames
+    // per band (md5 prefixes distribute uniformly, so partitions are
+    // n/1024 with no skew). Integer-exact, so bit-identical to the
+    // single-window spelling the DuckDB oracle still uses.
     "q_pipeline_curriculum" -> { (s, d) =>
       val W = org.apache.spark.sql.expressions.Window
-      val wB = W.orderBy(col("tok"), col("doc_id"))
-      val wS = W.partitionBy(col("band"))
-        .orderBy(col("coin"), col("doc_id"))
-      Tables.documents(s, d)
+      val docs = Tables.documents(s, d)
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("tok"))
-        .withColumn("band", ntile(4).over(wB))
+        .withColumn("shard", expr("doc_id DIV 1000"))
+      // exact global rank by (tok, doc_id): shard = doc_id DIV 1000 is
+      // monotone in doc_id, so per-(tok, shard) row numbers + per-tok
+      // shard offsets + cross-tok domain offsets compose exactly
+      val cnts = docs.groupBy(col("tok"), col("shard"))
+        .agg(count(lit(1)).as("c"))
+      val wSh = W.partitionBy(col("tok")).orderBy(col("shard"))
+        .rowsBetween(W.unboundedPreceding, -1)
+      val shOff = cnts
+        .withColumn("soff", coalesce(sum(col("c")).over(wSh), lit(0L)))
+      val wTok = W.orderBy(col("tok"))
+      val tokOff = cnts.groupBy(col("tok")).agg(sum(col("c")).as("tc"))
+        .withColumn("toff", coalesce(sum(col("tc")).over(
+          wTok.rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("n", sum(col("tc")).over(wTok.rowsBetween(
+          W.unboundedPreceding, W.unboundedFollowing)))
+        .select(col("tok"), col("toff"), col("n"))
+      val offs = shOff.join(broadcast(tokOff), "tok")
+        .select(col("tok"), col("shard"),
+          (col("toff") + col("soff")).as("off"), col("n"))
+      val wI = W.partitionBy(col("tok"), col("shard"))
+        .orderBy(col("doc_id"))
+      val ranked = docs
+        .withColumn("ir", row_number().over(wI).cast("long"))
+        .join(broadcast(offs), Seq("tok", "shard"))
+        .withColumn("r", col("off") + col("ir"))
+        // NTILE(4): bucket size n DIV 4, first n % 4 buckets one larger;
+        // greatest(bs, 1) keeps the (unreachable at n ≥ 4) else branch
+        // division ANSI-safe
+        .withColumn("band", expr(
+          "CAST(CASE WHEN r <= (n % 4) * (n DIV 4 + 1)" +
+            " THEN (r - 1) DIV (n DIV 4 + 1) + 1" +
+            " ELSE n % 4 + (r - (n % 4) * (n DIV 4 + 1) - 1)" +
+            " DIV greatest(n DIV 4, 1) + 1 END AS INT)"))
         .withColumn("coin",
           md5(concat(lit("cur"), col("doc_id").cast("string"))))
-        .withColumn("pos", row_number().over(wS))
+        .withColumn("cs",
+          conv(substring(col("coin"), 1, 2), 16, 10).cast("long"))
+      // per-band position by (coin, doc_id): the 2-hex-char prefix is
+      // monotone in the coin string, so per-(band, prefix) row numbers
+      // + a ≤256-row offset frame per band compose exactly
+      val wP = W.partitionBy(col("band"), col("cs"))
+        .orderBy(col("coin"), col("doc_id"))
+      val wPo = W.partitionBy(col("band")).orderBy(col("cs"))
+        .rowsBetween(W.unboundedPreceding, -1)
+      val poff = ranked.groupBy(col("band"), col("cs"))
+        .agg(count(lit(1)).as("pc"))
+        .withColumn("po", coalesce(sum(col("pc")).over(wPo), lit(0L)))
+        .select(col("band"), col("cs"), col("po"))
+      ranked.withColumn("pr", row_number().over(wP).cast("long"))
+        .join(broadcast(poff), Seq("band", "cs"))
+        .withColumn("pos", (col("po") + col("pr")).cast("int"))
         .select(col("band"), col("pos"), col("doc_id"), col("tok"))
         .orderBy(col("band"), col("pos"))
     },
@@ -3300,23 +3397,7 @@ object Text {
     // order-free. The curve is corpus-bounded only through the
     // measurement grid — the moments see ≤ #checkpoints rows.
     "q_text_heaps_fit" -> { (s, d) =>
-      val W = org.apache.spark.sql.expressions.Window
-      val tk = Tables.documents(s, d)
-        .select(col("doc_id"), explode(toks(col("text"))).as("w"))
-      val perDoc = tk.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tok"))
-      val firstSeen = tk.groupBy(col("w"))
-        .agg(min(col("doc_id")).as("first_doc"))
-        .groupBy(col("first_doc")).agg(count(lit(1)).as("n_new"))
-      val run = W.orderBy(col("doc_id"))
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-      val pts = perDoc
-        .join(firstSeen, col("doc_id") === col("first_doc"), "left")
-        .select(col("doc_id"), col("n_tok"),
-          coalesce(col("n_new"), lit(0L)).as("n_new"))
-        .withColumn("cum_tokens", sum(col("n_tok")).over(run))
-        .withColumn("vocab_size", sum(col("n_new")).over(run))
-        .filter(col("doc_id") % 50 === 0)
+      val pts = vocabGrowthPoints(s, d)
         .select(
           eround(log(col("cum_tokens")), 9).cast("decimal(18,9)").as("x"),
           eround(log(col("vocab_size")), 9).cast("decimal(18,9)").as("y"))

@@ -433,6 +433,76 @@ class PlanSpec extends SparkSuite {
         "re-add the betweenness/ssspEdges pre-partitioning (see comment)")
   }
 
+  test("global-window canary: no registry query plans a partition-less " +
+      "window outside the audited bounded-frame allowlist") {
+    // The bounded-frame discipline, ENFORCED (r15, VERDICT r14 task 2):
+    // a Window with an empty partitionSpec moves its whole input to one
+    // task — fatal at 100 TB unless the input is provably bounded. This
+    // structural walk over every registry plan found 32 queries with a
+    // global window — a superset of the six the bench-tail WindowExec
+    // warning census showed — and each belongs to one of the audited
+    // bounded classes below. Any NEW query planning one fails here; the
+    // allowlist is asserted EXACTLY, so a site that disappears must be
+    // delisted too.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.{WindowExecBase,
+      WindowGroupLimitExec}
+    val allowed = Set(
+      // top-k ranks over a pre-limited or ≤|V| per-node frame
+      "q_graph_betweenness", "q_graph_closeness", "q_text_zipf_fit",
+      // value-DOMAIN cumulations over pinned per-cents frames (≤49k
+      // rows by construction — the distribution-test class whose
+      // pinned-subtree shape is asserted by its own PlanSpec tests)
+      "q_agg_ks_test", "q_agg_mannwhitney", "q_agg_auc", "q_agg_wilcoxon",
+      "q_agg_mood_median", "q_agg_conover", "q_agg_kruskal_wallis",
+      "q_agg_spearman", "q_agg_split_gini", "q_agg_percentile_grid",
+      // calendar-bounded dense grids (hours/days/months, not events)
+      "q_ts_strength", "q_ts_decompose", "q_ts_granger",
+      "q_shape_survival", "q_shape_aov_trend",
+      // customer/orders DIMENSION cumulative shares (≤|customers|)
+      "q_agg_gini", "q_shape_lorenz", "q_shape_pareto", "q_shape_rfm",
+      "q_shape_rfm_migration", "q_sample_systematic",
+      // multi-level tree prefix sums (r15 respelled vocab_growth/
+      // heaps_fit/curriculum onto this class): the only global window
+      // runs over the TOP level — per-super-shard totals
+      // (data_size/10^6 rows) or a value-DOMAIN offset frame
+      // (curriculum's ≤|distinct lengths| rows)
+      "q_sample_weighted", "q_pipeline_pack", "q_pipeline_shard",
+      "q_text_vocab_growth", "q_text_heaps_fit", "q_pipeline_curriculum",
+      // histogram-grid budget selection (bounded bins)
+      "q_pipeline_token_budget",
+      // row_number over a 100-row limit
+      "q_pipeline_importance_resample")
+    def hasGlobalWindow(p: SparkPlan): Boolean = {
+      val self = p match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case other => other
+      }
+      val here = self match {
+        case w: WindowExecBase => w.partitionSpec.isEmpty
+        case w: WindowGroupLimitExec => w.partitionSpec.isEmpty
+        case _ => false
+      }
+      here || self.children.exists(hasGlobalWindow) ||
+        self.subqueries.exists(hasGlobalWindow)
+    }
+    val observed = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val p = fn(spark, sf).queryExecution.executedPlan
+        if (hasGlobalWindow(p)) Some(name) else None
+    }.toSet
+    val rogue = observed.diff(allowed)
+    assert(rogue.isEmpty,
+      s"unaudited partition-less window(s) in: ${rogue.toSeq.sorted
+        .mkString(", ")} — partition the window or document+allowlist " +
+        "the bounded frame")
+    val stale = allowed.diff(observed)
+    assert(stale.isEmpty,
+      s"allowlisted sites no longer plan a global window: ${stale.toSeq
+        .sorted.mkString(", ")} — delist them to keep the canary honest")
+  }
+
   test("hill tail index: global top-100 plans as TakeOrderedAndProject") {
     // The k-largest-order-statistics scan must be the per-partition
     // heap + single-reduce TakeOrderedAndProject, not a full global
