@@ -1458,8 +1458,8 @@ object Aggregates {
     // and 2R₁ = Σ a1·(2·cumAll − t + 1) is pure integer; U₁ derives as
     // (2R₁ − n1(n1+1))/2 (exact half-grid double). z carries the full
     // tie correction Σ(t³−t), every factor integer until the final
-    // sqrt. Same bounded-domain window shape as the KS row; t³ widens
-    // to DECIMAL(38,0) past ~2e6 rows per value.
+    // sqrt. Same bounded-domain window shape as the KS row; contrib
+    // and tie terms ride DECIMAL(38,0) so neither wraps at any scale.
     "q_agg_mannwhitney" -> { (s, d) =>
       val W = org.apache.spark.sql.expressions.Window
       val pv = cpCentsFrame(s, d)
@@ -1499,8 +1499,8 @@ object Aggregates {
     // Average ranks stay exact as DOUBLED ranks built from each axis's
     // marginal cumsum (2r(v) = 2·cumBefore + t + 1), joined back through
     // broadcast rank maps; ρ is Pearson over the doubled ranks (the
-    // factor 2 cancels), every moment an exact integer (widen to
-    // DECIMAL(38,0) past ~1e6 rows — the q_shape_elasticity note).
+    // factor 2 cancels), every moment an exact DECIMAL(38,0) integer
+    // (cast before the rx·ry products, so nothing wraps at any scale).
     // Scale shape: one (cents × hour) cell agg — both axes are bounded
     // domains, so the windows and rank maps are fixed-size at any
     // corpus scale; the only corpus-wide pass is the first partial agg.
@@ -1525,12 +1525,16 @@ object Aggregates {
       val j = cell
         .join(broadcast(rankMap("x", "rx")), "x")
         .join(broadcast(rankMap("y", "ry")), "y")
+      // cast to DECIMAL(38,0) BEFORE the cross-products (r15, closing
+      // the documented residual): rx² ≈ 4n², so the int64 product wrapped
+      // past ~1e6 rows under heavy ties — casting only the RESULT kept
+      // the wrap inside the multiply
       val m = j.agg(sum(col("nc")).as("n"),
-        sum((col("rx") * col("nc")).cast(dec38)).as("sx"),
-        sum((col("ry") * col("nc")).cast(dec38)).as("sy"),
-        sum((col("rx") * col("rx") * col("nc")).cast(dec38)).as("sxx"),
-        sum((col("ry") * col("ry") * col("nc")).cast(dec38)).as("syy"),
-        sum((col("rx") * col("ry") * col("nc")).cast(dec38)).as("sxy"))
+        sum(col("rx").cast(dec38) * col("nc")).as("sx"),
+        sum(col("ry").cast(dec38) * col("nc")).as("sy"),
+        sum(col("rx").cast(dec38) * col("rx") * col("nc")).as("sxx"),
+        sum(col("ry").cast(dec38) * col("ry") * col("nc")).as("syy"),
+        sum(col("rx").cast(dec38) * col("ry") * col("nc")).as("sxy"))
       def dbl(c: String): Column = col(c).cast("double")
       m.select(col("n"),
         eround((col("n") * dbl("sxy") - dbl("sx") * dbl("sy")) /
@@ -1549,13 +1553,13 @@ object Aggregates {
     // a 24-row prefix/suffix over hours per cents value turns cumx into
     // below-left / above-left pair counts; C = Σ nc·bl, D = Σ nc·br
     // (each pair tallied once, at its greater-x member; x- or y-tied
-    // pairs fall in neither). All pure integers; tie terms t(t−1)/2
-    // close the τ-b denominator, spelled sqrt(n0−tx)·sqrt(n0−ty)
-    // because the product of the two ~n²/2 longs would overflow int64
-    // (each factor alone is exact in a double). Frame = distinct cents
-    // × 24 — the value DOMAIN, not the corpus (the q_agg_ks_test scale
-    // argument); past ~3e9 rows the nc·bl products need DECIMAL(38,0),
-    // the same caveat as KS.
+    // pairs fall in neither). Pair products and tie terms ride
+    // DECIMAL(38,0) (r15 — the int64 spellings wrapped past ~3e9 rows);
+    // the τ-b denominator stays sqrt(n0−tx)·sqrt(n0−ty) because the
+    // product of the two ~n²/2 factors would exceed even a double's
+    // integer range, while each factor alone is fine. Frame = distinct
+    // cents × 24 — the value DOMAIN, not the corpus (the q_agg_ks_test
+    // scale argument).
     "q_agg_kendall_tau" -> { (s, d) =>
       val W = org.apache.spark.sql.expressions.Window
       val cell = Checkpoints.pin("kendall:" + d, Tables.events(s, d)
@@ -1577,19 +1581,34 @@ object Aggregates {
         .withColumn("cumx", coalesce(sum(col("nc")).over(wX), lit(0L)))
         .withColumn("bl", coalesce(sum(col("cumx")).over(wLt), lit(0L)))
         .withColumn("br", coalesce(sum(col("cumx")).over(wGt), lit(0L)))
+      // DECIMAL(38,0) lifts (r15, closing the documented residual): the
+      // nc·bl pair products wrapped int64 past ~3e9 rows and the
+      // t(t−1)/2 tie terms past ~4e9 rows per value; n0 = n(n−1)/2 goes
+      // straight to double (it only feeds the sqrt, and each factor is
+      // exact in a double — the pre-lift convention). The OUTPUT pair
+      // counts cast back to BIGINT because the driver's schema audit
+      // bans DECIMAL output columns (the q_agg_auc.u_num interface
+      // residual — τ-b itself is computed from the unwrapped decimals)
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val tot = dom.agg(sum(col("nc")).as("n"),
-        sum(col("nc") * col("bl")).as("concordant"),
-        sum(col("nc") * col("br")).as("discordant"))
+        sum(col("nc").cast(dec38) * col("bl")).as("concordant"),
+        sum(col("nc").cast(dec38) * col("br")).as("discordant"))
       val tx = cell.groupBy(col("x")).agg(sum(col("nc")).as("t"))
-        .agg(sum(expr("t * (t - 1) DIV 2")).as("tie_x"))
+        .agg((sum(col("t").cast(dec38) * (col("t") - 1)) / 2)
+          .cast(dec38).as("tie_x"))
       val ty = cell.groupBy(col("y")).agg(sum(col("nc")).as("t"))
-        .agg(sum(expr("t * (t - 1) DIV 2")).as("tie_y"))
-      val n0 = expr("n * (n - 1) DIV 2")
+        .agg((sum(col("t").cast(dec38) * (col("t") - 1)) / 2)
+          .cast(dec38).as("tie_y"))
+      val n0 = col("n").cast("double") * (col("n").cast("double") - 1.0) / 2.0
       tot.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
-        .select(col("n"), col("concordant"), col("discordant"),
-          col("tie_x"), col("tie_y"),
-          eround((col("concordant") - col("discordant")) /
-            (sqrt(n0 - col("tie_x")) * sqrt(n0 - col("tie_y"))), 6)
+        .select(col("n"),
+          col("concordant").cast("long").as("concordant"),
+          col("discordant").cast("long").as("discordant"),
+          col("tie_x").cast("long").as("tie_x"),
+          col("tie_y").cast("long").as("tie_y"),
+          eround((col("concordant") - col("discordant")).cast("double") /
+            (sqrt(n0 - col("tie_x").cast("double"))
+              * sqrt(n0 - col("tie_y").cast("double"))), 6)
             .as("tau_b"))
     },
 

@@ -1318,11 +1318,13 @@ object Analytics {
     // Discount elasticity per brand — promotion effectiveness: the OLS
     // slope (and Pearson r) of line quantity against discount basis
     // points across a brand's lines. Same exact-integer moment recipe
-    // as q_agg_corr_matrix (both variables are small ints, every moment
-    // BIGINT at any realistic scale — widen to DECIMAL(38,0) past ~1e12
-    // rows/brand); flat-discount brands (zero variance) yield null, not
-    // NaN. One lineitem⋈part join (part broadcasts) + one partial agg.
+    // as q_agg_corr_matrix; the moments ride DECIMAL(38,0) (r15,
+    // closing the documented ~1e12 rows/brand int64 residual), so
+    // nothing wraps at any scale; flat-discount brands (zero variance)
+    // yield null, not NaN. One lineitem⋈part join (part broadcasts) +
+    // one partial agg.
     "q_shape_elasticity" -> { (s, d) =>
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val li = Tables.lineitem(s, d)
         .join(broadcast(Tables.part(s, d)
           .select(col("p_partkey"), col("p_brand"))),
@@ -1331,10 +1333,12 @@ object Analytics {
           round(col("l_discount") * 100).cast("long").as("x"),
           col("l_quantity").cast("long").as("y"))
       val m = li.groupBy(col("p_brand"))
-        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"),
-          sum(col("y") * col("y")).as("syy"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast(dec38)).as("sx"),
+          sum(col("y").cast(dec38)).as("sy"),
+          sum(col("x").cast(dec38) * col("y")).as("sxy"),
+          sum(col("x").cast(dec38) * col("x")).as("sxx"),
+          sum(col("y").cast(dec38) * col("y")).as("syy"))
       val dx = m("n") * col("sxx") - col("sx") * col("sx")
       val dy = m("n") * col("syy") - col("sy") * col("sy")
       val num = m("n") * col("sxy") - col("sx") * col("sy")

@@ -1284,13 +1284,17 @@ object Events {
     // level shifts. EXACT-integer spelling: with cents c, prefix sums P_i
     // and totals (n, S), the mean-centred cusum scales to
     //   n·cusum_i = n·P_i − i·S
-    // — all BIGINT (headroom ~1e9 rows/type at these magnitudes; widen
-    // to DECIMAL(38,0) past that), so the peak and its argmax position
-    // (earliest (tus, event_id) on ties via one min(struct)) are
-    // deterministic with no float anywhere; only the display drift
-    // divides back to currency. One event_type-partitioned running
-    // window + a per-type argmin — single shuffle.
+    // — prefix sums and the n·P − i·S cross-products on DECIMAL(38,0)
+    // (r15, closing the documented ~1e9 rows/type int64 residual), so
+    // the peak and its argmax position (earliest (tus, event_id) on
+    // ties via one min(struct)) are deterministic with no float
+    // anywhere and no wrap at any scale; only the display drift divides
+    // back to currency, and the peak column casts back to BIGINT at the
+    // output boundary (the driver schema bans DECIMAL columns — the
+    // q_agg_auc.u_num interface residual). One event_type-partitioned
+    // running window + a per-type argmin — single shuffle.
     "q_ts_cusum" -> { (s, d) =>
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("event_type"))
         .orderBy(col("tus"), col("event_id"))
@@ -1300,17 +1304,17 @@ object Events {
         .withColumn("c", round(col("value") * 100).cast("long"))
         .withColumn("tus", expr("unix_micros(ts)"))
       val st = ev.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("c")).as("sc"))
+        .agg(count(lit(1)).as("n"), sum(col("c").cast(dec38)).as("sc"))
       ev.join(broadcast(st), Seq("event_type"))
         .withColumn("i", count(lit(1)).over(w))
-        .withColumn("pc", sum(col("c")).over(w))
+        .withColumn("pc", sum(col("c").cast(dec38)).over(w))
         .withColumn("scaled", col("n") * col("pc") - col("i") * col("sc"))
         .groupBy(col("event_type"))
         .agg(first(col("n")).as("n"),
           min(struct((-abs(col("scaled"))).as("na"), col("tus"),
             col("event_id"), col("scaled"))).as("m"))
         .select(col("event_type"), col("n"),
-          abs(col("m.scaled")).as("peak_scaled"),
+          abs(col("m.scaled")).cast("long").as("peak_scaled"),
           timestamp_micros(col("m.tus")).as("peak_ts"),
           col("m.event_id").as("peak_event"),
           eround(abs(col("m.scaled")).cast("double") / col("n") / 100.0, 4)
@@ -1780,22 +1784,27 @@ object Events {
     // maximizing |Σ_{i≤t}(x_i − x̄)|, with the level before/after and
     // the shift size. EXACT integers throughout: the centered cumsum
     // spells n·cum_t − t·total (no float mean), the argmax key is
-    // min(struct(−|s|, t)) integer ordering, and the two means are one
+    // min(struct(−|s|, t)) exact ordering, and the two means are one
     // float division each at 4dp. The walk runs over the
-    // calendar-bounded daily frame (the KS window class); n·cum
-    // overflows int64 past ~1e12 daily cents-days — DECIMAL(38,0)
-    // then.
+    // calendar-bounded daily frame (the KS window class). r15 (the
+    // q_agg_kruskal DECIMAL(38,0) precedent, VERDICT r14 task 5): the
+    // cumulative/total cents ride DECIMAL(38,0) so the n·cum − t·tc
+    // cross-product — which wrapped int64 past ~1e12 daily cents-days
+    // (an ANSI ARITHMETIC_OVERFLOW job failure at fact scale) — stays
+    // exact to ~1e38; OverflowDisciplineSpec evaluates both spellings
+    // past the wrap point.
     "q_ts_changepoint" -> { (s, d) =>
       val W = org.apache.spark.sql.expressions.Window
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val daily = Tables.events(s, d)
         .groupBy(col("event_type"), to_date(col("ts")).as("day"))
         .agg(sum(round(col("value") * 100).cast("long")).as("c"))
       val w = W.partitionBy(col("event_type")).orderBy(col("day"))
       val tot = daily.groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("c")).as("tc"))
+        .agg(count(lit(1)).as("n"), sum(col("c").cast(dec38)).as("tc"))
       val walk = daily
         .withColumn("t", row_number().over(w).cast("long"))
-        .withColumn("cum", sum(col("c")).over(
+        .withColumn("cum", sum(col("c").cast(dec38)).over(
           w.rowsBetween(W.unboundedPreceding, W.currentRow)))
         .join(broadcast(tot), "event_type")
         .filter(col("t") < col("n"))
@@ -1807,13 +1816,16 @@ object Events {
           col("n").as("n"), col("tc").as("tc"))).as("m"))
         .select(col("event_type"), col("m.day").as("cp_day"),
           col("m.t").as("t_index"), col("m.n").as("n_days"),
-          eround(col("m.cum") / col("m.t") / 100.0, 4)
+          // decimal state casts to double only at the final divisions —
+          // the same long→double promotion the pre-lift divisions did
+          eround(col("m.cum").cast("double") / col("m.t") / 100.0, 4)
             .as("mean_before"),
-          eround((col("m.tc") - col("m.cum"))
+          eround((col("m.tc") - col("m.cum")).cast("double")
             / (col("m.n") - col("m.t")) / 100.0, 4).as("mean_after"),
-          eround((col("m.tc") - col("m.cum"))
+          eround((col("m.tc") - col("m.cum")).cast("double")
             / (col("m.n") - col("m.t")) / 100.0
-            - col("m.cum") / col("m.t") / 100.0, 4).as("shift"))
+            - col("m.cum").cast("double") / col("m.t") / 100.0, 4)
+            .as("shift"))
         .orderBy(col("event_type"))
     },
 

@@ -629,11 +629,12 @@ object Vectors {
     // SQL-replayable; ‖Gv‖ at the last round is the eigenvalue
     // (‖v‖ = 1), reported per-sample in embedding units. Matvec cells
     // ride 4dp DECIMAL(28,4) sums (order-free); the rescaled 6dp norm
-    // cells keep the squares inside DECIMAL(38,12). Gram products
-    // overflow int64 past ~2.7e7 vectors — cast g to DECIMAL(38,0) at
-    // that scale (the KS caveat class).
+    // cells keep the squares inside DECIMAL(38,12). Gram cells ride
+    // DECIMAL(38,0) (r15, closing the documented residual — the int64
+    // Σqi·qj wrapped past ~2.7e7 vectors).
     "q_vec_pca_power" -> { (s, d) =>
       GraftFunctions.register(s)
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val qs = Tables.embeddings(s, d)
         .select(col("vec_id"), expr("int_micros(embedding)").as("q"))
       val lng = qs.select(col("vec_id"),
@@ -646,7 +647,7 @@ object Vectors {
         lng.join(lng.select(col("vec_id"), col("i").as("j"),
             col("qi").as("qj")), "vec_id")
           .groupBy(col("i"), col("j"))
-          .agg(sum(col("qi") * col("qj")).as("g"))
+          .agg(sum(col("qi").cast(dec38) * col("qj")).as("g"))
           .localCheckpoint()))
       val nn = qs.agg(count(lit(1)).as("n"))
       val v0 = s.range(0, 64)

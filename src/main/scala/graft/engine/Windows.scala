@@ -352,13 +352,15 @@ object Windows {
     // EXACT until the last divide: x is the integral row_number, y exact
     // cents, so the frame sums (Σx, Σy, Σxy, Σx²) and the classic
     //   slope = (mΣxy − ΣxΣy) / (mΣx² − (Σx)²)
-    // numerator/denominator are all BIGINT (headroom: i·c needs i ~ 1e12
-    // rows/type to pass 2⁶³ at these magnitudes — widen to DECIMAL(38,0)
-    // past that); both engines then divide the identical integers once.
+    // numerator/denominator ride DECIMAL(38,0) (r15, closing the
+    // documented residual — the int64 i·c products wrapped past ~1e12
+    // rows/type and the ΣxΣy cross-products past ~3e10); both engines
+    // then divide the identical integers once.
     // The denominator is the constant m²(m²−1)/12 of a full frame (x is
     // consecutive), nonzero for m = 24; burn-in rows (m < 24) are
     // dropped. One type-partitioned window, O(1) state per frame.
     "q_win_slope" -> { (s, d) =>
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val w = Window.partitionBy(col("event_type"))
         .orderBy(col("tus"), col("event_id"))
       val f = w.rowsBetween(-23, Window.currentRow)
@@ -374,15 +376,16 @@ object Windows {
           count(lit(1)).over(f).as("m"),
           sum(col("i")).over(f).as("sx"),
           sum(col("c")).over(f).as("sy"),
-          sum(col("i") * col("c")).over(f).as("sxy"),
-          sum(col("i") * col("i")).over(f).as("sxx"))
+          sum(col("i").cast(dec38) * col("c")).over(f).as("sxy"),
+          sum(col("i").cast(dec38) * col("i")).over(f).as("sxx"))
         .filter(col("m") === 24)
         .select(col("event_type"), col("event_id"), col("ts"),
           col("value"),
-          eround((col("m") * col("sxy") - col("sx") * col("sy"))
-            .cast("double")
-            / (col("m") * col("sxx") - col("sx") * col("sx"))
-              .cast("double") / 100.0, 6).as("slope"))
+          eround((col("m") * col("sxy")
+              - col("sx").cast(dec38) * col("sy")).cast("double")
+            / (col("m") * col("sxx")
+              - col("sx").cast(dec38) * col("sx")).cast("double")
+            / 100.0, 6).as("slope"))
         .orderBy(col("event_type"), col("event_id"))
     },
 

@@ -62,6 +62,48 @@ class OverflowDisciplineSpec extends SparkSuite {
     }, "the long spelling must hit ANSI ARITHMETIC_OVERFLOW here")
   }
 
+  test("centered-cusum cross-product: DECIMAL(38,0) carries n*cum - t*tc " +
+      "past int64; the old long spelling throws there (r15 lift)") {
+    // the changepoint/cusum day walk at fact scale: n = 4000 days,
+    // cum = 5e15 cents (a ~5e13-row type at ~100-cent values):
+    // n*cum = 2e19 > 2^63 ~ 9.2e18
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val df = Seq((4000L, 5000000000000000L, 2000L, 9000000000000000L))
+      .toDF("n", "cum", "t", "tc")
+    val shipped = df.select((col("n") * col("cum").cast(dec38)
+      - col("t") * col("tc").cast(dec38)).as("sdev")).head.getDecimal(0)
+    val expect = new java.math.BigDecimal(4000L)
+      .multiply(new java.math.BigDecimal(5000000000000000L))
+      .subtract(new java.math.BigDecimal(2000L)
+        .multiply(new java.math.BigDecimal(9000000000000000L)))
+    assert(shipped.compareTo(expect) === 0,
+      s"decimal day-walk cross-product must be exact: $shipped vs $expect")
+    assert(ansiOverflow {
+      df.select((col("n") * col("cum") - col("t") * col("tc")).as("x"))
+        .head.getLong(0)
+    }, "the int64 day-walk spelling must hit ANSI ARITHMETIC_OVERFLOW here")
+  }
+
+  test("OLS moment lift: DECIMAL(38,0) carries rolling i*c and rank " +
+      "products past int64 (spearman/elasticity/win_slope class)") {
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // i = 2e12 rows into a type's stream, c = 50000 cents:
+    // i*c = 1e17 fine alone, but the 24-frame sums' cross-products
+    // (sx*sy ~ 24i * 24*c*i) and doubled-rank squares (rx^2*nc with
+    // rx ~ 2n = 4e9, nc = 1e6 -> 1.6e25) pass 2^63
+    val df = Seq((4000000000L, 1000000L)).toDF("rx", "nc")
+    val shipped = df.select((col("rx").cast(dec38) * col("rx")
+      * col("nc")).as("sxx")).head.getDecimal(0)
+    val expect = new java.math.BigDecimal(4000000000L).pow(2)
+      .multiply(new java.math.BigDecimal(1000000L))
+    assert(shipped.compareTo(expect) === 0,
+      s"decimal rank-square moment must be exact: $shipped vs $expect")
+    assert(ansiOverflow {
+      df.select((col("rx") * col("rx") * col("nc")).as("x"))
+        .head.getLong(0)
+    }, "the int64 moment spelling must hit ANSI ARITHMETIC_OVERFLOW here")
+  }
+
   test("tie-cube sum: DECIMAL(38,0) carries t^3 past int64") {
     val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
     // a tie group of 3e9 rows: t^3 = 2.7e28
