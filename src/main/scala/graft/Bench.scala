@@ -47,10 +47,11 @@ object Bench {
     // estimator-study knobs are legitimate here (bench-only studies),
     // but announce them so a knob leaked from a shell profile can't
     // silently skew the centrality rows' timings (ADVICE r14)
-    Seq("SPARK_GRAFT_CENTRALITY_SOURCES", "SPARK_GRAFT_CENTRALITY_HOPS")
+    Seq("SPARK_GRAFT_CENTRALITY_SOURCES", "SPARK_GRAFT_CENTRALITY_HOPS",
+      "SPARK_GRAFT_DEDUP_DEMO_BOUND")
       .filter(sys.env.contains).foreach(k => System.err.println(
-        s"[bench] NOTE: $k=${sys.env(k)} — centrality rows run with " +
-          "overridden estimator parameters (oracle parity off)"))
+        s"[bench] NOTE: $k=${sys.env(k)} — affected rows run with " +
+          "overridden estimator/demo parameters (oracle parity off)"))
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()

@@ -13,10 +13,11 @@ object Verify {
     // (ADVICE r14): the knobs stay usable for explicit Bench/Explain
     // estimator studies only.
     val knobs = Seq("SPARK_GRAFT_CENTRALITY_SOURCES",
-      "SPARK_GRAFT_CENTRALITY_HOPS").filter(sys.env.contains)
+      "SPARK_GRAFT_CENTRALITY_HOPS", "SPARK_GRAFT_DEDUP_DEMO_BOUND")
+      .filter(sys.env.contains)
     if (knobs.nonEmpty) {
       System.err.println(s"[verify] FATAL: ${knobs.mkString(", ")} " +
-        "set — centrality estimator overrides break oracle parity by " +
+        "set — estimator/demo-bound overrides break oracle parity by " +
         "design; unset them for a correctness dump")
       sys.exit(2)
     }
