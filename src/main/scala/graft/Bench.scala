@@ -43,6 +43,35 @@ object Bench {
     sec
   }
 
+  /** All-cores host-speed calibration (r15): the same xorshift walk on
+    * every available core at once, reporting wall time. The r15 close
+    * found a contention epoch the SINGLE-thread calibration could not
+    * see (calib flat at 0.98x while unchanged CPU-bound rows ran
+    * 1.3-2.7x slower — and the r14 BINARY re-run reproduced the
+    * inflation, pinning it on the host): SMT/memory-bandwidth
+    * contention from co-tenants slows 32-way work without touching a
+    * lone thread. Emitted as calib_par_sec_{before,after} so the next
+    * multi-core epoch shift self-diagnoses the way r14's single-core
+    * shift did.
+    */
+  def calibParSec(): Double = {
+    val n = Runtime.getRuntime.availableProcessors()
+    val t0 = System.nanoTime()
+    val threads = (0 until n).map { k =>
+      val t = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + k
+        var i = 0
+        while (i < 200000000) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1
+        }
+        if (x == 42L) System.err.println("")
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     // estimator-study knobs are legitimate here (bench-only studies),
     // but announce them so a knob leaked from a shell profile can't
@@ -479,8 +508,11 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - w0) / 1e9
     }.toMap
-    // host-speed calibration brackets the timed region (see calibSec)
+    // host-speed calibration brackets the timed region (see calibSec /
+    // calibParSec — single-core for frequency epochs, all-core for
+    // contention epochs)
     val calibBefore = calibSec()
+    val calibParBefore = calibParSec()
     // INTERLEAVED VISITS (the r6 lesson): three driver rounds in a row
     // showed host-contention windows marching through the run and
     // inflating whichever queries happened to execute inside them 8-13x
@@ -619,13 +651,14 @@ object Bench {
         .mkString("{", ",", "}")
       catch { case _: Throwable => "{}" }
     val calibAfter = calibSec()
+    val calibParAfter = calibParSec()
     // Regime stamp (ADVICE r14): a memo-bypass (cold) run must never be
     // silently compared against a memo-warm baseline — benchdiff.py
     // refuses cross-regime comparisons using this field.
     val memoBypass =
       sys.env.get("SPARK_GRAFT_MEMO_BYPASS").exists(_.nonEmpty)
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$mins,"telemetry":$telem,"regressed_vs_prev":$regressed,"storage_by_slot":$slotLedger,"calib_sec_before":${f3(calibBefore)},"calib_sec_after":${f3(calibAfter)},"memo_bypass":$memoBypass,"reps":$reps,"rep_order":"interleaved_visits_${visitSizes.mkString("_")}","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","total_min":$totalMin,"queries":$qs,"queries_min":$mins,"telemetry":$telem,"regressed_vs_prev":$regressed,"storage_by_slot":$slotLedger,"calib_sec_before":${f3(calibBefore)},"calib_sec_after":${f3(calibAfter)},"calib_par_sec_before":${f3(calibParBefore)},"calib_par_sec_after":${f3(calibParAfter)},"memo_bypass":$memoBypass,"reps":$reps,"rep_order":"interleaved_visits_${visitSizes.mkString("_")}","sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter(outPath)
       try w.println(full) finally w.close()

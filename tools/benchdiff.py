@@ -25,8 +25,9 @@ def load(src):
         return json.loads(out)
 
 
-def calib(d):
-    vals = [d[k] for k in ("calib_sec_before", "calib_sec_after")
+def calib(d, par=False):
+    pre = "calib_par_sec" if par else "calib_sec"
+    vals = [d[k] for k in (f"{pre}_before", f"{pre}_after")
             if k in d and d[k] > 0]
     return sum(vals) / len(vals) if vals else None
 
@@ -46,13 +47,23 @@ def main():
                  f"new memo_bypass={rn} — compare like with like "
                  "(re-run one side in the other's regime)")
     co, cn = calib(old), calib(new)
-    host = (cn / co) if (co and cn) else None
+    cpo, cpn = calib(old, par=True), calib(new, par=True)
+    # the all-core calibration (r15) sees contention epochs the
+    # single-thread walk cannot (SMT/memory-bandwidth co-tenancy slows
+    # 32-way work while a lone thread stays flat — the r15 close
+    # lesson); prefer it for normalization when both sides carry it
+    host1 = (cn / co) if (co and cn) else None
+    hostp = (cpn / cpo) if (cpo and cpn) else None
+    host = hostp or host1
     print(f"total med {old['value']:.1f} -> {new['value']:.1f}  "
           f"min {old.get('total_min', 0):.1f} -> "
           f"{new.get('total_min', 0):.1f}")
     if host:
-        print(f"host-speed ratio (new/old calib): {host:.3f} — "
-              "normalized ratios divide by this")
+        which = "all-core" if hostp else "single-core"
+        extra = (f" (single-core ratio {host1:.3f})"
+                 if hostp and host1 else "")
+        print(f"host-speed ratio ({which} calib, new/old): {host:.3f}"
+              f"{extra} — normalized ratios divide by this")
     else:
         print("calib missing on one side — raw ratios only")
     common = sorted(set(old["queries_min"]) & set(new["queries_min"]))
