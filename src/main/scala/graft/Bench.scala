@@ -452,7 +452,10 @@ object Bench {
       // the schema-drift CSV scan (real IO, unlike the dimension-scale
       // scan variants), and the nearest-hub broadcast-probe assignment
       "q_shape_reorder_rate", "q_vec_pca_power", "q_scan_csv_drift",
-      "q_join_nearest_hub")
+      "q_join_nearest_hub",
+      // round-15: the unigram-LM EM step (corpus token explode + the
+      // 12-level vocabulary Viterbi walk — the bpe_train cost class)
+      "q_text_unigram_lm")
     headline.diff(SparkEntry.queries.keySet).foreach(k =>
       System.err.println(s"[bench] headline query missing from registry: $k"))
     // SPARK_GRAFT_BENCH_ONLY=a,b,c times just the named queries (dev aid

@@ -2605,6 +2605,105 @@ object Text {
         .orderBy(col("rank"))
     },
 
+    // Unigram-LM tokenizer EM step (r15) — the SentencePiece-style
+    // (Kudo 2018) trainer beside BPE, the last LLM-pipeline tokenizer
+    // surface: seed a piece inventory from all ≤4-char substrings of
+    // the word vocabulary (weighted count ≥ 2, plus every single char
+    // as the coverage floor), score each piece with an ε-rounded
+    // log-likelihood CELL (ln(cnt) − ln(total) at 6dp DECIMAL — the
+    // spectral-entropy ln-cell discipline, so DP sums are exact and
+    // order-free), Viterbi-segment every vocabulary word under those
+    // scores (exact decimal DP over positions 1..12; ties break to the
+    // lexicographically LARGEST path, byte order in both engines), and
+    // re-estimate piece counts from the winning segmentations — one
+    // exact EM half-step, reported as the top-32 pieces by E-step
+    // count. Scale: the corpus is touched ONCE (token explode →
+    // word-frequency aggregate, the BPE posture); everything after
+    // runs on vocabulary-sized frames with the piece table broadcast,
+    // and the 12-level DP checkpoints per level exactly like the BPE
+    // merge walk (analyzer-depth hygiene). Oracle: the same DP
+    // unrolled as 12 CTE levels (the bpe_train machinery), identical
+    // cells, identical tie rule. Words longer than 12 chars sit out
+    // (documented cap = the unroll depth; fixture max is 9).
+    "q_text_unigram_lm" -> { (s, d) =>
+      // train-once discipline (the bpeWalk pattern): the piece-score
+      // table and the Viterbi-segmented vocabulary are pure fixture
+      // artifacts — served across invocations; the 12 intermediate DP
+      // levels are freed as soon as the final frame materializes
+      val (lpF, finalsF) = (Checkpoints.serving(s"uniLp:$d", s),
+          Checkpoints.serving(s"uniF:$d", s)) match {
+        case (Some(a), Some(b)) => (a, b)
+        case _ =>
+          val vocab = Tables.documents(s, d)
+            .select(explode(toks(col("text"))).as("w"))
+            .filter(col("w").rlike("^[a-z]+$") && length(col("w")) <= 12)
+            .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+          val pieces = vocab
+            .select(col("freq"), explode(expr(
+              "flatten(transform(sequence(1, length(w)), i ->" +
+                " transform(sequence(1, least(4, length(w) - i + 1))," +
+                " l -> substring(w, i, l))))")).as("p"))
+            .groupBy(col("p")).agg(sum(col("freq")).as("cnt"))
+            .filter(col("cnt") >= 2 || length(col("p")) === 1)
+          val tot = pieces.agg(sum(col("cnt")).as("tot"))
+          val lp = pieces.crossJoin(broadcast(tot))
+            .select(col("p"), col("cnt").as("seed_cnt"),
+              eround(log(col("cnt").cast("double"))
+                - log(col("tot").cast("double")), 6)
+                .cast("decimal(18,6)").as("lp"))
+            .coalesce(1).localCheckpoint()
+          // Viterbi over positions: byPos(i) = best (score, path) per
+          // word reaching char i; candidates extend byPos(i-l) with the
+          // length-l piece ending at i (the length(w) >= i guard keeps
+          // out-of-range substrings from matching shorter pieces)
+          val s0 = vocab.select(col("w"), col("freq"),
+            lit(0).cast("decimal(28,6)").as("sc"), lit("").as("pt"))
+            .coalesce(1).localCheckpoint()
+          val byPos = scala.collection.mutable.ArrayBuffer[DataFrame](s0)
+          for (i <- 1 to 12) {
+            val cands = (1 to math.min(4, i)).map { l =>
+              byPos(i - l).filter(length(col("w")) >= i)
+                .join(broadcast(lp),
+                  substring(col("w"), i - l + 1, l) === col("p"))
+                .select(col("w"), col("freq"),
+                  (col("sc") + col("lp")).as("sc"),
+                  when(col("pt") === "", col("p"))
+                    .otherwise(concat(col("pt"), lit("|"), col("p")))
+                    .as("pt"))
+            }.reduce(_.unionByName(_))
+            byPos += cands.groupBy(col("w"), col("freq"))
+              .agg(max(struct(col("sc"), col("pt"))).as("m"))
+              .select(col("w"), col("freq"),
+                col("m.sc").as("sc"), col("m.pt").as("pt"))
+              .coalesce(1).localCheckpoint()
+          }
+          val finalsCk = (1 to 12).map(i =>
+              byPos(i).filter(length(col("w")) === i))
+            .reduce(_.unionByName(_))
+            .coalesce(1).localCheckpoint()
+          byPos.foreach(Checkpoints.free)
+          (Checkpoints.pin(s"uniLp:$d", lp),
+            Checkpoints.pin(s"uniF:$d", finalsCk))
+      }
+      val em = finalsF
+        .select(col("freq"), explode(split(col("pt"), "\\|")).as("p"))
+        .groupBy(col("p")).agg(sum(col("freq")).as("em_count"))
+      val emTot = em.agg(sum(col("em_count")).as("emtot"))
+      val top = em
+        .join(broadcast(lpF.select(col("p"), col("seed_cnt"))), "p")
+        .crossJoin(broadcast(emTot))
+        .select(col("p").as("piece"), col("em_count"), col("seed_cnt"),
+          eround(log(col("em_count").cast("double"))
+            - log(col("emtot").cast("double")), 6).as("score"))
+        .orderBy(desc("em_count"), asc("piece")).limit(32)
+      top.withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(desc("em_count"), asc("piece"))).cast("long"))
+        .select(col("rank"), col("piece"), col("em_count"),
+          col("seed_cnt"), col("score"))
+        .orderBy(col("rank"))
+    },
+
     // BPE TRAIN → APPLY round trip: run the 16 learned merges over the
     // whole corpus and report the per-language compression (chars per
     // BPE symbol). The merged VOCAB (one row per distinct word) is where
@@ -3946,6 +4045,67 @@ object Text {
                s"a || b AS merged, cnt FROM b$i")
              .mkString(" UNION ALL ")}
          | ORDER BY rank"""
+        .stripMargin.replaceAll("\n", " ")
+    },
+
+    "q_text_unigram_lm" -> {
+      // the Viterbi DP unrolled as 12 CTE levels (grouping inside
+      // recursive CTEs is not portable — the bpe_train machinery):
+      // level i joins each reachable predecessor level i-l to the piece
+      // table on the length-l substring ending at i; ties break to the
+      // lexicographically largest path in both engines (byte order)
+      val level = (i: Int) => {
+        val branches = (1 to math.min(4, i)).map { l =>
+          s"""SELECT s.w, s.freq, s.sc + lp.lp AS sc,
+             |  CASE WHEN s.pt = '' THEN lp.p
+             |   ELSE s.pt || '|' || lp.p END AS pt
+             | FROM s${i - l} s JOIN lp ON
+             |  substr(s.w, ${i - l + 1}, $l) = lp.p
+             | WHERE length(s.w) >= $i""".stripMargin
+        }.mkString(" UNION ALL ")
+        s"""c$i AS ($branches),
+           | b$i AS (SELECT w, max(sc) AS msc FROM c$i GROUP BY w),
+           | s$i AS MATERIALIZED (SELECT c.w, c.freq, b.msc AS sc,
+           |   max(c.pt) AS pt
+           |  FROM c$i c JOIN b$i b ON c.w = b.w AND c.sc = b.msc
+           |  GROUP BY c.w, c.freq, b.msc)"""
+      }
+      s"""WITH v AS (SELECT w, count(*) AS freq FROM
+         |   (SELECT unnest($oToks) AS w FROM documents)
+         |  WHERE regexp_matches(w, '^[a-z]+$$') AND length(w) <= 12
+         |  GROUP BY w),
+         | wi AS (SELECT w, freq,
+         |   unnest(generate_series(1, length(w))) AS i FROM v),
+         | wil AS (SELECT w, freq, i, unnest(generate_series(1,
+         |   least(4, length(w) - i + 1))) AS l FROM wi),
+         | ps AS (SELECT substr(w, i, l) AS p,
+         |   CAST(sum(freq) AS BIGINT) AS cnt FROM wil GROUP BY p),
+         | kept AS (SELECT p, cnt FROM ps
+         |  WHERE cnt >= 2 OR length(p) = 1),
+         | tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS tot FROM kept),
+         | lp AS MATERIALIZED (SELECT p, cnt AS seed_cnt,
+         |   CAST(round(ln(cnt) - ln(tot) + 5e-10, 6) AS DECIMAL(18,6))
+         |    AS lp FROM kept, tot),
+         | s0 AS (SELECT w, freq, CAST(0 AS DECIMAL(28,6)) AS sc,
+         |   '' AS pt FROM v),
+         | ${(1 to 12).map(level).mkString(", ")},
+         | fs AS (${(1 to 12).map(i =>
+             s"SELECT * FROM s$i WHERE length(w) = $i")
+             .mkString(" UNION ALL ")}),
+         | emx AS (SELECT unnest(string_split(pt, '|')) AS p, freq
+         |  FROM fs),
+         | em AS (SELECT p, CAST(sum(freq) AS BIGINT) AS em_count
+         |  FROM emx GROUP BY p),
+         | emtot AS (SELECT CAST(sum(em_count) AS BIGINT) AS emtot
+         |  FROM em),
+         | top AS (SELECT em.p AS piece, em.em_count, lp.seed_cnt,
+         |   round(ln(em.em_count) - ln(emtot.emtot) + 5e-10, 6) AS score
+         |  FROM em JOIN lp ON em.p = lp.p, emtot
+         |  ORDER BY em.em_count DESC, piece LIMIT 32)
+         | SELECT CAST(row_number() OVER
+         |   (ORDER BY em_count DESC, piece) AS BIGINT) AS rank,
+         |  piece, em_count, seed_cnt, score
+         | FROM top ORDER BY rank"""
         .stripMargin.replaceAll("\n", " ")
     },
 

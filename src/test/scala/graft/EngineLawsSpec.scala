@@ -5730,6 +5730,69 @@ class EngineLawsSpec extends SparkSuite {
     }
   }
 
+  test("q_text_unigram_lm: full EM half-step replays in exact BigDecimal " +
+      "arithmetic (seed cells, Viterbi ties, E-step counts)") {
+    import java.math.{BigDecimal => JBD, RoundingMode}
+    // independent pure-Scala replay of the whole operator at sf: seed
+    // piece counts, ε-rounded log-likelihood cells, exact-decimal
+    // Viterbi with the max-path tie rule, E-step counts, top-32
+    val words = Tables.documents(spark, sf)
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).toLowerCase.split(" "))
+      .filter(w => w.matches("^[a-z]+$") && w.length <= 12)
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val pieceCnt = collection.mutable.Map.empty[String, Long]
+    for ((w, f) <- words; i <- 0 until w.length;
+         l <- 1 to math.min(4, w.length - i))
+      pieceCnt.updateWith(w.substring(i, i + l))(
+        c => Some(c.getOrElse(0L) + f))
+    val kept = pieceCnt.filter { case (p, c) => c >= 2 || p.length == 1 }
+    val tot = kept.values.sum
+    def cell(c: Long, t: Long): JBD =
+      new JBD(math.log(c.toDouble) - math.log(t.toDouble) + 5e-10)
+        .setScale(6, RoundingMode.HALF_UP)
+    val lp = kept.map { case (p, c) => p -> cell(c, tot) }
+    // Viterbi per word: best (score, path), ties -> max path string
+    def segment(w: String): String = {
+      val best = Array.fill[(JBD, String)](w.length + 1)(null)
+      best(0) = (JBD.ZERO, "")
+      for (i <- 1 to w.length; l <- 1 to math.min(4, i)) {
+        val p = w.substring(i - l, i)
+        (lp.get(p), best(i - l)) match {
+          case (Some(s), prev) if prev != null =>
+            val sc = prev._1.add(s)
+            val pt = if (prev._2.isEmpty) p else prev._2 + "|" + p
+            if (best(i) == null || sc.compareTo(best(i)._1) > 0 ||
+                (sc.compareTo(best(i)._1) == 0 && pt > best(i)._2))
+              best(i) = (sc, pt)
+          case _ => ()
+        }
+      }
+      best(w.length)._2
+    }
+    val em = collection.mutable.Map.empty[String, Long]
+    for ((w, f) <- words; p <- segment(w).split("\\|"))
+      em.updateWith(p)(c => Some(c.getOrElse(0L) + f))
+    val emTot = em.values.sum
+    val expect = em.toSeq.sortBy { case (p, c) => (-c, p) }.take(32)
+    val out = SparkEntry.queries("q_text_unigram_lm")(spark, sf).collect()
+    assert(out.length === expect.length)
+    out.zip(expect).zipWithIndex.foreach {
+      case ((row, (p, c)), idx) =>
+        assert(row.getLong(0) === idx + 1L, "dense rank")
+        assert(row.getString(1) === p, s"piece at rank ${idx + 1}")
+        assert(row.getLong(2) === c, s"em_count for $p")
+        assert(row.getLong(3) === kept(p), s"seed_cnt for $p")
+        val score = new JBD(math.log(c.toDouble)
+          - math.log(emTot.toDouble) + 5e-10)
+          .setScale(6, RoundingMode.HALF_UP).doubleValue()
+        assert(math.abs(row.getDouble(4) - score) < 1e-9, s"score for $p")
+    }
+    // coverage floor: every vocabulary word segments (single chars kept)
+    assert(words.keys.forall(w => segment(w).replace("|", "") == w),
+      "every path concatenates back to its word")
+  }
+
   test("q_text_readability: counts replay; unpunctuated corpus floors S=1") {
     val out = SparkEntry.queries("q_text_readability")(spark, sf).collect()
     val docs = Tables.documents(spark, sf)

@@ -472,8 +472,8 @@ class PlanSpec extends SparkSuite {
       "q_text_vocab_growth", "q_text_heaps_fit", "q_pipeline_curriculum",
       // histogram-grid budget selection (bounded bins)
       "q_pipeline_token_budget",
-      // row_number over a 100-row limit
-      "q_pipeline_importance_resample")
+      // row_number over a post-limit frame (100 and 32 rows)
+      "q_pipeline_importance_resample", "q_text_unigram_lm")
     def hasGlobalWindow(p: SparkPlan): Boolean = {
       val self = p match {
         case a: AdaptiveSparkPlanExec => a.executedPlan
