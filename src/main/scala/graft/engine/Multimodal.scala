@@ -415,6 +415,16 @@ object Multimodal {
         p += 1
       }
       emit(prefix)
+      // The decoder performs its dictionary add for this FINAL phrase
+      // code before reading EOI, and when that add lands `next` exactly
+      // on a power-of-two boundary it widens first — so EOI must be
+      // written at the width the decoder will read it with. Inner codes
+      // never hit this (the decoder's one-entry lag and its early bump
+      // cancel exactly); only the post-final-code EOI can desync, and
+      // only when the phrase count lands next on 256/512/1024/2048.
+      // Latent until r15's 10x corpus: 142 of 50k documents landed
+      // exactly on the boundary and the decoder read EOI one bit wide.
+      if (next == (1 << width) && width < 12) width += 1
       emit(Eoi)
       if (bitCnt > 0) data += (bitBuf & 0xff).toByte
       // sub-block framing

@@ -85,6 +85,25 @@ class GifCodecSpec extends AnyFunSuite {
     assert(imageio(enc)._3.sameElements(px), "ImageIO after reset")
   }
 
+  test("EOI at a power-of-two boundary: final-code add must not desync " +
+      "the EOI width (r15 regression, found by the 10x corpus sweep)") {
+    // After the encoder's FINAL phrase code the decoder performs one
+    // more dictionary add before reading EOI; when that add lands
+    // `next` exactly on 256 the decoder widens and reads EOI at 9 bits.
+    // Pre-fix the encoder wrote it at 8 — the decoder then overran the
+    // data buffer (IndexOutOfBounds) or returned garbage. This exact
+    // fixture text (sf0.1 doc 250) lands the phrase count on the
+    // boundary; 142 of 50k documents in the r15 10x sweep did.
+    val text = "scan row value data window slow filter filter value " +
+      "spark agg row part"
+    val px = Array.tabulate(256)(i => text.charAt(i % text.length) & 0x7f)
+    val enc = Gif.encode(16, 16, px)
+    val (dw, dh, dec) = Gif.decode(enc)
+    assert(dw === 16 && dh === 16)
+    assert(dec.sameElements(px), "own decode at the EOI boundary")
+    assert(imageio(enc)._3.sameElements(px), "ImageIO at the EOI boundary")
+  }
+
   test("compression beats raw on runs, stays bounded on noise") {
     val runs = Array.fill(64 * 64)(17)
     val encRuns = Gif.encode(64, 64, runs)
