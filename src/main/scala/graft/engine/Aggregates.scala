@@ -302,14 +302,21 @@ object Aggregates {
     // to the fact table); the fixture's per-group extremes are UNIQUE at
     // every SF (verified for all three), so the arbitrary-among-ties
     // semantics both engines share cannot diverge.
+    // min_by/max_by are NONDETERMINISTIC under value ties in both
+    // engines (r15: the 10x replica fixture planted exact cross-replica
+    // price ties and the two engines picked different orderkeys) — the
+    // struct-ordering spelling pins the tie rule: max price → LARGEST
+    // orderkey, min price → SMALLEST orderkey, identically in Spark
+    // struct comparison and DuckDB struct_pack min/max.
     "q_agg_argmax" -> { (s, d) =>
       Tables.orders(s, d)
         .groupBy(col("o_orderpriority"))
         .agg(max(col("o_totalprice")).as("max_price"),
-          max_by(col("o_orderkey"), col("o_totalprice")).as("top_order"),
+          max(struct(col("o_totalprice"), col("o_orderkey")))
+            .getField("o_orderkey").as("top_order"),
           min(col("o_totalprice")).as("min_price"),
-          min_by(col("o_orderkey"), col("o_totalprice"))
-            .as("cheapest_order"))
+          min(struct(col("o_totalprice"), col("o_orderkey")))
+            .getField("o_orderkey").as("cheapest_order"))
         .orderBy(col("o_orderpriority"))
     },
 
@@ -2788,9 +2795,11 @@ object Aggregates {
 
     "q_agg_argmax" ->
       """SELECT o_orderpriority, max(o_totalprice) AS max_price,
-        | arg_max(o_orderkey, o_totalprice) AS top_order,
+        | max(struct_pack(p := o_totalprice, k := o_orderkey))['k']
+        |   AS top_order,
         | min(o_totalprice) AS min_price,
-        | arg_min(o_orderkey, o_totalprice) AS cheapest_order
+        | min(struct_pack(p := o_totalprice, k := o_orderkey))['k']
+        |   AS cheapest_order
         | FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"""
         .stripMargin.replaceAll("\n", " "),
 
@@ -3952,7 +3961,8 @@ object Aggregates {
         |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
         |  GROUP BY segment, o.o_custkey),
         | m AS (SELECT segment, CAST(count(*) AS BIGINT) AS n_cust,
-        |   CAST(sum(ci) AS HUGEINT) AS t, sum(ci * ci) AS q
+        |   CAST(sum(ci) AS HUGEINT) AS t,
+        |   sum(CAST(ci AS HUGEINT) * ci) AS q
         |  FROM pc GROUP BY segment)
         | SELECT segment, n_cust,
         |  CAST(t AS DOUBLE) / 100.0 AS revenue,

@@ -134,8 +134,14 @@ def audit_schemas(exp_types, got_types):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver fixtures are single parquet FILES; ScaleFixture output
+        # (Spark writes) are DIRECTORIES of part files — glob those
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
     fails, ok = [], 0
