@@ -583,13 +583,20 @@ object Aggregates {
     // is read once and never shuffled.
     "q_agg_ttest" -> { (s, d) =>
       val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
       val st = Tables.events(s, d)
         .withColumn("c", round(col("value") * 100).cast("long"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("c").cast(dec38)).as("sc"),
-          sum(col("c").cast(dec19) * col("c").cast(dec19)).as("qc"))
+          // per-row square in long — |c| is per-EVENT cents (≤ ~2e6 at
+          // any corpus size), so c·c ≤ ~4e12 « 2^63; only the SUM needs
+          // DECIMAL(38,0). The former dec19×dec19 spelling exceeded the
+          // compact-long Decimal (18 digits) and paid a BigDecimal
+          // multiply per row. Same discipline in levene/bartlett/
+          // tukey_hsd/cohens_d/anova/corr_matrix; q_agg_hhi deliberately
+          // keeps the DECIMAL product (its operand is a per-customer
+          // revenue SUM that grows with the corpus).
+          sum((col("c") * col("c")).cast(dec38)).as("qc"))
       def mean(sc: Column, n: Column): Column =
         sc.cast("double") / n / 100.0
       def variance(qc: Column, sc: Column, n: Column): Column =
@@ -1073,7 +1080,6 @@ object Aggregates {
     // a public-table literal; decided on the ROUNDED F.
     "q_agg_levene" -> { (s, d) =>
       val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
       val cust = Tables.customer(s, d)
         .select(col("c_mktsegment").as("seg"),
           round(col("c_acctbal") * 100).cast("long").as("c"))
@@ -1084,7 +1090,7 @@ object Aggregates {
       val st = z.groupBy(col("seg"))
         .agg(count(lit(1)).as("n"),
           sum(col("z").cast(dec38)).as("sc"),
-          sum(col("z").cast(dec19) * col("z").cast(dec19)).as("qc"))
+          sum((col("z") * col("z")).cast(dec38)).as("qc"))
       val tot = st.agg(sum(col("n")).as("nn"), sum(col("sc")).as("ss"),
         count(lit(1)).as("k"))
       val grand = col("ss").cast("double") / col("nn") / 100.0
@@ -1225,14 +1231,13 @@ object Aggregates {
     // χ²crit(4,.05) = 9.488 decides on the rounded statistic.
     "q_agg_bartlett" -> { (s, d) =>
       val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
       val cust = Tables.customer(s, d)
         .select(col("c_mktsegment").as("seg"),
           round(col("c_acctbal") * 100).cast("long").as("c"))
       val st = cust.groupBy(col("seg"))
         .agg(count(lit(1)).as("n"),
           sum(col("c").cast(dec38)).as("sc"),
-          sum(col("c").cast(dec19) * col("c").cast(dec19)).as("qc"))
+          sum((col("c") * col("c")).cast(dec38)).as("qc"))
       val nD = col("n").cast("double")
       val s2 = (nD * col("qc").cast("double")
         - col("sc").cast("double") * col("sc").cast("double")) /
@@ -1268,13 +1273,12 @@ object Aggregates {
     // sqrt(MSW/2·(1/na+1/nb)); significance decided on the ROUNDED q.
     "q_agg_tukey_hsd" -> { (s, d) =>
       val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
       val st = Tables.events(s, d)
         .withColumn("c", round(col("value") * 100).cast("long"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("c").cast(dec38)).as("sc"),
-          sum(col("c").cast(dec19) * col("c").cast(dec19)).as("qc"))
+          sum((col("c") * col("c")).cast(dec38)).as("qc"))
       val termW = eround((col("qc").cast("double")
         - col("sc").cast("double") * col("sc").cast("double") / col("n"))
         / 10000.0, 6).cast("decimal(28,6)")
@@ -1312,14 +1316,13 @@ object Aggregates {
     // corpus scan to a 2-row frame; constant arithmetic after.
     "q_agg_cohens_d" -> { (s, d) =>
       val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
       val st = Tables.events(s, d)
         .filter(col("event_type").isin("click", "purchase"))
         .withColumn("c", round(col("value") * 100).cast("long"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("c").cast(dec38)).as("sc"),
-          sum(col("c").cast(dec19) * col("c").cast(dec19)).as("qc"))
+          sum((col("c") * col("c")).cast(dec38)).as("qc"))
       val a = st.filter(col("event_type") === "click")
         .select(col("n").as("n_click"), col("sc").as("sc_a"),
           col("qc").as("qc_a"))
@@ -1661,13 +1664,12 @@ object Aggregates {
     // the corpus is never shuffled.
     "q_agg_anova" -> { (s, d) =>
       val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
       val st = Tables.events(s, d)
         .withColumn("c", round(col("value") * 100).cast("long"))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("c").cast(dec38)).as("sc"),
-          sum(col("c").cast(dec19) * col("c").cast(dec19)).as("qc"))
+          sum((col("c") * col("c")).cast(dec38)).as("qc"))
       val tot = st.agg(sum(col("n")).as("nn"), sum(col("sc")).as("ss"),
         count(lit(1)).as("k"))
       val grand = col("ss").cast("double") / col("nn") / 100.0
@@ -2081,7 +2083,6 @@ object Aggregates {
     // The corpus is never shuffled — the exchange carries one row.
     "q_agg_corr_matrix" -> { (s, d) =>
       val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-      val dec19 = org.apache.spark.sql.types.DecimalType(19, 0)
       val vars = Seq("q", "p", "dc", "tx")
       val names = Map("q" -> "quantity", "p" -> "extendedprice",
         "dc" -> "discount", "tx" -> "tax")
@@ -2093,7 +2094,16 @@ object Aggregates {
       val sums = vars.map(x => sum(col(x).cast(dec38)).as(s"s_$x")) ++
         (for (i <- vars.indices; j <- i until vars.length) yield {
           val (x, y) = (vars(i), vars(j))
-          sum(col(x).cast(dec19) * col(y).cast(dec19)).as(s"s_${x}_$y")
+          // r15 optimization (guide §1.2 "per-task work"): the PER-ROW
+          // cross-product fits int64 with 4 decades of slack (|p| ≤ ~1.1e7
+          // cents ⇒ p·p ≤ ~1.2e14 « 9.2e18); only the 600k-row SUM can
+          // wrap, so multiply in long and lift to DECIMAL(38,0) at the
+          // accumulator. The previous dec19×dec19 spelling exceeded
+          // Spark's compact-long Decimal (18 digits) and paid a
+          // BigDecimal multiply per row per cell — 15 of them. Result
+          // type and values are bit-identical (exact integer arithmetic
+          // on both spellings; oracle unchanged).
+          sum((col(x) * col(y)).cast(dec38)).as(s"s_${x}_$y")
         })
       val m = v.agg(count(lit(1)).cast(dec38).as("n"), sums: _*)
         .withColumn("n_rows", col("n").cast("long"))
