@@ -790,7 +790,8 @@ object Multimodal {
     // mean, normalized by the 7-bit max). Constant blocks decode exactly,
     // so every feature is byte-level oracle-checkable.
     "q_multimodal_features" -> { (s, d) =>
-      val frame = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val frame = Tables.spread(s,
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
       val outSchema = StructType(Seq(
         StructField("doc_id", LongType),
         StructField("features", ArrayType(DoubleType, containsNull = false))))
@@ -832,7 +833,8 @@ object Multimodal {
     // frame, and emits per-frame dimensions + the decoded mean — the
     // decode-side of frame extraction, fully oracle-checked.
     "q_multimodal_frames" -> { (s, d) =>
-      val frame = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val frame = Tables.spread(s,
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
       val outSchema = StructType(Seq(
         StructField("doc_id", LongType),
         StructField("frame_idx", IntegerType),
@@ -1087,7 +1089,8 @@ object Multimodal {
     // encoder against the JDK's own ImageIO GIF reader — an independent
     // implementation, not just our decoder.
     "q_multimodal_gif" -> { (s, d) =>
-      val frame = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val frame = Tables.spread(s,
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
       val outSchema = StructType(Seq(
         StructField("doc_id", LongType),
         StructField("w", IntegerType),
@@ -1121,7 +1124,8 @@ object Multimodal {
     // oracle-checked columns recompute the channel means from the same
     // characters.
     "q_multimodal_png" -> { (s, d) =>
-      val frame = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val frame = Tables.spread(s,
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
       val outSchema = StructType(Seq(
         StructField("doc_id", LongType),
         StructField("w", IntegerType),
@@ -1162,7 +1166,8 @@ object Multimodal {
     // DCT/Huffman/marker machinery. The lossy general path is PSNR-tested
     // in JpegCodecSpec.
     "q_multimodal_jpeg" -> { (s, d) =>
-      val frame = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val frame = Tables.spread(s,
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
       val outSchema = StructType(Seq(
         StructField("doc_id", LongType),
         StructField("w", IntegerType),
@@ -1198,7 +1203,8 @@ object Multimodal {
     // plane before re-encoding (exact for constant blocks), so the whole
     // row is oracle-checkable.
     "q_multimodal_resize" -> { (s, d) =>
-      val frame = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val frame = Tables.spread(s,
+        Tables.documents(s, d).select(col("doc_id"), col("text")))
       val outSchema = StructType(Seq(
         StructField("doc_id", LongType),
         StructField("w", IntegerType),

@@ -46,6 +46,24 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = t(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = t(s, d, "embeddings")
+
+  /** Scale-adaptive CPU spread for per-row-HEAVY map stages (codec decode,
+    * EM/Viterbi walks, big regex cascades) — optimization-guide §2.5's
+    * "one huge unsplittable file → repartition immediately after the read".
+    * The driver fixtures ship single-row-group parquet, so every scan is
+    * ONE task and a CPU-bound map stage runs single-threaded regardless of
+    * core count. When (and only when) the frame's scan parallelism cannot
+    * feed half the session's cores, round-robin repartition to
+    * defaultParallelism; at production split counts (thousands of files /
+    * row groups) the guard makes this a no-op, so no corpus-scale shuffle
+    * is ever added. Row-wise results are partitioning-independent, so
+    * downstream values (and the oracle hash) are unchanged.
+    */
+  def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    val scanParts = df.rdd.getNumPartitions // planning-only, no job
+    if (scanParts * 2 <= target) df.repartition(target) else df
+  }
 }
 
 /** Determinism helpers for DuckDB-oracle float parity (SURVEY.md §7.4).

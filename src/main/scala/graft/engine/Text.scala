@@ -669,7 +669,7 @@ object Text {
     "q_text_keyphrase" -> { (s, d) =>
       val marked = transform(toks(col("text")),
         t => when(t.isin(StopWords: _*), lit("§")).otherwise(t))
-      val phrases = Tables.documents(s, d)
+      val phrases = Tables.spread(s, Tables.documents(s, d))
         .select(col("doc_id"),
           posexplode(filter(
             transform(split(array_join(marked, " "), "§"),
