@@ -1169,9 +1169,16 @@ object Text {
     // 64-row broadcast join, and a TakeOrdered top-100 — never a
     // corpus-wide window.
     "q_pipeline_importance_resample" -> { (s, d) =>
-      val dec6 = org.apache.spark.sql.types.DecimalType(28, 6)
+      // DECIMAL(18,6), not (28,6) (r15): |lcell| <= ~30 and the per-doc
+      // sum is bounded by 30·n_tokens « 1e12, so the compact-long
+      // Decimal (<= 18 digits) holds it exactly — the (28,6) spelling
+      // paid a BigDecimal add per TOKEN in the scored sum. The oracle
+      // casts to the same type, so both engines stay exact-integer.
+      val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
       val W = org.apache.spark.sql.expressions.Window
-      val tk = Tables.documents(s, d)
+      // spread the scan (r15, guide §2.5): the explode+md5 token pass
+      // runs TWICE (cell build + scoring) from the single-task scan
+      val tk = Tables.spread(s, Tables.documents(s, d))
         .select(col("doc_id"), col("lang"),
           explode(toks(col("text"))).as("tok"))
         .withColumn("b", pmod(conv(substring(md5(col("tok")), 1, 8),
@@ -3880,7 +3887,7 @@ object Text {
          |   CAST(round(ln(CAST(ct + 1 AS DOUBLE)
          |      * CAST(tr + 64 AS DOUBLE)
          |     / (CAST(cr + 1 AS DOUBLE) * CAST(tt + 64 AS DOUBLE)))
-         |     + 5e-10, 6) AS DECIMAL(28,6)) AS lcell
+         |     + 5e-10, 6) AS DECIMAL(18,6)) AS lcell
          |  FROM cells0, tots),
          | scored AS (SELECT hb.doc_id, hb.lang,
          |   CAST(count(*) AS BIGINT) AS n_tokens,
