@@ -2017,27 +2017,56 @@ object Aggregates {
     // qualifiers, so one min(struct) picks it per group. One
     // flag-partitioned window + a tiny argmin agg.
     "q_agg_median_weighted" -> { (s, d) =>
+      // Two-level prefix sum (r15, guide §2.5 two-level aggregation): the
+      // previous spelling ran a running-sum window PARTITIONed by
+      // l_returnflag — 3 distinct values, so the whole fact table sorted
+      // in 3 tasks regardless of core count (the same non-scalable shape
+      // q_sample_weighted already avoids). Level 1 buckets the cents axis
+      // (b = c DIV 8192) and aggregates weight mass per (flag, bucket) —
+      // one partial-aggregated shuffle of ~|buckets| groups; the bucket
+      // cumsum then runs over KB-scale rows, and only the single crossing
+      // bucket's rows are re-read for the exact in-bucket crossing.
+      // Equivalence to the windowed spelling (and the unchanged oracle):
+      // qualifying rows (2·cw >= tw) form a suffix of the (c, okey, lnum)
+      // order, so w_median = min{c : 2·W(<=c) >= tw}; the crossing bucket
+      // b* = min{b : 2·cumb >= tw} contains that c, and prior(b*) + the
+      // in-bucket running sum reproduces the global cw exactly (integer
+      // arithmetic throughout).
       val W = org.apache.spark.sql.expressions.Window
-      val ord = W.partitionBy(col("l_returnflag"))
-        .orderBy(col("c"), col("l_orderkey"), col("l_linenumber"))
       val li = Tables.lineitem(s, d)
         .select(col("l_returnflag"), col("l_orderkey"),
           col("l_linenumber"),
           round(col("l_extendedprice") * 100).cast("long").as("c"),
           col("l_quantity").cast("long").as("q"))
-        .select(col("l_returnflag"), col("l_orderkey"),
-          col("l_linenumber"), col("c"), col("q"),
-          sum(col("q")).over(ord.rowsBetween(W.unboundedPreceding,
-            W.currentRow)).as("cw"),
-          sum(col("q")).over(W.partitionBy(col("l_returnflag")))
+        .withColumn("b", expr("c DIV 8192"))
+      val lvl1 = li.groupBy(col("l_returnflag"), col("b"))
+        .agg(sum(col("q")).as("bq"))
+      val wb = W.partitionBy(col("l_returnflag")).orderBy(col("b"))
+      val cut = lvl1
+        .select(col("l_returnflag"), col("b"), col("bq"),
+          sum(col("bq")).over(wb.rowsBetween(W.unboundedPreceding,
+            W.currentRow)).as("cumb"),
+          sum(col("bq")).over(W.partitionBy(col("l_returnflag")))
             .as("tw"))
-      li.filter(col("cw") * 2 >= col("tw"))
+        .filter(col("cumb") * 2 >= col("tw"))
         .groupBy(col("l_returnflag"))
-        .agg(max(col("tw")).as("total_qty"),
-          min(struct(col("c"), col("l_orderkey"), col("l_linenumber")))
-            .as("m"))
+        .agg(min(struct(col("b"), col("cumb"), col("bq"), col("tw")))
+          .as("m"))
+        .select(col("l_returnflag"), col("m.b").as("b"),
+          (col("m.cumb") - col("m.bq")).as("prior"),
+          col("m.tw").as("tw"))
+      val wr = W.partitionBy(col("l_returnflag"))
+        .orderBy(col("c"), col("l_orderkey"), col("l_linenumber"))
+      li.join(broadcast(cut), Seq("l_returnflag", "b"))
+        .select(col("l_returnflag"), col("c"), col("q"), col("prior"),
+          col("tw"),
+          sum(col("q")).over(wr.rowsBetween(W.unboundedPreceding,
+            W.currentRow)).as("cwb"))
+        .filter((col("prior") + col("cwb")) * 2 >= col("tw"))
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("tw")).as("total_qty"), min(col("c")).as("mc"))
         .select(col("l_returnflag"), col("total_qty"),
-          (col("m.c") / 100.0).cast("double").as("w_median"))
+          (col("mc") / 100.0).cast("double").as("w_median"))
         .orderBy(col("l_returnflag"))
     },
 
