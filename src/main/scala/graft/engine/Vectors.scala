@@ -100,11 +100,21 @@ object Vectors {
 
   private def connectedComponents(nodes: DataFrame, pairs: DataFrame,
       slot: String): DataFrame = {
+    // r15 (guide §2.4 remove shuffles / duplicated subtrees): edges are
+    // pre-partitioned on dst and every round's label frame on vec_id
+    // BEFORE their checkpoints — LogicalRDD preserves the partitioning,
+    // so the per-round neighbor join and the label merge are exchange-
+    // free on the big sides (only the groupBy(src) and the jump's mid
+    // re-keys shuffle). `stepped` is additionally checkpointed: the
+    // pointer-jump self-join previously re-executed the whole
+    // join+aggregate subtree twice per round.
     val edges = pairs.unionByName(
         pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .repartition(col("dst"))
       .localCheckpoint()
     var labels = nodes.select(col("vec_id"), col("vec_id").as("comp"))
+      .repartition(col("vec_id"))
       .localCheckpoint()
     var changed = 1L
     var rounds = 0
@@ -130,8 +140,11 @@ object Vectors {
           col("comp").as("comp")), Seq("mid"), "left")
         .select(col("vec_id"), col("old"),
           coalesce(col("comp"), col("mid")).as("comp"))
+        .repartition(col("vec_id"))
         .localCheckpoint()
       changed = jumped.filter(col("comp") =!= col("old")).count()
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[ccdebug] slot=$slot round=$rounds changed=$changed")
       // The new round is materialized (localCheckpoint is eager and the
       // convergence count just ran on it) — the previous round's blocks
       // are now unreachable; free them instead of leaking one block set
