@@ -701,7 +701,7 @@ object Relational {
         .select(col("o_orderkey"), col("o_orderstatus"),
           explode(sequence(lit(0), lit(7))).as("salt"))
         .withColumn("salt", col("salt").cast("long"))
-      salted.join(replicated,
+      salted.join(replicated.hint("shuffle_hash"),
           salted("l_orderkey") === replicated("o_orderkey")
             && salted("salt") === replicated("salt"))
         .groupBy(col("o_orderstatus"))
