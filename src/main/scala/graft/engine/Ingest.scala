@@ -325,7 +325,13 @@ object Ingest {
     // counts against the source table.
     "q_sink_parquet" -> { (s, d) =>
       val out = tmp("lineitem_part", d)
-      Tables.lineitem(s, d).write.mode("overwrite")
+      // repartition by the partition column before the partitionBy write
+      // (the q_sink_bucketed/q_sink_partition_overwrite discipline): each
+      // partition value lands in its own task — same one-file-per-
+      // partition layout, but the writers run in parallel instead of one
+      // scan task writing every partition serially
+      Tables.lineitem(s, d).repartition(col("l_returnflag"))
+        .write.mode("overwrite")
         .partitionBy("l_returnflag").parquet(out)
       s.read.parquet(out)
         .groupBy(col("l_returnflag"))
@@ -672,7 +678,16 @@ object Ingest {
     "q_sink_compact" -> { (s, d) =>
       val frag = tmp("lineitem_frag", d)
       val comp = tmp("lineitem_compact", d)
-      Tables.lineitem(s, d).repartition(64)
+      // r15: fragment via a DETERMINISTIC hash key instead of round-robin —
+      // keyless repartition(n) first pays a full local sort of its input
+      // (spark.sql.execution.sortBeforeRepartition, guide §2.5) so retried
+      // tasks reproduce their row assignment; hashing a derived key needs
+      // no sort and is retry-stable by construction. 4096 key values over
+      // 64 partitions spread evenly (the 20-100x rule), so the landing
+      // zone still fragments into exactly 64 part files at every SF.
+      Tables.lineitem(s, d)
+        .repartition(64, pmod(xxhash64(col("l_orderkey"),
+          col("l_linenumber")), lit(4096)))
         .write.mode("overwrite").parquet(frag)
       s.read.parquet(frag)
         .repartitionByRange(4, col("l_orderkey"))

@@ -750,7 +750,12 @@ object Relational {
       // for that natural width; it is fixture scaffolding, not part of
       // the pattern.
       val fact = Tables.lineitem(s2, d)
-        .repartition(16)
+        // r15: deterministic hash spread instead of round-robin — same
+        // 16-task map width for the skew split, but no
+        // sortBeforeRepartition local sort of the whole fact (guide
+        // §2.5), and retry-stable row placement by construction
+        .repartition(16, pmod(xxhash64(col("l_orderkey"),
+          col("l_linenumber")), lit(1024)))
         .select(hot(col("l_orderkey")).as("k"), col("l_quantity"))
       // the dim stays a pure project+union — ONE row per key (the hot
       // key gets a literal row) and, critically, no aggregate between
