@@ -2080,23 +2080,66 @@ object Aggregates {
     // ⌊n/10⌋ on both engines — so the kept set is identical by
     // construction, never a float-boundary choice.
     "q_agg_trimmed_mean" -> { (s, d) =>
+      // Two-level prefix sum (r15, the q_agg_median_weighted shape): the
+      // previous spelling ranked the whole table in a window PARTITIONed
+      // by o_orderpriority — 5 distinct values, so the full sort ran in 5
+      // tasks regardless of core count. Level 1 aggregates (count, sum)
+      // per (priority, cents-bucket); the bucket cumsum over KB-scale
+      // rows classifies each bucket as fully-kept, fully-trimmed, or
+      // straddling a trim boundary (<= 2 straddlers per priority), and
+      // only the straddling buckets' rows are re-read and ranked.
+      // Equivalence: global rank rn = cumBefore(bucket) + in-bucket rank
+      // (ties in c never cross buckets since the bucket is a function of
+      // c), so the kept set (k < rn <= nn-k) is row-identical and the
+      // BIGINT cents sum is the same value the oracle computes.
       val W = org.apache.spark.sql.expressions.Window
-      val w = W.partitionBy(col("o_orderpriority"))
-        .orderBy(col("c"), col("o_orderkey"))
-      val ranked = Tables.orders(s, d)
+      val li = Tables.orders(s, d)
         .select(col("o_orderpriority"),
           round(col("o_totalprice") * 100).cast("long").as("c"),
           col("o_orderkey"))
-        .select(col("o_orderpriority"), col("c"),
-          row_number().over(w).cast("long").as("rn"),
-          count(lit(1)).over(W.partitionBy(col("o_orderpriority")))
-            .as("nn"))
+        .withColumn("b", expr("c DIV 8192"))
+      val lvl1 = li.groupBy(col("o_orderpriority"), col("b"))
+        .agg(count(lit(1)).as("cnt"), sum(col("c")).as("bsum"))
+      val wb = W.partitionBy(col("o_orderpriority")).orderBy(col("b"))
+      val marked = lvl1.select(col("o_orderpriority"), col("b"),
+        col("cnt"), col("bsum"),
+        (sum(col("cnt")).over(wb.rowsBetween(W.unboundedPreceding,
+          W.currentRow)) - col("cnt")).as("cumBefore"),
+        sum(col("cnt")).over(W.partitionBy(col("o_orderpriority")))
+          .as("nn"))
       val k = floor(col("nn") / lit(10)).cast("long")
-      ranked.filter(col("rn") > k && col("rn") <= col("nn") - k)
+      val isInside = col("cumBefore") >= k &&
+        col("cumBefore") + col("cnt") <= col("nn") - k
+      val inside = marked.filter(isInside)
         .groupBy(col("o_orderpriority"))
-        .agg(max(col("nn")).as("n_total"),
-          count(lit(1)).as("n_kept"),
-          eround(sum(col("c")).cast("double") / 100.0 / count(lit(1)), 4)
+        .agg(sum(col("bsum")).as("in_sum"), sum(col("cnt")).as("in_cnt"))
+      val straddle = marked.filter(!isInside &&
+          col("cumBefore") + col("cnt") > k &&
+          col("cumBefore") < col("nn") - k)
+        .select(col("o_orderpriority"), col("b"), col("cumBefore"),
+          col("nn"))
+      val wr = W.partitionBy(col("o_orderpriority"), col("b"))
+        .orderBy(col("c"), col("o_orderkey"))
+      val bnd = li.join(broadcast(straddle), Seq("o_orderpriority", "b"))
+        .select(col("o_orderpriority"), col("c"), col("nn"),
+          (col("cumBefore") + row_number().over(wr).cast("long"))
+            .as("rn"))
+        .filter(col("rn") > floor(col("nn") / lit(10)).cast("long")
+          && col("rn") <= col("nn")
+            - floor(col("nn") / lit(10)).cast("long"))
+        .groupBy(col("o_orderpriority"))
+        .agg(sum(col("c")).as("st_sum"), count(lit(1)).as("st_cnt"))
+      val tot = marked.groupBy(col("o_orderpriority"))
+        .agg(max(col("nn")).as("n_total"))
+      tot.join(inside, Seq("o_orderpriority"), "left")
+        .join(bnd, Seq("o_orderpriority"), "left")
+        .select(col("o_orderpriority"), col("n_total"),
+          (coalesce(col("in_cnt"), lit(0L))
+            + coalesce(col("st_cnt"), lit(0L))).as("n_kept"),
+          eround((coalesce(col("in_sum"), lit(0L))
+              + coalesce(col("st_sum"), lit(0L))).cast("double") / 100.0
+            / (coalesce(col("in_cnt"), lit(0L))
+              + coalesce(col("st_cnt"), lit(0L))), 4)
             .as("trimmed_mean"))
         .orderBy(col("o_orderpriority"))
     },
