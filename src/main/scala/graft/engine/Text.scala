@@ -1285,7 +1285,10 @@ object Text {
     // corpus token count at 100 TB.
     "q_text_dedup_span" -> { (s, d) =>
       val n = 8
-      val sh = Tables.documents(s, d)
+      // spread the scan (r15, guide §2.5): the tokenize+explode+md5 pass
+      // runs twice over a single-task fixture scan; repartitioning the
+      // KB-scale raw text first parallelizes both codegen passes
+      val sh = Tables.spread(s, Tables.documents(s, d))
         .withColumn("t", toks(col("text")))
         .filter(size(col("t")) >= n)
         .select(col("doc_id"), col("t"),
@@ -3149,6 +3152,9 @@ object Text {
       // spelling keeps md5/concat_ws/slice inside WholeStageCodegen
       // (~0.5 s). Per-doc distinctness moves from array_distinct into
       // the countDistinct aggregates, which partial-aggregate map-side.
+      // (r15: probed Tables.spread here — the four re-derived branches
+      // each pay the repartition exchange and the measured total came out
+      // ~5% WORSE than the single-task scans; left as-is)
       val sh = Tables.documents(s, d)
         .withColumn("t", toks(col("text")))
         .select(col("doc_id"), col("t"),
