@@ -679,6 +679,10 @@ object Text {
         .withColumn("wlen", size(split(col("phrase"), " ")))
         .select(col("doc_id"), col("pid"), col("phrase"), col("wlen"),
           explode(split(col("phrase"), " ")).as("w"))
+      // (r15: probed replacing this w-partitioned window with a vocab
+      // aggregate + broadcast join-back — the join spelling re-derives
+      // the token stream twice and measured 0.79 -> 0.90 s at sf0.1, so
+      // the one-exchange window spelling stays)
       words
         .withColumn("freq", count(lit(1)).over(
           org.apache.spark.sql.expressions.Window.partitionBy(col("w"))))
