@@ -100,14 +100,18 @@ object Vectors {
 
   private def connectedComponents(nodes: DataFrame, pairs: DataFrame,
       slot: String): DataFrame = {
-    // r15 (guide §2.4 remove shuffles / duplicated subtrees): edges are
-    // pre-partitioned on dst and every round's label frame on vec_id
-    // BEFORE their checkpoints — LogicalRDD preserves the partitioning,
-    // so the per-round neighbor join and the label merge are exchange-
-    // free on the big sides (only the groupBy(src) and the jump's mid
-    // re-keys shuffle). `stepped` is additionally checkpointed: the
-    // pointer-jump self-join previously re-executed the whole
-    // join+aggregate subtree twice per round.
+    // r15: edges and every round's label frame are keyed-repartitioned
+    // BEFORE their checkpoints. NOT exchange elimination — under AQE the
+    // checkpoint leaf reports UnknownPartitioning (the PlanSpec
+    // checkpoint-partitioning canary), so each round's joins still plan
+    // their ENSURE_REQUIREMENTS exchanges. The win is the r14
+    // betweenness COMPACTION effect: AQE coalesces the repartition
+    // output, so the pinned frames hold a few right-sized partitions
+    // (measured: 1 at fixture scale vs 32 round-robin blocks) and every
+    // per-round stage over them schedules proportionally fewer tasks.
+    // Measured −15% on q_dedup_groups_lsh; the bounded exact demo is
+    // flat. If the canary ever flips, the same spelling starts
+    // collapsing the per-round exchanges too.
     val edges = pairs.unionByName(
         pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .select(col("id_a").as("src"), col("id_b").as("dst"))
